@@ -1,0 +1,8 @@
+"""Builtin effect library — registers on import.
+
+TPU-native re-expressions of the reference's core weed plugins
+(`/root/reference/lives-plugins/weed-plugins/`); see each module's docstring
+for the specific plugins covered.
+"""
+
+from . import blends, blur, colour, generators, geometry, keying  # noqa: F401

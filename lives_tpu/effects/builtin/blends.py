@@ -1,0 +1,170 @@
+"""Blend & transition filters.
+
+Re-expressions of the reference plugins `simple_blend.c`, `multi_blends.c`,
+`slide_over.c`, `layout_blends.c` (lives-plugins/weed-plugins/) as fused
+jnp ops. Each is pure; blend amount may be traced (per-frame interpolated).
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+import numpy as np
+
+from ...constants import Palette
+from ..host import (ChannelTemplate, FILTER_IS_TRANSITION, Filter, Param,
+                    register_filter)
+from ..util import from_f01, join_alpha, split_alpha, to_f01
+
+_RGBX = (Palette.RGB24, Palette.RGBA32)
+_TWO_IN = (ChannelTemplate("fg", _RGBX), ChannelTemplate("bg", _RGBX))
+
+
+def _mk_transition(name, fn, extra_params=(), desc=""):
+    def process(ins, params, ctx):
+        fg, bg = ins[0], ins[1]
+        a = to_f01(fg)
+        b = to_f01(bg)
+        argb, aal = split_alpha(a)
+        brgb, bal = split_alpha(b)
+        out = fn(argb, brgb, params)
+        out = jnp.clip(out, 0.0, 1.0)
+        al = aal if aal is not None else bal
+        return from_f01(join_alpha(out, al), fg)
+
+    return register_filter(Filter(
+        name=name, process=process, in_channels=_TWO_IN,
+        params=(Param("amount", "num", 0.5, 0.0, 1.0),) + tuple(extra_params),
+        flags=FILTER_IS_TRANSITION, description=desc))
+
+
+# -- crossfade (simple_blend.c "blend") -------------------------------------
+_mk_transition("crossfade",
+               lambda a, b, p: a * p["amount"] + b * (1.0 - p["amount"]),
+               desc="linear alpha crossfade of fg over bg")
+
+# -- multi_blends modes ------------------------------------------------------
+
+def _mix(expr):
+    """amount-weighted mix of blend result with bg."""
+    def fn(a, b, p):
+        return expr(a, b) * p["amount"] + b * (1.0 - p["amount"])
+    return fn
+
+
+_BLEND_MODES = {
+    "blend_add": lambda a, b: a + b,
+    "blend_subtract": lambda a, b: b - a,
+    "blend_multiply": lambda a, b: a * b,
+    "blend_screen": lambda a, b: 1.0 - (1.0 - a) * (1.0 - b),
+    "blend_darken": jnp.minimum,
+    "blend_lighten": jnp.maximum,
+    "blend_difference": lambda a, b: jnp.abs(a - b),
+    "blend_exclusion": lambda a, b: a + b - 2.0 * a * b,
+    "blend_overlay": lambda a, b: jnp.where(
+        b <= 0.5, 2.0 * a * b, 1.0 - 2.0 * (1.0 - a) * (1.0 - b)),
+    "blend_hardlight": lambda a, b: jnp.where(
+        a <= 0.5, 2.0 * a * b, 1.0 - 2.0 * (1.0 - a) * (1.0 - b)),
+    "blend_dodge": lambda a, b: b / jnp.maximum(1.0 - a, 1e-3),
+    "blend_burn": lambda a, b: 1.0 - (1.0 - b) / jnp.maximum(a, 1e-3),
+    "blend_grain_extract": lambda a, b: b - a + 0.5,
+    "blend_grain_merge": lambda a, b: b + a - 0.5,
+}
+
+for _name, _expr in _BLEND_MODES.items():
+    _mk_transition(_name, _mix(_expr), desc=f"{_name} of fg into bg")
+
+
+# -- slide / wipe transitions (slide_over.c) ---------------------------------
+
+def _edge_mask(w, h, direction, pos):
+    """Soft-less (hard) wipe mask: 1 where fg shows."""
+    x = jnp.linspace(0.0, 1.0, w)[None, :]
+    y = jnp.linspace(0.0, 1.0, h)[:, None]
+    xx = jnp.broadcast_to(x, (h, w))
+    yy = jnp.broadcast_to(y, (h, w))
+    masks = {
+        0: xx < pos,          # left -> right
+        1: (1.0 - xx) < pos,  # right -> left
+        2: yy < pos,          # top -> bottom
+        3: (1.0 - yy) < pos,  # bottom -> top
+    }
+    return masks[direction].astype(jnp.float32)
+
+
+def _wipe_process(ins, params, ctx):
+    fg, bg = ins[0], ins[1]
+    a, b = to_f01(fg), to_f01(bg)
+    argb, aal = split_alpha(a)
+    brgb, _ = split_alpha(b)
+    # direction is a static (non-interpolated) choice param
+    m = _edge_mask(fg.width, fg.height, int(params.get("direction", 0)),
+                   params["amount"])
+    out = argb * m + brgb * (1.0 - m)
+    return from_f01(join_alpha(out, aal), fg)
+
+
+register_filter(Filter(
+    name="wipe", process=_wipe_process, in_channels=_TWO_IN,
+    params=(Param("amount", "num", 0.0, 0.0, 1.0),
+            Param("direction", "string_list", 0,
+                  choices=("left", "right", "top", "bottom"))),
+    flags=FILTER_IS_TRANSITION, description="hard-edged directional wipe"))
+
+
+def _iris_process(ins, params, ctx):
+    fg, bg = ins[0], ins[1]
+    a, b = to_f01(fg), to_f01(bg)
+    argb, aal = split_alpha(a)
+    brgb, _ = split_alpha(b)
+    h, w = argb.shape[-2:]
+    y = jnp.linspace(-1.0, 1.0, h)[:, None]
+    x = jnp.linspace(-1.0, 1.0, w)[None, :] * (w / h)
+    r = jnp.sqrt(x * x + y * y)
+    rmax = np.sqrt(1.0 + (w / h) ** 2)
+    soft = params["softness"] + 1e-4
+    m = jnp.clip((params["amount"] * rmax - r) / soft + 0.5, 0.0, 1.0)
+    out = argb * m + brgb * (1.0 - m)
+    return from_f01(join_alpha(out, aal), fg)
+
+
+register_filter(Filter(
+    name="iris_circle", process=_iris_process, in_channels=_TWO_IN,
+    params=(Param("amount", "num", 0.0, 0.0, 1.0),
+            Param("softness", "num", 0.05, 0.0, 0.5)),
+    flags=FILTER_IS_TRANSITION, description="circular iris wipe"))
+
+
+# -- picture-in-picture compositor (gdk/compositor.c essence) ---------------
+
+def _pip_process(ins, params, ctx):
+    fg, bg = ins[0], ins[1]
+    from ...ops.resize import resize_layer
+    b = to_f01(bg)
+    brgb, bal = split_alpha(b)
+    h, w = brgb.shape[-2:]
+    # scale is python float when static -> fixed shapes; traced scale is not
+    # supported (jit needs static geometry), matching nodemodel templates.
+    scale = float(params["scale"]) if not hasattr(params["scale"], "shape") \
+        else 0.5
+    sw, sh = max(2, int(w * scale)), max(2, int(h * scale))
+    small = to_f01(resize_layer(fg, sw, sh))
+    srgb, _ = split_alpha(small)
+    ox = jnp.clip(params["x"] * (w - sw), 0, w - sw).astype(jnp.int32)
+    oy = jnp.clip(params["y"] * (h - sh), 0, h - sh).astype(jnp.int32)
+    out = jax_dynamic_paste(brgb, srgb, oy, ox)
+    return from_f01(join_alpha(out, bal), bg)
+
+
+def jax_dynamic_paste(canvas, patch, oy, ox):
+    import jax
+    return jax.lax.dynamic_update_slice(
+        canvas, patch, (jnp.int32(0), oy, ox))
+
+
+register_filter(Filter(
+    name="picture_in_picture", process=_pip_process, in_channels=_TWO_IN,
+    params=(Param("scale", "num", 0.5, 0.05, 1.0),
+            Param("x", "num", 1.0, 0.0, 1.0),
+            Param("y", "num", 0.0, 0.0, 1.0)),
+    flags=FILTER_IS_TRANSITION,
+    description="scale fg and paste over bg at (x,y)"))

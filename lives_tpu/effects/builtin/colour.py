@@ -1,0 +1,200 @@
+"""Colour-manipulation filters.
+
+TPU re-expressions of the reference's colour plugins (`RGBdelay.c` channel
+mixing, `softlight.c`, `fg_bg_removal.c`, `negate.c`, `colorkey.c`, plus the
+ubiquitous brightness/contrast/saturation RFX scripts). All pure elementwise
+VPU work that XLA fuses into one pass per chain.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+import numpy as np
+
+from ...constants import Palette
+from ..host import ChannelTemplate, Filter, Param, register_filter
+from ..util import from_f01, join_alpha, luma, split_alpha, to_f01
+
+_RGBX = (Palette.RGB24, Palette.RGBA32)
+_ONE_IN = (ChannelTemplate("in", _RGBX),)
+
+
+def _rgb_filter(name, fn, params=(), desc=""):
+    """Helper: filter over the (3,H,W) [0,1] rgb view."""
+    def process(ins, p, ctx):
+        lay = ins[0]
+        a = to_f01(lay)
+        rgb, al = split_alpha(a)
+        out = jnp.clip(fn(rgb, p, ctx), 0.0, 1.0)
+        return from_f01(join_alpha(out, al), lay)
+    return register_filter(Filter(name=name, process=process,
+                                  in_channels=_ONE_IN, params=tuple(params),
+                                  description=desc))
+
+
+# -- basics ------------------------------------------------------------------
+
+_rgb_filter("negate", lambda rgb, p, c: 1.0 - rgb, desc="invert RGB")
+
+_rgb_filter(
+    "brightness_contrast",
+    lambda rgb, p, c: (rgb - 0.5) * p["contrast"] + 0.5 + p["brightness"],
+    params=(Param("brightness", "num", 0.0, -1.0, 1.0),
+            Param("contrast", "num", 1.0, 0.0, 4.0)),
+    desc="linear brightness/contrast")
+
+_rgb_filter(
+    "gamma_adjust",
+    lambda rgb, p, c: jnp.maximum(rgb, 0.0) ** p["gamma"],
+    params=(Param("gamma", "num", 1.0, 0.1, 5.0),),
+    desc="power-law gamma tweak")
+
+
+def _saturation(rgb, p, c):
+    g = luma(rgb)[None]
+    return g + (rgb - g) * p["saturation"]
+
+
+_rgb_filter("saturation", _saturation,
+            params=(Param("saturation", "num", 1.0, 0.0, 4.0),),
+            desc="saturation about BT.601 luma")
+
+
+def _hue_rotate(rgb, p, c):
+    """Rotate hue by angle (YIQ-space rotation, constant-luma)."""
+    th = p["angle"] * np.float32(2.0 * np.pi)
+    cs, sn = jnp.cos(th), jnp.sin(th)
+    # standard hue-rotation matrix decomposition
+    m0 = np.array([[0.213, 0.715, 0.072]] * 3, np.float32)
+    m1 = np.array([[0.787, -0.715, -0.072],
+                   [-0.213, 0.285, -0.072],
+                   [-0.213, -0.715, 0.928]], np.float32)
+    m2 = np.array([[-0.213, -0.715, 0.928],
+                   [0.143, 0.140, -0.283],
+                   [-0.787, 0.715, 0.072]], np.float32)
+    m = jnp.asarray(m0) + cs * jnp.asarray(m1) + sn * jnp.asarray(m2)
+    return jnp.einsum("ij,jhw->ihw", m, rgb)
+
+
+_rgb_filter("hue_rotate", _hue_rotate,
+            params=(Param("angle", "num", 0.0, 0.0, 1.0),),
+            desc="rotate hue (0..1 = full turn)")
+
+_rgb_filter(
+    "colour_balance",
+    lambda rgb, p, c: rgb * jnp.stack([p["red"], p["green"], p["blue"]]
+                                      )[:, None, None],
+    params=(Param("red", "num", 1.0, 0.0, 4.0),
+            Param("green", "num", 1.0, 0.0, 4.0),
+            Param("blue", "num", 1.0, 0.0, 4.0)),
+    desc="per-channel gain")
+
+
+def _levels(rgb, p, c):
+    lo, hi = p["black"], p["white"]
+    x = (rgb - lo) / jnp.maximum(hi - lo, 1e-4)
+    return jnp.clip(x, 0.0, 1.0) ** p["gamma"]
+
+
+_rgb_filter("levels", _levels,
+            params=(Param("black", "num", 0.0, 0.0, 1.0),
+                    Param("white", "num", 1.0, 0.0, 1.0),
+                    Param("gamma", "num", 1.0, 0.1, 5.0)),
+            desc="input levels + gamma")
+
+_rgb_filter(
+    "greyscale",
+    lambda rgb, p, c: jnp.broadcast_to(luma(rgb)[None], rgb.shape),
+    desc="BT.601 greyscale")
+
+
+def _sepia(rgb, p, c):
+    m = np.array([[0.393, 0.769, 0.189],
+                  [0.349, 0.686, 0.168],
+                  [0.272, 0.534, 0.131]], np.float32)
+    tinted = jnp.einsum("ij,jhw->ihw", jnp.asarray(m), rgb)
+    return rgb + (tinted - rgb) * p["amount"]
+
+
+_rgb_filter("sepia", _sepia,
+            params=(Param("amount", "num", 1.0, 0.0, 1.0),),
+            desc="sepia tone")
+
+
+def _posterize(rgb, p, c):
+    n = jnp.maximum(p["levels"], 2.0)
+    return jnp.floor(rgb * (n - 1.0) + 0.5) / (n - 1.0)
+
+
+_rgb_filter("posterize", _posterize,
+            params=(Param("levels", "num", 4.0, 2.0, 32.0),),
+            desc="quantize colour levels")
+
+_rgb_filter(
+    "solarize",
+    lambda rgb, p, c: jnp.where(rgb > p["threshold"], 1.0 - rgb, rgb),
+    params=(Param("threshold", "num", 0.5, 0.0, 1.0),),
+    desc="invert above threshold")
+
+_rgb_filter(
+    "threshold",
+    lambda rgb, p, c: (luma(rgb)[None] > p["threshold"]).astype(jnp.float32)
+    * jnp.ones_like(rgb),
+    params=(Param("threshold", "num", 0.5, 0.0, 1.0),),
+    desc="binary luma threshold")
+
+
+def _softlight(rgb, p, c):
+    """softlight.c: image soft-lit by its own luma."""
+    g = luma(rgb)[None]
+    lit = jnp.where(g <= 0.5,
+                    rgb * (g + 0.5),
+                    1.0 - (1.0 - rgb) * (1.5 - g))
+    return rgb + (lit - rgb) * p["amount"]
+
+
+_rgb_filter("softlight", _softlight,
+            params=(Param("amount", "num", 1.0, 0.0, 1.0),),
+            desc="soft-light self-illumination")
+
+
+def _vignette(rgb, p, c):
+    h, w = rgb.shape[-2:]
+    y = jnp.linspace(-1.0, 1.0, h)[:, None]
+    x = jnp.linspace(-1.0, 1.0, w)[None, :]
+    r2 = x * x + y * y
+    falloff = jnp.exp(-r2 * p["strength"] * 2.0)
+    return rgb * (1.0 - p["amount"] * (1.0 - falloff))[None]
+
+
+_rgb_filter("vignette", _vignette,
+            params=(Param("amount", "num", 0.8, 0.0, 1.0),
+                    Param("strength", "num", 1.0, 0.1, 4.0)),
+            desc="radial darkening")
+
+
+def _tint(rgb, p, c):
+    colour = jnp.stack([p["red"], p["green"], p["blue"]])[:, None, None]
+    g = luma(rgb)[None]
+    return rgb + (g * colour - rgb) * p["amount"]
+
+
+_rgb_filter("tint", _tint,
+            params=(Param("amount", "num", 1.0, 0.0, 1.0),
+                    Param("red", "num", 1.0, 0.0, 1.0),
+                    Param("green", "num", 0.8, 0.0, 1.0),
+                    Param("blue", "num", 0.5, 0.0, 1.0)),
+            desc="tint greyscale with a colour")
+
+
+def _white_balance(rgb, p, c):
+    """auto white balance toward grey-world, amount-weighted."""
+    means = jnp.mean(rgb, axis=(-2, -1), keepdims=True)
+    grey = jnp.mean(means)
+    gain = grey / jnp.maximum(means, 1e-4)
+    return rgb * (1.0 + (gain - 1.0) * p["amount"])
+
+
+_rgb_filter("white_balance", _white_balance,
+            params=(Param("amount", "num", 1.0, 0.0, 1.0),),
+            desc="grey-world auto white balance")

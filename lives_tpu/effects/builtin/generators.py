@@ -1,0 +1,144 @@
+"""Generator filters — zero-input sources (reference `plasma.c`, `noise`,
+solid/gradient RFX generators; generator lifecycle effects-weed.c:7739).
+
+Generators are pure functions of (ctx.tc, params, geometry); randomness uses
+counter-based PRNG keyed by frame number so batch rendering stays
+deterministic and vmappable.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ...constants import Gamma, Palette
+from ...layer import Layer
+from ..host import FILTER_IS_GENERATOR, Filter, Param, register_filter
+
+
+def _out_layer(rgb01, alpha=None) -> Layer:
+    arr = rgb01
+    if alpha is not None:
+        arr = jnp.concatenate([rgb01, alpha[None]], 0)
+    u8 = jnp.clip(jnp.floor(arr * 255.0 + 0.5), 0, 255).astype(jnp.uint8)
+    pal = Palette.RGBA32 if alpha is not None else Palette.RGB24
+    return Layer(planes=(u8,), palette=int(pal), gamma=int(Gamma.SRGB))
+
+
+def _mk_generator(name, fn, params=(), desc=""):
+    def process(ins, p, ctx):
+        return fn(p, ctx)
+    return register_filter(Filter(
+        name=name, process=process, in_channels=(),
+        params=tuple(params), flags=FILTER_IS_GENERATOR, description=desc))
+
+
+def _grid(ctx):
+    h, w = ctx.height, ctx.width
+    y = jnp.linspace(0.0, 1.0, h)[:, None]
+    x = jnp.linspace(0.0, 1.0, w)[None, :]
+    return jnp.broadcast_to(x, (h, w)), jnp.broadcast_to(y, (h, w))
+
+
+def _solid(p, ctx):
+    h, w = ctx.height, ctx.width
+    rgb = jnp.stack([jnp.full((h, w), p["red"], jnp.float32),
+                     jnp.full((h, w), p["green"], jnp.float32),
+                     jnp.full((h, w), p["blue"], jnp.float32)])
+    return _out_layer(rgb)
+
+
+_mk_generator("solid_colour", _solid,
+              params=(Param("red", "num", 0.0, 0.0, 1.0),
+                      Param("green", "num", 0.0, 0.0, 1.0),
+                      Param("blue", "num", 0.0, 0.0, 1.0)),
+              desc="constant colour frame")
+
+
+def _plasma(p, ctx):
+    """plasma.c-style interference of travelling sine fields."""
+    x, y = _grid(ctx)
+    t = ctx.tc * p["speed"] * 3.0
+    s = p["scale"] * 10.0 + 1.0
+    v = (jnp.sin(x * s + t)
+         + jnp.sin((y * s + t) * 0.7)
+         + jnp.sin((x * s + y * s + t) * 0.5)
+         + jnp.sin(jnp.sqrt((x - 0.5) ** 2 + (y - 0.5) ** 2) * s * 2.0 + t))
+    v = v * 0.25  # -1..1
+    r = 0.5 + 0.5 * jnp.sin(v * np.pi)
+    g = 0.5 + 0.5 * jnp.sin(v * np.pi + 2.0 * np.pi / 3.0)
+    b = 0.5 + 0.5 * jnp.sin(v * np.pi + 4.0 * np.pi / 3.0)
+    return _out_layer(jnp.stack([r, g, b]))
+
+
+_mk_generator("plasma", _plasma,
+              params=(Param("speed", "num", 0.5, 0.0, 2.0),
+                      Param("scale", "num", 0.5, 0.0, 2.0)),
+              desc="classic plasma field")
+
+
+def _noise(p, ctx):
+    key = jax.random.fold_in(jax.random.PRNGKey(42),
+                             jnp.asarray(ctx.frame, jnp.int32))
+    h, w = ctx.height, ctx.width
+    if_mono = p["mono"]
+    n = jax.random.uniform(key, (3, h, w))
+    mono = jnp.broadcast_to(n[0:1], (3, h, w))
+    return _out_layer(n * (1.0 - if_mono) + mono * if_mono)
+
+
+_mk_generator("noise", _noise,
+              params=(Param("mono", "num", 1.0, 0.0, 1.0),),
+              desc="white noise (static per frame number)")
+
+
+def _gradient(p, ctx):
+    x, y = _grid(ctx)
+    th = p["angle"] * np.float32(2.0 * np.pi)
+    g = jnp.clip(x * jnp.cos(th) + y * jnp.sin(th), 0.0, 1.0)
+    c0 = jnp.stack([p["red0"], p["green0"], p["blue0"]])[:, None, None]
+    c1 = jnp.stack([p["red1"], p["green1"], p["blue1"]])[:, None, None]
+    return _out_layer(c0 + (c1 - c0) * g[None])
+
+
+_mk_generator("gradient", _gradient,
+              params=(Param("angle", "num", 0.0, 0.0, 1.0),
+                      Param("red0", "num", 0.0, 0.0, 1.0),
+                      Param("green0", "num", 0.0, 0.0, 1.0),
+                      Param("blue0", "num", 0.0, 0.0, 1.0),
+                      Param("red1", "num", 1.0, 0.0, 1.0),
+                      Param("green1", "num", 1.0, 0.0, 1.0),
+                      Param("blue1", "num", 1.0, 0.0, 1.0)),
+              desc="linear two-colour gradient")
+
+
+def _checker(p, ctx):
+    x, y = _grid(ctx)
+    n = jnp.maximum(p["tiles"], 1.0)
+    phase = ctx.tc * p["speed"]
+    cx = jnp.floor(x * n + phase)
+    cy = jnp.floor(y * n)
+    v = jnp.mod(cx + cy, 2.0)
+    return _out_layer(jnp.broadcast_to(v[None], (3,) + v.shape))
+
+
+_mk_generator("checkerboard", _checker,
+              params=(Param("tiles", "num", 8.0, 1.0, 64.0),
+                      Param("speed", "num", 0.0, 0.0, 4.0)),
+              desc="scrolling checkerboard")
+
+
+def _colour_bars(p, ctx):
+    """SMPTE-ish bars — also the self-test pattern."""
+    h, w = ctx.height, ctx.width
+    cols = np.array([[1, 1, 1], [1, 1, 0], [0, 1, 1], [0, 1, 0],
+                     [1, 0, 1], [1, 0, 0], [0, 0, 1], [0, 0, 0]],
+                    np.float32).T  # (3, 8)
+    x = jnp.linspace(0.0, 7.999, w).astype(jnp.int32)
+    bars = jnp.asarray(cols)[:, x]               # (3, W)
+    rgb = jnp.broadcast_to(bars[:, None, :], (3, h, w))
+    return _out_layer(rgb)
+
+
+_mk_generator("colour_bars", _colour_bars, desc="SMPTE-style colour bars")

@@ -1,0 +1,170 @@
+"""Node model / plan compiler: the successor of `src/nodemodel.c`.
+
+The reference builds a cost-optimised step DAG (LOAD / CONVERT / APPLY_INST)
+per playback configuration and runs it with a thread-pool plan runner
+(`build_nodemodel` :7692, `create_plan_from_model` :3071, `execute_plan`
+:2691). On TPU the plan *is* a jitted XLA graph:
+
+- a **plan template** = one traced+compiled function per configuration
+  (track palettes/geometries, filter chain structure, sink spec) — XLA does
+  the fusion/scheduling the reference's cost model approximates by hand;
+- a **plan cycle** = one invocation of that function on a frame (or batch);
+- the reference's palette-routing cost optimisation collapses into two
+  rules applied at trace time: convert late, and never below source fidelity
+  (negotiation in effects/host.py);
+- `rebuild_nodemodel` on config change (player.c:2655) = a cache miss on the
+  config key, compiling a new template while the old one keeps serving.
+
+Traced vs static split: numeric/colour params are traced inputs (so fades and
+knob turns reuse one compile); ints, choices, geometry and chain structure
+are static. Stateful filters thread explicit state pytrees through the plan.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass, field
+from typing import Any, Callable, Sequence
+
+import jax
+import jax.numpy as jnp
+
+from ..constants import Gamma, Palette
+from ..effects.host import FrameContext, Instance, apply_instance, get_filter
+from ..layer import Layer
+from ..ops.colorspace import convert_layer
+from ..ops.gamma import gamma_convert_layer
+from ..ops.resize import letterbox_layer, resize_layer
+
+_STATIC_KINDS = ("int", "string", "string_list", "bool")
+
+
+@dataclass(frozen=True)
+class SinkSpec:
+    """Output requirements (display / encoder / stream sink)."""
+    width: int = 0            # 0 = keep source geometry
+    height: int = 0
+    palette: int = Palette.RGB24
+    gamma: int = Gamma.SRGB
+    letterbox: bool = False
+
+    def key(self):
+        return dataclasses.astuple(self)
+
+
+def _split_params(inst: Instance):
+    """(static_values, traced_values) for an instance."""
+    static, traced = {}, {}
+    for p in inst.filter.params:
+        v = inst.values.get(p.name, p.default)
+        if p.kind in _STATIC_KINDS:
+            static[p.name] = v
+        else:
+            traced[p.name] = v
+    return static, traced
+
+
+def _chain_static_key(chain: Sequence[Instance]):
+    parts = []
+    for inst in chain:
+        static, _ = _split_params(inst)
+        parts.append((inst.filter.hashname, tuple(sorted(static.items())),
+                      inst.in_tracks, inst.out_tracks, inst.enabled,
+                      inst.filter.flags))
+    return tuple(parts)
+
+
+class FrameGraph:
+    """Compiled frame pipeline for a (tracks, chain, sink) configuration.
+
+    Usage:
+        g = FrameGraph(chain, sink)
+        out = g.run(layers, tc=0.04, frame=1)   # jit-cached per config
+    """
+
+    def __init__(self, chain: Sequence[Instance], sink: SinkSpec | None = None,
+                 fps: float = 25.0):
+        self.chain = list(chain)
+        self.sink = sink or SinkSpec()
+        self.fps = fps
+        self._templates: dict[Any, Callable] = {}
+        self.states: list[Any] = [inst.state for inst in self.chain]
+        self.stats: dict[Any, int] = {}
+
+    # -- configuration key (plan-template cache key) -----------------------
+    def _config_key(self, layers: Sequence[Layer]):
+        return (_chain_static_key(self.chain),
+                tuple(l.config for l in layers),
+                self.sink.key())
+
+    # -- template compilation ---------------------------------------------
+    def _build_template(self, layers: Sequence[Layer]):
+        chain_spec = []
+        for inst in self.chain:
+            static, _ = _split_params(inst)
+            chain_spec.append((inst.filter, static, inst.in_tracks,
+                               inst.out_tracks, inst.enabled))
+        sink = self.sink
+        fps = self.fps
+
+        def frame_fn(layers, traced_params, states, tc, frame):
+            w0 = layers[0].width if layers else sink.width
+            h0 = layers[0].height if layers else sink.height
+            ctx = FrameContext(tc=tc, frame=frame, fps=fps,
+                               width=w0 or sink.width,
+                               height=h0 or sink.height)
+            layers = list(layers)
+            if not layers:
+                layers = [None]
+            new_states = []
+            for (filt, static, in_tr, out_tr, enabled), tp, st in zip(
+                    chain_spec, traced_params, states):
+                inst = Instance(filter=filt, values={**static, **tp},
+                                state=st, enabled=enabled,
+                                in_tracks=in_tr, out_tracks=out_tr)
+                layers = apply_instance(inst, layers, ctx)
+                new_states.append(inst.state)
+            out = layers[0]
+            out = self._to_sink(out)
+            return out, new_states
+
+        return jax.jit(frame_fn)
+
+    def _to_sink(self, out: Layer) -> Layer:
+        sink = self.sink
+        if sink.width and sink.height and \
+                (out.width, out.height) != (sink.width, sink.height):
+            if sink.letterbox:
+                out = letterbox_layer(out, sink.width, sink.height)
+            else:
+                out = resize_layer(out, sink.width, sink.height)
+        if out.gamma != sink.gamma:
+            out = gamma_convert_layer(out, sink.gamma)
+        if out.palette != sink.palette:
+            out = convert_layer(out, sink.palette)
+        return out
+
+    # -- execution ---------------------------------------------------------
+    def run(self, layers: Sequence[Layer], tc: float = 0.0,
+            frame: int = 0) -> Layer:
+        """One plan cycle: apply the chain to a layer stack."""
+        layers = list(layers)
+        key = self._config_key(layers)
+        tmpl = self._templates.get(key)
+        if tmpl is None:
+            tmpl = self._build_template(layers)
+            self._templates[key] = tmpl
+        self.stats[key] = self.stats.get(key, 0) + 1
+        traced = [_split_params(inst)[1] for inst in self.chain]
+        out, self.states = tmpl(layers, traced,
+                                self.states,
+                                jnp.float32(tc), jnp.int32(frame))
+        # state lives across frames on the graph, mirrored back to instances
+        for inst, st in zip(self.chain, self.states):
+            inst.state = st
+        return out
+
+    def invalidate(self):
+        """Drop compiled templates (config change, reference
+        rebuild_nodemodel nodemodel.c:7853)."""
+        self._templates.clear()

@@ -1,0 +1,137 @@
+"""Effect host + builtin filter tests (smoke every filter under jit,
+semantic spot checks, negotiation behavior)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from lives_tpu.constants import Palette, Gamma
+from lives_tpu.layer import Layer, layer_from_bytes
+from lives_tpu.effects import (FrameContext, apply_chain, apply_instance,
+                               get_filter, instantiate, list_filters)
+
+
+def mk_layer(rng, h=32, w=64, pal=Palette.RGB24):
+    nb = 4 if pal in (Palette.RGBA32, Palette.BGRA32, Palette.ARGB32) else 3
+    buf = rng.integers(0, 256, h * w * nb, dtype=np.uint8).tobytes()
+    return layer_from_bytes(buf, w, h, pal)
+
+
+def test_registry_nonempty():
+    names = list_filters()
+    assert len(names) >= 30, names
+    for expected in ["crossfade", "chroma_key", "gaussian_blur", "plasma",
+                     "negate", "rotozoom", "wipe", "vignette"]:
+        assert expected in names
+
+
+def test_all_filters_smoke(rng):
+    """Every registered filter runs under jit and returns a valid layer."""
+    ctx = FrameContext(tc=0.4, frame=10, fps=25.0, width=64, height=32)
+    for name in list_filters():
+        if name == "_builtins_loaded":
+            continue
+        f = get_filter(name)
+        inst = instantiate(f)
+        layers = [mk_layer(rng, pal=Palette.RGBA32) for _ in range(max(f.n_in, 1))]
+        out = apply_instance(inst, layers, ctx)
+        lay = out[0]
+        assert lay.width == 64 and lay.height == 32, name
+        np.asarray(lay.planes[0])  # force materialisation
+
+
+def test_crossfade_semantics(rng):
+    fg = mk_layer(rng)
+    bg = mk_layer(rng)
+    inst = instantiate("crossfade", amount=1.0)
+    inst.in_tracks = (0, 1)
+    out = apply_instance(inst, [fg, bg])[0]
+    np.testing.assert_array_equal(np.asarray(out.planes[0]),
+                                  np.asarray(fg.planes[0]))
+    inst2 = instantiate("crossfade", amount=0.0)
+    inst2.in_tracks = (0, 1)
+    out2 = apply_instance(inst2, [fg, bg])[0]
+    np.testing.assert_array_equal(np.asarray(out2.planes[0]),
+                                  np.asarray(bg.planes[0]))
+
+
+def test_negate_involution(rng):
+    lay = mk_layer(rng)
+    inst = instantiate("negate")
+    once = apply_instance(inst, [lay])[0]
+    twice = apply_instance(inst, [once])[0]
+    np.testing.assert_array_equal(np.asarray(twice.planes[0]),
+                                  np.asarray(lay.planes[0]))
+
+
+def test_traced_params_jit(rng):
+    """amount can be a traced scalar -> one compile serves all values."""
+    fg, bg = mk_layer(rng), mk_layer(rng)
+
+    @jax.jit
+    def run(amount):
+        inst = instantiate("crossfade", amount=amount)
+        inst.in_tracks = (0, 1)
+        return apply_instance(inst, [fg, bg])[0].planes[0]
+
+    a = np.asarray(run(jnp.float32(1.0)))
+    np.testing.assert_array_equal(a, np.asarray(fg.planes[0]))
+    b = np.asarray(run(jnp.float32(0.0)))
+    np.testing.assert_array_equal(b, np.asarray(bg.planes[0]))
+
+
+def test_negotiation_converts_palette(rng):
+    """YUV input into an RGB-only filter gets converted automatically."""
+    buf = rng.integers(0, 256, 32 * 64 * 3 // 2, dtype=np.uint8).tobytes()
+    yuv = layer_from_bytes(buf, 64, 32, Palette.YUV420P)
+    out = apply_instance(instantiate("negate"), [yuv])[0]
+    assert out.palette in (Palette.RGB24, Palette.RGBA32)
+
+
+def test_negotiation_resizes_second_input(rng):
+    fg = mk_layer(rng, h=32, w=64)
+    bg = mk_layer(rng, h=16, w=32)
+    inst = instantiate("crossfade", amount=0.5)
+    inst.in_tracks = (0, 1)
+    out = apply_instance(inst, [fg, bg])[0]
+    assert (out.width, out.height) == (64, 32)
+
+
+def test_chain_composition(rng):
+    lay = mk_layer(rng)
+    chain = [instantiate("negate"), instantiate("gaussian_blur", radius=2),
+             instantiate("vignette")]
+    out = apply_chain(chain, [lay])
+    assert out.width == lay.width
+
+
+def test_generator_produces_frame():
+    ctx = FrameContext(tc=1.0, frame=25, width=64, height=32)
+    out = apply_instance(instantiate("plasma"), [], ctx)[0] \
+        if False else None
+    # generators need an output slot: apply via chain on empty stack
+    gen = instantiate("plasma")
+    lay = gen.filter.process([], {p.name: p.default
+                                  for p in gen.filter.params}, ctx)
+    assert lay.width == 64 and lay.height == 32
+    assert lay.palette == Palette.RGB24
+
+
+def test_blend_modes_bounded(rng):
+    fg, bg = mk_layer(rng), mk_layer(rng)
+    for name in ["blend_add", "blend_multiply", "blend_screen",
+                 "blend_dodge", "blend_burn"]:
+        inst = instantiate(name, amount=0.7)
+        inst.in_tracks = (0, 1)
+        out = np.asarray(apply_instance(inst, [fg, bg])[0].planes[0])
+        assert out.dtype == np.uint8
+
+
+def test_stateless_effects_deterministic(rng):
+    lay = mk_layer(rng)
+    ctx = FrameContext(tc=0.2, frame=5, width=64, height=32)
+    a = np.asarray(apply_instance(instantiate("ripple"), [lay], ctx)[0].planes[0])
+    b = np.asarray(apply_instance(instantiate("ripple"), [lay], ctx)[0].planes[0])
+    np.testing.assert_array_equal(a, b)
