@@ -1,0 +1,136 @@
+"""Batch event-list renderer — the north-star path.
+
+The reference renders timelines strictly one frame at a time
+(`render_events`, src/events.c:3802): pull layers, apply the filter map,
+write a PNG, repeat. Here the event list is segmented at filter-map
+boundaries; within a segment the chain is static, so whole frame *batches*
+run as one vmapped XLA computation per chunk (FrameGraph.run_batch), with
+per-frame parameter values interpolated host-side into (B,) traced arrays.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Any, Callable, Iterator, Protocol, Sequence
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..constants import Palette
+from ..effects.host import Instance, get_filter
+from ..graph.nodemodel import FrameGraph, SinkSpec
+from ..layer import Layer
+from .event_list import Event, EventList, EventType, TICKS_PER_SECOND
+
+
+class FrameSource(Protocol):
+    """Supplies decoded source layers per (clip, frame). Batch form returns a
+    Layer whose planes carry a leading batch axis."""
+
+    def get_batch(self, clip_ids: Sequence[int],
+                  frame_nums: Sequence[int]) -> Layer: ...
+
+
+@dataclass
+class Segment:
+    """A run of FRAME events under one constant filter map."""
+    frames: list[Event]
+    inits: list[Event]       # active FILTER_INIT events, application order
+
+
+def segment_events(el: EventList) -> list[Segment]:
+    """Split the timeline at filter-map changes (and track-pattern changes,
+    so each segment has a fixed per-track clip lineup)."""
+    segs: list[Segment] = []
+    cur: list[Event] = []
+    cur_inits: list[str] | None = None
+    cur_clips: tuple | None = None
+
+    def flush():
+        nonlocal cur
+        if cur:
+            inits = el.active_inits_at(cur[0].tc)
+            segs.append(Segment(frames=cur, inits=inits))
+            cur = []
+
+    for e in el.events:
+        if e.type == EventType.FRAME:
+            ids = tuple(i.event_id for i in el.active_inits_at(e.tc))
+            clips = tuple(e.clips)
+            if (ids != cur_inits or clips != cur_clips) and cur:
+                flush()
+            cur_inits, cur_clips = ids, clips
+            cur.append(e)
+    flush()
+    return segs
+
+
+def _chain_for(inits: list[Event], el: EventList) -> list[Instance]:
+    chain = []
+    for init in inits:
+        f = get_filter(init.props["filter"])
+        inst = Instance(filter=f, values=dict(init.props.get("values", {})),
+                        in_tracks=tuple(init.props.get("in_tracks", (0,))),
+                        out_tracks=tuple(init.props.get("out_tracks", (0,))))
+        chain.append(inst)
+    return chain
+
+
+def _interp_arrays(el: EventList, inits: list[Event],
+                   chain: list[Instance], tcs: list[int]):
+    """Per-instance dicts of per-frame traced param arrays."""
+    out = []
+    for init, inst in zip(inits, chain):
+        d = {}
+        for p in inst.filter.params:
+            if p.kind in ("int", "string", "string_list", "bool"):
+                continue
+            vals = [el.interp_param(init, p.name, tc) for tc in tcs]
+            if any(v is None for v in vals):
+                vals = [p.default if v is None else v for v in vals]
+            d[p.name] = jnp.asarray(np.asarray(vals, np.float32))
+        out.append(d)
+    return out
+
+
+def render_events(el: EventList, source: FrameSource,
+                  sink: SinkSpec | None = None,
+                  batch_size: int = 32,
+                  fps: float | None = None) -> Iterator[tuple[list[int], Layer]]:
+    """Render an event list; yields (tc_list, batched output Layer) chunks.
+
+    Successor of render_events/render_to_clip (events.c:3802,4994)."""
+    fps = fps or el.fps
+    sink = sink or SinkSpec(width=el.width, height=el.height)
+    for seg in segment_events(el):
+        chain = _chain_for(seg.inits, el)
+        graph = FrameGraph(chain, sink, fps=fps)
+        n_tracks = max((len(f.clips) for f in seg.frames), default=0)
+        for ofs in range(0, len(seg.frames), batch_size):
+            chunk = seg.frames[ofs: ofs + batch_size]
+            tcs = [f.tc for f in chunk]
+            layers = []
+            for t in range(n_tracks):
+                clip_ids = [f.clips[t] if t < len(f.clips) else -1
+                            for f in chunk]
+                frame_nums = [f.frames[t] if t < len(f.frames) else 0
+                              for f in chunk]
+                layers.append(source.get_batch(clip_ids, frame_nums))
+            params = _interp_arrays(el, seg.inits, chain, tcs)
+            tcs_s = np.asarray(tcs, np.float64) / TICKS_PER_SECOND
+            frame_idx = np.asarray(
+                [round(tc * fps / TICKS_PER_SECOND) for tc in tcs], np.int32)
+            out = graph.run_batch(layers, tcs_s.astype(np.float32),
+                                  frame_idx, params)
+            yield tcs, out
+
+
+def render_to_arrays(el: EventList, source: FrameSource,
+                     sink: SinkSpec | None = None,
+                     batch_size: int = 32) -> tuple[np.ndarray, list[int]]:
+    """Convenience: render everything, return (stacked RGB frames, tcs)."""
+    outs, all_tcs = [], []
+    for tcs, lay in render_events(el, source, sink, batch_size):
+        outs.append(np.asarray(lay.planes[0]))
+        all_tcs.extend(tcs)
+    return np.concatenate(outs, 0), all_tcs

@@ -99,36 +99,7 @@ class FrameGraph:
 
     # -- template compilation ---------------------------------------------
     def _build_template(self, layers: Sequence[Layer]):
-        chain_spec = []
-        for inst in self.chain:
-            static, _ = _split_params(inst)
-            chain_spec.append((inst.filter, static, inst.in_tracks,
-                               inst.out_tracks, inst.enabled))
-        sink = self.sink
-        fps = self.fps
-
-        def frame_fn(layers, traced_params, states, tc, frame):
-            w0 = layers[0].width if layers else sink.width
-            h0 = layers[0].height if layers else sink.height
-            ctx = FrameContext(tc=tc, frame=frame, fps=fps,
-                               width=w0 or sink.width,
-                               height=h0 or sink.height)
-            layers = list(layers)
-            if not layers:
-                layers = [None]
-            new_states = []
-            for (filt, static, in_tr, out_tr, enabled), tp, st in zip(
-                    chain_spec, traced_params, states):
-                inst = Instance(filter=filt, values={**static, **tp},
-                                state=st, enabled=enabled,
-                                in_tracks=in_tr, out_tracks=out_tr)
-                layers = apply_instance(inst, layers, ctx)
-                new_states.append(inst.state)
-            out = layers[0]
-            out = self._to_sink(out)
-            return out, new_states
-
-        return jax.jit(frame_fn)
+        return jax.jit(self._make_frame_fn())
 
     def _to_sink(self, out: Layer) -> Layer:
         sink = self.sink
@@ -163,6 +134,96 @@ class FrameGraph:
         for inst, st in zip(self.chain, self.states):
             inst.state = st
         return out
+
+    # -- batch execution (the multitrack batch-render path) ----------------
+    @property
+    def has_stateful(self) -> bool:
+        from ..effects.host import FILTER_STATEFUL
+        return any(inst.filter.flags & FILTER_STATEFUL
+                   for inst in self.chain)
+
+    def run_batch(self, layers: Sequence[Layer], tcs, frames,
+                  traced_params: list[dict] | None = None) -> Layer:
+        """One plan cycle over a frame batch.
+
+        `layers`: per-track Layers whose planes carry a leading batch axis B.
+        `tcs`/`frames`: (B,) arrays. `traced_params`: per-instance dicts of
+        (B,) arrays (interpolated per frame); defaults to instance values
+        broadcast over B. Stateless chains vmap (parallel over the batch);
+        stateful chains lax.scan (state threads frame-to-frame). This is the
+        reference's one-frame-at-a-time render_events loop (events.c:3802)
+        re-expressed as a single XLA computation.
+        """
+        import numpy as np
+        layers = list(layers)
+        tcs = jnp.asarray(tcs, jnp.float32)
+        frames_arr = jnp.asarray(frames, jnp.int32)
+        B = tcs.shape[0]
+        if traced_params is None:
+            traced_params = []
+            for inst in self.chain:
+                _, tp = _split_params(inst)
+                traced_params.append(
+                    {k: jnp.broadcast_to(jnp.asarray(v, jnp.float32), (B,))
+                     for k, v in tp.items()})
+        key = ("batch", self._config_key(layers), self.has_stateful)
+        tmpl = self._templates.get(key)
+        if tmpl is None:
+            frame_fn = self._make_frame_fn()
+            if self.has_stateful:
+                def batch_fn(layers, tps, states, tcs, frames):
+                    def step(states, per_frame):
+                        lyrs, tp, tc, fr = per_frame
+                        out, ns = frame_fn(lyrs, tp, states, tc, fr)
+                        return ns, out
+                    new_states, outs = jax.lax.scan(
+                        step, states, (layers, tps, tcs, frames))
+                    return outs, new_states
+            else:
+                vm = jax.vmap(frame_fn, in_axes=(0, 0, None, 0, 0))
+
+                def batch_fn(layers, tps, states, tcs, frames):
+                    return vm(layers, tps, states, tcs, frames)
+            tmpl = jax.jit(batch_fn)
+            self._templates[key] = tmpl
+        out, self.states = tmpl(layers, traced_params, self.states,
+                                tcs, frames_arr)
+        for inst, st in zip(self.chain, self.states):
+            inst.state = st
+        return out
+
+    def _make_frame_fn(self):
+        """Untraced single-frame function (shared by run and run_batch)."""
+        chain_spec = []
+        for inst in self.chain:
+            static, _ = _split_params(inst)
+            chain_spec.append((inst.filter, static, inst.in_tracks,
+                               inst.out_tracks, inst.enabled))
+        sink = self.sink
+        fps = self.fps
+
+        def frame_fn(layers, traced_params, states, tc, frame):
+            w0 = layers[0].width if layers else sink.width
+            h0 = layers[0].height if layers else sink.height
+            ctx = FrameContext(tc=tc, frame=frame, fps=fps,
+                               width=w0 or sink.width,
+                               height=h0 or sink.height)
+            layers = list(layers)
+            if not layers:
+                layers = [None]
+            new_states = []
+            for (filt, static, in_tr, out_tr, enabled), tp, st in zip(
+                    chain_spec, traced_params, states):
+                inst = Instance(filter=filt, values={**static, **tp},
+                                state=st, enabled=enabled,
+                                in_tracks=in_tr, out_tracks=out_tr)
+                layers = apply_instance(inst, layers, ctx)
+                new_states.append(inst.state)
+            out = layers[0]
+            out = self._to_sink(out)
+            return out, new_states
+
+        return frame_fn
 
     def invalidate(self):
         """Drop compiled templates (config change, reference

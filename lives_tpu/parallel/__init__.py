@@ -1,0 +1,4 @@
+"""Device-mesh sharding: batch-DP over frames, spatial sharding for 4K."""
+
+from .mesh import (frame_mesh, shard_layer_batch, sharded_batch_fn,
+                   spatial_blur_sharded)
