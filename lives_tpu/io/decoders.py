@@ -1,0 +1,376 @@
+"""Decoder services — the decplugin contract, host-side.
+
+Mirrors the reference decoder-plugin API (`/root/reference/lives-plugins/
+plugins/decoders/decplugin.h`): a decoder claims a URI and returns clip data
+(`get_clip_data`), then serves frames by index (`get_frame`), estimates seek
+cost (`estimate_delay`, decplugin.h:305) to drive the player's prefetcher,
+and can rip audio. Decoders run on host CPU; their output feeds the TPU
+ingest path as planar Layers.
+
+Built-in decoders (no external binaries): numbered image sequences (PIL),
+YUV4MPEG2 streams (exact fit for the planar YUV420 device layout), and
+MJPEG/raw AVI. An ffmpeg-backed decoder registers only when the binary
+exists.
+"""
+
+from __future__ import annotations
+
+import os
+import re
+import shutil
+import struct
+import subprocess
+from dataclasses import dataclass, field
+from pathlib import Path
+from typing import Callable, Optional
+
+import numpy as np
+
+from ..constants import Gamma, Palette, YUVClamping, YUVSampling, YUVSubspace
+from ..layer import Layer
+
+try:
+    from PIL import Image
+    HAVE_PIL = True
+except Exception:  # pragma: no cover
+    HAVE_PIL = False
+
+
+@dataclass
+class ClipData:
+    """lives_clip_data_t analogue (decplugin.h:~180-267)."""
+    uri: str
+    nframes: int = 0
+    fps: float = 25.0
+    width: int = 0
+    height: int = 0
+    palette: int = Palette.RGB24
+    yuv_clamping: int = YUVClamping.CLAMPED
+    yuv_sampling: int = YUVSampling.DEFAULT
+    yuv_subspace: int = YUVSubspace.YCBCR
+    gamma: int = Gamma.SRGB
+    par: float = 1.0            # pixel aspect ratio
+    arate: int = 0
+    achans: int = 0
+    asamps: int = 16
+    asigned: bool = True
+    interlace: int = 0
+    # seek model (adv_timing_t analogue, decplugin.h:70-88)
+    kframe_dist: int = 1        # keyframe spacing; 1 = all intra
+    const_time_per_frame: float = 0.001
+
+    decoder: "Decoder | None" = None
+
+
+class Decoder:
+    """Base decoder. Subclasses claim URIs and serve frames."""
+
+    name = "base"
+
+    @classmethod
+    def get_clip_data(cls, uri: str) -> Optional[ClipData]:
+        """Return ClipData if this decoder can handle uri, else None."""
+        return None
+
+    def get_frame(self, n: int) -> Layer:
+        raise NotImplementedError
+
+    def rip_audio(self, path: str) -> bool:
+        """Extract raw pcm audio to path; False if no audio."""
+        return False
+
+    def estimate_delay(self, from_frame: int, to_frame: int) -> float:
+        """Seek+decode cost estimate in seconds (decplugin.h:305)."""
+        cd = self.cdata
+        if to_frame >= from_frame and to_frame - from_frame < cd.kframe_dist:
+            return (to_frame - from_frame) * cd.const_time_per_frame
+        back = to_frame % max(cd.kframe_dist, 1)
+        return (back + 1) * cd.const_time_per_frame
+
+    def close(self):
+        pass
+
+
+_DECODERS: list[type[Decoder]] = []
+
+
+def register_decoder(cls: type[Decoder]) -> type[Decoder]:
+    _DECODERS.append(cls)
+    return cls
+
+
+def try_decoders(uri: str) -> Optional[ClipData]:
+    """Probe decoders in order (reference try_decoder_plugins,
+    src/plugins.c:2647)."""
+    for cls in _DECODERS:
+        try:
+            cd = cls.get_clip_data(uri)
+        except Exception:
+            cd = None
+        if cd is not None:
+            return cd
+    return None
+
+
+# ---------------------------------------------------------------------------
+# Image sequence decoder (the reference's CLIP_TYPE_DISK path)
+# ---------------------------------------------------------------------------
+
+@register_decoder
+class ImageSeqDecoder(Decoder):
+    """Directory of numbered images (00000001.png ...)."""
+
+    name = "imageseq"
+
+    def __init__(self, cdata: ClipData, files: list[Path]):
+        self.cdata = cdata
+        self.files = files
+
+    @classmethod
+    def get_clip_data(cls, uri: str):
+        p = Path(uri)
+        if not (HAVE_PIL and p.is_dir()):
+            return None
+        files = sorted([f for f in p.iterdir()
+                        if re.fullmatch(r"\d+\.(png|jpg|jpeg)", f.name)])
+        if not files:
+            return None
+        with Image.open(files[0]) as im:
+            w, h = im.size
+        cd = ClipData(uri=uri, nframes=len(files), width=w, height=h,
+                      palette=int(Palette.RGB24), fps=25.0)
+        cd.decoder = cls(cd, files)
+        return cd
+
+    def get_frame(self, n: int) -> Layer:
+        with Image.open(self.files[n]) as im:
+            has_a = im.mode in ("RGBA", "LA", "PA")
+            im = im.convert("RGBA" if has_a else "RGB")
+            arr = np.asarray(im)
+        chans = np.moveaxis(arr, -1, 0)
+        pal = Palette.RGBA32 if has_a else Palette.RGB24
+        import jax.numpy as jnp
+        return Layer(planes=(jnp.asarray(chans),), palette=int(pal),
+                     gamma=int(Gamma.SRGB))
+
+
+# ---------------------------------------------------------------------------
+# YUV4MPEG2 decoder (reference src/lives-yuv4mpeg.c ingest path)
+# ---------------------------------------------------------------------------
+
+@register_decoder
+class Y4MDecoder(Decoder):
+    name = "yuv4mpeg"
+
+    def __init__(self, cdata: ClipData, path: Path, data_start: int,
+                 frame_size: int, header_skip: int):
+        self.cdata = cdata
+        self.path = path
+        self.data_start = data_start
+        self.frame_size = frame_size
+        self.header_skip = header_skip
+        self._fh = open(path, "rb")
+
+    @classmethod
+    def get_clip_data(cls, uri: str):
+        p = Path(uri)
+        if not (p.is_file() and p.suffix.lower() in (".y4m", ".yuv4mpeg")):
+            return None
+        with open(p, "rb") as fh:
+            header = fh.readline()
+            if not header.startswith(b"YUV4MPEG2"):
+                return None
+            w = h = 0
+            fps = 25.0
+            for tok in header.split()[1:]:
+                t = tok.decode()
+                if t[0] == "W":
+                    w = int(t[1:])
+                elif t[0] == "H":
+                    h = int(t[1:])
+                elif t[0] == "F":
+                    num, den = t[1:].split(":")
+                    fps = int(num) / int(den)
+                elif t[0] == "C" and not t[1:].startswith("420"):
+                    return None  # only 420 for now
+            data_start = fh.tell()
+            frame_hdr = fh.readline()
+            if not frame_hdr.startswith(b"FRAME"):
+                return None
+            header_skip = len(frame_hdr)
+            frame_size = w * h * 3 // 2
+            fh.seek(0, os.SEEK_END)
+            total = fh.tell() - data_start
+            nframes = total // (frame_size + header_skip)
+        cd = ClipData(uri=uri, nframes=nframes, width=w, height=h, fps=fps,
+                      palette=int(Palette.YUV420P),
+                      yuv_clamping=int(YUVClamping.CLAMPED))
+        cd.decoder = cls(cd, p, data_start, frame_size, header_skip)
+        return cd
+
+    def get_frame(self, n: int) -> Layer:
+        import jax.numpy as jnp
+        ofs = self.data_start + n * (self.frame_size + self.header_skip) \
+            + self.header_skip
+        self._fh.seek(ofs)
+        buf = self._fh.read(self.frame_size)
+        w, h = self.cdata.width, self.cdata.height
+        y = np.frombuffer(buf[: w * h], np.uint8).reshape(h, w)
+        cs = (w // 2) * (h // 2)
+        u = np.frombuffer(buf[w * h: w * h + cs], np.uint8
+                          ).reshape(h // 2, w // 2)
+        v = np.frombuffer(buf[w * h + cs:], np.uint8).reshape(h // 2, w // 2)
+        return Layer(planes=(jnp.asarray(y), jnp.asarray(u), jnp.asarray(v)),
+                     palette=int(Palette.YUV420P),
+                     clamping=self.cdata.yuv_clamping,
+                     subspace=self.cdata.yuv_subspace)
+
+    def close(self):
+        self._fh.close()
+
+
+def write_y4m(path: str, frames_yuv420, fps: float = 25.0):
+    """Write (Y,U,V) planar uint8 frame tuples as YUV4MPEG2."""
+    first = frames_yuv420[0]
+    h, w = first[0].shape
+    num, den = int(round(fps * 1001)), 1001
+    if abs(fps - round(fps)) < 1e-6:
+        num, den = int(round(fps)), 1
+    with open(path, "wb") as fh:
+        fh.write(f"YUV4MPEG2 W{w} H{h} F{num}:{den} Ip A1:1 C420jpeg\n"
+                 .encode())
+        for (y, u, v) in frames_yuv420:
+            fh.write(b"FRAME\n")
+            fh.write(np.asarray(y, np.uint8).tobytes())
+            fh.write(np.asarray(u, np.uint8).tobytes())
+            fh.write(np.asarray(v, np.uint8).tobytes())
+
+
+# ---------------------------------------------------------------------------
+# AVI decoder: MJPEG + raw DIB, pure-python RIFF parse
+# ---------------------------------------------------------------------------
+
+@register_decoder
+class AVIDecoder(Decoder):
+    name = "avi"
+
+    def __init__(self, cdata: ClipData, path: Path, offsets: list[tuple[int, int]],
+                 fourcc: str):
+        self.cdata = cdata
+        self.path = path
+        self.offsets = offsets
+        self.fourcc = fourcc
+        self._fh = open(path, "rb")
+
+    @classmethod
+    def get_clip_data(cls, uri: str):
+        p = Path(uri)
+        if not (p.is_file() and p.suffix.lower() == ".avi"):
+            return None
+        data = p.read_bytes()
+        if data[:4] != b"RIFF" or data[8:12] != b"AVI ":
+            return None
+        # strh/strf for the vids stream
+        i = data.find(b"strh")
+        if i < 0 or data[i + 8: i + 12] != b"vids":
+            return None
+        fourcc = data[i + 12: i + 16].decode("latin1").strip("\0 ").upper()
+        scale, rate = struct.unpack("<II", data[i + 28: i + 36])
+        fps = rate / scale if scale else 25.0
+        j = data.find(b"strf", i)
+        w, h = struct.unpack("<ii", data[j + 12: j + 20])
+        if fourcc not in ("MJPG", "DIB", ""):
+            return None  # compressed codecs need ffmpeg
+        if fourcc == "MJPG" and not HAVE_PIL:
+            return None
+        # scan movi chunks
+        m = data.find(b"movi")
+        offsets = []
+        pos = m + 4
+        while pos + 8 <= len(data):
+            cid = data[pos: pos + 4]
+            (sz,) = struct.unpack("<I", data[pos + 4: pos + 8])
+            if cid[2:4] in (b"db", b"dc"):
+                offsets.append((pos + 8, sz))
+            if cid == b"idx1" or sz == 0 and cid[:4] == b"\0\0\0\0":
+                break
+            pos += 8 + sz + (sz & 1)
+        if not offsets:
+            return None
+        cd = ClipData(uri=uri, nframes=len(offsets), width=w, height=abs(h),
+                      fps=fps, palette=int(Palette.RGB24))
+        cd.decoder = cls(cd, p, offsets, fourcc)
+        return cd
+
+    def get_frame(self, n: int) -> Layer:
+        import io as _io
+        import jax.numpy as jnp
+        ofs, sz = self.offsets[n]
+        self._fh.seek(ofs)
+        raw = self._fh.read(sz)
+        w, h = self.cdata.width, self.cdata.height
+        if self.fourcc == "MJPG":
+            with Image.open(_io.BytesIO(raw)) as im:
+                arr = np.asarray(im.convert("RGB"))
+        else:  # raw DIB: bottom-up BGR rows, 4-byte aligned
+            stride = (w * 3 + 3) & ~3
+            arr = np.frombuffer(raw[: stride * h], np.uint8
+                                ).reshape(h, stride)[:, : w * 3]
+            arr = arr.reshape(h, w, 3)[::-1, :, ::-1]
+        chans = np.moveaxis(arr, -1, 0).copy()
+        return Layer(planes=(jnp.asarray(chans),),
+                     palette=int(Palette.RGB24), gamma=int(Gamma.SRGB))
+
+    def close(self):
+        self._fh.close()
+
+
+# ---------------------------------------------------------------------------
+# ffmpeg-backed decoder (only when the binary exists; the reference's
+# zzavformat equivalent)
+# ---------------------------------------------------------------------------
+
+FFMPEG = shutil.which("ffmpeg")
+FFPROBE = shutil.which("ffprobe")
+
+
+@register_decoder
+class FFmpegDecoder(Decoder):
+    name = "ffmpeg"
+
+    def __init__(self, cdata: ClipData):
+        self.cdata = cdata
+
+    @classmethod
+    def get_clip_data(cls, uri: str):
+        if not (FFMPEG and FFPROBE and Path(uri).is_file()):
+            return None
+        try:
+            out = subprocess.run(
+                [FFPROBE, "-v", "quiet", "-select_streams", "v:0",
+                 "-show_entries",
+                 "stream=width,height,nb_frames,r_frame_rate",
+                 "-of", "csv=p=0", uri],
+                capture_output=True, text=True, timeout=30).stdout.strip()
+            w, h, fps_s, nf = out.split(",")[:4]
+            num, den = fps_s.split("/")
+            cd = ClipData(uri=uri, nframes=int(nf) if nf.isdigit() else 0,
+                          width=int(w), height=int(h),
+                          fps=int(num) / int(den))
+            cd.decoder = cls(cd)
+            return cd
+        except Exception:
+            return None
+
+    def get_frame(self, n: int) -> Layer:
+        import jax.numpy as jnp
+        cd = self.cdata
+        t = n / cd.fps
+        out = subprocess.run(
+            [FFMPEG, "-v", "quiet", "-ss", f"{t:.6f}", "-i", cd.uri,
+             "-frames:v", "1", "-f", "rawvideo", "-pix_fmt", "rgb24", "-"],
+            capture_output=True, timeout=60).stdout
+        arr = np.frombuffer(out[: cd.width * cd.height * 3], np.uint8
+                            ).reshape(cd.height, cd.width, 3)
+        return Layer(planes=(jnp.asarray(np.moveaxis(arr, -1, 0).copy()),),
+                     palette=int(Palette.RGB24))

@@ -1,0 +1,292 @@
+"""Realtime player: clock, frame targeting, trickplay, rte keys, recording.
+
+Successor of `src/player.c` (`process_one` :2185, `calc_new_playback_position`
+:1831, `load_frame_image` :918) and the rte key system (`src/effects.c:1251`,
+`src/mainwindow.h:223-232`: 64 keys x 32 modes).
+
+Structure: a Player owns foreground/background clip sources, a KeyMap of
+toggleable effect instances, and a sink. Each cycle it converts wall-clock
+ticks to a target frame (fps may be negative or fractional — trickplay),
+pulls source layers, runs the jitted FrameGraph for the current key chain
+(rebuilt lazily on key toggles, like rebuild_nodemodel at safe points), and
+hands the result to the sink. With `record=True` it logs FRAME / FILTER_INIT
+/ FILTER_DEINIT / PARAM_CHANGE events with real timecodes into an EventList
+for later batch re-rendering.
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass, field
+from typing import Any, Callable, Optional, Sequence
+
+import numpy as np
+
+from ..constants import Gamma, Palette
+from ..effects.host import Instance, get_filter, instantiate
+from ..events.event_list import (EventList, TICKS_PER_SECOND,
+                                 filter_deinit_event, filter_init_event,
+                                 filter_map_event, frame_event,
+                                 param_change_event)
+from ..graph.nodemodel import FrameGraph, SinkSpec
+from ..layer import Layer, layer_blank
+from .sinks import NullSink, Sink
+
+N_KEYS = 64          # prefs::rte_keys_virtual ceiling (mainwindow.h:228)
+MODES_PER_KEY = 32   # mainwindow.h:229
+
+
+class KeyMap:
+    """64 effect keys x up to 32 modes each; a key holds filter names, one
+    mode active, toggling a key enables its active mode's instance."""
+
+    def __init__(self):
+        self.slots: list[list[str]] = [[] for _ in range(N_KEYS)]
+        self.mode: list[int] = [0] * N_KEYS
+        self.active: list[bool] = [False] * N_KEYS
+        self.instances: list[Optional[Instance]] = [None] * N_KEYS
+
+    def set_key(self, key: int, mode: int, filter_name: str):
+        get_filter(filter_name)  # validate
+        slot = self.slots[key]
+        while len(slot) <= mode:
+            slot.append("")
+        slot[mode] = filter_name
+
+    def toggle(self, key: int, on: bool | None = None) -> bool:
+        """rte_key_toggle (effects.c:1251). Returns new state."""
+        state = (not self.active[key]) if on is None else on
+        if state and not self.instances[key]:
+            name = self.current_filter(key)
+            if not name:
+                return False
+            self.instances[key] = instantiate(name)
+        self.active[key] = state
+        return state
+
+    def next_mode(self, key: int):
+        slot = self.slots[key]
+        if slot:
+            self.mode[key] = (self.mode[key] + 1) % len(slot)
+            self.instances[key] = None  # re-instantiate on next enable
+
+    def current_filter(self, key: int) -> str:
+        slot = self.slots[key]
+        m = self.mode[key]
+        return slot[m] if m < len(slot) else ""
+
+    def active_chain(self) -> list[Instance]:
+        out = []
+        for k in range(N_KEYS):
+            if self.active[k] and self.instances[k]:
+                out.append(self.instances[k])
+        return out
+
+    def chain_key(self):
+        return tuple((k, self.current_filter(k)) for k in range(N_KEYS)
+                     if self.active[k])
+
+
+@dataclass
+class PlayerState:
+    playing: bool = False
+    fg_clip: Any = None          # object with get_frame(n)/frames/fps
+    bg_clip: Any = None
+    pb_fps: float = 25.0         # may be negative (reverse) / scaled
+    frame: int = 0               # current frame (0-based)
+    loop: bool = True
+    ping_pong: bool = False
+    blend_amount: float = 0.5    # fg/bg mix (blend factor, effects-weed.c:8815)
+    sel_start: int = 0
+    sel_end: int = -1            # -1 = clip end
+
+
+class Player:
+    def __init__(self, sink: Sink | None = None,
+                 sink_spec: SinkSpec | None = None, fps: float = 25.0):
+        self.sink = sink or NullSink()
+        self.sink_spec = sink_spec or SinkSpec()
+        self.state = PlayerState(pb_fps=fps)
+        self.keymap = KeyMap()
+        self._graphs: dict[Any, FrameGraph] = {}
+        self._clock0: float | None = None
+        self._frame0: float = 0.0
+        self.record = False
+        self.event_list: EventList | None = None
+        self._rec_inits: dict[int, Any] = {}
+        # stats ladder (diagnostics.c:97 get_inst_fps)
+        self.frames_shown = 0
+        self.frames_dropped = 0
+        self._frame_times: list[float] = []
+
+    # -- clock / frame targeting ------------------------------------------
+    def _now_ticks(self) -> int:
+        return int(time.monotonic() * TICKS_PER_SECOND)
+
+    def set_pb_fps(self, fps: float):
+        """Trickplay: rebase the clock so scratching is continuous
+        (player.c calc_new_playback_position semantics)."""
+        self._rebase()
+        self.state.pb_fps = fps
+
+    def _rebase(self):
+        if self._clock0 is not None:
+            self._frame0 = self._target_frame_f()
+            self._clock0 = time.monotonic()
+
+    def _target_frame_f(self) -> float:
+        if self._clock0 is None:
+            return float(self.state.frame)
+        dt = time.monotonic() - self._clock0
+        return self._frame0 + dt * self.state.pb_fps
+
+    def clamp_frame(self, f: float) -> int:
+        """Loop/ping-pong/selection bounds (player.c:1678 clamp_frame)."""
+        st = self.state
+        clip = st.fg_clip
+        n = clip.frames if clip is not None else 1
+        lo = st.sel_start
+        hi = st.sel_end if st.sel_end >= 0 else n - 1
+        span = max(hi - lo + 1, 1)
+        if st.ping_pong:
+            m = int(f - lo) % (2 * span)
+            return lo + (m if m < span else 2 * span - 1 - m)
+        if st.loop:
+            return lo + int(f - lo) % span
+        return max(lo, min(int(f), hi))
+
+    # -- rte keys ----------------------------------------------------------
+    def key_toggle(self, key: int, on: bool | None = None):
+        state = self.keymap.toggle(key, on)
+        if self.record and self.event_list is not None:
+            tc = self._rec_tc()
+            if state:
+                inst = self.keymap.instances[key]
+                init = filter_init_event(
+                    tc, inst.filter.name,
+                    in_tracks=list(inst.in_tracks),
+                    out_tracks=list(inst.out_tracks),
+                    values=dict(inst.values))
+                self.event_list.insert(init)
+                self._rec_inits[key] = init
+                self._refresh_rec_map(tc)
+            else:
+                init = self._rec_inits.pop(key, None)
+                if init is not None:
+                    self.event_list.insert(
+                        filter_deinit_event(tc, init.event_id))
+                    self._refresh_rec_map(tc)
+        return state
+
+    def set_key_param(self, key: int, name: str, value):
+        inst = self.keymap.instances[key]
+        if inst is None:
+            return
+        inst.set(**{name: value})
+        if self.record and self.event_list is not None and \
+                key in self._rec_inits:
+            self.event_list.insert(param_change_event(
+                self._rec_tc(), self._rec_inits[key].event_id, name, value))
+
+    def _refresh_rec_map(self, tc: int):
+        ids = [i.event_id for i in self._rec_inits.values()]
+        self.event_list.insert(filter_map_event(tc, ids))
+
+    # -- recording ---------------------------------------------------------
+    def record_start(self, width: int = 0, height: int = 0):
+        self.event_list = EventList(fps=abs(self.state.pb_fps) or 25.0,
+                                    width=width, height=height)
+        self.record = True
+        self._rec_t0 = self._now_ticks()
+
+    def record_stop(self) -> EventList:
+        self.record = False
+        el, self.event_list = self.event_list, None
+        self._rec_inits.clear()
+        return el
+
+    def _rec_tc(self) -> int:
+        return self._now_ticks() - self._rec_t0
+
+    # -- playback ----------------------------------------------------------
+    def start(self):
+        self.state.playing = True
+        self._clock0 = time.monotonic()
+        self._frame0 = float(self.state.frame)
+        clip = self.state.fg_clip
+        if clip is not None:
+            self.sink.init_screen(self.sink_spec.width or clip.width,
+                                  self.sink_spec.height or clip.height,
+                                  abs(self.state.pb_fps))
+
+    def stop(self):
+        self.state.playing = False
+        self.sink.exit_screen()
+
+    def _graph_for_chain(self) -> FrameGraph:
+        key = self.keymap.chain_key()
+        g = self._graphs.get(key)
+        if g is None:
+            chain = list(self.keymap.active_chain())
+            # fg/bg blend: if a bg clip is present and no transition in the
+            # chain consumes track 1, append the blend (player fg/bg mix)
+            uses_bg = any(len(i.in_tracks) > 1 for i in chain)
+            if self.state.bg_clip is not None and not uses_bg:
+                mix = instantiate("crossfade", amount=self.state.blend_amount)
+                mix.in_tracks = (0, 1)
+                chain.append(mix)
+            g = FrameGraph(chain, self.sink_spec,
+                           fps=abs(self.state.pb_fps) or 25.0)
+            self._graphs[key] = g
+        return g
+
+    def process_one(self) -> bool:
+        """One player cycle (player.c:2185). Returns False when stopped."""
+        st = self.state
+        if not st.playing or st.fg_clip is None:
+            return False
+        t_start = time.monotonic()
+        target = self.clamp_frame(self._target_frame_f())
+        if target == st.frame and self.frames_shown > 0:
+            return True  # nothing new to show
+        st.frame = target
+        layers = [st.fg_clip.get_frame(target)]
+        if st.bg_clip is not None:
+            layers.append(st.bg_clip.get_frame(
+                target % max(st.bg_clip.frames, 1)))
+        graph = self._graph_for_chain()
+        tc = target / abs(st.pb_fps or 25.0)
+        out = graph.run(layers, tc=tc, frame=target)
+        ok = self.sink.play_frame(out, tc)
+        if self.record and self.event_list is not None:
+            clips = [getattr(st.fg_clip, "unique_id", 1)]
+            frames = [target]
+            if st.bg_clip is not None:
+                clips.append(getattr(st.bg_clip, "unique_id", 2))
+                frames.append(target % max(st.bg_clip.frames, 1))
+            self.event_list.insert(frame_event(self._rec_tc(), clips, frames))
+        self.frames_shown += 1
+        self._frame_times.append(time.monotonic() - t_start)
+        if len(self._frame_times) > 256:
+            self._frame_times = self._frame_times[-128:]
+        return ok
+
+    def play_n_cycles(self, n: int, realtime: bool = False):
+        """Drive n cycles (tests / headless playback)."""
+        for _ in range(n):
+            if not self.process_one():
+                break
+            if realtime:
+                time.sleep(max(0.0, 1.0 / max(abs(self.state.pb_fps), 1)
+                               - (self._frame_times[-1]
+                                  if self._frame_times else 0)))
+
+    # -- stats (diagnostics.c get_inst_fps / get_stats_msg) ---------------
+    def stats(self) -> dict:
+        ft = self._frame_times[-64:]
+        return {
+            "frames_shown": self.frames_shown,
+            "frames_dropped": self.frames_dropped,
+            "inst_fps": (1.0 / (sum(ft) / len(ft))) if ft else 0.0,
+            "p99_ms": (float(np.percentile(ft, 99)) * 1e3) if ft else 0.0,
+        }
