@@ -1,0 +1,160 @@
+"""Audio engine: conversion, resampling, mixing, event-list rendering.
+
+Successor of `src/audio.c` (`sample_move_*` :714-1393 — S8/S16/float
+interleave/deinterleave/resample/reverse; `render_audio_segment` :1686 —
+offline mix-down of per-track clip audio with volumes & velocities).
+
+Internally everything is float32 (n, channels) in [-1, 1]; conversions to
+S8/S16 happen at IO edges. Velocity-aware resampling (trickplay scratching)
+uses the same linear-interpolation policy as the reference's pulse/jack
+feeders.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+def sample_convert(raw: bytes | np.ndarray, sampsize: int = 16,
+                   signed: bool = True, big_endian: bool = False,
+                   channels: int = 2, interleaved: bool = True) -> np.ndarray:
+    """Decode raw pcm -> float32 (n, channels)."""
+    if isinstance(raw, (bytes, bytearray)):
+        if sampsize == 16:
+            dt = (">" if big_endian else "<") + ("i2" if signed else "u2")
+            a = np.frombuffer(raw, dt).astype(np.float32)
+            a = a / 32768.0 if signed else (a - 32768.0) / 32768.0
+        elif sampsize == 8:
+            if signed:
+                a = np.frombuffer(raw, np.int8).astype(np.float32) / 128.0
+            else:
+                a = (np.frombuffer(raw, np.uint8).astype(np.float32)
+                     - 128.0) / 128.0
+        elif sampsize == 32:
+            a = np.frombuffer(raw, ("<" if not big_endian else ">") + "f4")
+            a = a.astype(np.float32)
+        else:
+            raise ValueError(f"sampsize {sampsize}")
+    else:
+        a = np.asarray(raw, np.float32).reshape(-1)
+    n = len(a) // channels
+    a = a[: n * channels]
+    return a.reshape(n, channels) if interleaved \
+        else a.reshape(channels, n).T
+
+
+def sample_encode(data: np.ndarray, sampsize: int = 16,
+                  signed: bool = True, big_endian: bool = False) -> bytes:
+    """float32 (n, channels) -> raw interleaved pcm bytes."""
+    d = np.clip(np.asarray(data, np.float32), -1.0, 1.0)
+    if sampsize == 16:
+        i = np.clip(d * 32767.0, -32768, 32767)
+        if not signed:
+            i = i + 32768.0
+        dt = (">" if big_endian else "<") + ("i2" if signed else "u2")
+        return i.astype(dt).tobytes()
+    if sampsize == 8:
+        if signed:
+            return np.clip(d * 127.0, -128, 127).astype(np.int8).tobytes()
+        return (np.clip(d * 127.0, -128, 127) + 128).astype(np.uint8).tobytes()
+    if sampsize == 32:
+        return d.astype(("<" if not big_endian else ">") + "f4").tobytes()
+    raise ValueError(f"sampsize {sampsize}")
+
+
+def resample(data: np.ndarray, from_rate: float, to_rate: float) -> np.ndarray:
+    """Linear-interp resample (n, ch) (sample_move_d16_d16 policy)."""
+    if from_rate == to_rate or len(data) == 0:
+        return data
+    n_out = int(round(len(data) * to_rate / from_rate))
+    x = np.arange(n_out, dtype=np.float64) * (from_rate / to_rate)
+    i0 = np.minimum(x.astype(np.int64), len(data) - 1)
+    i1 = np.minimum(i0 + 1, len(data) - 1)
+    f = (x - i0)[:, None].astype(np.float32)
+    return data[i0] * (1.0 - f) + data[i1] * f
+
+
+def velocity_resample(data: np.ndarray, pos: float, velocity: float,
+                      n_out: int) -> tuple[np.ndarray, float]:
+    """Pull n_out frames starting at fractional `pos` advancing `velocity`
+    source-frames per output frame (may be negative — reverse scratch).
+    Returns (samples, new position). The realtime feeder primitive
+    (audio.c / pulse.c velocity-aware pull)."""
+    if len(data) == 0:
+        return np.zeros((n_out, 1), np.float32), pos
+    idx = pos + velocity * np.arange(n_out, dtype=np.float64)
+    idx_mod = np.mod(idx, len(data))
+    i0 = idx_mod.astype(np.int64)
+    i1 = (i0 + 1) % len(data)
+    f = (idx_mod - i0)[:, None].astype(np.float32)
+    out = data[i0] * (1.0 - f) + data[i1] * f
+    return out, float(np.mod(pos + velocity * n_out, len(data)))
+
+
+def to_channels(data: np.ndarray, channels: int) -> np.ndarray:
+    """Up/down-mix channel count (simple average / duplicate)."""
+    if data.shape[1] == channels:
+        return data
+    if channels == 1:
+        return data.mean(1, keepdims=True)
+    if data.shape[1] == 1:
+        return np.repeat(data, channels, 1)
+    out = np.zeros((len(data), channels), np.float32)
+    out[:, : data.shape[1]] = data[:, :channels]
+    return out
+
+
+def gain_to_db(g: float) -> float:
+    return 20.0 * np.log10(max(g, 1e-10))
+
+
+def db_to_gain(db: float) -> float:
+    return float(10.0 ** (db / 20.0))
+
+
+def mix_tracks(tracks: list[np.ndarray], vols: list[float] | None = None,
+               clip: bool = True) -> np.ndarray:
+    """Mix N (n, ch) tracks with per-track volume (the avol filter,
+    events.c:2636 add_track_to_avol_init)."""
+    if not tracks:
+        return np.zeros((0, 2), np.float32)
+    n = max(len(t) for t in tracks)
+    ch = max(t.shape[1] for t in tracks)
+    acc = np.zeros((n, ch), np.float32)
+    vols = vols or [1.0] * len(tracks)
+    for t, v in zip(tracks, vols):
+        t = to_channels(t, ch)
+        acc[: len(t)] += t * v
+    return np.clip(acc, -1.0, 1.0) if clip else acc
+
+
+def render_audio(event_list, clips: dict, arate: int = 44100,
+                 channels: int = 2,
+                 vols: dict[int, float] | None = None) -> np.ndarray:
+    """render_audio_segment successor (audio.c:1686): mix the audio of every
+    clip appearing on the timeline, aligned to its first FRAME event,
+    resampled to `arate`, with per-track volumes."""
+    from ..events.event_list import EventType, TICKS_PER_SECOND
+    dur_ticks = event_list.duration_ticks
+    n_out = int(np.ceil(dur_ticks / TICKS_PER_SECOND * arate)) + 1
+    acc = np.zeros((n_out, channels), np.float32)
+    placed: set[int] = set()
+    for e in event_list.events:
+        if e.type != EventType.FRAME:
+            continue
+        for track, clip_id in enumerate(e.clips):
+            if clip_id in placed or clip_id not in clips:
+                continue
+            placed.add(clip_id)
+            clip = clips[clip_id]
+            audio = clip.read_audio() if hasattr(clip, "read_audio") \
+                else np.asarray(clip, np.float32)
+            if len(audio) == 0:
+                continue
+            src_rate = getattr(clip, "arate", arate) or arate
+            audio = resample(to_channels(audio, channels), src_rate, arate)
+            start = int(e.tc / TICKS_PER_SECOND * arate)
+            seg = audio[: max(0, n_out - start)]
+            v = (vols or {}).get(track, 1.0)
+            acc[start: start + len(seg)] += seg * v
+    return np.clip(acc, -1.0, 1.0)
