@@ -1,0 +1,224 @@
+"""OSC control server + notify sockets.
+
+Successor of `src/osc.c` (UDP server, ~392 methods, osc.c:6694 table) and
+the notify protocol (`src/osc_notify.h`: messages `msg_number|msg_string\\n`
+pushed to subscribed UDP clients on state changes).
+
+The method namespace mirrors the reference's (/video/play, /clip/select,
+/effect_key/enable, /clip/foreground/fps/set, ...), bound to a Player.
+Unknown paths reply via /error on the status socket if one is open.
+"""
+
+from __future__ import annotations
+
+import socket
+import threading
+from typing import Any, Callable, Optional
+
+from .protocol import OSCMessage, build_message, parse_packet
+
+
+class NOTIFY:
+    """osc_notify.h event numbers (subset used so far)."""
+    FRAME_SYNCH = 1
+    PLAYBACK_STARTED = 2
+    PLAYBACK_STOPPED = 3
+    PLAYBACK_STOPPED_RD = 4
+    RECORD_STARTED = 32
+    RECORD_STOPPED = 33
+    APP_QUIT = 64
+    CLIP_OPENED = 512
+    CLIP_CLOSED = 513
+    CLIPSET_OPENED = 1024
+    CLIPSET_SAVED = 1025
+    SUCCESS = 8192
+    FAILED = 8193
+    CANCELLED = 8194
+    MODE_CHANGED = 4096
+
+
+class OSCServer:
+    def __init__(self, player=None, host: str = "127.0.0.1", port: int = 0):
+        self.player = player
+        self.host = host
+        self.sock = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
+        self.sock.bind((host, port))
+        self.port = self.sock.getsockname()[1]
+        self.methods: dict[str, Callable[..., Any]] = {}
+        self._notify_clients: list[tuple[str, int]] = []
+        self._status_client: Optional[tuple[str, int]] = None
+        self._msg_no = 0
+        self._thread: Optional[threading.Thread] = None
+        self._running = False
+        self._register_builtin()
+
+    # -- lifecycle ---------------------------------------------------------
+    def start(self):
+        self._running = True
+        self._thread = threading.Thread(target=self._loop, daemon=True)
+        self._thread.start()
+
+    def stop(self):
+        self._running = False
+        try:
+            # unblock recvfrom
+            socket.socket(socket.AF_INET, socket.SOCK_DGRAM).sendto(
+                b"", (self.host, self.port))
+        except OSError:
+            pass
+        if self._thread:
+            self._thread.join(timeout=2)
+        self.sock.close()
+
+    def _loop(self):
+        self.sock.settimeout(0.5)
+        while self._running:
+            try:
+                data, addr = self.sock.recvfrom(65536)
+            except socket.timeout:
+                continue
+            except OSError:
+                break
+            if not data:
+                continue
+            try:
+                for msg in parse_packet(data):
+                    self.dispatch(msg, addr)
+            except Exception as e:  # malformed packet: report, keep serving
+                self._status(f"error parsing packet: {e}")
+
+    # -- dispatch ----------------------------------------------------------
+    def dispatch(self, msg: OSCMessage, addr=None):
+        fn = self.methods.get(msg.address)
+        if fn is None:
+            self._status(f"unknown method {msg.address}")
+            return False
+        try:
+            ret = fn(*msg.args)
+            if ret is not None:
+                self._status(str(ret))
+            return True
+        except Exception as e:
+            self._status(f"error in {msg.address}: {e}")
+            return False
+
+    def add_method(self, path: str, fn: Callable[..., Any]):
+        self.methods[path] = fn
+
+    # -- notify / status sockets (osc_notify.h protocol) -------------------
+    def notify(self, msg_number: int, msg_string: str = ""):
+        payload = f"{msg_number}|{msg_string}\n\0".encode()
+        for client in list(self._notify_clients):
+            try:
+                self.sock.sendto(payload, client)
+            except OSError:
+                self._notify_clients.remove(client)
+
+    def _status(self, s: str):
+        if self._status_client:
+            try:
+                self.sock.sendto((s + "\n\0").encode(), self._status_client)
+            except OSError:
+                pass
+
+    # -- builtin namespace (subset of osc.c:6694 table, same paths) --------
+    def _register_builtin(self):
+        p = lambda: self.player
+        m = self.add_method
+
+        m("/lives/open_notify_socket",
+          lambda port, host="127.0.0.1": self._notify_clients.append(
+              (host, int(port))))
+        m("/lives/close_notify_socket",
+          lambda port=None: self._notify_clients.clear())
+        m("/app/open_status_socket",
+          lambda port, host="127.0.0.1": setattr(
+              self, "_status_client", (host, int(port))))
+        m("/app/ping", lambda: "pong")
+        m("/app/name", lambda: "lives_tpu")
+        m("/app/version/get", lambda: __import__(
+            "lives_tpu").__version__)
+        m("/app/quit", lambda: self.notify(NOTIFY.APP_QUIT))
+
+        # video transport
+        def play():
+            p().start()
+            self.notify(NOTIFY.PLAYBACK_STARTED)
+
+        def stop():
+            p().stop()
+            self.notify(NOTIFY.PLAYBACK_STOPPED)
+
+        m("/video/play", play)
+        m("/video/stop", stop)
+        m("/video/pause/toggle",
+          lambda: setattr(p().state, "playing", not p().state.playing))
+        m("/video/fps/set", lambda fps: p().set_pb_fps(float(fps)))
+        m("/video/fps/get", lambda: p().state.pb_fps)
+        m("/video/play/forwards", lambda: p().set_pb_fps(
+            abs(p().state.pb_fps)))
+        m("/video/play/backwards", lambda: p().set_pb_fps(
+            -abs(p().state.pb_fps)))
+        m("/video/play/reverse", lambda: p().set_pb_fps(-p().state.pb_fps))
+        m("/video/loop/set", lambda on: setattr(p().state, "loop", bool(on)))
+        m("/video/pingpong/set",
+          lambda on: setattr(p().state, "ping_pong", bool(on)))
+
+        # clips
+        m("/clip/foreground/frame/set",
+          lambda f: setattr(p().state, "frame", int(f)))
+        m("/clip/foreground/frame/get", lambda: p().state.frame)
+        m("/clip/foreground/fps/set", lambda fps: p().set_pb_fps(float(fps)))
+        m("/clip/foreground/fps/get", lambda: p().state.pb_fps)
+        m("/clip/foreground/select",
+          lambda c: self._select_clip(c, bg=False))
+        m("/clip/background/select",
+          lambda c: self._select_clip(c, bg=True))
+        m("/clip/foreground/background/swap", self._swap_fg_bg)
+
+        # effect keys (effects.c rte namespace)
+        m("/effect_key/enable", lambda k: p().key_toggle(int(k) - 1, True))
+        m("/effect_key/disable", lambda k: p().key_toggle(int(k) - 1, False))
+        m("/effect_key/toggle", lambda k: p().key_toggle(int(k) - 1))
+        m("/effect_key/mode/next",
+          lambda k: p().keymap.next_mode(int(k) - 1))
+        m("/effect_key/map",
+          lambda k, name: p().keymap.set_key(int(k) - 1, 0, str(name)))
+        m("/effect_key/nparameter/set",
+          lambda k, pname, v: p().set_key_param(int(k) - 1, str(pname),
+                                                float(v)))
+        m("/effect_key/maxmode/get",
+          lambda k: len(p().keymap.slots[int(k) - 1]))
+
+        # record
+        def rec_start():
+            pl = p()
+            clip = pl.state.fg_clip
+            pl.record_start(width=getattr(clip, "width", 0),
+                            height=getattr(clip, "height", 0))
+            self.notify(NOTIFY.RECORD_STARTED)
+
+        def rec_stop():
+            p().record_stop()
+            self.notify(NOTIFY.RECORD_STOPPED)
+
+        m("/record/enable", rec_start)
+        m("/record/disable", rec_stop)
+        m("/record/toggle",
+          lambda: rec_stop() if p().record else rec_start())
+
+    # registry of openable clips for /clip/select (id -> clip object)
+    clips: dict[int, Any] = {}
+
+    def _select_clip(self, c, bg: bool):
+        clip = self.clips.get(int(c))
+        if clip is None:
+            raise KeyError(f"no clip {c}")
+        if bg:
+            self.player.state.bg_clip = clip
+        else:
+            self.player.state.fg_clip = clip
+
+    def _swap_fg_bg(self):
+        st = self.player.state
+        st.fg_clip, st.bg_clip = st.bg_clip, st.fg_clip

@@ -1,0 +1,176 @@
+"""Control plane tests: OSC wire protocol, server dispatch over real UDP,
+notify sockets, liblives-style API, sets + crash recovery."""
+
+import socket
+import time
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from lives_tpu.constants import Palette
+from lives_tpu.layer import Layer
+from lives_tpu.osc import OSCMessage, OSCServer, build_message, parse_packet
+from lives_tpu.player import CollectSink, Player
+
+
+class MemClip:
+    def __init__(self, n=10, h=16, w=32, uid=1):
+        self.frames, self.fps = n, 25.0
+        self.width, self.height, self.unique_id = w, h, uid
+
+    def get_frame(self, n):
+        rng = np.random.default_rng(self.unique_id * 31 + n)
+        return Layer(planes=(jnp.asarray(
+            rng.integers(0, 256, (3, self.height, self.width), np.uint8)),),
+            palette=int(Palette.RGB24))
+
+
+# -- wire protocol -----------------------------------------------------------
+
+def test_osc_roundtrip_types():
+    pkt = build_message("/test/path", 42, 3.5, "hello", True, None,
+                        b"\x01\x02")
+    msgs = parse_packet(pkt)
+    assert len(msgs) == 1
+    m = msgs[0]
+    assert m.address == "/test/path"
+    assert m.args[0] == 42
+    assert m.args[1] == pytest.approx(3.5)
+    assert m.args[2] == "hello"
+    assert m.args[3] is True and m.args[4] is None
+    assert m.args[5] == b"\x01\x02"
+
+
+def test_osc_int64():
+    pkt = build_message("/x", 1 << 40)
+    assert parse_packet(pkt)[0].args[0] == 1 << 40
+
+
+def test_osc_bundle():
+    inner1 = build_message("/a", 1)
+    inner2 = build_message("/b", 2)
+    import struct
+    bundle = (b"#bundle\0" + b"\0" * 8
+              + struct.pack(">i", len(inner1)) + inner1
+              + struct.pack(">i", len(inner2)) + inner2)
+    msgs = parse_packet(bundle)
+    assert [m.address for m in msgs] == ["/a", "/b"]
+
+
+# -- server over real UDP ----------------------------------------------------
+
+@pytest.fixture
+def served():
+    player = Player(sink=CollectSink())
+    player.state.fg_clip = MemClip()
+    srv = OSCServer(player, port=0)
+    srv.start()
+    cli = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
+    yield srv, player, cli
+    cli.close()
+    srv.stop()
+
+
+def send_wait(cli, srv, path, *args, wait=0.3):
+    cli.sendto(build_message(path, *args), ("127.0.0.1", srv.port))
+    deadline = time.time() + wait
+    while time.time() < deadline:
+        time.sleep(0.01)
+
+
+def test_server_play_stop(served):
+    srv, player, cli = served
+    send_wait(cli, srv, "/video/play")
+    assert player.state.playing
+    send_wait(cli, srv, "/video/stop")
+    assert not player.state.playing
+
+
+def test_server_fps_and_keys(served):
+    srv, player, cli = served
+    send_wait(cli, srv, "/video/fps/set", 50.0)
+    assert player.state.pb_fps == pytest.approx(50.0)
+    send_wait(cli, srv, "/effect_key/map", 1, "negate")
+    send_wait(cli, srv, "/effect_key/enable", 1)
+    assert player.keymap.active[0]
+    send_wait(cli, srv, "/effect_key/disable", 1)
+    assert not player.keymap.active[0]
+
+
+def test_notify_socket(served):
+    srv, player, cli = served
+    rx = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
+    rx.bind(("127.0.0.1", 0))
+    rx.settimeout(2.0)
+    port = rx.getsockname()[1]
+    send_wait(cli, srv, "/lives/open_notify_socket", port)
+    send_wait(cli, srv, "/video/play")
+    data, _ = rx.recvfrom(1024)
+    assert data.decode().startswith("2|")  # PLAYBACK_STARTED
+    rx.close()
+
+
+def test_unknown_method_survives(served):
+    srv, player, cli = served
+    send_wait(cli, srv, "/no/such/path", 1)
+    send_wait(cli, srv, "/video/play")  # still serving
+    assert player.state.playing
+
+
+# -- liblives-style API ------------------------------------------------------
+
+def test_api_end_to_end(tmp_path):
+    from lives_tpu.api import LiVESApp
+    from lives_tpu.io.decoders import write_y4m
+    frames = [(np.full((16, 32), 100, np.uint8),
+               np.full((8, 16), 128, np.uint8),
+               np.full((8, 16), 128, np.uint8)) for _ in range(6)]
+    write_y4m(str(tmp_path / "c.y4m"), frames)
+    app = LiVESApp(workdir=tmp_path / "wd", sink=CollectSink())
+    events = []
+    from lives_tpu.osc.server import NOTIFY
+    app.add_callback(NOTIFY.CLIP_OPENED, lambda d: events.append(d))
+    clip = app.open_file(str(tmp_path / "c.y4m"))
+    assert clip.frames == 6 and events == ["1"]
+    assert app.set.num_clips == 1
+    app.effect_key_map[0].map("negate")
+    app.effect_key_map[0].set_enabled(True)
+    app.player.play()
+    app.player.tick(2)
+    app.player.stop()
+    assert app.player._player.frames_shown >= 1
+    app.effect_key_map.clear()
+    assert not app.effect_key_map[0].enabled
+    app.quit()
+
+
+def test_sets_and_recovery(tmp_path):
+    from lives_tpu.api import LiVESApp
+    from lives_tpu.io.decoders import write_y4m
+    from lives_tpu.sets import (check_recovery, clear_recovery, list_sets,
+                                load_set, recover_clips)
+    frames = [(np.full((16, 32), 90, np.uint8),
+               np.full((8, 16), 128, np.uint8),
+               np.full((8, 16), 128, np.uint8)) for _ in range(4)]
+    write_y4m(str(tmp_path / "c.y4m"), frames)
+    app = LiVESApp(workdir=tmp_path / "wd")
+    app.open_file(str(tmp_path / "c.y4m"))
+    app.multitrack.insert_block(0, 1, 0, 4)
+    app.set.save("myset")
+    assert list_sets(app.workdir) == ["myset"]
+
+    # crash recovery journal survives
+    assert len(check_recovery(app.workdir)) == 1
+    app2 = LiVESApp(workdir=tmp_path / "wd")
+    assert recover_clips(app2) == 1
+    assert app2.set.num_clips == 1
+    clear_recovery(app2.workdir)
+    assert check_recovery(app2.workdir) == []
+
+    # set reload into a fresh app
+    app3 = LiVESApp(workdir=tmp_path / "wd")
+    assert load_set(app3, "myset") == 1
+    assert app3.set.num_clips == 1
+    assert len(app3.multitrack.blocks(0)) == 1
