@@ -5,4 +5,5 @@ TPU-native re-expressions of the reference's core weed plugins
 for the specific plugins covered.
 """
 
-from . import blends, blur, colour, generators, geometry, keying  # noqa: F401
+from . import (blends, blur, colour, effectv, generators, geometry,  # noqa: F401
+               keying)

@@ -1,0 +1,247 @@
+"""Stateful feedback effects — the EffecTV ports re-imagined.
+
+Reference plugins: `RGBdelay.c`, `fireTV.c`, `lifeTV.c`, `blurzoom.c`
+(radioacTV), `onedTV.c`, `nervousTV.c` (lives-plugins/weed-plugins/). The
+reference hides state in `plugin_internal` pointers; here state is an
+explicit pytree threaded through `process(ins, params, ctx, state)` so
+chains containing these filters batch-render with `lax.scan`
+(FrameGraph.run_batch) and stay deterministic.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ...constants import Palette
+from ..host import (ChannelTemplate, FILTER_STATEFUL, Filter, Param,
+                    register_filter)
+from ..util import from_f01, join_alpha, luma, split_alpha, to_f01
+
+_RGBX = (Palette.RGB24, Palette.RGBA32)
+_ONE_IN = (ChannelTemplate("in", _RGBX),)
+
+MAX_DELAY = 16
+
+
+def _stateful(name, process, init_state, params=(), desc=""):
+    return register_filter(Filter(
+        name=name, process=process, in_channels=_ONE_IN,
+        params=tuple(params), flags=FILTER_STATEFUL,
+        init_state=init_state, description=desc))
+
+
+# -- rgb_delay ---------------------------------------------------------------
+
+def _rgbdelay_init(w, h, pal):
+    return jnp.zeros((MAX_DELAY, 3, h, w), jnp.float32)
+
+
+def _rgbdelay_process(ins, p, ctx, state):
+    lay = ins[0]
+    a = to_f01(lay)
+    rgb, al = split_alpha(a)
+    ring = jnp.concatenate([rgb[None], state[:-1]], 0)
+    dr = jnp.clip(p["delay_r"], 0, MAX_DELAY - 1).astype(jnp.int32)
+    dg = jnp.clip(p["delay_g"], 0, MAX_DELAY - 1).astype(jnp.int32)
+    db = jnp.clip(p["delay_b"], 0, MAX_DELAY - 1).astype(jnp.int32)
+    out = jnp.stack([ring[dr, 0], ring[dg, 1], ring[db, 2]])
+    return from_f01(join_alpha(out, al), lay), ring
+
+
+_stateful("rgb_delay", _rgbdelay_process, _rgbdelay_init,
+          params=(Param("delay_r", "num", 0.0, 0.0, MAX_DELAY - 1),
+                  Param("delay_g", "num", 4.0, 0.0, MAX_DELAY - 1),
+                  Param("delay_b", "num", 8.0, 0.0, MAX_DELAY - 1)),
+          desc="per-channel temporal delay (RGBdelay.c)")
+
+
+# -- fire --------------------------------------------------------------------
+
+def _fire_init(w, h, pal):
+    return jnp.zeros((h, w), jnp.float32)
+
+
+def _fire_process(ins, p, ctx, state):
+    lay = ins[0]
+    a = to_f01(lay)
+    rgb, al = split_alpha(a)
+    g = luma(rgb)
+    # spark injection where the image is bright
+    sparks = jnp.where(g > p["threshold"], g, 0.0)
+    buf = jnp.maximum(state, sparks)
+    # flames rise: shift up + neighbour average + decay
+    up = jnp.roll(buf, -1, axis=0)
+    l = jnp.roll(up, 1, axis=1)
+    r = jnp.roll(up, -1, axis=1)
+    buf = (up * 2.0 + l + r) * 0.25 * (1.0 - 0.04 - p["cooling"] * 0.1)
+    # fire palette: black->red->yellow->white
+    fr = jnp.clip(buf * 3.0, 0.0, 1.0)
+    fg = jnp.clip(buf * 3.0 - 1.0, 0.0, 1.0)
+    fb = jnp.clip(buf * 3.0 - 2.0, 0.0, 1.0)
+    flame = jnp.stack([fr, fg, fb])
+    out = jnp.maximum(rgb * (1.0 - p["amount"]), flame * p["amount"] +
+                      rgb * (1.0 - p["amount"]))
+    return from_f01(join_alpha(jnp.clip(out, 0, 1), al), lay), buf
+
+
+_stateful("fire", _fire_process, _fire_init,
+          params=(Param("threshold", "num", 0.6, 0.0, 1.0),
+                  Param("cooling", "num", 0.3, 0.0, 1.0),
+                  Param("amount", "num", 1.0, 0.0, 1.0)),
+          desc="rising flames from bright areas (fireTV.c)")
+
+
+# -- life --------------------------------------------------------------------
+
+def _life_init(w, h, pal):
+    return jnp.zeros((h, w), jnp.uint8)
+
+
+def _life_process(ins, p, ctx, state):
+    lay = ins[0]
+    a = to_f01(lay)
+    rgb, al = split_alpha(a)
+    g = luma(rgb)
+    cells = state.astype(jnp.float32)
+    # neighbour count via rolls
+    n = sum(jnp.roll(jnp.roll(cells, dy, 0), dx, 1)
+            for dy in (-1, 0, 1) for dx in (-1, 0, 1)
+            if (dy, dx) != (0, 0))
+    born = (n == 3.0)
+    survive = (cells > 0) & ((n == 2.0) | (n == 3.0))
+    # seed new life from image edges (luma gradient)
+    gx = jnp.abs(g - jnp.roll(g, 1, 1))
+    gy = jnp.abs(g - jnp.roll(g, 1, 0))
+    seed = (gx + gy) > p["threshold"]
+    new_cells = (born | survive | seed).astype(jnp.uint8)
+    overlay = new_cells.astype(jnp.float32)
+    out = jnp.clip(rgb + overlay[None] * p["amount"], 0.0, 1.0)
+    return from_f01(join_alpha(out, al), lay), new_cells
+
+
+_stateful("life", _life_process, _life_init,
+          params=(Param("threshold", "num", 0.2, 0.0, 1.0),
+                  Param("amount", "num", 0.6, 0.0, 1.0)),
+          desc="Conway life seeded by image edges (lifeTV.c)")
+
+
+# -- blurzoom (radioactive glow) --------------------------------------------
+
+def _blurzoom_init(w, h, pal):
+    return jnp.zeros((h, w), jnp.float32)
+
+
+def _blurzoom_process(ins, p, ctx, state):
+    from ...ops.resize import resize_plane
+    lay = ins[0]
+    a = to_f01(lay)
+    rgb, al = split_alpha(a)
+    h, w = rgb.shape[-2:]
+    g = luma(rgb)
+    edges = jnp.abs(g - jnp.roll(g, 1, 1)) + jnp.abs(g - jnp.roll(g, 1, 0))
+    buf = state + jnp.where(edges > 0.25, 1.0, 0.0)
+    # zoom out slightly (glow expands) + decay
+    zh, zw = int(h * 0.95), int(w * 0.95)
+    inner = resize_plane(buf, zh, zw, "bilinear")
+    pad_t, pad_l = (h - zh) // 2, (w - zw) // 2
+    buf = jnp.pad(inner, ((pad_t, h - zh - pad_t), (pad_l, w - zw - pad_l)))
+    buf = buf * (0.75 + 0.2 * (1.0 - p["decay"]))
+    glow_col = jnp.stack([p["red"], p["green"], p["blue"]])[:, None, None]
+    out = jnp.clip(rgb + buf[None] * glow_col * p["amount"], 0.0, 1.0)
+    return from_f01(join_alpha(out, al), lay), buf
+
+
+_stateful("blurzoom", _blurzoom_process, _blurzoom_init,
+          params=(Param("decay", "num", 0.5, 0.0, 1.0),
+                  Param("amount", "num", 0.8, 0.0, 1.0),
+                  Param("red", "num", 0.3, 0.0, 1.0),
+                  Param("green", "num", 1.0, 0.0, 1.0),
+                  Param("blue", "num", 0.3, 0.0, 1.0)),
+          desc="expanding motion glow (blurzoom.c radioacTV)")
+
+
+# -- onedTV ------------------------------------------------------------------
+
+def _oned_init(w, h, pal):
+    return {"row": jnp.zeros((), jnp.int32),
+            "acc": jnp.zeros((3, h, w), jnp.float32)}
+
+
+def _oned_process(ins, p, ctx, state):
+    lay = ins[0]
+    a = to_f01(lay)
+    rgb, al = split_alpha(a)
+    h = rgb.shape[-2]
+    row = state["row"]
+    line = jax.lax.dynamic_slice_in_dim(rgb, row, 1, axis=1)
+    acc = jax.lax.dynamic_update_slice_in_dim(state["acc"], line, row, axis=1)
+    # draw a bright cursor line
+    out = jax.lax.dynamic_update_slice_in_dim(
+        acc, jnp.ones_like(line), (row + 1) % h, axis=1)
+    speed = jnp.maximum(p["speed"], 1.0).astype(jnp.int32)
+    return (from_f01(join_alpha(out, al), lay),
+            {"row": (row + speed) % h, "acc": acc})
+
+
+_stateful("onedtv", _oned_process, _oned_init,
+          params=(Param("speed", "num", 1.0, 1.0, 16.0),),
+          desc="scanline-at-a-time freeze (onedTV.c)")
+
+
+# -- nervous -----------------------------------------------------------------
+
+NERVOUS_DEPTH = 8
+
+
+def _nervous_init(w, h, pal):
+    return jnp.zeros((NERVOUS_DEPTH, 3, h, w), jnp.float32)
+
+
+def _nervous_process(ins, p, ctx, state):
+    lay = ins[0]
+    a = to_f01(lay)
+    rgb, al = split_alpha(a)
+    ring = jnp.concatenate([rgb[None], state[:-1]], 0)
+    key = jax.random.fold_in(jax.random.PRNGKey(1234),
+                             jnp.asarray(ctx.frame, jnp.int32))
+    idx = jax.random.randint(key, (), 0, NERVOUS_DEPTH)
+    out = ring[idx]
+    return from_f01(join_alpha(out, al), lay), ring
+
+
+_stateful("nervous", _nervous_process, _nervous_init,
+          desc="random recent-frame flashback (nervousTV.c)")
+
+
+# -- video feedback ----------------------------------------------------------
+
+def _feedback_init(w, h, pal):
+    return jnp.zeros((3, h, w), jnp.float32)
+
+
+def _feedback_process(ins, p, ctx, state):
+    from jax.scipy.ndimage import map_coordinates
+    lay = ins[0]
+    a = to_f01(lay)
+    rgb, al = split_alpha(a)
+    h, w = rgb.shape[-2:]
+    # zoom about centre as a shape-static coordinate warp (traced zoom ok)
+    z = 0.9 + p["zoom"] * 0.2  # 0.9 .. 1.1
+    cy, cx = (h - 1) / 2.0, (w - 1) / 2.0
+    yy = (jnp.arange(h, dtype=jnp.float32)[:, None] - cy) / z + cy
+    xx = (jnp.arange(w, dtype=jnp.float32)[None, :] - cx) / z + cx
+    yy = jnp.clip(jnp.broadcast_to(yy, (h, w)), 0, h - 1)
+    xx = jnp.clip(jnp.broadcast_to(xx, (h, w)), 0, w - 1)
+    prev = jax.vmap(lambda ch: map_coordinates(ch, [yy, xx], order=1,
+                                               mode="nearest"))(state)
+    out = rgb * (1.0 - p["feedback"]) + prev * p["feedback"]
+    out = jnp.clip(out, 0.0, 1.0)
+    return from_f01(join_alpha(out, al), lay), out
+
+
+_stateful("feedback", _feedback_process, _feedback_init,
+          params=(Param("feedback", "num", 0.7, 0.0, 0.98),
+                  Param("zoom", "num", 0.6, 0.0, 1.0)),
+          desc="classic video feedback tunnel")

@@ -166,6 +166,17 @@ class FrameGraph:
                 traced_params.append(
                     {k: jnp.broadcast_to(jnp.asarray(v, jnp.float32), (B,))
                      for k, v in tp.items()})
+        if self.has_stateful:
+            # scan carry structure must be stable: materialise init states
+            from ..effects.host import FILTER_STATEFUL
+            w0 = layers[0].width if layers else self.sink.width
+            h0 = layers[0].height if layers else self.sink.height
+            pal0 = layers[0].palette if layers else None
+            for i, inst in enumerate(self.chain):
+                if (inst.filter.flags & FILTER_STATEFUL
+                        and self.states[i] is None
+                        and inst.filter.init_state is not None):
+                    self.states[i] = inst.filter.init_state(w0, h0, pal0)
         key = ("batch", self._config_key(layers), self.has_stateful)
         tmpl = self._templates.get(key)
         if tmpl is None:
