@@ -1,0 +1,122 @@
+"""Analyser filters — video passes through, out-params carry measurements
+(reference `blank_frame_detector.c`, `alpha_means.c`, `audio_fft.c`,
+`beat_detector.c`). Out-values are traced scalars usable through data
+connections (effects/data.py) or host-side after materialisation."""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+import numpy as np
+
+from ...constants import Palette
+from ..host import ChannelTemplate, Filter, Param, register_filter
+from ..util import luma, split_alpha, to_f01
+
+_RGBX = (Palette.RGB24, Palette.RGBA32)
+_ONE_IN = (ChannelTemplate("in", _RGBX),)
+
+
+def _passthrough(ins, p, ctx):
+    return ins[0]
+
+
+def _mk_analyser(name, analyse, params=(), out_params=(), desc=""):
+    return register_filter(Filter(
+        name=name, process=_passthrough, in_channels=_ONE_IN,
+        params=tuple(params), out_params=tuple(out_params),
+        analyse=analyse, description=desc))
+
+
+def _blank_analyse(ins, p, ctx):
+    g = luma(split_alpha(to_f01(ins[0]))[0])
+    m = jnp.mean(g)
+    return {"blank": (m < p["threshold"]).astype(jnp.float32),
+            "mean_luma": m}
+
+
+_mk_analyser("blank_frame_detector", _blank_analyse,
+             params=(Param("threshold", "num", 0.05, 0.0, 1.0),),
+             out_params=(Param("blank", "num", 0.0, 0.0, 1.0),
+                         Param("mean_luma", "num", 0.0, 0.0, 1.0)),
+             desc="flags near-black frames (blank_frame_detector.c)")
+
+
+def _means_analyse(ins, p, ctx):
+    rgb, al = split_alpha(to_f01(ins[0]))
+    out = {"mean_r": jnp.mean(rgb[0]), "mean_g": jnp.mean(rgb[1]),
+           "mean_b": jnp.mean(rgb[2])}
+    out["mean_a"] = jnp.mean(al) if al is not None \
+        else jnp.float32(1.0)
+    return out
+
+
+_mk_analyser("alpha_means", _means_analyse,
+             out_params=tuple(Param(f"mean_{c}", "num", 0.0, 0.0, 1.0)
+                              for c in "rgba"),
+             desc="per-channel means (alpha_means.c)")
+
+
+def _histogram_analyse(ins, p, ctx):
+    g = luma(split_alpha(to_f01(ins[0]))[0])
+    hist = jnp.histogram(g, bins=16, range=(0.0, 1.0))[0]
+    hist = hist.astype(jnp.float32) / g.size
+    return {"histogram": hist,
+            "contrast": jnp.std(g),
+            "brightness": jnp.mean(g)}
+
+
+_mk_analyser("histogram", _histogram_analyse,
+             out_params=(Param("contrast", "num", 0.0, 0.0, 1.0),
+                         Param("brightness", "num", 0.0, 0.0, 1.0)),
+             desc="luma histogram + contrast/brightness stats")
+
+
+def _motion_analyse(ins, p, ctx):
+    """Frame-difference motion measure (farneback_analyser.cpp's role,
+    cheap global version)."""
+    g = luma(split_alpha(to_f01(ins[0]))[0])
+    gx = jnp.abs(g - jnp.roll(g, 1, 1)).mean()
+    gy = jnp.abs(g - jnp.roll(g, 1, 0)).mean()
+    return {"edge_energy": gx + gy}
+
+
+_mk_analyser("edge_analyser", _motion_analyse,
+             out_params=(Param("edge_energy", "num", 0.0, 0.0, 1.0),),
+             desc="global edge energy")
+
+
+# ---------------------------------------------------------------------------
+# Audio analysers (host-side helpers; reference audio_fft.c/beat_detector.c)
+# ---------------------------------------------------------------------------
+
+def audio_fft(samples: np.ndarray, rate: int, bands: int = 16) -> np.ndarray:
+    """Log-band magnitude spectrum of a mono float block (audio_fft.c)."""
+    mono = samples.mean(1) if samples.ndim == 2 else samples
+    spec = np.abs(np.fft.rfft(mono * np.hanning(len(mono))))
+    edges = np.logspace(np.log10(20), np.log10(rate / 2), bands + 1)
+    freqs = np.fft.rfftfreq(len(mono), 1.0 / rate)
+    out = np.zeros(bands, np.float32)
+    for b in range(bands):
+        m = (freqs >= edges[b]) & (freqs < edges[b + 1])
+        out[b] = spec[m].mean() if m.any() else 0.0
+    return out
+
+
+class BeatDetector:
+    """Energy-flux beat detector over streamed blocks (beat_detector.c)."""
+
+    def __init__(self, rate: int = 44100, history: int = 43):
+        self.rate = rate
+        self.energies: list[float] = []
+        self.history = history
+
+    def feed(self, block: np.ndarray) -> bool:
+        mono = block.mean(1) if block.ndim == 2 else block
+        e = float(np.mean(mono * mono))
+        hist = self.energies[-self.history:]
+        is_beat = bool(hist) and e > 1.4 * (sum(hist) / len(hist)) \
+            and e > 1e-5
+        self.energies.append(e)
+        if len(self.energies) > 4 * self.history:
+            self.energies = self.energies[-2 * self.history:]
+        return is_beat

@@ -90,6 +90,10 @@ class Filter:
     description: str = ""
     init_state: Callable | None = None  # (width,height,palette)->state pytree
     preferred_gamma: int | None = None  # e.g. LINEAR for physical-light fx
+    # analyser hook: (ins, params, ctx) -> dict of out-param values
+    # (weed out-parameters; feeds data connections, effects-data.c)
+    analyse: Callable | None = None
+    out_params: tuple[Param, ...] = ()
 
     @property
     def hashname(self) -> str:
@@ -127,6 +131,8 @@ class Instance:
     # events): which track layers feed this instance
     in_tracks: tuple[int, ...] = (0,)
     out_tracks: tuple[int, ...] = (0,)
+    # latest analyser outputs (weed out-param values)
+    out_values: dict[str, Any] = field(default_factory=dict)
 
     def param_values(self) -> dict[str, Any]:
         out = {}
@@ -255,6 +261,8 @@ def apply_instance(inst: Instance, layers: Sequence[Layer],
         inst.state = new_state
     else:
         out = f.process(ins, params, ctx)
+    if f.analyse is not None:
+        inst.out_values = dict(f.analyse(ins, params, ctx))
     outs = out if isinstance(out, (list, tuple)) else [out]
     for t, o in zip(inst.out_tracks, outs):
         layers[t] = o

@@ -1,0 +1,174 @@
+"""Encoder plugins — capability-query contract.
+
+The reference drives Perl encoder scripts over a stdout protocol
+(`get_capabilities` / `get_formats` / `encode`, src/plugins.c:1813). Here
+encoders are classes with the same three-call contract. Built-ins: YUV4MPEG2
+stream and PNG image sequence (always available), WAV for audio, and an
+ffmpeg encoder that registers only when the binary exists.
+"""
+
+from __future__ import annotations
+
+import shutil
+import struct
+import subprocess
+from dataclasses import dataclass
+from pathlib import Path
+from typing import Iterable, Optional
+
+import numpy as np
+
+from ..constants import Palette
+from ..layer import Layer
+
+CAP_VIDEO = 1
+CAP_AUDIO = 2
+
+
+@dataclass
+class EncFormat:
+    name: str
+    extension: str
+    description: str = ""
+
+
+class Encoder:
+    name = "base"
+
+    @classmethod
+    def get_capabilities(cls) -> int:
+        return CAP_VIDEO
+
+    @classmethod
+    def get_formats(cls) -> list[EncFormat]:
+        return []
+
+    def encode(self, out_path: str, frames: Iterable[np.ndarray],
+               fps: float, audio: np.ndarray | None = None,
+               arate: int = 44100) -> bool:
+        """frames: iterable of (3,H,W) or (H,W,3) uint8 RGB arrays."""
+        raise NotImplementedError
+
+
+_ENCODERS: dict[str, type[Encoder]] = {}
+
+
+def register_encoder(cls):
+    _ENCODERS[cls.name] = cls
+    return cls
+
+
+def get_encoder(name: str) -> Encoder:
+    return _ENCODERS[name]()
+
+
+def list_encoders() -> list[str]:
+    return sorted(_ENCODERS)
+
+
+def _chw(f: np.ndarray) -> np.ndarray:
+    f = np.asarray(f)
+    return f if f.shape[0] in (3, 4) else np.moveaxis(f, -1, 0)
+
+
+@register_encoder
+class Y4MEncoder(Encoder):
+    name = "yuv4mpeg"
+
+    @classmethod
+    def get_formats(cls):
+        return [EncFormat("yuv4mpeg2", "y4m", "raw YUV420 stream")]
+
+    def encode(self, out_path, frames, fps, audio=None, arate=44100):
+        from ..ops.colorspace import convert_layer
+        from .decoders import write_y4m
+        import jax.numpy as jnp
+        planar = []
+        for f in frames:
+            lay = Layer(planes=(jnp.asarray(_chw(f)[:3]),),
+                        palette=int(Palette.RGB24))
+            yuv = convert_layer(lay, Palette.YUV420P)
+            planar.append(tuple(np.asarray(p) for p in yuv.planes))
+        write_y4m(out_path, planar, fps)
+        if audio is not None:
+            WavEncoder().encode(str(Path(out_path).with_suffix(".wav")),
+                                [], fps, audio, arate)
+        return True
+
+
+@register_encoder
+class PNGSeqEncoder(Encoder):
+    name = "pngseq"
+
+    @classmethod
+    def get_formats(cls):
+        return [EncFormat("png_sequence", "png", "numbered PNG images")]
+
+    def encode(self, out_path, frames, fps, audio=None, arate=44100):
+        from PIL import Image
+        d = Path(out_path)
+        d.mkdir(parents=True, exist_ok=True)
+        for i, f in enumerate(frames):
+            arr = np.moveaxis(_chw(f)[:3], 0, -1)
+            Image.fromarray(arr).save(d / f"{i + 1:08d}.png")
+        return True
+
+
+@register_encoder
+class WavEncoder(Encoder):
+    name = "wav"
+
+    @classmethod
+    def get_capabilities(cls):
+        return CAP_AUDIO
+
+    @classmethod
+    def get_formats(cls):
+        return [EncFormat("wav", "wav", "RIFF WAVE pcm s16le")]
+
+    def encode(self, out_path, frames, fps, audio=None, arate=44100):
+        if audio is None:
+            return False
+        a = np.atleast_2d(np.asarray(audio, np.float32))
+        if a.shape[0] < a.shape[1]:
+            a = a.T
+        ch = a.shape[1]
+        pcm = np.clip(a * 32767, -32768, 32767).astype("<i2").tobytes()
+        hdr = b"RIFF" + struct.pack("<I", 36 + len(pcm)) + b"WAVEfmt " \
+            + struct.pack("<IHHIIHH", 16, 1, ch, arate, arate * ch * 2,
+                          ch * 2, 16) + b"data" \
+            + struct.pack("<I", len(pcm))
+        Path(out_path).write_bytes(hdr + pcm)
+        return True
+
+
+if shutil.which("ffmpeg"):
+    @register_encoder
+    class FFmpegEncoder(Encoder):
+        name = "ffmpeg"
+
+        @classmethod
+        def get_capabilities(cls):
+            return CAP_VIDEO | CAP_AUDIO
+
+        @classmethod
+        def get_formats(cls):
+            return [EncFormat("h264", "mp4"), EncFormat("vp9", "webm"),
+                    EncFormat("mjpeg", "avi")]
+
+        def encode(self, out_path, frames, fps, audio=None, arate=44100):
+            frames = list(frames)
+            if not frames:
+                return False
+            c, h, w = _chw(frames[0]).shape
+            cmd = [shutil.which("ffmpeg"), "-y", "-f", "rawvideo",
+                   "-pix_fmt", "rgb24", "-s", f"{w}x{h}", "-r", str(fps),
+                   "-i", "-", out_path]
+            proc = subprocess.Popen(cmd, stdin=subprocess.PIPE,
+                                    stdout=subprocess.DEVNULL,
+                                    stderr=subprocess.DEVNULL)
+            for f in frames:
+                proc.stdin.write(
+                    np.moveaxis(_chw(f)[:3], 0, -1).tobytes())
+            proc.stdin.close()
+            return proc.wait() == 0

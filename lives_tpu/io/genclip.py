@@ -1,0 +1,49 @@
+"""Generator clips: a zero-input filter instance acting as a clip source
+(reference CLIP_TYPE_GENERATOR, `weed_generator_start`
+effects-weed.c:7739)."""
+
+from __future__ import annotations
+
+import jax
+
+from ..effects.host import FrameContext, instantiate
+from ..layer import Layer
+
+
+class GeneratorClip:
+    """Clip-like object backed by a generator filter; frames are pure
+    functions of (frame number, params) and render jitted on device."""
+
+    def __init__(self, filter_name: str, width: int, height: int,
+                 fps: float = 25.0, frames: int = 1 << 30, **values):
+        self.inst = instantiate(filter_name, **values)
+        if self.inst.filter.n_in != 0:
+            raise ValueError(f"{filter_name} is not a generator")
+        self.width, self.height = width, height
+        self.fps = fps
+        self.frames = frames
+        self.name = filter_name
+        self.unique_id = hash((filter_name, width, height)) & ((1 << 63) - 1)
+        self._fn = None
+
+    def _build(self):
+        filt = self.inst.filter
+        params_t = self.inst.param_values()
+        w, h, fps = self.width, self.height, self.fps
+
+        def fn(tc, frame, params):
+            ctx = FrameContext(tc=tc, frame=frame, fps=fps,
+                               width=w, height=h)
+            return filt.process([], params, ctx)
+
+        return jax.jit(fn)
+
+    def get_frame(self, n: int) -> Layer:
+        import jax.numpy as jnp
+        if self._fn is None:
+            self._fn = self._build()
+        params = {k: (jnp.float32(v) if isinstance(v, (int, float))
+                      and self.inst.filter.param(k).kind not in
+                      ("int", "string", "string_list", "bool") else v)
+                  for k, v in self.inst.param_values().items()}
+        return self._fn(jnp.float32(n / self.fps), jnp.int32(n), params)

@@ -1,0 +1,52 @@
+"""Fast transcode: play a clip through the frame graph straight into an
+encoder (reference `src/transcode.c`: stream layers to an encoding playback
+plugin without intermediate rendering)."""
+
+from __future__ import annotations
+
+from typing import Iterable, Sequence
+
+import numpy as np
+
+from .constants import Palette
+from .effects.host import Instance
+from .graph.nodemodel import FrameGraph, SinkSpec
+from .io.encoders import get_encoder
+from .layer import Layer
+from .ops.colorspace import convert_layer
+
+
+def transcode(clip, out_path: str, encoder: str = "yuv4mpeg",
+              chain: Sequence[Instance] = (),
+              start: int = 0, end: int | None = None,
+              batch_size: int = 32, width: int = 0, height: int = 0,
+              include_audio: bool = True) -> bool:
+    """Stream clip frames (optionally through an fx chain / resize) into an
+    encoder. Batched on device; frames never touch the clip store."""
+    import jax.numpy as jnp
+    end = clip.frames if end is None else min(end, clip.frames)
+    sink = SinkSpec(width=width or clip.width, height=height or clip.height)
+    graph = FrameGraph(list(chain), sink, fps=clip.fps)
+
+    def frame_iter():
+        for ofs in range(start, end, batch_size):
+            hi = min(ofs + batch_size, end)
+            arrs = [np.asarray(convert_layer(clip.get_frame(n),
+                                             Palette.RGB24).planes[0])
+                    for n in range(ofs, hi)]
+            batch = Layer(planes=(jnp.asarray(np.stack(arrs)),),
+                          palette=int(Palette.RGB24))
+            tcs = np.arange(ofs, hi, dtype=np.float32) / clip.fps
+            out = graph.run_batch([batch], tcs,
+                                  np.arange(ofs, hi, dtype=np.int32))
+            out_arr = np.asarray(out.planes[0])
+            for k in range(hi - ofs):
+                yield out_arr[k]
+
+    audio = None
+    arate = 44100
+    if include_audio and getattr(clip, "achans", 0):
+        audio = clip.read_audio()
+        arate = clip.arate or 44100
+    return get_encoder(encoder).encode(out_path, frame_iter(), clip.fps,
+                                       audio, arate)
