@@ -78,10 +78,11 @@ for _name, _expr in _BLEND_MODES.items():
 
 def _edge_mask(w, h, direction, pos):
     """Soft-less (hard) wipe mask: 1 where fg shows."""
-    x = jnp.linspace(0.0, 1.0, w)[None, :]
-    y = jnp.linspace(0.0, 1.0, h)[:, None]
-    xx = jnp.broadcast_to(x, (h, w))
-    yy = jnp.broadcast_to(y, (h, w))
+    import jax
+    xx = jax.lax.broadcasted_iota(jnp.float32, (h, w), 1) \
+        * np.float32(1.0 / max(w - 1, 1))
+    yy = jax.lax.broadcasted_iota(jnp.float32, (h, w), 0) \
+        * np.float32(1.0 / max(h - 1, 1))
     masks = {
         0: xx < pos,          # left -> right
         1: (1.0 - xx) < pos,  # right -> left
@@ -117,8 +118,9 @@ def _iris_process(ins, params, ctx):
     argb, aal = split_alpha(a)
     brgb, _ = split_alpha(b)
     h, w = argb.shape[-2:]
-    y = jnp.linspace(-1.0, 1.0, h)[:, None]
-    x = jnp.linspace(-1.0, 1.0, w)[None, :] * (w / h)
+    from ..util import lazy_grid
+    x, y = lazy_grid(h, w, centered=True)
+    x = x * (w / h)
     r = jnp.sqrt(x * x + y * y)
     rmax = np.sqrt(1.0 + (w / h) ** 2)
     soft = params["softness"] + 1e-4

@@ -159,9 +159,9 @@ _rgb_filter("softlight", _softlight,
 
 
 def _vignette(rgb, p, c):
+    from ..util import lazy_grid
     h, w = rgb.shape[-2:]
-    y = jnp.linspace(-1.0, 1.0, h)[:, None]
-    x = jnp.linspace(-1.0, 1.0, w)[None, :]
+    x, y = lazy_grid(h, w, centered=True)
     r2 = x * x + y * y
     falloff = jnp.exp(-r2 * p["strength"] * 2.0)
     return rgb * (1.0 - p["amount"] * (1.0 - falloff))[None]

@@ -35,10 +35,15 @@ def _mk_generator(name, fn, params=(), desc=""):
 
 
 def _grid(ctx):
+    # broadcasted_iota keeps grids lazy: no giant trace-time constants for
+    # XLA to fold (a materialised 4K f32 grid is an 8.3M-element literal
+    # that inflates compile time by minutes)
     h, w = ctx.height, ctx.width
-    y = jnp.linspace(0.0, 1.0, h)[:, None]
-    x = jnp.linspace(0.0, 1.0, w)[None, :]
-    return jnp.broadcast_to(x, (h, w)), jnp.broadcast_to(y, (h, w))
+    x = jax.lax.broadcasted_iota(jnp.float32, (h, w), 1) \
+        * np.float32(1.0 / max(w - 1, 1))
+    y = jax.lax.broadcasted_iota(jnp.float32, (h, w), 0) \
+        * np.float32(1.0 / max(h - 1, 1))
+    return x, y
 
 
 def _solid(p, ctx):
@@ -66,9 +71,14 @@ def _plasma(p, ctx):
          + jnp.sin((x * s + y * s + t) * 0.5)
          + jnp.sin(jnp.sqrt((x - 0.5) ** 2 + (y - 0.5) ** 2) * s * 2.0 + t))
     v = v * 0.25  # -1..1
-    r = 0.5 + 0.5 * jnp.sin(v * np.pi)
-    g = 0.5 + 0.5 * jnp.sin(v * np.pi + 2.0 * np.pi / 3.0)
-    b = 0.5 + 0.5 * jnp.sin(v * np.pi + 4.0 * np.pi / 3.0)
+    # sin(v*pi + phi) expanded via angle addition: two transcendentals
+    # instead of three with shared fan-in (deep transcendental DAGs blow up
+    # Mosaic compile time superlinearly at 4K)
+    s, c = jnp.sin(v * np.pi), jnp.cos(v * np.pi)
+    ph = 2.0 * np.pi / 3.0
+    r = 0.5 + 0.5 * s
+    g = 0.5 + 0.5 * (s * np.float32(np.cos(ph)) + c * np.float32(np.sin(ph)))
+    b = 0.5 + 0.5 * (s * np.float32(np.cos(2 * ph)) + c * np.float32(np.sin(2 * ph)))
     return _out_layer(jnp.stack([r, g, b]))
 
 
@@ -135,9 +145,10 @@ def _colour_bars(p, ctx):
     cols = np.array([[1, 1, 1], [1, 1, 0], [0, 1, 1], [0, 1, 0],
                      [1, 0, 1], [1, 0, 0], [0, 0, 1], [0, 0, 0]],
                     np.float32).T  # (3, 8)
-    x = jnp.linspace(0.0, 7.999, w).astype(jnp.int32)
-    bars = jnp.asarray(cols)[:, x]               # (3, W)
-    rgb = jnp.broadcast_to(bars[:, None, :], (3, h, w))
+    x, _ = _grid(ctx)
+    bar = jnp.minimum(x * 8.0, 7.0)  # lazy bar index per pixel
+    rgb = jnp.stack([jnp.asarray(cols[c])[
+        bar.astype(jnp.int32)] for c in range(3)])
     return _out_layer(rgb)
 
 

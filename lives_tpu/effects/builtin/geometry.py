@@ -90,8 +90,8 @@ def _kaleidoscope(a, p, c):
     """kaleidoscope.c: fold the plane into N mirrored sectors."""
     h, w = a.shape[-2:]
     cy, cx = (h - 1) / 2.0, (w - 1) / 2.0
-    y = jnp.arange(h, dtype=jnp.float32)[:, None] - cy
-    x = jnp.arange(w, dtype=jnp.float32)[None, :] - cx
+    x = jax.lax.broadcasted_iota(jnp.float32, (h, w), 1) - cx
+    y = jax.lax.broadcasted_iota(jnp.float32, (h, w), 0) - cy
     r = jnp.sqrt(y * y + x * x)
     theta = jnp.arctan2(y, x) + p["angle"] * np.float32(2.0 * np.pi)
     n = jnp.maximum(p["sectors"], 2.0)
@@ -134,8 +134,8 @@ def _lens(a, p, c):
     """bump2d/fisheye-style radial lens distortion."""
     h, w = a.shape[-2:]
     cy, cx = (h - 1) / 2.0, (w - 1) / 2.0
-    y = (jnp.arange(h, dtype=jnp.float32)[:, None] - cy) / cy
-    x = (jnp.arange(w, dtype=jnp.float32)[None, :] - cx) / cx
+    x = (jax.lax.broadcasted_iota(jnp.float32, (h, w), 1) - cx) / cx
+    y = (jax.lax.broadcasted_iota(jnp.float32, (h, w), 0) - cy) / cy
     r = jnp.sqrt(y * y + x * x)
     k = (p["strength"] - 0.5) * 2.0  # -1..1: pincushion..barrel
     scale = 1.0 + k * (r * r)

@@ -45,3 +45,24 @@ def join_alpha(rgb, alpha):
 def luma(rgb_f01):
     """BT.601 luma of a (3,H,W) [0,1] array."""
     return (0.299 * rgb_f01[0] + 0.587 * rgb_f01[1] + 0.114 * rgb_f01[2])
+
+
+def lazy_grid(h: int, w: int, centered: bool = False):
+    """(x, y) coordinate grids of shape (h, w) built from broadcasted_iota.
+
+    ALWAYS use this (not linspace/arange + broadcast) for full-resolution
+    grids inside traced code: a materialised grid becomes a trace-time
+    constant that XLA constant-folds — at 4K that is a 33 MB literal and
+    minutes of compile time per effect.
+    """
+    import jax
+    x = jax.lax.broadcasted_iota(jnp.float32, (h, w), 1)
+    y = jax.lax.broadcasted_iota(jnp.float32, (h, w), 0)
+    if centered:
+        # -1..1 range, aspect preserved on x
+        y = y * np.float32(2.0 / max(h - 1, 1)) - 1.0
+        x = x * np.float32(2.0 / max(w - 1, 1)) - 1.0
+    else:
+        x = x * np.float32(1.0 / max(w - 1, 1))
+        y = y * np.float32(1.0 / max(h - 1, 1))
+    return x, y

@@ -118,6 +118,10 @@ class Player:
         self.frames_shown = 0
         self.frames_dropped = 0
         self._frame_times: list[float] = []
+        # pipelined sink: keep up to N frames in flight before the sink
+        # consumes them (hides device->host round-trip; 0 = synchronous)
+        self.pipeline_depth = 0
+        self._pending: list[tuple[Any, float]] = []
 
     # -- clock / frame targeting ------------------------------------------
     def _now_ticks(self) -> int:
@@ -221,6 +225,9 @@ class Player:
 
     def stop(self):
         self.state.playing = False
+        for o, t in self._pending:
+            self.sink.play_frame(o, t)
+        self._pending.clear()
         self.sink.exit_screen()
 
     def _graph_for_chain(self) -> FrameGraph:
@@ -257,7 +264,14 @@ class Player:
         graph = self._graph_for_chain()
         tc = target / abs(st.pb_fps or 25.0)
         out = graph.run(layers, tc=tc, frame=target)
-        ok = self.sink.play_frame(out, tc)
+        if self.pipeline_depth > 0:
+            self._pending.append((out, tc))
+            ok = True
+            while len(self._pending) > self.pipeline_depth:
+                o, t = self._pending.pop(0)
+                ok = self.sink.play_frame(o, t)
+        else:
+            ok = self.sink.play_frame(out, tc)
         if self.record and self.event_list is not None:
             clips = [getattr(st.fg_clip, "unique_id", 1)]
             frames = [target]
