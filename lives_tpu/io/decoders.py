@@ -162,6 +162,9 @@ class ImageSeqDecoder(Decoder):
 class Y4MDecoder(Decoder):
     name = "yuv4mpeg"
 
+    #: frames of readahead issued to the native cache per access
+    READAHEAD = 8
+
     def __init__(self, cdata: ClipData, path: Path, data_start: int,
                  frame_size: int, header_skip: int):
         self.cdata = cdata
@@ -170,6 +173,24 @@ class Y4MDecoder(Decoder):
         self.frame_size = frame_size
         self.header_skip = header_skip
         self._fh = open(path, "rb")
+        self._cache = None
+        self.enable_prefetch()
+
+    def enable_prefetch(self, n_slots: int = 32, workers: int = 2):
+        """Route reads through the native async frame cache
+        (native/framecache.cpp) when the toolchain allows; silently stays
+        on plain python IO otherwise."""
+        try:
+            from ..native import FrameCache
+            fc = FrameCache(n_slots, self.frame_size, workers)
+            ok = fc.open_stream(str(self.path),
+                                self.data_start + self.header_skip,
+                                self.frame_size,
+                                self.frame_size + self.header_skip,
+                                self.cdata.nframes)
+            self._cache = fc if ok else None
+        except Exception:
+            self._cache = None
 
     @classmethod
     def get_clip_data(cls, uri: str):
@@ -210,10 +231,17 @@ class Y4MDecoder(Decoder):
 
     def get_frame(self, n: int) -> Layer:
         import jax.numpy as jnp
-        ofs = self.data_start + n * (self.frame_size + self.header_skip) \
-            + self.header_skip
-        self._fh.seek(ofs)
-        buf = self._fh.read(self.frame_size)
+        buf = None
+        if self._cache is not None:
+            self._cache.request(n, min(self.READAHEAD,
+                                       self.cdata.nframes - n))
+            buf = self._cache.get(n)
+        if buf is None:
+            ofs = self.data_start \
+                + n * (self.frame_size + self.header_skip) \
+                + self.header_skip
+            self._fh.seek(ofs)
+            buf = self._fh.read(self.frame_size)
         w, h = self.cdata.width, self.cdata.height
         y = np.frombuffer(buf[: w * h], np.uint8).reshape(h, w)
         cs = (w // 2) * (h // 2)
