@@ -1,0 +1,196 @@
+"""Aux subsystems: text/subtitles, streaming, OMC learn, compound filters,
+prefs, diagnostics."""
+
+import socket
+import time
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from lives_tpu.constants import Palette
+from lives_tpu.layer import Layer
+
+
+def mk_layer(rng, h=32, w=64):
+    return Layer(planes=(jnp.asarray(
+        rng.integers(0, 256, (3, h, w), np.uint8)),),
+        palette=int(Palette.RGB24))
+
+
+# -- text / subtitles --------------------------------------------------------
+
+def test_text_overlay(rng):
+    from lives_tpu.text import overlay_text
+    lay = Layer(planes=(jnp.zeros((3, 64, 128), jnp.uint8),),
+                palette=int(Palette.RGB24))
+    out = overlay_text(lay, "HELLO", size=20)
+    arr = np.asarray(out.planes[0])
+    assert arr.max() > 128  # text pixels rendered
+
+
+def test_srt_roundtrip(tmp_path):
+    from lives_tpu.text import Subtitle, load_srt, save_srt, sub_at
+    subs = [Subtitle(0.0, 2.5, "first line\nsecond"),
+            Subtitle(3.0, 5.0, "later")]
+    p = tmp_path / "t.srt"
+    save_srt(p, subs)
+    back = load_srt(p)
+    assert len(back) == 2
+    assert back[0].text == "first line\nsecond"
+    assert back[0].end == pytest.approx(2.5)
+    assert sub_at(back, 4.0) == "later"
+    assert sub_at(back, 2.7) is None
+
+
+def test_microdvd_sub(tmp_path):
+    from lives_tpu.text import load_sub
+    p = tmp_path / "t.sub"
+    p.write_text("{0}{50}hello|world\n{75}{100}bye\n")
+    subs = load_sub(p, fps=25.0)
+    assert subs[0].text == "hello\nworld"
+    assert subs[0].end == pytest.approx(2.0)
+
+
+def test_subtitle_overlay_player(rng):
+    from lives_tpu.text import Subtitle, SubtitleOverlay
+    ov = SubtitleOverlay([Subtitle(0.0, 1.0, "SUB")], size=16)
+    lay = Layer(planes=(jnp.zeros((3, 48, 96), jnp.uint8),),
+                palette=int(Palette.RGB24))
+    out = ov.apply(lay, 0.5)
+    assert np.asarray(out.planes[0]).max() > 0
+    out2 = ov.apply(lay, 2.0)  # out of window: untouched
+    assert np.asarray(out2.planes[0]).max() == 0
+
+
+# -- streaming ---------------------------------------------------------------
+
+def test_stream_send_receive(rng):
+    from lives_tpu.stream import StreamReceiver, StreamSender
+    rx = StreamReceiver(port=0)
+    tx = StreamSender("127.0.0.1", rx.port)
+    lay = mk_layer(rng, h=16, w=32)
+    for _ in range(3):
+        tx.play_frame(lay, 0.0)
+    deadline = time.time() + 3
+    while time.time() < deadline and rx._latest is None:
+        time.sleep(0.05)
+    assert rx._latest is not None, "no frame received"
+    got = rx.get_frame(0)
+    np.testing.assert_array_equal(np.asarray(got.planes[0]),
+                                  np.asarray(lay.planes[0]))
+    rx.close()
+    tx.exit_screen()
+
+
+def test_stream_large_frame_chunks(rng):
+    from lives_tpu.stream import StreamReceiver, StreamSender
+    rx = StreamReceiver(port=0)
+    tx = StreamSender("127.0.0.1", rx.port)
+    lay = mk_layer(rng, h=240, w=320)  # 230KB > chunk size
+    tx.play_frame(lay, 0.0)
+    deadline = time.time() + 3
+    while time.time() < deadline and rx._latest is None:
+        time.sleep(0.05)
+    assert rx._latest is not None
+    np.testing.assert_array_equal(np.asarray(rx._latest.planes[0]),
+                                  np.asarray(lay.planes[0]))
+    rx.close()
+
+
+# -- OMC learn ---------------------------------------------------------------
+
+def test_midi_parse():
+    from lives_tpu.omc import MIDI_CC, MIDI_NOTE_ON, parse_midi
+    evs = parse_midi(bytes([0x90, 60, 100, 0xB0, 7, 64]))
+    assert evs[0].key.etype == MIDI_NOTE_ON and evs[0].key.index == 60
+    assert evs[0].value == pytest.approx(100 / 127)
+    assert evs[1].key.etype == MIDI_CC and evs[1].key.index == 7
+
+
+def test_omc_learn_and_dispatch(tmp_path):
+    from lives_tpu.omc import OMCLearner
+    from lives_tpu.player import CollectSink, Player
+    p = Player(sink=CollectSink())
+    omc = OMCLearner(p)
+    omc.start_learn("fps")
+    assert omc.feed_midi(bytes([0xB0, 7, 127])) == 1  # binds CC7
+    assert omc.learning is None
+    omc.feed_midi(bytes([0xB0, 7, 64]))               # dispatch
+    assert p.state.pb_fps == pytest.approx(64 / 127 * 50.0)
+    # persistence
+    omc.save_map(tmp_path / "map.json")
+    omc2 = OMCLearner(p)
+    omc2.load_map(tmp_path / "map.json")
+    omc2.feed_midi(bytes([0xB0, 7, 127]))
+    assert p.state.pb_fps == pytest.approx(50.0)
+
+
+def test_omc_keys():
+    from lives_tpu.omc import OMCLearner
+    from lives_tpu.player import CollectSink, Player
+    p = Player(sink=CollectSink())
+    p.keymap.set_key(0, 0, "negate")
+    omc = OMCLearner(p)
+    omc.start_learn("key1_toggle")
+    omc.feed_midi(bytes([0x90, 36, 100]))
+    omc.feed_midi(bytes([0x90, 36, 100]))
+    assert p.keymap.active[0]
+
+
+# -- compound filters --------------------------------------------------------
+
+def test_compound_filters(rng):
+    from lives_tpu.effects.compound import register_builtin_compounds
+    from lives_tpu.effects import apply_instance, instantiate
+    register_builtin_compounds()
+    lay = mk_layer(rng)
+    inst = instantiate("night_vision", gain=1.5)
+    out = np.asarray(apply_instance(inst, [lay])[0].planes[0], np.float32)
+    assert out[1].mean() > out[0].mean()  # green-tinted
+    # stateful compound
+    vhs = instantiate("vhs")
+    o1 = apply_instance(vhs, [lay])[0]
+    o2 = apply_instance(vhs, [mk_layer(rng)])[0]
+    assert vhs.state is not None
+    np.asarray(o2.planes[0])
+
+
+# -- prefs / diagnostics -----------------------------------------------------
+
+def test_prefs_roundtrip(tmp_path):
+    from lives_tpu.prefs import PrefsStore
+    s = PrefsStore(tmp_path / "prefs.json")
+    s.set("def_fps", 30.0)
+    s.set("custom_thing", "abc")
+    s.set("pb_quality", 3, deferred=True)
+    assert s.get("pb_quality") == 2  # deferred not yet applied
+    s.save()
+    s2 = PrefsStore(tmp_path / "prefs.json")
+    assert s2.get("def_fps") == 30.0
+    assert s2.get("custom_thing") == "abc"
+    s2.apply_future()
+    assert s2.get("pb_quality") == 3
+
+
+def test_startup_diagnostics():
+    from lives_tpu.diagnostics import benchmark_memcpy, run_startup_tests
+    res = run_startup_tests()
+    assert all(res.values()), res
+    mb = benchmark_memcpy(sizes=(1 << 20,))
+    assert list(mb.values())[0] > 0.1  # > 0.1 GB/s
+
+
+def test_frame_ladder():
+    from lives_tpu.diagnostics import FrameLadder
+    lad = FrameLadder()
+    for _ in range(5):
+        lad.begin()
+        lad.mark("loaded")
+        lad.mark("converted")
+        lad.mark("applied")
+        lad.mark("displayed")
+        lad.end()
+    st = lad.stats()
+    assert "total" in st and st["total"]["p99_ms"] >= 0
