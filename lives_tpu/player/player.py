@@ -122,6 +122,17 @@ class Player:
         # consumes them (hides device->host round-trip; 0 = synchronous)
         self.pipeline_depth = 0
         self._pending: list[tuple[Any, float]] = []
+        # async chain rebuild: new key chains compile in the background
+        # while the previous graph keeps serving frames (the reference
+        # rebuilds the nodemodel at safe points, player.c:2655)
+        self.async_compile = False
+        self._served_key: Any = None
+        self._compile_thread = None
+        # predictive frame cache (pred_frame/precache, player.c:2185-2230)
+        self.precache_depth = 0
+        self._precache: dict[tuple[int, int], Any] = {}
+        self._precache_thread = None
+        self._precache_req: list = []
 
     # -- clock / frame targeting ------------------------------------------
     def _now_ticks(self) -> int:
@@ -234,18 +245,81 @@ class Player:
         key = self.keymap.chain_key()
         g = self._graphs.get(key)
         if g is None:
-            chain = list(self.keymap.active_chain())
-            # fg/bg blend: if a bg clip is present and no transition in the
-            # chain consumes track 1, append the blend (player fg/bg mix)
-            uses_bg = any(len(i.in_tracks) > 1 for i in chain)
-            if self.state.bg_clip is not None and not uses_bg:
-                mix = instantiate("crossfade", amount=self.state.blend_amount)
-                mix.in_tracks = (0, 1)
-                chain.append(mix)
-            g = FrameGraph(chain, self.sink_spec,
-                           fps=abs(self.state.pb_fps) or 25.0)
-            self._graphs[key] = g
+            g = self._build_graph(key)
         return g
+
+    def _build_graph(self, key) -> FrameGraph:
+        chain = list(self.keymap.active_chain())
+        # fg/bg blend: if a bg clip is present and no transition in the
+        # chain consumes track 1, append the blend (player fg/bg mix)
+        uses_bg = any(len(i.in_tracks) > 1 for i in chain)
+        if self.state.bg_clip is not None and not uses_bg:
+            mix = instantiate("crossfade", amount=self.state.blend_amount)
+            mix.in_tracks = (0, 1)
+            chain.append(mix)
+        g = FrameGraph(chain, self.sink_spec,
+                       fps=abs(self.state.pb_fps) or 25.0)
+        self._graphs[key] = g
+        return g
+
+    # -- precache (player.c pred_frame / srcgroup clone model) -------------
+    def _pull(self, clip, n):
+        lay = self._precache.pop((id(clip), n), None)
+        return lay if lay is not None else clip.get_frame(n)
+
+    def _request_precache(self, target: int):
+        import threading
+        st = self.state
+        direction = 1 if st.pb_fps >= 0 else -1
+        wanted = [self.clamp_frame(target + direction * k)
+                  for k in range(1, self.precache_depth + 1)]
+        self._precache_req = [(st.fg_clip, f) for f in wanted
+                              if (id(st.fg_clip), f) not in self._precache]
+        if self._precache_thread is None or \
+                not self._precache_thread.is_alive():
+            def work():
+                for clip, f in list(self._precache_req):
+                    try:
+                        self._precache[(id(clip), f)] = clip.get_frame(f)
+                    except Exception:
+                        pass
+                # bound the cache
+                while len(self._precache) > 4 * self.precache_depth:
+                    self._precache.pop(next(iter(self._precache)))
+            self._precache_thread = threading.Thread(target=work,
+                                                     daemon=True)
+            self._precache_thread.start()
+
+    # -- async chain rebuild ----------------------------------------------
+    def _select_graph(self, layers):
+        desired = self.keymap.chain_key()
+        if not self.async_compile or self._served_key is None \
+                or desired == self._served_key:
+            g = self._graph_for_chain()
+            self._served_key = desired
+            return g
+        # chain changed: compile the new template off-thread, keep serving
+        # the old graph meanwhile
+        import threading
+        if self._compile_thread is None or not self._compile_thread.is_alive():
+            new_graph = self._build_graph(desired)
+
+            def compile_job(lys=list(layers)):
+                try:
+                    import jax
+                    out = new_graph.run(lys, tc=0.0, frame=0)
+                    jax.block_until_ready(out.planes)
+                    self._graphs[desired] = new_graph
+                    self._served_key = desired
+                except Exception:
+                    self._served_key = desired  # fall through to sync path
+                finally:
+                    self._compile_thread = None
+
+            self._compile_thread = threading.Thread(target=compile_job,
+                                                    daemon=True)
+            self._compile_thread.start()
+        return self._graphs[self._served_key]
 
     def process_one(self) -> bool:
         """One player cycle (player.c:2185). Returns False when stopped."""
@@ -257,11 +331,13 @@ class Player:
         if target == st.frame and self.frames_shown > 0:
             return True  # nothing new to show
         st.frame = target
-        layers = [st.fg_clip.get_frame(target)]
+        layers = [self._pull(st.fg_clip, target)]
         if st.bg_clip is not None:
-            layers.append(st.bg_clip.get_frame(
-                target % max(st.bg_clip.frames, 1)))
-        graph = self._graph_for_chain()
+            layers.append(self._pull(st.bg_clip,
+                                     target % max(st.bg_clip.frames, 1)))
+        graph = self._select_graph(layers)
+        if self.precache_depth:
+            self._request_precache(target)
         tc = target / abs(st.pb_fps or 25.0)
         out = graph.run(layers, tc=tc, frame=target)
         if self.pipeline_depth > 0:

@@ -142,3 +142,45 @@ def test_stats():
     st = p.stats()
     assert st["frames_shown"] == 1
     assert st["inst_fps"] > 0
+
+
+def test_precache_prefetches_frames():
+    p, sink = make_player()
+    p.precache_depth = 3
+    p.start()
+    p.process_one()
+    import time
+    deadline = time.time() + 3
+    while time.time() < deadline and len(p._precache) < 3:
+        time.sleep(0.02)
+    assert len(p._precache) >= 3
+    # next cycle consumes from the cache
+    key = (id(p.state.fg_clip), p.clamp_frame(p.state.frame + 1))
+    assert key in p._precache
+
+
+def test_async_compile_serves_old_graph_then_swaps():
+    import time
+    p, sink = make_player()
+    p.async_compile = True
+    p.keymap.set_key(0, 0, "negate")
+    p.start()
+    p.process_one()  # establishes the empty-chain graph
+    base = sink.frames[-1]
+    p.key_toggle(0, True)
+    # immediately after toggle the old (identity) graph may still serve
+    p.state.frame = -1
+    p._clock0 = time.monotonic()
+    p._frame0 = 0.0
+    p.process_one()
+    # wait for the background compile to finish, then the new chain applies
+    deadline = time.time() + 30
+    while time.time() < deadline and p._served_key != p.keymap.chain_key():
+        time.sleep(0.05)
+    assert p._served_key == p.keymap.chain_key()
+    p.state.frame = -1
+    p._clock0 = time.monotonic()
+    p._frame0 = 0.0
+    p.process_one()
+    import numpy as _np
+    _np.testing.assert_array_equal(sink.frames[-1], 255 - base)
