@@ -5,5 +5,5 @@ TPU-native re-expressions of the reference's core weed plugins
 for the specific plugins covered.
 """
 
-from . import (analysers, blends, blur, colour, effectv, generators,  # noqa: F401
-               geometry, keying)
+from . import (analysers, blends, blur, colour, effectv, extra,  # noqa: F401
+               generators, geometry, keying)

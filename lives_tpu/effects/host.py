@@ -265,6 +265,8 @@ def apply_instance(inst: Instance, layers: Sequence[Layer],
         inst.out_values = dict(f.analyse(ins, params, ctx))
     outs = out if isinstance(out, (list, tuple)) else [out]
     for t, o in zip(inst.out_tracks, outs):
+        while len(layers) <= t:
+            layers.append(None)
         layers[t] = o
     return layers
 

@@ -47,6 +47,9 @@ class SinkSpec:
     palette: int = Palette.RGB24
     gamma: int = Gamma.SRGB
     letterbox: bool = False
+    # resize quality; the player's adaptive-effort mode degrades this under
+    # load (reference "effort"/pbq_adaptive, preferences.h:1399)
+    method: str = "smooth" 
 
     def key(self):
         return dataclasses.astuple(self)
@@ -106,9 +109,11 @@ class FrameGraph:
         if sink.width and sink.height and \
                 (out.width, out.height) != (sink.width, sink.height):
             if sink.letterbox:
-                out = letterbox_layer(out, sink.width, sink.height)
+                out = letterbox_layer(out, sink.width, sink.height,
+                                      method=sink.method)
             else:
-                out = resize_layer(out, sink.width, sink.height)
+                out = resize_layer(out, sink.width, sink.height,
+                                   method=sink.method)
         if out.gamma != sink.gamma:
             out = gamma_convert_layer(out, sink.gamma)
         if out.palette != sink.palette:

@@ -131,6 +131,9 @@ class Player:
         # predictive frame cache (pred_frame/precache, player.c:2185-2230)
         self.precache_depth = 0
         self._precache: dict[tuple[int, int], Any] = {}
+        # adaptive quality under load (reference "effort", prefs->pbq_adaptive)
+        self.adaptive_quality = False
+        self.effort = 0
         self._precache_thread = None
         self._precache_req: list = []
 
@@ -359,7 +362,30 @@ class Player:
         self._frame_times.append(time.monotonic() - t_start)
         if len(self._frame_times) > 256:
             self._frame_times = self._frame_times[-128:]
+        if self.adaptive_quality:
+            self._update_effort()
         return ok
+
+    def _update_effort(self):
+        """Degrade/restore playback quality to hold fps (the reference's
+        effort machinery, player.c effort updates)."""
+        budget = 1.0 / max(abs(self.state.pb_fps), 1.0)
+        recent = self._frame_times[-8:]
+        if not recent:
+            return
+        avg = sum(recent) / len(recent)
+        old = self.effort
+        if avg > budget * 1.1 and self.effort < 3:
+            self.effort += 1
+        elif avg < budget * 0.5 and self.effort > 0:
+            self.effort -= 1
+        if old != self.effort:
+            import dataclasses
+            method = "smooth" if self.effort == 0 else \
+                ("bilinear" if self.effort == 1 else "nearest")
+            self.sink_spec = dataclasses.replace(self.sink_spec,
+                                                 method=method)
+            self._graphs.clear()  # re-template at the new quality
 
     def play_n_cycles(self, n: int, realtime: bool = False):
         """Drive n cycles (tests / headless playback)."""

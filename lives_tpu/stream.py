@@ -64,6 +64,11 @@ class StreamReceiver:
     def __init__(self, port: int = 48888, width: int = 0, height: int = 0,
                  fps: float = 25.0):
         self.sock = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
+        try:  # large frames burst many chunks; grow the kernel buffer
+            self.sock.setsockopt(socket.SOL_SOCKET, socket.SO_RCVBUF,
+                                 4 << 20)
+        except OSError:
+            pass
         self.sock.bind(("0.0.0.0", port))
         self.port = self.sock.getsockname()[1]
         self.fps = fps

@@ -89,10 +89,10 @@ def test_stream_large_frame_chunks(rng):
     rx = StreamReceiver(port=0)
     tx = StreamSender("127.0.0.1", rx.port)
     lay = mk_layer(rng, h=240, w=320)  # 230KB > chunk size
-    tx.play_frame(lay, 0.0)
-    deadline = time.time() + 3
+    deadline = time.time() + 5
     while time.time() < deadline and rx._latest is None:
-        time.sleep(0.05)
+        tx.play_frame(lay, 0.0)  # UDP: resend until a frame assembles
+        time.sleep(0.1)
     assert rx._latest is not None
     np.testing.assert_array_equal(np.asarray(rx._latest.planes[0]),
                                   np.asarray(lay.planes[0]))

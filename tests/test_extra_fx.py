@@ -1,0 +1,143 @@
+"""Extra effects + scrap file + adaptive quality tests."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from lives_tpu.constants import Palette
+from lives_tpu.layer import Layer
+from lives_tpu.effects import FrameContext, apply_instance, instantiate
+
+
+def mk(rng, h=32, w=64):
+    return Layer(planes=(jnp.asarray(
+        rng.integers(0, 256, (3, h, w), np.uint8)),),
+        palette=int(Palette.RGB24))
+
+
+def test_livetext_generator():
+    ctx = FrameContext(width=128, height=64)
+    gen = instantiate("livetext", text="HI", size=24)
+    lay = apply_instance(gen, [], ctx)[0]
+    assert lay.palette == Palette.RGBA32
+    arr = np.asarray(lay.planes[0])
+    assert arr[3].max() == 255 and arr[3].min() == 0  # alpha text mask
+
+
+def test_videowall(rng):
+    lay = mk(rng, 32, 64)
+    out = apply_instance(instantiate("videowall", tiles=2), [lay])[0]
+    a = np.asarray(out.planes[0])
+    # quadrants identical
+    np.testing.assert_array_equal(a[:, :16, :32], a[:, :16, 32:])
+    np.testing.assert_array_equal(a[:, :16, :32], a[:, 16:, :32])
+
+
+def test_mask_overlay(rng):
+    fg = mk(rng)
+    white = Layer(planes=(jnp.full((3, 32, 64), 255, jnp.uint8),),
+                  palette=int(Palette.RGB24))
+    black = Layer(planes=(jnp.zeros((3, 32, 64), jnp.uint8),),
+                  palette=int(Palette.RGB24))
+    inst = instantiate("mask_overlay")
+    shown = np.asarray(apply_instance(inst, [fg, white])[0].planes[0])
+    hidden = np.asarray(apply_instance(inst, [fg, black])[0].planes[0])
+    np.testing.assert_array_equal(shown, np.asarray(fg.planes[0]))
+    assert hidden.max() == 0
+
+
+def test_push_transition(rng):
+    fg, bg = mk(rng), mk(rng)
+    inst = instantiate("push", amount=0.0)
+    out0 = np.asarray(apply_instance(inst, [fg, bg])[0].planes[0])
+    np.testing.assert_array_equal(out0, np.asarray(bg.planes[0]))
+    inst.values["amount"] = 1.0
+    out1 = np.asarray(apply_instance(inst, [fg, bg])[0].planes[0])
+    np.testing.assert_array_equal(out1, np.asarray(fg.planes[0]))
+    inst.values["amount"] = 0.5
+    outh = np.asarray(apply_instance(inst, [fg, bg])[0].planes[0])
+    np.testing.assert_array_equal(outh[:, :, :32],
+                                  np.asarray(fg.planes[0])[:, :, 32:])
+
+
+def test_data_processor_expressions(rng):
+    from lives_tpu.effects.data import DataConnections, apply_chain_connected
+    dp = instantiate("data_processor", a=2.0, b=3.0)
+    dp.values["expr_o0"] = "a * b + 1"
+    lay = mk(rng)
+    apply_instance(dp, [lay])
+    assert float(dp.out_values["o0"]) == pytest.approx(7.0)
+    # wire into a vignette amount
+    vg = instantiate("vignette", amount=0.0)
+    conns = DataConnections()
+    dp.values["expr_o0"] = "min(a, 1.0)"
+    conns.add(dp, "o0", vg, "amount")
+    apply_chain_connected([dp, vg], [lay], connections=conns)
+    assert float(vg.values["amount"]) == pytest.approx(1.0)
+
+
+def test_randomiser_deterministic(rng):
+    r1 = instantiate("randomiser")
+    r2 = instantiate("randomiser")
+    ctx = FrameContext(frame=7, width=64, height=32)
+    lay = mk(rng)
+    apply_instance(r1, [lay], ctx)
+    apply_instance(r2, [lay], ctx)
+    assert float(r1.out_values["rand0"]) == float(r2.out_values["rand0"])
+    ctx2 = FrameContext(frame=8, width=64, height=32)
+    apply_instance(r2, [lay], ctx2)
+    assert float(r1.out_values["rand0"]) != float(r2.out_values["rand0"])
+
+
+def test_scrap_roundtrip(tmp_path, rng):
+    from lives_tpu.io.scrap import ScrapReader, ScrapWriter
+    w = ScrapWriter(tmp_path / "s.scrap", 64, 32, Palette.RGB24, 25.0)
+    frames = [mk(rng) for _ in range(5)]
+    for f in frames:
+        w.write(f)
+    w.close()
+    r = ScrapReader(tmp_path / "s.scrap")
+    assert r.frames == 5 and r.fps == 25.0
+    for i in (0, 4, 2):
+        np.testing.assert_array_equal(np.asarray(r.get_frame(i).planes[0]),
+                                      np.asarray(frames[i].planes[0]))
+
+
+def test_scrap_sink_records_playback(tmp_path, rng):
+    from lives_tpu.io.scrap import ScrapReader, ScrapSink
+    from lives_tpu.player import Player
+
+    class MemClip:
+        frames, fps, width, height, unique_id = 10, 25.0, 64, 32, 5
+
+        def get_frame(self, n):
+            rr = np.random.default_rng(n)
+            return Layer(planes=(jnp.asarray(
+                rr.integers(0, 256, (3, 32, 64), np.uint8)),),
+                palette=int(Palette.RGB24))
+
+    p = Player(sink=ScrapSink(tmp_path / "rec.scrap"))
+    p.state.fg_clip = MemClip()
+    p.start()
+    p.process_one()
+    p.stop()
+    r = ScrapReader(tmp_path / "rec.scrap")
+    assert r.frames == 1
+
+
+def test_adaptive_quality_degrades():
+    from lives_tpu.player import CollectSink, Player
+    p = Player(sink=CollectSink())
+    p.adaptive_quality = True
+    p.state.pb_fps = 10000.0  # impossible budget
+    p._frame_times = [0.05] * 8
+    p._update_effort()
+    assert p.effort == 1 and p.sink_spec.method == "bilinear"
+    p._frame_times = [0.05] * 8
+    p._update_effort()
+    assert p.effort == 2 and p.sink_spec.method == "nearest"
+    p.state.pb_fps = 1.0  # plenty of headroom -> recover
+    p._frame_times = [0.05] * 8
+    p._update_effort()
+    assert p.effort == 1
