@@ -1,0 +1,194 @@
+"""Headless VJ console — the terminal front-end.
+
+Stands in for the reference's GTK clip-editor surface in this round: opens
+clips, binds effect keys, starts playback with a live status line (inst fps
+/ p99 / effort), and takes single-key commands on stdin (the clip editor's
+hotkey map). Also usable non-interactively: `python -m lives_tpu.cli play
+file.y4m --fx gaussian_blur,vignette --seconds 5`.
+
+Keys: space=play/stop  0-8=toggle fx key  r=record  R=stop rec+save
+      [ ]=fps down/up  v=reverse  p=ping-pong  q=quit
+"""
+
+from __future__ import annotations
+
+import argparse
+import select
+import sys
+import termios
+import time
+import tty
+
+
+def build_player(uri: str | None, fx: list[str], width: int, height: int,
+                 sink_kind: str, out: str | None):
+    from .graph.nodemodel import SinkSpec
+    from .io.genclip import GeneratorClip
+    from .player import NullSink, Player, Y4MSink
+    from .player.sinks import PNGSink
+
+    if sink_kind == "y4m":
+        from .constants import Palette
+        sink = Y4MSink(out or "out.y4m")
+        spec = SinkSpec(width=width, height=height,
+                        palette=int(Palette.YUV420P))
+    elif sink_kind == "png":
+        sink = PNGSink(out or "frames")
+        spec = SinkSpec(width=width, height=height)
+    elif sink_kind == "stream":
+        from .stream import StreamSender
+        host, _, port = (out or "127.0.0.1:48888").partition(":")
+        sink = StreamSender(host, int(port or 48888))
+        spec = SinkSpec(width=width, height=height)
+    else:
+        sink = NullSink()
+        spec = SinkSpec(width=width, height=height)
+
+    p = Player(sink=sink, sink_spec=spec)
+    p.async_compile = True
+    p.adaptive_quality = True
+    if uri:
+        import tempfile
+        from .io import open_clip
+        clip = open_clip(uri, tempfile.mkdtemp(prefix="lives_tpu_cli_"))
+        p.state.fg_clip = clip
+        p.set_pb_fps(clip.fps or 25.0)
+    else:
+        p.state.fg_clip = GeneratorClip("plasma", width or 640, height or 360)
+    for i, name in enumerate(fx):
+        p.keymap.set_key(i, 0, name)
+    return p
+
+
+def run_interactive(p, seconds: float | None = None):
+    fd = sys.stdin.fileno()
+    old = None
+    try:
+        old = termios.tcgetattr(fd)
+        tty.setcbreak(fd)
+        interactive = True
+    except (termios.error, OSError):
+        interactive = False
+    p.start()
+    t_end = time.monotonic() + seconds if seconds else None
+    try:
+        while True:
+            p.process_one()
+            st = p.stats()
+            sys.stderr.write(
+                f"\rframe {p.state.frame:6d}  fps {st['inst_fps']:7.1f}  "
+                f"p99 {st['p99_ms']:6.2f}ms  effort {p.effort}  "
+                f"{'REC' if p.record else '   '} ")
+            sys.stderr.flush()
+            if t_end and time.monotonic() > t_end:
+                break
+            if interactive and select.select([fd], [], [], 0.005)[0]:
+                c = sys.stdin.read(1)
+                if c == "q":
+                    break
+                elif c == " ":
+                    if p.state.playing:
+                        p.stop()
+                    else:
+                        p.start()
+                elif c in "012345678":
+                    p.key_toggle(int(c))
+                elif c == "[":
+                    p.set_pb_fps(p.state.pb_fps * 0.9)
+                elif c == "]":
+                    p.set_pb_fps(p.state.pb_fps * 1.1)
+                elif c == "v":
+                    p.set_pb_fps(-p.state.pb_fps)
+                elif c == "p":
+                    p.state.ping_pong = not p.state.ping_pong
+                elif c == "r" and not p.record:
+                    clip = p.state.fg_clip
+                    p.record_start(getattr(clip, "width", 0),
+                                   getattr(clip, "height", 0))
+                elif c == "R" and p.record:
+                    el = p.record_stop()
+                    fname = f"recording_{int(time.time())}.json"
+                    open(fname, "w").write(el.to_json())
+                    sys.stderr.write(f"\nsaved {fname}\n")
+            elif not interactive:
+                time.sleep(0.005)
+    finally:
+        p.stop()
+        if old is not None:
+            termios.tcsetattr(fd, termios.TCSADRAIN, old)
+        sys.stderr.write("\n")
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(prog="lives_tpu",
+                                 description="TPU-native VJ console")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    play = sub.add_parser("play", help="play a clip (or plasma generator)")
+    play.add_argument("uri", nargs="?", default=None)
+    play.add_argument("--fx", default="", help="comma-separated filters "
+                      "bound to keys 0..8")
+    play.add_argument("--sink", default="null",
+                      choices=["null", "y4m", "png", "stream"])
+    play.add_argument("--out", default=None)
+    play.add_argument("--width", type=int, default=0)
+    play.add_argument("--height", type=int, default=0)
+    play.add_argument("--seconds", type=float, default=None)
+    play.add_argument("--osc", type=int, default=None,
+                      help="also serve OSC on this port")
+
+    lst = sub.add_parser("effects", help="list registered filters")
+
+    rend = sub.add_parser("render", help="batch-render an event list")
+    rend.add_argument("layout")
+    rend.add_argument("--out", default="render.y4m")
+
+    diag = sub.add_parser("selftest", help="run startup diagnostics")
+
+    args = ap.parse_args(argv)
+    if args.cmd == "effects":
+        from .effects import get_filter, list_filters
+        for name in list_filters():
+            if name.startswith("_"):
+                continue
+            f = get_filter(name)
+            print(f"{name:24s} {f.description}")
+        return 0
+    if args.cmd == "selftest":
+        from .diagnostics import run_startup_tests
+        res = run_startup_tests(verbose=True)
+        for k, v in res.items():
+            print(f"{'PASS' if v else 'FAIL'} {k}")
+        return 0 if all(res.values()) else 1
+    if args.cmd == "render":
+        from .events import EventList
+        from .events.renderer import render_events
+        from .graph.nodemodel import SinkSpec
+        from .scenes import DeviceSyntheticSource
+        el = EventList.from_json(open(args.layout).read())
+        src = DeviceSyntheticSource(el.height or 360, el.width or 640)
+        from .io.encoders import get_encoder
+
+        def frames():
+            for _, lay in render_events(el, src):
+                import numpy as np
+                arr = np.asarray(lay.planes[0])
+                for k in range(arr.shape[0]):
+                    yield arr[k]
+        get_encoder("yuv4mpeg").encode(args.out, frames(), el.fps)
+        print(f"rendered -> {args.out}")
+        return 0
+    # play
+    fx = [f for f in args.fx.split(",") if f]
+    p = build_player(args.uri, fx, args.width, args.height,
+                     args.sink, args.out)
+    if args.osc:
+        from .osc.server import OSCServer
+        srv = OSCServer(p, port=args.osc)
+        srv.start()
+    run_interactive(p, args.seconds)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
