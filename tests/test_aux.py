@@ -194,3 +194,27 @@ def test_frame_ladder():
         lad.end()
     st = lad.stats()
     assert "total" in st and st["total"]["p99_ms"] >= 0
+
+
+# -- gated device/plugin bridges ---------------------------------------------
+
+def test_frei0r_scan_gated():
+    from lives_tpu.effects.frei0r import register_frei0r_filters, scan_plugins
+    plugs = scan_plugins()          # empty without frei0r installed
+    assert isinstance(plugs, list)
+    n = register_frei0r_filters()   # must not raise
+    assert n == len([p for p in plugs if p.plugin_type == 0])
+
+
+def test_v4l2_gated():
+    from lives_tpu.io.videodev import V4L2Source, list_devices
+    devs = list_devices()
+    if not devs:
+        import pytest as _pytest
+        with _pytest.raises(OSError):
+            V4L2Source("/dev/video0")
+    else:  # pragma: no cover (no cameras in CI container)
+        src = V4L2Source(devs[0])
+        lay = src.get_frame()
+        assert lay.width > 0
+        src.close()
