@@ -51,13 +51,18 @@ def _gauss_kernel(radius: int) -> tuple[float, ...]:
 
 
 def sep_conv(planes, kernel: tuple[float, ...]):
-    """Separable 2D convolution of (...,H,W) via two MXU matmuls."""
+    """Separable 2D convolution of (...,H,W) via two MXU matmuls.
+
+    Inputs/matrices ride the MXU in bf16 with f32 accumulation: halves the
+    HBM traffic and doubles MXU rate vs f32; the <=0.4% bf16 weight error is
+    invisible after the blur's own smoothing and u8 quantisation."""
     h, w = planes.shape[-2], planes.shape[-1]
-    kh = jnp.asarray(_band_matrix(h, kernel))
-    kw = jnp.asarray(_band_matrix(w, kernel))
-    out = jnp.einsum("oh,...hw->...ow", kh, planes,
+    kh = jnp.asarray(_band_matrix(h, kernel), jnp.bfloat16)
+    kw = jnp.asarray(_band_matrix(w, kernel), jnp.bfloat16)
+    p16 = planes.astype(jnp.bfloat16)
+    out = jnp.einsum("oh,...hw->...ow", kh, p16,
                      preferred_element_type=jnp.float32)
-    return jnp.einsum("...ow,xw->...ox", out, kw,
+    return jnp.einsum("...ow,xw->...ox", out.astype(jnp.bfloat16), kw,
                       preferred_element_type=jnp.float32)
 
 

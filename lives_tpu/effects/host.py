@@ -29,8 +29,8 @@ from typing import Any, Callable, Sequence
 import jax.numpy as jnp
 import numpy as np
 
-from ..constants import Gamma, Palette, YUVClamping, is_rgb_palette, \
-    is_yuv_palette
+from ..constants import Gamma, Palette, YUVClamping, has_alpha, \
+    is_rgb_palette, is_yuv_palette
 from ..layer import Layer
 from ..ops.colorspace import convert_layer
 from ..ops.gamma import gamma_convert_layer
@@ -206,8 +206,21 @@ def negotiate_layer(layer: Layer, tmpl: ChannelTemplate,
                     width: int | None = None, height: int | None = None,
                     gamma: int | None = None) -> Layer:
     """Convert a layer to a palette the template accepts (+ optional size /
-    gamma) — the trace-time analogue of channel palette negotiation."""
-    if tmpl.palettes and layer.palette not in tmpl.palettes:
+    gamma) — the trace-time analogue of channel palette negotiation.
+
+    Float RGB layers satisfy integer RGB templates directly (a precision
+    superset): the chain compiler keeps the working image in float between
+    effects so XLA fuses the whole chain without per-stage u8 round-trips.
+    """
+    from ..constants import Palette, is_float_palette
+    if (tmpl.palettes and is_float_palette(layer.palette)
+            and is_rgb_palette(layer.palette)
+            and any(is_rgb_palette(p) for p in tmpl.palettes)):
+        need_alpha = all(has_alpha(p) for p in tmpl.palettes
+                         if is_rgb_palette(p))
+        if need_alpha and not has_alpha(layer.palette):
+            layer = convert_layer(layer, Palette.RGBAFLOAT)
+    elif tmpl.palettes and layer.palette not in tmpl.palettes:
         # prefer same colour family to minimise loss (nodemodel cost rule:
         # convert late, stay >= source fidelity)
         pals = tmpl.palettes

@@ -21,10 +21,14 @@ def to_f01(layer: Layer) -> jnp.ndarray:
 
 
 def from_f01(arr: jnp.ndarray, like: Layer) -> Layer:
-    """Back to the layer's storage dtype (round-half-up for uint8)."""
+    """Back to the layer's storage dtype (round-half-up for uint8).
+
+    Float layers store in the layer's own float dtype — the chain compiler
+    uses bf16 comps between effects (math still runs f32 via to_f01), which
+    halves inter-stage HBM traffic."""
     ref = like.planes[0]
     if jnp.issubdtype(ref.dtype, jnp.floating):
-        return like.replace(planes=(arr,))
+        return like.replace(planes=(arr.astype(ref.dtype),))
     out = jnp.clip(jnp.floor(arr * 255.0 + 0.5), 0, 255).astype(jnp.uint8)
     return like.replace(planes=(out,))
 

@@ -78,17 +78,48 @@ def _chain_for(inits: list[Event], el: EventList) -> list[Instance]:
 
 def _interp_arrays(el: EventList, inits: list[Event],
                    chain: list[Instance], tcs: list[int]):
-    """Per-instance dicts of per-frame traced param arrays."""
+    """Per-instance dicts of per-frame traced param arrays.
+
+    Vectorised: pchains are indexed once and evaluated with np.interp for
+    the whole batch (the per-frame interp_param scan was the renderer's
+    host-side bottleneck — 40x the device cost at 10 tracks). Returns HOST
+    numpy arrays: run_batch packs them into a single device transfer, and a
+    device round-trip here would cost a tunnel sync per param."""
+    tcs_arr = np.asarray(tcs, np.float64)
+    # index all PARAM_CHANGE events once
+    pchains: dict[tuple[str, str], list] = {}
+    for e in el.events:
+        if e.type == EventType.PARAM_CHANGE:
+            pchains.setdefault(
+                (e.props["init_event"], e.props["param"]), []).append(
+                (e.tc, e.props["value"]))
     out = []
     for init, inst in zip(inits, chain):
         d = {}
         for p in inst.filter.params:
             if p.kind in ("int", "string", "string_list", "bool"):
                 continue
-            vals = [el.interp_param(init, p.name, tc) for tc in tcs]
-            if any(v is None for v in vals):
-                vals = [p.default if v is None else v for v in vals]
-            d[p.name] = jnp.asarray(np.asarray(vals, np.float32))
+            base = init.props.get("values", {}).get(p.name, p.default)
+            chain_pts = pchains.get((init.event_id, p.name))
+            if not chain_pts:
+                d[p.name] = np.full(len(tcs), base, np.float32)
+                continue
+            numeric = all(isinstance(v, (int, float))
+                          for _, v in chain_pts)
+            if not numeric:
+                vals = [el.interp_param(init, p.name, tc) for tc in tcs]
+                d[p.name] = np.asarray(vals, np.float32)
+                continue
+            xp = np.asarray([init.tc] + [t for t, _ in chain_pts],
+                            np.float64)
+            fp = np.asarray([base if base is not None
+                             else chain_pts[0][1]]
+                            + [v for _, v in chain_pts], np.float64)
+            # np.interp needs increasing xp; event insertion keeps tc order,
+            # but an init-time change (same tc) must win over the base value
+            keep = np.concatenate([xp[1:] > xp[:-1], [True]])
+            d[p.name] = np.interp(tcs_arr, xp[keep],
+                                  fp[keep]).astype(np.float32)
         out.append(d)
     return out
 
@@ -109,13 +140,18 @@ def render_events(el: EventList, source: FrameSource,
         for ofs in range(0, len(seg.frames), batch_size):
             chunk = seg.frames[ofs: ofs + batch_size]
             tcs = [f.tc for f in chunk]
-            layers = []
-            for t in range(n_tracks):
-                clip_ids = [f.clips[t] if t < len(f.clips) else -1
-                            for f in chunk]
-                frame_nums = [f.frames[t] if t < len(f.frames) else 0
-                              for f in chunk]
-                layers.append(source.get_batch(clip_ids, frame_nums))
+            cids = np.full((n_tracks, len(chunk)), -1, np.int32)
+            fnums = np.zeros((n_tracks, len(chunk)), np.int32)
+            for j, f in enumerate(chunk):
+                for t in range(min(n_tracks, len(f.clips))):
+                    cids[t, j] = f.clips[t]
+                    fnums[t, j] = f.frames[t]
+            if hasattr(source, "get_tracks_batch"):
+                # single host->device upload for all tracks
+                layers = source.get_tracks_batch(cids, fnums)
+            else:
+                layers = [source.get_batch(list(cids[t]), list(fnums[t]))
+                          for t in range(n_tracks)]
             params = _interp_arrays(el, seg.inits, chain, tcs)
             tcs_s = np.asarray(tcs, np.float64) / TICKS_PER_SECOND
             frame_idx = np.asarray(

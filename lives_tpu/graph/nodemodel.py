@@ -38,6 +38,9 @@ from ..ops.resize import letterbox_layer, resize_layer
 
 _STATIC_KINDS = ("int", "string", "string_list", "bool")
 
+#: process-wide compiled plan templates, keyed by full config
+_TEMPLATE_CACHE: dict = {}
+
 
 @dataclass(frozen=True)
 class SinkSpec:
@@ -90,7 +93,12 @@ class FrameGraph:
         self.chain = list(chain)
         self.sink = sink or SinkSpec()
         self.fps = fps
-        self._templates: dict[Any, Callable] = {}
+        # process-wide plan-template cache: the config key fully determines
+        # the traced computation (chain hashnames + static params + tracks +
+        # layer configs + sink), so compiled templates are shared across
+        # FrameGraph instances — a renderer creating one graph per segment
+        # reuses earlier segments' compilations
+        self._templates = _TEMPLATE_CACHE
         self.states: list[Any] = [inst.state for inst in self.chain]
         self.stats: dict[Any, int] = {}
 
@@ -98,7 +106,7 @@ class FrameGraph:
     def _config_key(self, layers: Sequence[Layer]):
         return (_chain_static_key(self.chain),
                 tuple(l.config for l in layers),
-                self.sink.key())
+                self.sink.key(), self.fps)
 
     # -- template compilation ---------------------------------------------
     def _build_template(self, layers: Sequence[Layer]):
@@ -161,16 +169,24 @@ class FrameGraph:
         """
         import numpy as np
         layers = list(layers)
-        tcs = jnp.asarray(tcs, jnp.float32)
-        frames_arr = jnp.asarray(frames, jnp.int32)
-        B = tcs.shape[0]
+        tcs_np = np.asarray(tcs, np.float32)
+        B = tcs_np.shape[0]
         if traced_params is None:
             traced_params = []
             for inst in self.chain:
                 _, tp = _split_params(inst)
                 traced_params.append(
-                    {k: jnp.broadcast_to(jnp.asarray(v, jnp.float32), (B,))
+                    {k: np.broadcast_to(np.float32(v), (B,))
                      for k, v in tp.items()})
+        # pack every traced scalar stream into ONE host->device transfer:
+        # per-leaf uploads dominate dispatch latency on remote-attached TPUs
+        rows = [(i, k) for i, d in enumerate(traced_params)
+                for k in sorted(d)]
+        packed_np = np.stack(
+            [np.asarray(traced_params[i][k], np.float32) for i, k in rows]
+            + [tcs_np, np.asarray(frames, np.float32)])
+        packed = jnp.asarray(packed_np)
+        rows_key = tuple(rows)
         if self.has_stateful:
             # scan carry structure must be stable: materialise init states
             from ..effects.host import FILTER_STATEFUL
@@ -182,28 +198,41 @@ class FrameGraph:
                         and self.states[i] is None
                         and inst.filter.init_state is not None):
                     self.states[i] = inst.filter.init_state(w0, h0, pal0)
-        key = ("batch", self._config_key(layers), self.has_stateful)
+        key = ("batch", self._config_key(layers), self.has_stateful,
+               rows_key)
         tmpl = self._templates.get(key)
         if tmpl is None:
             frame_fn = self._make_frame_fn()
+            n_inst = len(self.chain)
+
+            def unpack(col):
+                # col: (P+2,) packed scalars for one frame
+                tps = [dict() for _ in range(n_inst)]
+                for r, (i, k) in enumerate(rows_key):
+                    tps[i][k] = col[r]
+                return tps, col[-2], col[-1].astype(jnp.int32)
+
+            def one(layers, col, states):
+                tps, tc, fr = unpack(col)
+                return frame_fn(layers, tps, states, tc, fr)
+
             if self.has_stateful:
-                def batch_fn(layers, tps, states, tcs, frames):
+                def batch_fn(layers, packed, states):
                     def step(states, per_frame):
-                        lyrs, tp, tc, fr = per_frame
-                        out, ns = frame_fn(lyrs, tp, states, tc, fr)
+                        lyrs, col = per_frame
+                        out, ns = one(lyrs, col, states)
                         return ns, out
                     new_states, outs = jax.lax.scan(
-                        step, states, (layers, tps, tcs, frames))
+                        step, states, (layers, packed.T))
                     return outs, new_states
             else:
-                vm = jax.vmap(frame_fn, in_axes=(0, 0, None, 0, 0))
+                vm = jax.vmap(one, in_axes=(0, 1, None))
 
-                def batch_fn(layers, tps, states, tcs, frames):
-                    return vm(layers, tps, states, tcs, frames)
+                def batch_fn(layers, packed, states):
+                    return vm(layers, packed, states)
             tmpl = jax.jit(batch_fn)
             self._templates[key] = tmpl
-        out, self.states = tmpl(layers, traced_params, self.states,
-                                tcs, frames_arr)
+        out, self.states = tmpl(layers, packed, self.states)
         for inst, st in zip(self.chain, self.states):
             inst.state = st
         return out
@@ -218,6 +247,8 @@ class FrameGraph:
         sink = self.sink
         fps = self.fps
 
+        float_chain = len(chain_spec) >= 2
+
         def frame_fn(layers, traced_params, states, tc, frame):
             w0 = layers[0].width if layers else sink.width
             h0 = layers[0].height if layers else sink.height
@@ -225,6 +256,23 @@ class FrameGraph:
                                width=w0 or sink.width,
                                height=h0 or sink.height)
             layers = list(layers)
+            if float_chain:
+                # run the chain in float layers: quantise once at entry and
+                # once at the sink instead of per effect — lets XLA fuse the
+                # whole chain (and beats the reference's per-filter u8
+                # round-trip on quality). Comps are stored bf16 between
+                # effects (math upcasts to f32 inside each effect), halving
+                # inter-stage HBM traffic for <=+/-1 LSB at the sink.
+                from ..constants import (Palette as _P, has_alpha as _ha,
+                                         is_rgb_palette as _rgb)
+
+                def to_float(l):
+                    fl = convert_layer(
+                        l, _P.RGBAFLOAT if _ha(l.palette) else _P.RGBFLOAT)
+                    return fl.replace(planes=tuple(
+                        p.astype(jnp.bfloat16) for p in fl.planes))
+                layers = [to_float(l) if _rgb(l.palette) else l
+                          for l in layers]
             if not layers:
                 layers = [None]
             new_states = []

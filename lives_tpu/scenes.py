@@ -31,21 +31,28 @@ class DeviceSyntheticSource:
         self._fn = jax.jit(self._make, static_argnums=())
 
     def _make(self, clip_ids, frame_nums):
+        # integer-only content (moving gradients + clip-keyed phase): the
+        # source must cost a negligible fraction of the composite being
+        # measured, so no transcendentals here
+        import jax
         h, w = self.h, self.w
         B = clip_ids.shape[0]
-        y = jnp.linspace(0.0, 1.0, h)[None, :, None]
-        x = jnp.linspace(0.0, 1.0, w)[None, None, :]
-        c = clip_ids[:, None, None].astype(jnp.float32)
-        f = frame_nums[:, None, None].astype(jnp.float32)
-        phase = c * 1.7 + f * 0.08
-        r = 0.5 + 0.5 * jnp.sin(x * (3.0 + c % 5) + phase)
-        g = 0.5 + 0.5 * jnp.sin(y * (2.0 + c % 3) - phase * 1.3)
-        b = 0.5 + 0.5 * jnp.sin((x + y) * 4.0 + phase * 0.7)
-        rgb = jnp.stack([jnp.broadcast_to(r, (B, h, w)),
-                         jnp.broadcast_to(g, (B, h, w)),
-                         jnp.broadcast_to(b, (B, h, w))], 1)  # (B,3,H,W)
-        rgb = jnp.where(c[:, None] < 0, 0.0, rgb)
-        u8 = (rgb * 255.0 + 0.5).astype(jnp.uint8)
+        x = jax.lax.broadcasted_iota(jnp.int32, (1, h, w), 2)
+        y = jax.lax.broadcasted_iota(jnp.int32, (1, h, w), 1)
+        c = clip_ids[:, None, None].astype(jnp.int32)
+        f = frame_nums[:, None, None].astype(jnp.int32)
+        phase = c * 37 + f * 3
+        blank = c < 0
+        # cast to u8 per channel BEFORE stacking: int32 (B,3,H,W) temps
+        # would quadruple the write traffic of this generator
+        def chan(v):
+            return jnp.where(blank, 0, v & 0xFF).astype(jnp.uint8)
+        r = chan(x * (3 + c % 5) // 16 + phase)
+        g = chan(y * (2 + c % 3) // 8 - phase * 2)
+        b = chan((x + y) // 8 + phase * 5)
+        u8 = jnp.stack([jnp.broadcast_to(r, (B, h, w)),
+                        jnp.broadcast_to(g, (B, h, w)),
+                        jnp.broadcast_to(b, (B, h, w))], 1)  # (B,3,H,W)
         if self.alpha:
             a = jnp.full((B, 1, h, w), 255, jnp.uint8)
             u8 = jnp.concatenate([u8, a], 1)
@@ -56,6 +63,17 @@ class DeviceSyntheticSource:
                        jnp.asarray(np.asarray(frame_nums), jnp.int32))
         pal = Palette.RGBA32 if self.alpha else Palette.RGB24
         return Layer(planes=(arr,), palette=int(pal))
+
+    def get_tracks_batch(self, clip_ids, frame_nums) -> list[Layer]:
+        """(T,B) int arrays -> per-track Layers. ONE host->device upload
+        (per-leaf transfer latency dominates on remote-attached TPUs), one
+        kernel per track (a single fused kernel for all tracks would need
+        T*B frames of int32 temps and OOM at 10x96x1080p)."""
+        T, B = clip_ids.shape
+        both = jnp.asarray(np.stack([clip_ids, frame_nums]).astype(np.int32))
+        pal = Palette.RGBA32 if self.alpha else Palette.RGB24
+        return [Layer(planes=(self._fn(both[0, t], both[1, t]),),
+                      palette=int(pal)) for t in range(T)]
 
 
 def multitrack_timeline(n_tracks: int = 10, n_frames: int = 300,

@@ -22,7 +22,7 @@ def test_template_cached_across_frames(rng):
     lay = mk_layer(rng)
     for i in range(5):
         g.run([lay], tc=i / 25.0, frame=i)
-    assert len(g._templates) == 1
+    assert len(g.stats) == 1  # one config key served all frames
 
 
 def test_param_change_no_retrace(rng):
@@ -32,7 +32,7 @@ def test_param_change_no_retrace(rng):
     g.run([lay])
     vign.values["amount"] = 0.9
     g.run([lay])
-    assert len(g._templates) == 1  # traced param: same template
+    assert len(g.stats) == 1  # traced param: same template
 
 
 def test_static_param_change_retraces(rng):
@@ -42,14 +42,14 @@ def test_static_param_change_retraces(rng):
     g.run([lay])
     blur.values["radius"] = 8
     g.run([lay])
-    assert len(g._templates) == 2  # static param: new template
+    assert len(g.stats) == 2  # static param: new template
 
 
 def test_geometry_change_retraces(rng):
     g = FrameGraph([instantiate("negate")])
     g.run([mk_layer(rng, 32, 64)])
     g.run([mk_layer(rng, 16, 32)])
-    assert len(g._templates) == 2
+    assert len(g.stats) == 2
 
 
 def test_sink_conversion(rng):
