@@ -13,6 +13,7 @@ from __future__ import annotations
 
 from functools import lru_cache
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -51,11 +52,15 @@ def _gauss_kernel(radius: int) -> tuple[float, ...]:
 
 
 def sep_conv(planes, kernel: tuple[float, ...]):
-    """Separable 2D convolution of (...,H,W) via two MXU matmuls.
+    """Separable 2D convolution of (...,H,W).
 
-    Inputs/matrices ride the MXU in bf16 with f32 accumulation: halves the
-    HBM traffic and doubles MXU rate vs f32; the <=0.4% bf16 weight error is
-    invisible after the blur's own smoothing and u8 quantisation."""
+    Small radii (the realtime norm) run as shifted adds over edge-padded
+    planes — pure bandwidth, fused by XLA into one pass per axis; a dense
+    NxN band matmul would burn H/k times the FLOPs for a mostly-zero
+    matrix. Large radii fall back to banded MXU matmuls (bf16 in, f32
+    accumulate) where the systolic array wins."""
+    if len(kernel) <= 33:
+        return _sep_conv_shifts(planes, kernel)
     h, w = planes.shape[-2], planes.shape[-1]
     kh = jnp.asarray(_band_matrix(h, kernel), jnp.bfloat16)
     kw = jnp.asarray(_band_matrix(w, kernel), jnp.bfloat16)
@@ -64,6 +69,24 @@ def sep_conv(planes, kernel: tuple[float, ...]):
                      preferred_element_type=jnp.float32)
     return jnp.einsum("...ow,xw->...ox", out.astype(jnp.bfloat16), kw,
                       preferred_element_type=jnp.float32)
+
+
+def _sep_conv_shifts(planes, kernel: tuple[float, ...]):
+    k = np.asarray(kernel, np.float32)
+    k = k / k.sum()
+    r = len(k) // 2
+    nd = planes.ndim
+    x = planes.astype(jnp.float32)
+    pad = [(0, 0)] * (nd - 2) + [(r, r), (0, 0)]
+    xp = jnp.pad(x, pad, mode="edge")
+    h = x.shape[-2]
+    x = sum(np.float32(k[i]) * jax.lax.slice_in_dim(xp, i, i + h, axis=-2)
+            for i in range(len(k)))
+    pad = [(0, 0)] * (nd - 2) + [(0, 0), (r, r)]
+    xp = jnp.pad(x, pad, mode="edge")
+    w = x.shape[-1]
+    return sum(np.float32(k[i]) * jax.lax.slice_in_dim(xp, i, i + w, axis=-1)
+               for i in range(len(k)))
 
 
 def _mk_blur(name, kernel_fn, desc):

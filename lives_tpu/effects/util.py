@@ -17,7 +17,9 @@ def to_f01(layer: Layer) -> jnp.ndarray:
     arr = layer.planes[0]
     if jnp.issubdtype(arr.dtype, jnp.floating):
         return arr.astype(jnp.float32)
-    return arr.astype(jnp.float32) * np.float32(1.0 / 255.0)
+    # u8 -> i32 -> f32: Mosaic (pallas) has no direct u8->f32 cast, and XLA
+    # folds the intermediate step away
+    return arr.astype(jnp.int32).astype(jnp.float32) * np.float32(1.0 / 255.0)
 
 
 def from_f01(arr: jnp.ndarray, like: Layer) -> Layer:
@@ -29,7 +31,8 @@ def from_f01(arr: jnp.ndarray, like: Layer) -> Layer:
     ref = like.planes[0]
     if jnp.issubdtype(ref.dtype, jnp.floating):
         return like.replace(planes=(arr.astype(ref.dtype),))
-    out = jnp.clip(jnp.floor(arr * 255.0 + 0.5), 0, 255).astype(jnp.uint8)
+    out = jnp.clip(jnp.floor(arr * 255.0 + 0.5), 0, 255).astype(
+        jnp.int32).astype(jnp.uint8)
     return like.replace(planes=(out,))
 
 

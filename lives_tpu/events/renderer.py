@@ -146,18 +146,26 @@ def render_events(el: EventList, source: FrameSource,
                 for t in range(min(n_tracks, len(f.clips))):
                     cids[t, j] = f.clips[t]
                     fnums[t, j] = f.frames[t]
-            if hasattr(source, "get_tracks_batch"):
-                # single host->device upload for all tracks
-                layers = source.get_tracks_batch(cids, fnums)
-            else:
-                layers = [source.get_batch(list(cids[t]), list(fnums[t]))
-                          for t in range(n_tracks)]
             params = _interp_arrays(el, seg.inits, chain, tcs)
             tcs_s = np.asarray(tcs, np.float64) / TICKS_PER_SECOND
             frame_idx = np.asarray(
                 [round(tc * fps / TICKS_PER_SECOND) for tc in tcs], np.int32)
-            out = graph.run_batch(layers, tcs_s.astype(np.float32),
-                                  frame_idx, params)
+            if hasattr(source, "traced_layer"):
+                # traceable source: generation happens inside the plan
+                # template (one dispatch per chunk; XLA fuses the LOAD step
+                # into the chain)
+                out = graph.run_batch([], tcs_s.astype(np.float32),
+                                      frame_idx, params, source=source,
+                                      src_args=(cids, fnums))
+            else:
+                if hasattr(source, "get_tracks_batch"):
+                    layers = source.get_tracks_batch(cids, fnums)
+                else:
+                    layers = [source.get_batch(list(cids[t]),
+                                               list(fnums[t]))
+                              for t in range(n_tracks)]
+                out = graph.run_batch(layers, tcs_s.astype(np.float32),
+                                      frame_idx, params)
             yield tcs, out
 
 

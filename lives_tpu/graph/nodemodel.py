@@ -156,7 +156,8 @@ class FrameGraph:
                    for inst in self.chain)
 
     def run_batch(self, layers: Sequence[Layer], tcs, frames,
-                  traced_params: list[dict] | None = None) -> Layer:
+                  traced_params: list[dict] | None = None,
+                  source=None, src_args=None) -> Layer:
         """One plan cycle over a frame batch.
 
         `layers`: per-track Layers whose planes carry a leading batch axis B.
@@ -166,10 +167,21 @@ class FrameGraph:
         stateful chains lax.scan (state threads frame-to-frame). This is the
         reference's one-frame-at-a-time render_events loop (events.c:3802)
         re-expressed as a single XLA computation.
+
+        `source`/`src_args`: when the frame source is itself traceable (a
+        generator / synthetic source with a `traced_make` method and a
+        stable `source_key`), pass it here with src_args=(clip_ids (T,B),
+        frame_nums (T,B)) numpy arrays and `layers=[]`: generation becomes
+        the plan's LOAD step *inside* the template — one dispatch per chunk,
+        and XLA can fuse generation straight into the first consumers so
+        source frames never round-trip through HBM.
         """
         import numpy as np
         layers = list(layers)
         tcs_np = np.asarray(tcs, np.float32)
+        src_dev = None
+        if source is not None:
+            src_dev = jnp.asarray(np.stack(src_args).astype(np.int32))
         B = tcs_np.shape[0]
         if traced_params is None:
             traced_params = []
@@ -198,11 +210,50 @@ class FrameGraph:
                         and self.states[i] is None
                         and inst.filter.init_state is not None):
                     self.states[i] = inst.filter.init_state(w0, h0, pal0)
+        # pallas composite: fuse the coordinate-free prefix of the chain
+        # into one VMEM-tile kernel (XLA splits long many-input chains into
+        # several full-res materialisations)
+        npre = 0
+        comp_builder = None
+        import os as _os2
+        if (not self.has_stateful
+                and _os2.environ.get("LIVES_TPU_PALLAS_COMPOSITE") == "1"):
+            from .pallas_composite import (build_composite, splittable_prefix,
+                                           supported)
+            if source is not None:
+                gh, gw = getattr(source, "h", 0), getattr(source, "w", 0)
+                u8_ok = not getattr(source, "alpha", False)
+            elif layers and all(
+                    l.palette == Palette.RGB24
+                    and l.planes[0].dtype == jnp.uint8
+                    and l.planes[0].ndim == 4 for l in layers):
+                gh, gw, u8_ok = layers[0].height, layers[0].width, True
+            else:
+                gh = gw = 0
+                u8_ok = False
+            if u8_ok and supported(gh, gw):
+                npre = splittable_prefix(self.chain)
+                if npre >= 3:
+                    prefix_spec = []
+                    maxtrack = 0
+                    for inst in self.chain[:npre]:
+                        static, _ = _split_params(inst)
+                        prefix_spec.append((inst.filter, static,
+                                            inst.in_tracks, inst.out_tracks,
+                                            inst.enabled))
+                        maxtrack = max([maxtrack, *inst.in_tracks])
+                    comp_builder = build_composite(
+                        prefix_spec, maxtrack + 1, B, gh, gw, rows_key,
+                        self.fps)
+                    if comp_builder is None:
+                        npre = 0
         key = ("batch", self._config_key(layers), self.has_stateful,
-               rows_key)
+               rows_key, npre,
+               source.source_key() if source is not None else None,
+               tuple(src_dev.shape) if src_dev is not None else None)
         tmpl = self._templates.get(key)
         if tmpl is None:
-            frame_fn = self._make_frame_fn()
+            frame_fn = self._make_frame_fn(start=npre)
             n_inst = len(self.chain)
 
             def unpack(col):
@@ -214,10 +265,22 @@ class FrameGraph:
 
             def one(layers, col, states):
                 tps, tc, fr = unpack(col)
-                return frame_fn(layers, tps, states, tc, fr)
+                out, ns = frame_fn(layers, tps[npre:], states[npre:],
+                                   tc, fr)
+                return out, states[:npre] + ns
+
+            def materialise(layers, src):
+                if source is None:
+                    return layers
+                # in-template LOAD step: generate every track's frames
+                T = src.shape[1]
+                return list(layers) + [source.traced_layer(src[0, t],
+                                                           src[1, t])
+                                       for t in range(T)]
 
             if self.has_stateful:
-                def batch_fn(layers, packed, states):
+                def batch_fn(layers, src, packed, states):
+                    layers = materialise(layers, src)
                     def step(states, per_frame):
                         lyrs, col = per_frame
                         out, ns = one(lyrs, col, states)
@@ -228,26 +291,39 @@ class FrameGraph:
             else:
                 vm = jax.vmap(one, in_axes=(0, 1, None))
 
-                def batch_fn(layers, packed, states):
+                def batch_fn(layers, src, packed, states,
+                             _comp=comp_builder, _npre=npre):
+                    layers = materialise(layers, src)
+                    if _comp is not None:
+                        tracks = [l.planes[0] for l in layers]
+                        comp = _comp(tracks[: len(tracks)], packed)
+                        layers = [Layer(planes=(comp,),
+                                        palette=int(Palette.RGB24))] \
+                            + layers[1:]
                     return vm(layers, packed, states)
             tmpl = jax.jit(batch_fn)
             self._templates[key] = tmpl
-        out, self.states = tmpl(layers, packed, self.states)
+        out, self.states = tmpl(layers, src_dev, packed, self.states)
         for inst, st in zip(self.chain, self.states):
             inst.state = st
         return out
 
-    def _make_frame_fn(self):
-        """Untraced single-frame function (shared by run and run_batch)."""
+    def _make_frame_fn(self, start: int = 0):
+        """Untraced single-frame function (shared by run and run_batch).
+        `start` skips chain instances already applied by a fused composite
+        kernel (their traced_params/states entries must be sliced off by
+        the caller)."""
         chain_spec = []
-        for inst in self.chain:
+        for inst in self.chain[start:]:
             static, _ = _split_params(inst)
             chain_spec.append((inst.filter, static, inst.in_tracks,
                                inst.out_tracks, inst.enabled))
         sink = self.sink
         fps = self.fps
 
-        float_chain = len(chain_spec) >= 2
+        import os as _os
+        float_chain = (len(chain_spec) >= 2 and
+                       _os.environ.get('LIVES_TPU_FLOAT_CHAIN', '1') != '0')
 
         def frame_fn(layers, traced_params, states, tc, frame):
             w0 = layers[0].width if layers else sink.width

@@ -64,11 +64,22 @@ class DeviceSyntheticSource:
         pal = Palette.RGBA32 if self.alpha else Palette.RGB24
         return Layer(planes=(arr,), palette=int(pal))
 
+    def source_key(self):
+        """Stable identity for plan-template caching."""
+        return ("synthetic", self.h, self.w, self.alpha)
+
+    def traced_layer(self, clip_ids, frame_nums) -> Layer:
+        """Traceable LOAD step: build one track's batched Layer inside a
+        plan template (FrameGraph.run_batch source=...)."""
+        pal = Palette.RGBA32 if self.alpha else Palette.RGB24
+        return Layer(planes=(self._make(clip_ids, frame_nums),),
+                     palette=int(pal))
+
     def get_tracks_batch(self, clip_ids, frame_nums) -> list[Layer]:
-        """(T,B) int arrays -> per-track Layers. ONE host->device upload
+        """(T,B) int arrays -> per-track Layers: ONE host->device upload
         (per-leaf transfer latency dominates on remote-attached TPUs), one
-        kernel per track (a single fused kernel for all tracks would need
-        T*B frames of int32 temps and OOM at 10x96x1080p)."""
+        generation kernel per track (one kernel for all T*B frames makes
+        XLA materialise multi-GB int32 temps and OOM)."""
         T, B = clip_ids.shape
         both = jnp.asarray(np.stack([clip_ids, frame_nums]).astype(np.int32))
         pal = Palette.RGBA32 if self.alpha else Palette.RGB24
