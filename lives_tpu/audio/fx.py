@@ -1,0 +1,245 @@
+"""Audio effect host (reference `weed_apply_audio_instance`
+effects-weed.c:2747, audio filter plugins, `audio_transition.c`,
+`tone_gen.c`) and the realtime audio feeder loop (the jack/pulse driver
+role, src/jack.c / src/pulse.c).
+
+Audio filters process float32 (n, channels) blocks with explicit state,
+mirroring the video Filter model; chains apply in sequence. The AudioPlayer
+thread pulls clip audio velocity-matched to the video player's pb_fps
+(scratching pitches audio like the reference) and feeds an AudioSink.
+"""
+
+from __future__ import annotations
+
+import threading
+import time
+from dataclasses import dataclass, field
+from typing import Any, Callable, Optional
+
+import numpy as np
+
+from .engine import velocity_resample
+
+
+@dataclass(frozen=True)
+class AudioFilter:
+    name: str
+    process: Callable  # (block, params, state) -> (block, state)
+    params: dict[str, float] = field(default_factory=dict)  # defaults
+    description: str = ""
+
+
+@dataclass
+class AudioInstance:
+    filter: AudioFilter
+    values: dict[str, float] = field(default_factory=dict)
+    state: Any = None
+    enabled: bool = True
+
+    def apply(self, block: np.ndarray) -> np.ndarray:
+        if not self.enabled:
+            return block
+        params = {**self.filter.params, **self.values}
+        out, self.state = self.filter.process(block, params, self.state)
+        return out
+
+
+_AUDIO_REGISTRY: dict[str, AudioFilter] = {}
+
+
+def register_audio_filter(f: AudioFilter) -> AudioFilter:
+    _AUDIO_REGISTRY[f.name] = f
+    return f
+
+
+def get_audio_filter(name: str) -> AudioFilter:
+    return _AUDIO_REGISTRY[name]
+
+
+def list_audio_filters() -> list[str]:
+    return sorted(_AUDIO_REGISTRY)
+
+
+def audio_instantiate(name: str, **values) -> AudioInstance:
+    return AudioInstance(filter=get_audio_filter(name), values=values)
+
+
+def apply_audio_chain(chain, block: np.ndarray) -> np.ndarray:
+    """weed_apply_audio_effects_rt (effects-weed.c:3438)."""
+    for inst in chain:
+        block = inst.apply(block)
+    return block
+
+
+# -- builtin audio filters ----------------------------------------------------
+
+def _gain(block, p, state):
+    return np.clip(block * p["gain"], -1.0, 1.0), state
+
+
+register_audio_filter(AudioFilter("gain", _gain, {"gain": 1.0},
+                                  "volume"))
+
+
+def _echo(block, p, state):
+    """True feedback delay: out[n] = in[n] + fb * out[n - delay].
+    Processed in delay-sized chunks so each chunk vectorises."""
+    rate = int(p["rate"])
+    delay = max(1, int(p["delay"] * rate))
+    fb = p["feedback"]
+    if state is None or len(state) != delay:
+        state = np.zeros((delay, block.shape[1]), np.float32)
+    out = np.empty_like(block)
+    i = 0
+    while i < len(block):
+        n = min(delay, len(block) - i)
+        out[i: i + n] = block[i: i + n] + fb * state[:n]
+        state = np.concatenate([state[n:], out[i: i + n]])
+        i += n
+    return np.clip(out, -1, 1), state
+
+
+register_audio_filter(AudioFilter(
+    "echo", _echo, {"delay": 0.25, "feedback": 0.4, "rate": 44100},
+    "feedback delay"))
+
+
+def _lowpass(block, p, state):
+    a = min(max(p["cutoff"], 0.001), 1.0)
+    y = state if state is not None else np.zeros(block.shape[1], np.float32)
+    out = np.empty_like(block)
+    for i in range(len(block)):  # one-pole IIR
+        y = y + a * (block[i] - y)
+        out[i] = y
+    return out, y
+
+
+register_audio_filter(AudioFilter("lowpass", _lowpass, {"cutoff": 0.2},
+                                  "one-pole lowpass"))
+
+
+def _compressor(block, p, state):
+    env = state if state is not None else 0.0
+    thr, ratio = p["threshold"], max(p["ratio"], 1.0)
+    peak = float(np.abs(block).max()) if len(block) else 0.0
+    env = max(peak, env * 0.95)
+    gain = 1.0 if env <= thr else (thr + (env - thr) / ratio) / max(env, 1e-6)
+    return block * gain, env
+
+
+register_audio_filter(AudioFilter(
+    "compressor", _compressor, {"threshold": 0.5, "ratio": 4.0},
+    "peak compressor"))
+
+
+def tone_gen(n: int, freq: float = 440.0, rate: int = 44100,
+             channels: int = 2, phase: float = 0.0,
+             wave: str = "sine") -> tuple[np.ndarray, float]:
+    """tone_gen.c: audio generator. Returns (block, next phase)."""
+    t = phase + np.arange(n) * (2 * np.pi * freq / rate)
+    if wave == "sine":
+        sig = np.sin(t)
+    elif wave == "square":
+        sig = np.sign(np.sin(t))
+    else:  # saw
+        sig = 2.0 * ((t / (2 * np.pi)) % 1.0) - 1.0
+    block = np.repeat(sig[:, None].astype(np.float32), channels, 1)
+    return block, float(t[-1] + 2 * np.pi * freq / rate) if n else phase
+
+
+# -- realtime audio feeder (jack/pulse callback-loop analogue) ---------------
+
+class AudioSink:
+    def write(self, block: np.ndarray, rate: int):  # pragma: no cover
+        raise NotImplementedError
+
+    def close(self):
+        pass
+
+
+class NullAudioSink(AudioSink):
+    def __init__(self):
+        self.frames = 0
+
+    def write(self, block, rate):
+        self.frames += len(block)
+
+
+class WavAudioSink(AudioSink):
+    def __init__(self, path: str):
+        self.path = path
+        self.blocks = []
+        self.rate = 44100
+
+    def write(self, block, rate):
+        self.rate = rate
+        self.blocks.append(np.asarray(block, np.float32))
+
+    def close(self):
+        from ..io.encoders import get_encoder
+        if self.blocks:
+            get_encoder("wav").encode(self.path, [], 0.0,
+                                      np.concatenate(self.blocks), self.rate)
+
+
+class AudioPlayer:
+    """Pulls clip audio velocity-matched to the video player; applies the
+    audio fx chain; pushes blocks to the sink. Runs as a thread (pull-model
+    like the pulse driver)."""
+
+    def __init__(self, player, sink: AudioSink | None = None,
+                 rate: int = 44100, block: int = 1024):
+        self.player = player
+        self.sink = sink or NullAudioSink()
+        self.rate = rate
+        self.block = block
+        self.chain: list[AudioInstance] = []
+        self._pos = 0.0
+        self._data: Optional[np.ndarray] = None
+        self._src_rate = rate
+        self._running = False
+        self._thread: Optional[threading.Thread] = None
+        self.muted = False
+        self.volume = 1.0
+
+    def load_clip_audio(self, clip):
+        self._data = clip.read_audio()
+        self._src_rate = getattr(clip, "arate", self.rate) or self.rate
+        self._pos = 0.0
+
+    def pull(self) -> np.ndarray:
+        """One callback's worth of audio (velocity-aware)."""
+        if self._data is None or not len(self._data):
+            return np.zeros((self.block, 2), np.float32)
+        st = self.player.state if self.player else None
+        fps_ratio = 1.0
+        if st is not None and st.fg_clip is not None:
+            base = getattr(st.fg_clip, "fps", 25.0) or 25.0
+            fps_ratio = st.pb_fps / base
+        vel = fps_ratio * self._src_rate / self.rate
+        block, self._pos = velocity_resample(self._data, self._pos, vel,
+                                             self.block)
+        block = apply_audio_chain(self.chain, block)
+        if self.muted:
+            block = block * 0.0
+        return np.clip(block * self.volume, -1, 1)
+
+    def start(self):
+        self._running = True
+
+        def loop():
+            period = self.block / self.rate
+            while self._running:
+                t0 = time.monotonic()
+                self.sink.write(self.pull(), self.rate)
+                dt = time.monotonic() - t0
+                time.sleep(max(0.0, period - dt))
+
+        self._thread = threading.Thread(target=loop, daemon=True)
+        self._thread.start()
+
+    def stop(self):
+        self._running = False
+        if self._thread:
+            self._thread.join(timeout=2)
+        self.sink.close()

@@ -211,11 +211,18 @@ class Player:
         self.event_list.insert(filter_map_event(tc, ids))
 
     # -- recording ---------------------------------------------------------
-    def record_start(self, width: int = 0, height: int = 0):
+    def record_start(self, width: int = 0, height: int = 0,
+                     backup_path=None, backup_every: float = 5.0):
+        """backup_path: autosave the recording there periodically so a crash
+        never loses a performance (reference backup_recording,
+        events.c:5547 + deal_with_render_choice(is_recovery))."""
         self.event_list = EventList(fps=abs(self.state.pb_fps) or 25.0,
                                     width=width, height=height)
         self.record = True
         self._rec_t0 = self._now_ticks()
+        self._rec_backup_path = backup_path
+        self._rec_backup_every = backup_every
+        self._rec_last_backup = time.monotonic()
 
     def record_stop(self) -> EventList:
         self.record = False
@@ -363,6 +370,15 @@ class Player:
                 clips.append(getattr(st.bg_clip, "unique_id", 2))
                 frames.append(target % max(st.bg_clip.frames, 1))
             self.event_list.insert(frame_event(self._rec_tc(), clips, frames))
+            if getattr(self, "_rec_backup_path", None) and \
+                    time.monotonic() - self._rec_last_backup \
+                    > self._rec_backup_every:
+                try:
+                    with open(self._rec_backup_path, "w") as fh:
+                        fh.write(self.event_list.to_json())
+                    self._rec_last_backup = time.monotonic()
+                except OSError:
+                    pass
         self.frames_shown += 1
         self._frame_times.append(time.monotonic() - t_start)
         if len(self._frame_times) > 256:

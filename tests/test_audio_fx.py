@@ -1,0 +1,183 @@
+"""Audio fx host + realtime feeder + clip editing tests."""
+
+import numpy as np
+import pytest
+
+from lives_tpu.audio.fx import (AudioPlayer, NullAudioSink, WavAudioSink,
+                                apply_audio_chain, audio_instantiate,
+                                list_audio_filters, tone_gen)
+
+
+def test_registry():
+    names = list_audio_filters()
+    for n in ("gain", "echo", "lowpass", "compressor"):
+        assert n in names
+
+
+def test_gain():
+    blk = np.full((100, 2), 0.5, np.float32)
+    g = audio_instantiate("gain", gain=0.5)
+    out = apply_audio_chain([g], blk)
+    np.testing.assert_allclose(out, 0.25, atol=1e-6)
+
+
+def test_echo_delays():
+    rate = 1000
+    blk = np.zeros((1000, 1), np.float32)
+    blk[0] = 1.0
+    e = audio_instantiate("echo", delay=0.1, feedback=0.5, rate=rate)
+    out = e.apply(blk)
+    assert out[0, 0] == pytest.approx(1.0)
+    # second block: the echo of the impulse appears delay*rate in
+    out2 = e.apply(np.zeros((1000, 1), np.float32))
+    assert out2.max() > 0  # state carried
+
+
+def test_tone_gen_phase_continuity():
+    b1, ph = tone_gen(1000, 440, 44100)
+    b2, _ = tone_gen(1000, 440, 44100, phase=ph)
+    joined = np.concatenate([b1[:, 0], b2[:, 0]])
+    # no discontinuity at the seam
+    assert abs(joined[1000] - joined[999]) < 0.07
+
+
+def test_compressor_limits():
+    loud = np.ones((512, 2), np.float32)
+    c = audio_instantiate("compressor", threshold=0.5, ratio=100.0)
+    out = c.apply(loud)
+    assert out.max() < 0.55
+
+
+class FakeClip:
+    frames, fps, width, height, unique_id, achans, arate = \
+        100, 25.0, 8, 8, 1, 2, 44100
+
+    def read_audio(self):
+        t = np.arange(44100) / 44100
+        return np.stack([np.sin(2 * np.pi * 440 * t)] * 2, 1).astype(
+            np.float32)
+
+
+def test_audio_player_velocity():
+    from lives_tpu.player import CollectSink, Player
+    p = Player(sink=CollectSink())
+    p.state.fg_clip = FakeClip()
+    ap = AudioPlayer(p, NullAudioSink(), rate=44100, block=512)
+    ap.load_clip_audio(FakeClip())
+    b1 = ap.pull()
+    assert b1.shape == (512, 2) and np.abs(b1).max() > 0.1
+    # double speed -> audio advances twice as fast
+    p.state.pb_fps = 50.0
+    pos0 = ap._pos
+    ap.pull()
+    assert ap._pos - pos0 == pytest.approx(1024, abs=2)
+
+
+def test_audio_player_thread_runs():
+    sink = NullAudioSink()
+    ap = AudioPlayer(None, sink, rate=44100, block=441)
+    ap._data = FakeClip().read_audio()
+    ap.start()
+    import time
+    time.sleep(0.25)
+    ap.stop()
+    assert sink.frames > 441
+
+
+def test_wav_audio_sink(tmp_path):
+    sink = WavAudioSink(str(tmp_path / "out.wav"))
+    sink.write(np.zeros((100, 2), np.float32), 44100)
+    sink.close()
+    assert (tmp_path / "out.wav").read_bytes()[:4] == b"RIFF"
+
+
+# -- clip editing -------------------------------------------------------------
+
+def make_clip(tmp_path, n=10):
+    from lives_tpu.io import open_clip
+    from lives_tpu.io.decoders import write_y4m
+    frames = [(np.full((16, 32), 20 + i * 10, np.uint8),
+               np.full((8, 16), 128, np.uint8),
+               np.full((8, 16), 128, np.uint8)) for i in range(n)]
+    write_y4m(str(tmp_path / "c.y4m"), frames, fps=25.0)
+    clip = open_clip(str(tmp_path / "c.y4m"), tmp_path / "work")
+    t = np.arange(int(44100 * n / 25.0)) / 44100
+    clip.write_audio(np.stack([np.sin(2 * np.pi * 440 * t)] * 2, 1)
+                     .astype(np.float32), 44100)
+    return clip
+
+
+def luma0(clip, n):
+    from lives_tpu.constants import Palette
+    from lives_tpu.ops.colorspace import convert_layer
+    return int(np.asarray(convert_layer(clip.get_frame(n),
+                                        Palette.RGB24).planes[0])[1, 0, 0])
+
+
+def exp_rgb(i):
+    """Expected RGB grey of source frame i (clamped Y=20+10i -> full range)."""
+    return int((20 + 10 * i - 16) * 255 / 219)
+
+
+def test_copy_cut_paste(tmp_path):
+    from lives_tpu.clipedit import copy_frames, cut_frames, paste_insert
+    clip = make_clip(tmp_path)
+    cb = copy_frames(clip, 2, 5)
+    assert len(cb) == 3 and cb.audio is not None
+    cut = cut_frames(clip, 0, 2)
+    assert clip.frames == 8
+    # old frame 2 is now frame 0
+    assert abs(luma0(clip, 0) - exp_rgb(2)) <= 2
+    paste_insert(clip, 0, cut)
+    assert clip.frames == 10
+    assert abs(luma0(clip, 0) - exp_rgb(0)) <= 2  # original first frame restored
+    a = clip.read_audio()
+    assert abs(len(a) - int(44100 * 10 / 25)) < 4410
+
+
+def test_trim(tmp_path):
+    from lives_tpu.clipedit import trim_clip
+    clip = make_clip(tmp_path)
+    trim_clip(clip, 3, 7)
+    assert clip.frames == 4
+    assert abs(luma0(clip, 0) - exp_rgb(3)) <= 2
+
+
+def test_delete_with_images(tmp_path):
+    from lives_tpu.clipedit import delete_frames
+    clip = make_clip(tmp_path)
+    clip.realize(0, 4)  # materialise first 4 as images
+    delete_frames(clip, 1, 3)
+    assert clip.frames == 8
+    assert abs(luma0(clip, 0) - exp_rgb(0)) <= 2
+    assert abs(luma0(clip, 1) - exp_rgb(3)) <= 2  # old frame 3
+
+
+def test_record_autosave(tmp_path):
+    from lives_tpu.player import CollectSink, Player
+
+    class MemClip:
+        frames, fps, width, height, unique_id = 10, 25.0, 32, 16, 1
+
+        def get_frame(self, n):
+            import jax.numpy as jnp
+            from lives_tpu.layer import Layer
+            from lives_tpu.constants import Palette
+            return Layer(planes=(jnp.zeros((3, 16, 32), jnp.uint8),),
+                         palette=int(Palette.RGB24))
+
+    p = Player(sink=CollectSink())
+    p.state.fg_clip = MemClip()
+    backup = tmp_path / "rec_backup.json"
+    p.record_start(32, 16, backup_path=str(backup), backup_every=0.0)
+    p.start()
+    p.process_one()
+    p.state.frame = -1
+    import time
+    p._clock0 = time.monotonic()
+    p._frame0 = 3.0
+    p.process_one()
+    assert backup.exists()
+    from lives_tpu.events import EventList
+    el = EventList.from_json(backup.read_text())
+    assert len(el.frame_events()) >= 1
