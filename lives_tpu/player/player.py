@@ -86,6 +86,26 @@ class KeyMap:
         return tuple((k, self.current_filter(k)) for k in range(N_KEYS)
                      if self.active[k])
 
+    # -- persistence (reference default.keymap / rte_window save) ----------
+    def save(self, path):
+        import json
+        data = [{"key": k, "modes": [m for m in self.slots[k] if m]}
+                for k in range(N_KEYS) if any(self.slots[k])]
+        with open(path, "w") as fh:
+            json.dump({"format": "lives_tpu_keymap", "version": 1,
+                       "keys": data}, fh, indent=1)
+
+    def load(self, path):
+        import json
+        with open(path) as fh:
+            d = json.load(fh)
+        if d.get("format") != "lives_tpu_keymap":
+            raise ValueError("not a keymap file")
+        self.__init__()
+        for entry in d["keys"]:
+            for m, name in enumerate(entry["modes"]):
+                self.set_key(entry["key"], m, name)
+
 
 @dataclass
 class PlayerState:

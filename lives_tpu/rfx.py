@@ -81,6 +81,27 @@ def apply_rendered_effect(clip: Clip, filter_name: str,
     return done
 
 
+def resize_all(clip: Clip, width: int, height: int,
+               batch_size: int = 32,
+               progress=None) -> int:
+    """Re-render every frame at a new geometry (reference `resize_all`,
+    colourspace.c:15935). Materialises all frames as images."""
+    import jax.numpy as jnp
+
+    from .ops.resize import resize_layer
+    done = 0
+    for n in range(clip.frames):
+        lay = convert_layer(clip.get_frame(n), Palette.RGB24)
+        out = resize_layer(lay, width, height)
+        clip.put_frame(n, out)
+        done += 1
+        if progress:
+            progress(done, clip.frames)
+    clip.width, clip.height = width, height
+    clip.save_header()
+    return done
+
+
 def undo_rendered_effect(clip: Clip) -> bool:
     """Restore the pre-effect frames (reference undo model)."""
     undo = clip.clip_dir / UNDO_DIR

@@ -1,0 +1,49 @@
+"""Odds-and-ends parity: keymap persistence, resize_all, alpha premultiply."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+
+def test_keymap_save_load(tmp_path):
+    from lives_tpu.player import KeyMap
+    km = KeyMap()
+    km.set_key(0, 0, "negate")
+    km.set_key(0, 1, "greyscale")
+    km.set_key(5, 0, "vignette")
+    km.save(tmp_path / "my.keymap")
+    km2 = KeyMap()
+    km2.load(tmp_path / "my.keymap")
+    assert km2.current_filter(0) == "negate"
+    km2.next_mode(0)
+    assert km2.current_filter(0) == "greyscale"
+    assert km2.current_filter(5) == "vignette"
+
+
+def test_resize_all(tmp_path):
+    from lives_tpu.io import open_clip
+    from lives_tpu.io.decoders import write_y4m
+    from lives_tpu.rfx import resize_all
+    frames = [(np.full((16, 32), 100, np.uint8),
+               np.full((8, 16), 128, np.uint8),
+               np.full((8, 16), 128, np.uint8)) for _ in range(4)]
+    write_y4m(str(tmp_path / "c.y4m"), frames)
+    clip = open_clip(str(tmp_path / "c.y4m"), tmp_path / "w")
+    n = resize_all(clip, 64, 32)
+    assert n == 4 and clip.width == 64
+    lay = clip.get_frame(0)
+    assert (lay.width, lay.height) == (64, 32)
+    assert not clip.is_virtual_frame(0)
+
+
+def test_alpha_premultiply_roundtrip(rng):
+    from lives_tpu.ops.colorspace import alpha_premultiply
+    rgbs = [jnp.asarray(rng.integers(0, 256, (16, 32), np.uint8))
+            for _ in range(3)]
+    alpha = jnp.asarray(rng.integers(128, 256, (16, 32), np.uint8))
+    pre = alpha_premultiply(rgbs, alpha)
+    un = alpha_premultiply(pre, alpha, un=True)
+    for a, b in zip(rgbs, un):
+        # lossy at low alpha; alpha>=128 keeps error small
+        assert np.abs(np.asarray(a, int) - np.asarray(b, int)).max() <= 2
