@@ -207,6 +207,59 @@ class OSCServer:
         m("/record/toggle",
           lambda: rec_stop() if p().record else rec_start())
 
+        # transport / selection (osc.c /video + /clip namespaces)
+        m("/video/stop/get", lambda: int(not p().state.playing))
+        m("/video/play/get", lambda: int(p().state.playing))
+        m("/clip/count", lambda: len(self.clips))
+        m("/clip/foreground/get",
+          lambda: next((k for k, v in self.clips.items()
+                        if v is p().state.fg_clip), 0))
+        m("/clip/background/get",
+          lambda: next((k for k, v in self.clips.items()
+                        if v is p().state.bg_clip), 0))
+        m("/clip/select", lambda c: self._select_clip(c, bg=False))
+        m("/clip/foreground/fps/faster",
+          lambda: p().set_pb_fps(p().state.pb_fps * 1.1))
+        m("/clip/foreground/fps/slower",
+          lambda: p().set_pb_fps(p().state.pb_fps * 0.9))
+        m("/clip/foreground/fps/reset",
+          lambda: p().set_pb_fps(
+              getattr(p().state.fg_clip, "fps", 25.0) or 25.0))
+        m("/clip/foreground/fps/reverse",
+          lambda: p().set_pb_fps(-p().state.pb_fps))
+        m("/clip/background/next", self._bg_next)
+        m("/clip/select/next", self._fg_next)
+        m("/clip/end/set",
+          lambda f: setattr(p().state, "sel_end", int(f)))
+        m("/clip/start/set",
+          lambda f: setattr(p().state, "sel_start", int(f)))
+        m("/clip/end/get", lambda: p().state.sel_end)
+        m("/clip/start/get", lambda: p().state.sel_start)
+
+        # effect key state queries
+        m("/effect_key/state/get",
+          lambda k: int(p().keymap.active[int(k) - 1]))
+        m("/effect_key/mode/get",
+          lambda k: p().keymap.mode[int(k) - 1] + 1)
+        m("/effect_key/name/get",
+          lambda k: p().keymap.current_filter(int(k) - 1))
+        m("/effect_key/count", lambda: len(p().keymap.active))
+
+        # audio namespace (audio feeder attached as player.audio)
+        def _audio():
+            return getattr(p(), "audio", None)
+
+        m("/audio/mute/set",
+          lambda on: setattr(_audio(), "muted", bool(on))
+          if _audio() else None)
+        m("/audio/mute/get",
+          lambda: int(_audio().muted) if _audio() else 0)
+        m("/audio/volume/set",
+          lambda v: setattr(_audio(), "volume", float(v))
+          if _audio() else None)
+        m("/audio/volume/get",
+          lambda: _audio().volume if _audio() else 1.0)
+
     # registry of openable clips for /clip/select (id -> clip object)
     clips: dict[int, Any] = {}
 
@@ -222,3 +275,19 @@ class OSCServer:
     def _swap_fg_bg(self):
         st = self.player.state
         st.fg_clip, st.bg_clip = st.bg_clip, st.fg_clip
+
+    def _cycle(self, cur):
+        keys = sorted(self.clips)
+        if not keys:
+            return None
+        if cur is None:
+            return self.clips[keys[0]]
+        ids = [k for k, v in self.clips.items() if v is cur]
+        i = keys.index(ids[0]) if ids else -1
+        return self.clips[keys[(i + 1) % len(keys)]]
+
+    def _fg_next(self):
+        self.player.state.fg_clip = self._cycle(self.player.state.fg_clip)             or self.player.state.fg_clip
+
+    def _bg_next(self):
+        self.player.state.bg_clip = self._cycle(self.player.state.bg_clip)             or self.player.state.bg_clip

@@ -47,3 +47,48 @@ def test_alpha_premultiply_roundtrip(rng):
     for a, b in zip(rgbs, un):
         # lossy at low alpha; alpha>=128 keeps error small
         assert np.abs(np.asarray(a, int) - np.asarray(b, int)).max() <= 2
+
+
+def test_param_window_spec():
+    from lives_tpu.paramui import param_window_spec
+    spec = param_window_spec("vignette")
+    assert spec["filter"] == "vignette"
+    kinds = {w["name"]: w["widget"] for w in spec["widgets"]}
+    assert kinds["amount"] == "slider"
+    blur = param_window_spec("gaussian_blur")
+    kinds = {w["name"]: w["widget"] for w in blur["widgets"]}
+    assert kinds["radius"] == "spin"
+    wipe = param_window_spec("wipe")
+    kinds = {w["name"]: w["widget"] for w in wipe["widgets"]}
+    assert kinds["direction"] == "combo"
+
+
+def test_param_window_colour_grouping():
+    from lives_tpu.paramui import param_window_spec
+    spec = param_window_spec("colour_balance")
+    names = [w["name"] for w in spec["widgets"]]
+    assert "colour" in names  # red/green/blue collapsed
+    w = next(w for w in spec["widgets"] if w["name"] == "colour")
+    assert w["maps_to"] == ["red", "green", "blue"]
+
+
+def test_apply_ui_values():
+    from lives_tpu.effects import instantiate
+    from lives_tpu.paramui import apply_ui_values
+    inst = instantiate("colour_balance")
+    apply_ui_values(inst, {"colour": [1.5, 1.0, 0.5]})
+    assert inst.values["red"] == 1.5 and inst.values["blue"] == 0.5
+    inst2 = instantiate("vignette")
+    apply_ui_values(inst2, {"amount": 0.25})
+    assert inst2.values["amount"] == 0.25
+
+
+def test_all_filters_have_ui_specs():
+    from lives_tpu.effects import list_filters
+    from lives_tpu.paramui import param_window_spec
+    import json
+    for name in list_filters():
+        if name.startswith("_"):
+            continue
+        spec = param_window_spec(name)
+        json.dumps(spec)  # must be serialisable

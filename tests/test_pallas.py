@@ -76,3 +76,42 @@ def test_supported_predicate():
     assert pk.yuv420_to_rgb_supported(1080, 1920)
     assert pk.yuv420_to_rgb_supported(2160, 3840)
     assert not pk.yuv420_to_rgb_supported(33, 64)
+
+
+def test_composite_kernel_matches_xla_chain(rng):
+    """Opt-in pallas composite path must match the XLA chain exactly
+    (same process fns, same u8 quantisation points)."""
+    import os
+    import numpy as np
+    from lives_tpu.constants import Palette
+    from lives_tpu.layer import Layer
+    from lives_tpu.effects import instantiate
+    from lives_tpu.graph import FrameGraph, SinkSpec
+
+    B, H, W = 4, 64, 256
+    tracks_np = [rng.integers(0, 256, (B, 3, H, W), np.uint8)
+                 for _ in range(3)]
+
+    def build_chain():
+        c1 = instantiate("crossfade", amount=0.3); c1.in_tracks = (0, 1)
+        c2 = instantiate("blend_screen", amount=0.6); c2.in_tracks = (0, 2)
+        c3 = instantiate("saturation", saturation=1.5)
+        return [c1, c2, c3]
+
+    def render(use_pallas):
+        os.environ["LIVES_TPU_PALLAS_COMPOSITE"] = "1" if use_pallas else "0"
+        g = FrameGraph(build_chain(), SinkSpec(), fps=25.0)
+        layers = [Layer(planes=(jnp.asarray(t),),
+                        palette=int(Palette.RGB24)) for t in tracks_np]
+        out = g.run_batch(layers, np.arange(B, dtype=np.float32) / 25,
+                          np.arange(B, dtype=np.int32))
+        return np.asarray(out.planes[0])
+
+    try:
+        a = render(False)
+        b = render(True)
+    finally:
+        os.environ.pop("LIVES_TPU_PALLAS_COMPOSITE", None)
+    # same math; XLA path uses a float chain between effects while the
+    # kernel quantises to u8 per stage (reference-accurate) -> within 2
+    assert np.abs(a.astype(int) - b.astype(int)).max() <= 2
