@@ -1,0 +1,91 @@
+#!/usr/bin/env python
+"""liblives-style embedding demo (mirrors liblives/examples/*.cpp):
+open a clip, map effects to keys, play with trickplay, record the
+performance, batch re-render it, and save the clip set."""
+
+import os
+import sys
+import tempfile
+
+import numpy as np
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+from lives_tpu.api import LiVESApp
+from lives_tpu.io.decoders import write_y4m
+from lives_tpu.osc.server import NOTIFY
+from lives_tpu.player import CollectSink
+
+
+def make_demo_clip(path, n=50, w=320, h=176):
+    frames = []
+    for i in range(n):
+        y = ((np.arange(h)[:, None] + np.arange(w)[None] + i * 4) % 220
+             + 16).astype(np.uint8)
+        u = np.full((h // 2, w // 2), 96 + (i % 64), np.uint8)
+        v = np.full((h // 2, w // 2), 128, np.uint8)
+        frames.append((y, u, v))
+    write_y4m(path, frames, fps=25.0)
+
+
+def main():
+    tmp = tempfile.mkdtemp(prefix="lives_tpu_demo_")
+    clip_path = os.path.join(tmp, "demo.y4m")
+    make_demo_clip(clip_path)
+
+    app = LiVESApp(workdir=os.path.join(tmp, "workdir"), sink=CollectSink())
+    app.add_callback(NOTIFY.CLIP_OPENED,
+                     lambda d: print(f"  clip {d} opened"))
+
+    clip = app.open_file(clip_path)
+    print(f"opened {clip.name}: {clip.frames} frames "
+          f"{clip.width}x{clip.height} @ {clip.fps}")
+
+    # map effects to keys 0/1 (the ctrl-1/ctrl-2 hotkeys)
+    app.effect_key_map[0].map("gaussian_blur")
+    app.effect_key_map[1].map("vignette")
+
+    # record a short performance with trickplay
+    app.player._player.record_start(clip.width, clip.height)
+    app.player.play()
+    app.effect_key_map[0].set_enabled(True)
+    app.player.tick(10)
+    app.effect_key_map[1].set_enabled(True)
+    app.player.set_fps(-50.0)          # reverse scratch at 2x
+    app.player.tick(10)
+    el = app.player._player.record_stop()
+    app.player.stop()
+    print(f"recorded {len(el)} events; shown "
+          f"{app.player._player.frames_shown} frames "
+          f"(inst fps {app.player._player.stats()['inst_fps']:.0f})")
+
+    # batch re-render the recording
+    from lives_tpu.events.renderer import render_to_arrays
+    from lives_tpu.graph import SinkSpec
+    from lives_tpu.layer import Layer
+    from lives_tpu.constants import Palette
+    from lives_tpu.ops.colorspace import convert_layer
+    import jax.numpy as jnp
+
+    class Src:
+        def get_batch(self, clip_ids, frame_nums):
+            ls = [convert_layer(clip.raw().get_frame(int(f)), Palette.RGB24)
+                  for f in frame_nums]
+            return Layer(planes=(jnp.stack([l.planes[0] for l in ls]),),
+                         palette=int(Palette.RGB24))
+
+    q = el.quantise(25.0)
+    frames, _ = render_to_arrays(q, Src(),
+                                 SinkSpec(width=clip.width,
+                                          height=clip.height),
+                                 batch_size=16)
+    print(f"re-rendered {frames.shape[0]} frames at "
+          f"{frames.shape[3]}x{frames.shape[2]}")
+
+    app.set.save("demo_set")
+    print(f"set saved under {app.workdir}/sets/demo_set")
+    app.quit()
+
+
+if __name__ == "__main__":
+    main()

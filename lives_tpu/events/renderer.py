@@ -140,8 +140,10 @@ def render_events(el: EventList, source: FrameSource,
         for ofs in range(0, len(seg.frames), batch_size):
             chunk = seg.frames[ofs: ofs + batch_size]
             tcs = [f.tc for f in chunk]
-            cids = np.full((n_tracks, len(chunk)), -1, np.int32)
-            fnums = np.zeros((n_tracks, len(chunk)), np.int32)
+            # int64: FRAME events recorded from live playback carry 63-bit
+            # clip unique_ids
+            cids = np.full((n_tracks, len(chunk)), -1, np.int64)
+            fnums = np.zeros((n_tracks, len(chunk)), np.int64)
             for j, f in enumerate(chunk):
                 for t in range(min(n_tracks, len(f.clips))):
                     cids[t, j] = f.clips[t]
