@@ -1,0 +1,6 @@
+"""Utility subsystems: timing/diagnostics, message console, preferences."""
+
+from ..diagnostics import (FrameLadder, StepTimer, benchmark_memcpy,
+                           current_ticks, run_startup_tests)
+from ..messaging import MessageRing, console, d_print
+from ..prefs import Prefs, PrefsStore
