@@ -245,6 +245,18 @@ class OSCServer:
           lambda k: p().keymap.current_filter(int(k) - 1))
         m("/effect_key/count", lambda: len(p().keymap.active))
 
+        # encode / transcode (reference /clip/encode_as)
+        def encode_as(path, encoder="yuv4mpeg"):
+            clip = p().state.fg_clip
+            if clip is None:
+                raise RuntimeError("no foreground clip")
+            from ..transcode import transcode
+            ok = transcode(clip, str(path), str(encoder))
+            self.notify(NOTIFY.SUCCESS if ok else NOTIFY.FAILED, str(path))
+            return int(ok)
+
+        m("/clip/encode_as", encode_as)
+
         # audio namespace (audio feeder attached as player.audio)
         def _audio():
             return getattr(p(), "audio", None)
