@@ -7,3 +7,6 @@ for the specific plugins covered.
 
 from . import (analysers, blends, blur, colour, effectv, extra,  # noqa: F401
                generators, geometry, keying)
+from ..compound import register_builtin_compounds
+
+register_builtin_compounds()

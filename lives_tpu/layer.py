@@ -142,8 +142,6 @@ def layer_blank(width: int, height: int, palette: int = Palette.RGB24,
             alpha = 1.0 if is_float_palette(pal) else 255
             arr = arr.at[-1].set(alpha)
         planes = [arr]
-        if is_yuv_palette(pal) and has_alpha(pal):
-            pass
     return Layer(planes=tuple(planes), palette=palette, clamping=clamping,
                  gamma=gamma, subspace=subspace)
 
