@@ -156,6 +156,15 @@ class Player:
         self.effort = 0
         self._precache_thread = None
         self._precache_req: list = []
+        # optional realtime audio feeder (audio/fx.AudioPlayer), attached by
+        # attach_audio(); OSC /audio namespace controls it
+        self.audio = None
+
+    def attach_audio(self, sink=None, rate: int = 44100):
+        """Attach the realtime audio feeder (pull-model, velocity-matched)."""
+        from ..audio.fx import AudioPlayer
+        self.audio = AudioPlayer(self, sink, rate=rate)
+        return self.audio
 
     # -- clock / frame targeting ------------------------------------------
     def _now_ticks(self) -> int:
@@ -263,6 +272,9 @@ class Player:
             self.sink.init_screen(self.sink_spec.width or clip.width,
                                   self.sink_spec.height or clip.height,
                                   abs(self.state.pb_fps))
+            if self.audio is not None and hasattr(clip, "read_audio"):
+                self.audio.load_clip_audio(clip)
+                self.audio.start()
 
     def stop(self):
         self.state.playing = False
@@ -274,6 +286,8 @@ class Player:
         for th in (self._compile_thread, self._precache_thread):
             if th is not None and th.is_alive():
                 th.join(timeout=60)
+        if self.audio is not None:
+            self.audio.stop()
         self.sink.exit_screen()
 
     def _graph_for_chain(self) -> FrameGraph:

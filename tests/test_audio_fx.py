@@ -181,3 +181,36 @@ def test_record_autosave(tmp_path):
     from lives_tpu.events import EventList
     el = EventList.from_json(backup.read_text())
     assert len(el.frame_events()) >= 1
+
+
+def test_player_audio_integration(tmp_path):
+    """Video player + attached audio feeder + OSC volume control."""
+    import time
+    from lives_tpu.audio.fx import NullAudioSink
+    from lives_tpu.osc import build_message
+    from lives_tpu.osc.server import OSCServer
+    from lives_tpu.player import CollectSink, Player
+    from tests.test_audio_fx import make_clip  # self-import for fixture
+
+    clip = make_clip(tmp_path)
+    p = Player(sink=CollectSink())
+    p.state.fg_clip = clip
+    sink = NullAudioSink()
+    p.attach_audio(sink)
+    srv = OSCServer(p, port=0)
+    srv.start()
+    import socket
+    tx = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
+    p.start()
+    time.sleep(0.3)
+    assert sink.frames > 0  # audio flowing
+    tx.sendto(build_message("/audio/volume/set", 0.25),
+              ("127.0.0.1", srv.port))
+    tx.sendto(build_message("/audio/mute/set", 1), ("127.0.0.1", srv.port))
+    deadline = time.time() + 2
+    while time.time() < deadline and not p.audio.muted:
+        time.sleep(0.02)
+    assert p.audio.muted and p.audio.volume == 0.25
+    p.stop()
+    srv.stop()
+    assert not p.audio._running
