@@ -132,6 +132,22 @@ register_audio_filter(AudioFilter(
     "peak compressor"))
 
 
+def _crossfade(block, p, state):
+    """audio_transition.c: equal-power crossfade of the two stereo halves
+    (channels 0,1 = A; 2,3 = B) or simple A/B gain when 2ch."""
+    amt = min(max(p["amount"], 0.0), 1.0)
+    ga, gb = np.cos(amt * np.pi / 2), np.sin(amt * np.pi / 2)
+    if block.shape[1] >= 4:
+        a, b = block[:, :2], block[:, 2:4]
+        return np.clip(a * ga + b * gb, -1, 1), state
+    return np.clip(block * ga, -1, 1), state
+
+
+register_audio_filter(AudioFilter(
+    "audio_transition", _crossfade, {"amount": 0.0},
+    "equal-power A/B crossfade (audio_transition.c)"))
+
+
 def tone_gen(n: int, freq: float = 440.0, rate: int = 44100,
              channels: int = 2, phase: float = 0.0,
              wave: str = "sine") -> tuple[np.ndarray, float]:

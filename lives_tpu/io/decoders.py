@@ -257,6 +257,56 @@ class Y4MDecoder(Decoder):
         self._fh.close()
 
 
+class Y4MStreamSource:
+    """Sequential YUV4MPEG2 reader for non-seekable inputs (named pipes /
+    stdin) — the reference's yuv4mpeg fifo ingest (src/lives-yuv4mpeg.c).
+    Clip-like: get_frame(n) returns the NEXT frame in the stream."""
+
+    def __init__(self, fh_or_path):
+        self._fh = open(fh_or_path, "rb") if isinstance(fh_or_path,
+                                                        (str, Path)) \
+            else fh_or_path
+        header = self._fh.readline()
+        if not header.startswith(b"YUV4MPEG2"):
+            raise ValueError("not a YUV4MPEG2 stream")
+        self.width = self.height = 0
+        self.fps = 25.0
+        for tok in header.split()[1:]:
+            t = tok.decode()
+            if t[0] == "W":
+                self.width = int(t[1:])
+            elif t[0] == "H":
+                self.height = int(t[1:])
+            elif t[0] == "F":
+                num, den = t[1:].split(":")
+                self.fps = int(num) / int(den)
+        self.frames = 1 << 30
+        self.unique_id = 0x59344D  # 'Y4M'
+        self._last = None
+
+    def get_frame(self, n: int = 0) -> "Layer":
+        import jax.numpy as jnp
+        line = self._fh.readline()
+        if not line.startswith(b"FRAME"):
+            if self._last is not None:
+                return self._last  # EOF: hold last frame
+            raise EOFError("y4m stream ended")
+        w, h = self.width, self.height
+        buf = self._fh.read(w * h * 3 // 2)
+        y = np.frombuffer(buf[: w * h], np.uint8).reshape(h, w)
+        cs = (w // 2) * (h // 2)
+        u = np.frombuffer(buf[w * h: w * h + cs], np.uint8
+                          ).reshape(h // 2, w // 2)
+        v = np.frombuffer(buf[w * h + cs:], np.uint8).reshape(h // 2, w // 2)
+        self._last = Layer(
+            planes=(jnp.asarray(y), jnp.asarray(u), jnp.asarray(v)),
+            palette=int(Palette.YUV420P))
+        return self._last
+
+    def close(self):
+        self._fh.close()
+
+
 def write_y4m(path: str, frames_yuv420, fps: float = 25.0):
     """Write (Y,U,V) planar uint8 frame tuples as YUV4MPEG2."""
     first = frames_yuv420[0]

@@ -123,3 +123,29 @@ def clear_recovery(workdir: Path):
     f = Path(workdir) / RECOVERY_FILE
     if f.exists():
         f.unlink()
+
+
+# ---------------------------------------------------------------------------
+# Whole-clip backup / restore (reference backup_file/restore_file .lv1,
+# clip_load_save.c:1608,1774)
+# ---------------------------------------------------------------------------
+
+def backup_clip(clip, path: str | Path):
+    """Pack a clip directory into a single .lvt archive (tar.gz)."""
+    import tarfile
+    clip.save_header()
+    with tarfile.open(path, "w:gz") as tf:
+        tf.add(clip.clip_dir, arcname=clip.clip_dir.name)
+    return Path(path)
+
+
+def restore_clip(path: str | Path, workdir: str | Path):
+    """Unpack a .lvt archive into workdir; returns the loaded Clip."""
+    import tarfile
+    workdir = Path(workdir)
+    workdir.mkdir(parents=True, exist_ok=True)
+    with tarfile.open(path, "r:gz") as tf:
+        names = tf.getnames()
+        root = names[0].split("/")[0]
+        tf.extractall(workdir, filter="data")
+    return Clip.load(workdir / root)

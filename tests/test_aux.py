@@ -218,3 +218,54 @@ def test_v4l2_gated():
         lay = src.get_frame()
         assert lay.width > 0
         src.close()
+
+
+def test_clip_backup_restore(tmp_path):
+    from lives_tpu.io import open_clip
+    from lives_tpu.io.decoders import write_y4m
+    from lives_tpu.sets import backup_clip, restore_clip
+    frames = [(np.full((16, 32), 99, np.uint8),
+               np.full((8, 16), 128, np.uint8),
+               np.full((8, 16), 128, np.uint8)) for _ in range(3)]
+    write_y4m(str(tmp_path / "c.y4m"), frames)
+    clip = open_clip(str(tmp_path / "c.y4m"), tmp_path / "w1")
+    clip.realize(0, 3)  # make frames self-contained images
+    arc = backup_clip(clip, tmp_path / "clip.lvt")
+    assert arc.exists()
+    clip2 = restore_clip(arc, tmp_path / "w2")
+    assert clip2.frames == 3 and clip2.width == 32
+    a = np.asarray(clip2.get_frame(1).planes[0])
+    b = np.asarray(clip.get_frame(1).planes[0])
+    np.testing.assert_array_equal(a, b)
+
+
+def test_y4m_stream_source(tmp_path):
+    import io as _io
+    from lives_tpu.io.decoders import Y4MStreamSource, write_y4m
+    frames = [(np.full((16, 32), 30 + i * 20, np.uint8),
+               np.full((8, 16), 128, np.uint8),
+               np.full((8, 16), 128, np.uint8)) for i in range(3)]
+    write_y4m(str(tmp_path / "s.y4m"), frames)
+    src = Y4MStreamSource(_io.BytesIO((tmp_path / "s.y4m").read_bytes()))
+    assert (src.width, src.height) == (32, 16)
+    f0 = src.get_frame()
+    assert int(np.asarray(f0.planes[0])[0, 0]) == 30
+    f1 = src.get_frame()
+    assert int(np.asarray(f1.planes[0])[0, 0]) == 50
+    src.get_frame()
+    held = src.get_frame()  # EOF -> hold last
+    assert int(np.asarray(held.planes[0])[0, 0]) == 70
+
+
+def test_audio_transition():
+    from lives_tpu.audio.fx import audio_instantiate
+    quad = np.zeros((100, 4), np.float32)
+    quad[:, :2] = 1.0   # A loud
+    quad[:, 2:] = -1.0  # B loud (opposite sign)
+    t = audio_instantiate("audio_transition", amount=0.0)
+    np.testing.assert_allclose(t.apply(quad)[:, 0], 1.0, atol=1e-6)
+    t.values["amount"] = 1.0
+    np.testing.assert_allclose(t.apply(quad)[:, 0], -1.0, atol=1e-6)
+    t.values["amount"] = 0.5
+    mid = t.apply(quad)[0, 0]
+    assert abs(mid) < 0.01  # equal-power midpoint cancels
