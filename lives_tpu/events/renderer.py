@@ -180,3 +180,44 @@ def render_to_arrays(el: EventList, source: FrameSource,
         outs.append(np.asarray(lay.planes[0]))
         all_tcs.extend(tcs)
     return np.concatenate(outs, 0), all_tcs
+
+
+class ClipFrameSource:
+    """FrameSource over real clips keyed by the unique_ids that live
+    recordings store in FRAME events (player record path). The bridge used
+    by render_recording / crash-recovery re-renders
+    (deal_with_render_choice, events.c:5955)."""
+
+    def __init__(self, clips_by_uid: dict, palette: int | None = None):
+        from ..constants import Palette as _P
+        self.clips = dict(clips_by_uid)
+        self.palette = palette or int(_P.RGB24)
+
+    def get_batch(self, clip_ids, frame_nums) -> Layer:
+        import jax.numpy as jnp
+
+        from ..constants import Palette as _P
+        from ..layer import layer_blank
+        from ..ops.colorspace import convert_layer
+        arrs = []
+        for c, f in zip(clip_ids, frame_nums):
+            clip = self.clips.get(int(c))
+            if clip is None:
+                ref_clip = next(iter(self.clips.values()), None)
+                w = getattr(ref_clip, "width", 64)
+                h = getattr(ref_clip, "height", 64)
+                lay = layer_blank(w, h, self.palette)
+            else:
+                lay = convert_layer(clip.get_frame(int(f)), self.palette)
+            arrs.append(lay.planes[0])
+        return Layer(planes=(jnp.stack(arrs),), palette=self.palette)
+
+
+def render_recording(el: EventList, clips_by_uid: dict,
+                     sink: SinkSpec | None = None, fps: float | None = None,
+                     batch_size: int = 32):
+    """Render a recorded performance (quantised to its fps grid) against
+    the clips it referenced. Returns (frames array, tcs)."""
+    q = el.quantise(fps or el.fps or 25.0)
+    src = ClipFrameSource(clips_by_uid)
+    return render_to_arrays(q, src, sink, batch_size)

@@ -51,6 +51,9 @@ class Multitrack:
         self.el = EventList(fps=fps, width=width, height=height)
         self.n_tracks = n_tracks
         self.gravity = Gravity.NORMAL
+        # per-track audio volumes (the avol filter model,
+        # events.c:2636 add_track_to_avol_init)
+        self.track_volumes: dict[int, float] = {}
         self._undo: list[str] = []
         self._redo: list[str] = []
         self._undo_depth = undo_depth
@@ -253,6 +256,17 @@ class Multitrack:
         from ..graph.nodemodel import SinkSpec
         sink = sink or SinkSpec(width=self.el.width, height=self.el.height)
         return render_to_arrays(self.el, source, sink, batch_size)
+
+    def set_track_volume(self, track: int, vol: float):
+        self.track_volumes[track] = float(vol)
+
+    def render_audio(self, clips: dict, arate: int = 44100,
+                     channels: int = 2):
+        """Mix the timeline's audio with per-track volumes
+        (render_audio_segment + avol, audio.c:1686)."""
+        from ..audio.engine import render_audio as _render
+        return _render(self.el, clips, arate, channels,
+                       vols=self.track_volumes or None)
 
     # -- layout save/load --------------------------------------------------
     def save_layout(self, path: str):

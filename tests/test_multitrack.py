@@ -134,3 +134,23 @@ def test_layout_roundtrip(tmp_path):
     assert mt2.n_tracks == 2
     assert mt2.blocks(0) == mt.blocks(0)
     assert mt2.blocks(1) == mt.blocks(1)
+
+
+def test_multitrack_audio_mix(tmp_path):
+    from lives_tpu.io import create_clip
+    mt = Multitrack(n_tracks=2, width=16, height=8)
+    c1 = create_clip(tmp_path, 16, 8)
+    c2 = create_clip(tmp_path, 16, 8)
+    t = np.linspace(0, 1, 44100)
+    c1.write_audio(np.stack([np.full(44100, 0.5)] * 2, 1).astype(np.float32),
+                   44100)
+    c2.write_audio(np.stack([np.full(44100, 0.5)] * 2, 1).astype(np.float32),
+                   44100)
+    mt.insert_block(0, 1, 0, 25)
+    mt.insert_block(1, 2, 0, 25)
+    mt.set_track_volume(1, 0.0)  # mute track 1
+    out = mt.render_audio({1: c1, 2: c2})
+    assert np.abs(out[:44000] - 0.5).max() < 1e-3  # only track 0 audible
+    mt.set_track_volume(1, 1.0)
+    out2 = mt.render_audio({1: c1, 2: c2})
+    assert np.abs(out2[:44000] - 1.0).max() < 1e-2  # both mixed

@@ -184,3 +184,51 @@ def test_async_compile_serves_old_graph_then_swaps():
     p.process_one()
     import numpy as _np
     _np.testing.assert_array_equal(sink.frames[-1], 255 - base)
+
+
+def test_l2l_two_player_pipeline(rng):
+    """LiVES-to-LiVES: player A streams to player B's source."""
+    import time
+    from lives_tpu.stream import StreamReceiver, StreamSender
+
+    rx = StreamReceiver(port=0)
+    a, _ = make_player()
+    a.sink = StreamSender("127.0.0.1", rx.port)
+    a.start()
+    a.process_one()
+    deadline = time.time() + 3
+    while time.time() < deadline and rx._latest is None:
+        a.state.frame = -1
+        a._clock0 = __import__("time").monotonic()
+        a.process_one()
+        time.sleep(0.05)
+    assert rx._latest is not None
+
+    b = Player(sink=CollectSink())
+    b.state.fg_clip = rx  # receiver is clip-like
+    b.start()
+    assert b.process_one()
+    assert b.sink.frames[0].shape[0] == 3
+    rx.close()
+
+
+def test_render_recording_bridge():
+    from lives_tpu.events.renderer import render_recording
+    from lives_tpu.graph import SinkSpec
+    p, sink = make_player()
+    clip = p.state.fg_clip
+    p.record_start(clip.width, clip.height)
+    p.start()
+    p.process_one()
+    import time
+    p.state.frame = -1
+    p._clock0 = time.monotonic()
+    p._frame0 = 2.0
+    p.process_one()
+    el = p.record_stop()
+    frames, tcs = render_recording(
+        el, {clip.unique_id: clip},
+        SinkSpec(width=clip.width, height=clip.height), fps=25.0,
+        batch_size=8)
+    assert frames.shape[1:] == (3, clip.height, clip.width)
+    assert len(frames) >= 1
