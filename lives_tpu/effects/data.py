@@ -64,6 +64,52 @@ class DataConnections:
             dst.values[c.in_param] = p.clamp(v)
 
 
+def save_datacons(conns: "DataConnections", keymap, path):
+    """Persist connections keyed by (key, mode) slots (the reference's
+    resources/datacons.map model). Only connections whose endpoints are
+    keymap instances are saved."""
+    import json
+
+    def slot_of(inst):
+        for k, cand in enumerate(keymap.instances):
+            if cand is inst:
+                return k, keymap.mode[k]
+        return None
+
+    out = []
+    for c in conns.conns:
+        src, dst = slot_of(c.src), slot_of(c.dst)
+        if src is None or dst is None:
+            continue
+        out.append({"src_key": src[0], "src_mode": src[1],
+                    "out_param": c.out_param,
+                    "dst_key": dst[0], "dst_mode": dst[1],
+                    "in_param": c.in_param, "autoscale": c.autoscale})
+    with open(path, "w") as fh:
+        json.dump({"format": "lives_tpu_datacons", "version": 1,
+                   "connections": out}, fh, indent=1)
+
+
+def load_datacons(keymap, path) -> "DataConnections":
+    """Rebuild connections against a keymap (instantiating filters for
+    slots that have none yet)."""
+    import json
+    with open(path) as fh:
+        d = json.load(fh)
+    conns = DataConnections()
+    for c in d["connections"]:
+        for k in (c["src_key"], c["dst_key"]):
+            if keymap.instances[k] is None:
+                keymap.toggle(k, True)
+                keymap.toggle(k, False)  # instantiate without enabling
+        src = keymap.instances[c["src_key"]]
+        dst = keymap.instances[c["dst_key"]]
+        if src is None or dst is None:
+            continue
+        conns.add(src, c["out_param"], dst, c["in_param"], c["autoscale"])
+    return conns
+
+
 def apply_chain_connected(instances: Sequence[Instance], layers,
                           ctx: FrameContext | None = None,
                           connections: DataConnections | None = None):

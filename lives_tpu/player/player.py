@@ -322,6 +322,11 @@ class Player:
         direction = 1 if st.pb_fps >= 0 else -1
         wanted = [self.clamp_frame(target + direction * k)
                   for k in range(1, self.precache_depth + 1)]
+        # order candidates by decoder seek cost (decplugin estimate_delay,
+        # decplugin.h:305): expensive seeks start earliest
+        dec = getattr(getattr(st.fg_clip, "cdata", None), "decoder", None)
+        if dec is not None and hasattr(dec, "estimate_delay"):
+            wanted.sort(key=lambda f: -dec.estimate_delay(target, f))
         self._precache_req = [(st.fg_clip, f) for f in wanted
                               if (id(st.fg_clip), f) not in self._precache]
         if self._precache_thread is None or \

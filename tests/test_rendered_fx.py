@@ -166,3 +166,27 @@ def test_audio_analysers():
     for i in range(20):
         hits.append(bd.feed(loud if i % 10 == 9 else silent * 0.01))
     assert any(hits[9:])
+
+
+def test_datacons_persistence(tmp_path):
+    from lives_tpu.effects.data import (DataConnections, load_datacons,
+                                        save_datacons)
+    from lives_tpu.player import KeyMap
+    km = KeyMap()
+    km.set_key(0, 0, "alpha_means")
+    km.set_key(1, 0, "vignette")
+    km.toggle(0, True)
+    km.toggle(1, True)
+    conns = DataConnections()
+    conns.add(km.instances[0], "mean_r", km.instances[1], "amount",
+              autoscale=True)
+    save_datacons(conns, km, tmp_path / "datacons.map")
+
+    km2 = KeyMap()
+    km2.set_key(0, 0, "alpha_means")
+    km2.set_key(1, 0, "vignette")
+    conns2 = load_datacons(km2, tmp_path / "datacons.map")
+    assert len(conns2.conns) == 1
+    c = conns2.conns[0]
+    assert c.out_param == "mean_r" and c.in_param == "amount" and c.autoscale
+    assert c.src is km2.instances[0] and c.dst is km2.instances[1]
