@@ -281,13 +281,15 @@ class Player:
         for o, t in self._pending:
             self.sink.play_frame(o, t)
         self._pending.clear()
+        # silence audio first (joining a long background compile below must
+        # not extend audible playback)
+        if self.audio is not None:
+            self.audio.stop()
         # let in-flight background work land (killing a thread inside an
         # XLA call at interpreter teardown aborts the process)
         for th in (self._compile_thread, self._precache_thread):
             if th is not None and th.is_alive():
                 th.join(timeout=60)
-        if self.audio is not None:
-            self.audio.stop()
         self.sink.exit_screen()
 
     def _graph_for_chain(self) -> FrameGraph:
