@@ -13,9 +13,11 @@ Only translation-invariant effects qualify (no absolute-coordinate masks, no
 global reductions, no gathers): see PALLAS_SAFE.
 
 Status: measured at parity with the XLA path on the 10-track benchmark on a
-remote-attached v5e (both are u8-bandwidth-bound there), at the cost of a
-large Mosaic compile — so it is opt-in via LIVES_TPU_PALLAS_COMPOSITE=1
-until profiled on locally-attached hardware.
+remote-attached v5e, at the cost of a pathological Mosaic compile at full
+resolution (the same 9-effect kernel compiles in ~1-8 s at 64x256 but
+minutes at 1080p regardless of tile size — remote compile-helper behaviour,
+to be profiled on attached hardware). Opt-in via
+LIVES_TPU_PALLAS_COMPOSITE=1.
 """
 
 from __future__ import annotations
@@ -74,13 +76,20 @@ def supported(h: int, w: int) -> bool:
     return jax.default_backend() == "tpu"  # Mosaic kernels need a real TPU
 
 
-def _pick_tile(h: int, n_tracks: int, w: int) -> int:
-    # keep total VMEM under ~6MB: (tracks+1) * 3ch * TH * W u8 + f32 temps
-    for cand in (64, 48, 40, 32, 24, 16, 8):
-        if h % cand: continue
-        if (n_tracks + 1) * 3 * cand * w <= 4 << 20:
-            return cand
-    return 0
+def _pick_tile(h: int, n_tracks: int, w: int) -> tuple[int, int]:
+    """(tile_h, tile_w). Mosaic compile time scales hard with tile AREA
+    (vector unrolling), so tiles stay small: ~16x512."""
+    tw = 0
+    for cand in (512, 384, 256, 128):
+        if w % cand == 0:
+            tw = cand
+            break
+    if not tw:
+        return 0, 0
+    for cand in (16, 8, 24, 32):
+        if h % cand == 0 and (n_tracks + 1) * 3 * cand * tw <= 2 << 20:
+            return cand, tw
+    return 0, 0
 
 
 def build_composite(prefix: Sequence[tuple], n_tracks: int,
@@ -88,7 +97,7 @@ def build_composite(prefix: Sequence[tuple], n_tracks: int,
     """Returns fn(track_arrays list[(B,3,H,W) u8], packed (P,B) f32)
     -> comp (B,3,H,W) u8. prefix: chain_spec tuples
     (filter, static, in_tracks, out_tracks, enabled)."""
-    tile_h = _pick_tile(h, n_tracks, w)
+    tile_h, tile_w = _pick_tile(h, n_tracks, w)
     if not tile_h:
         return None
 
@@ -101,7 +110,7 @@ def build_composite(prefix: Sequence[tuple], n_tracks: int,
         ctx = FrameContext(tc=params_ref[len(rows_key), b],
                            frame=params_ref[len(rows_key) + 1, b]
                            .astype(jnp.int32),
-                           fps=fps, width=w, height=tile_h)
+                           fps=fps, width=tile_w, height=tile_h)
         for idx, (filt, static, in_tr, out_tr, enabled) in enumerate(prefix):
             if not enabled:
                 continue
@@ -118,21 +127,21 @@ def build_composite(prefix: Sequence[tuple], n_tracks: int,
 
     def run(tracks, packed):
         """Traceable (called inside the plan template's jit)."""
-        grid = (B, h // tile_h)
+        grid = (B, h // tile_h, w // tile_w)
         # whole params array in SMEM (blocked SMEM must obey (8,128) tiling;
         # a full-array spec is exempt) — kernel indexes by program_id
         in_specs = [pl.BlockSpec(
-            (packed.shape[0], packed.shape[1]), lambda b, i: (0, 0),
+            (packed.shape[0], packed.shape[1]), lambda b, i, j: (0, 0),
             memory_space=pltpu.SMEM)]
-        in_specs += [pl.BlockSpec((1, 3, tile_h, w),
-                                  lambda b, i: (b, 0, i, 0),
+        in_specs += [pl.BlockSpec((1, 3, tile_h, tile_w),
+                                  lambda b, i, j: (b, 0, i, j),
                                   memory_space=pltpu.VMEM)] * n_tracks
         return pl.pallas_call(
             kernel,
             grid=grid,
             in_specs=in_specs,
-            out_specs=pl.BlockSpec((1, 3, tile_h, w),
-                                   lambda b, i: (b, 0, i, 0),
+            out_specs=pl.BlockSpec((1, 3, tile_h, tile_w),
+                                   lambda b, i, j: (b, 0, i, j),
                                    memory_space=pltpu.VMEM),
             out_shape=jax.ShapeDtypeStruct((B, 3, h, w), jnp.uint8),
         )(packed, *tracks)
