@@ -174,3 +174,42 @@ def benchmark_memcpy(sizes=(1 << 20, 8 << 20)) -> dict[str, float]:
         dt = (time.perf_counter() - t0) / 8
         out[f"memcpy_{n >> 20}MB_GBps"] = n / dt / 1e9
     return out
+
+
+# ---------------------------------------------------------------------------
+# Frame-cost predictor (the nodemodel ANN load predictor, ann_roll
+# nodemodel.c:1336 + nn_programmer.c): predicts the next frame's render
+# cost so adaptive quality can degrade BEFORE deadline misses.
+# ---------------------------------------------------------------------------
+
+class CostPredictor:
+    """Online least-squares over recent (features, cost) pairs with an EMA
+    fallback. Features: anything monotone with load (fx count, pixels)."""
+
+    def __init__(self, n_features: int = 2, window: int = 64):
+        self.n = n_features
+        self.window = window
+        self.samples: list[tuple[np.ndarray, float]] = []
+        self.ema = 0.0
+
+    def observe(self, features, cost: float):
+        f = np.asarray(features, np.float64)[: self.n]
+        self.samples.append((f, float(cost)))
+        if len(self.samples) > self.window:
+            self.samples.pop(0)
+        self.ema = 0.9 * self.ema + 0.1 * float(cost) if self.ema else cost
+
+    def predict(self, features) -> float:
+        if len(self.samples) < max(self.n + 2, 8):
+            return self.ema
+        X = np.stack([np.concatenate([f, [1.0]])
+                      for f, _ in self.samples])
+        y = np.asarray([c for _, c in self.samples])
+        try:
+            coef, *_ = np.linalg.lstsq(X, y, rcond=None)
+        except np.linalg.LinAlgError:
+            return self.ema
+        f = np.concatenate([np.asarray(features, np.float64)[: self.n],
+                            [1.0]])
+        pred = float(f @ coef)
+        return max(pred, 0.0) if np.isfinite(pred) else self.ema

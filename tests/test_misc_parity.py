@@ -92,3 +92,21 @@ def test_all_filters_have_ui_specs():
             continue
         spec = param_window_spec(name)
         json.dumps(spec)  # must be serialisable
+
+
+def test_cost_predictor_learns_linear_load():
+    from lives_tpu.diagnostics import CostPredictor
+    rng = np.random.default_rng(3)
+    cp = CostPredictor(n_features=2)
+    # cost = 2*fx + 0.5*mpix + noise
+    for _ in range(40):
+        fx = rng.integers(1, 10)
+        mpix = rng.uniform(0.5, 8.0)
+        cp.observe([fx, mpix], 2.0 * fx + 0.5 * mpix
+                   + rng.normal(0, 0.01))
+    pred = cp.predict([5, 2.0])
+    assert abs(pred - 11.0) < 0.5
+    # cold predictor falls back to EMA without crashing
+    cold = CostPredictor()
+    cold.observe([1, 1], 3.0)
+    assert cold.predict([9, 9]) > 0
