@@ -86,6 +86,44 @@ class KeyMap:
         return tuple((k, self.current_filter(k)) for k in range(N_KEYS)
                      if self.active[k])
 
+    #: substrings of reference Weed hashnames -> our filter names, used when
+    #: importing a reference default.keymap
+    REF_FILTER_MAP = {
+        "rotozoom": "rotozoom", "lifetv": "life", "firetv": "fire",
+        "blurzoom": "blurzoom", "mirror": "mirror", "kaleidoscope":
+        "kaleidoscope", "rippletv": "ripple", "warptv": "ripple",
+        "negat": "negate", "posterise": "posterize", "posterize":
+        "posterize", "blur": "gaussian_blur", "vertigo": "feedback",
+        "edge": "edge_analyser", "rgbdelay": "rgb_delay", "noise":
+        "noise", "plasma": "plasma", "bump": "lens", "onedtv": "onedtv",
+        "nervous": "nervous", "textfun": "livetext", "colorkey":
+        "chroma_key", "simple_blend": "crossfade",
+    }
+
+    def load_reference_keymap(self, path) -> int:
+        """Import a reference `default.keymap` (lines `key|WeedHashname`),
+        mapping known plugin hashnames onto our filters. Returns mapped
+        count; unknown filters are skipped."""
+        from ..effects.host import list_filters
+        have = set(list_filters())
+        n = 0
+        for line in open(path, errors="replace"):
+            line = line.strip()
+            if "|" not in line or not line[0].isdigit():
+                continue
+            key_s, hashname = line.split("|", 1)
+            key = int(key_s) - 1
+            if not 0 <= key < N_KEYS:
+                continue
+            h = hashname.lower()
+            for frag, ours in self.REF_FILTER_MAP.items():
+                if frag in h and ours in have:
+                    self.set_key(key, len([m for m in self.slots[key]
+                                           if m]), ours)
+                    n += 1
+                    break
+        return n
+
     # -- persistence (reference default.keymap / rte_window save) ----------
     def save(self, path):
         import json

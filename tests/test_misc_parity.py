@@ -110,3 +110,33 @@ def test_cost_predictor_learns_linear_load():
     cold = CostPredictor()
     cold.observe([1, 1], 3.0)
     assert cold.predict([9, 9]) > 0
+
+
+def test_parse_real_reference_rfx_script():
+    """Parse an actual RFX script from the reference tree (read-only)."""
+    import pathlib
+    p = pathlib.Path("/root/reference/lives-plugins/plugins/effects/"
+                     "RFXscripts/blur.script")
+    if not p.exists():
+        import pytest as _p
+        _p.skip("reference tree unavailable")
+    from lives_tpu.rfx import parse_rfx_params
+    ps = parse_rfx_params(p.read_text(errors="replace"))
+    names = [q["name"] for q in ps]
+    assert "rstart" in names and "sstart" in names
+    r = next(q for q in ps if q["name"] == "rstart")
+    assert r["kind"] == "int" and r["max"] == 100.0
+
+
+def test_import_reference_default_keymap():
+    import pathlib
+    p = pathlib.Path("/root/reference/default.keymap")
+    if not p.exists():
+        import pytest as _p
+        _p.skip("reference tree unavailable")
+    from lives_tpu.player import KeyMap
+    km = KeyMap()
+    n = km.load_reference_keymap(p)
+    assert n >= 5  # several reference bindings map onto our filters
+    assert km.current_filter(0) in ("rotozoom", "life", "lens", "fire",
+                                    "feedback")
