@@ -245,3 +245,69 @@ _stateful("feedback", _feedback_process, _feedback_init,
           params=(Param("feedback", "num", 0.7, 0.0, 0.98),
                   Param("zoom", "num", 0.6, 0.0, 1.0)),
           desc="classic video feedback tunnel")
+
+
+# -- edge (EffecTV edge detect) ----------------------------------------------
+
+def _edge_process(ins, p, ctx):
+    from ..host import register_filter  # noqa: F401 (doc anchor)
+    lay = ins[0]
+    a = to_f01(lay)
+    rgb, al = split_alpha(a)
+    g = luma(rgb)
+    gx = jnp.roll(g, -1, 1) - jnp.roll(g, 1, 1)
+    gy = jnp.roll(g, -1, 0) - jnp.roll(g, 1, 0)
+    mag = jnp.sqrt(gx * gx + gy * gy) * p["gain"]
+    tinted = jnp.stack([mag, mag, mag]) * jnp.stack(
+        [p["red"], p["green"], p["blue"]])[:, None, None]
+    out = jnp.clip(rgb * (1.0 - p["amount"]) + tinted * p["amount"],
+                   0.0, 1.0)
+    return from_f01(join_alpha(out, al), lay)
+
+
+from ..host import register_filter as _rf  # local alias
+
+_rf(Filter(
+    name="edge", process=_edge_process, in_channels=_ONE_IN,
+    params=(Param("gain", "num", 2.0, 0.1, 10.0),
+            Param("amount", "num", 1.0, 0.0, 1.0),
+            Param("red", "num", 1.0, 0.0, 1.0),
+            Param("green", "num", 1.0, 0.0, 1.0),
+            Param("blue", "num", 1.0, 0.0, 1.0)),
+    description="Sobel edge glow (edge detect, EffecTV)"))
+
+
+# -- vertigo (rotating/zooming feedback, vertigoTV) ---------------------------
+
+def _vertigo_init(w, h, pal):
+    return jnp.zeros((3, h, w), jnp.float32)
+
+
+def _vertigo_process(ins, p, ctx, state):
+    from jax.scipy.ndimage import map_coordinates
+    lay = ins[0]
+    a = to_f01(lay)
+    rgb, al = split_alpha(a)
+    h, w = rgb.shape[-2:]
+    th = (p["speed"] - 0.5) * 0.2  # rotation per frame
+    z = 1.0 + p["zoom"] * 0.1
+    cy, cx = (h - 1) / 2.0, (w - 1) / 2.0
+    y = jnp.arange(h, dtype=jnp.float32)[:, None] - cy
+    x = jnp.arange(w, dtype=jnp.float32)[None, :] - cx
+    cs, sn = jnp.cos(th) / z, jnp.sin(th) / z
+    yy = jnp.clip(cy + y * cs - x * sn, 0, h - 1)
+    xx = jnp.clip(cx + y * sn + x * cs, 0, w - 1)
+    yy = jnp.broadcast_to(yy, (h, w))
+    xx = jnp.broadcast_to(xx, (h, w))
+    prev = jax.vmap(lambda ch: map_coordinates(ch, [yy, xx], order=1,
+                                               mode="nearest"))(state)
+    out = jnp.clip(rgb * (1.0 - p["feedback"]) + prev * p["feedback"],
+                   0.0, 1.0)
+    return from_f01(join_alpha(out, al), lay), out
+
+
+_stateful("vertigo", _vertigo_process, _vertigo_init,
+          params=(Param("feedback", "num", 0.7, 0.0, 0.98),
+                  Param("speed", "num", 0.6, 0.0, 1.0),
+                  Param("zoom", "num", 0.5, 0.0, 1.0)),
+          desc="rotating/zooming feedback (vertigoTV)")

@@ -93,8 +93,8 @@ class KeyMap:
         "blurzoom": "blurzoom", "mirror": "mirror", "kaleidoscope":
         "kaleidoscope", "rippletv": "ripple", "warptv": "ripple",
         "negat": "negate", "posterise": "posterize", "posterize":
-        "posterize", "blur": "gaussian_blur", "vertigo": "feedback",
-        "edge": "edge_analyser", "rgbdelay": "rgb_delay", "noise":
+        "posterize", "blur": "gaussian_blur", "vertigo": "vertigo",
+        "edge": "edge", "rgbdelay": "rgb_delay", "noise":
         "noise", "plasma": "plasma", "bump": "lens", "onedtv": "onedtv",
         "nervous": "nervous", "textfun": "livetext", "colorkey":
         "chroma_key", "simple_blend": "crossfade",

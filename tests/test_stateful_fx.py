@@ -98,3 +98,28 @@ def test_stateful_in_mixed_chain_batch(rng):
     arr = np.asarray(out.planes[0])
     assert arr.shape == (4, 3, 24, 48)
     assert arr.dtype == np.uint8
+
+
+def test_edge_filter(rng):
+    lay = mk_layer(rng)
+    out = np.asarray(apply_instance(instantiate("edge", amount=1.0),
+                                    [lay])[0].planes[0])
+    # uniform input -> no edges -> black
+    flat = Layer(planes=(jnp.full((3, 24, 48), 120, jnp.uint8),),
+                 palette=int(Palette.RGB24))
+    out2 = np.asarray(apply_instance(instantiate("edge", amount=1.0),
+                                     [flat])[0].planes[0])
+    assert out2.max() == 0 and out.max() > 0
+
+
+def test_vertigo_accumulates(rng):
+    inst = instantiate("vertigo", feedback=0.9)
+    bright = Layer(planes=(jnp.full((3, 24, 48), 220, jnp.uint8),),
+                   palette=int(Palette.RGB24))
+    dark = Layer(planes=(jnp.zeros((3, 24, 48), jnp.uint8),),
+                 palette=int(Palette.RGB24))
+    ctx = FrameContext(width=48, height=24)
+    for _ in range(15):
+        apply_instance(inst, [bright], ctx)
+    echo = np.asarray(apply_instance(inst, [dark], ctx)[0].planes[0])
+    assert echo.mean() > 40
