@@ -324,6 +324,56 @@ def write_y4m(path: str, frames_yuv420, fps: float = 25.0):
             fh.write(np.asarray(v, np.uint8).tobytes())
 
 
+@register_decoder
+class WavDecoder(Decoder):
+    """RIFF WAVE pcm: audio-only clips (the reference opens audio files as
+    zero-video clips with audio)."""
+
+    name = "wav"
+
+    def __init__(self, cdata, path, data_ofs, data_len):
+        self.cdata = cdata
+        self.path = path
+        self.data_ofs = data_ofs
+        self.data_len = data_len
+
+    @classmethod
+    def get_clip_data(cls, uri: str):
+        p = Path(uri)
+        if not (p.is_file() and p.suffix.lower() == ".wav"):
+            return None
+        data = p.read_bytes()
+        if data[:4] != b"RIFF" or data[8:12] != b"WAVE":
+            return None
+        pos = 12
+        fmt = None
+        data_ofs = data_len = 0
+        while pos + 8 <= len(data):
+            cid = data[pos:pos + 4]
+            (sz,) = struct.unpack("<I", data[pos + 4:pos + 8])
+            if cid == b"fmt ":
+                fmt = struct.unpack("<HHIIHH", data[pos + 8:pos + 24])
+            elif cid == b"data":
+                data_ofs, data_len = pos + 8, sz
+            pos += 8 + sz + (sz & 1)
+        if fmt is None or not data_len:
+            return None
+        _, channels, rate, _, _, bits = fmt
+        cd = ClipData(uri=uri, nframes=0, fps=25.0, width=0, height=0,
+                      arate=rate, achans=channels, asamps=bits)
+        cd.decoder = cls(cd, p, data_ofs, data_len)
+        return cd
+
+    def get_frame(self, n: int) -> Layer:
+        raise RuntimeError("wav clips have no video frames")
+
+    def rip_audio(self, path: str) -> bool:
+        with open(self.path, "rb") as fh:
+            fh.seek(self.data_ofs)
+            Path(path).write_bytes(fh.read(self.data_len))
+        return True
+
+
 # ---------------------------------------------------------------------------
 # AVI decoder: MJPEG + raw DIB, pure-python RIFF parse
 # ---------------------------------------------------------------------------

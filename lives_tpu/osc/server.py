@@ -218,6 +218,17 @@ class OSCServer:
           lambda: next((k for k, v in self.clips.items()
                         if v is p().state.bg_clip), 0))
         m("/clip/select", lambda c: self._select_clip(c, bg=False))
+
+        def clip_close(c):
+            clip = self.clips.pop(int(c), None)
+            if clip is not None:
+                if p().state.fg_clip is clip:
+                    p().state.fg_clip = None
+                if p().state.bg_clip is clip:
+                    p().state.bg_clip = None
+                self.notify(NOTIFY.CLIP_CLOSED, str(c))
+
+        m("/clip/close", clip_close)
         m("/clip/foreground/fps/faster",
           lambda: p().set_pb_fps(p().state.pb_fps * 1.1))
         m("/clip/foreground/fps/slower",

@@ -424,6 +424,14 @@ class Player:
         target = self.clamp_frame(self._target_frame_f())
         if target == st.frame and self.frames_shown > 0:
             return True  # nothing new to show
+        if self.frames_shown > 0:
+            # frames the clock passed over without being shown (player.c
+            # frame-drop accounting feeding the stats overlay)
+            step = abs(target - st.frame)
+            n = st.fg_clip.frames if st.fg_clip is not None else 1
+            wrapped = min(step, abs(n - step))
+            if wrapped > 1:
+                self.frames_dropped += wrapped - 1
         st.frame = target
         layers = [self._pull(st.fg_clip, target)]
         if st.bg_clip is not None:

@@ -173,3 +173,17 @@ def test_reference_vidtest_avi_not_claimed_or_claimed_sanely():
     if cd is not None:
         lay = cd.decoder.get_frame(0)
         assert lay.width == 640
+
+
+def test_wav_decoder_as_clip(tmp_path):
+    from lives_tpu.io.encoders import get_encoder
+    from lives_tpu.io import open_clip
+    audio = np.sin(np.linspace(0, 200, 8820)).astype(np.float32)
+    stereo = np.stack([audio, audio], 1)
+    get_encoder("wav").encode(str(tmp_path / "t.wav"), [], 0, stereo, 44100)
+    clip = open_clip(str(tmp_path / "t.wav"), tmp_path / "w")
+    assert clip.frames == 0
+    assert clip.achans == 2 and clip.arate == 44100
+    back = clip.read_audio()
+    assert back.shape[0] == 8820
+    assert np.abs(back[:, 0] - audio).max() < 1e-3

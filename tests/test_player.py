@@ -232,3 +232,15 @@ def test_render_recording_bridge():
         batch_size=8)
     assert frames.shape[1:] == (3, clip.height, clip.width)
     assert len(frames) >= 1
+
+
+def test_frame_drop_accounting():
+    import time
+    p, sink = make_player()
+    p.start()
+    p.process_one()
+    # clock jumps 5 frames ahead -> 4 dropped
+    p._clock0 = time.monotonic()
+    p._frame0 = float(p.state.frame + 5)
+    p.process_one()
+    assert p.frames_dropped >= 4
