@@ -170,3 +170,35 @@ register_filter(Filter(
             Param("y", "num", 0.0, 0.0, 1.0)),
     flags=FILTER_IS_TRANSITION,
     description="scale fg and paste over bg at (x,y)"))
+
+
+# -- grid compositor (layout_blends.c) ---------------------------------------
+
+def _grid4_process(ins, params, ctx):
+    """2x2 grid of up to four tracks (layout_blends.c quad view)."""
+    from ...ops.resize import resize_layer
+    base = ins[0]
+    h, w = base.height, base.width
+    hh, hw = max(2, h // 2), max(2, w // 2)
+    cells = []
+    for i in range(4):
+        src = ins[i] if i < len(ins) else ins[-1]
+        cells.append(to_f01(resize_layer(src, hw, hh))[:3])
+    top = jnp.concatenate([cells[0], cells[1]], axis=-1)
+    bot = jnp.concatenate([cells[2], cells[3]], axis=-1)
+    grid = jnp.concatenate([top, bot], axis=-2)
+    # pad odd geometries back to full size
+    ph, pw = h - grid.shape[-2], w - grid.shape[-1]
+    if ph or pw:
+        grid = jnp.pad(grid, ((0, 0), (0, ph), (0, pw)), mode="edge")
+    a = to_f01(base)
+    _, al = split_alpha(a)
+    return from_f01(join_alpha(grid, al), base)
+
+
+register_filter(Filter(
+    name="grid4", process=_grid4_process,
+    in_channels=tuple(ChannelTemplate(f"in{i}", _RGBX, optional=i > 0)
+                      for i in range(4)),
+    flags=FILTER_IS_TRANSITION,
+    description="2x2 grid of four tracks (layout_blends.c)"))
