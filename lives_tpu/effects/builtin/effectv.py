@@ -250,7 +250,6 @@ _stateful("feedback", _feedback_process, _feedback_init,
 # -- edge (EffecTV edge detect) ----------------------------------------------
 
 def _edge_process(ins, p, ctx):
-    from ..host import register_filter  # noqa: F401 (doc anchor)
     lay = ins[0]
     a = to_f01(lay)
     rgb, al = split_alpha(a)
@@ -265,9 +264,7 @@ def _edge_process(ins, p, ctx):
     return from_f01(join_alpha(out, al), lay)
 
 
-from ..host import register_filter as _rf  # local alias
-
-_rf(Filter(
+register_filter(Filter(
     name="edge", process=_edge_process, in_channels=_ONE_IN,
     params=(Param("gain", "num", 2.0, 0.1, 10.0),
             Param("amount", "num", 1.0, 0.0, 1.0),
