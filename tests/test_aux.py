@@ -71,10 +71,9 @@ def test_stream_send_receive(rng):
     rx = StreamReceiver(port=0)
     tx = StreamSender("127.0.0.1", rx.port)
     lay = mk_layer(rng, h=16, w=32)
-    for _ in range(3):
-        tx.play_frame(lay, 0.0)
-    deadline = time.time() + 3
+    deadline = time.time() + 5
     while time.time() < deadline and rx._latest is None:
+        tx.play_frame(lay, 0.0)  # UDP: resend until assembled
         time.sleep(0.05)
     assert rx._latest is not None, "no frame received"
     got = rx.get_frame(0)
