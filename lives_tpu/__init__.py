@@ -9,6 +9,18 @@ graphs, batched event-list rendering, mesh sharding for 4K).
 
 import os as _os
 
+# Honour an explicit JAX_PLATFORMS request: ambient TPU platform plugins
+# (axon) override the env var, so callers that set JAX_PLATFORMS=cpu (tests,
+# CLI subprocesses, the driver's dryrun) silently land on the TPU unless the
+# config API is used too.
+_req = _os.environ.get("JAX_PLATFORMS", "")
+if _req and _req.lower() in ("cpu",):
+    try:
+        import jax as _jax0
+        _jax0.config.update("jax_platforms", _req.lower())
+    except Exception:
+        pass
+
 # Persistent XLA compilation cache: plan templates survive across processes
 # (first compile of a 10-track 1080p graph costs minutes on remote-attached
 # TPUs; cached reloads are ~ms). Override dir or disable via env.

@@ -174,3 +174,19 @@ def test_sets_and_recovery(tmp_path):
     assert load_set(app3, "myset") == 1
     assert app3.set.num_clips == 1
     assert len(app3.multitrack.blocks(0)) == 1
+
+
+def test_extended_osc_namespace(served):
+    srv, player, cli = served
+    srv.clips[1] = player.state.fg_clip
+    send_wait(cli, srv, "/clip/select", 1)
+    assert player.state.fg_clip is srv.clips[1]
+    send_wait(cli, srv, "/effect_key/map", 2, "vignette")
+    send_wait(cli, srv, "/effect_key/enable", 2)
+    assert srv.methods["/effect_key/state/get"](2) == 1
+    assert srv.methods["/effect_key/name/get"](2) == "vignette"
+    assert srv.methods["/clip/count"]() == 1
+    send_wait(cli, srv, "/clip/foreground/fps/faster")
+    assert player.state.pb_fps > 25.0
+    send_wait(cli, srv, "/clip/close", 1)
+    assert player.state.fg_clip is None
