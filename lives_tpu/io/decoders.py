@@ -166,15 +166,20 @@ class Y4MDecoder(Decoder):
     READAHEAD = 8
 
     def __init__(self, cdata: ClipData, path: Path, data_start: int,
-                 frame_size: int, header_skip: int):
+                 frame_size: int, header_skip: int, offsets=None):
         self.cdata = cdata
         self.path = path
         self.data_start = data_start
         self.frame_size = frame_size
         self.header_skip = header_skip
+        #: per-frame payload offsets when FRAME headers vary in length
+        #: (YUV4MPEG2 allows per-frame parameters, e.g. ``FRAME Ix\n``);
+        #: None = constant stride fast path
+        self.offsets = offsets
         self._fh = open(path, "rb")
         self._cache = None
-        self.enable_prefetch()
+        if offsets is None:
+            self.enable_prefetch()
 
     def enable_prefetch(self, n_slots: int = 32, workers: int = 2):
         """Route reads through the native async frame cache
@@ -215,18 +220,36 @@ class Y4MDecoder(Decoder):
                 elif t[0] == "C" and not t[1:].startswith("420"):
                     return None  # only 420 for now
             data_start = fh.tell()
-            frame_hdr = fh.readline()
-            if not frame_hdr.startswith(b"FRAME"):
-                return None
-            header_skip = len(frame_hdr)
             frame_size = w * h * 3 // 2
-            fh.seek(0, os.SEEK_END)
-            total = fh.tell() - data_start
-            nframes = total // (frame_size + header_skip)
+            # scan every FRAME header: the spec allows per-frame parameters,
+            # so header length may vary — in that case fall back to an
+            # explicit per-frame offset index (sequential parse)
+            offsets = []
+            header_skip = None
+            constant = True
+            while True:
+                frame_hdr = fh.readline()
+                if not frame_hdr:
+                    break
+                if not frame_hdr.startswith(b"FRAME"):
+                    return None
+                if header_skip is None:
+                    header_skip = len(frame_hdr)
+                elif len(frame_hdr) != header_skip:
+                    constant = False
+                pos = fh.tell()
+                offsets.append(pos)
+                fh.seek(pos + frame_size)
+                if fh.tell() != pos + frame_size:
+                    break
+            if header_skip is None:
+                return None
+            nframes = len(offsets)
         cd = ClipData(uri=uri, nframes=nframes, width=w, height=h, fps=fps,
                       palette=int(Palette.YUV420P),
                       yuv_clamping=int(YUVClamping.CLAMPED))
-        cd.decoder = cls(cd, p, data_start, frame_size, header_skip)
+        cd.decoder = cls(cd, p, data_start, frame_size, header_skip,
+                         offsets=None if constant else offsets)
         return cd
 
     def get_frame(self, n: int) -> Layer:
@@ -237,9 +260,12 @@ class Y4MDecoder(Decoder):
                                        self.cdata.nframes - n))
             buf = self._cache.get(n)
         if buf is None:
-            ofs = self.data_start \
-                + n * (self.frame_size + self.header_skip) \
-                + self.header_skip
+            if self.offsets is not None:
+                ofs = self.offsets[n]
+            else:
+                ofs = self.data_start \
+                    + n * (self.frame_size + self.header_skip) \
+                    + self.header_skip
             self._fh.seek(ofs)
             buf = self._fh.read(self.frame_size)
         w, h = self.cdata.width, self.cdata.height

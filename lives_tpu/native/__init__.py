@@ -67,10 +67,12 @@ class FrameCache:
 
     def open_stream(self, path: str, data_start: int, frame_size: int,
                     stride: int, nframes: int) -> bool:
-        self.frame_size = frame_size
-        return bool(self._lib.fc_open_stream(
+        ok = bool(self._lib.fc_open_stream(
             self._h, str(path).encode(), data_start, frame_size, stride,
             nframes))
+        if ok:  # a failed open must leave the previous stream fully usable
+            self.frame_size = frame_size
+        return ok
 
     def request(self, start: int, count: int = 1):
         self._lib.fc_request(self._h, start, count)
@@ -94,9 +96,9 @@ class FrameCache:
         if not ptr:
             return None
         try:
-            n = int(np.prod(shape))
-            arr = np.ctypeslib.as_array(ptr, shape=(n,)).astype(np.uint8,
-                                                                copy=True)
+            nbytes = int(np.prod(shape)) * np.dtype(dtype).itemsize
+            arr = np.ctypeslib.as_array(ptr, shape=(nbytes,)).astype(
+                np.uint8, copy=True)
             return arr.view(dtype).reshape(shape)
         finally:
             self._lib.fc_release(self._h, frame)

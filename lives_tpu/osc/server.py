@@ -45,6 +45,9 @@ class OSCServer:
         self.sock.bind((host, port))
         self.port = self.sock.getsockname()[1]
         self.methods: dict[str, Callable[..., Any]] = {}
+        # per-instance clip registry for /clip/select (id -> clip object);
+        # must not be shared across servers in one process
+        self.clips: dict[int, Any] = {}
         self._notify_clients: list[tuple[str, int]] = []
         self._status_client: Optional[tuple[str, int]] = None
         self._msg_no = 0
@@ -282,9 +285,6 @@ class OSCServer:
           if _audio() else None)
         m("/audio/volume/get",
           lambda: _audio().volume if _audio() else 1.0)
-
-    # registry of openable clips for /clip/select (id -> clip object)
-    clips: dict[int, Any] = {}
 
     def _select_clip(self, c, bg: bool):
         clip = self.clips.get(int(c))

@@ -330,8 +330,15 @@ class Player:
                 th.join(timeout=60)
         self.sink.exit_screen()
 
+    def _chain_cache_key(self):
+        # bg presence changes the built chain (_build_graph appends the
+        # crossfade), so it must be part of the cache key: a graph cached
+        # without a bg clip must not serve once one is selected (and vice
+        # versa — the cached crossfade would index a missing track 1)
+        return (self.keymap.chain_key(), self.state.bg_clip is not None)
+
     def _graph_for_chain(self) -> FrameGraph:
-        key = self.keymap.chain_key()
+        key = self._chain_cache_key()
         g = self._graphs.get(key)
         if g is None:
             g = self._build_graph(key)
@@ -342,12 +349,16 @@ class Player:
         # fg/bg blend: if a bg clip is present and no transition in the
         # chain consumes track 1, append the blend (player fg/bg mix)
         uses_bg = any(len(i.in_tracks) > 1 for i in chain)
+        auto_mix = None
         if self.state.bg_clip is not None and not uses_bg:
-            mix = instantiate("crossfade", amount=self.state.blend_amount)
-            mix.in_tracks = (0, 1)
-            chain.append(mix)
+            auto_mix = instantiate("crossfade", amount=self.state.blend_amount)
+            auto_mix.in_tracks = (0, 1)
+            chain.append(auto_mix)
         g = FrameGraph(chain, self.sink_spec,
                        fps=abs(self.state.pb_fps) or 25.0)
+        # blend_amount is a traced param: keep a handle so process_one can
+        # refresh it per frame without recompiling
+        g.auto_mix = auto_mix
         self._graphs[key] = g
         return g
 
@@ -386,7 +397,7 @@ class Player:
 
     # -- async chain rebuild ----------------------------------------------
     def _select_graph(self, layers):
-        desired = self.keymap.chain_key()
+        desired = self._chain_cache_key()
         if not self.async_compile or self._served_key is None \
                 or desired == self._served_key:
             g = self._graph_for_chain()
@@ -438,6 +449,9 @@ class Player:
             layers.append(self._pull(st.bg_clip,
                                      target % max(st.bg_clip.frames, 1)))
         graph = self._select_graph(layers)
+        mix = getattr(graph, "auto_mix", None)
+        if mix is not None:  # live blend factor (traced param: no recompile)
+            mix.values["amount"] = st.blend_amount
         if self.precache_depth:
             self._request_precache(target)
         tc = target / abs(st.pb_fps or 25.0)

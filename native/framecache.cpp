@@ -63,17 +63,26 @@ class FrameCache {
 
   bool open_stream(const char* path, int64_t data_start, int64_t frame_size,
                    int64_t stride, int64_t nframes) {
-    std::lock_guard<std::mutex> lk(mu_);
+    // Validate before touching any state: a failed open must leave the
+    // previous stream fully usable (callers may ignore the return value),
+    // and an oversized frame_size must never reach the pread path (it
+    // would overflow the slot buffers through the C ABI).
+    if (frame_size <= 0 || frame_size > slot_size_) return false;
+    int newfd = ::open(path, O_RDONLY);
+    if (newfd < 0) return false;
+    std::unique_lock<std::mutex> lk(mu_);
+    // Quiesce: drop pending work, then wait until no worker is mid-pread
+    // on the old fd before closing it (closing under a concurrent pread
+    // races with descriptor reuse).
+    queue_.clear();
+    while (reads_in_flight_ > 0) cv_ready_.wait(lk);
     if (stream_.fd >= 0) ::close(stream_.fd);
-    stream_.fd = ::open(path, O_RDONLY);
-    if (stream_.fd < 0) return false;
+    stream_.fd = newfd;
     stream_.data_start = data_start;
     stream_.frame_size = frame_size;
     stream_.stride = stride;
     stream_.nframes = nframes;
-    if (frame_size > slot_size_) return false;
     for (auto& s : slots_) { s.frame = -1; s.state = 0; s.pins = 0; }
-    queue_.clear();
     return true;
   }
 
@@ -165,6 +174,7 @@ class FrameCache {
       int fd = stream_.fd;
       int64_t ofs = stream_.data_start + frame * stream_.stride;
       int64_t size = stream_.frame_size;
+      reads_in_flight_++;
       lk.unlock();
       ssize_t got = 0;
       while (got < size) {
@@ -173,6 +183,7 @@ class FrameCache {
         got += r;
       }
       lk.lock();
+      reads_in_flight_--;
       s.state = (got == size) ? 2 : 3;
       cv_ready_.notify_all();
     }
@@ -186,6 +197,7 @@ class FrameCache {
   std::mutex mu_;
   std::condition_variable cv_work_, cv_ready_;
   bool stop_;
+  int reads_in_flight_ = 0;
   int64_t tick_;
   std::atomic<int64_t> hits_, misses_;
 };

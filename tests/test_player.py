@@ -175,9 +175,9 @@ def test_async_compile_serves_old_graph_then_swaps():
     p.process_one()
     # wait for the background compile to finish, then the new chain applies
     deadline = time.time() + 30
-    while time.time() < deadline and p._served_key != p.keymap.chain_key():
+    while time.time() < deadline and p._served_key != p._chain_cache_key():
         time.sleep(0.05)
-    assert p._served_key == p.keymap.chain_key()
+    assert p._served_key == p._chain_cache_key()
     p.state.frame = -1
     p._clock0 = time.monotonic()
     p._frame0 = 0.0
@@ -244,3 +244,37 @@ def test_frame_drop_accounting():
     p._frame0 = float(p.state.frame + 5)
     p.process_one()
     assert p.frames_dropped >= 4
+
+
+def test_bg_clip_select_after_cache_reblends():
+    """Regression (ADVICE r1 high): graph cache key must include bg-clip
+    presence — selecting a bg clip after the chain's graph was cached must
+    apply the crossfade, and clearing it must not serve the cached
+    crossfade graph (which indexes a missing track 1)."""
+    p, sink = make_player()
+    p.start()
+
+    def step():
+        import time as _t
+        p.state.frame = -1
+        p._clock0 = _t.monotonic()
+        p._frame0 = float((p.frames_shown + 1) % 5)
+        p.process_one()
+        return np.asarray(sink.frames[-1])
+
+    pure_fg = step()                       # caches the no-bg graph
+    p.state.bg_clip = MemClip(uid=2)
+    p.state.blend_amount = 0.0             # full bg
+    blended = step()
+    assert not np.array_equal(blended, pure_fg)  # bg actually shows
+    # live blend factor follows state without rebuilding
+    p.state.blend_amount = 1.0             # full fg
+    refg = step()
+    fg_expected = np.asarray(
+        p.state.fg_clip.get_frame(p.state.frame).planes[0])
+    assert np.max(np.abs(refg.astype(int)
+                         - fg_expected.astype(int))) <= 1
+    # clearing bg goes back to the 1-track graph without error
+    p.state.bg_clip = None
+    out = step()
+    assert out.shape == pure_fg.shape
