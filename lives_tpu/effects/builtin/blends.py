@@ -76,13 +76,10 @@ for _name, _expr in _BLEND_MODES.items():
 
 # -- slide / wipe transitions (slide_over.c) ---------------------------------
 
-def _edge_mask(w, h, direction, pos):
+def _edge_mask(ctx, w, h, direction, pos):
     """Soft-less (hard) wipe mask: 1 where fg shows."""
-    import jax
-    xx = jax.lax.broadcasted_iota(jnp.float32, (h, w), 1) \
-        * np.float32(1.0 / max(w - 1, 1))
-    yy = jax.lax.broadcasted_iota(jnp.float32, (h, w), 0) \
-        * np.float32(1.0 / max(h - 1, 1))
+    from ..util import ctx_grid
+    xx, yy = ctx_grid(ctx, h, w)
     masks = {
         0: xx < pos,          # left -> right
         1: (1.0 - xx) < pos,  # right -> left
@@ -98,7 +95,7 @@ def _wipe_process(ins, params, ctx):
     argb, aal = split_alpha(a)
     brgb, _ = split_alpha(b)
     # direction is a static (non-interpolated) choice param
-    m = _edge_mask(fg.width, fg.height, int(params.get("direction", 0)),
+    m = _edge_mask(ctx, fg.width, fg.height, int(params.get("direction", 0)),
                    params["amount"])
     out = argb * m + brgb * (1.0 - m)
     return from_f01(join_alpha(out, aal), fg)
@@ -118,11 +115,12 @@ def _iris_process(ins, params, ctx):
     argb, aal = split_alpha(a)
     brgb, _ = split_alpha(b)
     h, w = argb.shape[-2:]
-    from ..util import lazy_grid
-    x, y = lazy_grid(h, w, centered=True)
-    x = x * (w / h)
+    from ..util import ctx_grid
+    fh, fw = (ctx.height or h), (ctx.width or w)
+    x, y = ctx_grid(ctx, h, w, centered=True)
+    x = x * (fw / fh)
     r = jnp.sqrt(x * x + y * y)
-    rmax = np.sqrt(1.0 + (w / h) ** 2)
+    rmax = np.sqrt(1.0 + (fw / fh) ** 2)
     soft = params["softness"] + 1e-4
     m = jnp.clip((params["amount"] * rmax - r) / soft + 0.5, 0.0, 1.0)
     out = argb * m + brgb * (1.0 - m)

@@ -82,8 +82,10 @@ _rgb_filter("hue_rotate", _hue_rotate,
 
 _rgb_filter(
     "colour_balance",
-    lambda rgb, p, c: rgb * jnp.stack([p["red"], p["green"], p["blue"]]
-                                      )[:, None, None],
+    # channel-wise (not a stacked scalar gain vector): Mosaic cannot shape-
+    # cast stacked traced scalars, and XLA fuses both forms identically
+    lambda rgb, p, c: jnp.stack([rgb[0] * p["red"], rgb[1] * p["green"],
+                                 rgb[2] * p["blue"]], 0),
     params=(Param("red", "num", 1.0, 0.0, 4.0),
             Param("green", "num", 1.0, 0.0, 4.0),
             Param("blue", "num", 1.0, 0.0, 4.0)),
@@ -159,9 +161,9 @@ _rgb_filter("softlight", _softlight,
 
 
 def _vignette(rgb, p, c):
-    from ..util import lazy_grid
+    from ..util import ctx_grid
     h, w = rgb.shape[-2:]
-    x, y = lazy_grid(h, w, centered=True)
+    x, y = ctx_grid(c, h, w, centered=True)
     r2 = x * x + y * y
     falloff = jnp.exp(-r2 * p["strength"] * 2.0)
     return rgb * (1.0 - p["amount"] * (1.0 - falloff))[None]
@@ -174,9 +176,10 @@ _rgb_filter("vignette", _vignette,
 
 
 def _tint(rgb, p, c):
-    colour = jnp.stack([p["red"], p["green"], p["blue"]])[:, None, None]
-    g = luma(rgb)[None]
-    return rgb + (g * colour - rgb) * p["amount"]
+    # channel-wise: see colour_balance (Mosaic scalar-stack constraint)
+    g = luma(rgb)
+    tinted = jnp.stack([g * p["red"], g * p["green"], g * p["blue"]], 0)
+    return rgb + (tinted - rgb) * p["amount"]
 
 
 _rgb_filter("tint", _tint,

@@ -154,8 +154,13 @@ class FrameContext:
     tc: Any = 0.0          # timecode, seconds (may be traced)
     frame: Any = 0         # frame number (may be traced)
     fps: float = 25.0
-    width: int = 0
+    width: int = 0         # FULL frame dims (tile execution: not the tile's)
     height: int = 0
+    # tile origin for tiled (pallas fused-sweep) execution; 0 for
+    # whole-frame jit. May be traced. Coordinate-dependent effects must
+    # build grids via effects.util.ctx_grid, which consumes these.
+    y0: Any = 0
+    x0: Any = 0
 
 
 # ---------------------------------------------------------------------------

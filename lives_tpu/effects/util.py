@@ -61,10 +61,14 @@ def lazy_grid(h: int, w: int, centered: bool = False):
     grids inside traced code: a materialised grid becomes a trace-time
     constant that XLA constant-folds — at 4K that is a 33 MB literal and
     minutes of compile time per effect.
+
+    Integer iota + cast (not float iota): Mosaic's tpu.iota only supports
+    integer results, and XLA folds the cast — so the same effect body
+    traces both inside pallas kernels and in plain jit.
     """
     import jax
-    x = jax.lax.broadcasted_iota(jnp.float32, (h, w), 1)
-    y = jax.lax.broadcasted_iota(jnp.float32, (h, w), 0)
+    x = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1).astype(jnp.float32)
+    y = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0).astype(jnp.float32)
     if centered:
         # -1..1 range, aspect preserved on x
         y = y * np.float32(2.0 / max(h - 1, 1)) - 1.0
@@ -72,4 +76,36 @@ def lazy_grid(h: int, w: int, centered: bool = False):
     else:
         x = x * np.float32(1.0 / max(w - 1, 1))
         y = y * np.float32(1.0 / max(h - 1, 1))
+    return x, y
+
+
+def ctx_grid(ctx, h: int, w: int, centered: bool = False):
+    """Frame-coordinate grids for the current (sub)tile.
+
+    Like `lazy_grid`, but honours tile execution (the fused pallas sweep,
+    graph/pallas_composite.py): when ctx carries a tile origin (ctx.y0,
+    ctx.x0) and full-frame dims (ctx.height, ctx.width), the returned grids
+    are the FULL-FRAME normalized coordinates of this tile's pixels —
+    clamped to the frame (halo pixels replicate the edge, matching the
+    XLA path's edge padding). For whole-frame execution (y0 == x0 == 0,
+    ctx dims == shape) this is identical to lazy_grid(h, w, centered).
+
+    Coordinate-dependent effects (vignette, wipes, iris) MUST use this so
+    they are correct under both full-frame jit and tiled pallas execution.
+    """
+    import jax
+    H = int(getattr(ctx, "height", 0) or h)
+    W = int(getattr(ctx, "width", 0) or w)
+    y0 = getattr(ctx, "y0", 0)
+    x0 = getattr(ctx, "x0", 0)
+    y = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0) + y0
+    x = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1) + x0
+    y = jnp.clip(y, 0, H - 1).astype(jnp.float32)
+    x = jnp.clip(x, 0, W - 1).astype(jnp.float32)
+    if centered:
+        y = y * np.float32(2.0 / max(H - 1, 1)) - 1.0
+        x = x * np.float32(2.0 / max(W - 1, 1)) - 1.0
+    else:
+        x = x * np.float32(1.0 / max(W - 1, 1))
+        y = y * np.float32(1.0 / max(H - 1, 1))
     return x, y

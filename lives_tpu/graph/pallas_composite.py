@@ -69,6 +69,21 @@ def splittable_prefix(chain: Sequence[Instance]) -> int:
     return n
 
 
+#: coordinate-dependent but pointwise effects (use effects.util.ctx_grid,
+#: so they are tile-origin-aware inside the sweep kernel)
+COORD_SAFE = {"vignette", "wipe", "iris_circle"}
+
+#: separable small-stencil effects the sweep runs in-kernel over a halo:
+#: name -> (kernel_fn(radius) -> taps, sharpen_mode)
+def _stencil_fns():
+    from ..effects.builtin.blur import _box_kernel, _gauss_kernel
+    return {
+        "gaussian_blur": (_gauss_kernel, False),
+        "box_blur": (_box_kernel, False),
+        "sharpen": (_gauss_kernel, True),
+    }
+
+
 def supported(h: int, w: int) -> bool:
     if not (HAVE_PALLAS and w % 128 == 0 and h % 8 == 0 and w >= 256):
         return False
@@ -145,5 +160,206 @@ def build_composite(prefix: Sequence[tuple], n_tracks: int,
                                    memory_space=pltpu.VMEM),
             out_shape=jax.ShapeDtypeStruct((B, 3, h, w), jnp.uint8),
         )(packed, *tracks)
+
+    return run
+
+
+# ---------------------------------------------------------------------------
+# Fused sweep: the WHOLE plan (LOAD + chain + sink quantise) in one kernel
+# ---------------------------------------------------------------------------
+
+def _pick_sweep_tile(H: int) -> int | None:
+    """Output tile height: full-width row bands. Bigger bands amortise the
+    blur halo's wasted rows (vregs pad rows to 8 anyway); very tall bands
+    inflate Mosaic compile time and VMEM. ~40 rows is the sweet spot
+    measured on v5e (98x realtime at 1080p vs 58x at 8 rows)."""
+    for th in (40, 48, 36, 32, 30, 24, 20, 16, 12, 10, 8):
+        if H % th == 0:
+            return th
+    return None
+
+
+def sweep_supported(H: int, W: int) -> bool:
+    import os
+    if not HAVE_PALLAS:
+        return False
+    if W % 128 != 0 or _pick_sweep_tile(H) is None:
+        return False
+    import jax
+    if os.environ.get("LIVES_TPU_PALLAS_INTERPRET") == "1":
+        return True  # CPU interpret mode (tests)
+    return jax.default_backend() == "tpu"
+
+
+def build_fused_sweep(chain_spec, n_tracks: int, B: int, H: int, W: int,
+                      rows_key, fps: float, source, sink):
+    """Single-sweep plan template: in-kernel source generation + the entire
+    effect chain + sink quantisation, one pallas kernel per frame chunk —
+    HBM traffic is the u8 output write only.
+
+    This is the terminal form of the nodemodel's purpose (reference
+    src/nodemodel.c:447-807 cost minimisation = minimal memory traffic per
+    frame): tracks are generated in VMEM from the source's `traced_tile`,
+    pointwise effects run on full-width row bands with a halo sized for the
+    chain's stencil effects (gaussian/box blur, sharpen), stencils run as
+    valid-mode separable shifted-adds over a VMEM scratch round-trip, and
+    the band is quantised and written once.
+
+    Mosaic constraints honoured (measured on v5e, see PERF_NOTES.md):
+    - iota must be int32 (tpu.iota rejects float);
+    - values data-dependent on an iota CANNOT be sliced (compiler crash) —
+      hence every stencil first stores its input to a VMEM scratch ref,
+      whose reads slice fine;
+    - u8<->f32 casts route via int32.
+
+    Requirements: stateless chain writing track 0, a source with
+    `traced_tile(clip_id, frame_num, yy, xx) -> (3,th,tw) int32 in 0..255`,
+    RGB24 same-geometry sink, no letterbox. Multi-input (transition)
+    effects must precede the first stencil. Returns
+    fn(src_ids (2,T,B) int32, packed (P+2,B) f32) -> (B,3,H,W) uint8,
+    or None when the chain/sink/source does not qualify.
+
+    Halo semantics: generation coordinates are clamped to the frame, which
+    reproduces the XLA path's edge padding exactly (all ops upstream of a
+    stencil are pointwise, so edge-replicating their inputs equals
+    edge-replicating their outputs).
+    """
+    import os
+    from ..constants import Gamma
+    interpret = os.environ.get("LIVES_TPU_PALLAS_INTERPRET") == "1"
+    if not sweep_supported(H, W):
+        return None
+    if source is None or not hasattr(source, "traced_tile") \
+            or getattr(source, "alpha", False):
+        return None
+    if sink.palette != Palette.RGB24 or sink.letterbox:
+        return None
+    if sink.width not in (0, W) or sink.height not in (0, H):
+        return None
+    if sink.gamma != Gamma.SRGB:  # synthetic layers are SRGB-tagged
+        return None
+    stencils = _stencil_fns()
+    plan: list[tuple] = []
+    R = 0
+    seen_stencil = False
+    for (filt, static, in_tr, out_tr, enabled) in chain_spec:
+        if not enabled:
+            plan.append(("skip",))
+            continue
+        if tuple(out_tr) != (0,):
+            return None
+        if filt.name in stencils:
+            dflt = filt.param("radius").default
+            r = max(1, int(static.get("radius", dflt)))
+            plan.append(("stencil", r))
+            R += r
+            seen_stencil = True
+        elif filt.name in PALLAS_SAFE or filt.name in COORD_SAFE:
+            used = tuple(in_tr[: filt.n_in])
+            if seen_stencil and used != (0,):
+                return None  # post-stencil sizes only track layer 0
+            if used and max(used) >= n_tracks:
+                return None
+            plan.append(("point",))
+        else:
+            return None
+    TH = _pick_sweep_tile(H)
+    # scratch per stencil, at that stencil's remaining halo
+    scratch_shapes = []
+    cur = R
+    for step in plan:
+        if step[0] == "stencil":
+            scratch_shapes.append(
+                pltpu.VMEM((3, TH + 2 * cur, W + 2 * cur), jnp.float32))
+            cur -= step[1]
+    P = len(rows_key)
+    inv255 = np.float32(1.0 / 255.0)
+
+    def kernel(params_ref, ids_ref, out_ref, *scratches):
+        b = pl.program_id(0)
+        i = pl.program_id(1)
+        hh, ww = TH + 2 * R, W + 2 * R
+        yc = jnp.clip(jax.lax.broadcasted_iota(jnp.int32, (hh, ww), 0)
+                      + (i * TH - R), 0, H - 1)
+        xc = jnp.clip(jax.lax.broadcasted_iota(jnp.int32, (hh, ww), 1)
+                      - R, 0, W - 1)
+        layers = []
+        for t in range(n_tracks):
+            ch = source.traced_tile(ids_ref[t, b], ids_ref[n_tracks + t, b],
+                                    yc, xc)
+            layers.append(Layer(
+                planes=(ch.astype(jnp.float32) * inv255,),
+                palette=int(Palette.RGBFLOAT)))
+        tc = params_ref[P, b]
+        fr = params_ref[P + 1, b].astype(jnp.int32)
+        cur = R
+        si = 0
+        for idx, (spec, step) in enumerate(zip(chain_spec, plan)):
+            if step[0] == "skip":
+                continue
+            filt, static, in_tr, out_tr, enabled = spec
+            tp = {k: params_ref[r_, b]
+                  for r_, (i_, k) in enumerate(rows_key) if i_ == idx}
+            params = {**{p.name: p.default for p in filt.params},
+                      **static, **tp}
+            params = {k: filt.param(k).clamp(v) for k, v in params.items()
+                      if any(p.name == k for p in filt.params)}
+            if step[0] == "stencil":
+                r = step[1]
+                arr = layers[0].planes[0]
+                sc = scratches[si]
+                si += 1
+                sc[...] = arr
+                kern_fn, sharpen = stencils[filt.name]
+                kw = np.asarray(kern_fn(r), np.float32)
+                kw = kw / kw.sum()  # _sep_conv_shifts renormalisation
+                n = 2 * r + 1
+                h_out = arr.shape[-2] - 2 * r
+                w_out = arr.shape[-1] - 2 * r
+                rows = sum(np.float32(kw[a]) * sc[:, a:a + h_out, :]
+                           for a in range(n))
+                blurred = sum(np.float32(kw[d]) * rows[:, :, d:d + w_out]
+                              for d in range(n))
+                base = sc[:, r:r + h_out, r:r + w_out]
+                amount = params.get("amount", 1.0)
+                if sharpen:
+                    out = base + (base - blurred) * amount
+                else:
+                    out = base + (blurred - base) * amount
+                out = jnp.clip(out, 0.0, 1.0)
+                cur -= r
+                layers = [Layer(planes=(out,),
+                                palette=int(Palette.RGBFLOAT))] + layers[1:]
+            else:
+                ctx = FrameContext(tc=tc, frame=fr, fps=fps,
+                                   width=W, height=H,
+                                   y0=i * TH - cur, x0=-cur)
+                fx_ins = [layers[t] for t in in_tr[: filt.n_in]]
+                out = filt.process(fx_ins, params, ctx)
+                layers[out_tr[0]] = out
+        arr = layers[0].planes[0]
+        u8 = jnp.clip(jnp.floor(arr * np.float32(255.0) + np.float32(0.5)),
+                      0, 255).astype(jnp.int32).astype(jnp.uint8)
+        out_ref[...] = u8[None]
+
+    def run(src_ids, packed):
+        """Traceable: src_ids (2,T,B) int32, packed (P+2,B) f32."""
+        ids = src_ids.reshape(2 * n_tracks, B)
+        grid = (B, H // TH)
+        return pl.pallas_call(
+            kernel,
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((packed.shape[0], B), lambda b, i: (0, 0),
+                             memory_space=pltpu.SMEM),
+                pl.BlockSpec((2 * n_tracks, B), lambda b, i: (0, 0),
+                             memory_space=pltpu.SMEM),
+            ],
+            out_specs=pl.BlockSpec((1, 3, TH, W), lambda b, i: (b, 0, i, 0),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((B, 3, H, W), jnp.uint8),
+            scratch_shapes=scratch_shapes,
+            interpret=interpret,
+        )(packed, ids)
 
     return run

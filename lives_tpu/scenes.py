@@ -30,10 +30,22 @@ class DeviceSyntheticSource:
         self.h, self.w, self.alpha = h, w, alpha
         self._fn = jax.jit(self._make, static_argnums=())
 
+    @staticmethod
+    def _channels(c, f, x, y):
+        """The content formulas, shared by every execution mode: int32
+        clip id `c`, frame `f`, pixel coords `x`/`y` (broadcastable int32
+        arrays) -> (r, g, b) int32 channel arrays before the u8 wrap.
+        Integer-only (no transcendentals) so source cost is negligible."""
+        phase = c * 37 + f * 3
+        blank = c < 0
+        def chan(v):
+            return jnp.where(blank, 0, v & 0xFF)
+        r = chan(x * (3 + c % 5) // 16 + phase)
+        g = chan(y * (2 + c % 3) // 8 - phase * 2)
+        b = chan((x + y) // 8 + phase * 5)
+        return r, g, b
+
     def _make(self, clip_ids, frame_nums):
-        # integer-only content (moving gradients + clip-keyed phase): the
-        # source must cost a negligible fraction of the composite being
-        # measured, so no transcendentals here
         import jax
         h, w = self.h, self.w
         B = clip_ids.shape[0]
@@ -41,15 +53,9 @@ class DeviceSyntheticSource:
         y = jax.lax.broadcasted_iota(jnp.int32, (1, h, w), 1)
         c = clip_ids[:, None, None].astype(jnp.int32)
         f = frame_nums[:, None, None].astype(jnp.int32)
-        phase = c * 37 + f * 3
-        blank = c < 0
         # cast to u8 per channel BEFORE stacking: int32 (B,3,H,W) temps
         # would quadruple the write traffic of this generator
-        def chan(v):
-            return jnp.where(blank, 0, v & 0xFF).astype(jnp.uint8)
-        r = chan(x * (3 + c % 5) // 16 + phase)
-        g = chan(y * (2 + c % 3) // 8 - phase * 2)
-        b = chan((x + y) // 8 + phase * 5)
+        r, g, b = (v.astype(jnp.uint8) for v in self._channels(c, f, x, y))
         u8 = jnp.stack([jnp.broadcast_to(r, (B, h, w)),
                         jnp.broadcast_to(g, (B, h, w)),
                         jnp.broadcast_to(b, (B, h, w))], 1)  # (B,3,H,W)
@@ -57,6 +63,15 @@ class DeviceSyntheticSource:
             a = jnp.full((B, 1, h, w), 255, jnp.uint8)
             u8 = jnp.concatenate([u8, a], 1)
         return u8
+
+    def traced_tile(self, clip_id, frame_num, yy, xx):
+        """In-kernel LOAD step for the fused pallas sweep
+        (graph/pallas_composite.build_fused_sweep): scalar int32 clip/frame
+        + (th, tw) int32 global pixel-coordinate arrays -> (3, th, tw)
+        int32 channels in [0, 255]. Must agree exactly with `_make` so
+        the fused and XLA paths are interchangeable (parity-tested)."""
+        r, g, b = self._channels(clip_id, frame_num, xx, yy)
+        return jnp.stack([r, g, b], 0)
 
     def get_batch(self, clip_ids, frame_nums) -> Layer:
         arr = self._fn(jnp.asarray(np.asarray(clip_ids), jnp.int32),

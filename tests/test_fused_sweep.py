@@ -1,0 +1,81 @@
+"""Fused single-sweep pallas kernel (graph/pallas_composite.build_fused_sweep)
+vs the XLA plan-template path: bitwise-near parity on the driver's multitrack
+chain, via interpret mode on the CPU mesh (the real-TPU run is covered in
+test_pallas.py)."""
+
+import os
+
+import numpy as np
+import pytest
+
+from lives_tpu.events.renderer import render_to_arrays
+from lives_tpu.graph import SinkSpec
+from lives_tpu.scenes import DeviceSyntheticSource, multitrack_timeline
+
+
+def _render(w, h, n_frames, fused: bool, batch=4, tracks=4):
+    from lives_tpu.graph import nodemodel
+    el = multitrack_timeline(n_tracks=tracks, n_frames=n_frames,
+                             width=w, height=h, fps=25.0)
+    src = DeviceSyntheticSource(h, w)
+    sink = SinkSpec(width=w, height=h)
+    old_i = os.environ.get("LIVES_TPU_PALLAS_INTERPRET")
+    old_f = os.environ.get("LIVES_TPU_FUSED_SWEEP")
+    os.environ["LIVES_TPU_PALLAS_INTERPRET"] = "1" if fused else "0"
+    os.environ["LIVES_TPU_FUSED_SWEEP"] = "1" if fused else "0"
+    try:
+        tcs, arr = render_to_arrays(el, src, sink, batch_size=batch)
+    finally:
+        for k, v in (("LIVES_TPU_PALLAS_INTERPRET", old_i),
+                     ("LIVES_TPU_FUSED_SWEEP", old_f)):
+            if v is None:
+                os.environ.pop(k, None)
+            else:
+                os.environ[k] = v
+    return np.asarray(arr)
+
+
+def test_fused_sweep_parity_with_xla_path():
+    # geometry chosen to satisfy sweep constraints: W % 128 == 0,
+    # H divisible by a sweep tile
+    w, h = 256, 48
+    ref = _render(w, h, 8, fused=False)
+    out = _render(w, h, 8, fused=True)
+    assert out.shape == ref.shape
+    diff = np.abs(out.astype(int) - ref.astype(int))
+    assert diff.max() <= 1, f"max diff {diff.max()} at {np.unravel_index(diff.argmax(), diff.shape)}"
+
+
+def test_fused_sweep_rejects_unsupported():
+    """Chains/sinks outside the sweep contract fall back (return None)."""
+    from lives_tpu.effects.host import instantiate
+    from lives_tpu.graph.nodemodel import _split_params
+    from lives_tpu.graph.pallas_composite import build_fused_sweep
+    src = DeviceSyntheticSource(48, 256)
+    sink = SinkSpec(width=256, height=48)
+
+    def spec_of(*names):
+        out = []
+        for n in names:
+            inst = instantiate(n)
+            st, _ = _split_params(inst)
+            out.append((inst.filter, st, inst.in_tracks, inst.out_tracks,
+                        True))
+        return out
+
+    os.environ["LIVES_TPU_PALLAS_INTERPRET"] = "1"
+    try:
+        rows = ()
+        # rotozoom gathers -> not fusible
+        assert build_fused_sweep(spec_of("rotozoom"), 1, 2, 48, 256, rows,
+                                 25.0, src, sink) is None
+        # letterboxed sink -> not fusible
+        import dataclasses
+        lsink = dataclasses.replace(sink, letterbox=True, width=128)
+        assert build_fused_sweep(spec_of("negate"), 1, 2, 48, 256, rows,
+                                 25.0, src, lsink) is None
+        # fusible chain is accepted
+        assert build_fused_sweep(spec_of("negate", "vignette"), 1, 2, 48,
+                                 256, rows, 25.0, src, sink) is not None
+    finally:
+        os.environ.pop("LIVES_TPU_PALLAS_INTERPRET", None)

@@ -115,3 +115,33 @@ def test_composite_kernel_matches_xla_chain(rng):
     # same math; XLA path uses a float chain between effects while the
     # kernel quantises to u8 per stage (reference-accurate) -> within 2
     assert np.abs(a.astype(int) - b.astype(int)).max() <= 2
+
+
+def test_fused_sweep_matches_xla_path_on_tpu():
+    """Real-TPU parity of the production fused sweep vs the XLA plan path
+    on the driver's multitrack chain (the CPU suite covers the same in
+    interpret mode: tests/test_fused_sweep.py)."""
+    import os
+    from lives_tpu.events.renderer import render_to_arrays
+    from lives_tpu.graph import SinkSpec
+    from lives_tpu.scenes import DeviceSyntheticSource, multitrack_timeline
+
+    w, h = 384, 120
+    el = multitrack_timeline(n_tracks=6, n_frames=8, width=w, height=h,
+                             fps=25.0)
+    src = DeviceSyntheticSource(h, w)
+    sink = SinkSpec(width=w, height=h)
+    old = os.environ.get("LIVES_TPU_FUSED_SWEEP")
+    try:
+        os.environ["LIVES_TPU_FUSED_SWEEP"] = "0"
+        _, ref_arr = render_to_arrays(el, src, sink, batch_size=4)
+        os.environ["LIVES_TPU_FUSED_SWEEP"] = "1"
+        _, out_arr = render_to_arrays(el, src, sink, batch_size=4)
+    finally:
+        if old is None:
+            os.environ.pop("LIVES_TPU_FUSED_SWEEP", None)
+        else:
+            os.environ["LIVES_TPU_FUSED_SWEEP"] = old
+    diff = np.abs(np.asarray(out_arr).astype(int)
+                  - np.asarray(ref_arr).astype(int))
+    assert diff.max() <= 1, f"max diff {diff.max()}"
