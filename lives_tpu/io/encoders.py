@@ -172,3 +172,66 @@ if shutil.which("ffmpeg"):
                     np.moveaxis(_chw(f)[:3], 0, -1).tobytes())
             proc.stdin.close()
             return proc.wait() == 0
+
+
+def _have_avbridge() -> bool:
+    try:
+        from .av import load_avbridge
+        return load_avbridge() is not None
+    except Exception:
+        return False
+
+
+if _have_avbridge():
+    @register_encoder
+    class AVEncoder(Encoder):
+        """In-process libav encoder (native/avbridge.cpp): H.264/MKV/MP4,
+        VP8/WebM, Theora/OGV, MPEG-4/AVI — the reference's
+        ffmpeg_encoder/multi_encoder/x264_encoder plugin family
+        (lives-plugins/plugins/encoders/) without an external binary."""
+
+        name = "av"
+
+        @classmethod
+        def get_capabilities(cls):
+            return CAP_VIDEO | CAP_AUDIO
+
+        @classmethod
+        def get_formats(cls):
+            from .av import ENC_CODECS, load_avbridge
+            lib = load_avbridge()
+            out = []
+            for ext, (vc, _) in ENC_CODECS.items():
+                if lib.avb_have_encoder(vc.encode()):
+                    out.append(EncFormat(vc, ext))
+            return out
+
+        def encode(self, out_path, frames, fps, audio=None, arate=44100):
+            from .av import AVEncodeSession
+            frames = iter(frames)
+            try:
+                first = next(frames)
+            except StopIteration:
+                return False
+            f0 = _chw(first)
+            c, h, w = f0.shape
+            achans = 0
+            if audio is not None:
+                audio = np.asarray(audio)
+                achans = 1 if audio.ndim == 1 else audio.shape[-1]
+            sess = AVEncodeSession(out_path, w, h, fps,
+                                   arate=arate if achans else 0,
+                                   achans=max(achans, 1))
+            try:
+                sess.write_frame(f0)
+                n = 1
+                for f in frames:
+                    sess.write_frame(_chw(f))
+                    n += 1
+                if achans:
+                    pcm = np.clip(audio, -1.0, 1.0) * 32767 \
+                        if np.issubdtype(audio.dtype, np.floating) else audio
+                    sess.write_audio(np.asarray(pcm, np.int16))
+            finally:
+                sess.close()
+            return n > 0
