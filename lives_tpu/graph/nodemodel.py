@@ -342,7 +342,15 @@ class FrameGraph:
         """Untraced single-frame function (shared by run and run_batch).
         `start` skips chain instances already applied by a fused composite
         kernel (their traced_params/states entries must be sliced off by
-        the caller)."""
+        the caller).
+
+        The returned fn accepts an optional `origin=(y0, full_h, full_w)`:
+        when given, the layers are a horizontal band (possibly halo-padded)
+        of a larger frame — FrameContext carries the global geometry so
+        coordinate-dependent effects (ctx_grid users) stay correct, and the
+        sink resize/letterbox step is skipped (the caller owns assembly).
+        This is how the spatially-sharded multi-chip path
+        (parallel/mesh.spatial_batch_fn) runs the production chain."""
         chain_spec = []
         for inst in self.chain[start:]:
             static, _ = _split_params(inst)
@@ -355,12 +363,17 @@ class FrameGraph:
         float_chain = (len(chain_spec) >= 2 and
                        _os.environ.get('LIVES_TPU_FLOAT_CHAIN', '1') != '0')
 
-        def frame_fn(layers, traced_params, states, tc, frame):
+        def frame_fn(layers, traced_params, states, tc, frame, origin=None):
             w0 = layers[0].width if layers else sink.width
             h0 = layers[0].height if layers else sink.height
-            ctx = FrameContext(tc=tc, frame=frame, fps=fps,
-                               width=w0 or sink.width,
-                               height=h0 or sink.height)
+            if origin is not None:
+                y0, full_h, full_w = origin
+                ctx = FrameContext(tc=tc, frame=frame, fps=fps,
+                                   width=full_w, height=full_h, y0=y0)
+            else:
+                ctx = FrameContext(tc=tc, frame=frame, fps=fps,
+                                   width=w0 or sink.width,
+                                   height=h0 or sink.height)
             layers = list(layers)
             if float_chain:
                 # run the chain in float layers: quantise once at entry and
@@ -390,7 +403,15 @@ class FrameGraph:
                 layers = apply_instance(inst, layers, ctx)
                 new_states.append(inst.state)
             out = layers[0]
-            out = self._to_sink(out)
+            if origin is not None:
+                # band execution: pointwise sink steps only (gamma/palette);
+                # geometry belongs to the caller
+                if out.gamma != sink.gamma:
+                    out = gamma_convert_layer(out, sink.gamma)
+                if out.palette != sink.palette:
+                    out = convert_layer(out, sink.palette)
+            else:
+                out = self._to_sink(out)
             return out, new_states
 
         return frame_fn
