@@ -104,9 +104,12 @@ class FrameGraph:
 
     # -- configuration key (plan-template cache key) -----------------------
     def _config_key(self, layers: Sequence[Layer]):
+        import os as _os
         return (_chain_static_key(self.chain),
                 tuple(l.config for l in layers),
-                self.sink.key(), self.fps)
+                self.sink.key(), self.fps,
+                _os.environ.get("LIVES_TPU_CHAIN_DTYPE", "bf16"),
+                _os.environ.get("LIVES_TPU_FLOAT_CHAIN", "1"))
 
     # -- template compilation ---------------------------------------------
     def _build_template(self, layers: Sequence[Layer]):
@@ -385,11 +388,17 @@ class FrameGraph:
                 from ..constants import (Palette as _P, has_alpha as _ha,
                                          is_rgb_palette as _rgb)
 
+                # inter-stage comp dtype: bf16 halves HBM traffic at
+                # <=+/-3 LSB vs f32; f32 matches the fused pallas sweep
+                # exactly (parity tests set LIVES_TPU_CHAIN_DTYPE=f32)
+                comp_dt = jnp.float32 if _os.environ.get(
+                    "LIVES_TPU_CHAIN_DTYPE") == "f32" else jnp.bfloat16
+
                 def to_float(l):
                     fl = convert_layer(
                         l, _P.RGBAFLOAT if _ha(l.palette) else _P.RGBFLOAT)
                     return fl.replace(planes=tuple(
-                        p.astype(jnp.bfloat16) for p in fl.planes))
+                        p.astype(comp_dt) for p in fl.planes))
                 layers = [to_float(l) if _rgb(l.palette) else l
                           for l in layers]
             if not layers:

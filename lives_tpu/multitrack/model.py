@@ -270,14 +270,29 @@ class Multitrack:
 
     # -- layout save/load --------------------------------------------------
     def save_layout(self, path: str):
+        """JSON (debug container) by default; `.lay`/`.bin` or any
+        non-.json suffix writes the reference's binary Weed format
+        (events/weed_binary.py) for interop with real LiVES layouts."""
         import pathlib
-        pathlib.Path(path).write_text(self.el.to_json())
+        p = pathlib.Path(path)
+        if p.suffix.lower() == ".json":
+            p.write_text(self.el.to_json())
+        else:
+            from ..events.weed_binary import save_event_list_binary
+            with open(p, "wb") as fh:
+                save_event_list_binary(self.el, fh)
 
     @classmethod
     def load_layout(cls, path: str, n_tracks: int | None = None
                     ) -> "Multitrack":
         import pathlib
-        el = EventList.from_json(pathlib.Path(path).read_text())
+        raw = pathlib.Path(path).read_bytes()
+        if raw[:1] in (b"{", b"["):  # JSON debug container
+            el = EventList.from_json(raw.decode())
+        else:
+            import io as _io
+            from ..events.weed_binary import load_event_list_binary
+            el = load_event_list_binary(_io.BytesIO(raw))
         mt = cls(fps=el.fps, width=el.width, height=el.height)
         mt.el = el
         mt.n_tracks = n_tracks or max(

@@ -13,21 +13,23 @@ from lives_tpu.graph import SinkSpec
 from lives_tpu.scenes import DeviceSyntheticSource, multitrack_timeline
 
 
-def _render(w, h, n_frames, fused: bool, batch=4, tracks=4):
+def _render(w, h, n_frames, fused: bool, batch=4, tracks=4,
+            chain_dtype=None):
     from lives_tpu.graph import nodemodel
     el = multitrack_timeline(n_tracks=tracks, n_frames=n_frames,
                              width=w, height=h, fps=25.0)
     src = DeviceSyntheticSource(h, w)
     sink = SinkSpec(width=w, height=h)
-    old_i = os.environ.get("LIVES_TPU_PALLAS_INTERPRET")
-    old_f = os.environ.get("LIVES_TPU_FUSED_SWEEP")
-    os.environ["LIVES_TPU_PALLAS_INTERPRET"] = "1" if fused else "0"
-    os.environ["LIVES_TPU_FUSED_SWEEP"] = "1" if fused else "0"
+    env = {"LIVES_TPU_PALLAS_INTERPRET": "1" if fused else "0",
+           "LIVES_TPU_FUSED_SWEEP": "1" if fused else "0"}
+    if chain_dtype:
+        env["LIVES_TPU_CHAIN_DTYPE"] = chain_dtype
+    old = {k: os.environ.get(k) for k in env}
+    os.environ.update(env)
     try:
-        tcs, arr = render_to_arrays(el, src, sink, batch_size=batch)
+        arr, tcs = render_to_arrays(el, src, sink, batch_size=batch)
     finally:
-        for k, v in (("LIVES_TPU_PALLAS_INTERPRET", old_i),
-                     ("LIVES_TPU_FUSED_SWEEP", old_f)):
+        for k, v in old.items():
             if v is None:
                 os.environ.pop(k, None)
             else:
@@ -36,14 +38,26 @@ def _render(w, h, n_frames, fused: bool, batch=4, tracks=4):
 
 
 def test_fused_sweep_parity_with_xla_path():
+    """Strict +/-1 LSB against the XLA path with f32 inter-stage comps
+    (both paths then compute the same chain in f32)."""
     # geometry chosen to satisfy sweep constraints: W % 128 == 0,
     # H divisible by a sweep tile
     w, h = 256, 48
-    ref = _render(w, h, 8, fused=False)
+    ref = _render(w, h, 8, fused=False, chain_dtype="f32")
     out = _render(w, h, 8, fused=True)
     assert out.shape == ref.shape
     diff = np.abs(out.astype(int) - ref.astype(int))
     assert diff.max() <= 1, f"max diff {diff.max()} at {np.unravel_index(diff.argmax(), diff.shape)}"
+
+
+def test_fused_sweep_close_to_bf16_production_path():
+    """The production XLA path stores bf16 between effects (bandwidth);
+    the fused kernel computes f32 throughout — document the bound."""
+    w, h = 256, 48
+    ref = _render(w, h, 8, fused=False)          # bf16 comps (default)
+    out = _render(w, h, 8, fused=True)
+    diff = np.abs(out.astype(int) - ref.astype(int))
+    assert diff.max() <= 4, f"bf16-vs-f32 drift {diff.max()}"
 
 
 def test_fused_sweep_rejects_unsupported():

@@ -131,17 +131,22 @@ def test_fused_sweep_matches_xla_path_on_tpu():
                              fps=25.0)
     src = DeviceSyntheticSource(h, w)
     sink = SinkSpec(width=w, height=h)
-    old = os.environ.get("LIVES_TPU_FUSED_SWEEP")
+    old = {k: os.environ.get(k) for k in
+           ("LIVES_TPU_FUSED_SWEEP", "LIVES_TPU_CHAIN_DTYPE")}
     try:
+        # f32 inter-stage comps on the XLA side: apples-to-apples with the
+        # f32 fused kernel (the production bf16 path differs by <=4 LSB)
         os.environ["LIVES_TPU_FUSED_SWEEP"] = "0"
-        _, ref_arr = render_to_arrays(el, src, sink, batch_size=4)
+        os.environ["LIVES_TPU_CHAIN_DTYPE"] = "f32"
+        ref_arr, _ = render_to_arrays(el, src, sink, batch_size=4)
         os.environ["LIVES_TPU_FUSED_SWEEP"] = "1"
-        _, out_arr = render_to_arrays(el, src, sink, batch_size=4)
+        out_arr, _ = render_to_arrays(el, src, sink, batch_size=4)
     finally:
-        if old is None:
-            os.environ.pop("LIVES_TPU_FUSED_SWEEP", None)
-        else:
-            os.environ["LIVES_TPU_FUSED_SWEEP"] = old
+        for k, v in old.items():
+            if v is None:
+                os.environ.pop(k, None)
+            else:
+                os.environ[k] = v
     diff = np.abs(np.asarray(out_arr).astype(int)
                   - np.asarray(ref_arr).astype(int))
     assert diff.max() <= 1, f"max diff {diff.max()}"
