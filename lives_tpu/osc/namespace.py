@@ -1,0 +1,587 @@
+"""The full OSC method namespace (reference src/osc.c:6694 table).
+
+`register_extended(server)` binds the remainder of the reference's ~208
+method paths onto an OSCServer: clip open/edit/clipboard, clip sets,
+effect-key parameter enumeration + typed get/set, out-parameter/channel
+data connections (pconx/cconx), multitrack (/mt, /block), output flags,
+playback-plugin parameters, notify configuration and app queries.
+
+Conventions follow the reference: keys are 1-based on the wire
+(`/effect_key/...`), modes are 1-based, parameters are 0-indexed
+(osc.c lives_osc_cb_rte_getparamname), frames are 1-based on the wire
+and 0-based internally. Queries RETURN their value: the server replies
+both on the status socket and as an OSC message to the requester.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from typing import Any, Optional
+
+#: /lives/constant/value/get table (reference exposes build constants)
+CONSTANTS = {
+    "LIVES_OSC_NOTIFY_FRAME_SYNCH": 1,
+    "LIVES_OSC_NOTIFY_PLAYBACK_STARTED": 2,
+    "LIVES_OSC_NOTIFY_PLAYBACK_STOPPED": 3,
+    "LIVES_OSC_NOTIFY_RECORD_STARTED": 32,
+    "LIVES_OSC_NOTIFY_RECORD_STOPPED": 33,
+    "LIVES_OSC_NOTIFY_APP_QUIT": 64,
+    "LIVES_OSC_NOTIFY_CLIP_OPENED": 512,
+    "LIVES_OSC_NOTIFY_CLIP_CLOSED": 513,
+    "LIVES_OSC_NOTIFY_SUCCESS": 8192,
+    "LIVES_OSC_NOTIFY_FAILED": 8193,
+    "LIVES_STATUS_NOTREADY": 0,
+    "LIVES_STATUS_READY": 1,
+    "LIVES_STATUS_PLAYING": 2,
+    "LIVES_STATUS_PROCESSING": 4,
+}
+
+_PARAM_TYPE = {"num": "float", "int": "int", "bool": "bool",
+               "string": "string", "string_list": "string_list",
+               "color": "color"}
+
+
+def register_extended(srv) -> None:
+    m = srv.add_method
+    p = lambda: srv.player
+    st = lambda: srv.player.state
+
+    # ---- state the extended namespace needs on the server -----------------
+    srv.workdir = getattr(srv, "workdir", None)
+    srv.multitrack = getattr(srv, "multitrack", None)
+    srv.clipboard = None
+    srv.output_flags = {"fullscreen": False, "nodrop": False, "fps": 0.0}
+    srv.mode = 0  # 0 = clip editor, 1 = multitrack (reference /lives/mode)
+    srv._confirms = False
+    srv._events_mask = -1
+    srv._t0 = time.monotonic()
+
+    def workdir():
+        if srv.workdir is None:
+            import tempfile
+            srv.workdir = tempfile.mkdtemp(prefix="lives_tpu_osc_")
+        return srv.workdir
+
+    def cur(bg=False):
+        c = st().bg_clip if bg else st().fg_clip
+        if c is None:
+            raise RuntimeError("no clip")
+        return c
+
+    def clip_by_id(c):
+        clip = srv.clips.get(int(c))
+        if clip is None:
+            raise KeyError(f"no clip {c}")
+        return clip
+
+    def clip_id_of(clip):
+        return next((k for k, v in srv.clips.items() if v is clip), 0)
+
+    def new_id():
+        return max(srv.clips, default=0) + 1
+
+    # ---- app / lives ------------------------------------------------------
+    m("/ping", lambda: "pong")
+    m("/lives/ping", lambda: "pong")
+    m("/app/name/get", lambda: "lives_tpu")
+    m("/lives/version/get",
+      lambda: __import__("lives_tpu").__version__)
+    m("/lives/status/get",
+      lambda: 2 if st().playing else 1)
+    m("/lives/mode/get", lambda: srv.mode)
+    m("/lives/mode/set", lambda v: setattr(srv, "mode", int(v)))
+    m("/lives/open_status_socket",
+      lambda port, host="127.0.0.1": setattr(
+          srv, "_status_client", (host, int(port))))
+    m("/lives/open_notify_socket",
+      lambda port, host="127.0.0.1": srv._notify_clients.append(
+          (host, int(port))))
+    m("/lives/constant/value/get",
+      lambda name: CONSTANTS.get(str(name), 0))
+    m("/quit", srv.methods.get("/app/quit", lambda: None))
+    m("/lives/quit", srv.methods.get("/app/quit", lambda: None))
+    m("/test", lambda *a: "test " + " ".join(map(str, a)))
+    m("/notify/confirmations/set",
+      lambda on: setattr(srv, "_confirms", bool(int(on))))
+    m("/notify/events/set",
+      lambda mask: setattr(srv, "_events_mask", int(mask)))
+    m("/notify_to",
+      lambda port, host="127.0.0.1": srv._notify_clients.append(
+          (host, int(port))))
+    m("/reply_to",
+      lambda port, host="127.0.0.1": setattr(
+          srv, "_reply_client", (host, int(port))))
+
+    # ---- video transport extras -------------------------------------------
+    m("/video/play/faster",
+      lambda: p().set_pb_fps(st().pb_fps * 1.1))
+    m("/video/play/slower",
+      lambda: p().set_pb_fps(st().pb_fps * 0.9))
+    m("/video/play/reset",
+      lambda: p().set_pb_fps(getattr(st().fg_clip, "fps", 25.0) or 25.0))
+    m("/video/play/reverse/soft",
+      lambda: p().set_pb_fps(-st().pb_fps))
+    m("/video/loop/get", lambda: int(st().loop))
+    m("/video/pingpong/get", lambda: int(st().ping_pong))
+    m("/video/play/time/get",
+      lambda: (st().frame / abs(st().pb_fps)) if st().pb_fps else 0.0)
+    m("/video/freeze/toggle",
+      lambda: p().set_pb_fps(0.0 if st().pb_fps else
+                             (getattr(st().fg_clip, "fps", 25.0) or 25.0)))
+
+    def fps_ratio_get():
+        base = getattr(st().fg_clip, "fps", 25.0) or 25.0
+        return st().pb_fps / base
+
+    def fps_ratio_set(r):
+        base = getattr(st().fg_clip, "fps", 25.0) or 25.0
+        p().set_pb_fps(float(r) * base)
+
+    m("/video/fps/ratio/get", fps_ratio_get)
+    m("/video/fps/ratio/set", fps_ratio_set)
+    m("/clip/foreground/fps/ratio/get", fps_ratio_get)
+    m("/clip/foreground/fps/ratio/set", fps_ratio_set)
+
+    def play_selection():
+        s = st()
+        s.frame = s.sel_start
+        p().start()
+
+    m("/video/selection/play", play_selection)
+
+    # ---- background clip clock (player bg_pb_fps) --------------------------
+    def bg_fps():
+        return st().bg_pb_fps or st().pb_fps
+
+    m("/clip/background/fps/set",
+      lambda fps: setattr(st(), "bg_pb_fps", float(fps)))
+    m("/clip/background/fps/get", bg_fps)
+    m("/clip/background/fps/faster",
+      lambda: setattr(st(), "bg_pb_fps", bg_fps() * 1.1))
+    m("/clip/background/fps/slower",
+      lambda: setattr(st(), "bg_pb_fps", bg_fps() * 0.9))
+    m("/clip/background/fps/reverse",
+      lambda: setattr(st(), "bg_pb_fps", -bg_fps()))
+    m("/clip/background/fps/reset",
+      lambda: setattr(st(), "bg_pb_fps", 0.0))
+    m("/clip/background/fps/ratio/get",
+      lambda: bg_fps() / (getattr(st().bg_clip, "fps", 25.0) or 25.0))
+    m("/clip/background/fps/ratio/set",
+      lambda r: setattr(st(), "bg_pb_fps",
+                        float(r) * (getattr(st().bg_clip, "fps", 25.0)
+                                    or 25.0)))
+    m("/clip/background/frame/set",
+      lambda f: None)  # bg follows its clock; parity no-op like pre-play set
+    m("/clip/background/frame/get",
+      lambda: p()._bg_frame(st().frame) + 1 if st().bg_clip else 0)
+    m("/clip/background/set", lambda c: srv._select_clip(c, bg=True))
+    m("/clip/background/next", srv._bg_next)
+    m("/clip/background/previous", srv._bg_next)
+    m("/clip/background/retrigger",
+      lambda: setattr(st(), "bg_pb_fps", 0.0))
+
+    # ---- clip open / query / edit -----------------------------------------
+    def clip_open_file(path, start=0., frames=0):
+        from ..io.clips import open_clip
+        clip = open_clip(str(path), workdir())
+        cid = new_id()
+        srv.clips[cid] = clip
+        if st().fg_clip is None:
+            st().fg_clip = clip
+        srv.notify(512, str(path))  # CLIP_OPENED
+        return cid
+
+    m("/clip/open/file", clip_open_file)
+    m("/clip/open/unicap", lambda dev="/dev/video0": _open_videodev(
+        srv, str(dev)))
+
+    def audio_new(path):
+        cd_open = clip_open_file(path)
+        return cd_open
+
+    m("/clip/audio/new", audio_new)
+    m("/clip/fps/get", lambda: getattr(cur(), "fps", 25.0))
+    m("/clip/frame/count", lambda: getattr(cur(), "frames", 0))
+    m("/clip/size/get", lambda: [int(getattr(cur(), "width", 0)),
+                                 int(getattr(cur(), "height", 0))])
+    m("/clip/name/get",
+      lambda c=None: getattr(clip_by_id(c) if c is not None else cur(),
+                             "name", ""))
+    m("/clip/name/set",
+      lambda name: setattr(cur(), "name", str(name)))
+    m("/clip/is_valid/get",
+      lambda c=None: int((clip_by_id(c) if c is not None else
+                          st().fg_clip) is not None))
+    m("/clip/goto", lambda f: setattr(st(), "frame", int(f) - 1))
+    m("/clip/foreground/set", lambda c: srv._select_clip(c, bg=False))
+    m("/clip/foreground/next", srv._fg_next)
+    m("/clip/foreground/previous", srv._fg_next)
+    m("/clip/foreground/retrigger",
+      lambda: setattr(st(), "frame", 0))
+    m("/clip/retrigger", lambda: setattr(st(), "frame", 0))
+    m("/clip/select/previous", srv._fg_next)
+    m("/clip/select_all",
+      lambda: (setattr(st(), "sel_start", 0),
+               setattr(st(), "sel_end", -1)) and None)
+
+    def save_frame_image(path, frame=None):
+        import numpy as np
+        clip = cur()
+        n = int(frame) - 1 if frame is not None else st().frame
+        lay = clip.get_frame(n)
+        from ..ops.colorspace import convert_layer
+        from ..constants import Palette
+        rgb = np.asarray(convert_layer(lay, Palette.RGB24).planes[0])
+        from PIL import Image
+        Image.fromarray(np.moveaxis(rgb, 0, -1)).save(str(path))
+        return str(path)
+
+    m("/clip/frame/save_as_image", save_frame_image)
+
+    # clipboard / selection editing (clipedit.py)
+    def _sel(clip):
+        s = st()
+        end = s.sel_end if s.sel_end >= 0 else clip.frames - 1
+        return s.sel_start, end
+
+    def clip_copy():
+        from ..clipedit import copy_frames
+        clip = cur()
+        srv.clipboard = copy_frames(clip, *_sel(clip))
+        return clip.frames
+
+    def sel_cut():
+        from ..clipedit import cut_frames
+        clip = cur()
+        srv.clipboard = cut_frames(clip, *_sel(clip))
+        return clip.frames
+
+    def sel_delete():
+        from ..clipedit import delete_frames
+        clip = cur()
+        delete_frames(clip, *_sel(clip))
+        return clip.frames
+
+    def paste(at=None, before=True):
+        from ..clipedit import paste_insert
+        if srv.clipboard is None:
+            raise RuntimeError("clipboard empty")
+        clip = cur()
+        pos = st().frame if at is None else int(at) - 1
+        paste_insert(clip, pos if before else pos + 1, srv.clipboard)
+        return clip.frames
+
+    m("/clip/copy", clip_copy)
+    m("/clip/selection/copy", clip_copy)
+    m("/clip/selection/cut", sel_cut)
+    m("/clip/selection/delete", sel_delete)
+    m("/clipboard/paste", paste)
+    m("/clipboard/insert_before", lambda at=None: paste(at, True))
+    m("/clipboard/insert_after", lambda at=None: paste(at, False))
+
+    def clip_undo():
+        from ..rfx import undo_rendered_effect
+        return int(undo_rendered_effect(cur()))
+
+    m("/clip/undo", clip_undo)
+    m("/clip/redo", clip_undo)  # undo buffer is a swap (reference redo)
+
+    def clip_resample(fps):
+        from ..resample import resample_clip_fps
+        resample_clip_fps(cur(), float(fps))
+        return float(fps)
+
+    m("/clip/resample", clip_resample)
+
+    def rte_apply():
+        """Apply the active key chain to the fg clip's selection
+        (reference /clip/selection/rte_apply)."""
+        from ..rfx import apply_rendered_effect
+        clip = cur()
+        s, e = _sel(clip)
+        n = 0
+        for inst in p().keymap.active_chain():
+            apply_rendered_effect(clip, inst.filter.name, start=s,
+                                  end=e + 1, values=dict(inst.values))
+            n += 1
+        return n
+
+    m("/clip/selection/rte_apply", rte_apply)
+
+    # ---- clip sets ---------------------------------------------------------
+    class _ClipW:  # sets.py expects app._clips of .raw()-wrappers
+        def __init__(self, c):
+            self._c = c
+
+        def raw(self):
+            return self._c
+
+    def _set_app():
+        import pathlib
+        from ..multitrack.model import Multitrack as _Mt
+
+        class _App:
+            pass
+
+        app = _App()
+        app.workdir = pathlib.Path(workdir())
+        app._clips = [_ClipW(c) for c in srv.clips.values()]
+        app.multitrack = srv.multitrack or _Mt()
+        return app
+
+    def clipset_save(name):
+        from .. import sets
+        sets.save_set(_set_app(), str(name))
+        srv._set_name = str(name)
+        srv.notify(1025, str(name))
+        return str(name)
+
+    def clipset_load(name):
+        from .. import sets
+        app = _set_app()
+        app._clips = []
+        app.open_clip_dir = None
+        n = sets.load_set(app, str(name))
+        for w in app._clips:
+            srv.clips[new_id()] = w.raw() if hasattr(w, "raw") else w
+        srv._set_name = str(name)
+        srv.notify(1024, str(name))
+        return n
+
+    m("/clipset/save", clipset_save)
+    m("/clipset/load", clipset_load)
+    m("/clipset/name/get", lambda: getattr(srv, "_set_name", ""))
+
+    # ---- effect keys: modes / map -----------------------------------------
+    km = lambda: p().keymap
+    m("/effect_key/mode/set",
+      lambda k, mode: (km().mode.__setitem__(int(k) - 1, int(mode) - 1),
+                       km().instances.__setitem__(int(k) - 1, None),
+                       None)[-1])
+    m("/effect_key/mode/previous",
+      lambda k: km().next_mode(int(k) - 1))
+    m("/effect_key/unmap",
+      lambda k: (km().slots[int(k) - 1].clear(),
+                 km().instances.__setitem__(int(k) - 1, None), None)[-1])
+    m("/effect_key/map/clear",
+      lambda: [(s.clear(), None) for s in km().slots] and None)
+    m("/effect_key/reset",
+      lambda: [p().key_toggle(i, False) for i in range(len(km().active))
+               if km().active[i]] and None)
+    m("/effects/realtime/name/get", _fx_name_by_idx)
+
+    # ---- effect key parameter enumeration / typed access -------------------
+    def filt_of(k):
+        from ..effects.host import get_filter
+        name = km().current_filter(int(k) - 1)
+        if not name:
+            raise KeyError(f"key {k} unmapped")
+        return get_filter(name)
+
+    def param_of(k, i):
+        filt = filt_of(k)
+        params = filt.params
+        i = int(i)
+        if not 0 <= i < len(params):
+            raise IndexError(f"param {i} of {filt.name}")
+        return params[i]
+
+    def inst_of(k):
+        inst = km().instances[int(k) - 1]
+        if inst is None:
+            raise RuntimeError(f"key {k} has no instance (enable it)")
+        return inst
+
+    def pval_get(k, i):
+        par = param_of(k, i)
+        inst = km().instances[int(k) - 1]
+        v = inst.values.get(par.name, par.default) if inst else par.default
+        return float(v) if par.kind == "num" else v
+
+    def pval_set(k, i, *vals):
+        par = param_of(k, i)
+        v = vals[0] if len(vals) == 1 else list(vals)
+        if par.kind == "num":
+            v = float(v)
+        elif par.kind in ("int", "string_list"):
+            v = int(v)
+        elif par.kind == "bool":
+            v = bool(int(v))
+        p().set_key_param(int(k) - 1, par.name, v)
+
+    for pfx in ("/effect_key/parameter", "/effect_key/nparameter"):
+        m(f"{pfx}/count", lambda k, _f=filt_of: len(_f(k).params))
+        m(f"{pfx}/name/get", lambda k, i: param_of(k, i).name)
+        m(f"{pfx}/type/get",
+          lambda k, i: _PARAM_TYPE.get(param_of(k, i).kind, "float"))
+        m(f"{pfx}/min/get", lambda k, i: float(param_of(k, i).min))
+        m(f"{pfx}/max/get", lambda k, i: float(param_of(k, i).max))
+        m(f"{pfx}/default/get", lambda k, i: param_of(k, i).default)
+        m(f"{pfx}/value/get", pval_get)
+        m(f"{pfx}/value/set", pval_set)
+        m(f"{pfx}/is_transition",
+          lambda k, i: int(filt_of(k).is_transition))
+    m("/effect_key/parameter/default/set",
+      lambda k, i, v: pval_set(k, i, v))
+    m("/effect_key/nparameter/default/set",
+      lambda k, i, v: pval_set(k, i, v))
+    m("/effect_key/parameter/has_default", lambda k, i: 1)
+    m("/effect_key/parameter/flags/get", lambda k, i: 0)
+    m("/effect_key/parameter/group/get",
+      lambda k, i: int(param_of(k, i).group))
+    m("/effect_key/parameter/colorspace/get",
+      lambda k, i: "rgb" if param_of(k, i).kind == "color" else "")
+    m("/effect_key/parameter/gui/choices/count",
+      lambda k, i: len(param_of(k, i).choices))
+    m("/effect_key/parameter/gui/choices/get",
+      lambda k, i, c: param_of(k, i).choices[int(c)])
+
+    # out parameters (analysers; feed data connections)
+    def oparam_of(k, i):
+        filt = filt_of(k)
+        i = int(i)
+        if not 0 <= i < len(filt.out_params):
+            raise IndexError(f"out param {i} of {filt.name}")
+        return filt.out_params[i]
+
+    m("/effect_key/outparameter/count",
+      lambda k: len(filt_of(k).out_params))
+    m("/effect_key/outparameter/name/get",
+      lambda k, i: oparam_of(k, i).name)
+    m("/effect_key/outparameter/type/get",
+      lambda k, i: _PARAM_TYPE.get(oparam_of(k, i).kind, "float"))
+    m("/effect_key/outparameter/min/get",
+      lambda k, i: float(oparam_of(k, i).min))
+    m("/effect_key/outparameter/max/get",
+      lambda k, i: float(oparam_of(k, i).max))
+    m("/effect_key/outparameter/default/get",
+      lambda k, i: oparam_of(k, i).default)
+    m("/effect_key/outparameter/value/get",
+      lambda k, i: inst_of(k).out_values.get(oparam_of(k, i).name,
+                                             oparam_of(k, i).default))
+    m("/effect_key/outparameter/has_min", lambda k, i: 1)
+    m("/effect_key/outparameter/has_max", lambda k, i: 1)
+    m("/effect_key/outparameter/has_default", lambda k, i: 1)
+    m("/effect_key/outparameter/colorspace/get", lambda k, i: "")
+
+    # data connections (effects-data.c pconx/cconx)
+    def conns():
+        if not hasattr(srv, "datacons"):
+            from ..effects.data import DataConnections
+            srv.datacons = DataConnections()
+        return srv.datacons
+
+    def conn_add(k, i, dk, di, autoscale=1):
+        par = oparam_of(k, i)
+        dpar = param_of(dk, di)
+        conns().add(inst_of(k), par.name, inst_of(dk), dpar.name,
+                    autoscale=bool(int(autoscale)))
+        return 1
+
+    def conn_del(k, i):
+        par = oparam_of(k, i)
+        for c in list(conns().conns):
+            if c.src is inst_of(k) and c.out_param == par.name:
+                conns().remove(c)
+
+    def conn_list(k=None):
+        out = [f"{c.out_param}->{c.in_param}" for c in conns().conns]
+        return " ".join(out) or ""
+
+    m("/effect_key/outparameter/connection/add", conn_add)
+    m("/effect_key/outparameter/connection/list", conn_list)
+    m("/effect_key/outparameter/connection/delete", conn_del)
+    m("/effect_key/outchannel/connection/add", conn_add)
+    m("/effect_key/outchannel/connection/list", conn_list)
+    m("/effect_key/outchannel/connection/delete", conn_del)
+
+    # channels
+    m("/effect_key/inchannel/active/count",
+      lambda k: len(filt_of(k).in_channels))
+    m("/effect_key/outchannel/active/count",
+      lambda k: len(filt_of(k).out_channels))
+    m("/effect_key/inchannel/palette/get", lambda k, i=0: "RGB24")
+    m("/effect_key/outchannel/palette/get", lambda k, i=0: "RGB24")
+
+    # ---- playback-plugin ("/video/play/parameter") namespace ---------------
+    # our sinks expose no tweakable params yet: count 0, typed errors beyond
+    m("/video/play/parameter/count", lambda: 0)
+    for leaf in ("value/set", "value/get", "flags/get", "min/get",
+                 "max/get", "type/get", "name/get", "colorspace/get",
+                 "default/get"):
+        m(f"/video/play/parameter/{leaf}",
+          lambda *a: (_ for _ in ()).throw(
+              IndexError("no playback plugin parameters")))
+
+    # ---- output / sink flags ----------------------------------------------
+    m("/output/fullscreen/enable",
+      lambda: srv.output_flags.__setitem__("fullscreen", True))
+    m("/output/fullscreen/disable",
+      lambda: srv.output_flags.__setitem__("fullscreen", False))
+    m("/output/nodrop/enable",
+      lambda: srv.output_flags.__setitem__("nodrop", True))
+    m("/output/nodrop/disable",
+      lambda: srv.output_flags.__setitem__("nodrop", False))
+    m("/output/fps/set",
+      lambda fps: srv.output_flags.__setitem__("fps", float(fps)))
+
+    # ---- audio source ------------------------------------------------------
+    m("/audio/source/get",
+      lambda: getattr(srv, "_audio_source", 0))
+    m("/audio/source/set",
+      lambda v: setattr(srv, "_audio_source", int(v)))
+
+    # ---- multitrack (/mt, /block) ------------------------------------------
+    def mt():
+        if srv.multitrack is None:
+            from ..multitrack.model import Multitrack
+            srv.multitrack = Multitrack()
+        return srv.multitrack
+
+    m("/mt/time/get", lambda: getattr(mt(), "ctime", 0.0))
+    m("/mt/time/set",
+      lambda t: setattr(mt(), "ctime", float(t)))
+    m("/mt/ctrack/get", lambda: getattr(mt(), "ctrack", 0))
+    m("/mt/ctrack/set",
+      lambda t: setattr(mt(), "ctrack", int(t)))
+
+    def block_insert(clip_id, track=None, at=None):
+        clip = clip_by_id(clip_id)
+        t = int(track) if track is not None else getattr(mt(), "ctrack", 0)
+        tm = float(at) if at is not None else getattr(mt(), "ctime", 0.0)
+        start = int(tm * mt().el.fps)
+        mt().insert_block(t, getattr(clip, "unique_id", int(clip_id)),
+                          start, max(getattr(clip, "frames", 1), 1))
+        return len(mt().blocks(t))
+
+    m("/block/insert", block_insert)
+    m("/block/count",
+      lambda track=None: len(mt().blocks(int(track)
+                                         if track is not None
+                                         else getattr(mt(), "ctrack", 0))))
+
+    def block_time(track, idx, end=False):
+        b = mt().blocks(int(track))[int(idx)]
+        return (b.end if end else b.start) / mt().el.fps
+
+    m("/block/start/time/get", lambda track, i: block_time(track, i, False))
+    m("/block/end/time/get", lambda track, i: block_time(track, i, True))
+    m("/layout/clear", lambda: setattr(srv, "multitrack", None))
+
+
+def _open_videodev(srv, dev: str):
+    from ..io.videodev import V4L2Source
+    src = V4L2Source(dev)
+    cid = max(srv.clips, default=0) + 1
+    srv.clips[cid] = src
+    return cid
+
+
+def _fx_name_by_idx(idx):
+    from ..effects.host import list_filters
+    names = sorted(list_filters())
+    i = int(idx)
+    if not 0 <= i < len(names):
+        raise IndexError(f"effect {i}")
+    return names[i]

@@ -50,6 +50,7 @@ class OSCServer:
         self.clips: dict[int, Any] = {}
         self._notify_clients: list[tuple[str, int]] = []
         self._status_client: Optional[tuple[str, int]] = None
+        self._reply_client: Optional[tuple[str, int]] = None
         self._msg_no = 0
         self._thread: Optional[threading.Thread] = None
         self._running = False
@@ -94,16 +95,37 @@ class OSCServer:
     def dispatch(self, msg: OSCMessage, addr=None):
         fn = self.methods.get(msg.address)
         if fn is None:
+            self._reply(addr, "/error", msg.address, "unknown method")
             self._status(f"unknown method {msg.address}")
             return False
         try:
             ret = fn(*msg.args)
-            if ret is not None:
-                self._status(str(ret))
-            return True
         except Exception as e:
+            # structured failure: /error <path> <message> back to the
+            # requester (+ free text on the status socket)
+            self._reply(addr, "/error", msg.address, str(e))
             self._status(f"error in {msg.address}: {e}")
             return False
+        if ret is not None:
+            # structured reply: query results echo back on the request
+            # path to /reply_to (or the sender's source address)
+            if isinstance(ret, (list, tuple)):
+                self._reply(addr, msg.address, *ret)
+            else:
+                self._reply(addr, msg.address, ret)
+            self._status(str(ret))
+        return True
+
+    def _reply(self, addr, path: str, *args):
+        target = self._reply_client or addr
+        if target is None:
+            return
+        try:
+            args = tuple(a if isinstance(a, (int, float, str, bool, bytes))
+                         else str(a) for a in args)
+            self.sock.sendto(build_message(path, *args), target)
+        except OSError:
+            pass
 
     def add_method(self, path: str, fn: Callable[..., Any]):
         self.methods[path] = fn
@@ -285,6 +307,15 @@ class OSCServer:
           if _audio() else None)
         m("/audio/volume/get",
           lambda: _audio().volume if _audio() else 1.0)
+
+        # introspection: method-count self-report
+        m("/lives/methods/count", lambda: len(self.methods))
+        m("/lives/methods/list",
+          lambda: " ".join(sorted(self.methods)))
+
+        # the rest of the reference's osc.c:6694 table
+        from .namespace import register_extended
+        register_extended(self)
 
     def _select_clip(self, c, bg: bool):
         clip = self.clips.get(int(c))

@@ -151,6 +151,7 @@ class PlayerState:
     fg_clip: Any = None          # object with get_frame(n)/frames/fps
     bg_clip: Any = None
     pb_fps: float = 25.0         # may be negative (reverse) / scaled
+    bg_pb_fps: float = 0.0       # bg clip rate; 0 = follow pb_fps
     frame: int = 0               # current frame (0-based)
     loop: bool = True
     ping_pong: bool = False
@@ -362,6 +363,15 @@ class Player:
         self._graphs[key] = g
         return g
 
+    def _bg_frame(self, target: int) -> int:
+        """Background clip frame for fg frame `target`: follows the fg
+        clock unless an independent bg rate is set (the reference's
+        /clip/background/fps namespace)."""
+        st = self.state
+        ratio = st.bg_pb_fps / st.pb_fps if st.bg_pb_fps and st.pb_fps \
+            else 1.0
+        return int(target * ratio) % max(st.bg_clip.frames, 1)
+
     # -- precache (player.c pred_frame / srcgroup clone model) -------------
     def _pull(self, clip, n):
         lay = self._precache.pop((id(clip), n), None)
@@ -446,8 +456,7 @@ class Player:
         st.frame = target
         layers = [self._pull(st.fg_clip, target)]
         if st.bg_clip is not None:
-            layers.append(self._pull(st.bg_clip,
-                                     target % max(st.bg_clip.frames, 1)))
+            layers.append(self._pull(st.bg_clip, self._bg_frame(target)))
         graph = self._select_graph(layers)
         mix = getattr(graph, "auto_mix", None)
         if mix is not None:  # live blend factor (traced param: no recompile)
@@ -469,7 +478,7 @@ class Player:
             frames = [target]
             if st.bg_clip is not None:
                 clips.append(getattr(st.bg_clip, "unique_id", 2))
-                frames.append(target % max(st.bg_clip.frames, 1))
+                frames.append(self._bg_frame(target))
             self.event_list.insert(frame_event(self._rec_tc(), clips, frames))
             if getattr(self, "_rec_backup_path", None) and \
                     time.monotonic() - self._rec_last_backup \

@@ -1,0 +1,133 @@
+"""Full OSC namespace (osc/namespace.py): reference-table coverage, typed
+parameter access over the wire, structured replies/errors."""
+
+import socket
+import time
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from lives_tpu.constants import Palette
+from lives_tpu.layer import Layer
+from lives_tpu.osc.protocol import build_message, parse_packet
+from lives_tpu.osc.server import OSCServer
+from lives_tpu.player import CollectSink, Player
+
+
+class MemClip:
+    def __init__(self, n=20, uid=1):
+        self.frames = n
+        self.fps = 25.0
+        self.width, self.height = 48, 24
+        self.unique_id = uid
+        self.name = f"clip{uid}"
+
+    def get_frame(self, n):
+        rng = np.random.default_rng(self.unique_id * 131 + n)
+        return Layer(planes=(jnp.asarray(
+            rng.integers(0, 256, (3, 24, 48), np.uint8)),),
+            palette=int(Palette.RGB24))
+
+
+@pytest.fixture
+def srv():
+    s = OSCServer(player=Player(sink=CollectSink()))
+    s.clips[1] = MemClip(uid=1)
+    s.clips[2] = MemClip(uid=2)
+    s.player.state.fg_clip = s.clips[1]
+    s.start()
+    yield s
+    s.stop()
+
+
+def _rpc(srv, path, *args, expect_reply=True, timeout=3.0):
+    """Send over UDP, await the structured reply on our source socket."""
+    cl = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
+    cl.settimeout(timeout)
+    cl.sendto(build_message(path, *args), ("127.0.0.1", srv.port))
+    if not expect_reply:
+        cl.close()
+        return None
+    data, _ = cl.recvfrom(65536)
+    cl.close()
+    (msg,) = parse_packet(data)
+    return msg
+
+
+def test_reference_table_fully_covered(srv):
+    import subprocess
+    ref = subprocess.run(
+        ["grep", "-oE", r'\{ *"/[a-z_/]+"', "/root/reference/src/osc.c"],
+        capture_output=True, text=True).stdout
+    paths = {t.strip('{ "') for t in ref.splitlines()}
+    missing = paths - set(srv.methods)
+    assert not missing, f"uncovered reference methods: {sorted(missing)}"
+    assert len(srv.methods) >= 200
+
+
+def test_query_reply_on_request_path(srv):
+    msg = _rpc(srv, "/clip/frame/count")
+    assert msg.address == "/clip/frame/count"
+    assert msg.args[0] == 20
+
+
+def test_structured_error_reply(srv):
+    msg = _rpc(srv, "/no/such/method")
+    assert msg.address == "/error"
+    assert msg.args[0] == "/no/such/method"
+
+
+def test_param_enumeration_and_typed_set(srv):
+    srv.player.keymap.set_key(0, 0, "brightness_contrast")
+    srv.player.key_toggle(0, True)
+    n = _rpc(srv, "/effect_key/parameter/count", 1).args[0]
+    assert n == 2
+    names = [_rpc(srv, "/effect_key/parameter/name/get", 1, i).args[0]
+             for i in range(n)]
+    assert names == ["brightness", "contrast"]
+    assert _rpc(srv, "/effect_key/parameter/type/get", 1, 0).args[0] \
+        == "float"
+    assert _rpc(srv, "/effect_key/parameter/min/get", 1, 0).args[0] == -1.0
+    assert _rpc(srv, "/effect_key/parameter/max/get", 1, 1).args[0] == 4.0
+    _rpc(srv, "/effect_key/parameter/value/set", 1, 1, 2.5,
+         expect_reply=False)
+    time.sleep(0.1)
+    assert abs(_rpc(srv, "/effect_key/parameter/value/get", 1, 1).args[0]
+               - 2.5) < 1e-6
+
+
+def test_fps_ratio_and_bg_clock(srv):
+    _rpc(srv, "/video/fps/ratio/set", 2.0, expect_reply=False)
+    time.sleep(0.1)
+    assert abs(_rpc(srv, "/video/fps/ratio/get").args[0] - 2.0) < 1e-6
+    _rpc(srv, "/clip/background/select", 2, expect_reply=False)
+    _rpc(srv, "/clip/background/fps/set", 12.5, expect_reply=False)
+    time.sleep(0.1)
+    assert abs(srv.player.state.bg_pb_fps - 12.5) < 1e-6
+    # bg frame advances at half the fg rate
+    assert srv.player._bg_frame(8) == 8 * 12.5 / 50.0
+
+
+def test_mode_and_constants(srv):
+    _rpc(srv, "/lives/mode/set", 1, expect_reply=False)
+    time.sleep(0.1)
+    assert _rpc(srv, "/lives/mode/get").args[0] == 1
+    v = _rpc(srv, "/lives/constant/value/get",
+             "LIVES_OSC_NOTIFY_CLIP_OPENED").args[0]
+    assert v == 512
+
+
+def test_block_insert_and_times(srv):
+    _rpc(srv, "/mt/ctrack/set", 0, expect_reply=False)
+    n = _rpc(srv, "/block/insert", 1).args[0]
+    assert n == 1
+    assert _rpc(srv, "/block/count", 0).args[0] == 1
+    assert _rpc(srv, "/block/start/time/get", 0, 0).args[0] == 0.0
+    end = _rpc(srv, "/block/end/time/get", 0, 0).args[0]
+    assert abs(end - 20 / 25.0) < 1e-6
+
+
+def test_methods_self_report(srv):
+    assert _rpc(srv, "/lives/methods/count").args[0] >= 200

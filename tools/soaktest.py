@@ -40,6 +40,40 @@ PATHS = [
     ("/effect_key/mode/next", lambda r: (r.randint(1, 9),)),
     ("/record/toggle", lambda r: ()),
     ("/app/ping", lambda r: ()),
+    # extended namespace (osc/namespace.py)
+    ("/video/play/faster", lambda r: ()),
+    ("/video/play/slower", lambda r: ()),
+    ("/video/play/reset", lambda r: ()),
+    ("/video/freeze/toggle", lambda r: ()),
+    ("/video/fps/ratio/set", lambda r: (r.uniform(0.1, 4.0),)),
+    ("/video/fps/ratio/get", lambda r: ()),
+    ("/clip/background/fps/set", lambda r: (r.uniform(-60, 60),)),
+    ("/clip/background/fps/faster", lambda r: ()),
+    ("/clip/background/fps/reset", lambda r: ()),
+    ("/clip/background/frame/get", lambda r: ()),
+    ("/clip/retrigger", lambda r: ()),
+    ("/clip/select_all", lambda r: ()),
+    ("/effect_key/mode/set", lambda r: (r.randint(1, 9), 1)),
+    ("/effect_key/parameter/count", lambda r: (r.randint(1, 9),)),
+    ("/effect_key/parameter/name/get", lambda r: (r.randint(1, 9), 0)),
+    ("/effect_key/parameter/value/set",
+     lambda r: (r.randint(1, 9), 0, r.uniform(0, 1))),
+    ("/effect_key/parameter/value/get", lambda r: (r.randint(1, 9), 0)),
+    ("/effect_key/outparameter/count", lambda r: (r.randint(1, 9),)),
+    ("/effect_key/inchannel/active/count", lambda r: (r.randint(1, 9),)),
+    ("/effect_key/reset", lambda r: ()),
+    ("/lives/status/get", lambda r: ()),
+    ("/lives/mode/set", lambda r: (r.randint(0, 1),)),
+    ("/lives/constant/value/get",
+     lambda r: ("LIVES_STATUS_PLAYING",)),
+    ("/output/fullscreen/enable", lambda r: ()),
+    ("/output/nodrop/disable", lambda r: ()),
+    ("/output/fps/set", lambda r: (r.uniform(1, 60),)),
+    ("/audio/source/set", lambda r: (r.randint(0, 1),)),
+    ("/mt/time/set", lambda r: (r.uniform(0, 60),)),
+    ("/mt/ctrack/set", lambda r: (r.randint(0, 4),)),
+    ("/block/count", lambda r: (r.randint(0, 4),)),
+    ("/lives/methods/count", lambda r: ()),
 ]
 
 
