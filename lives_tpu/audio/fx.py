@@ -24,9 +24,12 @@ from .engine import velocity_resample
 @dataclass(frozen=True)
 class AudioFilter:
     name: str
-    process: Callable  # (block, params, state) -> (block, state)
+    process: Callable  # (block, params, state) -> (block, state[, outs])
     params: dict[str, float] = field(default_factory=dict)  # defaults
     description: str = ""
+    # analyser out-parameters (weed out params; feed effects/data.py
+    # connections so audio can drive video-filter knobs)
+    out_params: tuple = ()
 
 
 @dataclass
@@ -35,12 +38,19 @@ class AudioInstance:
     values: dict[str, float] = field(default_factory=dict)
     state: Any = None
     enabled: bool = True
+    # latest analyser outputs (read by DataConnections.chain_data)
+    out_values: dict[str, float] = field(default_factory=dict)
 
     def apply(self, block: np.ndarray) -> np.ndarray:
         if not self.enabled:
             return block
         params = {**self.filter.params, **self.values}
-        out, self.state = self.filter.process(block, params, self.state)
+        ret = self.filter.process(block, params, self.state)
+        if len(ret) == 3:
+            out, self.state, outs = ret
+            self.out_values.update(outs)
+        else:
+            out, self.state = ret
         return out
 
 
@@ -259,3 +269,94 @@ class AudioPlayer:
         if self._thread:
             self._thread.join(timeout=2)
         self.sink.close()
+
+
+class PipeAudioSink(AudioSink):
+    """Interleaved s16le to a pipe/FIFO/fd — feed `aplay -f cd`, a jackd
+    bridge, or any pcm consumer. The always-available device path in this
+    image (no sound server); the reference analogue is the fifo/"none"
+    audio player fallback."""
+
+    def __init__(self, path_or_fd):
+        import os as _os
+        if isinstance(path_or_fd, int):
+            self._fd = path_or_fd
+        else:
+            self._fd = _os.open(str(path_or_fd),
+                                _os.O_WRONLY | getattr(_os, "O_NONBLOCK", 0))
+        self.frames = 0
+
+    def write(self, block, rate):
+        import os as _os
+        pcm = np.clip(np.asarray(block, np.float32), -1.0, 1.0)
+        data = (pcm * 32767.0).astype("<i2").tobytes()
+        try:
+            _os.write(self._fd, data)
+            self.frames += len(block)
+        except BlockingIOError:
+            pass  # consumer not keeping up: drop (realtime semantics)
+
+    def close(self):
+        import os as _os
+        try:
+            _os.close(self._fd)
+        except OSError:
+            pass
+
+
+class AlsaAudioSink(AudioSink):
+    """ALSA pcm playback via ctypes libasound — the reference's
+    device-output capability (src/pulse.c / src/jack.c class). Cleanly
+    gated: raises RuntimeError when libasound is absent (this image has no
+    sound stack); `available()` lets callers pick a fallback."""
+
+    @staticmethod
+    def available() -> bool:
+        import ctypes.util
+        return ctypes.util.find_library("asound") is not None
+
+    def __init__(self, device: str = "default", rate: int = 44100,
+                 channels: int = 2):
+        import ctypes
+        import ctypes.util
+        lib = ctypes.util.find_library("asound")
+        if lib is None:
+            raise RuntimeError("libasound not available")
+        a = ctypes.CDLL(lib)
+        self._a = a
+        self._pcm = ctypes.c_void_p()
+        # SND_PCM_STREAM_PLAYBACK = 0, blocking mode
+        if a.snd_pcm_open(ctypes.byref(self._pcm), device.encode(), 0, 0):
+            raise RuntimeError(f"cannot open ALSA device {device!r}")
+        # s16le interleaved; SND_PCM_FORMAT_S16_LE=2, ACCESS_RW_INTERLEAVED=3
+        if a.snd_pcm_set_params(self._pcm, 2, 3, channels, rate, 1,
+                                100000):  # 100 ms max latency
+            raise RuntimeError("snd_pcm_set_params failed")
+        self.channels = channels
+        self.frames = 0
+
+    def write(self, block, rate):
+        import ctypes
+        pcm = np.clip(np.asarray(block, np.float32), -1.0, 1.0)
+        data = (pcm * 32767.0).astype("<i2")
+        n = len(data)
+        r = self._a.snd_pcm_writei(
+            self._pcm, data.ctypes.data_as(ctypes.c_void_p), n)
+        if r < 0:
+            self._a.snd_pcm_recover(self._pcm, r, 1)
+        self.frames += n
+
+    def close(self):
+        if getattr(self, "_pcm", None):
+            self._a.snd_pcm_close(self._pcm)
+            self._pcm = None
+
+
+def best_audio_sink(rate: int = 44100) -> AudioSink:
+    """Pick the most real output available: ALSA device > null."""
+    if AlsaAudioSink.available():
+        try:
+            return AlsaAudioSink(rate=rate)
+        except RuntimeError:
+            pass
+    return NullAudioSink()

@@ -198,6 +198,10 @@ class Player:
         # optional realtime audio feeder (audio/fx.AudioPlayer), attached by
         # attach_audio(); OSC /audio namespace controls it
         self.audio = None
+        # optional data connections (effects/data.py): audio-analyser /
+        # out-param values pushed into active instances each frame
+        # (pconx_chain_data before each instance runs, effects-weed.c:3322)
+        self.datacons = None
 
     def attach_audio(self, sink=None, rate: int = 44100):
         """Attach the realtime audio feeder (pull-model, velocity-matched)."""
@@ -458,6 +462,9 @@ class Player:
         if st.bg_clip is not None:
             layers.append(self._pull(st.bg_clip, self._bg_frame(target)))
         graph = self._select_graph(layers)
+        if self.datacons is not None:
+            for inst in self.keymap.active_chain():
+                self.datacons.chain_data(inst)
         mix = getattr(graph, "auto_mix", None)
         if mix is not None:  # live blend factor (traced param: no recompile)
             mix.values["amount"] = st.blend_amount

@@ -1,0 +1,125 @@
+"""Audio analysers (audio/analysers.py) + the pconx automation loop:
+beats in a tone drive a video-filter parameter (VERDICT r1 item-6
+done-criterion), and device audio output is exercised or cleanly gated."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from lives_tpu.audio import audio_instantiate, tone_gen
+from lives_tpu.audio.fx import (AlsaAudioSink, NullAudioSink, PipeAudioSink,
+                                best_audio_sink)
+from lives_tpu.constants import Palette
+from lives_tpu.layer import Layer
+
+RATE = 44100
+BLOCK = 1024
+
+
+def _beat_track(seconds=2.0, bpm=120):
+    """Silence with loud 50 ms low-frequency bursts on the beat."""
+    n = int(seconds * RATE)
+    x = np.zeros(n, np.float32)
+    period = int(RATE * 60 / bpm)
+    for s in range(0, n, period):
+        dur = int(0.05 * RATE)
+        t = np.arange(min(dur, n - s))
+        x[s: s + len(t)] += 0.9 * np.sin(2 * np.pi * 80 * t / RATE) \
+            * np.exp(-t / (0.02 * RATE))
+    return np.stack([x, x], -1)
+
+
+def test_audio_fft_tracks_tone_frequency():
+    fft = audio_instantiate("audio_fft", freq=440.0, rate=RATE)
+    blk, _ = tone_gen(4096, freq=440.0, rate=RATE)
+    fft.apply(blk)
+    on_freq = fft.out_values["value"]
+    fft2 = audio_instantiate("audio_fft", freq=8000.0, rate=RATE)
+    fft2.apply(blk)
+    off_freq = fft2.out_values["value"]
+    assert on_freq > 10 * max(off_freq, 1e-6)
+
+
+def test_beat_detector_fires_on_beats_only():
+    det = audio_instantiate("beat_detector", rate=RATE)
+    x = _beat_track()
+    pulses = []
+    for i in range(0, len(x) - BLOCK, BLOCK):
+        det.apply(x[i: i + BLOCK])
+        pulses.append(det.out_values.get("beat pulse", 0.0))
+    pulses = np.asarray(pulses)
+    # 2 s at 120 bpm = 4 beats; detector needs history to warm up
+    assert 2 <= pulses.sum() <= 12, pulses.sum()
+    # quiet stretches stay quiet
+    assert pulses[len(pulses) // 2 + 2: len(pulses) // 2 + 8].sum() == 0
+
+
+def test_beat_drives_video_param_over_player():
+    """tone with beats -> beat_detector -> pconx -> filter param."""
+    import time
+    from lives_tpu.effects.data import DataConnections
+    from lives_tpu.graph import SinkSpec
+    from lives_tpu.player import CollectSink, Player
+
+    class MemClip:
+        frames, fps, width, height, unique_id = 20, 25.0, 48, 24, 1
+
+        def get_frame(self, n):
+            return Layer(planes=(jnp.full((3, 24, 48), 128, jnp.uint8),),
+                         palette=int(Palette.RGB24))
+
+    p = Player(sink=CollectSink(), sink_spec=SinkSpec())
+    p.state.fg_clip = MemClip()
+    p.keymap.set_key(0, 0, "brightness_contrast")
+    p.key_toggle(0, True)
+    vid_inst = p.keymap.instances[0]
+    det = audio_instantiate("beat_detector", rate=RATE)
+    dc = DataConnections()
+    dc.add(det, "beat hold", vid_inst, "brightness", autoscale=True)
+    p.datacons = dc
+    p.start()
+
+    x = _beat_track(seconds=1.5)
+    bright = []
+    for i in range(0, len(x) - BLOCK, BLOCK):
+        det.apply(x[i: i + BLOCK])
+        p.state.frame = -1
+        p._clock0 = time.monotonic()
+        p._frame0 = float(i // BLOCK % 10)
+        p.process_one()
+        bright.append(float(vid_inst.values.get("brightness", 0.0)))
+    bright = np.asarray(bright)
+    assert bright.max() > 0.5          # beats pushed the param up
+    assert bright.min() < bright.max()  # and it decays between beats
+    out = np.asarray(p.sink.frames[-1])
+    assert out.shape == (3, 24, 48)
+    p.stop()
+
+
+def test_device_audio_output_exercised_or_gated():
+    if AlsaAudioSink.available():
+        sink = best_audio_sink()
+        blk, _ = tone_gen(BLOCK, 440.0)
+        sink.write(blk, RATE)
+        sink.close()
+    else:
+        # cleanly gated: no sound stack in this image
+        with pytest.raises(RuntimeError):
+            AlsaAudioSink()
+        assert isinstance(best_audio_sink(), NullAudioSink)
+
+
+def test_pipe_audio_sink_writes_s16(tmp_path):
+    import os
+    r, w = os.pipe()
+    os.set_blocking(r, False)
+    sink = PipeAudioSink(w)
+    blk, _ = tone_gen(256, 1000.0)
+    sink.write(blk, RATE)
+    data = os.read(r, 1 << 20)
+    pcm = np.frombuffer(data, "<i2")
+    assert len(pcm) == 256 * 2
+    assert np.abs(pcm).max() > 20000
+    sink.close()
+    os.close(r)
