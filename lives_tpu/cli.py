@@ -145,6 +145,13 @@ def main(argv=None):
 
     diag = sub.add_parser("selftest", help="run startup diagnostics")
 
+    web = sub.add_parser("webui", help="serve the browser UI + OSC")
+    web.add_argument("uri", nargs="?", default=None)
+    web.add_argument("--port", type=int, default=8765)
+    web.add_argument("--osc", type=int, default=0)
+    web.add_argument("--width", type=int, default=0)
+    web.add_argument("--height", type=int, default=0)
+
     args = ap.parse_args(argv)
     if args.cmd == "effects":
         from .effects import get_filter, list_filters
@@ -177,6 +184,28 @@ def main(argv=None):
                     yield arr[k]
         get_encoder("yuv4mpeg").encode(args.out, frames(), el.fps)
         print(f"rendered -> {args.out}")
+        return 0
+    if args.cmd == "webui":
+        from .osc.server import OSCServer
+        from .webui import WebUI
+        p = build_player(args.uri, [], args.width, args.height,
+                         "null", None)
+        srv = OSCServer(p, port=args.osc)
+        srv.start()
+        ui = WebUI(srv, port=args.port).start()
+        print(f"web ui: http://{ui.host}:{ui.port}/  (osc udp {srv.port})")
+        p.start()
+        import time as _t
+        try:
+            while True:
+                p.process_one()
+                _t.sleep(0.001)
+        except KeyboardInterrupt:
+            pass
+        finally:
+            p.stop()
+            ui.stop()
+            srv.stop()
         return 0
     # play
     fx = [f for f in args.fx.split(",") if f]

@@ -1,0 +1,366 @@
+"""Thin web UI: browser front-end over the existing control substrate.
+
+The reference's interactive surface is ~50k LoC of GTK (`src/rte_window.c`
+key grid, `src/paramwindow.c` auto-generated parameter dialogs,
+`src/multitrack.c` timeline). This serves the same *capabilities* at
+minimum viable depth over HTTP with zero extra dependencies:
+
+- live MJPEG preview of the player's output (a teeing sink),
+- clip open/select (fg/bg), transport + trickplay controls,
+- effect-key grid (toggle/mode) with auto-generated parameter sliders
+  from `paramui.param_window_spec` (the paramwindow.c successor),
+- timeline/stats readout, blend factor,
+- every command routes through the OSC method table (osc/server.py,
+  215 methods) — the web UI is just another OSC client that happens to
+  speak HTTP.
+
+Usage:
+    ui = WebUI(osc_server)          # wraps the server's player
+    ui.start()                      # http://127.0.0.1:<port>/
+"""
+
+from __future__ import annotations
+
+import io
+import json
+import threading
+import time
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from typing import Any, Optional
+
+import numpy as np
+
+from .layer import Layer
+from .player.sinks import Sink
+
+
+class PreviewTap(Sink):
+    """Tee sink: forwards to the wrapped sink and keeps the latest frame
+    as JPEG bytes for the MJPEG stream."""
+
+    def __init__(self, inner: Sink | None = None, quality: int = 80):
+        self.inner = inner
+        self.quality = quality
+        self._jpeg: Optional[bytes] = None
+        self._seq = 0
+        self._cv = threading.Condition()
+
+    def init_screen(self, width, height, fps):
+        if self.inner:
+            self.inner.init_screen(width, height, fps)
+
+    def exit_screen(self):
+        if self.inner:
+            self.inner.exit_screen()
+
+    def play_frame(self, layer: Layer, tc: float) -> bool:
+        ok = self.inner.play_frame(layer, tc) if self.inner else True
+        try:
+            from PIL import Image
+            from .constants import Palette
+            from .ops.colorspace import convert_layer
+            rgb = np.asarray(convert_layer(layer, Palette.RGB24).planes[0])
+            img = Image.fromarray(np.moveaxis(rgb, 0, -1))
+            buf = io.BytesIO()
+            img.save(buf, "JPEG", quality=self.quality)
+            with self._cv:
+                self._jpeg = buf.getvalue()
+                self._seq += 1
+                self._cv.notify_all()
+        except Exception:
+            pass
+        return ok
+
+    def wait_jpeg(self, last_seq: int, timeout: float = 1.0):
+        with self._cv:
+            if self._seq == last_seq:
+                self._cv.wait(timeout)
+            return self._jpeg, self._seq
+
+
+_PAGE = """<!doctype html><html><head><meta charset="utf-8">
+<title>lives_tpu</title><style>
+body{font-family:system-ui;margin:0;display:flex;background:#16161a;color:#eee}
+#side{width:340px;padding:12px;overflow-y:auto;height:100vh;box-sizing:border-box}
+#main{flex:1;padding:12px}
+img{max-width:100%;background:#000;border-radius:6px}
+button{margin:2px;padding:4px 10px;border-radius:4px;border:1px solid #555;
+ background:#26262c;color:#eee;cursor:pointer}
+button.on{background:#3a7d44}
+input[type=range]{width:100%}
+.param{margin:6px 0}.param label{font-size:12px;color:#aaa}
+#stats{font:12px monospace;color:#8f8;white-space:pre}
+h3{margin:12px 0 4px;font-size:14px;color:#9cf}
+select{background:#26262c;color:#eee;border:1px solid #555;padding:3px}
+</style></head><body>
+<div id="side">
+ <h3>Transport</h3>
+ <button onclick="cmd('/video/play')">&#9654; play</button>
+ <button onclick="cmd('/video/stop')">&#9632; stop</button>
+ <button onclick="cmd('/video/play/reverse')">rev</button>
+ <button onclick="cmd('/video/play/faster')">+fps</button>
+ <button onclick="cmd('/video/play/slower')">-fps</button>
+ <button onclick="cmd('/record/toggle')">rec</button>
+ <div class="param"><label>fps <span id="fpsv"></span></label>
+  <input type="range" id="fps" min="-60" max="60" step="0.5"
+   oninput="cmd('/video/fps/set',[+this.value])"></div>
+ <div class="param"><label>scrub</label>
+  <input type="range" id="scrub" min="0" max="100" step="1"
+   oninput="cmd('/clip/goto',[+this.value+1])"></div>
+ <div class="param"><label>fg/bg blend</label>
+  <input type="range" min="0" max="1" step="0.01" value="0.5"
+   oninput="setBlend(+this.value)"></div>
+ <h3>Clips</h3>
+ <div>
+  <input id="uri" placeholder="/path/to/media.mkv" style="width:65%">
+  <button onclick="openClip()">open</button>
+ </div>
+ <div id="clips"></div>
+ <h3>Effect keys</h3><div id="keys"></div>
+ <h3>Parameters</h3><div id="params"></div>
+ <h3>Stats</h3><div id="stats"></div>
+</div>
+<div id="main"><img src="/preview.mjpg"></div>
+<script>
+let curKey=1;
+async function cmd(path,args){
+ await fetch('/api/cmd',{method:'POST',
+  body:JSON.stringify({path:path,args:args||[]})});
+ refresh();
+}
+function setBlend(v){fetch('/api/blend',{method:'POST',body:v});}
+async function openClip(){
+ const uri=document.getElementById('uri').value;
+ if(uri) await cmd('/clip/open/file',[uri]);
+}
+async function refresh(){
+ const st=await (await fetch('/api/state')).json();
+ document.getElementById('fpsv').textContent=st.fps.toFixed(2);
+ document.getElementById('stats').textContent=
+  'frame '+st.frame+' / '+st.frames+'\\nshown '+st.shown+' dropped '+
+  st.dropped+'\\ninst_fps '+st.inst_fps.toFixed(1)+'  p99 '+
+  st.p99_ms.toFixed(1)+'ms\\nt '+st.time.toFixed(2)+'s';
+ const sc=document.getElementById('scrub');
+ sc.max=Math.max(st.frames-1,1); if(document.activeElement!==sc)sc.value=st.frame;
+ const ks=document.getElementById('keys'); ks.innerHTML='';
+ st.keys.forEach(k=>{
+  const b=document.createElement('button');
+  b.textContent=k.key+': '+(k.filter||'—');
+  if(k.active)b.className='on';
+  b.onclick=()=>{curKey=k.key;cmd('/effect_key/toggle',[k.key]);loadParams(k.key);};
+  ks.appendChild(b);
+ });
+ const cl=document.getElementById('clips'); cl.innerHTML='';
+ st.clips.forEach(c=>{
+  const b=document.createElement('button');
+  b.textContent=c.id+': '+c.name+(c.fg?' [fg]':'')+(c.bg?' [bg]':'');
+  if(c.fg)b.className='on';
+  b.onclick=()=>cmd('/clip/select',[c.id]);
+  b.oncontextmenu=(e)=>{e.preventDefault();cmd('/clip/background/select',[c.id]);};
+  cl.appendChild(b);
+ });
+}
+async function loadParams(k){
+ const spec=await (await fetch('/api/params/'+k)).json();
+ const pd=document.getElementById('params'); pd.innerHTML='';
+ if(!spec.widgets)return;
+ spec.widgets.forEach((p)=>{
+  const i=p.index; if(i===undefined||i<0)return;
+  const d=document.createElement('div'); d.className='param';
+  const l=document.createElement('label');
+  l.textContent=p.label||p.name; d.appendChild(l);
+  if(p.widget==='slider'||p.widget==='spin'){
+   const s=document.createElement('input'); s.type='range';
+   s.min=p.min; s.max=p.max; s.step=(p.max-p.min)/200||0.01; s.value=p.value;
+   s.oninput=()=>cmd('/effect_key/parameter/value/set',[k,i,+s.value]);
+   d.appendChild(s);
+  }else if(p.widget==='toggle'){
+   const b=document.createElement('button');
+   b.textContent=p.value?'on':'off';
+   b.onclick=()=>cmd('/effect_key/parameter/value/set',[k,i,p.value?0:1]);
+   d.appendChild(b);
+  }else if(p.widget==='combo'){
+   const s=document.createElement('select');
+   (p.choices||[]).forEach((c,ci)=>{
+    const o=document.createElement('option'); o.value=ci; o.textContent=c;
+    s.appendChild(o);});
+   s.value=p.value;
+   s.onchange=()=>cmd('/effect_key/parameter/value/set',[k,i,+s.value]);
+   d.appendChild(s);
+  }
+  pd.appendChild(d);
+ });
+}
+refresh(); setInterval(refresh, 1000);
+</script></body></html>"""
+
+
+class WebUI:
+    """HTTP front-end over an OSCServer's player + method table."""
+
+    def __init__(self, osc_server, host: str = "127.0.0.1", port: int = 0,
+                 keys_shown: int = 9):
+        self.osc = osc_server
+        self.player = osc_server.player
+        self.keys_shown = keys_shown
+        # splice the preview tap in front of the player's sink
+        self.tap = PreviewTap(self.player.sink)
+        self.player.sink = self.tap
+        ui = self
+
+        class Handler(BaseHTTPRequestHandler):
+            def log_message(self, *a):  # quiet
+                pass
+
+            def _json(self, obj, code=200):
+                body = json.dumps(obj).encode()
+                self.send_response(code)
+                self.send_header("Content-Type", "application/json")
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+
+            def do_GET(self):
+                if self.path in ("/", "/index.html"):
+                    body = _PAGE.encode()
+                    self.send_response(200)
+                    self.send_header("Content-Type",
+                                     "text/html; charset=utf-8")
+                    self.send_header("Content-Length", str(len(body)))
+                    self.end_headers()
+                    self.wfile.write(body)
+                elif self.path == "/api/state":
+                    self._json(ui.state())
+                elif self.path.startswith("/api/params/"):
+                    self._json(ui.param_spec(int(self.path.rsplit("/", 1)
+                                                 [-1])))
+                elif self.path == "/preview.jpg":
+                    jpeg, _ = ui.tap.wait_jpeg(-1, timeout=0.0)
+                    if jpeg is None:
+                        self.send_response(404)
+                        self.end_headers()
+                        return
+                    self.send_response(200)
+                    self.send_header("Content-Type", "image/jpeg")
+                    self.send_header("Content-Length", str(len(jpeg)))
+                    self.end_headers()
+                    self.wfile.write(jpeg)
+                elif self.path == "/preview.mjpg":
+                    self.send_response(200)
+                    self.send_header(
+                        "Content-Type",
+                        "multipart/x-mixed-replace; boundary=frame")
+                    self.end_headers()
+                    seq = -1
+                    try:
+                        while ui._running:
+                            jpeg, seq2 = ui.tap.wait_jpeg(seq, timeout=0.5)
+                            if jpeg is None or seq2 == seq:
+                                continue
+                            seq = seq2
+                            self.wfile.write(
+                                b"--frame\r\nContent-Type: image/jpeg\r\n"
+                                + f"Content-Length: {len(jpeg)}\r\n\r\n"
+                                .encode())
+                            self.wfile.write(jpeg)
+                            self.wfile.write(b"\r\n")
+                    except (BrokenPipeError, ConnectionResetError):
+                        pass
+                else:
+                    self.send_response(404)
+                    self.end_headers()
+
+            def do_POST(self):
+                n = int(self.headers.get("Content-Length", 0))
+                body = self.rfile.read(n)
+                if self.path == "/api/cmd":
+                    try:
+                        req = json.loads(body)
+                        ret = ui.call(req["path"], req.get("args", []))
+                        self._json({"ok": True, "ret": ret})
+                    except Exception as e:
+                        self._json({"ok": False, "error": str(e)}, 400)
+                elif self.path == "/api/blend":
+                    try:
+                        ui.player.state.blend_amount = float(body)
+                        self._json({"ok": True})
+                    except ValueError as e:
+                        self._json({"ok": False, "error": str(e)}, 400)
+                else:
+                    self.send_response(404)
+                    self.end_headers()
+
+        self.httpd = ThreadingHTTPServer((host, port), Handler)
+        self.host, self.port = self.httpd.server_address
+        self._running = False
+        self._thread: Optional[threading.Thread] = None
+
+    # -- bindings -----------------------------------------------------------
+    def call(self, path: str, args: list):
+        """Route through the OSC method table (the 215-method namespace)."""
+        fn = self.osc.methods.get(path)
+        if fn is None:
+            raise KeyError(f"unknown method {path}")
+        return fn(*args)
+
+    def state(self) -> dict[str, Any]:
+        p = self.player
+        st = p.state
+        stats = p.stats()
+        clip = st.fg_clip
+        keys = []
+        for k in range(self.keys_shown):
+            keys.append({"key": k + 1,
+                         "filter": p.keymap.current_filter(k),
+                         "active": bool(p.keymap.active[k]),
+                         "mode": p.keymap.mode[k] + 1})
+        clips = [{"id": cid,
+                  "name": getattr(c, "name", f"clip {cid}"),
+                  "fg": c is st.fg_clip, "bg": c is st.bg_clip}
+                 for cid, c in sorted(self.osc.clips.items())]
+        return {"playing": st.playing, "frame": st.frame,
+                "frames": getattr(clip, "frames", 0),
+                "fps": st.pb_fps, "time": st.frame / abs(st.pb_fps or 25.0),
+                "shown": stats["frames_shown"],
+                "dropped": stats["frames_dropped"],
+                "inst_fps": stats["inst_fps"], "p99_ms": stats["p99_ms"],
+                "keys": keys, "clips": clips,
+                "blend": st.blend_amount}
+
+    def param_spec(self, key: int) -> dict[str, Any]:
+        """paramwindow spec + live values for an effect key's filter."""
+        from .paramui import param_window_spec
+        name = self.player.keymap.current_filter(key - 1)
+        if not name:
+            return {}
+        from .effects.host import get_filter
+        spec = param_window_spec(name)
+        filt = get_filter(name)
+        pidx = {q.name: i for i, q in enumerate(filt.params)}
+        inst = self.player.keymap.instances[key - 1]
+        for pw in spec.get("widgets", []):
+            # underlying filter-param index: the wire unit of
+            # /effect_key/parameter/value/set (colour groups expand later)
+            pw["index"] = pidx.get(pw["name"], -1)
+            v = None
+            if inst is not None:
+                v = inst.values.get(pw["name"])
+            if v is None:
+                v = pw.get("default")
+            pw["value"] = v
+        return spec
+
+    # -- lifecycle ----------------------------------------------------------
+    def start(self):
+        self._running = True
+        self._thread = threading.Thread(target=self.httpd.serve_forever,
+                                        daemon=True)
+        self._thread.start()
+        return self
+
+    def stop(self):
+        self._running = False
+        self.httpd.shutdown()
+        self.httpd.server_close()
+        if self._thread:
+            self._thread.join(timeout=2)

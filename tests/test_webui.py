@@ -1,0 +1,158 @@
+"""Web UI (webui.py): page, state, param specs, commands through the OSC
+method table, MJPEG/JPEG preview from the live player."""
+
+import json
+import time
+import urllib.request
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from lives_tpu.constants import Palette
+from lives_tpu.layer import Layer
+from lives_tpu.osc.server import OSCServer
+from lives_tpu.player import CollectSink, Player
+from lives_tpu.webui import WebUI
+
+
+class MemClip:
+    frames, fps, width, height, unique_id = 20, 25.0, 48, 24, 1
+    name = "memclip"
+
+    def get_frame(self, n):
+        rng = np.random.default_rng(n)
+        return Layer(planes=(jnp.asarray(
+            rng.integers(0, 256, (3, 24, 48), np.uint8)),),
+            palette=int(Palette.RGB24))
+
+
+@pytest.fixture
+def ui():
+    srv = OSCServer(player=Player(sink=CollectSink()))
+    srv.clips[1] = MemClip()
+    srv.player.state.fg_clip = srv.clips[1]
+    u = WebUI(srv).start()
+    yield u
+    u.stop()
+
+
+def _get(ui, path):
+    with urllib.request.urlopen(
+            f"http://{ui.host}:{ui.port}{path}", timeout=5) as r:
+        return r.read()
+
+
+def _post(ui, path, body):
+    req = urllib.request.Request(
+        f"http://{ui.host}:{ui.port}{path}",
+        data=body if isinstance(body, bytes) else json.dumps(body).encode(),
+        method="POST")
+    with urllib.request.urlopen(req, timeout=5) as r:
+        return json.loads(r.read())
+
+
+def test_page_and_state(ui):
+    page = _get(ui, "/").decode()
+    assert "lives_tpu" in page and "preview.mjpg" in page
+    st = json.loads(_get(ui, "/api/state"))
+    assert st["frames"] == 20 and st["clips"][0]["name"] == "memclip"
+
+
+def test_command_roundtrip_via_osc_table(ui):
+    r = _post(ui, "/api/cmd", {"path": "/effect_key/map",
+                               "args": [1, "vignette"]})
+    assert r["ok"]
+    _post(ui, "/api/cmd", {"path": "/effect_key/enable", "args": [1]})
+    st = json.loads(_get(ui, "/api/state"))
+    assert st["keys"][0]["filter"] == "vignette"
+    assert st["keys"][0]["active"]
+    # param spec exposes slider with live value + wire index
+    spec = json.loads(_get(ui, "/api/params/1"))
+    assert spec["filter"] == "vignette"
+    w = next(w for w in spec["widgets"] if w["name"] == "amount")
+    assert w["widget"] in ("slider", "spin") and w["index"] >= 0
+    _post(ui, "/api/cmd", {"path": "/effect_key/parameter/value/set",
+                           "args": [1, w["index"], 0.25]})
+    spec = json.loads(_get(ui, "/api/params/1"))
+    w = next(w for w in spec["widgets"] if w["name"] == "amount")
+    assert abs(w["value"] - 0.25) < 1e-6
+
+
+def test_preview_stream_delivers_frames(ui):
+    import time as _t
+    # drive a few frames through the player (the tap captures JPEGs)
+    p = ui.player
+    p.start()
+    for i in range(3):
+        p.state.frame = -1
+        p._clock0 = _t.monotonic()
+        p._frame0 = float(i)
+        p.process_one()
+    jpeg = _get(ui, "/preview.jpg")
+    assert jpeg[:3] == b"\xff\xd8\xff"  # JPEG SOI
+    # mjpeg stream yields at least one part
+    import socket
+    import http.client
+    conn = http.client.HTTPConnection(ui.host, ui.port, timeout=5)
+    conn.request("GET", "/preview.mjpg")
+    r = conn.getresponse()
+    assert "multipart/x-mixed-replace" in r.headers["Content-Type"]
+    p.state.frame = -1
+    p._clock0 = _t.monotonic()
+    p._frame0 = 5.0
+    p.process_one()
+    chunk = r.read(200)
+    assert b"--frame" in chunk
+    conn.close()
+    p.stop()
+
+
+def test_unknown_command_errors(ui):
+    try:
+        _post(ui, "/api/cmd", {"path": "/nope", "args": []})
+        assert False, "should have raised"
+    except urllib.error.HTTPError as e:
+        assert e.code == 400
+
+
+def test_full_browser_session_flow(ui, tmp_path):
+    """VERDICT r1 item-7 done-criterion, as HTTP calls: load a real clip,
+    toggle two effects, scrub, and see frames."""
+    import time as _t
+    from lives_tpu.io.av import AVEncodeSession, load_avbridge
+    if load_avbridge() is None:
+        pytest.skip("libav unavailable")
+    path = tmp_path / "session.mkv"
+    sess = AVEncodeSession(str(path), 64, 32, 25.0)
+    for i in range(10):
+        sess.write_frame(np.full((3, 32, 64), i * 20, np.uint8))
+    sess.close()
+    ui.osc.workdir = str(tmp_path / "wd")
+    import os
+    os.makedirs(ui.osc.workdir, exist_ok=True)
+    r = _post(ui, "/api/cmd", {"path": "/clip/open/file",
+                               "args": [str(path)]})
+    assert r["ok"]
+    cid = r["ret"]
+    _post(ui, "/api/cmd", {"path": "/clip/select", "args": [cid]})
+    # toggle two effects
+    for k, name in ((1, "negate"), (2, "vignette")):
+        _post(ui, "/api/cmd", {"path": "/effect_key/map", "args": [k, name]})
+        _post(ui, "/api/cmd", {"path": "/effect_key/enable", "args": [k]})
+    # scrub
+    _post(ui, "/api/cmd", {"path": "/clip/goto", "args": [5]})
+    st = json.loads(_get(ui, "/api/state"))
+    assert st["frame"] == 4
+    assert [k["active"] for k in st["keys"][:2]] == [True, True]
+    # frames reach the preview
+    p = ui.player
+    p.start()
+    p.state.frame = -1
+    p._clock0 = _t.monotonic()
+    p._frame0 = 5.0
+    p.process_one()
+    jpeg = _get(ui, "/preview.jpg")
+    assert jpeg[:3] == b"\xff\xd8\xff"
+    p.stop()
