@@ -200,3 +200,46 @@ register_filter(Filter(
                       for i in range(4)),
     flags=FILTER_IS_TRANSITION,
     description="2x2 grid of four tracks (layout_blends.c)"))
+
+
+# -- slide_over.c: fg slides in over bg ---------------------------------------
+
+def _slide_over_process(ins, params, ctx):
+    fg, bg = ins[0], ins[1]
+    a, b = to_f01(fg), to_f01(bg)
+    argb, aal = split_alpha(a)
+    brgb, _ = split_alpha(b)
+    h, w = argb.shape[-2:]
+    amt = jnp.clip(params["amount"], 0.0, 1.0)
+    d = int(params.get("direction", 0))
+    import jax
+    x = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1)
+    y = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0)
+    if d == 0:    # from left: fg occupies [0, amt*w), content right-aligned
+        ofs = jnp.round((1.0 - amt) * w).astype(jnp.int32)
+        fgs = jnp.roll(argb, -ofs, axis=-1)
+        mask = (x < jnp.round(amt * w).astype(jnp.int32))
+    elif d == 1:  # from right
+        ofs = jnp.round((1.0 - amt) * w).astype(jnp.int32)
+        fgs = jnp.roll(argb, ofs, axis=-1)
+        mask = (x >= jnp.round((1.0 - amt) * w).astype(jnp.int32))
+    elif d == 2:  # from top
+        ofs = jnp.round((1.0 - amt) * h).astype(jnp.int32)
+        fgs = jnp.roll(argb, -ofs, axis=-2)
+        mask = (y < jnp.round(amt * h).astype(jnp.int32))
+    else:         # from bottom
+        ofs = jnp.round((1.0 - amt) * h).astype(jnp.int32)
+        fgs = jnp.roll(argb, ofs, axis=-2)
+        mask = (y >= jnp.round((1.0 - amt) * h).astype(jnp.int32))
+    m = mask.astype(jnp.float32)
+    out = fgs * m + brgb * (1.0 - m)
+    return from_f01(join_alpha(out, aal), fg)
+
+
+register_filter(Filter(
+    name="slide_over", process=_slide_over_process, in_channels=_TWO_IN,
+    params=(Param("amount", "num", 0.0, 0.0, 1.0),
+            Param("direction", "string_list", 0,
+                  choices=("left", "right", "top", "bottom"))),
+    flags=FILTER_IS_TRANSITION,
+    description="fg slides in over bg (slide_over.c)"))

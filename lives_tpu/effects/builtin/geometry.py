@@ -148,3 +148,191 @@ def _lens(a, p, c):
 _chan_filter("lens", _lens,
              params=(Param("strength", "num", 0.75, 0.0, 1.0),),
              desc="barrel/pincushion lens warp")
+
+
+# -- RFX-script / missing-family geometry (round 2) --------------------------
+# Successors of RFXscripts/{rotate,wave,swirl,spread,shift_*}.script,
+# weed-plugins/{slide_over.c, tvpic.c, bump2d.c} and the emboss/charcoal
+# ImageMagick ops the scripts shell out to.
+
+def _rotate(a, p, c):
+    """rotate.script: arbitrary-angle rotation (degrees), edge-clamped."""
+    h, w = a.shape[-2:]
+    th = p["degrees"] * np.float32(np.pi / 180.0)
+    cy, cx = (h - 1) / 2.0, (w - 1) / 2.0
+    y = jnp.arange(h, dtype=jnp.float32)[:, None] - cy
+    x = jnp.arange(w, dtype=jnp.float32)[None, :] - cx
+    cs, sn = jnp.cos(th), jnp.sin(th)
+    yy = cy + y * cs - x * sn
+    xx = cx + y * sn + x * cs
+    return _warp_sample(a, yy, xx)
+
+
+_chan_filter("rotate", _rotate,
+             params=(Param("degrees", "num", 0.0, -360.0, 360.0),),
+             desc="arbitrary-angle rotation")
+
+
+def _wave(a, p, c):
+    """wave.script: sinusoidal row displacement."""
+    h, w = a.shape[-2:]
+    amp = p["amplitude"] * h * 0.1
+    wl = jnp.maximum(p["wavelength"], 0.01) * w
+    y = jnp.arange(h, dtype=jnp.float32)[:, None]
+    x = jnp.arange(w, dtype=jnp.float32)[None, :]
+    ph = getattr(c, "tc", 0.0) * p["speed"] * np.float32(2 * np.pi)
+    yy = y + amp * jnp.sin(x * np.float32(2 * np.pi) / wl + ph)
+    xx = jnp.broadcast_to(x, (h, w))
+    return _warp_sample(a, yy, xx)
+
+
+_chan_filter("wave", _wave,
+             params=(Param("amplitude", "num", 0.3, 0.0, 1.0),
+                     Param("wavelength", "num", 0.25, 0.01, 1.0),
+                     Param("speed", "num", 1.0, 0.0, 10.0)),
+             desc="sinusoidal wave displacement")
+
+
+def _swirl(a, p, c):
+    """swirl.script: angular twist growing toward the centre."""
+    h, w = a.shape[-2:]
+    cy, cx = (h - 1) / 2.0, (w - 1) / 2.0
+    y = jnp.arange(h, dtype=jnp.float32)[:, None] - cy
+    x = jnp.arange(w, dtype=jnp.float32)[None, :] - cx
+    r = jnp.sqrt(y * y + x * x)
+    rmax = np.float32(np.hypot(cy, cx))
+    th = p["degrees"] * np.float32(np.pi / 180.0) \
+        * jnp.maximum(1.0 - r / rmax, 0.0) ** 2
+    cs, sn = jnp.cos(th), jnp.sin(th)
+    yy = cy + y * cs - x * sn
+    xx = cx + y * sn + x * cs
+    return _warp_sample(a, yy, xx)
+
+
+_chan_filter("swirl", _swirl,
+             params=(Param("degrees", "num", 90.0, -720.0, 720.0),),
+             desc="centre swirl/twist")
+
+
+def _spread(a, p, c):
+    """spread.script: random local pixel displacement (hash-noise based,
+    deterministic per frame)."""
+    h, w = a.shape[-2:]
+    amt = p["amount"] * 8.0
+    y = jnp.arange(h, dtype=jnp.float32)[:, None]
+    x = jnp.arange(w, dtype=jnp.float32)[None, :]
+    seed = jnp.asarray(getattr(c, "frame", 0), jnp.float32)
+    # cheap 2D hash noise in [-1,1)
+    def hash2(u, v, k):
+        s = jnp.sin(u * 12.9898 + v * 78.233 + k * 0.317 + seed) * 43758.5453
+        return (s - jnp.floor(s)) * 2.0 - 1.0
+    yy = y + amt * hash2(x, y, 1.0)
+    xx = x + amt * hash2(x, y, 2.0)
+    return _warp_sample(a, yy, xx)
+
+
+_chan_filter("spread", _spread,
+             params=(Param("amount", "num", 0.3, 0.0, 1.0),),
+             desc="random pixel spread")
+
+
+def _shift(a, p, c):
+    """shift_horizontal/vertical.script: wrap-around roll."""
+    h, w = a.shape[-2:]
+    dy = jnp.round(p["dy"] * h).astype(jnp.int32)
+    dx = jnp.round(p["dx"] * w).astype(jnp.int32)
+    out = jnp.roll(a, dy, axis=-2)
+    return jnp.roll(out, dx, axis=-1)
+
+
+_chan_filter("shift", _shift,
+             params=(Param("dx", "num", 0.0, -1.0, 1.0),
+                     Param("dy", "num", 0.0, -1.0, 1.0)),
+             desc="wrap-around shift")
+
+
+def _bump2d(a, p, c):
+    """bump2d.c: bump-map lighting — luma gradient dotted with a light
+    direction, modulating the image."""
+    from ..util import luma
+    g = luma(a[:3])
+    gy = jnp.gradient(g, axis=0)
+    gx = jnp.gradient(g, axis=1)
+    th = p["light_angle"] * np.float32(2 * np.pi)
+    lx, ly = jnp.cos(th), jnp.sin(th)
+    shade = 0.5 + p["depth"] * 4.0 * (gx * lx + gy * ly)
+    shade = jnp.clip(shade, 0.0, 1.5)
+    return a * shade[None]
+
+
+_chan_filter("bump2d", _bump2d,
+             params=(Param("light_angle", "num", 0.125, 0.0, 1.0),
+                     Param("depth", "num", 0.5, 0.0, 1.0)),
+             desc="bump-map relief lighting (bump2d.c)")
+
+
+def _tvpic(a, p, c):
+    """tvpic.c: CRT TV look — scanlines, RGB phosphor mask, slight
+    barrel vignette."""
+    h, w = a.shape[-2:]
+    y = jnp.arange(h, dtype=jnp.float32)[:, None]
+    x = jnp.arange(w, dtype=jnp.float32)[None, :]
+    scan = 1.0 - p["scanlines"] * 0.5 * (1.0 + jnp.sin(
+        y * np.float32(np.pi)))
+    # phosphor triads: attenuate channels by column phase
+    phase = (x.astype(jnp.int32) % 3)
+    mask = jnp.stack([(phase == k).astype(jnp.float32) for k in range(3)], 0)
+    ph = 1.0 - p["mask"] * (1.0 - (mask * 3.0).clip(0.0, 1.0))
+    rgb = a[:3] * scan[None] * (ph * (1.0 / (1.0 + p["mask"] * 0.0)))
+    nx = (x / (w - 1) - 0.5) * 2.0
+    ny = (y / (h - 1) - 0.5) * 2.0
+    vig = 1.0 - p["corner"] * (nx * nx + ny * ny) * 0.5
+    out = rgb * jnp.clip(vig, 0.0, 1.0)[None]
+    if a.shape[0] == 4:
+        out = jnp.concatenate([out, a[3:4]], 0)
+    return out
+
+
+_chan_filter("tvpic", _tvpic,
+             params=(Param("scanlines", "num", 0.4, 0.0, 1.0),
+                     Param("mask", "num", 0.3, 0.0, 1.0),
+                     Param("corner", "num", 0.3, 0.0, 1.0)),
+             desc="CRT TV picture (tvpic.c)")
+
+
+def _emboss(a, p, c):
+    """emboss.script (ImageMagick -emboss): diagonal gradient relief."""
+    from ..util import luma
+    g = luma(a[:3])
+    d = jnp.pad(g, ((1, 0), (1, 0)), mode="edge")[:-1, :-1] - g
+    out = jnp.clip(0.5 + d * p["strength"] * 8.0, 0.0, 1.0)
+    out3 = jnp.stack([out, out, out], 0)
+    mixed = a[:3] + (out3 - a[:3]) * p["amount"]
+    if a.shape[0] == 4:
+        mixed = jnp.concatenate([mixed, a[3:4]], 0)
+    return mixed
+
+
+_chan_filter("emboss", _emboss,
+             params=(Param("strength", "num", 0.5, 0.0, 2.0),
+                     Param("amount", "num", 1.0, 0.0, 1.0)),
+             desc="relief emboss")
+
+
+def _charcoal(a, p, c):
+    """charcoal.script (ImageMagick -charcoal): inverted edge sketch."""
+    from ..util import luma
+    g = luma(a[:3])
+    gy = jnp.gradient(g, axis=0)
+    gx = jnp.gradient(g, axis=1)
+    mag = jnp.sqrt(gx * gx + gy * gy) * p["strength"] * 12.0
+    sketch = jnp.clip(1.0 - mag, 0.0, 1.0)
+    out3 = jnp.stack([sketch] * 3, 0)
+    if a.shape[0] == 4:
+        out3 = jnp.concatenate([out3, a[3:4]], 0)
+    return out3
+
+
+_chan_filter("charcoal", _charcoal,
+             params=(Param("strength", "num", 0.5, 0.0, 2.0),),
+             desc="charcoal sketch")

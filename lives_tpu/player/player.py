@@ -95,9 +95,24 @@ class KeyMap:
         "negat": "negate", "posterise": "posterize", "posterize":
         "posterize", "blur": "gaussian_blur", "vertigo": "vertigo",
         "edge": "edge", "rgbdelay": "rgb_delay", "noise":
-        "noise", "plasma": "plasma", "bump": "lens", "onedtv": "onedtv",
+        "noise", "plasma": "plasma", "bump2d": "bump2d", "bump": "lens",
+        "onedtv": "onedtv",
         "nervous": "nervous", "textfun": "livetext", "colorkey":
-        "chroma_key", "simple_blend": "crossfade",
+        "chroma_key",
+        # simple_blend.c modes
+        "negative luma overlay": "luma_key", "luma overlay": "luma_key",
+        "chroma blend": "crossfade", "simple_blend": "crossfade",
+        # multi_blends.c modes (ours share the names)
+        "blend_screen": "blend_screen", "blend_overlay": "blend_overlay",
+        "blend_lighten": "blend_lighten", "blend_darken": "blend_darken",
+        "blend_dodge": "blend_dodge", "blend_burn": "blend_burn",
+        "blend_add": "blend_add", "blend_subtract": "blend_subtract",
+        "blend_multiply": "blend_multiply",
+        "blend_difference": "blend_difference",
+        # other plugin families
+        "slide_over": "slide_over", "tvpic": "tvpic",
+        "puretext": "livetext", "scribbler": "livetext",
+        "videowall": "videowall", "compositor": "grid4",
     }
 
     def load_reference_keymap(self, path) -> int:

@@ -38,9 +38,17 @@ def apply_rendered_effect(clip: Clip, filter_name: str,
                           progress: Optional[Callable[[int, int], None]] = None,
                           keep_undo: bool = True) -> int:
     """Apply `filter_name` to clip frames [start, end). Returns frames
-    processed. Frames become real images (virtual entries are realized)."""
+    processed. Frames become real images (virtual entries are realized).
+
+    `values` entries may be callables f(frame_number) -> value: those
+    become per-frame traced parameter streams (the RFX fade/ramp scripts,
+    e.g. fade_in_out.script, animate params over the range)."""
     end = clip.frames if end is None else min(end, clip.frames)
-    inst = instantiate(filter_name, **(values or {}))
+    values = dict(values or {})
+    anim = {k: v for k, v in values.items() if callable(v)}
+    static_vals = {k: v for k, v in values.items() if not callable(v)}
+    inst = instantiate(filter_name, **static_vals,
+                       **{k: f(start) for k, f in anim.items()})
     graph = FrameGraph([inst], SinkSpec(), fps=clip.fps)
 
     undo = clip.clip_dir / UNDO_DIR
@@ -60,8 +68,18 @@ def apply_rendered_effect(clip: Clip, filter_name: str,
         batch = Layer(planes=(jnp.asarray(np.stack(arrs)),),
                       palette=int(Palette.RGB24), gamma=int(clip.gamma))
         tcs = np.arange(ofs, hi, dtype=np.float32) / clip.fps
+        params = None
+        if anim:
+            from .graph.nodemodel import _split_params
+            _, tp = _split_params(inst)
+            params = [{k: (np.asarray([f(n) for n in range(ofs, hi)],
+                                      np.float32)
+                           if (f := anim.get(k)) is not None
+                           else np.broadcast_to(np.float32(v), (hi - ofs,)))
+                       for k, v in tp.items()}]
         out = graph.run_batch([batch], tcs,
-                              np.arange(ofs, hi, dtype=np.int32))
+                              np.arange(ofs, hi, dtype=np.int32),
+                              traced_params=params)
         out_arr = np.asarray(out.planes[0])
         for k, n in enumerate(range(ofs, hi)):
             if keep_undo:
