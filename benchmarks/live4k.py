@@ -83,5 +83,149 @@ def main():
                    "timing": "device-order barrier (async-safe)"}}))
 
 
+def real_ingest():
+    """Real-media variant (VERDICT r1 item 9): H.264 1080p30 decoded on the
+    host (in-process libav), planes shipped to the device, upscaled to 4K
+    and run through the live chain. Measures the host decode rate, the raw
+    host->device ingest ceiling of this attachment, and the end-to-end
+    per-frame time with a decode-prefetch thread overlapping transfers —
+    the honest number for 'real frames entering the device'."""
+    import queue
+    import tempfile
+    import threading
+
+    import jax
+    import jax.numpy as jnp
+    from lives_tpu.constants import Palette
+    from lives_tpu.effects import instantiate
+    from lives_tpu.graph import FrameGraph, SinkSpec
+    from lives_tpu.io.av import AVEncodeSession, load_avbridge
+    from lives_tpu.io.decoders import try_decoders
+    from lives_tpu.layer import Layer
+
+    if load_avbridge() is None:
+        print(json.dumps({"metric": "live_4k_real_ingest", "value": -1,
+                          "unit": "skipped", "vs_baseline": 0,
+                          "detail": {"reason": "libav unavailable"}}))
+        return
+
+    tiny = jnp.zeros((8, 128), jnp.uint8)
+    bar_f = jax.jit(lambda a: a + 1)
+
+    def barrier():
+        np.asarray(bar_f(tiny))
+
+    W, H = 1920, 1080
+    OW, OH = 3840, 2160
+    n_src = 90
+    path = tempfile.mktemp(suffix=".mkv")
+    sess = AVEncodeSession(path, W, H, 30.0)
+    rng = np.random.default_rng(0)
+    base = rng.integers(0, 256, (3, H, W), np.uint8)
+    for i in range(n_src):
+        f = np.roll(base, i * 8, axis=2)
+        sess.write_frame(f)
+    sess.close()
+    cd = try_decoders(path)
+
+    # host decode rate (sequential, warm decoder)
+    t0 = time.perf_counter()
+    for i in range(n_src):
+        cd.decoder.get_frame(i)
+    decode_ms = (time.perf_counter() - t0) / n_src * 1e3
+
+    # raw host->device ingest ceiling (one 1080p YUV420 frame per transfer)
+    frame_bytes = W * H * 3 // 2
+    bufs = [np.frombuffer(bytes(cd.decoder._buf), np.uint8).copy()
+            for _ in range(8)]
+    jnp.asarray(bufs[0])  # warm
+    barrier()
+    t0 = time.perf_counter()
+    NX = 48
+    for i in range(NX):
+        jnp.asarray(bufs[i % len(bufs)])
+    barrier()
+    ingest_ms = (time.perf_counter() - t0) / NX * 1e3
+    ingest_mbs = frame_bytes / (ingest_ms / 1e3) / 1e6
+
+    # 8 frames per transfer: measures whether the ceiling is per-transfer
+    # latency (batching would win) or raw upload bandwidth (it is — both
+    # come out ~55 MB/s host->device on this tunnel; fetches are ~10x
+    # faster, the asymmetry is documented in PERF_NOTES.md)
+    stack8 = np.stack(bufs)
+    jnp.asarray(stack8)
+    barrier()
+    t0 = time.perf_counter()
+    for _ in range(8):
+        jnp.asarray(stack8)
+    barrier()
+    batch_ms = (time.perf_counter() - t0) / (8 * len(bufs)) * 1e3
+    batch_mbs = frame_bytes / (batch_ms / 1e3) / 1e6
+
+    chain = [instantiate("saturation", saturation=1.2),
+             instantiate("vignette")]
+    g = FrameGraph(chain, SinkSpec(width=OW, height=OH), fps=30.0)
+
+    def to_layer(lay):
+        return lay  # decoder already yields device-ready planes
+
+    # prefetch thread: decode + host staging overlaps device work
+    q: "queue.Queue" = queue.Queue(maxsize=4)
+    stop = threading.Event()
+
+    def feeder():
+        i = 0
+        while not stop.is_set():
+            try:
+                q.put(cd.decoder.get_frame(i % n_src), timeout=0.5)
+            except queue.Full:
+                continue
+            i += 1
+
+    th = threading.Thread(target=feeder, daemon=True)
+    th.start()
+    out = g.run([q.get()], 0.0, 0)
+    barrier()  # compile
+
+    N = 120
+    lat = []
+    t0 = time.perf_counter()
+    for i in range(N):
+        t1 = time.perf_counter()
+        lay = q.get()
+        g.run([lay], i / 30.0, i)
+        lat.append(time.perf_counter() - t1)
+    barrier()
+    total = time.perf_counter() - t0
+    stop.set()
+    th.join(timeout=2)
+    per_frame_ms = total / N * 1e3
+    p99_ms = float(np.percentile(np.asarray(lat) * 1e3, 99))
+    os.unlink(path)
+    print(json.dumps({
+        "metric": "live_4k_real_ingest",
+        "value": round(per_frame_ms, 2),
+        "unit": "ms_per_frame_sustained",
+        "vs_baseline": round(16.67 / max(per_frame_ms, 1e-9), 2),
+        "detail": {
+            "source": "H.264 1080p30 (in-process libav), upscaled to 4K",
+            "host_decode_ms_per_frame": round(decode_ms, 2),
+            "ingest_ms_per_1080p_frame": round(ingest_ms, 2),
+            "ingest_MB_per_s": round(ingest_mbs, 1),
+            "ingest_batched8_ms_per_frame": round(batch_ms, 2),
+            "ingest_batched8_MB_per_s": round(batch_mbs, 1),
+            "enqueue_p99_ms": round(p99_ms, 2),
+            "frames": N,
+            "note": ("per-frame includes decode+transfer+compute with a "
+                     "4-deep prefetch; the tunnel ingest ceiling bounds "
+                     "real-media 4K ingest on this attachment — 4K RGB "
+                     "frames (~24 MB) cannot stream at 60 fps over "
+                     f"~{round(ingest_mbs)} MB/s, so real 4K60 requires "
+                     "compressed/subsampled transfer or device-side "
+                     "decode (documented in PERF_NOTES.md)"),
+            "timing": "device-order barrier (async-safe)"}}))
+
+
 if __name__ == "__main__":
     main()
+    real_ingest()

@@ -227,6 +227,14 @@ class AudioPlayer:
         self._thread: Optional[threading.Thread] = None
         self.muted = False
         self.volume = 1.0
+        # A/V sync closure (reference video_sync_ready, src/player.c:120):
+        # audio follows the video clock; small drift is corrected by
+        # stretching the resample velocity, large drift hard-resyncs
+        self.sync_tolerance = 0.08   # s: beyond this, jump (scratch/loop)
+        self.sync_deadband = 0.012   # s: below this, leave alone
+        self.sync_corrections = 0
+        self.sync_resyncs = 0
+        self.last_sync_delta = 0.0
 
     def load_clip_audio(self, clip):
         self._data = clip.read_audio()
@@ -243,12 +251,40 @@ class AudioPlayer:
             base = getattr(st.fg_clip, "fps", 25.0) or 25.0
             fps_ratio = st.pb_fps / base
         vel = fps_ratio * self._src_rate / self.rate
+        # measure audio-clock vs video-frame delta and close the loop
+        delta = self.sync_delta()
+        if delta is not None:
+            self.last_sync_delta = delta
+            if abs(delta) > self.sync_tolerance:
+                # scratch / seek / loop wrap: jump to the video position
+                self._pos = self._video_clip_time() * self._src_rate
+                self.sync_resyncs += 1
+            elif abs(delta) > self.sync_deadband:
+                # gentle 5% velocity stretch toward the video clock
+                vel -= np.sign(delta) * abs(vel) * 0.05
+                self.sync_corrections += 1
         block, self._pos = velocity_resample(self._data, self._pos, vel,
                                              self.block)
         block = apply_audio_chain(self.chain, block)
         if self.muted:
             block = block * 0.0
         return np.clip(block * self.volume, -1, 1)
+
+    def _video_clip_time(self) -> float:
+        """Video position in clip-time seconds."""
+        st = self.player.state
+        base = getattr(st.fg_clip, "fps", 25.0) or 25.0
+        return st.frame / base
+
+    def sync_delta(self) -> float | None:
+        """audio minus video position, clip seconds; None when unknown
+        (no clip / no audio loaded)."""
+        if self.player is None or self._data is None:
+            return None
+        st = self.player.state
+        if st.fg_clip is None or not len(self._data):
+            return None
+        return self._pos / self._src_rate - self._video_clip_time()
 
     def start(self):
         self._running = True

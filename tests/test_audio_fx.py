@@ -214,3 +214,62 @@ def test_player_audio_integration(tmp_path):
     p.stop()
     srv.stop()
     assert not p.audio._running
+
+
+def test_av_sync_bounded_over_scratch_playback():
+    """A/V sync closure (reference video_sync_ready, player.c:120):
+    60 simulated seconds of scratch playback — random fps changes incl.
+    reverse — keeps |audio - video| bounded and hard-resyncs on loop
+    wraps."""
+    import numpy as np
+    from lives_tpu.audio.fx import AudioPlayer, NullAudioSink
+
+    RATE, FPS, SECS = 44100, 25.0, 30.0
+
+    class Clip:
+        frames, fps = int(SECS * FPS * 2), FPS
+        arate, achans = RATE, 2
+
+        def read_audio(self):
+            t = np.arange(int(SECS * 2 * RATE))
+            x = np.sin(2 * np.pi * 220 * t / RATE).astype(np.float32) * 0.5
+            return np.stack([x, x], -1)
+
+    class P:
+        pass
+
+    player = P()
+
+    class State:
+        pass
+
+    st = State()
+    st.fg_clip = Clip()
+    st.pb_fps = FPS
+    st.frame = 0
+    player.state = st
+
+    ap = AudioPlayer(player, NullAudioSink(), rate=RATE, block=1024)
+    ap.load_clip_audio(st.fg_clip)
+
+    rng = np.random.default_rng(11)
+    dt = ap.block / RATE
+    vfrac = 0.0
+    deltas = []
+    n_steps = int(60.0 / dt)  # 60 s of wall time
+    for i in range(n_steps):
+        if i % 100 == 50:  # scratch: change speed/direction
+            st.pb_fps = float(rng.choice([-50, -25, 12.5, 25, 50, 75]))
+        # advance the video clock like the player does
+        vfrac += st.pb_fps * dt
+        st.frame = int(vfrac) % st.fg_clip.frames
+        ap.pull()
+        d = ap.sync_delta()
+        if i > 20 and d is not None:
+            deltas.append(abs(d))
+    deltas = np.asarray(deltas)
+    # bounded drift: correction keeps p95 within tolerance + one block
+    assert np.percentile(deltas, 95) < ap.sync_tolerance + 0.05, \
+        np.percentile(deltas, 95)
+    assert deltas[-50:].max() < 0.2
+    assert ap.sync_corrections > 0  # the soft loop actually engaged
