@@ -76,6 +76,12 @@ def load_avbridge():
             ctypes.c_char_p, ctypes.c_char_p, ctypes.c_int, ctypes.c_int,
             ctypes.c_int, ctypes.c_int, ctypes.c_int64, ctypes.c_int,
             ctypes.c_char_p, ctypes.c_int, ctypes.c_int]
+        lib.avb_enc_open2.restype = ctypes.c_void_p
+        lib.avb_enc_open2.argtypes = [
+            ctypes.c_char_p, ctypes.c_char_p, ctypes.c_char_p,
+            ctypes.c_int, ctypes.c_int,
+            ctypes.c_int, ctypes.c_int, ctypes.c_int64, ctypes.c_int,
+            ctypes.c_char_p, ctypes.c_int, ctypes.c_int]
         lib.avb_enc_video.restype = ctypes.c_int
         lib.avb_enc_video.argtypes = [ctypes.c_void_p,
                                       ctypes.POINTER(ctypes.c_uint8),
@@ -195,6 +201,8 @@ class AVDecoder(Decoder):
 
 #: container extension -> (muxer-appropriate video codec, audio codec)
 ENC_CODECS = {
+    "mpegts": ("libx264", "aac"),
+    "ogg": ("libtheora", "libvorbis"),
     "mkv": ("libx264", "aac"),
     "mp4": ("libx264", "aac"),
     "webm": ("libvpx", "libvorbis"),
@@ -212,19 +220,20 @@ class AVEncodeSession:
     def __init__(self, path: str, width: int, height: int, fps: float,
                  vcodec: str | None = None, acodec: str | None = None,
                  arate: int = 0, achans: int = 2, bitrate: int = 0,
-                 gop: int = 12):
+                 gop: int = 12, container: str = ""):
         lib = load_avbridge()
         if lib is None:
             raise RuntimeError("avbridge unavailable")
-        ext = Path(path).suffix.lstrip(".").lower()
+        ext = container or Path(path).suffix.lstrip(".").lower()
         dflt = ENC_CODECS.get(ext, ("libx264", "aac"))
         vcodec = vcodec or dflt[0]
         acodec = acodec or dflt[1]
         from fractions import Fraction
         fr = Fraction(fps).limit_denominator(1001 * 60)
         self._lib = lib
-        self._h = lib.avb_enc_open(
-            str(path).encode(), vcodec.encode(), width, height,
+        self._h = lib.avb_enc_open2(
+            str(path).encode(), container.encode(), vcodec.encode(),
+            width, height,
             fr.numerator, fr.denominator, bitrate, gop,
             acodec.encode() if arate else b"", arate, achans)
         if not self._h:

@@ -168,3 +168,75 @@ class OMCLearner:
             key = EventKey(d["etype"], d["channel"], d["index"])
             self.mappings[key] = Mapping(key, d["macro"], d["scale"],
                                          d["offset"])
+
+
+def parse_js(data: bytes) -> list[DeviceEvent]:
+    """Parse Linux joystick events (linux/joystick.h struct js_event:
+    u32 time, s16 value, u8 type, u8 number — the reference's js path,
+    omc-learn.c js_msgs). Init events (type & 0x80) are skipped."""
+    import struct
+    out = []
+    for ofs in range(0, len(data) - 7, 8):
+        _, value, jtype, number = struct.unpack_from("<IhBB", data, ofs)
+        if jtype & 0x80:       # JS_EVENT_INIT: initial state dump
+            continue
+        if jtype & 0x02:       # JS_EVENT_AXIS
+            out.append(DeviceEvent(EventKey(JS_AXIS, 0, number),
+                                   value / 32767.0))
+        elif jtype & 0x01:     # JS_EVENT_BUTTON
+            out.append(DeviceEvent(EventKey(JS_BUTTON, 0, number),
+                                   float(value)))
+    return out
+
+
+class JoystickReader:
+    """Background reader for /dev/input/jsN feeding an OMCLearner —
+    the reference's joystick device path (omc-learn.c), cleanly gated on
+    device presence."""
+
+    def __init__(self, learner: OMCLearner, device: str = "/dev/input/js0"):
+        import os
+        if not os.path.exists(device):
+            raise RuntimeError(f"{device} absent")
+        self.learner = learner
+        self.device = device
+        self._fd = None
+        self._thread = None
+        self._running = False
+
+    def start(self):
+        import os
+        import threading
+        self._fd = os.open(self.device, os.O_RDONLY)
+        self._running = True
+
+        def loop():
+            import os as _os
+            while self._running:
+                try:
+                    data = _os.read(self._fd, 8 * 32)
+                except OSError:
+                    break
+                for ev in parse_js(data):
+                    self.learner.feed(ev)
+
+        self._thread = threading.Thread(target=loop, daemon=True)
+        self._thread.start()
+
+    def stop(self):
+        import os
+        self._running = False
+        if self._fd is not None:
+            os.close(self._fd)
+            self._fd = None
+        if self._thread:
+            self._thread.join(timeout=1)
+
+
+def feed_js(learner: OMCLearner, data: bytes) -> int:
+    """Feed raw joystick bytes (tests / bridges). Returns events handled."""
+    n = 0
+    for ev in parse_js(data):
+        if learner.feed(ev):
+            n += 1
+    return n

@@ -208,6 +208,7 @@ class Player:
         # adaptive quality under load (reference "effort", prefs->pbq_adaptive)
         self.adaptive_quality = False
         self.effort = 0
+        self._lbox_wanted: bool | None = None  # user's letterbox intent
         self._precache_thread = None
         self._precache_req: list = []
         # optional realtime audio feeder (audio/fx.AudioPlayer), attached by
@@ -521,7 +522,16 @@ class Player:
 
     def _update_effort(self):
         """Degrade/restore playback quality to hold fps (the reference's
-        effort machinery, player.c effort updates)."""
+        effort machinery, player.c effort updates / prefs->pbq_adaptive).
+
+        Ladder (cumulative):
+          0: full quality (smooth resize, letterbox honoured)
+          1: bilinear resize
+          2: nearest resize, letterboxing dropped (plain stretch — the
+             reference degrades letterbox quality the same way)
+          3: + precache paused and free-run frame dropping (never wait
+             for skipped targets; the clock jumps, drops are counted)
+        """
         budget = 1.0 / max(abs(self.state.pb_fps), 1.0)
         recent = self._frame_times[-8:]
         if not recent:
@@ -536,8 +546,17 @@ class Player:
             import dataclasses
             method = "smooth" if self.effort == 0 else \
                 ("bilinear" if self.effort == 1 else "nearest")
-            self.sink_spec = dataclasses.replace(self.sink_spec,
-                                                 method=method)
+            if self._lbox_wanted is None:  # first transition: remember
+                self._lbox_wanted = self.sink_spec.letterbox
+            self.sink_spec = dataclasses.replace(
+                self.sink_spec, method=method,
+                letterbox=self._lbox_wanted and self.effort < 2)
+            if self.effort >= 3:
+                self._precache_saved = self.precache_depth or \
+                    getattr(self, "_precache_saved", 0)
+                self.precache_depth = 0
+            elif getattr(self, "_precache_saved", 0):
+                self.precache_depth = self._precache_saved
             self._graphs.clear()  # re-template at the new quality
 
     def play_n_cycles(self, n: int, realtime: bool = False):

@@ -105,3 +105,99 @@ class Y4MSink(Sink):
     def exit_screen(self):
         if self._fh:
             self._fh.close()
+
+
+class AVStreamSink(Sink):
+    """Network / container streaming playback plugin: frames encode through
+    the in-process libav bridge to ANY avformat target — `udp://host:port`
+    (MPEG-TS, the lives2lives-class network path), `icecast://` /
+    `http://` (the reference's icecast_output.c / oggstream.c plugins,
+    Theora/OGG), `rtp://`, or a plain file/FIFO.
+
+    Container defaults: udp/rtp -> mpegts+H.264; icecast -> ogg+Theora;
+    otherwise guessed from the target's extension."""
+
+    palette_list = (Palette.RGB24,)
+
+    def __init__(self, url: str, fps: float = 25.0, bitrate: int = 0,
+                 container: str = "", vcodec: str | None = None):
+        self.url = url
+        self.fps = fps
+        self.bitrate = bitrate
+        if not container:
+            if url.startswith(("udp://", "rtp://", "srt://")):
+                container = "mpegts"
+            elif url.startswith(("icecast://", "http://", "https://")):
+                container = "ogg"
+        self.container = container
+        self.vcodec = vcodec
+        self._sess = None
+        self.frames = 0
+
+    def init_screen(self, width, height, fps):
+        from ..io.av import AVEncodeSession
+        self.fps = fps or self.fps
+        self._sess = AVEncodeSession(self.url, width, height,
+                                     self.fps, vcodec=self.vcodec,
+                                     bitrate=self.bitrate,
+                                     container=self.container)
+
+    def play_frame(self, layer: Layer, tc: float) -> bool:
+        arr = np.asarray(layer.planes[0])
+        if self._sess is None:
+            c, h, w = arr.shape
+            self.init_screen(w, h, self.fps)
+        self._sess.write_frame(arr)
+        self.frames += 1
+        return True
+
+    def exit_screen(self):
+        if self._sess is not None:
+            self._sess.close()
+            self._sess = None
+
+
+class VLoopbackSink(Sink):
+    """v4l2loopback output (reference vloopback2.c): raw frames written to
+    a /dev/videoN loopback device so any V4L2 consumer (browser, OBS,
+    ffmpeg) sees a camera. Cleanly gated: raises when the device is absent
+    (this image ships no v4l2loopback module)."""
+
+    palette_list = (Palette.RGB24,)
+
+    V4L2_PIX_FMT_RGB24 = 0x33424752  # 'RGB3'
+
+    def __init__(self, device: str = "/dev/video10"):
+        import os
+        if not os.path.exists(device):
+            raise RuntimeError(f"{device} absent (v4l2loopback not loaded)")
+        self.device = device
+        self._fd = None
+        self.frames = 0
+
+    def init_screen(self, width, height, fps):
+        import fcntl
+        import os
+        import struct as st
+        self._fd = os.open(self.device, os.O_WRONLY)
+        # VIDIOC_S_FMT with v4l2_format(type=V4L2_BUF_TYPE_VIDEO_OUTPUT=2)
+        fmt = st.pack("<I", 2) + st.pack("<IIIII", width, height,
+                                         self.V4L2_PIX_FMT_RGB24, 1,
+                                         width * 3) \
+            + st.pack("<II", width * height * 3, 0) + bytes(200 - 36)
+        VIDIOC_S_FMT = 0xC0D05605
+        fcntl.ioctl(self._fd, VIDIOC_S_FMT, bytearray(fmt))
+
+    def play_frame(self, layer: Layer, tc: float) -> bool:
+        import os
+        arr = np.asarray(layer.planes[0])
+        os.write(self._fd, np.ascontiguousarray(
+            np.moveaxis(arr, 0, -1)).tobytes())
+        self.frames += 1
+        return True
+
+    def exit_screen(self):
+        import os
+        if self._fd is not None:
+            os.close(self._fd)
+            self._fd = None

@@ -377,14 +377,20 @@ static int enc_write(Enc* e, AVCodecContext* c, AVStream* s, AVFrame* f) {
   return 1;
 }
 
-void* avb_enc_open(const char* path, const char* vcodec_name, int w, int h,
-                   int fps_num, int fps_den, int64_t bitrate, int gop,
-                   const char* acodec_name, int arate, int achans) {
+// fmt_name: explicit container/muxer ("mpegts", "ogg", ...) for
+// extension-less targets (network URLs: udp://, icecast://, rtp://);
+// empty = guess from path.
+void* avb_enc_open2(const char* path, const char* fmt_name,
+                    const char* vcodec_name, int w, int h,
+                    int fps_num, int fps_den, int64_t bitrate, int gop,
+                    const char* acodec_name, int arate, int achans) {
   Enc* e = new Enc();
   e->w = w;
   e->h = h;
-  if (avformat_alloc_output_context2(&e->fmt, nullptr, nullptr, path) < 0 ||
-      !e->fmt) {
+  avformat_network_init();
+  if (avformat_alloc_output_context2(
+          &e->fmt, nullptr, fmt_name && *fmt_name ? fmt_name : nullptr,
+          path) < 0 || !e->fmt) {
     delete e;
     return nullptr;
   }
@@ -457,6 +463,13 @@ fail:
   if (e->fmt) avformat_free_context(e->fmt);
   delete e;
   return nullptr;
+}
+
+void* avb_enc_open(const char* path, const char* vcodec_name, int w, int h,
+                   int fps_num, int fps_den, int64_t bitrate, int gop,
+                   const char* acodec_name, int arate, int achans) {
+  return avb_enc_open2(path, "", vcodec_name, w, h, fps_num, fps_den,
+                       bitrate, gop, acodec_name, arate, achans);
 }
 
 // src: I420 contiguous (w*h + 2*(w/2)*(h/2)). is_rgb: src is RGB24 packed.

@@ -268,3 +268,71 @@ def test_audio_transition():
     t.values["amount"] = 0.5
     mid = t.apply(quad)[0, 0]
     assert abs(mid) < 0.01  # equal-power midpoint cancels
+
+
+def test_joystick_parse_and_learn():
+    """OMC joystick path (omc-learn.c js events): parse raw js_event
+    structs, learn an axis onto a macro, drive it."""
+    import struct
+    from lives_tpu.omc import (JS_AXIS, JS_BUTTON, OMCLearner, feed_js,
+                               parse_js)
+
+    def js(value, jtype, number):
+        return struct.pack("<IhBB", 0, value, jtype, number)
+
+    evs = parse_js(js(16384, 2, 0) + js(1, 1, 3) + js(0, 0x82, 1))
+    assert len(evs) == 2  # init event skipped
+    assert evs[0].key.etype == JS_AXIS and abs(evs[0].value - 0.5) < 0.01
+    assert evs[1].key.etype == JS_BUTTON and evs[1].value == 1.0
+
+    got = []
+    lrn = OMCLearner()
+    lrn.add_macro("level", lambda v: got.append(v), takes_value=True)
+    lrn.start_learn("level")
+    feed_js(lrn, js(0, 2, 1))          # axis 1 wiggles -> learned
+    assert lrn.learning is None
+    feed_js(lrn, js(32767, 2, 1))      # full deflection
+    assert got and abs(got[-1] - 1.0) < 0.01
+
+
+def test_adaptive_effort_ladder():
+    """Effort degrades letterbox + precache, not just resize method
+    (reference effort updates, player.c)."""
+    import time
+    import numpy as np
+    import jax.numpy as jnp
+    from lives_tpu.constants import Palette
+    from lives_tpu.graph import SinkSpec
+    from lives_tpu.layer import Layer
+    from lives_tpu.player import CollectSink, Player
+
+    class MemClip:
+        frames, fps, width, height, unique_id = 10, 25.0, 32, 24, 1
+
+        def get_frame(self, n):
+            return Layer(planes=(jnp.full((3, 24, 32), n * 9, jnp.uint8),),
+                         palette=int(Palette.RGB24))
+
+    p = Player(sink=CollectSink(),
+               sink_spec=SinkSpec(width=48, height=48, letterbox=True))
+    p.state.fg_clip = MemClip()
+    p.adaptive_quality = True
+    p.precache_depth = 2
+    p.start()
+    # simulate sustained over-budget frames
+    p._frame_times = [1.0] * 8
+    for _ in range(4):
+        p._update_effort()
+        p._frame_times = [1.0] * 8
+    assert p.effort == 3
+    assert p.sink_spec.method == "nearest"
+    assert p.sink_spec.letterbox is False     # degraded
+    assert p.precache_depth == 0              # paused
+    # recovery restores the user's intent
+    for _ in range(4):
+        p._frame_times = [0.001] * 8
+        p._update_effort()
+    assert p.effort == 0
+    assert p.sink_spec.letterbox is True
+    assert p.precache_depth == 2
+    p.stop()
