@@ -172,7 +172,12 @@ def _pick_sweep_tile(H: int) -> int | None:
     """Output tile height: full-width row bands. Bigger bands amortise the
     blur halo's wasted rows (vregs pad rows to 8 anyway); very tall bands
     inflate Mosaic compile time and VMEM. ~40 rows is the sweet spot
-    measured on v5e (98x realtime at 1080p vs 58x at 8 rows)."""
+    measured on v5e (98x realtime at 1080p vs 58x at 8 rows).
+    LIVES_TPU_SWEEP_TILE overrides for tuning."""
+    import os
+    forced = int(os.environ.get("LIVES_TPU_SWEEP_TILE", 0))
+    if forced and H % forced == 0:
+        return forced
     for th in (40, 48, 36, 32, 30, 24, 20, 16, 12, 10, 8):
         if H % th == 0:
             return th
