@@ -120,3 +120,67 @@ class BeatDetector:
         if len(self.energies) > 4 * self.history:
             self.energies = self.energies[-2 * self.history:]
         return is_beat
+
+
+# -- optical-flow motion analyser (farneback_analyser.cpp role) ---------------
+
+def _motion_init(w, h, pal):
+    import jax.numpy as _jnp
+    return _jnp.zeros((max(h // 8, 1), max(w // 8, 1)), _jnp.float32)
+
+
+def _downluma(lay):
+    g = luma(split_alpha(to_f01(lay))[0])
+    h, w = g.shape
+    hh, ww = max(h // 8, 1), max(w // 8, 1)
+    return g[: hh * 8, : ww * 8].reshape(hh, 8, ww, 8).mean((1, 3))
+
+
+def _motion_process(ins, p, ctx, state):
+    """Coarse Lucas-Kanade optical flow on 8x-downsampled luma: spatial/
+    temporal gradients, per-pixel 2x2 normal equations solved in closed
+    form, mean flow + magnitude as out-params. The TPU re-expression of
+    the reference's OpenCV flow analyser (farneback_analyser.cpp) —
+    different algorithm, same capability: motion values feeding data
+    connections."""
+    import jax
+    lay = ins[0]
+    g = _downluma(lay)
+    prev = state
+    it = g - prev
+    iy, ix = jnp.gradient(prev)
+    # 3x3 box-aggregate the normal equations (vectorised, stencil-free
+    # via shifted pads)
+    def box(a):
+        ap = jnp.pad(a, 1, mode="edge")
+        return sum(ap[r:r + a.shape[0], c:c + a.shape[1]]
+                   for r in range(3) for c in range(3)) / 9.0
+    ixx, iyy, ixy = box(ix * ix), box(iy * iy), box(ix * iy)
+    ixt, iyt = box(ix * it), box(iy * it)
+    det = ixx * iyy - ixy * ixy + 1e-6
+    u = (-iyy * ixt + ixy * iyt) / det
+    v = (ixy * ixt - ixx * iyt) / det
+    # confidence-weight by gradient energy; clamp outliers
+    wgt = jnp.clip((ixx + iyy) * 16.0, 0.0, 1.0)
+    u = jnp.clip(u, -8.0, 8.0) * wgt
+    v = jnp.clip(v, -8.0, 8.0) * wgt
+    wsum = wgt.sum() + 1e-6
+    fx = (u.sum() / wsum)
+    fy = (v.sum() / wsum)
+    mag = (jnp.sqrt(u * u + v * v).sum() / wsum)
+    outs = {"flow_x": fx, "flow_y": fy,
+            "motion": jnp.clip(mag / 4.0, 0.0, 1.0)}
+    return lay, g, outs
+
+
+register_filter(Filter(
+    name="motion_analyser", process=_motion_process,
+    in_channels=_ONE_IN,
+    flags=__import__("lives_tpu.effects.host", fromlist=["x"]
+                     ).FILTER_STATEFUL,
+    init_state=_motion_init,
+    out_params=(Param("flow_x", "num", 0.0, -8.0, 8.0),
+                Param("flow_y", "num", 0.0, -8.0, 8.0),
+                Param("motion", "num", 0.0, 0.0, 1.0)),
+    description="coarse optical-flow motion analyser "
+                "(farneback_analyser.cpp role)"))

@@ -275,8 +275,12 @@ def apply_instance(inst: Instance, layers: Sequence[Layer],
             w0 = ins[0].width if ins else ctx.width
             h0 = ins[0].height if ins else ctx.height
             state = f.init_state(w0, h0, ins[0].palette if ins else None)
-        out, new_state = f.process(ins, params, ctx, state)
-        inst.state = new_state
+        ret = f.process(ins, params, ctx, state)
+        if len(ret) == 3:  # stateful analysers: (out, state, out_values)
+            out, inst.state, outs = ret
+            inst.out_values = dict(outs)
+        else:
+            out, inst.state = ret
     else:
         out = f.process(ins, params, ctx)
     if f.analyse is not None:

@@ -118,6 +118,7 @@ select{background:#26262c;color:#eee;border:1px solid #555;padding:3px}
  <div id="clips"></div>
  <h3>Effect keys</h3><div id="keys"></div>
  <h3>Parameters</h3><div id="params"></div>
+ <h3>Timeline</h3><div id="timeline"></div>
  <h3>Stats</h3><div id="stats"></div>
 </div>
 <div id="main"><img src="/preview.mjpg"></div>
@@ -160,6 +161,25 @@ async function refresh(){
   cl.appendChild(b);
  });
 }
+async function drawTimeline(){
+ const tl=await (await fetch('/api/timeline')).json();
+ const el=document.getElementById('timeline'); el.innerHTML='';
+ const total=Math.max(tl.frames,1);
+ tl.tracks.forEach(tr=>{
+  const row=document.createElement('div');
+  row.style.cssText='position:relative;height:16px;background:#222;'+
+   'margin:2px 0;border-radius:3px;overflow:hidden';
+  tr.blocks.forEach(b=>{
+   const d=document.createElement('div');
+   d.title='clip '+b.clip+' ['+b.start+'-'+b.end+')';
+   d.style.cssText='position:absolute;top:0;bottom:0;background:hsl('+
+    (b.clip*67%360)+',60%,45%);left:'+(b.start/total*100)+
+    '%;width:'+((b.end-b.start)/total*100)+'%';
+   row.appendChild(d);
+  });
+  el.appendChild(row);
+ });
+}
 async function loadParams(k){
  const spec=await (await fetch('/api/params/'+k)).json();
  const pd=document.getElementById('params'); pd.innerHTML='';
@@ -191,7 +211,8 @@ async function loadParams(k){
   pd.appendChild(d);
  });
 }
-refresh(); setInterval(refresh, 1000);
+refresh(); drawTimeline(); setInterval(refresh, 1000);
+setInterval(drawTimeline, 3000);
 </script></body></html>"""
 
 
@@ -231,6 +252,8 @@ class WebUI:
                     self.wfile.write(body)
                 elif self.path == "/api/state":
                     self._json(ui.state())
+                elif self.path == "/api/timeline":
+                    self._json(ui.timeline())
                 elif self.path.startswith("/api/params/"):
                     self._json(ui.param_spec(int(self.path.rsplit("/", 1)
                                                  [-1])))
@@ -326,6 +349,22 @@ class WebUI:
                 "inst_fps": stats["inst_fps"], "p99_ms": stats["p99_ms"],
                 "keys": keys, "clips": clips,
                 "blend": st.blend_amount}
+
+    def timeline(self) -> dict[str, Any]:
+        """Multitrack readout: per-track block views (multitrack.c's
+        timeline, as data)."""
+        mt = getattr(self.osc, "multitrack", None)
+        if mt is None:
+            return {"frames": 0, "tracks": []}
+        total = 0
+        tracks = []
+        for t in range(mt.n_tracks):
+            blocks = [{"start": b.start, "end": b.end, "clip": int(b.clip)}
+                      for b in mt.blocks(t)]
+            if blocks:
+                total = max(total, max(b["end"] for b in blocks))
+            tracks.append({"track": t, "blocks": blocks})
+        return {"frames": total, "fps": mt.el.fps, "tracks": tracks}
 
     def param_spec(self, key: int) -> dict[str, Any]:
         """paramwindow spec + live values for an effect key's filter."""

@@ -135,3 +135,36 @@ def test_stateless_effects_deterministic(rng):
     a = np.asarray(apply_instance(instantiate("ripple"), [lay], ctx)[0].planes[0])
     b = np.asarray(apply_instance(instantiate("ripple"), [lay], ctx)[0].planes[0])
     np.testing.assert_array_equal(a, b)
+
+
+def test_motion_analyser_tracks_motion():
+    """Optical-flow analyser: moving content -> flow direction + motion
+    out-params; static content -> near-zero."""
+    import numpy as np
+    import jax.numpy as jnp
+    from lives_tpu.constants import Palette
+    from lives_tpu.effects.host import (FrameContext, apply_instance,
+                                        instantiate)
+    from lives_tpu.layer import Layer
+
+    # smooth content: gradient-based flow needs structure within its
+    # linearisation range (noise decorrelates under shift)
+    yy, xx = np.mgrid[0:64, 0:96].astype(np.float32)
+    pat = (np.sin(xx / 9.0) * np.cos(yy / 7.0) * 0.5 + 0.5) * 255
+    base = np.stack([pat, pat, pat]).astype(np.uint8)
+    inst = instantiate("motion_analyser")
+    ctx = FrameContext(width=96, height=64)
+
+    def frame(shift):
+        return Layer(planes=(jnp.asarray(np.roll(base, shift, axis=2)),),
+                     palette=int(Palette.RGB24))
+
+    apply_instance(inst, [frame(0)], ctx)       # primes prev state
+    apply_instance(inst, [frame(0)], ctx)       # static
+    static_motion = float(inst.out_values["motion"])
+    assert static_motion < 0.05
+    apply_instance(inst, [frame(8)], ctx)       # 1px at coarse scale
+    moving = float(inst.out_values["motion"])
+    fx = float(inst.out_values["flow_x"])
+    assert moving > static_motion + 0.05
+    assert abs(fx) > 0.05

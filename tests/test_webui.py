@@ -156,3 +156,16 @@ def test_full_browser_session_flow(ui, tmp_path):
     jpeg = _get(ui, "/preview.jpg")
     assert jpeg[:3] == b"\xff\xd8\xff"
     p.stop()
+
+
+def test_timeline_endpoint(ui):
+    from lives_tpu.multitrack.model import Multitrack
+    mt = Multitrack(n_tracks=2)
+    mt.insert_block(0, clip=7, start=0, length=10)
+    mt.insert_block(1, clip=9, start=5, length=8)
+    ui.osc.multitrack = mt
+    tl = json.loads(_get(ui, "/api/timeline"))
+    assert tl["frames"] == 13
+    assert tl["tracks"][0]["blocks"][0] == {"start": 0, "end": 10,
+                                            "clip": 7}
+    assert "Timeline" in _get(ui, "/").decode()
