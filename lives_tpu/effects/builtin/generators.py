@@ -153,3 +153,102 @@ def _colour_bars(p, ctx):
 
 
 _mk_generator("colour_bars", _colour_bars, desc="SMPTE-style colour bars")
+
+
+# -- audio-reactive visualiser generators (libvis.c / projectM.cpp role) -----
+# Scalar drive params (level/bass/mid/treble/beat) are wired from the audio
+# analysers (audio/analysers.py audio_fft + beat_detector) through data
+# connections — the reference's music-visualiser capability without gl.
+
+def _vu_bars(p, ctx):
+    """libvis-style VU meter: four frequency-band bars."""
+    x, y = _grid(ctx)
+    heights = jnp.stack([p["bass"], p["mid"], p["treble"], p["level"]])
+    heights = jnp.clip(heights, 0.0, 1.0)
+    band = jnp.clip((x * 4.0).astype(jnp.int32), 0, 3)
+    h_here = heights[band]
+    lit = ((1.0 - y) < h_here).astype(jnp.float32)
+    # in-bar gradient green->red with height
+    r = lit * (1.0 - y)
+    g = lit * y
+    b = lit * 0.15
+    gap = ((x * 4.0) % 1.0 > 0.08).astype(jnp.float32)
+    return _out_layer(jnp.stack([r, g, b], 0) * gap[None])
+
+
+_mk_generator("vu_bars", _vu_bars,
+              params=(Param("level", "num", 0.5, 0.0, 1.0),
+                      Param("bass", "num", 0.5, 0.0, 1.0),
+                      Param("mid", "num", 0.5, 0.0, 1.0),
+                      Param("treble", "num", 0.5, 0.0, 1.0)),
+              desc="4-band VU bars (libvis.c role; drive via pconx)")
+
+
+def _spectrascope(p, ctx):
+    """Radial audio-reactive pattern: rings pulse with bass, spokes spin
+    with tc, hue with treble — the projectM-preset capability class."""
+    x, y = _grid(ctx)
+    cx, cy = x - 0.5, (y - 0.5) * (ctx.height / max(ctx.width, 1))
+    r = jnp.sqrt(cx * cx + cy * cy) * 2.0
+    th = jnp.arctan2(cy, cx)
+    t = ctx.tc
+    rings = jnp.sin(r * (8.0 + p["bass"] * 24.0) - t * 4.0)
+    spokes = jnp.sin(th * jnp.floor(3.0 + p["mid"] * 9.0) + t * 2.0)
+    v = jnp.clip(rings * 0.5 + spokes * 0.5 + p["level"], -1.0, 1.0)
+    v = (v + 1.0) * 0.5 * jnp.exp(-r * (1.5 - p["level"]))
+    hue = p["treble"] * 4.0 + t * 0.3
+    rch = v * (0.5 + 0.5 * jnp.sin(hue))
+    gch = v * (0.5 + 0.5 * jnp.sin(hue + 2.094))
+    bch = v * (0.5 + 0.5 * jnp.sin(hue + 4.189))
+    return _out_layer(jnp.stack([rch, gch, bch], 0))
+
+
+_mk_generator("spectrascope", _spectrascope,
+              params=(Param("level", "num", 0.5, 0.0, 1.0),
+                      Param("bass", "num", 0.3, 0.0, 1.0),
+                      Param("mid", "num", 0.3, 0.0, 1.0),
+                      Param("treble", "num", 0.3, 0.0, 1.0)),
+              desc="radial audio-reactive visualiser (projectM role)")
+
+
+def _beat_rings_init(w, h, pal):
+    # ages of up to 6 live rings (<0 = free slot), next-slot cursor
+    return (jnp.full((6,), -1.0, jnp.float32), jnp.int32(0))
+
+
+def _beat_rings(ins, p, ctx, state):
+    """Beat-triggered expanding rings (stateful): a beat pulse >0.5 spawns
+    a ring; rings expand and fade. Drive `beat` from beat_detector."""
+    ages, cur = state
+    dt = 1.0 / max(ctx.fps, 1.0)
+    ages = jnp.where(ages >= 0.0, ages + dt, ages)
+    ages = jnp.where(ages > 2.0, -1.0, ages)       # expire after 2 s
+    spawn = p["beat"] > 0.5
+    ages = jnp.where(spawn, ages.at[cur].set(0.0), ages)
+    cur = jnp.where(spawn, (cur + 1) % 6, cur)
+    x, y = _grid(ctx)
+    cx, cy = x - 0.5, (y - 0.5) * (ctx.height / max(ctx.width, 1))
+    r = jnp.sqrt(cx * cx + cy * cy) * 2.0
+    v = jnp.zeros_like(r)
+    for k in range(6):
+        a = ages[k]
+        live = (a >= 0.0).astype(jnp.float32)
+        radius = a * p["speed"]
+        ring = jnp.exp(-((r - radius) ** 2) * 400.0) * jnp.exp(-a * 2.0)
+        v = v + ring * live
+    v = jnp.clip(v, 0.0, 1.0)
+    rgb = jnp.stack([v * p["red"], v * p["green"], v * p["blue"]], 0)
+    return _out_layer(rgb), (ages, cur)
+
+
+from ..host import FILTER_STATEFUL as _FS
+
+register_filter(Filter(
+    name="beat_rings", process=_beat_rings, in_channels=(),
+    params=(Param("beat", "num", 0.0, 0.0, 1.0),
+            Param("speed", "num", 1.0, 0.1, 4.0),
+            Param("red", "num", 0.3, 0.0, 1.0),
+            Param("green", "num", 0.8, 0.0, 1.0),
+            Param("blue", "num", 1.0, 0.0, 1.0)),
+    flags=FILTER_IS_GENERATOR | _FS, init_state=_beat_rings_init,
+    description="beat-triggered expanding rings (audio-reactive)"))

@@ -141,3 +141,26 @@ def test_encoder_registry_contract():
     assert enc.get_capabilities() == CAP_VIDEO | CAP_AUDIO
     fmts = {f.extension for f in enc.get_formats()}
     assert {"mkv", "mp4", "ogv"} <= fmts
+
+
+def test_transcode_mkv_to_mkv_with_fx(mkv_fixture, tmp_path):
+    """Full media round: open compressed clip -> fx chain on device ->
+    in-process H.264 encode -> decode the result (transcode.c path with
+    real codecs both ends)."""
+    from lives_tpu.effects.host import instantiate
+    from lives_tpu.io.clips import open_clip
+    from lives_tpu.transcode import transcode
+
+    clip = open_clip(str(mkv_fixture), tmp_path)
+    out = tmp_path / "out.mkv"
+    ok = transcode(clip, str(out), encoder="av",
+                   chain=[instantiate("negate")])
+    assert ok and out.stat().st_size > 1000
+    cd2 = try_decoders(str(out))
+    assert cd2.nframes == N and cd2.decoder.codec == "h264"
+    # negation survived both lossy hops: frame 0 grey 0 -> ~255 luma
+    y = np.asarray(cd2.decoder.get_frame(0).planes[0])
+    cols = np.ones(W, bool)
+    cols[:12] = False
+    assert y[:, cols].mean() > 200
+    cd2.decoder.close()

@@ -168,3 +168,31 @@ def test_motion_analyser_tracks_motion():
     fx = float(inst.out_values["flow_x"])
     assert moving > static_motion + 0.05
     assert abs(fx) > 0.05
+
+
+def test_audio_reactive_generators():
+    """libvis/projectM-role generators: audio scalars change the picture;
+    beat_rings spawns and fades rings statefully."""
+    import numpy as np
+    from lives_tpu.effects.host import (FrameContext, apply_instance,
+                                        instantiate)
+
+    ctx = FrameContext(tc=0.5, frame=12, fps=25.0, width=96, height=64)
+    quiet = apply_instance(instantiate("vu_bars", level=0.1, bass=0.1,
+                                       mid=0.1, treble=0.1), [], ctx)[0]
+    loud = apply_instance(instantiate("vu_bars", level=0.9, bass=0.9,
+                                      mid=0.9, treble=0.9), [], ctx)[0]
+    assert np.asarray(loud.planes[0]).mean() \
+        > np.asarray(quiet.planes[0]).mean() * 2
+
+    spec = apply_instance(instantiate("spectrascope", bass=0.8), [], ctx)[0]
+    assert np.asarray(spec.planes[0]).std() > 5  # actual structure
+
+    rings = instantiate("beat_rings")
+    out0 = apply_instance(rings, [], ctx)[0]
+    assert np.asarray(out0.planes[0]).max() == 0  # nothing before a beat
+    rings.set(beat=1.0)
+    apply_instance(rings, [], ctx)
+    rings.set(beat=0.0)
+    grown = apply_instance(rings, [], ctx)[0]
+    assert np.asarray(grown.planes[0]).max() > 30  # a ring is alive
