@@ -396,3 +396,48 @@ def best_audio_sink(rate: int = 44100) -> AudioSink:
         except RuntimeError:
             pass
     return NullAudioSink()
+
+
+class AlsaAudioSource:
+    """External audio capture (the reference's pulse/jack capture path,
+    src/pulse.c external audio): pull s16 blocks from an ALSA capture
+    device as float32 (n, chans). Cleanly gated on libasound presence —
+    this image ships no sound stack, so `available()` is the guard."""
+
+    @staticmethod
+    def available() -> bool:
+        import ctypes.util
+        return ctypes.util.find_library("asound") is not None
+
+    def __init__(self, device: str = "default", rate: int = 44100,
+                 channels: int = 2):
+        import ctypes
+        import ctypes.util
+        lib = ctypes.util.find_library("asound")
+        if lib is None:
+            raise RuntimeError("libasound not available")
+        a = ctypes.CDLL(lib)
+        self._a = a
+        self._pcm = ctypes.c_void_p()
+        # SND_PCM_STREAM_CAPTURE = 1
+        if a.snd_pcm_open(ctypes.byref(self._pcm), device.encode(), 1, 0):
+            raise RuntimeError(f"cannot open ALSA capture {device!r}")
+        if a.snd_pcm_set_params(self._pcm, 2, 3, channels, rate, 1, 100000):
+            raise RuntimeError("snd_pcm_set_params failed")
+        self.rate = rate
+        self.channels = channels
+
+    def read(self, n: int = 1024) -> np.ndarray:
+        import ctypes
+        buf = np.zeros((n, self.channels), "<i2")
+        got = self._a.snd_pcm_readi(
+            self._pcm, buf.ctypes.data_as(ctypes.c_void_p), n)
+        if got < 0:
+            self._a.snd_pcm_recover(self._pcm, got, 1)
+            return np.zeros((n, self.channels), np.float32)
+        return buf[:got].astype(np.float32) / 32768.0
+
+    def close(self):
+        if getattr(self, "_pcm", None):
+            self._a.snd_pcm_close(self._pcm)
+            self._pcm = None

@@ -195,3 +195,124 @@ register_filter(Filter(
                      for i in range(4)),
     analyse=_randomiser_analyse,
     description="per-frame random out-params (randomiser.c)"))
+
+
+# -- Toonz family (reference toonz.cpp: DWANGO OpenToonz ports) ---------------
+
+def _register_rgb(name, fn, params=(), desc=""):
+    from ..host import ChannelTemplate, Filter, Param, register_filter
+    from ...constants import Palette as _P
+    from ..util import from_f01, join_alpha, split_alpha, to_f01
+
+    def process(ins, p, ctx):
+        lay = ins[0]
+        a = to_f01(lay)
+        rgb, al = split_alpha(a)
+        out = jnp.clip(fn(rgb, p, ctx), 0.0, 1.0)
+        return from_f01(join_alpha(out, al), lay)
+
+    return register_filter(Filter(
+        name=name, process=process,
+        in_channels=(ChannelTemplate("in", (_P.RGB24, _P.RGBA32)),),
+        params=tuple(params), description=desc))
+
+
+def _light_bloom(rgb, p, ctx):
+    """Toonz: Light Bloom — gamma-lifted highlights blurred and added
+    back (toonz.cpp in_paramsb: gamma/exposure/gain/radius)."""
+    from ..util import luma
+    from .blur import _gauss_kernel, sep_conv
+    g = luma(rgb)
+    # highlight threshold falls as exposure rises (exposure 1 -> 0.5)
+    hi = jnp.maximum(g - 1.0 / (1.0 + p["exposure"]), 0.0)
+    hi = hi ** (1.0 / jnp.maximum(p["gamma"], 0.1))
+    radius = max(1, int(p["radius"] * 24))
+    glow = sep_conv(hi[None], _gauss_kernel(radius))[0]
+    return rgb + (glow * p["gain"])[None] * rgb.clip(0.2, 1.0)
+
+
+def _paraffin(rgb, p, ctx):
+    """Toonz: Paraffin — graduated tinted wash across the frame."""
+    from ..util import ctx_grid
+    h, w = rgb.shape[-2:]
+    x, y = ctx_grid(ctx, h, w)
+    th = p["angle"] * np.float32(2 * np.pi)
+    t = x * jnp.cos(th) + y * jnp.sin(th)
+    band = jnp.clip((t - p["offset"]) / jnp.maximum(p["softness"], 1e-3),
+                    0.0, 1.0)
+    tint = jnp.stack([band * p["red"], band * p["green"],
+                      band * p["blue"]], 0)
+    return rgb * (1.0 - band * p["density"])[None] \
+        + tint * p["density"]
+
+
+def _pencil_hatching(rgb, p, ctx):
+    """Toonz: Pencil Hatching — darkness-driven diagonal strokes over a
+    paper-white base."""
+    from ..util import ctx_grid, luma
+    h, w = rgb.shape[-2:]
+    x, y = ctx_grid(ctx, h, w)
+    g = luma(rgb)
+    dark = 1.0 - g
+    freq = 40.0 + p["density"] * 160.0
+    h1 = jnp.sin((x + y) * freq) * 0.5 + 0.5
+    h2 = jnp.sin((x - y) * freq) * 0.5 + 0.5
+    stroke = jnp.where(dark > 0.33, jnp.minimum(h1, 1.0 - dark * 0.2), 1.0)
+    stroke = jnp.where(dark > 0.66, jnp.minimum(stroke, h2), stroke)
+    v = jnp.clip(stroke, 0.0, 1.0)
+    out = jnp.stack([v, v, v], 0)
+    return rgb + (out - rgb) * p["amount"]
+
+
+def _coherent_noise(rgb, p, ctx):
+    """Toonz: Coherent Noise — smooth value-noise overlay animated by tc
+    (hash-based bilinear value noise; no gather)."""
+    from ..util import ctx_grid
+    h, w = rgb.shape[-2:]
+    x, y = ctx_grid(ctx, h, w)
+    cells = 4.0 + p["scale"] * 28.0
+    gx, gy = x * cells, y * cells
+    x0, y0 = jnp.floor(gx), jnp.floor(gy)
+    fx, fy = gx - x0, gy - y0
+    t = jnp.floor(ctx.tc * p["speed"] * 8.0)
+
+    def hsh(ix, iy):
+        s = jnp.sin(ix * 127.1 + iy * 311.7 + t * 74.7) * 43758.5453
+        return s - jnp.floor(s)
+
+    sx = fx * fx * (3.0 - 2.0 * fx)
+    sy = fy * fy * (3.0 - 2.0 * fy)
+    n = (hsh(x0, y0) * (1 - sx) + hsh(x0 + 1, y0) * sx) * (1 - sy) \
+        + (hsh(x0, y0 + 1) * (1 - sx) + hsh(x0 + 1, y0 + 1) * sx) * sy
+    return rgb + ((n - 0.5) * p["amount"])[None]
+
+
+def _register_toonz():
+    from ..host import Param
+    _register_rgb("toonz_light_bloom", _light_bloom,
+                  params=(Param("gamma", "num", 2.2, 0.1, 5.0),
+                          Param("exposure", "num", 1.0, 0.125, 8.0),
+                          Param("gain", "num", 1.0, 0.1, 10.0),
+                          Param("radius", "num", 0.1, 0.01, 1.0)),
+                  desc="highlight bloom (Toonz: Light Bloom)")
+    _register_rgb("toonz_paraffin", _paraffin,
+                  params=(Param("angle", "num", 0.25, 0.0, 1.0),
+                          Param("offset", "num", 0.3, 0.0, 1.0),
+                          Param("softness", "num", 0.4, 0.01, 1.0),
+                          Param("density", "num", 0.5, 0.0, 1.0),
+                          Param("red", "num", 1.0, 0.0, 1.0),
+                          Param("green", "num", 0.9, 0.0, 1.0),
+                          Param("blue", "num", 0.6, 0.0, 1.0)),
+                  desc="graduated light wash (Toonz: Paraffin)")
+    _register_rgb("toonz_pencil_hatching", _pencil_hatching,
+                  params=(Param("density", "num", 0.3, 0.0, 1.0),
+                          Param("amount", "num", 1.0, 0.0, 1.0)),
+                  desc="pencil hatch strokes (Toonz: Pencil Hatching)")
+    _register_rgb("toonz_coherent_noise", _coherent_noise,
+                  params=(Param("scale", "num", 0.3, 0.0, 1.0),
+                          Param("speed", "num", 1.0, 0.0, 8.0),
+                          Param("amount", "num", 0.3, 0.0, 1.0)),
+                  desc="animated smooth noise (Toonz: Coherent Noise)")
+
+
+_register_toonz()

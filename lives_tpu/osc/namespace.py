@@ -567,6 +567,13 @@ def register_extended(srv) -> None:
 
     m("/block/start/time/get", lambda track, i: block_time(track, i, False))
     m("/block/end/time/get", lambda track, i: block_time(track, i, True))
+
+    def block_delete(track, idx):
+        blks = mt().blocks(int(track))
+        mt().delete_block(blks[int(idx)])
+        return len(mt().blocks(int(track)))
+
+    m("/block/delete", block_delete)  # extension (GUI delete handler role)
     m("/layout/clear", lambda: setattr(srv, "multitrack", None))
 
 

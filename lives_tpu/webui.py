@@ -168,13 +168,23 @@ async function drawTimeline(){
  tl.tracks.forEach(tr=>{
   const row=document.createElement('div');
   row.style.cssText='position:relative;height:16px;background:#222;'+
-   'margin:2px 0;border-radius:3px;overflow:hidden';
+   'margin:2px 0;border-radius:3px;overflow:hidden;cursor:copy';
+  row.onclick=async(e)=>{  // click: insert current fg clip here
+   const st=await (await fetch('/api/state')).json();
+   const fg=st.clips.find(c=>c.fg); if(!fg)return;
+   const frac=(e.clientX-row.getBoundingClientRect().left)/row.offsetWidth;
+   await cmd('/block/insert',[fg.id,tr.track,frac*total/(tl.fps||25)]);
+   drawTimeline();
+  };
   tr.blocks.forEach(b=>{
    const d=document.createElement('div');
-   d.title='clip '+b.clip+' ['+b.start+'-'+b.end+')';
+   d.title='clip '+b.clip+' ['+b.start+'-'+b.end+') — right-click deletes';
    d.style.cssText='position:absolute;top:0;bottom:0;background:hsl('+
     (b.clip*67%360)+',60%,45%);left:'+(b.start/total*100)+
     '%;width:'+((b.end-b.start)/total*100)+'%';
+   d.oncontextmenu=async(e)=>{e.preventDefault();e.stopPropagation();
+    await cmd('/block/delete',[tr.track,tr.blocks.indexOf(b)]);
+    drawTimeline();};
    row.appendChild(d);
   });
   el.appendChild(row);

@@ -123,3 +123,15 @@ def test_pipe_audio_sink_writes_s16(tmp_path):
     assert np.abs(pcm).max() > 20000
     sink.close()
     os.close(r)
+
+
+def test_audio_capture_gated():
+    from lives_tpu.audio.fx import AlsaAudioSource
+    if AlsaAudioSource.available():
+        src = AlsaAudioSource()
+        blk = src.read(256)
+        assert blk.shape[1] == 2
+        src.close()
+    else:
+        with pytest.raises(RuntimeError):
+            AlsaAudioSource()

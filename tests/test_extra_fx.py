@@ -141,3 +141,24 @@ def test_adaptive_quality_degrades():
     p._frame_times = [0.05] * 8
     p._update_effort()
     assert p.effort == 1
+
+
+def test_toonz_family_registered_and_effective():
+    import numpy as np
+    import jax.numpy as jnp
+    from lives_tpu.constants import Palette
+    from lives_tpu.effects.host import (FrameContext, apply_instance,
+                                        instantiate)
+    from lives_tpu.layer import Layer
+
+    rng = np.random.default_rng(2)
+    lay = Layer(planes=(jnp.asarray(
+        rng.integers(0, 256, (3, 48, 64), np.uint8)),),
+        palette=int(Palette.RGB24))
+    ctx = FrameContext(tc=0.4, fps=25.0, width=64, height=48)
+    for n in ("toonz_light_bloom", "toonz_paraffin",
+              "toonz_pencil_hatching", "toonz_coherent_noise"):
+        out = apply_instance(instantiate(n), [lay], ctx)[0]
+        a = np.asarray(out.planes[0])
+        assert a.shape == (3, 48, 64)
+        assert not np.array_equal(a, np.asarray(lay.planes[0])), n
