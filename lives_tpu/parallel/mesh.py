@@ -210,3 +210,101 @@ def spatial_batch_fn(graph, mesh: Mesh, axis: str = "b"):
         return Layer(planes=(out,), palette=sink.palette, gamma=sink.gamma)
 
     return run
+
+
+def grid_mesh(n_batch: int, n_spatial: int,
+              batch_axis: str = "b", spatial_axis: str = "s") -> Mesh:
+    """2-D device mesh: frame-batch DP x H-axis spatial sharding — the
+    production layout for rendering long timelines of large frames on a
+    pod slice (batch over one mesh dim, each frame's rows over the other,
+    halo exchange riding the spatial axis's ICI ring)."""
+    devs = jax.devices()
+    need = n_batch * n_spatial
+    if len(devs) < need:
+        raise ValueError(f"need {need} devices, have {len(devs)}")
+    arr = np.array(devs[:need]).reshape(n_batch, n_spatial)
+    return Mesh(arr, (batch_axis, spatial_axis))
+
+
+def grid_batch_fn(graph, mesh: Mesh, batch_axis: str = "b",
+                  spatial_axis: str = "s"):
+    """FrameGraph batch execution on a 2-D (dp x sp) mesh: B shards over
+    `batch_axis`, H shards over `spatial_axis` with ppermute halo
+    exchange. Composition of sharded_batch_fn and spatial_batch_fn."""
+    import numpy as np_
+    from ..graph.nodemodel import _split_params
+
+    R = chain_band_halo(graph)
+    nb = mesh.shape[batch_axis]
+    ns = mesh.shape[spatial_axis]
+    sink = graph.sink
+    frame_fn = graph._make_frame_fn()
+
+    def run(layers: Sequence[Layer], tcs, frames, params=None):
+        B = len(np_.asarray(tcs))
+        H, W = layers[0].height, layers[0].width
+        if B % nb:
+            raise ValueError(f"batch {B} must divide dp axis {nb}")
+        if sink.width not in (0, W) or sink.height not in (0, H):
+            raise ValueError("grid sharding requires a same-geometry sink")
+        if (H // ns) < max(R, 1):
+            raise ValueError(f"band H/{ns} smaller than halo {R}")
+        if params is None:
+            params = []
+            for inst in graph.chain:
+                _, tp = _split_params(inst)
+                params.append({k: np_.broadcast_to(np_.float32(v), (B,))
+                               for k, v in tp.items()})
+        rows = [(i, k) for i, d in enumerate(params) for k in sorted(d)]
+        packed = jnp.asarray(np_.stack(
+            [np_.asarray(params[i][k], np_.float32) for i, k in rows]
+            + [np_.asarray(tcs, np_.float32),
+               np_.asarray(frames, np_.float32)]))
+        metas = [dict(palette=l.palette, clamping=l.clamping,
+                      sampling=l.sampling, subspace=l.subspace,
+                      gamma=l.gamma) for l in layers]
+        n_inst = len(graph.chain)
+        up = [(i, (i + 1) % ns) for i in range(ns)]
+        down = [(i, (i - 1) % ns) for i in range(ns)]
+
+        def body(packed, *planes):
+            sidx = jax.lax.axis_index(spatial_axis)
+            ext_planes = []
+            for p in planes:  # (B/nb, C, H/ns, W) local
+                if R:
+                    top = jax.lax.ppermute(p[..., -R:, :], spatial_axis, up)
+                    bot = jax.lax.ppermute(p[..., :R, :], spatial_axis,
+                                           down)
+                    top = jnp.where(sidx == 0,
+                                    jnp.repeat(p[..., :1, :], R, -2), top)
+                    bot = jnp.where(sidx == ns - 1,
+                                    jnp.repeat(p[..., -1:, :], R, -2), bot)
+                    p = jnp.concatenate([top, p, bot], axis=-2)
+                ext_planes.append(p)
+            Hl = planes[0].shape[-2]
+            y0 = sidx * Hl - R
+
+            def one(per_frame_planes, col):
+                lyrs = [Layer(planes=(pp,), **m)
+                        for pp, m in zip(per_frame_planes, metas)]
+                tps = [dict() for _ in range(n_inst)]
+                for r_, (i_, k_) in enumerate(rows):
+                    tps[i_][k_] = col[r_]
+                out, _ = frame_fn(lyrs, tps, list(graph.states),
+                                  col[-2], col[-1].astype(jnp.int32),
+                                  origin=(y0, H, W))
+                return out.planes[0]
+
+            outs = jax.vmap(one, in_axes=(0, 1))(tuple(ext_planes), packed)
+            return outs[..., R:R + Hl, :] if R else outs
+
+        shardfn = jax.jit(jax.shard_map(
+            body, mesh=mesh,
+            in_specs=(P(None, batch_axis),)
+            + tuple(P(batch_axis, None, spatial_axis, None)
+                    for _ in layers),
+            out_specs=P(batch_axis, None, spatial_axis, None)))
+        out = shardfn(packed, *[l.planes[0] for l in layers])
+        return Layer(planes=(out,), palette=sink.palette, gamma=sink.gamma)
+
+    return run

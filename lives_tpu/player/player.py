@@ -45,6 +45,9 @@ class KeyMap:
         self.mode: list[int] = [0] * N_KEYS
         self.active: list[bool] = [False] * N_KEYS
         self.instances: list[Optional[Instance]] = [None] * N_KEYS
+        # per-(key, mode) param defaults applied on instantiation —
+        # the reference's resources/fxdefs.perkey
+        self.defaults: dict[tuple[int, int], dict] = {}
 
     def set_key(self, key: int, mode: int, filter_name: str):
         get_filter(filter_name)  # validate
@@ -60,7 +63,8 @@ class KeyMap:
             name = self.current_filter(key)
             if not name:
                 return False
-            self.instances[key] = instantiate(name)
+            dflt = self.defaults.get((key, self.mode[key]), {})
+            self.instances[key] = instantiate(name, **dflt)
         self.active[key] = state
         return state
 
@@ -144,9 +148,11 @@ class KeyMap:
         import json
         data = [{"key": k, "modes": [m for m in self.slots[k] if m]}
                 for k in range(N_KEYS) if any(self.slots[k])]
+        dflts = [{"key": k, "mode": m, "values": v}
+                 for (k, m), v in sorted(self.defaults.items()) if v]
         with open(path, "w") as fh:
-            json.dump({"format": "lives_tpu_keymap", "version": 1,
-                       "keys": data}, fh, indent=1)
+            json.dump({"format": "lives_tpu_keymap", "version": 2,
+                       "keys": data, "defaults": dflts}, fh, indent=1)
 
     def load(self, path):
         import json
@@ -158,6 +164,15 @@ class KeyMap:
         for entry in d["keys"]:
             for m, name in enumerate(entry["modes"]):
                 self.set_key(entry["key"], m, name)
+        for entry in d.get("defaults", []):
+            self.defaults[(entry["key"], entry["mode"])] = entry["values"]
+
+    def set_key_defaults(self, key: int, mode: int, **values):
+        """Persistable per-key/mode param defaults (fxdefs.perkey)."""
+        get_filter(self.slots[key][mode])  # validate the slot exists
+        self.defaults[(key, mode)] = dict(values)
+        if self.mode[key] == mode:
+            self.instances[key] = None  # re-instantiate with new defaults
 
 
 @dataclass

@@ -278,3 +278,21 @@ def test_bg_clip_select_after_cache_reblends():
     p.state.bg_clip = None
     out = step()
     assert out.shape == pure_fg.shape
+
+
+def test_per_key_fx_defaults_persist(tmp_path):
+    """fxdefs.perkey analogue: per-(key,mode) param defaults apply on
+    instantiation and survive keymap save/load."""
+    p, sink = make_player()
+    p.keymap.set_key(2, 0, "brightness_contrast")
+    p.keymap.set_key_defaults(2, 0, brightness=0.4, contrast=2.0)
+    p.key_toggle(2, True)
+    inst = p.keymap.instances[2]
+    assert inst.values["brightness"] == 0.4
+    assert inst.values["contrast"] == 2.0
+    path = tmp_path / "map.json"
+    p.keymap.save(path)
+    q, _ = make_player()
+    q.keymap.load(path)
+    q.key_toggle(2, True)
+    assert q.keymap.instances[2].values["brightness"] == 0.4

@@ -65,3 +65,16 @@ def test_spatial_rejects_gathering_chain():
     g.chain.append(instantiate("rotozoom"))
     with pytest.raises(ValueError):
         chain_band_halo(g)
+
+
+def test_grid_mesh_dp_x_sp_parity():
+    """2-D mesh: 4-way DP x 2-way SP matches the unsharded batch path."""
+    from lives_tpu.parallel import grid_batch_fn, grid_mesh
+    g, layers = _graph_and_layers(h=96, w=256, n_tracks=3, B=8)
+    tcs = np.arange(8) / 25.0
+    frames = np.arange(8)
+    ref = np.asarray(g.run_batch(layers, tcs, frames).planes[0])
+    mesh = grid_mesh(4, 2)
+    out = np.asarray(grid_batch_fn(g, mesh)(layers, tcs, frames).planes[0])
+    diff = np.abs(out.astype(int) - ref.astype(int))
+    assert diff.max() <= 1, diff.max()
