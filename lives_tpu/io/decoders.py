@@ -9,8 +9,10 @@ ingest path as planar Layers.
 
 Built-in decoders (no external binaries): numbered image sequences (PIL),
 YUV4MPEG2 streams (exact fit for the planar YUV420 device layout), and
-MJPEG/raw AVI. An ffmpeg-backed decoder registers only when the binary
-exists.
+MJPEG/raw AVI. Compressed codecs (H.264/HEVC/Theora/VP8/VP9/MPEG-4/DV in
+mkv/mp4/avi/ogg/webm/ts/flv/asf) decode through the IN-PROCESS libav
+bridge (`io/av.py` + native/avbridge.cpp); an ffmpeg-subprocess decoder
+additionally registers when the binary exists.
 """
 
 from __future__ import annotations
