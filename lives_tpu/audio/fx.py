@@ -251,8 +251,12 @@ class AudioPlayer:
             base = getattr(st.fg_clip, "fps", 25.0) or 25.0
             fps_ratio = st.pb_fps / base
         vel = fps_ratio * self._src_rate / self.rate
-        # measure audio-clock vs video-frame delta and close the loop
-        delta = self.sync_delta()
+        # measure audio-clock vs video-frame delta and close the loop —
+        # unless audio IS the master clock (player.time_source == "audio":
+        # video derives its target frame from our position instead)
+        audio_master = getattr(self.player, "time_source", "system") \
+            == "audio"
+        delta = None if audio_master else self.sync_delta()
         if delta is not None:
             self.last_sync_delta = delta
             if abs(delta) > self.sync_tolerance:

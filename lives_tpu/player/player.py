@@ -224,6 +224,9 @@ class Player:
         self.adaptive_quality = False
         self.effort = 0
         self._lbox_wanted: bool | None = None  # user's letterbox intent
+        # clock source: "system" (monotonic) or "audio" (the audio
+        # feeder's clip position — reference soundcard time source)
+        self.time_source = "system"
         self._precache_thread = None
         self._precache_req: list = []
         # optional realtime audio feeder (audio/fx.AudioPlayer), attached by
@@ -256,6 +259,14 @@ class Player:
             self._clock0 = time.monotonic()
 
     def _target_frame_f(self) -> float:
+        # soundcard time source (reference time_source=soundcard,
+        # player.c): the audio feeder's clip position IS the clock, so
+        # video can never drift from audio
+        if self.time_source == "audio" and self.audio is not None \
+                and getattr(self.audio, "_data", None) is not None:
+            st = self.state
+            base = getattr(st.fg_clip, "fps", 25.0) or 25.0
+            return self.audio._pos / self.audio._src_rate * base
         if self._clock0 is None:
             return float(self.state.frame)
         dt = time.monotonic() - self._clock0

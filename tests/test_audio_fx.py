@@ -273,3 +273,43 @@ def test_av_sync_bounded_over_scratch_playback():
         np.percentile(deltas, 95)
     assert deltas[-50:].max() < 0.2
     assert ap.sync_corrections > 0  # the soft loop actually engaged
+
+
+def test_audio_master_time_source():
+    """time_source='audio': the video target frame derives from the audio
+    feeder's clip position (reference soundcard time source)."""
+    import numpy as np
+    from lives_tpu.audio.fx import AudioPlayer, NullAudioSink
+    from lives_tpu.player import CollectSink, Player
+
+    RATE, FPS = 44100, 25.0
+
+    class Clip:
+        frames, fps, width, height = 250, FPS, 32, 24
+        arate, achans, unique_id = RATE, 2, 1
+
+        def read_audio(self):
+            return np.zeros((RATE * 10, 2), np.float32)
+
+        def get_frame(self, n):
+            import jax.numpy as jnp
+            from lives_tpu.constants import Palette
+            from lives_tpu.layer import Layer
+            return Layer(planes=(jnp.full((3, 24, 32), n % 251,
+                                          jnp.uint8),),
+                         palette=int(Palette.RGB24))
+
+    p = Player(sink=CollectSink())
+    p.state.fg_clip = Clip()
+    ap = AudioPlayer(p, NullAudioSink(), rate=RATE, block=1024)
+    ap.load_clip_audio(p.state.fg_clip)
+    p.audio = ap
+    p.time_source = "audio"
+    p.state.playing = True
+    # advance audio by exactly 2 s of clip time
+    for _ in range(int(2.0 * RATE / 1024)):
+        ap.pull()
+    target = p._target_frame_f()
+    assert abs(target - 2.0 * FPS) < 2.0  # ~frame 50
+    p.process_one()
+    assert abs(p.state.frame - 50) <= 2
