@@ -184,3 +184,35 @@ register_filter(Filter(
                 Param("motion", "num", 0.0, 0.0, 1.0)),
     description="coarse optical-flow motion analyser "
                 "(farneback_analyser.cpp role)"))
+
+
+# -- scene-change detector (stateful analyser) --------------------------------
+
+def _scene_init(w, h, pal):
+    import jax.numpy as _jnp
+    return _jnp.zeros((16,), _jnp.float32)  # previous luma histogram
+
+
+def _scene_process(ins, p, ctx, state):
+    """Scene-cut detector: luma-histogram distance to the previous frame;
+    `cut` fires when it exceeds the threshold. Feeds auto-edit flows
+    (marker insertion, precache invalidation) via data connections."""
+    lay = ins[0]
+    g = luma(split_alpha(to_f01(lay))[0])
+    hist, _ = jnp.histogram(g, bins=16, range=(0.0, 1.0))
+    hist = hist.astype(jnp.float32) / jnp.maximum(g.size, 1)
+    dist = jnp.abs(hist - state).sum() * 0.5  # total variation in [0,1]
+    outs = {"difference": dist,
+            "cut": (dist > p["threshold"]).astype(jnp.float32)}
+    return lay, hist, outs
+
+
+register_filter(Filter(
+    name="scene_change", process=_scene_process, in_channels=_ONE_IN,
+    flags=__import__("lives_tpu.effects.host", fromlist=["x"]
+                     ).FILTER_STATEFUL,
+    init_state=_scene_init,
+    params=(Param("threshold", "num", 0.35, 0.0, 1.0),),
+    out_params=(Param("difference", "num", 0.0, 0.0, 1.0),
+                Param("cut", "num", 0.0, 0.0, 1.0)),
+    description="luma-histogram scene-cut detector"))

@@ -316,3 +316,25 @@ def _register_toonz():
 
 
 _register_toonz()
+
+
+# -- deinterlace (reference deinterlace.script / cdata interlace flag) --------
+
+def _deinterlace(rgb, p, ctx):
+    """Linear-blend deinterlace: each row mixes with the mean of its
+    neighbours, killing comb artefacts (the RFX deinterlace.script's
+    ImageMagick -deinterlace analogue; mode via `amount`)."""
+    up = jnp.concatenate([rgb[:, :1], rgb[:, :-1]], axis=1)
+    down = jnp.concatenate([rgb[:, 1:], rgb[:, -1:]], axis=1)
+    blended = (up + down) * 0.5
+    return rgb + (blended - rgb) * (p["amount"] * 0.5)
+
+
+def _register_deinterlace():
+    from ..host import Param
+    _register_rgb("deinterlace", _deinterlace,
+                  params=(Param("amount", "num", 1.0, 0.0, 1.0),),
+                  desc="linear-blend deinterlace")
+
+
+_register_deinterlace()

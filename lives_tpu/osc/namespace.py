@@ -324,10 +324,12 @@ def register_extended(srv) -> None:
         class _App:
             pass
 
+        import types
         app = _App()
         app.workdir = pathlib.Path(workdir())
         app._clips = [_ClipW(c) for c in srv.clips.values()]
         app.multitrack = srv.multitrack or _Mt()
+        app.set = types.SimpleNamespace(name="")
         return app
 
     def clipset_save(name):

@@ -117,6 +117,7 @@ _script("tunnel", "lens", {"amount": 0.8},
         lambda p, n: {"amount": p.get("amount", 0.8)})
 _script("randomzoom", "rotozoom", {},
         lambda p, n: {"angle": 0.0, "zoom": 1.3})
+_script("deinterlace", "deinterlace", {"amount": 1.0})
 
 
 # -- per-frame animated scripts ----------------------------------------------
@@ -170,6 +171,21 @@ def list_scripts() -> list[str]:
 
 def get_script(name: str) -> ScriptDef:
     return _SCRIPTS[name]
+
+
+def apply_textover(clip: Clip, text: str, start: int = 0,
+                   end: int | None = None, **style) -> int:
+    """textover.script: burn text onto a frame range (host PIL raster +
+    device composite via text.overlay_text)."""
+    from .text import overlay_text
+    from .constants import Palette
+    from .ops.colorspace import convert_layer
+    end_ = clip.frames if end is None else min(end, clip.frames)
+    for n in range(start, end_):
+        lay = convert_layer(clip.get_frame(n), Palette.RGB24)
+        clip.put_frame(n, overlay_text(lay, text, **style))
+    clip.save_header()
+    return max(end_ - start, 0)
 
 
 def apply_script(clip: Clip, name: str, start: int = 0,

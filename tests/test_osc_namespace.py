@@ -131,3 +131,29 @@ def test_block_insert_and_times(srv):
 
 def test_methods_self_report(srv):
     assert _rpc(srv, "/lives/methods/count").args[0] >= 200
+
+
+def test_clipset_save_load_over_osc(srv, tmp_path):
+    """/clipset/save + /clipset/load through the app adapter (sets.py)."""
+    import jax.numpy as jnp
+    from lives_tpu.io.clips import create_clip
+    from lives_tpu.layer import Layer
+    from lives_tpu.constants import Palette
+
+    srv.workdir = str(tmp_path)
+    clip = create_clip(tmp_path, 32, 24, name="real")
+    for i in range(3):
+        clip.put_frame(i, Layer(
+            planes=(jnp.full((3, 24, 32), i * 50, jnp.uint8),),
+            palette=int(Palette.RGB24)))
+    clip.frames = 3
+    clip.save_header()
+    srv.clips.clear()
+    srv.clips[1] = clip
+    name = _rpc(srv, "/clipset/save", "myset").args[0]
+    assert name == "myset"
+    assert (tmp_path / "sets" / "myset" / "order").exists()
+    srv.clips.clear()
+    n = _rpc(srv, "/clipset/load", "myset", timeout=10).args[0]
+    assert n >= 1 and len(srv.clips) >= 1
+    assert _rpc(srv, "/clipset/name/get").args[0] == "myset"

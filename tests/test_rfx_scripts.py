@@ -97,3 +97,35 @@ def test_keymap_import_full_coverage():
     total = sum(1 for l in open(ref) if "|" in l and l[0].isdigit())
     assert n / total >= 0.8
     assert n == total  # current state: full coverage
+
+
+def test_deinterlace_and_textover(tmp_path):
+    from lives_tpu.rfx_scripts import apply_script, apply_textover
+    c = _clip(tmp_path)
+    assert apply_script(c, "deinterlace") == 8
+    n = apply_textover(c, "HELLO", start=1, end=3, size=14)
+    assert n == 2
+    a0 = np.asarray(c.get_frame(0).planes[0])
+    a1 = np.asarray(c.get_frame(1).planes[0])
+    assert a1.shape == a0.shape
+
+
+def test_scene_change_analyser():
+    import jax.numpy as jnp
+    from lives_tpu.constants import Palette
+    from lives_tpu.effects.host import (FrameContext, apply_instance,
+                                        instantiate)
+    from lives_tpu.layer import Layer
+
+    def flat(v):
+        return Layer(planes=(jnp.full((3, 32, 48), v, jnp.uint8),),
+                     palette=int(Palette.RGB24))
+
+    inst = instantiate("scene_change")
+    ctx = FrameContext(width=48, height=32)
+    apply_instance(inst, [flat(40)], ctx)   # primes histogram
+    apply_instance(inst, [flat(42)], ctx)   # same scene
+    assert float(inst.out_values["cut"]) == 0.0
+    apply_instance(inst, [flat(220)], ctx)  # hard cut
+    assert float(inst.out_values["cut"]) == 1.0
+    assert float(inst.out_values["difference"]) > 0.5
