@@ -1,23 +1,30 @@
-"""Pallas composite kernel: fuse a run of per-pixel effects into ONE pass.
+"""Pallas plan kernels: fuse the render plan into single VMEM sweeps.
 
 XLA splits long effect chains with many streamed inputs into several
 full-resolution kernels (6+ materialisations of a multi-GB comp at
-10 tracks x 96 frames); this kernel runs the whole coordinate-free prefix of
-a chain — transitions, keys, colour ops — over VMEM row-tiles in a single
-sweep: 10 u8 track tiles in, one u8 comp tile out, per-frame params streamed
-through SMEM. The effect *process functions themselves* are traced inside
-the kernel body, so the fused path and the XLA path share one source of
-truth.
+10 tracks x 96 frames). Two fusion levels live here, both tracing the
+effect *process functions themselves* inside the kernel body so the fused
+and XLA paths share one source of truth:
 
-Only translation-invariant effects qualify (no absolute-coordinate masks, no
-global reductions, no gathers): see PALLAS_SAFE.
+1. `build_fused_sweep` — the PRODUCTION path for traceable sources (on by
+   default; LIVES_TPU_FUSED_SWEEP=0 disables): the ENTIRE plan — in-VMEM
+   track generation (`source.traced_tile`), every chain effect including
+   separable stencils (blur via scratch-ref round-trips) and
+   coordinate-dependent effects (ctx_grid tile origins), and the sink
+   quantise — is ONE kernel per frame chunk. HBM traffic is the u8 output
+   write only. Driver bench: 78-80x realtime at 1080p (20x for the XLA
+   path), 20x realtime at 4K, parity +/-1 LSB vs the f32-comp XLA path
+   (CPU interpret + real-TPU tests).
 
-Status: measured at parity with the XLA path on the 10-track benchmark on a
-remote-attached v5e, at the cost of a pathological Mosaic compile at full
-resolution (the same 9-effect kernel compiles in ~1-8 s at 64x256 but
-minutes at 1080p regardless of tile size — remote compile-helper behaviour,
-to be profiled on attached hardware). Opt-in via
-LIVES_TPU_PALLAS_COMPOSITE=1.
+2. `build_composite` — the prefix kernel for HBM-fed (decoded) tracks:
+   the coordinate-free pointwise prefix of a chain runs over VMEM
+   row-tiles, tracks read once. Opt-in via LIVES_TPU_PALLAS_COMPOSITE=1
+   (parity with XLA; wins only when XLA splits the chain).
+
+Mosaic constraints encoded here (measured on v5e, PERF_NOTES.md):
+int32-only iota; values data-dependent on an iota cannot be sliced
+(store to a VMEM scratch ref and slice the ref); traced scalars cannot be
+stacked into vectors; u8<->f32 casts route via int32.
 """
 
 from __future__ import annotations

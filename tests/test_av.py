@@ -164,3 +164,28 @@ def test_transcode_mkv_to_mkv_with_fx(mkv_fixture, tmp_path):
     cols[:12] = False
     assert y[:, cols].mean() > 200
     cd2.decoder.close()
+
+
+def test_corrupt_media_fails_cleanly(tmp_path):
+    """Truncated/garbage media must not crash the probe chain."""
+    garbage = tmp_path / "garbage.mkv"
+    garbage.write_bytes(b"\x1aE\xdf\xa3" + bytes(64))  # EBML magic, no body
+    assert try_decoders(str(garbage)) is None
+    noise = tmp_path / "noise.mp4"
+    noise.write_bytes(np.random.default_rng(0).integers(
+        0, 256, 4096, dtype=np.uint8).tobytes())
+    assert try_decoders(str(noise)) is None
+
+
+def test_truncated_valid_media(mkv_fixture, tmp_path):
+    """A mid-stream-cut file still opens with the frames that survived."""
+    data = mkv_fixture.read_bytes()
+    cut = tmp_path / "cut.mkv"
+    cut.write_bytes(data[: len(data) * 2 // 3])
+    cd = try_decoders(str(cut))
+    if cd is None:
+        return  # rejecting is also acceptable
+    assert 0 < cd.nframes <= N
+    y = np.asarray(cd.decoder.get_frame(0).planes[0])
+    assert y.shape == (H, W)
+    cd.decoder.close()
