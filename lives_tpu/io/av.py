@@ -194,6 +194,12 @@ class AVDecoder(Decoder):
             self._lib.avb_close(self._h)
             self._h = None
 
+    def __del__(self):  # native handles must not outlive the wrapper
+        try:
+            self.close()
+        except Exception:
+            pass
+
 
 # ---------------------------------------------------------------------------
 # Encoder
@@ -268,6 +274,12 @@ class AVEncodeSession:
         if getattr(self, "_h", None):
             self._lib.avb_enc_close(self._h)
             self._h = None
+
+    def __del__(self):
+        try:
+            self.close()
+        except Exception:
+            pass
 
     def __enter__(self):
         return self

@@ -73,6 +73,16 @@ class Clip:
     frame_index: Optional[np.ndarray] = None   # int32; None = all images
     cdata: Optional[ClipData] = None
 
+    def close(self):
+        """Release the decoder's native resources (close_clip analogue).
+        Explicit close matters: the cdata<->decoder reference cycle defers
+        GC, and libav contexts are ~MBs each."""
+        if self.cdata is not None and self.cdata.decoder is not None:
+            try:
+                self.cdata.decoder.close()
+            except Exception:
+                pass
+
     # -- frame access ------------------------------------------------------
     def is_virtual_frame(self, n: int) -> bool:
         """cvirtual.c:1717. n is 0-based here (reference is 1-based)."""

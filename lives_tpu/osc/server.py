@@ -251,6 +251,8 @@ class OSCServer:
                     p().state.fg_clip = None
                 if p().state.bg_clip is clip:
                     p().state.bg_clip = None
+                if hasattr(clip, "close"):
+                    clip.close()  # release native decoder resources
                 self.notify(NOTIFY.CLIP_CLOSED, str(c))
 
         m("/clip/close", clip_close)

@@ -141,8 +141,10 @@ int avb_info(void* h, int64_t* out) {
   if (d->vstream >= 0) {
     AVStream* vs = d->fmt->streams[d->vstream];
     fr = vs->avg_frame_rate.num ? vs->avg_frame_rate : vs->r_frame_rate;
-    w = d->vctx->width;
-    hgt = d->vctx->height;
+    // even-floored: I420 chroma planes are ceil(w/2) in libav but the
+    // caller's contiguous buffer uses floor; report/copy the even region
+    w = d->vctx->width & ~1;
+    hgt = d->vctx->height & ~1;
     interlaced = vs->codecpar->field_order > AV_FIELD_PROGRESSIVE ? 1 : 0;
     full = d->vctx->color_range == AVCOL_RANGE_JPEG ? 1 : 0;
     bt709 = d->vctx->colorspace == AVCOL_SPC_BT709 ? 1 : 0;
@@ -199,7 +201,7 @@ int avb_get_frame(void* h, int64_t n, uint8_t* dst) {
                   AVSEEK_FLAG_BACKWARD);
     avcodec_flush_buffers(d->vctx);
   }
-  int w = d->vctx->width, hh = d->vctx->height;
+  int w = d->vctx->width & ~1, hh = d->vctx->height & ~1;
   while (true) {
     int ret = avcodec_receive_frame(d->vctx, d->frame);
     if (ret == 0) {
