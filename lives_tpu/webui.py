@@ -38,9 +38,14 @@ class PreviewTap(Sink):
     """Tee sink: forwards to the wrapped sink and keeps the latest frame
     as JPEG bytes for the MJPEG stream."""
 
-    def __init__(self, inner: Sink | None = None, quality: int = 80):
+    def __init__(self, inner: Sink | None = None, quality: int = 80,
+                 max_fps: float = 15.0):
         self.inner = inner
         self.quality = quality
+        # preview encodes are host-side PIL work: cap their rate so the
+        # tap never slows the player's realtime loop
+        self.min_interval = 1.0 / max_fps if max_fps else 0.0
+        self._last_enc = 0.0
         self._jpeg: Optional[bytes] = None
         self._seq = 0
         self._cv = threading.Condition()
@@ -55,6 +60,11 @@ class PreviewTap(Sink):
 
     def play_frame(self, layer: Layer, tc: float) -> bool:
         ok = self.inner.play_frame(layer, tc) if self.inner else True
+        now = time.monotonic()
+        if self._jpeg is not None and now - self._last_enc \
+                < self.min_interval:
+            return ok
+        self._last_enc = now
         try:
             from PIL import Image
             from .constants import Palette
