@@ -182,8 +182,14 @@ def main(argv=None):
                 arr = np.asarray(lay.planes[0])
                 for k in range(arr.shape[0]):
                     yield arr[k]
-        get_encoder("yuv4mpeg").encode(args.out, frames(), el.fps)
-        print(f"rendered -> {args.out}")
+        ext = args.out.rsplit(".", 1)[-1].lower()
+        if ext in ("y4m", "yuv4mpeg"):
+            enc = "yuv4mpeg"
+        else:
+            from .io.encoders import list_encoders
+            enc = "av" if "av" in list_encoders() else "yuv4mpeg"
+        get_encoder(enc).encode(args.out, frames(), el.fps)
+        print(f"rendered -> {args.out} ({enc})")
         return 0
     if args.cmd == "webui":
         from .osc.server import OSCServer

@@ -234,7 +234,12 @@ def save_event_list_binary(el: EventList, fh: BinaryIO) -> int:
         }
         p = ev.props
         if ev.type == EventType.FRAME:
-            leaves["clips"] = (SEED_INT, [int(c) for c in p["clips"]])
+            clips = [int(c) for c in p["clips"]]
+            # reference clips are small clip numbers (SEED_INT); live
+            # recordings carry 63-bit clip unique_ids -> promote to INT64
+            cseed = SEED_INT if all(-(1 << 31) <= c < (1 << 31)
+                                    for c in clips) else SEED_INT64
+            leaves["clips"] = (cseed, clips)
             leaves["frames"] = (SEED_INT64,
                                 [int(f) + 1 for f in p["frames"]])
             if "audio_clips" in p:
