@@ -216,3 +216,26 @@ register_filter(Filter(
     out_params=(Param("difference", "num", 0.0, 0.0, 1.0),
                 Param("cut", "num", 0.0, 0.0, 1.0)),
     description="luma-histogram scene-cut detector"))
+
+
+def _spot_analyse(ins, p, ctx):
+    """Brightest-region tracker: position of the peak 8x8 luma block,
+    normalised to 0..1 — a spotlight/LED tracker for data connections
+    (the haar/template-analyser family's VJ use-case: drive effect
+    centres from a tracked light)."""
+    g = luma(split_alpha(to_f01(ins[0]))[0])
+    h, w = g.shape
+    hh, ww = max(h // 8, 1), max(w // 8, 1)
+    blocks = g[: hh * 8, : ww * 8].reshape(hh, 8, ww, 8).mean((1, 3))
+    idx = jnp.argmax(blocks)
+    by, bx = idx // ww, idx % ww
+    return {"x": (bx.astype(jnp.float32) + 0.5) / ww,
+            "y": (by.astype(jnp.float32) + 0.5) / hh,
+            "intensity": blocks.reshape(-1)[idx]}
+
+
+_mk_analyser("spot_tracker", _spot_analyse,
+             out_params=(Param("x", "num", 0.5, 0.0, 1.0),
+                         Param("y", "num", 0.5, 0.0, 1.0),
+                         Param("intensity", "num", 0.0, 0.0, 1.0)),
+             desc="brightest-region tracker (template-analyser family)")

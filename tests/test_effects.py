@@ -196,3 +196,23 @@ def test_audio_reactive_generators():
     rings.set(beat=0.0)
     grown = apply_instance(rings, [], ctx)[0]
     assert np.asarray(grown.planes[0]).max() > 30  # a ring is alive
+
+
+def test_spot_tracker_finds_bright_region():
+    import numpy as np
+    import jax.numpy as jnp
+    from lives_tpu.constants import Palette
+    from lives_tpu.effects.host import (FrameContext, apply_instance,
+                                        instantiate)
+    from lives_tpu.layer import Layer
+
+    arr = np.full((3, 64, 96), 20, np.uint8)
+    arr[:, 48:56, 72:80] = 255  # bright block lower-right
+    inst = instantiate("spot_tracker")
+    apply_instance(inst, [Layer(planes=(jnp.asarray(arr),),
+                                palette=int(Palette.RGB24))],
+                   FrameContext(width=96, height=64))
+    x = float(inst.out_values["x"])
+    y = float(inst.out_values["y"])
+    assert 0.65 < x < 0.95 and 0.65 < y < 0.95
+    assert float(inst.out_values["intensity"]) > 0.8

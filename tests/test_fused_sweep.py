@@ -93,3 +93,19 @@ def test_fused_sweep_rejects_unsupported():
                                  256, rows, 25.0, src, sink) is not None
     finally:
         os.environ.pop("LIVES_TPU_PALLAS_INTERPRET", None)
+
+
+def test_fused_sweep_empty_chain():
+    """A segment with no active filters still renders through the sweep
+    (generation + quantise only)."""
+    import numpy as np
+    from lives_tpu.events.event_list import EventList, frame_event
+    from lives_tpu.events.renderer import render_to_arrays
+    el = EventList(fps=25.0, width=256, height=48)
+    for i in range(4):
+        el.insert(frame_event(i * 4_000_000, [1], [i]))
+    src = DeviceSyntheticSource(48, 256)
+    sink = SinkSpec(width=256, height=48)
+    arr, _ = render_to_arrays(el, src, sink, batch_size=4)
+    ref = np.asarray(src.get_batch([1] * 4, list(range(4))).planes[0])
+    np.testing.assert_array_equal(np.asarray(arr), ref)
