@@ -40,6 +40,12 @@ def build_player(uri: str | None, fx: list[str], width: int, height: int,
         host, _, port = (out or "127.0.0.1:48888").partition(":")
         sink = StreamSender(host, int(port or 48888))
         spec = SinkSpec(width=width, height=height)
+    elif sink_kind == "av":
+        # encode/stream through the libav bridge: file (mkv/mp4/ogv) or
+        # network URL (udp://host:port mpegts, icecast://...)
+        from .player.sinks import AVStreamSink
+        sink = AVStreamSink(out or "out.mkv")
+        spec = SinkSpec(width=width, height=height)
     else:
         sink = NullSink()
         spec = SinkSpec(width=width, height=height)
@@ -129,7 +135,7 @@ def main(argv=None):
     play.add_argument("--fx", default="", help="comma-separated filters "
                       "bound to keys 0..8")
     play.add_argument("--sink", default="null",
-                      choices=["null", "y4m", "png", "stream"])
+                      choices=["null", "y4m", "png", "stream", "av"])
     play.add_argument("--out", default=None)
     play.add_argument("--width", type=int, default=0)
     play.add_argument("--height", type=int, default=0)
