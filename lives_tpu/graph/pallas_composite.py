@@ -372,6 +372,8 @@ def build_fused_sweep(chain_spec, n_tracks: int, B: int, H: int, W: int,
             out_shape=jax.ShapeDtypeStruct((B, 3, H, W), jnp.uint8),
             scratch_shapes=scratch_shapes,
             interpret=interpret,
+            **({} if interpret else {"compiler_params": pltpu.CompilerParams(
+                dimension_semantics=("parallel", "arbitrary"))}),
         )(packed, ids)
 
     return run
