@@ -383,8 +383,11 @@ def load_event_list_binary(fh: BinaryIO) -> EventList:
             if pname is None:
                 pname = _param_name(init_filters.get(eid, ""),
                                     int(get("index", -1)))
+            vals = leaves["value"][1] if "value" in leaves else [0.0]
+            # reference colour params carry multi-element values (RGB)
+            value = vals[0] if len(vals) == 1 else list(vals)
             ev = Event(tc, etype, dict(init_event=eid, param=str(pname),
-                                       value=get("value", 0.0)))
+                                       value=value))
         else:  # MARKER / unknown
             props = {k: (v[1][0] if len(v[1]) == 1 else list(v[1]))
                      for k, v in leaves.items()

@@ -301,3 +301,15 @@ def create_clip(workdir: str | Path, width: int, height: int,
              width=width, height=height, fps=fps, name=name)
     c.save_header()
     return c
+
+
+def md5_frame(clip: Clip, n: int) -> str:
+    """Frame identity hash (reference md5_frame, frameloader.c:2189):
+    virtual frames hash (decoder uri, decoder frame); image frames hash
+    the file bytes. Used for duplicate detection and cache identity."""
+    import hashlib
+    if clip.is_virtual_frame(n):
+        key = f"{clip.cdata.uri}#{int(clip.frame_index[n])}".encode()
+        return hashlib.md5(key).hexdigest()
+    p = clip.image_path(n)
+    return hashlib.md5(p.read_bytes()).hexdigest()

@@ -187,3 +187,23 @@ def test_wav_decoder_as_clip(tmp_path):
     back = clip.read_audio()
     assert back.shape[0] == 8820
     assert np.abs(back[:, 0] - audio).max() < 1e-3
+
+
+def test_md5_frame_identity(tmp_path):
+    """md5_frame (frameloader.c:2189): equal content -> equal hash,
+    virtual frames hash by decoder identity."""
+    import jax.numpy as jnp
+    from lives_tpu.constants import Palette
+    from lives_tpu.io.clips import create_clip, md5_frame
+    from lives_tpu.layer import Layer
+
+    c = create_clip(tmp_path, 16, 16)
+    same = Layer(planes=(jnp.full((3, 16, 16), 7, jnp.uint8),),
+                 palette=int(Palette.RGB24))
+    c.put_frame(0, same)
+    c.put_frame(1, same)
+    c.put_frame(2, Layer(planes=(jnp.full((3, 16, 16), 9, jnp.uint8),),
+                         palette=int(Palette.RGB24)))
+    c.frames = 3
+    assert md5_frame(c, 0) == md5_frame(c, 1)
+    assert md5_frame(c, 0) != md5_frame(c, 2)
