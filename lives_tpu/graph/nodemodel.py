@@ -272,6 +272,7 @@ class FrameGraph:
                         npre = 0
         key = ("batch", self._config_key(layers), self.has_stateful,
                rows_key, npre, fused is not None,
+               _os2.environ.get("LIVES_TPU_SWEEP_TILE", ""),
                source.source_key() if source is not None else None,
                tuple(src_dev.shape) if src_dev is not None else None)
         tmpl = self._templates.get(key)

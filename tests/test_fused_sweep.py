@@ -109,3 +109,47 @@ def test_fused_sweep_empty_chain():
     arr, _ = render_to_arrays(el, src, sink, batch_size=4)
     ref = np.asarray(src.get_batch([1] * 4, list(range(4))).planes[0])
     np.testing.assert_array_equal(np.asarray(arr), ref)
+
+
+def test_fused_sweep_multi_stencil_parity():
+    """Two stencils in one chain (blur then sharpen): each gets its own
+    scratch at its remaining halo; parity vs the XLA path."""
+    import numpy as np
+    from lives_tpu.effects.host import instantiate
+    from lives_tpu.graph import FrameGraph
+    from lives_tpu.graph.nodemodel import _TEMPLATE_CACHE
+
+    w, h = 256, 48
+    src = DeviceSyntheticSource(h, w)
+    sink = SinkSpec(width=w, height=h)
+
+    def render(fused):
+        chain = [instantiate("crossfade", amount=0.4),
+                 instantiate("gaussian_blur", radius=2, amount=0.8),
+                 instantiate("sharpen", radius=1, amount=0.5),
+                 instantiate("vignette", amount=0.5)]
+        chain[0].in_tracks = (0, 1)
+        g = FrameGraph(chain, sink, fps=25.0)
+        env = {"LIVES_TPU_PALLAS_INTERPRET": "1" if fused else "0",
+               "LIVES_TPU_FUSED_SWEEP": "1" if fused else "0",
+               "LIVES_TPU_CHAIN_DTYPE": "f32"}
+        old = {k: os.environ.get(k) for k in env}
+        os.environ.update(env)
+        try:
+            cids = np.array([[1, 1], [2, 2]])
+            fnums = np.array([[0, 1], [0, 1]])
+            out = g.run_batch([], np.array([0.0, 0.04], np.float32),
+                              np.array([0, 1], np.int32),
+                              source=src, src_args=(cids, fnums))
+        finally:
+            for k, v in old.items():
+                if v is None:
+                    os.environ.pop(k, None)
+                else:
+                    os.environ[k] = v
+        return np.asarray(out.planes[0])
+
+    ref = render(False)
+    out = render(True)
+    diff = np.abs(out.astype(int) - ref.astype(int))
+    assert diff.max() <= 1, diff.max()
