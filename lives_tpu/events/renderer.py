@@ -66,14 +66,28 @@ def segment_events(el: EventList) -> list[Segment]:
 
 
 def _chain_for(inits: list[Event], el: EventList) -> list[Instance]:
-    chain = []
+    """Instances for a segment's active inits. Filters absent from the
+    registry (e.g. imported reference layouts naming plugins we don't
+    ship) are skipped with a warning rather than failing the render —
+    the reference's loader does the same for missing plugins.
+    Returns (kept_inits, chain) aligned pairwise (param interpolation
+    zips them)."""
+    kept, chain = [], []
     for init in inits:
-        f = get_filter(init.props["filter"])
+        name = init.props["filter"]
+        try:
+            f = get_filter(name)
+        except KeyError:
+            import warnings
+            warnings.warn(f"skipping unknown filter {name!r} "
+                          "(not in the registry)")
+            continue
         inst = Instance(filter=f, values=dict(init.props.get("values", {})),
                         in_tracks=tuple(init.props.get("in_tracks", (0,))),
                         out_tracks=tuple(init.props.get("out_tracks", (0,))))
+        kept.append(init)
         chain.append(inst)
-    return chain
+    return kept, chain
 
 
 def _interp_arrays(el: EventList, inits: list[Event],
@@ -134,7 +148,7 @@ def render_events(el: EventList, source: FrameSource,
     fps = fps or el.fps
     sink = sink or SinkSpec(width=el.width, height=el.height)
     for seg in segment_events(el):
-        chain = _chain_for(seg.inits, el)
+        inits, chain = _chain_for(seg.inits, el)
         graph = FrameGraph(chain, sink, fps=fps)
         n_tracks = max((len(f.clips) for f in seg.frames), default=0)
         for ofs in range(0, len(seg.frames), batch_size):
@@ -148,7 +162,7 @@ def render_events(el: EventList, source: FrameSource,
                 for t in range(min(n_tracks, len(f.clips))):
                     cids[t, j] = f.clips[t]
                     fnums[t, j] = f.frames[t]
-            params = _interp_arrays(el, seg.inits, chain, tcs)
+            params = _interp_arrays(el, inits, chain, tcs)
             tcs_s = np.asarray(tcs, np.float64) / TICKS_PER_SECOND
             frame_idx = np.asarray(
                 [round(tc * fps / TICKS_PER_SECOND) for tc in tcs], np.int32)

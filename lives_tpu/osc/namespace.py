@@ -362,7 +362,7 @@ def register_extended(srv) -> None:
                        km().instances.__setitem__(int(k) - 1, None),
                        None)[-1])
     m("/effect_key/mode/previous",
-      lambda k: km().next_mode(int(k) - 1))
+      lambda k: km().prev_mode(int(k) - 1))
     m("/effect_key/unmap",
       lambda k: (km().slots[int(k) - 1].clear(),
                  km().instances.__setitem__(int(k) - 1, None), None)[-1])
@@ -424,10 +424,18 @@ def register_extended(srv) -> None:
         m(f"{pfx}/value/set", pval_set)
         m(f"{pfx}/is_transition",
           lambda k, i: int(filt_of(k).is_transition))
-    m("/effect_key/parameter/default/set",
-      lambda k, i, v: pval_set(k, i, v))
-    m("/effect_key/nparameter/default/set",
-      lambda k, i, v: pval_set(k, i, v))
+    def pdefault_set(k, i, v):
+        """Persists into the keymap's per-(key,mode) defaults
+        (fxdefs.perkey) AND applies to the live instance."""
+        par = param_of(k, i)
+        key0 = int(k) - 1
+        mode = km().mode[key0]
+        d = km().defaults.setdefault((key0, mode), {})
+        d[par.name] = float(v) if par.kind == "num" else v
+        pval_set(k, i, v)
+
+    m("/effect_key/parameter/default/set", pdefault_set)
+    m("/effect_key/nparameter/default/set", pdefault_set)
     m("/effect_key/parameter/has_default", lambda k, i: 1)
     m("/effect_key/parameter/flags/get", lambda k, i: 0)
     m("/effect_key/parameter/group/get",

@@ -74,6 +74,12 @@ class KeyMap:
             self.mode[key] = (self.mode[key] + 1) % len(slot)
             self.instances[key] = None  # re-instantiate on next enable
 
+    def prev_mode(self, key: int):
+        slot = self.slots[key]
+        if slot:
+            self.mode[key] = (self.mode[key] - 1) % len(slot)
+            self.instances[key] = None
+
     def current_filter(self, key: int) -> str:
         slot = self.slots[key]
         m = self.mode[key]

@@ -171,3 +171,33 @@ def test_imported_reference_layout_renders():
     arr, _ = render_to_arrays(el2, src, SinkSpec(width=128, height=48),
                               batch_size=2)
     assert np.asarray(arr).shape == (4, 3, 48, 128)
+
+
+def test_unknown_filter_layout_renders_with_warning(tmp_path):
+    """Imported layouts naming filters we don't ship render anyway
+    (unknown inits skipped), matching the reference's missing-plugin
+    tolerance."""
+    import warnings
+    from lives_tpu.events.event_list import (EventList, filter_init_event,
+                                             filter_map_event, frame_event)
+    from lives_tpu.events.renderer import render_to_arrays
+    from lives_tpu.graph import SinkSpec
+    from lives_tpu.scenes import DeviceSyntheticSource
+
+    el = EventList(fps=25.0, width=128, height=48)
+    known = filter_init_event(0, "negate")
+    unknown = filter_init_event(0, "WeedprojectMprojectM1")
+    el.insert(known)
+    el.insert(unknown)
+    el.insert(filter_map_event(0, [known.event_id, unknown.event_id]))
+    for i in range(4):
+        el.insert(frame_event(i * 4_000_000, [1], [i]))
+    src = DeviceSyntheticSource(48, 128)
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        arr, _ = render_to_arrays(el, src, SinkSpec(width=128, height=48),
+                                  batch_size=4)
+        assert any("unknown filter" in str(x.message) for x in w)
+    ref = np.asarray(src.get_batch([1] * 4, list(range(4))).planes[0])
+    np.testing.assert_array_equal(np.asarray(arr),
+                                  255 - ref)  # negate still applied
