@@ -287,6 +287,25 @@ def save_event_list_binary(el: EventList, fh: BinaryIO) -> int:
                 if isinstance(v, (bool, int, float, str)):
                     leaves[k] = _value_leaf(v)
         total += fh.write(serialise_plant(PLANT_EVENT, leaves))
+        if ev.type == EventType.FILTER_INIT and p.get("values"):
+            # real-LiVES interop: the reference reads initial param values
+            # from pchain heads (PARAM_CHANGE at the init's tc), so emit
+            # one per value. host_init_value marks them so OUR importer
+            # folds them back into init.values instead of duplicating
+            # pchain points.
+            fname = p["filter"]
+            for pn, pv in p["values"].items():
+                pc = {
+                    "timecode": (SEED_INT64, [int(ev.tc)]),
+                    "event_type": (SEED_INT, [int(EventType.PARAM_CHANGE)]),
+                    "hint": (SEED_INT, [int(EventType.PARAM_CHANGE)]),
+                    "init_event": (SEED_INT64, [int_id(ev.event_id)]),
+                    "index": (SEED_INT, [_param_index(fname, pn)]),
+                    "value": _value_leaf(pv),
+                    "host_param_name": (SEED_STRING, [pn]),
+                    "host_init_value": (SEED_BOOLEAN, [1]),
+                }
+                total += fh.write(serialise_plant(PLANT_EVENT, pc))
     return total
 
 
@@ -379,6 +398,17 @@ def load_event_list_binary(fh: BinaryIO) -> EventList:
                                          for i in arr("init_events")]))
         elif etype == EventType.PARAM_CHANGE:
             eid = ev_id(int(get("init_event", 0)))
+            if get("host_init_value"):
+                # synthetic initial-value pchain head (see save): fold into
+                # the init's values rather than emitting a change event
+                init = next((e for e in el.events
+                             if e.event_id == eid), None)
+                pn = get("host_param_name")
+                if init is not None and pn is not None:
+                    vals = leaves["value"][1] if "value" in leaves else [0.0]
+                    init.props.setdefault("values", {}).setdefault(
+                        str(pn), vals[0] if len(vals) == 1 else list(vals))
+                continue
             pname = get("host_param_name")
             if pname is None:
                 pname = _param_name(init_filters.get(eid, ""),
