@@ -57,6 +57,11 @@ def load_avbridge():
         lib = ctypes.CDLL(str(SO))
         lib.avb_open.restype = ctypes.c_void_p
         lib.avb_open.argtypes = [ctypes.c_char_p]
+        lib.avb_open_mode.restype = ctypes.c_void_p
+        lib.avb_open_mode.argtypes = [ctypes.c_char_p, ctypes.c_int]
+        lib.avb_next_frame.restype = ctypes.c_int
+        lib.avb_next_frame.argtypes = [ctypes.c_void_p,
+                                       ctypes.POINTER(ctypes.c_uint8)]
         lib.avb_info.restype = ctypes.c_int
         lib.avb_info.argtypes = [ctypes.c_void_p,
                                  ctypes.POINTER(ctypes.c_int64)]
@@ -286,3 +291,63 @@ class AVEncodeSession:
 
     def __exit__(self, *exc):
         self.close()
+
+
+class AVStreamSource:
+    """Sequential decoder for live/network media — udp:// MPEG-TS,
+    icecast/http, pipes, or any file — without the open-time index scan
+    (live streams have no end). Clip-like: `get_frame(n)` returns the NEXT
+    frame in stream order, like Y4MStreamSource; the receiving half of the
+    reference's network-stream inputs (lives2lives/mpegts class)."""
+
+    def __init__(self, uri: str):
+        lib = load_avbridge()
+        if lib is None:
+            raise RuntimeError("avbridge unavailable")
+        self._lib = lib
+        self._h = lib.avb_open_mode(str(uri).encode(), 1)
+        if not self._h:
+            raise IOError(f"cannot open stream {uri!r}")
+        info = (ctypes.c_int64 * 11)()
+        lib.avb_info(self._h, info)
+        self.width, self.height = int(info[0]), int(info[1])
+        self.fps = (int(info[2]) / int(info[3])) if info[3] else 25.0
+        if self.width <= 0:
+            lib.avb_close(self._h)
+            self._h = None
+            raise IOError(f"no video stream in {uri!r}")
+        w, h = self.width, self.height
+        self._buf = (ctypes.c_uint8 * (w * h + 2 * (w // 2) * (h // 2)))()
+        self.frames = 1 << 30
+        self.unique_id = 0x4156  # 'AV'
+        self._last: Optional[Layer] = None
+
+    def get_frame(self, n: int = 0) -> Layer:
+        import jax.numpy as jnp
+        if not self._lib.avb_next_frame(self._h, self._buf):
+            if self._last is not None:
+                return self._last  # EOF / underrun: hold last frame
+            raise EOFError("stream ended")
+        w, h = self.width, self.height
+        a = np.frombuffer(self._buf, np.uint8)
+        cs = (w // 2) * (h // 2)
+        lay = Layer(
+            planes=(jnp.asarray(a[: w * h].reshape(h, w).copy()),
+                    jnp.asarray(a[w * h: w * h + cs]
+                                .reshape(h // 2, w // 2).copy()),
+                    jnp.asarray(a[w * h + cs:]
+                                .reshape(h // 2, w // 2).copy())),
+            palette=int(Palette.YUV420P))
+        self._last = lay
+        return lay
+
+    def close(self):
+        if getattr(self, "_h", None):
+            self._lib.avb_close(self._h)
+            self._h = None
+
+    def __del__(self):
+        try:
+            self.close()
+        except Exception:
+            pass

@@ -72,8 +72,11 @@ int64_t frame_of_pts(const Dec* d, int64_t p) {
 
 extern "C" {
 
-void* avb_open(const char* uri) {
+// no_index: skip the open-time packet scan (live/network streams have no
+// end; frames are then served strictly sequentially via avb_next_frame).
+void* avb_open_mode(const char* uri, int no_index) {
   Dec* d = new Dec();
+  avformat_network_init();
   if (avformat_open_input(&d->fmt, uri, nullptr, nullptr) < 0) {
     delete d;
     return nullptr;
@@ -112,7 +115,7 @@ void* avb_open(const char* uri) {
   d->frame = av_frame_alloc();
   d->pkt = av_packet_alloc();
   // index scan: every video packet's pts + keyframe flag (no decode)
-  if (d->vstream >= 0) {
+  if (d->vstream >= 0 && !no_index) {
     while (av_read_frame(d->fmt, d->pkt) >= 0) {
       if (d->pkt->stream_index == d->vstream) {
         int64_t p = d->pkt->pts != AV_NOPTS_VALUE ? d->pkt->pts
@@ -128,6 +131,58 @@ void* avb_open(const char* uri) {
                   AVSEEK_FLAG_BACKWARD);
   }
   return d;
+}
+
+void* avb_open(const char* uri) { return avb_open_mode(uri, 0); }
+
+// Sequential decode of the NEXT frame (live-stream mode; also works on
+// indexed files). Returns 1 on success, 0 on EOF/error.
+int avb_next_frame(void* h, uint8_t* dst) {
+  Dec* d = static_cast<Dec*>(h);
+  if (!d || d->vstream < 0) return 0;
+  int w = d->vctx->width & ~1, hh = d->vctx->height & ~1;
+  while (true) {
+    int ret = avcodec_receive_frame(d->vctx, d->frame);
+    if (ret == 0) {
+      uint8_t* planes[3] = {dst, dst + (size_t)w * hh,
+                            dst + (size_t)w * hh +
+                                (size_t)(w / 2) * (hh / 2)};
+      int strides[3] = {w, w / 2, w / 2};
+      if (d->frame->format == AV_PIX_FMT_YUV420P ||
+          d->frame->format == AV_PIX_FMT_YUVJ420P) {
+        av_image_copy(planes, strides, (const uint8_t**)d->frame->data,
+                      d->frame->linesize, AV_PIX_FMT_YUV420P, w, hh);
+      } else {
+        if (!d->sws)
+          d->sws = sws_getContext(w, hh, (AVPixelFormat)d->frame->format,
+                                  w, hh, AV_PIX_FMT_YUV420P, SWS_BILINEAR,
+                                  nullptr, nullptr, nullptr);
+        if (!d->sws) {
+          av_frame_unref(d->frame);
+          return 0;
+        }
+        sws_scale(d->sws, d->frame->data, d->frame->linesize, 0, hh,
+                  planes, strides);
+      }
+      av_frame_unref(d->frame);
+      return 1;
+    }
+    if (ret == AVERROR_EOF) return 0;
+    if (ret != AVERROR(EAGAIN)) return 0;
+    while (true) {
+      int r2 = av_read_frame(d->fmt, d->pkt);
+      if (r2 < 0) {
+        avcodec_send_packet(d->vctx, nullptr);
+        break;
+      }
+      if (d->pkt->stream_index == d->vstream) {
+        avcodec_send_packet(d->vctx, d->pkt);
+        av_packet_unref(d->pkt);
+        break;
+      }
+      av_packet_unref(d->pkt);
+    }
+  }
 }
 
 // info: out[0]=width out[1]=height out[2..3]=fps num/den out[4]=nframes

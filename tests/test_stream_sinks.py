@@ -16,12 +16,7 @@ pytestmark = pytest.mark.skipif(load_avbridge() is None,
 
 
 def _frames(n=12, h=48, w=64):
-    rng = np.random.default_rng(0)
-    from lives_tpu.layer import Layer
-    from lives_tpu.constants import Palette
-    import jax.numpy as jnp
-    return [
-        np.full((3, h, w), i * 16, np.uint8) for i in range(n)]
+    return [np.full((3, h, w), i * 16, np.uint8) for i in range(n)]
 
 
 def test_udp_mpegts_stream_receivable():
@@ -74,3 +69,67 @@ def test_vloopback_gated():
         pytest.skip("loopback present; gating test n/a")
     with pytest.raises(RuntimeError):
         VLoopbackSink("/dev/video10")
+
+
+def test_av_stream_source_sequential(tmp_path):
+    """AVStreamSource: no-index sequential decode (the live-stream input
+    path), exercised on an MPEG-TS file written by AVStreamSink."""
+    import jax.numpy as jnp
+    from lives_tpu.io.av import AVEncodeSession, AVStreamSource
+
+    path = tmp_path / "live.ts"
+    sess = AVEncodeSession(str(path), 64, 48, 25.0, container="mpegts")
+    for i, f in enumerate(_frames(15, 48, 64)):
+        sess.write_frame(f)
+    sess.close()
+    src = AVStreamSource(str(path))
+    assert (src.width, src.height) == (64, 48)
+    ys = []
+    for i in range(10):
+        lay = src.get_frame(i)
+        ys.append(float(np.asarray(lay.planes[0]).mean()))
+    # frame greys ramp: sequential order preserved
+    assert ys == sorted(ys) and ys[-1] > ys[0] + 40
+    src.close()
+
+
+def test_udp_stream_roundtrip_send_receive():
+    """Full network loop: AVStreamSink streams MPEG-TS over UDP while
+    AVStreamSource receives and decodes it live."""
+    import threading
+    import time as _t
+    import jax.numpy as jnp
+    from lives_tpu.constants import Palette
+    from lives_tpu.io.av import AVStreamSource
+    from lives_tpu.layer import Layer
+
+    port = 47655
+    stop = threading.Event()
+
+    def send():
+        sink = AVStreamSink(f"udp://127.0.0.1:{port}", fps=25.0,
+                            bitrate=200_000)
+        sink.init_screen(64, 48, 25.0)
+        i = 0
+        while not stop.is_set() and i < 250:
+            f = np.full((3, 48, 64), (i * 5) % 200 + 30, np.uint8)
+            sink.play_frame(Layer(planes=(jnp.asarray(f),),
+                                  palette=int(Palette.RGB24)), i / 25.0)
+            i += 1
+            _t.sleep(0.01)
+        sink.exit_screen()
+
+    th = threading.Thread(target=send, daemon=True)
+    th.start()
+    _t.sleep(0.3)  # let the sender emit headers
+    try:
+        src = AVStreamSource(f"udp://127.0.0.1:{port}?timeout=5000000")
+    except IOError:
+        stop.set()
+        th.join(timeout=3)
+        pytest.skip("udp stream open raced the sender")
+    lay = src.get_frame(0)
+    assert np.asarray(lay.planes[0]).shape == (48, 64)
+    src.close()
+    stop.set()
+    th.join(timeout=5)
