@@ -310,6 +310,18 @@ class OSCServer:
         m("/audio/volume/get",
           lambda: _audio().volume if _audio() else 1.0)
 
+        # FRAME_SYNCH notifications per shown frame (osc_notify.h:10,
+        # lives_notify player.c:1295) — only when a client subscribed and
+        # the events mask admits it
+        def _frame_synch(frame, tc):
+            if self._notify_clients and \
+                    getattr(self, "_events_mask", -1) & NOTIFY.FRAME_SYNCH:
+                self.notify(NOTIFY.FRAME_SYNCH, str(frame + 1))
+
+        if self.player is not None and \
+                hasattr(self.player, "frame_listeners"):
+            self.player.frame_listeners.append(_frame_synch)
+
         # introspection: method-count self-report
         m("/lives/methods/count", lambda: len(self.methods))
         m("/lives/methods/list",

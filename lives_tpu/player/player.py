@@ -242,6 +242,10 @@ class Player:
         # out-param values pushed into active instances each frame
         # (pconx_chain_data before each instance runs, effects-weed.c:3322)
         self.datacons = None
+        # frame listeners: called (frame, tc) after each shown frame —
+        # the OSC server wires FRAME_SYNCH notifications here
+        # (reference lives_notify, player.c:1295)
+        self.frame_listeners: list = []
 
     def attach_audio(self, sink=None, rate: int = 44100):
         """Attach the realtime audio feeder (pull-model, velocity-matched)."""
@@ -545,6 +549,11 @@ class Player:
                 except OSError:
                     pass
         self.frames_shown += 1
+        for cb in self.frame_listeners:
+            try:
+                cb(target, tc)
+            except Exception:
+                pass
         self._frame_times.append(time.monotonic() - t_start)
         if len(self._frame_times) > 256:
             self._frame_times = self._frame_times[-128:]

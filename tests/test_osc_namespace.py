@@ -157,3 +157,31 @@ def test_clipset_save_load_over_osc(srv, tmp_path):
     n = _rpc(srv, "/clipset/load", "myset", timeout=10).args[0]
     assert n >= 1 and len(srv.clips) >= 1
     assert _rpc(srv, "/clipset/name/get").args[0] == "myset"
+
+
+def test_frame_synch_notifications(srv):
+    """FRAME_SYNCH (osc_notify.h) streams to subscribed notify clients
+    per shown frame."""
+    import time as _t
+    rx = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
+    rx.bind(("127.0.0.1", 0))
+    rx.settimeout(3)
+    _rpc(srv, "/lives/open_notify_socket", rx.getsockname()[1],
+         expect_reply=False)
+    _t.sleep(0.1)
+    p = srv.player
+    p.start()
+    for i in range(3):
+        p.state.frame = -1
+        p._clock0 = _t.monotonic()
+        p._frame0 = float(i)
+        p.process_one()
+    msgs = []
+    try:
+        for _ in range(3):
+            msgs.append(rx.recv(512).decode())
+    except socket.timeout:
+        pass
+    rx.close()
+    p.stop()
+    assert any(m.startswith("1|") for m in msgs), msgs  # FRAME_SYNCH=1
