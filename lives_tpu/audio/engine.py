@@ -158,3 +158,55 @@ def render_audio(event_list, clips: dict, arate: int = 44100,
             v = (vols or {}).get(track, 1.0)
             acc[start: start + len(seg)] += seg * v
     return np.clip(acc, -1.0, 1.0)
+
+
+def render_audio_from_seeks(event_list, clips: dict, arate: int = 44100,
+                            channels: int = 2) -> np.ndarray:
+    """Audio re-render of a recorded performance from per-frame audio
+    seeks (reference render_audio_segment consuming the recorder's
+    audio_clips/audio_seeks): between consecutive FRAME events the clip's
+    audio plays from seek_i to seek_{i+1} — scratching, reverse and speed
+    changes reproduce exactly as performed. Falls back to `render_audio`
+    when no seeks were recorded."""
+    from ..events.event_list import EventType, TICKS_PER_SECOND
+    evs = [e for e in event_list.events
+           if e.type == EventType.FRAME and e.props.get("audio_seeks")]
+    if len(evs) < 2:
+        return render_audio(event_list, clips, arate, channels)
+    dur_ticks = event_list.duration_ticks
+    n_out = int(np.ceil(dur_ticks / TICKS_PER_SECOND * arate)) + 1
+    acc = np.zeros((n_out, channels), np.float32)
+    audio_cache: dict[int, tuple[np.ndarray, int]] = {}
+
+    def clip_audio(uid):
+        if uid not in audio_cache:
+            clip = clips.get(uid)
+            data = clip.read_audio() if clip is not None \
+                else np.zeros((0, channels), np.float32)
+            audio_cache[uid] = (data, getattr(clip, "arate", arate)
+                                or arate)
+        return audio_cache[uid]
+
+    for a, b in zip(evs[:-1], evs[1:]):
+        uid = a.props["audio_clips"][0]
+        data, src_rate = clip_audio(uid)
+        if not len(data):
+            continue
+        t0 = a.tc / TICKS_PER_SECOND
+        t1 = b.tc / TICKS_PER_SECOND
+        o0, o1 = int(t0 * arate), int(t1 * arate)
+        if o1 <= o0:
+            continue
+        s0 = a.props["audio_seeks"][0] * src_rate
+        s1 = b.props["audio_seeks"][0] * src_rate
+        pos = np.linspace(s0, s1, o1 - o0, endpoint=False)
+        idx = np.clip(pos, 0, len(data) - 1)
+        lo = np.floor(idx).astype(np.int64)
+        hi = np.minimum(lo + 1, len(data) - 1)
+        frac = (idx - lo).astype(np.float32)[:, None]
+        span = data[lo] * (1.0 - frac) + data[hi] * frac
+        if span.shape[1] != channels:
+            span = np.repeat(span[:, :1], channels, 1) \
+                if span.shape[1] == 1 else span[:, :channels]
+        acc[o0:o1] += span
+    return np.clip(acc, -1.0, 1.0)

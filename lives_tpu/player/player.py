@@ -538,7 +538,17 @@ class Player:
             if st.bg_clip is not None:
                 clips.append(getattr(st.bg_clip, "unique_id", 2))
                 frames.append(self._bg_frame(target))
-            self.event_list.insert(frame_event(self._rec_tc(), clips, frames))
+            extra = {}
+            if self.audio is not None and \
+                    getattr(self.audio, "_data", None) is not None:
+                # audio state per frame (reference records audio_clips/
+                # audio_seeks so scratch performances re-render with the
+                # audio they made, player.c record path)
+                extra["audio_clips"] = [clips[0]]
+                extra["audio_seeks"] = [self.audio._pos
+                                        / self.audio._src_rate]
+            self.event_list.insert(
+                frame_event(self._rec_tc(), clips, frames, **extra))
             if getattr(self, "_rec_backup_path", None) and \
                     time.monotonic() - self._rec_last_backup \
                     > self._rec_backup_every:

@@ -98,3 +98,37 @@ def test_render_audio_from_event_list(tmp_path):
     assert len(out) >= 44100 * 2 - 4410
     assert np.abs(out[:44100]).max() > 0.5   # tone present
     assert np.abs(out[44200:]).max() < 1e-6  # silence after clip ends
+
+
+def test_render_audio_from_seeks_reproduces_scratch():
+    """Recorded audio seeks re-render the performance's audio: a reverse
+    scratch shows up as time-reversed source audio."""
+    import numpy as np
+    from lives_tpu.audio.engine import render_audio_from_seeks
+    from lives_tpu.events.event_list import (EventList, TICKS_PER_SECOND,
+                                             frame_event)
+
+    RATE = 8000
+
+    class Clip:
+        arate, achans, frames, fps = RATE, 1, 100, 25.0
+
+        def read_audio(self):
+            # a ramp: sample value encodes position
+            return np.linspace(0, 1, RATE * 2,
+                               dtype=np.float32).reshape(-1, 1)
+
+    el = EventList(fps=25.0)
+    # forward 0->0.5s over 0.5s, then REVERSE back to 0.25s over 0.25s
+    pts = [(0.0, 0.0), (0.5, 0.5), (0.75, 0.25)]
+    for t, seek in pts:
+        el.insert(frame_event(int(t * TICKS_PER_SECOND), [7], [0],
+                              audio_clips=[7], audio_seeks=[seek]))
+    out = render_audio_from_seeks(el, {7: Clip()}, arate=RATE, channels=1)
+    # at output t=0.25s the source position is 0.25s -> value ~0.125
+    assert abs(out[int(0.25 * RATE), 0] - 0.125) < 0.01
+    # during the reverse span the values DECREASE
+    seg = out[int(0.55 * RATE): int(0.7 * RATE), 0]
+    assert seg[0] > seg[-1]
+    # value at 0.6s: source pos = 0.5 - (0.6-0.5)*1.0 = 0.4s -> 0.2
+    assert abs(out[int(0.6 * RATE), 0] - 0.2) < 0.02
