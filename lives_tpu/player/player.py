@@ -246,12 +246,24 @@ class Player:
         # the OSC server wires FRAME_SYNCH notifications here
         # (reference lives_notify, player.c:1295)
         self.frame_listeners: list = []
+        # optional subtitle overlay (text.SubtitleOverlay) composited
+        # after the chain, before the sink (reference subtitle path)
+        self.subtitles = None
 
     def attach_audio(self, sink=None, rate: int = 44100):
         """Attach the realtime audio feeder (pull-model, velocity-matched)."""
         from ..audio.fx import AudioPlayer
         self.audio = AudioPlayer(self, sink, rate=rate)
         return self.audio
+
+    def load_subtitles(self, path, **style):
+        """Attach .srt/.sub subtitles composited during playback
+        (reference reload_subs, clip_load_save.c:1752)."""
+        from ..text import SubtitleOverlay, load_srt, load_sub
+        subs = load_srt(path) if str(path).lower().endswith(".srt") \
+            else load_sub(path, fps=abs(self.state.pb_fps) or 25.0)
+        self.subtitles = SubtitleOverlay(subs, **style)
+        return self.subtitles
 
     # -- clock / frame targeting ------------------------------------------
     def _now_ticks(self) -> int:
@@ -524,6 +536,8 @@ class Player:
             self._request_precache(target)
         tc = target / abs(st.pb_fps or 25.0)
         out = graph.run(layers, tc=tc, frame=target)
+        if self.subtitles is not None:
+            out = self.subtitles.apply(out, tc)
         if self.pipeline_depth > 0:
             self._pending.append((out, tc))
             ok = True

@@ -296,3 +296,29 @@ def test_per_key_fx_defaults_persist(tmp_path):
     q.keymap.load(path)
     q.key_toggle(2, True)
     assert q.keymap.instances[2].values["brightness"] == 0.4
+
+
+def test_player_subtitle_overlay(tmp_path):
+    """Subtitles composite during playback at the right times."""
+    import time
+    srt = tmp_path / "subs.srt"
+    srt.write_text("1\n00:00:00,000 --> 00:00:00,200\nHELLO\n\n"
+                   "2\n00:00:02,000 --> 00:00:03,000\nWORLD\n")
+    p, sink = make_player()
+    p.load_subtitles(srt, size=12)
+    p.start()
+
+    def show(frame):
+        p.state.frame = -1
+        p._clock0 = time.monotonic()
+        p._frame0 = float(frame)
+        p.process_one()
+        return np.asarray(sink.frames[-1])
+
+    with_sub = show(2)     # t=0.08s -> HELLO visible
+    no_sub = show(10)      # t=0.4s -> between subtitles
+    base = np.asarray(p.state.fg_clip.get_frame(2).planes[0])
+    assert not np.array_equal(with_sub, base)     # text burned in
+    base10 = np.asarray(p.state.fg_clip.get_frame(10).planes[0])
+    assert np.array_equal(no_sub, base10)         # untouched between subs
+    p.stop()
