@@ -121,132 +121,29 @@ def chain_band_halo(graph) -> int:
     return R
 
 
-def spatial_batch_fn(graph, mesh: Mesh, axis: str = "b"):
-    """Spatially-sharded batch execution of a production FrameGraph: the H
-    axis of every (B,C,H,W) track plane shards over the mesh, stencil
-    effects see `ppermute`-exchanged halo rows over ICI, coordinate effects
-    see their true global position via FrameContext.y0 (the same mechanism
-    the fused pallas sweep uses for tiles), and each device computes its
-    band of every frame. This generalises the round-1 demo blur
-    (`spatial_blur_sharded`) to the full plan — the reference's
-    row-slice threading (`process_func_threaded`, effects-weed.c:1563)
-    scaled across chips.
-
-    Returns run(layers, tcs, frames, params=None) -> Layer with
-    (B,C,H,W) planes sharded over H. Sink must keep source geometry
-    (no cross-band resize).
-    """
+def _band_batch_fn(graph, mesh: Mesh, spatial_axis: str,
+                   batch_axis: str | None):
+    """Shared engine for spatial_batch_fn / grid_batch_fn: FrameGraph
+    batch execution under shard_map with the H axis sharded over
+    `spatial_axis` (ppermute halo exchange sized by the chain's stencils,
+    global band origins via FrameContext.y0) and, when `batch_axis` is
+    given, the frame batch sharded over that mesh axis too."""
     import numpy as np_
     from ..graph.nodemodel import _split_params
 
     R = chain_band_halo(graph)
-    n = int(mesh.devices.size)
-    sink = graph.sink
-    frame_fn = graph._make_frame_fn()
-    rows_key = None
-
-    def run(layers: Sequence[Layer], tcs, frames, params=None):
-        B = len(np_.asarray(tcs))
-        H, W = layers[0].height, layers[0].width
-        if sink.width not in (0, W) or sink.height not in (0, H):
-            raise ValueError("spatial sharding requires a same-geometry sink")
-        if (H // n) < max(R, 1):
-            raise ValueError(f"band H/{n} smaller than halo {R}")
-        if params is None:
-            params = []
-            for inst in graph.chain:
-                _, tp = _split_params(inst)
-                params.append({k: np_.broadcast_to(np_.float32(v), (B,))
-                               for k, v in tp.items()})
-        rows = [(i, k) for i, d in enumerate(params) for k in sorted(d)]
-        packed = jnp.asarray(np_.stack(
-            [np_.asarray(params[i][k], np_.float32) for i, k in rows]
-            + [np_.asarray(tcs, np_.float32),
-               np_.asarray(frames, np_.float32)]))
-        metas = [dict(palette=l.palette, clamping=l.clamping,
-                      sampling=l.sampling, subspace=l.subspace,
-                      gamma=l.gamma) for l in layers]
-        n_inst = len(graph.chain)
-        up = [(i, (i + 1) % n) for i in range(n)]
-        down = [(i, (i - 1) % n) for i in range(n)]
-
-        def body(packed, *planes):
-            idx = jax.lax.axis_index(axis)
-            ext_planes = []
-            for p in planes:  # (B,C,Hl,W)
-                if R:
-                    top = jax.lax.ppermute(p[..., -R:, :], axis, up)
-                    bot = jax.lax.ppermute(p[..., :R, :], axis, down)
-                    top = jnp.where(idx == 0,
-                                    jnp.repeat(p[..., :1, :], R, -2), top)
-                    bot = jnp.where(idx == n - 1,
-                                    jnp.repeat(p[..., -1:, :], R, -2), bot)
-                    p = jnp.concatenate([top, p, bot], axis=-2)
-                ext_planes.append(p)
-            Hl = planes[0].shape[-2]
-            y0 = idx * Hl - R
-
-            def one(per_frame_planes, col):
-                lyrs = [Layer(planes=(pp,), **m)
-                        for pp, m in zip(per_frame_planes, metas)]
-                tps = [dict() for _ in range(n_inst)]
-                for r_, (i_, k_) in enumerate(rows):
-                    tps[i_][k_] = col[r_]
-                out, _ = frame_fn(lyrs, tps, list(graph.states),
-                                  col[-2], col[-1].astype(jnp.int32),
-                                  origin=(y0, H, W))
-                return out.planes[0]
-
-            outs = jax.vmap(one, in_axes=(0, 1))(
-                tuple(ext_planes), packed)
-            return outs[..., R:R + Hl, :] if R else outs
-
-        shardfn = jax.jit(jax.shard_map(
-            body, mesh=mesh,
-            in_specs=(P(),) + tuple(P(None, None, axis, None)
-                                    for _ in layers),
-            out_specs=P(None, None, axis, None)))
-        out = shardfn(packed, *[l.planes[0] for l in layers])
-        return Layer(planes=(out,), palette=sink.palette, gamma=sink.gamma)
-
-    return run
-
-
-def grid_mesh(n_batch: int, n_spatial: int,
-              batch_axis: str = "b", spatial_axis: str = "s") -> Mesh:
-    """2-D device mesh: frame-batch DP x H-axis spatial sharding — the
-    production layout for rendering long timelines of large frames on a
-    pod slice (batch over one mesh dim, each frame's rows over the other,
-    halo exchange riding the spatial axis's ICI ring)."""
-    devs = jax.devices()
-    need = n_batch * n_spatial
-    if len(devs) < need:
-        raise ValueError(f"need {need} devices, have {len(devs)}")
-    arr = np.array(devs[:need]).reshape(n_batch, n_spatial)
-    return Mesh(arr, (batch_axis, spatial_axis))
-
-
-def grid_batch_fn(graph, mesh: Mesh, batch_axis: str = "b",
-                  spatial_axis: str = "s"):
-    """FrameGraph batch execution on a 2-D (dp x sp) mesh: B shards over
-    `batch_axis`, H shards over `spatial_axis` with ppermute halo
-    exchange. Composition of sharded_batch_fn and spatial_batch_fn."""
-    import numpy as np_
-    from ..graph.nodemodel import _split_params
-
-    R = chain_band_halo(graph)
-    nb = mesh.shape[batch_axis]
-    ns = mesh.shape[spatial_axis]
+    ns = int(mesh.shape[spatial_axis])
+    nb = int(mesh.shape[batch_axis]) if batch_axis else 1
     sink = graph.sink
     frame_fn = graph._make_frame_fn()
 
     def run(layers: Sequence[Layer], tcs, frames, params=None):
         B = len(np_.asarray(tcs))
         H, W = layers[0].height, layers[0].width
-        if B % nb:
+        if batch_axis and B % nb:
             raise ValueError(f"batch {B} must divide dp axis {nb}")
         if sink.width not in (0, W) or sink.height not in (0, H):
-            raise ValueError("grid sharding requires a same-geometry sink")
+            raise ValueError("spatial sharding requires a same-geometry sink")
         if (H // ns) < max(R, 1):
             raise ValueError(f"band H/{ns} smaller than halo {R}")
         if params is None:
@@ -268,21 +165,21 @@ def grid_batch_fn(graph, mesh: Mesh, batch_axis: str = "b",
         down = [(i, (i - 1) % ns) for i in range(ns)]
 
         def body(packed, *planes):
-            sidx = jax.lax.axis_index(spatial_axis)
+            idx = jax.lax.axis_index(spatial_axis)
             ext_planes = []
-            for p in planes:  # (B/nb, C, H/ns, W) local
+            for p in planes:  # (B[/nb], C, H/ns, W) local shard
                 if R:
                     top = jax.lax.ppermute(p[..., -R:, :], spatial_axis, up)
                     bot = jax.lax.ppermute(p[..., :R, :], spatial_axis,
                                            down)
-                    top = jnp.where(sidx == 0,
+                    top = jnp.where(idx == 0,
                                     jnp.repeat(p[..., :1, :], R, -2), top)
-                    bot = jnp.where(sidx == ns - 1,
+                    bot = jnp.where(idx == ns - 1,
                                     jnp.repeat(p[..., -1:, :], R, -2), bot)
                     p = jnp.concatenate([top, p, bot], axis=-2)
                 ext_planes.append(p)
             Hl = planes[0].shape[-2]
-            y0 = sidx * Hl - R
+            y0 = idx * Hl - R
 
             def one(per_frame_planes, col):
                 lyrs = [Layer(planes=(pp,), **m)
@@ -298,13 +195,50 @@ def grid_batch_fn(graph, mesh: Mesh, batch_axis: str = "b",
             outs = jax.vmap(one, in_axes=(0, 1))(tuple(ext_planes), packed)
             return outs[..., R:R + Hl, :] if R else outs
 
+        plane_spec = P(batch_axis, None, spatial_axis, None)
+        packed_spec = P(None, batch_axis) if batch_axis else P()
         shardfn = jax.jit(jax.shard_map(
             body, mesh=mesh,
-            in_specs=(P(None, batch_axis),)
-            + tuple(P(batch_axis, None, spatial_axis, None)
-                    for _ in layers),
-            out_specs=P(batch_axis, None, spatial_axis, None)))
+            in_specs=(packed_spec,) + tuple(plane_spec for _ in layers),
+            out_specs=plane_spec))
         out = shardfn(packed, *[l.planes[0] for l in layers])
         return Layer(planes=(out,), palette=sink.palette, gamma=sink.gamma)
 
     return run
+
+
+def spatial_batch_fn(graph, mesh: Mesh, axis: str = "b"):
+    """Spatially-sharded batch execution of a production FrameGraph: the H
+    axis of every (B,C,H,W) track plane shards over the mesh, stencil
+    effects see `ppermute`-exchanged halo rows over ICI, coordinate effects
+    see their true global position via FrameContext.y0 (the same mechanism
+    the fused pallas sweep uses for tiles), and each device computes its
+    band of every frame. This generalises the round-1 demo blur
+    (`spatial_blur_sharded`) to the full plan — the reference's
+    row-slice threading (`process_func_threaded`, effects-weed.c:1563)
+    scaled across chips. Sink must keep source geometry.
+    """
+    return _band_batch_fn(graph, mesh, spatial_axis=axis, batch_axis=None)
+
+
+def grid_mesh(n_batch: int, n_spatial: int,
+              batch_axis: str = "b", spatial_axis: str = "s") -> Mesh:
+    """2-D device mesh: frame-batch DP x H-axis spatial sharding — the
+    production layout for rendering long timelines of large frames on a
+    pod slice (batch over one mesh dim, each frame's rows over the other,
+    halo exchange riding the spatial axis's ICI ring)."""
+    devs = jax.devices()
+    need = n_batch * n_spatial
+    if len(devs) < need:
+        raise ValueError(f"need {need} devices, have {len(devs)}")
+    arr = np.array(devs[:need]).reshape(n_batch, n_spatial)
+    return Mesh(arr, (batch_axis, spatial_axis))
+
+
+def grid_batch_fn(graph, mesh: Mesh, batch_axis: str = "b",
+                  spatial_axis: str = "s"):
+    """FrameGraph batch execution on a 2-D (dp x sp) mesh: B shards over
+    `batch_axis`, H shards over `spatial_axis` with ppermute halo
+    exchange."""
+    return _band_batch_fn(graph, mesh, spatial_axis=spatial_axis,
+                          batch_axis=batch_axis)
