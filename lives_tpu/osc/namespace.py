@@ -239,10 +239,10 @@ def register_extended(srv) -> None:
 
     m("/clip/frame/save_as_image", save_frame_image)
 
-    # clipboard / selection editing (clipedit.py)
+    # clipboard / selection editing (clipedit.py; [start, end) exclusive)
     def _sel(clip):
         s = st()
-        end = s.sel_end if s.sel_end >= 0 else clip.frames - 1
+        end = s.sel_end + 1 if s.sel_end >= 0 else clip.frames
         return s.sel_start, end
 
     def clip_copy():
@@ -303,7 +303,7 @@ def register_extended(srv) -> None:
         n = 0
         for inst in p().keymap.active_chain():
             apply_rendered_effect(clip, inst.filter.name, start=s,
-                                  end=e + 1, values=dict(inst.values))
+                                  end=e, values=dict(inst.values))
             n += 1
         return n
 

@@ -185,3 +185,26 @@ def test_frame_synch_notifications(srv):
     rx.close()
     p.stop()
     assert any(m.startswith("1|") for m in msgs), msgs  # FRAME_SYNCH=1
+
+
+def test_selection_edit_end_inclusive(srv, tmp_path):
+    """sel_end is INCLUSIVE on the wire (reference selection semantics):
+    deleting frames 2..4 removes three frames."""
+    import jax.numpy as jnp
+    from lives_tpu.io.clips import create_clip
+    from lives_tpu.layer import Layer
+    from lives_tpu.constants import Palette
+
+    clip = create_clip(tmp_path, 16, 16)
+    for i in range(10):
+        clip.put_frame(i, Layer(
+            planes=(jnp.full((3, 16, 16), i * 20, jnp.uint8),),
+            palette=int(Palette.RGB24)))
+    clip.frames = 10
+    srv.clips[9] = clip
+    srv.player.state.fg_clip = clip
+    _rpc(srv, "/clip/start/set", 2, expect_reply=False)
+    _rpc(srv, "/clip/end/set", 4, expect_reply=False)
+    time.sleep(0.1)
+    n = _rpc(srv, "/clip/selection/delete").args[0]
+    assert n == 7  # 10 - 3
