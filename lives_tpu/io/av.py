@@ -114,11 +114,17 @@ class AVDecoder(Decoder):
     name = "avformat"
 
     def __init__(self, cdata: ClipData, handle):
+        import threading
         self.cdata = cdata
         self._h = handle
         self._lib = load_avbridge()
         w, h = cdata.width, cdata.height
         self._buf = (ctypes.c_uint8 * (w * h + 2 * (w // 2) * (h // 2)))()
+        # one native decoder handle is stateful (seek + warm position):
+        # the player's precache thread and main loop both pull frames, so
+        # serialise access (the reference instead clones decoders per
+        # srcgroup; a lock is the single-clone equivalent)
+        self._lock = threading.Lock()
 
     @classmethod
     def get_clip_data(cls, uri: str) -> Optional[ClipData]:
@@ -172,14 +178,15 @@ class AVDecoder(Decoder):
         import jax.numpy as jnp
         cd = self.cdata
         n = max(0, min(int(n), cd.nframes - 1))
-        if not self._lib.avb_get_frame(self._h, n, self._buf):
-            raise IOError(f"avbridge: decode of frame {n} failed")
-        w, h = cd.width, cd.height
-        a = np.frombuffer(self._buf, np.uint8)
-        y = a[: w * h].reshape(h, w).copy()
-        cs = (w // 2) * (h // 2)
-        u = a[w * h: w * h + cs].reshape(h // 2, w // 2).copy()
-        v = a[w * h + cs:].reshape(h // 2, w // 2).copy()
+        with self._lock:
+            if not self._lib.avb_get_frame(self._h, n, self._buf):
+                raise IOError(f"avbridge: decode of frame {n} failed")
+            w, h = cd.width, cd.height
+            a = np.frombuffer(self._buf, np.uint8)
+            y = a[: w * h].reshape(h, w).copy()
+            cs = (w // 2) * (h // 2)
+            u = a[w * h: w * h + cs].reshape(h // 2, w // 2).copy()
+            v = a[w * h + cs:].reshape(h // 2, w // 2).copy()
         return Layer(planes=(jnp.asarray(y), jnp.asarray(u),
                              jnp.asarray(v)),
                      palette=int(Palette.YUV420P),
@@ -188,7 +195,12 @@ class AVDecoder(Decoder):
     def rip_audio(self, path: str) -> bool:
         if not self.cdata.arate:
             return False
-        return self._lib.avb_rip_audio(self._h, str(path).encode()) > 0
+        lock = getattr(self, "_lock", None)
+        if lock is None:  # audio-only clips built via __new__
+            return self._lib.avb_rip_audio(self._h, str(path).encode()) > 0
+        with lock:
+            return self._lib.avb_rip_audio(self._h,
+                                           str(path).encode()) > 0
 
     def estimate_delay(self, from_frame: int, to_frame: int) -> float:
         cost = int(self._lib.avb_seek_cost(self._h, from_frame, to_frame))

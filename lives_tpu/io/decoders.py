@@ -179,6 +179,8 @@ class Y4MDecoder(Decoder):
         #: None = constant stride fast path
         self.offsets = offsets
         self._fh = open(path, "rb")
+        import threading
+        self._lock = threading.Lock()  # precache + main thread share _fh
         self._cache = None
         if offsets is None:
             self.enable_prefetch()
@@ -268,8 +270,9 @@ class Y4MDecoder(Decoder):
                 ofs = self.data_start \
                     + n * (self.frame_size + self.header_skip) \
                     + self.header_skip
-            self._fh.seek(ofs)
-            buf = self._fh.read(self.frame_size)
+            with self._lock:
+                self._fh.seek(ofs)
+                buf = self._fh.read(self.frame_size)
         w, h = self.cdata.width, self.cdata.height
         y = np.frombuffer(buf[: w * h], np.uint8).reshape(h, w)
         cs = (w // 2) * (h // 2)

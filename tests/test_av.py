@@ -189,3 +189,34 @@ def test_truncated_valid_media(mkv_fixture, tmp_path):
     y = np.asarray(cd.decoder.get_frame(0).planes[0])
     assert y.shape == (H, W)
     cd.decoder.close()
+
+
+def test_concurrent_decode_threadsafe(mkv_fixture):
+    """Precache-thread + main-loop access pattern: concurrent get_frame
+    on one decoder handle must stay correct (serialised internally)."""
+    import threading
+    cd = try_decoders(str(mkv_fixture))
+    errors = []
+
+    def worker(seed):
+        rng = np.random.default_rng(seed)
+        try:
+            for _ in range(40):
+                i = int(rng.integers(0, N))
+                y = np.asarray(cd.decoder.get_frame(i).planes[0])
+                cols = np.ones(W, bool)
+                bar = (i * 4) % W
+                cols[max(0, bar - 4):bar + 8] = False
+                expect = 16 + 8 * i * 219 / 255
+                if abs(float(y[:, cols].mean()) - expect) > 14:
+                    errors.append((seed, i))
+        except Exception as e:  # pragma: no cover
+            errors.append((seed, repr(e)))
+
+    threads = [threading.Thread(target=worker, args=(s,)) for s in range(4)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errors, errors[:5]
+    cd.decoder.close()
