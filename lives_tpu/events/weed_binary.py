@@ -339,6 +339,7 @@ def load_event_list_binary(fh: BinaryIO) -> EventList:
                    audio_channels=int(one("audio_channels", 2)))
     id_map: dict[int, str] = {}
     init_filters: dict[str, str] = {}
+    init_events: dict[str, Event] = {}
 
     def ev_id(int_id: int) -> str:
         if int_id not in id_map:
@@ -389,6 +390,7 @@ def load_event_list_binary(fh: BinaryIO) -> EventList:
                             or [0], values=values),
                        event_id=eid)
             init_filters[eid] = ours
+            init_events[eid] = ev
         elif etype == EventType.FILTER_DEINIT:
             ev = Event(tc, etype,
                        dict(init_event=ev_id(int(get("init_event", 0)))))
@@ -401,8 +403,7 @@ def load_event_list_binary(fh: BinaryIO) -> EventList:
             if get("host_init_value"):
                 # synthetic initial-value pchain head (see save): fold into
                 # the init's values rather than emitting a change event
-                init = next((e for e in el.events
-                             if e.event_id == eid), None)
+                init = init_events.get(eid)
                 pn = get("host_param_name")
                 if init is not None and pn is not None:
                     vals = leaves["value"][1] if "value" in leaves else [0.0]
