@@ -218,6 +218,23 @@ class AVDecoder(Decoder):
             pass
 
 
+# the in-process bridge outranks the ffmpeg-subprocess fallback in the
+# probe order (both claim the same containers; in-process is faster and
+# always present when libav is)
+def _prioritise_over_subprocess():
+    from .decoders import _DECODERS
+    try:
+        from .decoders import FFmpegDecoder
+    except ImportError:
+        return
+    if AVDecoder in _DECODERS and FFmpegDecoder in _DECODERS:
+        _DECODERS.remove(AVDecoder)
+        _DECODERS.insert(_DECODERS.index(FFmpegDecoder), AVDecoder)
+
+
+_prioritise_over_subprocess()
+
+
 # ---------------------------------------------------------------------------
 # Encoder
 # ---------------------------------------------------------------------------
