@@ -222,16 +222,35 @@ if _have_avbridge():
             sess = AVEncodeSession(out_path, w, h, fps,
                                    arate=arate if achans else 0,
                                    achans=max(achans, 1))
+            pcm = None
+            if achans:
+                pcm = np.clip(audio, -1.0, 1.0) * 32767 \
+                    if np.issubdtype(audio.dtype, np.floating) else audio
+                pcm = np.asarray(pcm, np.int16).reshape(-1, achans)
+            apos = 0
+            spf = int(arate / fps) if achans else 0  # samples per frame
+
+            def feed_audio(nframes):
+                # interleave audio with video so the muxer's ordering
+                # buffer stays bounded on long encodes
+                nonlocal apos
+                if pcm is None:
+                    return
+                want = min(int(nframes * spf), len(pcm))
+                if want > apos:
+                    sess.write_audio(pcm[apos:want])
+                    apos = want
+
             try:
                 sess.write_frame(f0)
                 n = 1
+                feed_audio(1)
                 for f in frames:
                     sess.write_frame(_chw(f))
                     n += 1
-                if achans:
-                    pcm = np.clip(audio, -1.0, 1.0) * 32767 \
-                        if np.issubdtype(audio.dtype, np.floating) else audio
-                    sess.write_audio(np.asarray(pcm, np.int16))
+                    feed_audio(n)
+                if pcm is not None and apos < len(pcm):
+                    sess.write_audio(pcm[apos:])
             finally:
                 sess.close()
             return n > 0
