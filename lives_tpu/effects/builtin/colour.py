@@ -111,10 +111,17 @@ _rgb_filter(
 
 
 def _sepia(rgb, p, c):
-    m = np.array([[0.393, 0.769, 0.189],
-                  [0.349, 0.686, 0.168],
-                  [0.272, 0.534, 0.131]], np.float32)
-    tinted = jnp.einsum("ij,jhw->ihw", jnp.asarray(m), rgb)
+    # channel-wise with scalar weights (no constant-matrix einsum: scalar
+    # constants fold into the jaxpr, arrays become captured consts that
+    # pallas kernels reject)
+    r, g, b = rgb[0], rgb[1], rgb[2]
+    tinted = jnp.stack([
+        r * np.float32(0.393) + g * np.float32(0.769)
+        + b * np.float32(0.189),
+        r * np.float32(0.349) + g * np.float32(0.686)
+        + b * np.float32(0.168),
+        r * np.float32(0.272) + g * np.float32(0.534)
+        + b * np.float32(0.131)], 0)
     return rgb + (tinted - rgb) * p["amount"]
 
 

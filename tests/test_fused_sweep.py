@@ -153,3 +153,70 @@ def test_fused_sweep_multi_stencil_parity():
     out = render(True)
     diff = np.abs(out.astype(int) - ref.astype(int))
     assert diff.max() <= 1, diff.max()
+
+
+def test_fused_sweep_random_chain_parity():
+    """Property test: random pallas-safe chains (transitions, pointwise,
+    coord effects, one optional stencil) match the XLA path +/-1 LSB."""
+    import random as pyrandom
+    import numpy as np
+    from lives_tpu.effects.host import get_filter, instantiate
+    from lives_tpu.graph import FrameGraph
+    from lives_tpu.graph.pallas_composite import COORD_SAFE, PALLAS_SAFE
+
+    w, h = 256, 40
+    src = DeviceSyntheticSource(h, w)
+    sink = SinkSpec(width=w, height=h)
+    rng = pyrandom.Random(7)
+    point_pool = sorted(PALLAS_SAFE | COORD_SAFE - {"wipe"})
+
+    def random_chain():
+        chain = []
+        track = 1
+        for _ in range(rng.randint(2, 6)):
+            name = rng.choice(point_pool)
+            inst = instantiate(name)
+            if inst.filter.n_in > 1:
+                inst.in_tracks = (0, track)
+                track += 1
+            chain.append(inst)
+        if rng.random() < 0.6:
+            chain.append(instantiate("gaussian_blur",
+                                     radius=rng.randint(1, 3),
+                                     amount=rng.uniform(0.3, 1.0)))
+            # post-stencil: single-input only
+            chain.append(instantiate(rng.choice(
+                ["saturation", "vignette", "negate", "sepia"])))
+        return chain, track
+
+    for trial in range(6):
+        chain, n_tracks = random_chain()
+        names = [i.filter.name for i in chain]
+
+        def render(fused, chain=chain):
+            import copy
+            g = FrameGraph([copy.deepcopy(i) for i in chain], sink,
+                           fps=25.0)
+            env = {"LIVES_TPU_PALLAS_INTERPRET": "1" if fused else "0",
+                   "LIVES_TPU_FUSED_SWEEP": "1" if fused else "0",
+                   "LIVES_TPU_CHAIN_DTYPE": "f32"}
+            old = {k: os.environ.get(k) for k in env}
+            os.environ.update(env)
+            try:
+                cids = np.arange(1, n_tracks + 1)[:, None].repeat(2, 1)
+                fnums = np.arange(2)[None].repeat(n_tracks, 0)
+                out = g.run_batch([], np.array([0.0, 0.04], np.float32),
+                                  np.array([0, 1], np.int32),
+                                  source=src, src_args=(cids, fnums))
+            finally:
+                for k, v in old.items():
+                    if v is None:
+                        os.environ.pop(k, None)
+                    else:
+                        os.environ[k] = v
+            return np.asarray(out.planes[0])
+
+        ref = render(False)
+        out = render(True)
+        diff = np.abs(out.astype(int) - ref.astype(int))
+        assert diff.max() <= 1, (names, diff.max())

@@ -201,3 +201,26 @@ def test_unknown_filter_layout_renders_with_warning(tmp_path):
     ref = np.asarray(src.get_batch([1] * 4, list(range(4))).planes[0])
     np.testing.assert_array_equal(np.asarray(arr),
                                   255 - ref)  # negate still applied
+
+
+def test_loader_survives_fuzz():
+    """Corrupt/random bytes must raise cleanly (ValueError/EOF handling),
+    never hang or crash."""
+    rng = np.random.default_rng(0)
+    for trial in range(50):
+        blob = rng.integers(0, 256, rng.integers(4, 2048),
+                            dtype=np.uint8).tobytes()
+        try:
+            load_event_list_binary(io.BytesIO(blob))
+        except (ValueError, EOFError, MemoryError):
+            pass
+    # truncations of a VALID file also fail cleanly or parse a prefix
+    el = multitrack_timeline(n_tracks=3, n_frames=4, width=64, height=32)
+    buf = io.BytesIO()
+    save_event_list_binary(el, buf)
+    data = buf.getvalue()
+    for cut in range(1, len(data), max(len(data) // 40, 1)):
+        try:
+            load_event_list_binary(io.BytesIO(data[:cut]))
+        except (ValueError, EOFError):
+            pass
