@@ -78,3 +78,44 @@ def test_grid_mesh_dp_x_sp_parity():
     out = np.asarray(grid_batch_fn(g, mesh)(layers, tcs, frames).planes[0])
     diff = np.abs(out.astype(int) - ref.astype(int))
     assert diff.max() <= 1, diff.max()
+
+
+def test_spatial_random_chain_parity():
+    """Property test: random band-safe chains match unsharded run_batch
+    across the 8-device mesh."""
+    import copy
+    import random as pyrandom
+    from lives_tpu.effects.host import instantiate
+    from lives_tpu.graph.pallas_composite import COORD_SAFE, PALLAS_SAFE
+
+    rng = pyrandom.Random(3)
+    pool = sorted((PALLAS_SAFE | COORD_SAFE) - {"wipe"})
+    h, w, B = 96, 128, 4
+    for trial in range(4):
+        chain = []
+        track = 1
+        for _ in range(rng.randint(2, 5)):
+            inst = instantiate(rng.choice(pool))
+            if inst.filter.n_in > 1:
+                inst.in_tracks = (0, track)
+                track += 1
+            chain.append(inst)
+        if rng.random() < 0.7:
+            chain.append(instantiate("gaussian_blur",
+                                     radius=rng.randint(1, 3)))
+        g = FrameGraph([copy.deepcopy(i) for i in chain],
+                       SinkSpec(width=w, height=h))
+        rnd = np.random.default_rng(trial)
+        layers = [Layer(planes=(jnp.asarray(
+            rnd.integers(0, 256, (B, 3, h, w), np.uint8)),),
+            palette=int(Palette.RGB24)) for _ in range(track)]
+        tcs = np.arange(B) / 25.0
+        frames = np.arange(B)
+        ref = np.asarray(g.run_batch(layers, tcs, frames).planes[0])
+        g2 = FrameGraph([copy.deepcopy(i) for i in chain],
+                        SinkSpec(width=w, height=h))
+        out = np.asarray(spatial_batch_fn(g2, frame_mesh(8))(
+            layers, tcs, frames).planes[0])
+        names = [i.filter.name for i in chain]
+        diff = np.abs(out.astype(int) - ref.astype(int))
+        assert diff.max() <= 1, (names, diff.max())
