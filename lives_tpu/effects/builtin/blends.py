@@ -243,3 +243,82 @@ register_filter(Filter(
                   choices=("left", "right", "top", "bottom"))),
     flags=FILTER_IS_TRANSITION,
     description="fg slides in over bg (slide_over.c)"))
+
+
+# -- multi_transitions.c remaining modes -------------------------------------
+# (dissolve / rand replace / iris rectangle; iris circle lives above)
+
+def _pixel_hash(ctx, h, w, salt=0.0):
+    """Deterministic per-pixel uniform field in [0,1) from full-frame
+    coordinates (tile-safe via ctx_grid), optionally salted per frame."""
+    from ..util import ctx_grid
+    x, y = ctx_grid(ctx, h, w)
+    s = jnp.sin(x * 127.1 + y * 311.7 + salt * 74.7) * np.float32(43758.5453)
+    return s - jnp.floor(s)
+
+
+def _dissolve_process(ins, params, ctx):
+    """multi_transitions.c "dissolve": a fixed random per-pixel threshold —
+    pixels switch fg->bg in a stable random order as amount rises."""
+    fg, bg = ins[0], ins[1]
+    a, b = to_f01(fg), to_f01(bg)
+    argb, aal = split_alpha(a)
+    brgb, _ = split_alpha(b)
+    h, w = argb.shape[-2:]
+    m = (_pixel_hash(ctx, h, w) >= params["amount"]).astype(jnp.float32)
+    out = argb * m + brgb * (1.0 - m)
+    return from_f01(join_alpha(out, aal), fg)
+
+
+register_filter(Filter(
+    name="dissolve", process=_dissolve_process, in_channels=_TWO_IN,
+    params=(Param("amount", "num", 0.0, 0.0, 1.0),),
+    flags=FILTER_IS_TRANSITION,
+    description="random-pixel dissolve (multi_transitions.c)"))
+
+
+def _rand_replace_process(ins, params, ctx):
+    """multi_transitions.c "rand replace": like dissolve but the random
+    field re-rolls every frame, so the boundary sparkles."""
+    fg, bg = ins[0], ins[1]
+    a, b = to_f01(fg), to_f01(bg)
+    argb, aal = split_alpha(a)
+    brgb, _ = split_alpha(b)
+    h, w = argb.shape[-2:]
+    salt = jnp.asarray(ctx.frame, jnp.float32)
+    m = (_pixel_hash(ctx, h, w, salt) >= params["amount"]) \
+        .astype(jnp.float32)
+    out = argb * m + brgb * (1.0 - m)
+    return from_f01(join_alpha(out, aal), fg)
+
+
+register_filter(Filter(
+    name="rand_replace", process=_rand_replace_process, in_channels=_TWO_IN,
+    params=(Param("amount", "num", 0.0, 0.0, 1.0),),
+    flags=FILTER_IS_TRANSITION,
+    description="per-frame random replace (multi_transitions.c)"))
+
+
+def _iris_rect_process(ins, params, ctx):
+    """multi_transitions.c "iris rectangle": expanding centred rectangle
+    (Chebyshev-distance analogue of iris_circle)."""
+    fg, bg = ins[0], ins[1]
+    a, b = to_f01(fg), to_f01(bg)
+    argb, aal = split_alpha(a)
+    brgb, _ = split_alpha(b)
+    h, w = argb.shape[-2:]
+    from ..util import ctx_grid
+    x, y = ctx_grid(ctx, h, w, centered=True)
+    r = jnp.maximum(jnp.abs(x), jnp.abs(y))
+    soft = params["softness"] + 1e-4
+    m = jnp.clip((params["amount"] - r) / soft + 0.5, 0.0, 1.0)
+    out = argb * m + brgb * (1.0 - m)
+    return from_f01(join_alpha(out, aal), fg)
+
+
+register_filter(Filter(
+    name="iris_rectangle", process=_iris_rect_process, in_channels=_TWO_IN,
+    params=(Param("amount", "num", 0.0, 0.0, 1.0),
+            Param("softness", "num", 0.05, 0.0, 0.5)),
+    flags=FILTER_IS_TRANSITION,
+    description="rectangular iris wipe (multi_transitions.c)"))

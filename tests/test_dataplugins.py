@@ -1,0 +1,176 @@
+"""Data-plugin family (dataplugins.py), multi_transitions modes, and the
+fourKlives tracker synth."""
+
+import numpy as np
+import jax.numpy as jnp
+
+from lives_tpu.constants import Palette
+from lives_tpu.layer import Layer
+from lives_tpu.effects import FrameContext, apply_instance, instantiate
+from lives_tpu.audio.fourklives import (DEFAULT_TUNE, FourKLives,
+                                        note_to_semitone, parse_tune)
+
+
+def mk(rng, h=32, w=64, alpha=False):
+    c = 4 if alpha else 3
+    pal = Palette.RGBA32 if alpha else Palette.RGB24
+    return Layer(planes=(jnp.asarray(
+        rng.integers(0, 256, (c, h, w), np.uint8)),), palette=int(pal))
+
+
+def test_alpha_visualizer(rng):
+    lay = mk(rng, alpha=True)
+    out = apply_instance(instantiate("alpha_visualizer", red=1.0, green=0.0,
+                                     blue=0.0), [lay])[0]
+    a = np.asarray(out.planes[0])
+    src = np.asarray(lay.planes[0])
+    # red channel tracks source alpha; green/blue are dark
+    assert abs(int(a[0].astype(int).mean()) - int(src[3].astype(int).mean())) <= 2
+    assert a[1].max() == 0 and a[2].max() == 0
+
+
+def test_data_unpacker_flatten_and_clamp(rng):
+    lay = mk(rng)
+    inst = instantiate("data_unpacker")
+    inst.values["in0"] = jnp.asarray([0.5, -3.0, 2.0])
+    inst.values["in1"] = 7.0
+    inst.values["range"] = 1.0
+    apply_instance(inst, [lay])
+    o = {k: float(v) for k, v in inst.out_values.items()}
+    assert o["o0"] == 0.5 and o["o1"] == -1.0 and o["o2"] == 1.0
+    assert o["o3"] == 1.0  # in1 clamped
+    inst.values["clamp"] = 0.0
+    apply_instance(inst, [lay])
+    assert float(inst.out_values["o1"]) == -3.0
+
+
+def test_log_sig(rng):
+    lay = mk(rng)
+    inst = instantiate("log_sig", in0=0.0, in1=100.0, in2=-100.0)
+    apply_instance(inst, [lay])
+    assert abs(float(inst.out_values["o0"]) - 0.5) < 1e-6
+    assert float(inst.out_values["o1"]) > 0.999
+    assert float(inst.out_values["o2"]) < 0.001
+
+
+def test_data_counter_state_machine(rng):
+    lay = mk(rng)
+    inst = instantiate("data_counter")
+    inst.values["oncount0"] = 3
+    inst.values["offcount0"] = 2
+    seen = []
+    val = 0.0
+    for i in range(12):  # toggle the input every frame: 12 rising edges max
+        val = 1.0 - val
+        inst.values["input0"] = val
+        apply_instance(inst, [lay], FrameContext(frame=i))
+        seen.append(float(inst.out_values["out0"]))
+    # rising edges at frames 0,2,4,...; third rising edge (frame 4) flips on;
+    # then 2 more (frames 6,8) flip back off; 3 more needed again
+    assert seen[3] == 0.0 and seen[4] == 1.0
+    assert seen[8] == 0.0
+    assert all(s in (0.0, 1.0) for s in seen)
+
+
+def test_nn_programmer_evolves_and_freezes(rng):
+    lay = mk(rng)
+    inst = instantiate("nn_programmer", a=0.5, b=-0.5, fitness=0.0)
+    outs = []
+    for i in range(4):
+        apply_instance(inst, [lay], FrameContext(frame=i))
+        outs.append(float(inst.out_values["o0"]))
+    assert all(0.0 <= o <= 1.0 for o in outs)
+    assert len(set(np.round(outs, 6))) > 1  # mutating
+    # fitness=1 freezes the program: same input -> same output
+    inst2 = instantiate("nn_programmer", a=0.5, fitness=1.0)
+    o = []
+    for i in range(3):
+        apply_instance(inst2, [lay], FrameContext(frame=i))
+        o.append(float(inst2.out_values["o0"]))
+    assert o[0] == o[1] == o[2]
+
+
+def test_dissolve_endpoints_and_stability(rng):
+    fg, bg = mk(rng), mk(rng)
+    ctx = FrameContext(width=64, height=32, frame=0)
+    out0 = np.asarray(apply_instance(
+        instantiate("dissolve", amount=0.0), [fg, bg], ctx)[0].planes[0])
+    np.testing.assert_array_equal(out0, np.asarray(fg.planes[0]))
+    out1 = np.asarray(apply_instance(
+        instantiate("dissolve", amount=1.0), [fg, bg], ctx)[0].planes[0])
+    np.testing.assert_array_equal(out1, np.asarray(bg.planes[0]))
+    # half: a stable mix of exactly-fg / exactly-bg pixels
+    oh = np.asarray(apply_instance(
+        instantiate("dissolve", amount=0.5), [fg, bg], ctx)[0].planes[0])
+    oh2 = np.asarray(apply_instance(
+        instantiate("dissolve", amount=0.5), [fg, bg],
+        FrameContext(width=64, height=32, frame=9))[0].planes[0])
+    np.testing.assert_array_equal(oh, oh2)  # frame-independent
+    is_fg = (oh == np.asarray(fg.planes[0])).all(0)
+    is_bg = (oh == np.asarray(bg.planes[0])).all(0)
+    assert (is_fg | is_bg).all() and is_fg.any() and is_bg.any()
+
+
+def test_rand_replace_rerolls_per_frame(rng):
+    fg, bg = mk(rng), mk(rng)
+    a = np.asarray(apply_instance(
+        instantiate("rand_replace", amount=0.5), [fg, bg],
+        FrameContext(width=64, height=32, frame=0))[0].planes[0])
+    b = np.asarray(apply_instance(
+        instantiate("rand_replace", amount=0.5), [fg, bg],
+        FrameContext(width=64, height=32, frame=1))[0].planes[0])
+    assert (a != b).any()
+
+
+def test_iris_rectangle(rng):
+    fg, bg = mk(rng), mk(rng)
+    ctx = FrameContext(width=64, height=32)
+    out = np.asarray(apply_instance(
+        instantiate("iris_rectangle", amount=0.5, softness=0.0),
+        [fg, bg], ctx)[0].planes[0])
+    # centre shows fg, corner shows bg
+    np.testing.assert_array_equal(out[:, 16, 32], np.asarray(fg.planes[0])[:, 16, 32])
+    np.testing.assert_array_equal(out[:, 0, 0], np.asarray(bg.planes[0])[:, 0, 0])
+
+
+# -- fourKlives ---------------------------------------------------------------
+
+def test_note_parsing():
+    assert note_to_semitone("c4") == 48
+    assert note_to_semitone("a4") == 57
+    assert note_to_semitone("c#3") == 37
+    assert note_to_semitone("r") is None
+
+
+def test_tune_parse():
+    t = parse_tune(DEFAULT_TUNE)
+    assert t.tempo == 125
+    assert len(t.channels) == 3
+    assert t.instruments[0].wave == "sqr"
+    assert len(t.patterns[1]) == 8
+
+
+def test_fourklives_render():
+    synth = FourKLives(rate=8000, channels=2)
+    block = synth.render(4000)
+    assert block.shape == (4000, 2) and block.dtype == np.float32
+    assert np.abs(block).max() <= 1.0
+    assert np.abs(block).max() > 0.01  # audible
+    # pure render: seek == sequential
+    b2 = synth.render(1000)
+    np.testing.assert_array_equal(b2, synth.render_at(4000, 1000))
+
+
+def test_fourklives_tempo_and_pitch():
+    synth = FourKLives(rate=8000)
+    s1 = synth.step_samples
+    synth.set_tempo(250)
+    assert synth.step_samples < s1
+    # base_freq transposes: doubling shifts energy up — compare zero
+    # crossing rate of the first row
+    synth.set_tempo(125)
+    a = synth.render_at(0, synth.step_samples)[:, 0]
+    synth.set_base_freq(880.0)
+    b = synth.render_at(0, synth.step_samples)[:, 0]
+    zc = lambda x: int(((x[:-1] * x[1:]) < 0).sum())
+    assert zc(b) > zc(a) * 1.5
