@@ -208,3 +208,53 @@ def _white_balance(rgb, p, c):
 _rgb_filter("white_balance", _white_balance,
             params=(Param("amount", "num", 1.0, 0.0, 1.0),),
             desc="grey-world auto white balance")
+
+
+# -- RFX colour_replace.script / modulate.script backends ---------------------
+
+def _colour_replace(rgb, p, c):
+    """colour_replace.script: pixels within `tolerance` of (red,green,blue)
+    become (red2,green2,blue2) (ImageMagick -opaque with -fuzz)."""
+    src = jnp.stack([p["red"], p["green"], p["blue"]])[:, None, None]
+    dst = jnp.stack([p["red2"], p["green2"], p["blue2"]])[:, None, None]
+    dist = jnp.sqrt(((rgb - src) ** 2).sum(0) / 3.0)
+    m = (dist <= p["tolerance"]).astype(jnp.float32)[None]
+    return rgb * (1.0 - m) + dst * m
+
+
+_rgb_filter("colour_replace", _colour_replace,
+            params=(Param("red", "num", 0.0, 0.0, 1.0),
+                    Param("green", "num", 0.0, 0.0, 1.0),
+                    Param("blue", "num", 0.0, 0.0, 1.0),
+                    Param("red2", "num", 1.0, 0.0, 1.0),
+                    Param("green2", "num", 1.0, 0.0, 1.0),
+                    Param("blue2", "num", 1.0, 0.0, 1.0),
+                    Param("tolerance", "num", 0.1, 0.0, 1.0)),
+            desc="replace a colour within tolerance (colour_replace.script)")
+
+
+def _modulate(rgb, p, c):
+    """modulate.script / ImageMagick -modulate: combined brightness,
+    saturation, hue scaling (each 1.0 = unchanged; hue 1.0 = no rotation,
+    range 0..2 maps to a full -180..+180 turn)."""
+    out = rgb * p["brightness"]
+    g = luma(out)
+    out = g[None] + (out - g[None]) * p["saturation"]
+    # hue rotation about the luma axis (YIQ-style rotation matrix)
+    th = (p["hue"] - 1.0) * np.float32(np.pi)
+    cs, sn = jnp.cos(th), jnp.sin(th)
+    y = luma(out)
+    i = 0.596 * out[0] - 0.274 * out[1] - 0.322 * out[2]
+    q = 0.211 * out[0] - 0.523 * out[1] + 0.312 * out[2]
+    i, q = i * cs - q * sn, i * sn + q * cs
+    r = y + 0.956 * i + 0.621 * q
+    gg = y - 0.272 * i - 0.647 * q
+    b = y - 1.106 * i + 1.703 * q
+    return jnp.stack([r, gg, b], 0)
+
+
+_rgb_filter("modulate", _modulate,
+            params=(Param("brightness", "num", 1.0, 0.0, 2.0),
+                    Param("saturation", "num", 1.0, 0.0, 2.0),
+                    Param("hue", "num", 1.0, 0.0, 2.0)),
+            desc="combined brightness/saturation/hue (modulate.script)")
