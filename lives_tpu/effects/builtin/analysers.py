@@ -239,3 +239,81 @@ _mk_analyser("spot_tracker", _spot_analyse,
                          Param("y", "num", 0.5, 0.0, 1.0),
                          Param("intensity", "num", 0.0, 0.0, 1.0)),
              desc="brightest-region tracker (template-analyser family)")
+
+
+# -- template tracker (haar_analyser.cpp role) --------------------------------
+
+_TT_SIZE = 32  # template patch side (static)
+
+
+def _tt_init(w, h, palette):
+    return {"tmpl": jnp.zeros((3, _TT_SIZE, _TT_SIZE), jnp.float32),
+            "have": jnp.float32(0.0),
+            "x": jnp.float32(0.5), "y": jnp.float32(0.5)}
+
+
+def _tt_process(ins, p, ctx, state):
+    """Template tracker: zero-mean cross-correlation of a grabbed patch
+    against the frame, run as ONE conv (MXU) — the TPU-native take on the
+    reference's object trackers (haar_analyser.cpp / farneback tracking
+    use-case: follow a face/prop and drive effect params from it).
+
+    Set `grab` > 0.5 for one frame to (re)capture the patch at the current
+    (x, y); out-params x/y/score then follow the best match each frame."""
+    import jax
+    lay = ins[0]
+    rgb, _ = split_alpha(to_f01(lay))
+    h, w = rgb.shape[-2:]
+    t = _TT_SIZE
+    want_grab = (jnp.asarray(p["grab"], jnp.float32) > 0.5) \
+        | (state["have"] < 0.5)
+    # grab at the user-set (x, y) params; track from the followed position
+    gx = jnp.where(want_grab, jnp.asarray(p["x"], jnp.float32), state["x"])
+    gy = jnp.where(want_grab, jnp.asarray(p["y"], jnp.float32), state["y"])
+    cy = jnp.clip(gy * h - t / 2, 0, h - t).astype(jnp.int32)
+    cx = jnp.clip(gx * w - t / 2, 0, w - t).astype(jnp.int32)
+    patch = jax.lax.dynamic_slice(rgb, (0, cy, cx), (3, t, t))
+    tmpl = jnp.where(want_grab, patch, state["tmpl"])
+    tz = tmpl - tmpl.mean()
+    # ZNCC numerator via one conv; denominator from local energy
+    img = rgb[None]  # NCHW
+    k = tz[None]     # OIHW (1 out-channel)
+    num = jax.lax.conv_general_dilated(
+        img, k, (1, 1), "VALID",
+        dimension_numbers=("NCHW", "OIHW", "NCHW"))[0, 0]
+    ones = jnp.ones((1, 3, t, t), jnp.float32)
+    s1 = jax.lax.conv_general_dilated(
+        img, ones, (1, 1), "VALID",
+        dimension_numbers=("NCHW", "OIHW", "NCHW"))[0, 0]
+    s2 = jax.lax.conv_general_dilated(
+        img * img, ones, (1, 1), "VALID",
+        dimension_numbers=("NCHW", "OIHW", "NCHW"))[0, 0]
+    n = 3.0 * t * t
+    var = jnp.maximum(s2 - s1 * s1 / n, 1e-6)
+    score_map = num / jnp.sqrt(var * jnp.maximum((tz * tz).sum(), 1e-6))
+    idx = jnp.argmax(score_map)
+    gh, gw = score_map.shape
+    by, bx = idx // gw, idx % gw
+    score = score_map.reshape(-1)[idx]
+    nx = (bx.astype(jnp.float32) + t / 2) / w
+    ny = (by.astype(jnp.float32) + t / 2) / h
+    new_state = {"tmpl": tmpl, "have": jnp.float32(1.0),
+                 "x": jnp.where(want_grab, gx, nx),
+                 "y": jnp.where(want_grab, gy, ny)}
+    outs = {"x": new_state["x"], "y": new_state["y"],
+            "score": jnp.clip(score, -1.0, 1.0)}
+    return lay, new_state, outs
+
+
+register_filter(Filter(
+    name="template_tracker", process=_tt_process, in_channels=_ONE_IN,
+    flags=__import__("lives_tpu.effects.host", fromlist=["x"]
+                     ).FILTER_STATEFUL,
+    init_state=_tt_init,
+    params=(Param("grab", "num", 0.0, 0.0, 1.0),
+            Param("x", "num", 0.5, 0.0, 1.0),
+            Param("y", "num", 0.5, 0.0, 1.0)),
+    out_params=(Param("x", "num", 0.5, 0.0, 1.0),
+                Param("y", "num", 0.5, 0.0, 1.0),
+                Param("score", "num", 0.0, -1.0, 1.0)),
+    description="ZNCC patch tracker, one MXU conv (haar_analyser role)"))

@@ -322,3 +322,63 @@ register_filter(Filter(
             Param("softness", "num", 0.05, 0.0, 0.5)),
     flags=FILTER_IS_TRANSITION,
     description="rectangular iris wipe (multi_transitions.c)"))
+
+
+# -- gdk/compositor.c: N-input geometric compositor --------------------------
+
+def _compositor_process(ins, p, ctx):
+    """gdk/compositor.c: up to four inputs, each placed at (x,y) scaled by
+    (sx,sy) with its own alpha, composited in z order (revz reverses) over
+    a background colour. Geometry is fully traced: placement is inverse
+    bilinear sampling (map_coordinates), so x/y/sx/sy animate per frame
+    without retracing."""
+    import jax
+    from jax.scipy.ndimage import map_coordinates
+    base = ins[0]
+    a0 = to_f01(base)
+    _, aal = split_alpha(a0)
+    h, w = a0.shape[-2:]
+    y_t = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0).astype(jnp.float32)
+    x_t = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1).astype(jnp.float32)
+    acc = jnp.stack([jnp.broadcast_to(p["bg_red"], (h, w)),
+                     jnp.broadcast_to(p["bg_green"], (h, w)),
+                     jnp.broadcast_to(p["bg_blue"], (h, w))]) \
+        .astype(jnp.float32)
+    order = range(len(ins))
+    if int(p.get("revz", 0)):
+        order = reversed(list(order))
+    for i in order:
+        src, _ = split_alpha(to_f01(ins[i]))
+        sx = jnp.maximum(p[f"sx{i}"], 1e-3)
+        sy = jnp.maximum(p[f"sy{i}"], 1e-3)
+        u = (x_t - p[f"x{i}"] * w) / sx
+        v = (y_t - p[f"y{i}"] * h) / sy
+        inside = ((u >= 0) & (u <= w - 1) & (v >= 0) & (v <= h - 1)) \
+            .astype(jnp.float32)
+        uu = jnp.clip(u, 0, w - 1)
+        vv = jnp.clip(v, 0, h - 1)
+        sampled = jnp.stack([map_coordinates(src[c], [vv, uu], order=1)
+                             for c in range(3)])
+        m = (inside * jnp.clip(p[f"alpha{i}"], 0.0, 1.0))[None]
+        acc = acc * (1.0 - m) + sampled * m
+    return from_f01(join_alpha(jnp.clip(acc, 0.0, 1.0), aal), base)
+
+
+register_filter(Filter(
+    name="compositor", process=_compositor_process,
+    in_channels=tuple(ChannelTemplate(f"in{i}", _RGBX, optional=i > 0)
+                      for i in range(4)),
+    params=tuple(
+        Param(f"{k}{i}", "num", d, lo, hi)
+        for i in range(4)
+        for k, d, lo, hi in (("x", 0.25 * (i % 2), -1.0, 1.0),
+                             ("y", 0.25 * (i // 2), -1.0, 1.0),
+                             ("sx", 0.5, 0.01, 4.0),
+                             ("sy", 0.5, 0.01, 4.0),
+                             ("alpha", 1.0, 0.0, 1.0)))
+    + (Param("bg_red", "num", 0.0, 0.0, 1.0),
+       Param("bg_green", "num", 0.0, 0.0, 1.0),
+       Param("bg_blue", "num", 0.0, 0.0, 1.0),
+       Param("revz", "int", 0, 0, 1)),
+    flags=FILTER_IS_TRANSITION,
+    description="4-input geometric compositor (gdk/compositor.c)"))

@@ -338,3 +338,54 @@ def _register_deinterlace():
 
 
 _register_deinterlace()
+
+
+# -- scribbler (gdk/scribbler.c) ----------------------------------------------
+
+def _scribbler_process(ins, p, ctx):
+    """gdk/scribbler.c: text overlaid on the INPUT frame with a foreground
+    colour and an optional background box behind the text line; `mode`
+    selects foreground only / background only / both (reference
+    string_list). Text/size are static (host-rasterised, cached)."""
+    lay = ins[0]
+    a = to_f01(lay)
+    rgb, al = split_alpha(a)
+    h, w = rgb.shape[-2:]
+    mask = _text_mask_cached(str(p["text"]), w, h, max(8, int(p["size"])))
+    m = jnp.asarray(mask[3]).astype(jnp.float32) / 255.0
+    mode = int(p["mode"])
+    out = rgb
+    if mode != 0:  # background box (rows spanned by the text, full width)
+        import numpy as np
+        rows = mask[3].any(axis=1)
+        if rows.any():
+            y0, y1 = int(np.argmax(rows)), int(len(rows) - np.argmax(rows[::-1]))
+            box = jnp.zeros((h, w), jnp.float32).at[max(y0 - 4, 0):
+                                                    min(y1 + 4, h)].set(1.0)
+            bg_col = jnp.stack([p["bg_red"], p["bg_green"],
+                                p["bg_blue"]])[:, None, None]
+            mb = (box * jnp.clip(p["bg_alpha"], 0.0, 1.0))[None]
+            out = out * (1.0 - mb) + bg_col * mb
+    if mode != 1:  # foreground text
+        fg_col = jnp.stack([p["red"], p["green"], p["blue"]])[:, None, None]
+        mf = (m * jnp.clip(p["fg_alpha"], 0.0, 1.0))[None]
+        out = out * (1.0 - mf) + fg_col * mf
+    return from_f01(join_alpha(out, al), lay)
+
+
+register_filter(Filter(
+    name="scribbler", process=_scribbler_process, in_channels=_ONE_IN,
+    params=(Param("text", "string", "lives"),
+            Param("size", "int", 32, 8, 256),
+            Param("mode", "string_list", 0,
+                  choices=("foreground only", "background only",
+                           "foreground and background")),
+            Param("red", "num", 1.0, 0.0, 1.0),
+            Param("green", "num", 1.0, 0.0, 1.0),
+            Param("blue", "num", 1.0, 0.0, 1.0),
+            Param("fg_alpha", "num", 1.0, 0.0, 1.0),
+            Param("bg_red", "num", 0.0, 0.0, 1.0),
+            Param("bg_green", "num", 0.0, 0.0, 1.0),
+            Param("bg_blue", "num", 0.0, 0.0, 1.0),
+            Param("bg_alpha", "num", 0.5, 0.0, 1.0)),
+    description="text + background box over input (gdk/scribbler.c)"))

@@ -1,0 +1,95 @@
+"""compositor (gdk/compositor.c), scribbler (gdk/scribbler.c),
+template_tracker (haar_analyser role)."""
+
+import numpy as np
+import jax.numpy as jnp
+
+from lives_tpu.constants import Palette
+from lives_tpu.layer import Layer
+from lives_tpu.effects import FrameContext, apply_instance, instantiate
+
+
+def mk(arr):
+    return Layer(planes=(jnp.asarray(arr),), palette=int(Palette.RGB24))
+
+
+def solid(r, g, b, h=32, w=64):
+    a = np.zeros((3, h, w), np.uint8)
+    a[0], a[1], a[2] = r, g, b
+    return mk(a)
+
+
+def test_compositor_places_scaled_inputs():
+    tracks = [solid(255, 0, 0), solid(0, 255, 0),
+              solid(0, 0, 255), solid(255, 255, 0)]
+    inst = instantiate("compositor")
+    inst.in_tracks = (0, 1, 2, 3)
+    # default layout: quarters at (0,0), (.25,0), (0,.25), (.25,.25) scale .5
+    out = np.asarray(apply_instance(inst, tracks)[0].planes[0])
+    # input 3 (yellow) composites last at (.25*64, .25*32) => covers centre
+    assert out[0, 16, 32] == 255 and out[1, 16, 32] == 255
+    # top-left corner: input 0 drawn first but overdrawn by 1 at x=16?
+    # x0=0,y0=0 scale .5 -> covers [0,32)x[0,16); pixel (2,2) then overlaid
+    # by input 1 at x=16.. so (2,2) still red unless later inputs cover it:
+    # input 2 at (0, 8): covers y>=8. So (2,2) is red.
+    assert out[0, 2, 2] == 255 and out[1, 2, 2] == 0
+    # outside every input rect -> bg colour (black): bottom-right corner
+    assert out[:, 31, 63].max() == 0
+
+
+def test_compositor_alpha_and_revz():
+    tracks = [solid(255, 0, 0), solid(0, 255, 0),
+              solid(0, 0, 255), solid(255, 255, 0)]
+    inst = instantiate("compositor")
+    inst.in_tracks = (0, 1, 2, 3)
+    # stack all four at the same spot, full size; only the last wins
+    for i in range(4):
+        inst.values.update({f"x{i}": 0.0, f"y{i}": 0.0,
+                            f"sx{i}": 1.0, f"sy{i}": 1.0})
+    out = np.asarray(apply_instance(inst, tracks)[0].planes[0])
+    assert out[0, 5, 5] == 255 and out[1, 5, 5] == 255  # yellow (input 3)
+    inst.values["revz"] = 1
+    out = np.asarray(apply_instance(inst, tracks)[0].planes[0])
+    assert out[0, 5, 5] == 255 and out[1, 5, 5] == 0    # red (input 0)
+    # half-alpha top layer blends
+    inst.values["revz"] = 0
+    inst.values["alpha3"] = 0.5
+    out = np.asarray(apply_instance(inst, tracks)[0].planes[0])
+    assert 100 < out[2, 5, 5] < 160  # blue under yellow at 50%
+
+
+def test_scribbler_modes(rng=None):
+    base = solid(0, 0, 0, 64, 128)
+    inst = instantiate("scribbler", text="HI", size=32,
+                       red=1.0, green=0.0, blue=0.0,
+                       bg_red=0.0, bg_green=0.0, bg_blue=1.0, bg_alpha=1.0)
+    inst.values["mode"] = 2  # fg + bg
+    out = np.asarray(apply_instance(inst, [base])[0].planes[0])
+    assert (out[0] == 255).any()          # red text
+    assert (out[2] == 255).any()          # blue band
+    inst.values["mode"] = 1  # bg only
+    out = np.asarray(apply_instance(inst, [base])[0].planes[0])
+    assert not (out[0] == 255).any() and (out[2] == 255).any()
+
+
+def test_template_tracker_follows_target():
+    h, w = 96, 128
+    def frame_with_square(x, y):
+        a = np.zeros((3, h, w), np.uint8)
+        a[:, y: y + 16, x: x + 16] = 255
+        return mk(a)
+
+    inst = instantiate("template_tracker")
+    # grab the bright square at its initial spot
+    inst.values.update(grab=1.0, x=(24 + 8) / w, y=(40 + 8) / h)
+    apply_instance(inst, [frame_with_square(24, 40)],
+                   FrameContext(width=w, height=h, frame=0))
+    assert float(inst.out_values["score"]) > 0.9
+    inst.values["grab"] = 0.0
+    # move the square; tracker follows
+    apply_instance(inst, [frame_with_square(60, 20)],
+                   FrameContext(width=w, height=h, frame=1))
+    tx = float(inst.out_values["x"]) * w
+    ty = float(inst.out_values["y"]) * h
+    assert abs(tx - 68) <= 3 and abs(ty - 28) <= 3
+    assert float(inst.out_values["score"]) > 0.8
