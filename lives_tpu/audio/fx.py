@@ -173,6 +173,23 @@ def tone_gen(n: int, freq: float = 440.0, rate: int = 44100,
     return block, float(t[-1] + 2 * np.pi * freq / rate) if n else phase
 
 
+class ToneSource:
+    """Seekable tone generator with the audio-source protocol
+    (`render_at(pos, n)` + `rate`) — tone_gen.c as a clip audio source;
+    FourKLives (audio/fourklives.py) implements the same protocol."""
+
+    def __init__(self, freq: float = 440.0, rate: int = 44100,
+                 channels: int = 2, wave: str = "sine", vol: float = 0.5):
+        self.freq, self.rate = float(freq), int(rate)
+        self.channels, self.wave, self.vol = int(channels), wave, float(vol)
+
+    def render_at(self, pos: int, n: int) -> np.ndarray:
+        phase = 2 * np.pi * self.freq * pos / self.rate
+        block, _ = tone_gen(n, self.freq, self.rate, self.channels,
+                            phase, self.wave)
+        return block * self.vol
+
+
 # -- realtime audio feeder (jack/pulse callback-loop analogue) ---------------
 
 class AudioSink:
@@ -222,6 +239,7 @@ class AudioPlayer:
         self.chain: list[AudioInstance] = []
         self._pos = 0.0
         self._data: Optional[np.ndarray] = None
+        self._gen = None  # audio-generator source (render_at/rate)
         self._src_rate = rate
         self._running = False
         self._thread: Optional[threading.Thread] = None
@@ -237,12 +255,25 @@ class AudioPlayer:
         self.last_sync_delta = 0.0
 
     def load_clip_audio(self, clip):
+        # audio-generator clips (reference: generator instances can carry
+        # audio out-channels, e.g. fourKlives/tone_gen) stream from a
+        # synth's pure render_at instead of a PCM buffer
+        gen = getattr(clip, "audio_source", None)
+        if gen is not None:
+            self._gen = gen
+            self._data = None
+            self._src_rate = getattr(gen, "rate", self.rate) or self.rate
+            self._pos = 0.0
+            return
+        self._gen = None
         self._data = clip.read_audio()
         self._src_rate = getattr(clip, "arate", self.rate) or self.rate
         self._pos = 0.0
 
     def pull(self) -> np.ndarray:
         """One callback's worth of audio (velocity-aware)."""
+        if getattr(self, "_gen", None) is not None:
+            return self._pull_generated()
         if self._data is None or not len(self._data):
             return np.zeros((self.block, 2), np.float32)
         st = self.player.state if self.player else None
@@ -270,6 +301,35 @@ class AudioPlayer:
         block, self._pos = velocity_resample(self._data, self._pos, vel,
                                              self.block)
         block = apply_audio_chain(self.chain, block)
+        if self.muted:
+            block = block * 0.0
+        return np.clip(block * self.volume, -1, 1)
+
+    def _pull_generated(self) -> np.ndarray:
+        """Velocity-aware pull from an audio GENERATOR (pure render_at):
+        synthesize the exact source window the output block maps onto, then
+        interpolate — scratching pitches the synth like clip audio."""
+        st = self.player.state if self.player else None
+        fps_ratio = 1.0
+        if st is not None and st.fg_clip is not None:
+            base = getattr(st.fg_clip, "fps", 25.0) or 25.0
+            fps_ratio = st.pb_fps / base
+        vel = fps_ratio * self._src_rate / self.rate
+        idx = self._pos + vel * np.arange(self.block, dtype=np.float64)
+        lo = int(np.floor(idx.min()))
+        hi = int(np.floor(idx.max())) + 2
+        if lo < 0:  # reverse past the start: free-run from 0
+            idx = idx - lo
+            self._pos -= lo
+            lo, hi = 0, hi - lo
+        data = self._gen.render_at(lo, hi - lo)
+        rel = idx - lo
+        i0 = rel.astype(np.int64)
+        f = (rel - i0)[:, None].astype(np.float32)
+        block = data[i0] * (1.0 - f) + data[np.minimum(i0 + 1,
+                                                       len(data) - 1)] * f
+        self._pos += vel * self.block
+        block = apply_audio_chain(self.chain, block.astype(np.float32))
         if self.muted:
             block = block * 0.0
         return np.clip(block * self.volume, -1, 1)

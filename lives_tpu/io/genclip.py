@@ -15,7 +15,8 @@ class GeneratorClip:
     functions of (frame number, params) and render jitted on device."""
 
     def __init__(self, filter_name: str, width: int, height: int,
-                 fps: float = 25.0, frames: int = 1 << 30, **values):
+                 fps: float = 25.0, frames: int = 1 << 30,
+                 audio_source=None, **values):
         self.inst = instantiate(filter_name, **values)
         if self.inst.filter.n_in != 0:
             raise ValueError(f"{filter_name} is not a generator")
@@ -25,6 +26,13 @@ class GeneratorClip:
         self.name = filter_name
         self.unique_id = hash((filter_name, width, height)) & ((1 << 63) - 1)
         self._fn = None
+        # audio-generator sources (reference: generator instances may carry
+        # audio out-channels, e.g. fourKlives / tone_gen): any object with
+        # render_at(pos, n) -> (n, ch) float32 and .rate; the player's
+        # AudioPlayer streams from it (audio/fx.py load_clip_audio)
+        self.audio_source = audio_source
+        self.arate = getattr(audio_source, "rate", 0) or 0
+        self.achans = 2 if audio_source is not None else 0
 
     def _build(self):
         filt = self.inst.filter

@@ -379,7 +379,9 @@ class Player:
             self.sink.init_screen(self.sink_spec.width or clip.width,
                                   self.sink_spec.height or clip.height,
                                   abs(self.state.pb_fps))
-            if self.audio is not None and hasattr(clip, "read_audio"):
+            if self.audio is not None and (
+                    hasattr(clip, "read_audio")
+                    or getattr(clip, "audio_source", None) is not None):
                 self.audio.load_clip_audio(clip)
                 self.audio.start()
 

@@ -174,3 +174,63 @@ def test_fourklives_tempo_and_pitch():
     b = synth.render_at(0, synth.step_samples)[:, 0]
     zc = lambda x: int(((x[:-1] * x[1:]) < 0).sum())
     assert zc(b) > zc(a) * 1.5
+
+
+# -- audio generators as clip sources -----------------------------------------
+
+def test_generator_clip_audio_source():
+    from lives_tpu.audio.fx import AudioPlayer, NullAudioSink, ToneSource
+    from lives_tpu.io.genclip import GeneratorClip
+
+    class _State:
+        pb_fps = 25.0
+        fg_clip = None
+        frame = 0
+
+    class _Player:
+        state = _State()
+        time_source = "system"
+
+    tone = ToneSource(freq=1000.0, rate=8000)
+    clip = GeneratorClip("plasma", 64, 64, fps=25.0, audio_source=tone)
+    _Player.state.fg_clip = clip
+    assert clip.arate == 8000 and clip.achans == 2
+
+    ap = AudioPlayer(_Player, NullAudioSink(), rate=8000, block=800)
+    ap.load_clip_audio(clip)
+    b1 = ap.pull()
+    assert b1.shape == (800, 2) and np.abs(b1).max() > 0.1
+    # pure/seekable: block 2 continues where block 1 ended
+    b2 = ap.pull()
+    direct = tone.render_at(800, 800)
+    np.testing.assert_allclose(b2[:, 0], direct[:, 0], atol=1e-4)
+    # scratch at 2x video speed doubles the pitch (zero-crossing rate)
+    ap2 = AudioPlayer(_Player, NullAudioSink(), rate=8000, block=800)
+    ap2.load_clip_audio(clip)
+    _Player.state.pb_fps = 50.0
+    fast = ap2.pull()
+    _Player.state.pb_fps = 25.0
+    zc = lambda x: int(((x[:-1] * x[1:]) < 0).sum())
+    assert zc(fast[:, 0]) > zc(b1[:, 0]) * 1.7
+
+
+def test_fourklives_as_clip_audio():
+    from lives_tpu.audio.fx import AudioPlayer, NullAudioSink
+    from lives_tpu.io.genclip import GeneratorClip
+
+    class _State:
+        pb_fps = 25.0
+        fg_clip = None
+        frame = 0
+
+    class _Player:
+        state = _State()
+        time_source = "system"
+
+    synth = FourKLives(rate=8000)
+    clip = GeneratorClip("plasma", 64, 64, audio_source=synth)
+    _Player.state.fg_clip = clip
+    ap = AudioPlayer(_Player, NullAudioSink(), rate=8000, block=512)
+    ap.load_clip_audio(clip)
+    out = np.concatenate([ap.pull() for _ in range(4)])
+    assert np.abs(out).max() > 0.05  # the tune is audible
