@@ -389,3 +389,82 @@ register_filter(Filter(
             Param("bg_blue", "num", 0.0, 0.0, 1.0),
             Param("bg_alpha", "num", 0.5, 0.0, 1.0)),
     description="text + background box over input (gdk/scribbler.c)"))
+
+
+# -- textfun (textfun.c): glyph-art -------------------------------------------
+
+@functools.lru_cache(maxsize=4)
+def _glyph_atlas(cell: int = 8):
+    """(K, cell, cell) float32 glyph atlas sorted by ink coverage — the
+    textfun.c bitmap-font analogue, rasterised once with PIL (falls back to
+    a density-ramp of filled squares without PIL)."""
+    ramp = " .:-=+*#%@"
+    try:
+        from PIL import Image, ImageDraw, ImageFont
+        font = ImageFont.load_default()
+        glyphs = []
+        for ch in ramp:
+            img = Image.new("L", (cell, cell), 0)
+            ImageDraw.Draw(img).text((0, -2), ch, fill=255, font=font)
+            glyphs.append(np.asarray(img, np.float32) / 255.0)
+        atlas = np.stack(glyphs)
+    except Exception:
+        atlas = np.stack([np.full((cell, cell), i / (len(ramp) - 1.0),
+                                  np.float32) for i in range(len(ramp))])
+    # sort by actual coverage so index == brightness rank
+    order = np.argsort(atlas.mean((1, 2)))
+    return atlas[order]
+
+
+def _textfun_process(ins, p, ctx):
+    """textfun.c: the frame becomes text — each 8x8 block is replaced by
+    the glyph whose ink density matches the block's luma. Modes
+    (textfun.c:286): colour pixels / monochrome / greyscale / solid
+    colours. The glyph pick is one gather from a (K,8,8) atlas; everything
+    else is reshapes."""
+    lay = ins[0]
+    a = to_f01(lay)
+    rgb, al = split_alpha(a)
+    h, w = rgb.shape[-2:]
+    cell = 8
+    hh, ww = h // cell, w // cell
+    atlas = jnp.asarray(_glyph_atlas(cell))
+    k = atlas.shape[0]
+    crop = rgb[:, : hh * cell, : ww * cell]
+    blocks = crop.reshape(3, hh, cell, ww, cell)
+    mean_col = blocks.mean((2, 4))                      # (3, hh, ww)
+    g = luma(mean_col)
+    thresh = p["threshold"]
+    idx = jnp.clip((g * k).astype(jnp.int32), 0, k - 1)
+    glyph = jnp.take(atlas, idx, axis=0)                # (hh, ww, c, c)
+    canvas = glyph.transpose(0, 2, 1, 3).reshape(hh * cell, ww * cell)
+    gate = jnp.repeat(jnp.repeat((g >= thresh).astype(jnp.float32),
+                                 cell, 0), cell, 1)
+    canvas = canvas * gate
+    mode = int(p["mode"])
+    if mode == 0:    # colour pixels: glyphs in the block's mean colour
+        col = jnp.repeat(jnp.repeat(mean_col, cell, 1), cell, 2)
+        out = col * canvas[None]
+    elif mode == 1:  # monochrome
+        out = jnp.broadcast_to(canvas[None], (3,) + canvas.shape)
+    elif mode == 2:  # greyscale: glyph scaled by block luma
+        gl = jnp.repeat(jnp.repeat(g, cell, 0), cell, 1)
+        out = jnp.broadcast_to((canvas * gl)[None], (3,) + canvas.shape)
+    else:            # solid colours: quantised block colour, no glyph shape
+        col = jnp.repeat(jnp.repeat(jnp.round(mean_col * 4) / 4, cell, 1),
+                         cell, 2)
+        out = col * gate[None]
+    # pad odd geometry back
+    ph, pw = h - out.shape[-2], w - out.shape[-1]
+    if ph or pw:
+        out = jnp.pad(out, ((0, 0), (0, ph), (0, pw)))
+    return from_f01(join_alpha(jnp.clip(out, 0.0, 1.0), al), lay)
+
+
+register_filter(Filter(
+    name="textfun", process=_textfun_process, in_channels=_ONE_IN,
+    params=(Param("threshold", "num", 0.1, 0.0, 1.0),
+            Param("mode", "string_list", 0,
+                  choices=("colour pixels", "monochrome", "greyscale",
+                           "solid colours"))),
+    description="frame as glyph-art text (textfun.c)"))

@@ -93,3 +93,22 @@ def test_template_tracker_follows_target():
     ty = float(inst.out_values["y"]) * h
     assert abs(tx - 68) <= 3 and abs(ty - 28) <= 3
     assert float(inst.out_values["score"]) > 0.8
+
+
+def test_textfun_modes():
+    rng = np.random.default_rng(5)
+    lay = mk(rng.integers(0, 256, (3, 64, 64), np.uint8))
+    for mode in range(4):
+        inst = instantiate("textfun")
+        inst.values["mode"] = mode
+        out = np.asarray(apply_instance(inst, [lay])[0].planes[0])
+        assert out.shape == (3, 64, 64)
+    # monochrome: all channels equal; bright blocks inked, dark gated off
+    bright = np.full((3, 64, 64), 230, np.uint8)
+    dark = np.full((3, 64, 64), 2, np.uint8)
+    inst = instantiate("textfun")
+    inst.values["mode"] = 1
+    ob = np.asarray(apply_instance(inst, [mk(bright)])[0].planes[0])
+    od = np.asarray(apply_instance(inst, [mk(dark)])[0].planes[0])
+    assert np.array_equal(ob[0], ob[1]) and ob.max() > 128
+    assert od.max() == 0  # below default threshold -> blank
