@@ -151,6 +151,16 @@ def main(argv=None):
 
     diag = sub.add_parser("selftest", help="run startup diagnostics")
 
+    rfx = sub.add_parser("rfx", help="list/apply rendered-effect scripts")
+    rfx.add_argument("script", nargs="?", default=None,
+                     help="script name (omit to list)")
+    rfx.add_argument("clip", nargs="?", default=None,
+                     help="media file / clip dir to apply to")
+    rfx.add_argument("--param", action="append", default=[],
+                     metavar="K=V", help="script parameter")
+    rfx.add_argument("--start", type=int, default=0)
+    rfx.add_argument("--end", type=int, default=None)
+
     web = sub.add_parser("webui", help="serve the browser UI + OSC")
     web.add_argument("uri", nargs="?", default=None)
     web.add_argument("--port", type=int, default=8765)
@@ -196,6 +206,36 @@ def main(argv=None):
             enc = "av" if "av" in list_encoders() else "yuv4mpeg"
         get_encoder(enc).encode(args.out, frames(), el.fps)
         print(f"rendered -> {args.out} ({enc})")
+        return 0
+    if args.cmd == "rfx":
+        from .rfx_scripts import apply_script, get_script, list_scripts
+        if args.script is None:
+            for name in list_scripts():
+                sd = get_script(name)
+                print(f"{name:28s} {sd.filter}")
+            return 0
+        if args.clip is None:
+            sd = get_script(args.script)
+            for q in sd.params_spec():
+                print(f"{q['name']:20s} {q.get('kind', 'num'):12s} "
+                      f"default={q.get('default')}")
+            return 0
+        import pathlib
+        from .io.clips import Clip, open_clip
+        path = pathlib.Path(args.clip)
+        clip = Clip.load(path) if (path / "header.lives").is_file() \
+            else open_clip(args.clip, path.parent)
+        params = {}
+        for kv in args.param:
+            k, _, v = kv.partition("=")
+            try:
+                params[k] = float(v) if "." in v or v.lstrip("-").isdigit() \
+                    else v
+            except ValueError:
+                params[k] = v
+        n = apply_script(clip, args.script, start=args.start, end=args.end,
+                         **params)
+        print(f"{args.script}: {n} frames -> {clip.clip_dir}")
         return 0
     if args.cmd == "webui":
         from .osc.server import OSCServer

@@ -248,13 +248,29 @@ register_filter(Filter(
 # -- multi_transitions.c remaining modes -------------------------------------
 # (dissolve / rand replace / iris rectangle; iris circle lives above)
 
-def _pixel_hash(ctx, h, w, salt=0.0):
+def _pixel_hash(ctx, h, w, salt=None):
     """Deterministic per-pixel uniform field in [0,1) from full-frame
-    coordinates (tile-safe via ctx_grid), optionally salted per frame."""
-    from ..util import ctx_grid
-    x, y = ctx_grid(ctx, h, w)
-    s = jnp.sin(x * 127.1 + y * 311.7 + salt * 74.7) * np.float32(43758.5453)
-    return s - jnp.floor(s)
+    integer coordinates (tile-origin aware), optionally salted per frame.
+
+    INTEGER hash, not a sin-based one: f32 sin of coordinate-scale
+    arguments (10^5 rad) has zero effective precision, so Mosaic's and
+    XLA's sin legitimately disagree and threshold pixels flip between the
+    fused-sweep and XLA paths (measured: 17% of pixels at 240x1280).
+    int32 multiply/xor/shift wrap identically everywhere."""
+    import jax
+    H, W = (ctx.height or h), (ctx.width or w)
+    iy = jnp.clip(jax.lax.broadcasted_iota(jnp.int32, (h, w), 0)
+                  + jnp.asarray(ctx.y0, jnp.int32), 0, H - 1)
+    ix = jnp.clip(jax.lax.broadcasted_iota(jnp.int32, (h, w), 1)
+                  + jnp.asarray(ctx.x0, jnp.int32), 0, W - 1)
+    v = ix * np.int32(73856093) ^ iy * np.int32(19349663)
+    if salt is not None:
+        v = v ^ jnp.asarray(salt, jnp.int32) * np.int32(83492791)
+    # murmur-style finalizer (arithmetic >> is fine: deterministic and
+    # identical on every backend)
+    v = (v ^ (v >> 13)) * np.int32(0x5bd1e995)
+    v = v ^ (v >> 15)
+    return (v & np.int32(0xffff)).astype(jnp.float32) * np.float32(1 / 65536)
 
 
 def _dissolve_process(ins, params, ctx):
@@ -285,7 +301,7 @@ def _rand_replace_process(ins, params, ctx):
     argb, aal = split_alpha(a)
     brgb, _ = split_alpha(b)
     h, w = argb.shape[-2:]
-    salt = jnp.asarray(ctx.frame, jnp.float32)
+    salt = jnp.asarray(ctx.frame, jnp.int32)
     m = (_pixel_hash(ctx, h, w, salt) >= params["amount"]) \
         .astype(jnp.float32)
     out = argb * m + brgb * (1.0 - m)

@@ -78,7 +78,8 @@ def splittable_prefix(chain: Sequence[Instance]) -> int:
 
 #: coordinate-dependent but pointwise effects (use effects.util.ctx_grid,
 #: so they are tile-origin-aware inside the sweep kernel)
-COORD_SAFE = {"vignette", "wipe", "iris_circle"}
+COORD_SAFE = {"vignette", "wipe", "iris_circle", "iris_rectangle",
+              "dissolve", "rand_replace"}
 
 #: separable small-stencil effects the sweep runs in-kernel over a halo:
 #: name -> (kernel_fn(radius) -> taps, sharpen_mode)

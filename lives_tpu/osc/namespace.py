@@ -309,6 +309,44 @@ def register_extended(srv) -> None:
 
     m("/clip/selection/rte_apply", rte_apply)
 
+    # ---- RFX rendered-effect scripts (the reference applies these via
+    # menus; the control-plane analogue exposes the script library) --------
+    def rfx_list():
+        from ..rfx_scripts import list_scripts
+        return " ".join(list_scripts())
+
+    def rfx_params(name):
+        from ..rfx_scripts import get_script
+        spec = get_script(str(name)).params_spec()
+        return " ".join(f"{q['name']}:{q.get('kind', 'num')}" for q in spec)
+
+    def rfx_apply(name, *kvs):
+        """Apply script `name` to the fg clip's selection. Extra args are
+        alternating key value pairs; values parse as float when they can.
+        Two-source scripts read the clipboard as `other`."""
+        from ..rfx_scripts import apply_script, get_script
+        clip = cur()
+        s, e = _sel(clip)
+        params = {}
+        for i in range(0, len(kvs) - 1, 2):
+            k, v = str(kvs[i]), kvs[i + 1]
+            if isinstance(v, str):
+                try:
+                    v = float(v) if "." in v or v.lstrip("-").isdigit() \
+                        else v
+                except ValueError:
+                    pass
+            params[k] = v
+        if get_script(str(name)).filter == "(two-source)":
+            if srv.clipboard is None:
+                raise RuntimeError("two-source script needs a clipboard")
+            params["other"] = srv.clipboard
+        return int(apply_script(clip, str(name), start=s, end=e, **params))
+
+    m("/rfx/list", rfx_list)
+    m("/rfx/params/get", rfx_params)
+    m("/rfx/apply", rfx_apply)
+
     # ---- clip sets ---------------------------------------------------------
     class _ClipW:  # sets.py expects app._clips of .raw()-wrappers
         def __init__(self, c):

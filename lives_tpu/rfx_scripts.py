@@ -271,8 +271,14 @@ def _pull_rgb(src, n: int, width: int, height: int) -> "np.ndarray":
     if hasattr(src, "get_frame"):          # Clip
         total = src.frames
         lay = src.get_frame(n % max(total, 1))
-    else:                                   # Clipboard (list of layers)
-        layers = src.layers if hasattr(src, "layers") else list(src)
+    elif hasattr(src, "frames") and isinstance(src.frames, list):
+        # clipedit.Clipboard: raw (3,H,W) u8 arrays
+        import jax.numpy as jnp
+        from .layer import Layer as _Layer
+        arr = src.frames[n % max(len(src.frames), 1)]
+        lay = _Layer(planes=(jnp.asarray(arr),), palette=int(Palette.RGB24))
+    else:                                   # plain list of layers
+        layers = list(src)
         lay = layers[n % max(len(layers), 1)]
     lay = convert_layer(lay, Palette.RGB24)
     if (lay.width, lay.height) != (width, height):

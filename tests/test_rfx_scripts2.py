@@ -216,3 +216,39 @@ def test_generators(tmp_path):
 def test_frame_calculator():
     assert frame_calculator(25.0, seconds=2.0) == 51
     assert frame_calculator(30.0, minutes=1.0) == 1801
+
+
+def test_osc_rfx_namespace(tmp_path):
+    """/rfx/list, /rfx/params/get, /rfx/apply (incl. two-source via the
+    clipboard) through the OSC dispatch."""
+    from lives_tpu.osc.server import OSCServer
+    from lives_tpu.player.player import Player
+    from lives_tpu.player.sinks import NullSink
+
+    p = Player(sink=NullSink())
+    srv = OSCServer(p, port=0)
+    c = _clip(tmp_path, seed=20)
+    p.state.fg_clip = c
+    names = srv.methods["/rfx/list"]().split()
+    assert "blur" in names and "transition_fade" in names
+    spec = srv.methods["/rfx/params/get"]("negate")
+    assert isinstance(spec, str)
+    n = srv.methods["/rfx/apply"]("negate")
+    assert n == 8
+    # two-source: copy selection to clipboard, then splice against it
+    p.state.sel_start, p.state.sel_end = 0, 7
+    srv.methods["/clip/selection/copy"]()
+    n = srv.methods["/rfx/apply"]("transition_splice", "keep", 1,
+                                  "insert", 1)
+    assert n == 8
+
+
+def test_cli_rfx(tmp_path):
+    from lives_tpu.cli import main
+    assert main(["rfx"]) == 0
+    assert main(["rfx", "blur"]) == 0
+    c = _clip(tmp_path, seed=21)
+    f0 = _frame(c, 0).copy()
+    assert main(["rfx", "negate", str(c.clip_dir)]) == 0
+    c2 = type(c).load(c.clip_dir)
+    np.testing.assert_array_equal(_frame(c2, 0), 255 - f0)
