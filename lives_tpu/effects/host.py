@@ -256,7 +256,12 @@ def apply_instance(inst: Instance, layers: Sequence[Layer],
     layers = list(layers)
     if not inst.enabled:
         return layers
-    ins = [layers[t] for t in inst.in_tracks[: f.n_in]] if f.n_in else []
+    # missing tracks fall back to the front layer (the reference drops
+    #/reuses tracks when a multi-input filter has fewer layers than
+    # channels — keeps 4-input compositors usable on a 2-track player key)
+    ins = [layers[t] if t < len(layers) and layers[t] is not None
+           else layers[0]
+           for t in inst.in_tracks[: f.n_in]] if f.n_in else []
     # negotiation: all inputs matched to channel templates; sizes unified to
     # the first mandatory input's geometry
     if ins:

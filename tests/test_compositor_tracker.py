@@ -112,3 +112,17 @@ def test_textfun_modes():
     od = np.asarray(apply_instance(inst, [mk(dark)])[0].planes[0])
     assert np.array_equal(ob[0], ob[1]) and ob.max() > 128
     assert od.max() == 0  # below default threshold -> blank
+
+
+def test_multi_input_filter_on_short_stack():
+    """4-input filters degrade gracefully when fewer tracks exist
+    (player key with only fg, or fg+bg)."""
+    rng = np.random.default_rng(6)
+    fg = mk(rng.integers(0, 256, (3, 32, 64), np.uint8))
+    for name in ("compositor", "grid4"):
+        inst = instantiate(name)
+        out = apply_instance(inst, [fg])[0]          # single track
+        assert np.asarray(out.planes[0]).shape == (3, 32, 64)
+        bg = mk(rng.integers(0, 256, (3, 32, 64), np.uint8))
+        out = apply_instance(inst, [fg, bg])[0]      # two tracks
+        assert np.asarray(out.planes[0]).shape == (3, 32, 64)
