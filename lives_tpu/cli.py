@@ -229,8 +229,8 @@ def main(argv=None):
         for kv in args.param:
             k, _, v = kv.partition("=")
             try:
-                params[k] = float(v) if "." in v or v.lstrip("-").isdigit() \
-                    else v
+                params[k] = int(v) if v.lstrip("-").isdigit() \
+                    else (float(v) if "." in v else v)
             except ValueError:
                 params[k] = v
         n = apply_script(clip, args.script, start=args.start, end=args.end,

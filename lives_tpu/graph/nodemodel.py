@@ -259,12 +259,20 @@ class FrameGraph:
                 if npre >= 3:
                     prefix_spec = []
                     maxtrack = 0
+                    # clamp missing tracks to the front layer, matching
+                    # apply_instance's short-stack fallback (a 2-in filter
+                    # on a 1-track config must not make the kernel index a
+                    # track that does not exist)
+                    n_avail = len(layers) if layers else None
                     for inst in self.chain[:npre]:
                         static, _ = _split_params(inst)
+                        in_tr = tuple(
+                            t if n_avail is None or t < n_avail else 0
+                            for t in inst.in_tracks)
                         prefix_spec.append((inst.filter, static,
-                                            inst.in_tracks, inst.out_tracks,
+                                            in_tr, inst.out_tracks,
                                             inst.enabled))
-                        maxtrack = max([maxtrack, *inst.in_tracks])
+                        maxtrack = max([maxtrack, *in_tr])
                     comp_builder = build_composite(
                         prefix_spec, maxtrack + 1, B, gh, gw, rows_key,
                         self.fps)

@@ -32,7 +32,20 @@ class GeneratorClip:
         # AudioPlayer streams from it (audio/fx.py load_clip_audio)
         self.audio_source = audio_source
         self.arate = getattr(audio_source, "rate", 0) or 0
-        self.achans = 2 if audio_source is not None else 0
+        self.achans = (getattr(audio_source, "channels", 2)
+                       if audio_source is not None else 0)
+
+    def read_audio(self):
+        """Clip-audio protocol (transcode / clipboard copy consume this).
+        Unbounded generators render one minute; finite clips their full
+        duration."""
+        import numpy as np
+        if self.audio_source is None:
+            return np.zeros((0, 2), np.float32)
+        dur = self.frames / self.fps
+        if dur > 600.0:
+            dur = 60.0
+        return self.audio_source.render_at(0, int(dur * self.arate))
 
     def _build(self):
         filt = self.inst.filter

@@ -332,8 +332,8 @@ def register_extended(srv) -> None:
             k, v = str(kvs[i]), kvs[i + 1]
             if isinstance(v, str):
                 try:
-                    v = float(v) if "." in v or v.lstrip("-").isdigit() \
-                        else v
+                    v = int(v) if v.lstrip("-").isdigit() \
+                        else (float(v) if "." in v else v)
                 except ValueError:
                     pass
             params[k] = v

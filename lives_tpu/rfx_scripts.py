@@ -42,7 +42,14 @@ class ScriptDef:
     runner: Optional[Callable] = None
 
     def params_spec(self) -> list[dict]:
-        """Param defs from the actual reference script when present."""
+        """Param defs from the actual reference script when present.
+        Runner-backed scripts (two-source transitions, frame ops,
+        generators) take different kwargs than the reference Perl param
+        blocks, so they advertise their own defaults — advertising names
+        the runner would silently swallow is worse than a renamed UI."""
+        if self.runner is not None:
+            return [{"name": k, "kind": "num", "default": v}
+                    for k, v in self.defaults.items()]
         p = REF_SCRIPTS / f"{self.name}.script"
         if p.is_file():
             try:
@@ -231,6 +238,9 @@ def _modulate_mapping(p, n_frames):
 
     def ramp(k0, k1):
         a, b = float(p.get(k0, 1.0)), float(p.get(k1, p.get(k0, 1.0)))
+        # values > 4 are ImageMagick percent scale (100 = unchanged)
+        if a > 4.0 or b > 4.0:
+            a, b = a / 100.0, b / 100.0
         return lambda f: a + (b - a) * (f / span)
 
     return {"brightness": ramp("bstart", "bend"),
@@ -362,21 +372,23 @@ def _run_transition(clip: Clip, other, mode: str, start: int, end: int,
 
 def _splice_runner(clip, start, end, progress=None, other=None,
                    keep: int = 4, insert: int = 4, **_):
-    """transition_splice.script: alternate runs of `keep` original frames
-    and `insert` frames from the other source (pure frame replacement)."""
+    """transition_splice.script: alternate runs of `insert` frames from
+    the other source then `keep` original frames (the reference emits the
+    clipboard run first: $lc starts at $p0), pure frame replacement."""
     import jax.numpy as jnp
     import numpy as np
     from .constants import Palette
     from .layer import Layer as _Layer
     if other is None:
         raise ValueError("transition_splice needs other=<Clip|Clipboard>")
+    keep, insert = int(keep), int(insert)
     done = 0
     cyc = max(keep, 0) + max(insert, 0)
     if cyc == 0:
         return 0
     for n in range(start, end):
         k = (n - start) % cyc
-        if k >= keep:  # clipboard frame
+        if k < insert:  # clipboard run comes FIRST (reference $lc=$p0)
             arr = _pull_rgb(other, n - start, clip.width, clip.height)
             clip.put_frame(n, _Layer(planes=(jnp.asarray(arr),),
                                      palette=int(Palette.RGB24)))
@@ -415,15 +427,33 @@ _SCRIPTS["transition_splice"] = ScriptDef(
 def _jumble_runner(clip, start, end, progress=None, seed: int = 0, **_):
     """jumble.script: each output frame becomes a random frame from the
     range (sampling WITH replacement, like the reference's int(rand))."""
+    import shutil
+    import tempfile
     import numpy as np
+    seed = int(seed)
     rng = np.random.default_rng(seed or None)
     src = rng.integers(start, end, end - start)
-    # copy via images: read all sources first (replacement can repeat)
-    frames = [clip.get_frame(int(s)) for s in src]
-    for i, lay in enumerate(frames):
-        clip.put_frame(start + i, lay)
-        if progress:
-            progress(i + 1, end - start)
+    # stage the source range as image files (disk, not RAM: decoded 4K
+    # frames are ~24 MB each), then write outputs reading from the stage
+    clip.realize(start, end)
+    stage = tempfile.mkdtemp(prefix="jumble_", dir=clip.clip_dir)
+    try:
+        for n in range(start, end):
+            shutil.copy2(clip.image_path(n), f"{stage}/{n}.png")
+        import jax.numpy as jnp
+        from PIL import Image
+        from .constants import Palette
+        from .layer import Layer as _Layer
+        for i, sn in enumerate(src):
+            with Image.open(f"{stage}/{int(sn)}.png") as im:
+                arr = np.moveaxis(np.asarray(im.convert("RGB")),
+                                  -1, 0).copy()
+            clip.put_frame(start + i, _Layer(planes=(jnp.asarray(arr),),
+                                             palette=int(Palette.RGB24)))
+            if progress:
+                progress(i + 1, end - start)
+    finally:
+        shutil.rmtree(stage, ignore_errors=True)
     clip.save_header()
     return end - start
 
@@ -453,6 +483,7 @@ def _skip_forwards_runner(clip, start, end, progress=None, skip: int = 8,
         out = a * (1.0 - pc) + b * pc
         return jnp.clip(out + 0.5, 0, 255).astype(jnp.uint8)
 
+    skip = int(skip)
     # read-only source pass (pull before overwriting)
     srcs = [np.asarray(convert_layer(clip.get_frame(n),
                                      Palette.RGB24).planes[0])
@@ -496,8 +527,9 @@ def _trim_runner(clip, start, end, progress=None, x: int = 0, y: int = 0,
     from .layer import Layer as _Layer
     from .ops.colorspace import convert_layer
     from .ops.resize import resize_layer
-    w = width or clip.width
-    h = height or clip.height
+    x, y, bx, by = int(x), int(y), int(bx), int(by)
+    w = int(width) or clip.width
+    h = int(height) or clip.height
     x = min(max(x, 0), clip.width - 1)
     y = min(max(y, 0), clip.height - 1)
     w = min(w, clip.width - x)
@@ -541,6 +573,7 @@ def _photo_still_runner(clip, start, end, progress=None, flash: int = 2,
     from .constants import Palette
     from .layer import Layer as _Layer
     from .ops.colorspace import convert_layer
+    flash, hold = int(flash), int(hold)
     stored = convert_layer(clip.get_frame(start), Palette.RGB24)
     arr = np.asarray(stored.planes[0])
     if desaturate:
@@ -623,7 +656,8 @@ def _resize_runner(clip, start, end, progress=None, width: int = 0,
                    height: int = 0, **_):
     """resize.script: re-render every frame at a new geometry."""
     from .rfx import resize_all
-    return resize_all(clip, width or clip.width, height or clip.height,
+    return resize_all(clip, int(width) or clip.width,
+                      int(height) or clip.height,
                       progress=progress)
 
 

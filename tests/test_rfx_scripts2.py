@@ -87,11 +87,12 @@ def test_transition_splice(tmp_path):
     b = _clip(tmp_path / "b", seed=2)
     origs = [_frame(a, i).copy() for i in range(8)]
     apply_script(a, "transition_splice", other=b, keep=2, insert=2)
-    np.testing.assert_array_equal(_frame(a, 0), origs[0])
-    np.testing.assert_array_equal(_frame(a, 1), origs[1])
-    np.testing.assert_array_equal(_frame(a, 2), _frame(b, 2))
-    np.testing.assert_array_equal(_frame(a, 3), _frame(b, 3))
-    np.testing.assert_array_equal(_frame(a, 4), origs[4])
+    # reference order: the clipboard run comes FIRST ($lc=$p0)
+    np.testing.assert_array_equal(_frame(a, 0), _frame(b, 0))
+    np.testing.assert_array_equal(_frame(a, 1), _frame(b, 1))
+    np.testing.assert_array_equal(_frame(a, 2), origs[2])
+    np.testing.assert_array_equal(_frame(a, 3), origs[3])
+    np.testing.assert_array_equal(_frame(a, 4), _frame(b, 4))
 
 
 def test_jumble(tmp_path):
@@ -252,3 +253,47 @@ def test_cli_rfx(tmp_path):
     assert main(["rfx", "negate", str(c.clip_dir)]) == 0
     c2 = type(c).load(c.clip_dir)
     np.testing.assert_array_equal(_frame(c2, 0), 255 - f0)
+
+
+def test_int_params_through_cli_and_runner_coercion(tmp_path):
+    """Review findings: integer-looking params must reach runners as usable
+    ints (trim slicing, photo_still range, jumble seed), via CLI parse and
+    via direct float kwargs."""
+    from lives_tpu.cli import main
+    c = _clip(tmp_path, seed=30)
+    assert main(["rfx", "trim_frames", str(c.clip_dir),
+                 "--param", "x=8", "--param", "y=8",
+                 "--param", "width=16", "--param", "height=16",
+                 "--param", "border=1"]) == 0
+    # runners coerce floats themselves too
+    c2 = _clip(tmp_path / "c2", seed=31)
+    apply_script(c2, "photo_still", flash=1.0, hold=2.0)
+    apply_script(c2, "skip_forwards", skip=2.0)
+    apply_script(c2, "jumble", seed=3.0)
+    apply_script(c2, "transition_splice", other=_clip(tmp_path / "b", seed=32),
+                 keep=1.0, insert=1.0)
+
+
+def test_generator_clip_read_audio_protocol():
+    """Review finding: achans>0 implies read_audio() exists (transcode and
+    clipboard copy rely on it)."""
+    from lives_tpu.audio.fx import ToneSource
+    from lives_tpu.io.genclip import GeneratorClip
+    clip = GeneratorClip("plasma", 32, 32, fps=25.0, frames=50,
+                         audio_source=ToneSource(rate=8000, channels=1))
+    assert clip.achans == 1
+    a = clip.read_audio()
+    assert a.shape == (int(50 / 25.0 * 8000), 1)
+    unbounded = GeneratorClip("plasma", 32, 32,
+                              audio_source=ToneSource(rate=8000))
+    assert len(unbounded.read_audio()) == 8000 * 60
+
+
+def test_modulate_percent_scale(tmp_path):
+    """ImageMagick -modulate convention: 100 = unchanged."""
+    c = _clip(tmp_path, seed=33)
+    f0 = _frame(c, 0).copy()
+    apply_script(c, "modulate", bstart=100.0, bend=100.0,
+                 sstart=100.0, send=100.0, hstart=100.0, hend=100.0)
+    np.testing.assert_allclose(_frame(c, 0).astype(int), f0.astype(int),
+                               atol=1)
