@@ -398,3 +398,93 @@ register_filter(Filter(
        Param("revz", "int", 0, 0, 1)),
     flags=FILTER_IS_TRANSITION,
     description="4-input geometric compositor (gdk/compositor.c)"))
+
+
+# -- simple_blend.c remaining modes -------------------------------------------
+# (chroma blend / luma overlay / luma underlay / negative luma overlay /
+#  averaged luma overlay; reference common_process types 0-4)
+
+def _luma_select(kind):
+    """Builder for the luma-threshold overlay family: per-pixel hard
+    select between fg and bg driven by a luma comparison."""
+    from ..util import luma
+
+    def fn(a, b, p):
+        t = p["amount"]
+        if kind == "overlay":          # luma(fg) < t -> bg
+            m = (luma(a) < t)
+        elif kind == "underlay":       # luma(bg) > 1-t -> bg
+            m = (luma(b) > 1.0 - t)
+        elif kind == "negative":       # luma(fg) > 1-t -> bg
+            m = (luma(a) > 1.0 - t)
+        else:                          # averaged: 3x3 mean luma(fg) < t
+            g = luma(a)
+            gp = jnp.pad(g, 1, mode="edge")
+            avg = sum(gp[dy:dy + g.shape[0], dx:dx + g.shape[1]]
+                      for dy in range(3) for dx in range(3)) / 9.0
+            m = (avg < t)
+        m = m.astype(jnp.float32)[None]
+        return b * m + a * (1.0 - m)
+
+    return fn
+
+
+_mk_transition("chroma_blend",
+               lambda a, b, p: a * (1.0 - p["amount"]) + b * p["amount"],
+               desc="per-channel table mix (simple_blend.c chroma blend)")
+_mk_transition("luma_overlay", _luma_select("overlay"),
+               desc="bg where fg luma < t (simple_blend.c)")
+_mk_transition("luma_underlay", _luma_select("underlay"),
+               desc="bg where bg luma bright (simple_blend.c)")
+_mk_transition("negative_luma_overlay", _luma_select("negative"),
+               desc="bg where fg luma > 1-t (simple_blend.c)")
+_mk_transition("averaged_luma_overlay", _luma_select("averaged"),
+               desc="bg where 3x3 mean fg luma < t (simple_blend.c)")
+
+
+# -- layout_blends.c triple split ---------------------------------------------
+
+def _triple_split_process(ins, p, ctx):
+    """layout_blends.c "triple split": three tracks side by side at
+    boundaries xstart/xend (sym centres them), vertical or horizontal,
+    with a coloured border band of half-width bw."""
+    import jax
+    a = to_f01(ins[0])
+    argb, aal = split_alpha(a)
+    srcs = [argb] + [split_alpha(to_f01(ins[i] if i < len(ins)
+                                        else ins[-1]))[0]
+                     for i in (1, 2)]
+    h, w = argb.shape[-2:]
+    xs, xe = p["xstart"], p["xend"]
+    sym = jnp.asarray(p["sym"]) > 0.5
+    xs = jnp.where(sym, xs / 2.0, xs)
+    xe = jnp.where(sym, 1.0 - xs, xe)
+    lo, hi = jnp.minimum(xs, xe), jnp.maximum(xs, xe)
+    axis = 0 if int(p.get("vert", 0)) else 1
+    n = h if axis == 0 else w
+    t = jax.lax.broadcasted_iota(jnp.int32, (h, w), axis) \
+        .astype(jnp.float32) / np.float32(max(n - 1, 1))
+    out = jnp.where((t < lo)[None], srcs[0],
+                    jnp.where((t < hi)[None], srcs[1], srcs[2]))
+    bw = p["bw"]
+    border = (jnp.abs(t - lo) < bw) | (jnp.abs(t - hi) < bw)
+    bc = jnp.stack([p["border_r"], p["border_g"],
+                    p["border_b"]])[:, None, None]
+    out = jnp.where(border[None], bc, out)
+    return from_f01(join_alpha(out, aal), ins[0])
+
+
+register_filter(Filter(
+    name="triple_split", process=_triple_split_process,
+    in_channels=tuple(ChannelTemplate(f"in{i}", _RGBX, optional=i > 0)
+                      for i in range(3)),
+    params=(Param("xstart", "num", 0.33, 0.0, 1.0),
+            Param("sym", "num", 0.0, 0.0, 1.0),
+            Param("xend", "num", 0.67, 0.0, 1.0),
+            Param("vert", "int", 0, 0, 1),
+            Param("bw", "num", 0.0, 0.0, 0.1),
+            Param("border_r", "num", 0.0, 0.0, 1.0),
+            Param("border_g", "num", 0.0, 0.0, 1.0),
+            Param("border_b", "num", 0.0, 0.0, 1.0)),
+    flags=FILTER_IS_TRANSITION,
+    description="three tracks side by side (layout_blends.c triple split)"))

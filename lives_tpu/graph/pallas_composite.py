@@ -57,6 +57,8 @@ PALLAS_SAFE = {
     "negate", "brightness_contrast", "gamma_adjust", "saturation",
     "colour_balance", "levels", "greyscale", "sepia", "posterize",
     "solarize", "threshold", "softlight", "tint",
+    "chroma_blend", "luma_overlay", "luma_underlay",
+    "negative_luma_overlay",
 }
 
 

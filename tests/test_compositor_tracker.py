@@ -126,3 +126,33 @@ def test_multi_input_filter_on_short_stack():
         bg = mk(rng.integers(0, 256, (3, 32, 64), np.uint8))
         out = apply_instance(inst, [fg, bg])[0]      # two tracks
         assert np.asarray(out.planes[0]).shape == (3, 32, 64)
+
+
+def test_simple_blend_modes_and_triple_split():
+    rng = np.random.default_rng(7)
+    fg = mk(rng.integers(0, 256, (3, 32, 64), np.uint8))
+    dark = solid(10, 10, 10)
+    bright = solid(240, 240, 240)
+    # luma_overlay: dark fg pixels replaced by bg
+    out = np.asarray(apply_instance(
+        instantiate("luma_overlay", amount=0.5), [dark, bright])[0].planes[0])
+    assert out.min() >= 239
+    # negative: bright fg replaced
+    out = np.asarray(apply_instance(
+        instantiate("negative_luma_overlay", amount=0.5),
+        [bright, dark])[0].planes[0])
+    assert out.max() <= 11
+    # chroma_blend at 0.5 averages
+    out = np.asarray(apply_instance(
+        instantiate("chroma_blend", amount=0.5), [dark, bright])[0].planes[0])
+    assert 115 <= out.mean() <= 135
+    # averaged_luma_overlay runs
+    np.asarray(apply_instance(instantiate("averaged_luma_overlay"),
+                              [fg, dark])[0].planes[0])
+    # triple split: left/middle/right from tracks 0/1/2
+    t0, t1, t2 = solid(255, 0, 0), solid(0, 255, 0), solid(0, 0, 255)
+    inst = instantiate("triple_split", xstart=0.33, xend=0.67)
+    inst.in_tracks = (0, 1, 2)
+    out = np.asarray(apply_instance(inst, [t0, t1, t2])[0].planes[0])
+    assert out[0, 16, 5] == 255 and out[1, 16, 32] == 255 \
+        and out[2, 16, 60] == 255
