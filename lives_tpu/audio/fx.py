@@ -505,3 +505,20 @@ class AlsaAudioSource:
         if getattr(self, "_pcm", None):
             self._a.snd_pcm_close(self._pcm)
             self._pcm = None
+
+
+def _audio_volume(block, p, state):
+    """audio_volume.c: independent left/right channel gains (the realtime
+    per-track volume plugin; the multitrack mixer's avol role)."""
+    out = block.copy()
+    gains = (p["left"], p["right"])
+    for ch in range(min(out.shape[1], 2)):
+        out[:, ch] *= gains[ch]
+    if out.shape[1] > 2:
+        out[:, 2:] *= (gains[0] + gains[1]) / 2.0
+    return np.clip(out, -1.0, 1.0), state
+
+
+register_audio_filter(AudioFilter(
+    "audio_volume", _audio_volume, {"left": 1.0, "right": 1.0},
+    "per-channel volume (audio_volume.c)"))

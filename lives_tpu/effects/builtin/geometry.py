@@ -336,3 +336,30 @@ def _charcoal(a, p, c):
 _chan_filter("charcoal", _charcoal,
              params=(Param("strength", "num", 0.5, 0.0, 2.0),),
              desc="charcoal sketch")
+
+
+def _warptv(a, p, c):
+    """warpTV.c: animated rubber-sheet distortion — the whole frame
+    wobbles on a slow 2-D sine displacement field driven by per-frame
+    phase (the reference precomputes a sin table and advances tval)."""
+    h, w = a.shape[-2:]
+    t = c.tc * (0.5 + p["speed"] * 4.0)
+    y = jnp.arange(h, dtype=jnp.float32)[:, None]
+    x = jnp.arange(w, dtype=jnp.float32)[None, :]
+    amp = p["amplitude"] * 0.05 * np.float32(min(h, w))
+    nx = x * np.float32(2.0 * np.pi / 320.0)
+    ny = y * np.float32(2.0 * np.pi / 240.0)
+    dx = amp * (jnp.sin(nx * 0.9 + t) * jnp.cos(ny * 0.7 - t * 0.83)
+                + 0.5 * jnp.sin(ny * 1.3 + t * 1.19))
+    dy = amp * (jnp.cos(nx * 1.1 - t * 0.79) * jnp.sin(ny * 0.8 + t)
+                + 0.5 * jnp.cos(nx * 1.7 - t * 1.07))
+    yy = jnp.clip(y + dy, 0, h - 1)
+    xx = jnp.clip(x + dx, 0, w - 1)
+    return _warp_sample(a, jnp.broadcast_to(yy, (h, w)),
+                        jnp.broadcast_to(xx, (h, w)))
+
+
+_chan_filter("warptv", _warptv,
+             params=(Param("amplitude", "num", 0.5, 0.0, 1.0),
+                     Param("speed", "num", 0.5, 0.0, 1.0)),
+             desc="rubber-sheet wobble (warpTV.c)")

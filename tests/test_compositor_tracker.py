@@ -156,3 +156,21 @@ def test_simple_blend_modes_and_triple_split():
     out = np.asarray(apply_instance(inst, [t0, t1, t2])[0].planes[0])
     assert out[0, 16, 5] == 255 and out[1, 16, 32] == 255 \
         and out[2, 16, 60] == 255
+
+
+def test_warptv_and_audio_volume():
+    rng = np.random.default_rng(8)
+    lay = mk(rng.integers(0, 256, (3, 32, 64), np.uint8))
+    out0 = np.asarray(apply_instance(
+        instantiate("warptv", amplitude=1.0), [lay],
+        FrameContext(tc=0.0, width=64, height=32))[0].planes[0])
+    out1 = np.asarray(apply_instance(
+        instantiate("warptv", amplitude=1.0), [lay],
+        FrameContext(tc=1.0, width=64, height=32))[0].planes[0])
+    assert (out0 != out1).any()            # animates with tc
+    assert out0.shape == (3, 32, 64)
+    from lives_tpu.audio.fx import audio_instantiate
+    inst = audio_instantiate("audio_volume", left=0.5, right=0.0)
+    block = np.ones((64, 2), np.float32)
+    out = inst.apply(block)
+    assert abs(out[:, 0].mean() - 0.5) < 1e-6 and out[:, 1].max() == 0.0
