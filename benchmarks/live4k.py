@@ -45,7 +45,9 @@ def main():
     g = FrameGraph(chain, SinkSpec(width=W, height=H), fps=60.0)
 
     def cycle(i):
-        return g.run([fg.get_frame(i), bg.get_frame(i)], i / 60.0, i)
+        # GeneratorClips pass through whole: generated in-template (one
+        # dispatch per frame, no 24 MB source round trips at 4K)
+        return g.run([fg, bg], i / 60.0, i)
 
     t0 = time.perf_counter()
     cycle(0)

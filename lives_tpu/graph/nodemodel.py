@@ -112,8 +112,41 @@ class FrameGraph:
                 _os.environ.get("LIVES_TPU_FLOAT_CHAIN", "1"))
 
     # -- template compilation ---------------------------------------------
-    def _build_template(self, layers: Sequence[Layer]):
-        return jax.jit(self._make_frame_fn())
+    def _build_template(self, layers: Sequence[Layer], gens=()):
+        frame_fn = self._make_frame_fn()
+        if not gens:
+            return jax.jit(lambda lays, traced, _gt, states, tc, frame:
+                           frame_fn(lays, traced, states, tc, frame))
+        # in-template generator LOAD: reconstruct the full layer stack by
+        # generating the GeneratorClip slots from (tc, frame) + their
+        # traced params, then run the chain — all one computation
+        gen_slots = [i for i, _ in gens]
+        gen_filters = [l.inst.filter for _, l in gens]
+        gen_static = [_split_params(l.inst)[0] for _, l in gens]
+        gen_dims = [(l.width, l.height) for _, l in gens]
+        fps = self.fps
+
+        def tmpl_fn(real_layers, traced, gen_traced, states, tc, frame):
+            lays, ri = [], 0
+            total = len(real_layers) + len(gen_slots)
+            for slot in range(total):
+                if slot in gen_slots:
+                    gi = gen_slots.index(slot)
+                    filt = gen_filters[gi]
+                    w, h = gen_dims[gi]
+                    ctx = FrameContext(tc=tc, frame=frame, fps=fps,
+                                       width=w, height=h)
+                    params = {**{p.name: p.default for p in filt.params},
+                              **gen_static[gi], **gen_traced[gi]}
+                    params = {k: filt.param(k).clamp(v)
+                              for k, v in params.items()}
+                    lays.append(filt.process([], params, ctx))
+                else:
+                    lays.append(real_layers[ri])
+                    ri += 1
+            return frame_fn(lays, traced, states, tc, frame)
+
+        return jax.jit(tmpl_fn)
 
     def _to_sink(self, out: Layer) -> Layer:
         sink = self.sink
@@ -132,18 +165,39 @@ class FrameGraph:
         return out
 
     # -- execution ---------------------------------------------------------
+    @staticmethod
+    def _is_genclip(obj) -> bool:
+        """A GeneratorClip whose frames can be generated INSIDE the run
+        template (stateless generator filters only): passing the clip
+        itself instead of a pulled Layer makes source generation part of
+        the plan — one dispatch per frame and XLA fuses generation into
+        the first consumers (the live-path analogue of run_batch's
+        in-template LOAD)."""
+        from ..effects.host import FILTER_STATEFUL
+        inst = getattr(obj, "inst", None)
+        return (inst is not None and hasattr(obj, "get_frame")
+                and inst.filter.is_generator
+                and not (inst.filter.flags & FILTER_STATEFUL))
+
     def run(self, layers: Sequence[Layer], tc: float = 0.0,
             frame: int = 0) -> Layer:
-        """One plan cycle: apply the chain to a layer stack."""
+        """One plan cycle: apply the chain to a layer stack. Entries may be
+        GeneratorClips (see _is_genclip): those are generated in-template."""
         layers = list(layers)
-        key = self._config_key(layers)
+        gens = [(i, l) for i, l in enumerate(layers) if self._is_genclip(l)]
+        real = [l for l in layers if not self._is_genclip(l)]
+        key = (self._config_key(real),
+               tuple((i, l.inst.filter.hashname, l.width, l.height,
+                      tuple(sorted(_split_params(l.inst)[0].items())))
+                     for i, l in gens))
         tmpl = self._templates.get(key)
         if tmpl is None:
-            tmpl = self._build_template(layers)
+            tmpl = self._build_template(real, gens)
             self._templates[key] = tmpl
         self.stats[key] = self.stats.get(key, 0) + 1
         traced = [_split_params(inst)[1] for inst in self.chain]
-        out, self.states = tmpl(layers, traced,
+        gen_traced = [_split_params(l.inst)[1] for _, l in gens]
+        out, self.states = tmpl(real, traced, gen_traced,
                                 self.states,
                                 jnp.float32(tc), jnp.int32(frame))
         # state lives across frames on the graph, mirrored back to instances

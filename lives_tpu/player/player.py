@@ -444,6 +444,13 @@ class Player:
 
     # -- precache (player.c pred_frame / srcgroup clone model) -------------
     def _pull(self, clip, n):
+        # stateless generator clips pass through whole: the FrameGraph
+        # generates them INSIDE the run template (in-template LOAD — one
+        # dispatch per frame, no HBM round trip for the source frame).
+        # Checked before the precache so the template config stays stable.
+        from ..graph.nodemodel import FrameGraph as _FG
+        if _FG._is_genclip(clip):
+            return clip
         lay = self._precache.pop((id(clip), n), None)
         return lay if lay is not None else clip.get_frame(n)
 
@@ -458,6 +465,9 @@ class Player:
         dec = getattr(getattr(st.fg_clip, "cdata", None), "decoder", None)
         if dec is not None and hasattr(dec, "estimate_delay"):
             wanted.sort(key=lambda f: -dec.estimate_delay(target, f))
+        from ..graph.nodemodel import FrameGraph as _FG
+        if _FG._is_genclip(st.fg_clip):
+            return  # generated in-template; nothing to precache
         self._precache_req = [(st.fg_clip, f) for f in wanted
                               if (id(st.fg_clip), f) not in self._precache]
         if self._precache_thread is None or \
