@@ -516,7 +516,9 @@ def _audio_volume(block, p, state):
         out[:, ch] *= gains[ch]
     if out.shape[1] > 2:
         out[:, 2:] *= (gains[0] + gains[1]) / 2.0
-    return np.clip(out, -1.0, 1.0), state
+    # no clamp: headroom must survive between chained gain stages
+    # (audio_volume.c scales without clipping; the sink clips)
+    return out, state
 
 
 register_audio_filter(AudioFilter(

@@ -225,14 +225,11 @@ def main(argv=None):
         path = pathlib.Path(args.clip)
         clip = Clip.load(path) if (path / "header.lives").is_file() \
             else open_clip(args.clip, path.parent)
+        from .rfx_scripts import parse_param_value
         params = {}
         for kv in args.param:
             k, _, v = kv.partition("=")
-            try:
-                params[k] = int(v) if v.lstrip("-").isdigit() \
-                    else (float(v) if "." in v else v)
-            except ValueError:
-                params[k] = v
+            params[k] = parse_param_value(v)
         n = apply_script(clip, args.script, start=args.start, end=args.end,
                          **params)
         print(f"{args.script}: {n} frames -> {clip.clip_dir}")

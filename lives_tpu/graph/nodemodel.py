@@ -70,6 +70,15 @@ def _split_params(inst: Instance):
     return static, traced
 
 
+@dataclass(frozen=True)
+class GenSlot:
+    """A (GeneratorClip, frame number) pair for FrameGraph.run: generate
+    the clip's frame `n` in-template with the clip's own clock
+    (tc = n / clip.fps), matching clip.get_frame(n) exactly."""
+    clip: Any
+    n: int
+
+
 def _chain_static_key(chain: Sequence[Instance]):
     parts = []
     for inst in chain:
@@ -115,7 +124,7 @@ class FrameGraph:
     def _build_template(self, layers: Sequence[Layer], gens=()):
         frame_fn = self._make_frame_fn()
         if not gens:
-            return jax.jit(lambda lays, traced, _gt, states, tc, frame:
+            return jax.jit(lambda lays, traced, _gt, _gtm, states, tc, frame:
                            frame_fn(lays, traced, states, tc, frame))
         # in-template generator LOAD: reconstruct the full layer stack by
         # generating the GeneratorClip slots from (tc, frame) + their
@@ -126,7 +135,8 @@ class FrameGraph:
         gen_dims = [(l.width, l.height) for _, l in gens]
         fps = self.fps
 
-        def tmpl_fn(real_layers, traced, gen_traced, states, tc, frame):
+        def tmpl_fn(real_layers, traced, gen_traced, gen_times, states,
+                    tc, frame):
             lays, ri = [], 0
             total = len(real_layers) + len(gen_slots)
             for slot in range(total):
@@ -134,7 +144,8 @@ class FrameGraph:
                     gi = gen_slots.index(slot)
                     filt = gen_filters[gi]
                     w, h = gen_dims[gi]
-                    ctx = FrameContext(tc=tc, frame=frame, fps=fps,
+                    gtc, gframe = gen_times[gi]
+                    ctx = FrameContext(tc=gtc, frame=gframe, fps=fps,
                                        width=w, height=h)
                     params = {**{p.name: p.default for p in filt.params},
                               **gen_static[gi], **gen_traced[gi]}
@@ -174,6 +185,8 @@ class FrameGraph:
         the first consumers (the live-path analogue of run_batch's
         in-template LOAD)."""
         from ..effects.host import FILTER_STATEFUL
+        if isinstance(obj, GenSlot):
+            return True
         inst = getattr(obj, "inst", None)
         return (inst is not None and hasattr(obj, "get_frame")
                 and inst.filter.is_generator
@@ -182,22 +195,39 @@ class FrameGraph:
     def run(self, layers: Sequence[Layer], tc: float = 0.0,
             frame: int = 0) -> Layer:
         """One plan cycle: apply the chain to a layer stack. Entries may be
-        GeneratorClips (see _is_genclip): those are generated in-template."""
+        GeneratorClips or GenSlots (see _is_genclip): those are generated
+        in-template. A bare GeneratorClip animates on the graph clock
+        (tc/frame as given); a GenSlot(clip, n) generates the clip's frame
+        n exactly as clip.get_frame(n) would (tc = n / clip.fps) — the
+        player uses GenSlots so scratching, independent bg rates and
+        record/replay stay frame-accurate."""
         layers = list(layers)
-        gens = [(i, l) for i, l in enumerate(layers) if self._is_genclip(l)]
-        real = [l for l in layers if not self._is_genclip(l)]
+        gens = []           # (slot, clip, frame_n or None)
+        real = []
+        for i, l in enumerate(layers):
+            if self._is_genclip(l):
+                if isinstance(l, GenSlot):
+                    gens.append((i, l.clip, l.n))
+                else:
+                    gens.append((i, l, None))
+            else:
+                real.append(l)
         key = (self._config_key(real),
-               tuple((i, l.inst.filter.hashname, l.width, l.height,
-                      tuple(sorted(_split_params(l.inst)[0].items())))
-                     for i, l in gens))
+               tuple((i, c.inst.filter.hashname, c.width, c.height,
+                      n is None,
+                      tuple(sorted(_split_params(c.inst)[0].items())))
+                     for i, c, n in gens))
         tmpl = self._templates.get(key)
         if tmpl is None:
-            tmpl = self._build_template(real, gens)
+            tmpl = self._build_template(real, [(i, c) for i, c, _ in gens])
             self._templates[key] = tmpl
         self.stats[key] = self.stats.get(key, 0) + 1
         traced = [_split_params(inst)[1] for inst in self.chain]
-        gen_traced = [_split_params(l.inst)[1] for _, l in gens]
-        out, self.states = tmpl(real, traced, gen_traced,
+        gen_traced = [_split_params(c.inst)[1] for _, c, _ in gens]
+        gen_times = [(jnp.float32(tc), jnp.int32(frame)) if n is None
+                     else (jnp.float32(n / (c.fps or 25.0)), jnp.int32(n))
+                     for _, c, n in gens]
+        out, self.states = tmpl(real, traced, gen_traced, gen_times,
                                 self.states,
                                 jnp.float32(tc), jnp.int32(frame))
         # state lives across frames on the graph, mirrored back to instances
@@ -327,8 +357,9 @@ class FrameGraph:
                                             in_tr, inst.out_tracks,
                                             inst.enabled))
                         maxtrack = max([maxtrack, *in_tr])
+                    comp_tracks = maxtrack + 1
                     comp_builder = build_composite(
-                        prefix_spec, maxtrack + 1, B, gh, gw, rows_key,
+                        prefix_spec, comp_tracks, B, gh, gw, rows_key,
                         self.fps)
                     if comp_builder is None:
                         npre = 0
@@ -387,12 +418,16 @@ class FrameGraph:
             else:
                 vm = jax.vmap(one, in_axes=(0, 1, None))
 
+                _comp_n = comp_tracks if comp_builder is not None else 0
+
                 def batch_fn(layers, src, packed, states,
-                             _comp=comp_builder, _npre=npre):
+                             _comp=comp_builder, _npre=npre, _cn=_comp_n):
                     layers = materialise(layers, src)
                     if _comp is not None:
-                        tracks = [l.planes[0] for l in layers]
-                        comp = _comp(tracks[: len(tracks)], packed)
+                        # pass exactly the track count the kernel was built
+                        # for (pallas_call operands must match in_specs)
+                        tracks = [l.planes[0] for l in layers[:_cn]]
+                        comp = _comp(tracks, packed)
                         layers = [Layer(planes=(comp,),
                                         palette=int(Palette.RGB24))] \
                             + layers[1:]

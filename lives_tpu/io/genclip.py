@@ -37,14 +37,12 @@ class GeneratorClip:
 
     def read_audio(self):
         """Clip-audio protocol (transcode / clipboard copy consume this).
-        Unbounded generators render one minute; finite clips their full
-        duration."""
+        Unbounded generators (the frames=1<<30 default sentinel) render one
+        minute; finite clips render their full duration."""
         import numpy as np
         if self.audio_source is None:
             return np.zeros((0, 2), np.float32)
-        dur = self.frames / self.fps
-        if dur > 600.0:
-            dur = 60.0
+        dur = 60.0 if self.frames >= (1 << 29) else self.frames / self.fps
         return self.audio_source.render_at(0, int(dur * self.arate))
 
     def _build(self):

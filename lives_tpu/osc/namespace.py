@@ -327,16 +327,10 @@ def register_extended(srv) -> None:
         from ..rfx_scripts import apply_script, get_script
         clip = cur()
         s, e = _sel(clip)
+        from ..rfx_scripts import parse_param_value
         params = {}
         for i in range(0, len(kvs) - 1, 2):
-            k, v = str(kvs[i]), kvs[i + 1]
-            if isinstance(v, str):
-                try:
-                    v = int(v) if v.lstrip("-").isdigit() \
-                        else (float(v) if "." in v else v)
-                except ValueError:
-                    pass
-            params[k] = v
+            params[str(kvs[i])] = parse_param_value(kvs[i + 1])
         if get_script(str(name)).filter == "(two-source)":
             if srv.clipboard is None:
                 raise RuntimeError("two-source script needs a clipboard")

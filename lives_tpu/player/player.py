@@ -444,13 +444,15 @@ class Player:
 
     # -- precache (player.c pred_frame / srcgroup clone model) -------------
     def _pull(self, clip, n):
-        # stateless generator clips pass through whole: the FrameGraph
-        # generates them INSIDE the run template (in-template LOAD — one
-        # dispatch per frame, no HBM round trip for the source frame).
+        # stateless generator clips pass through as GenSlot(clip, n): the
+        # FrameGraph generates frame n INSIDE the run template with the
+        # clip's own clock (in-template LOAD — one dispatch per frame, no
+        # HBM round trip for the source frame, and bitwise get_frame(n)
+        # semantics so scratch/bg-rate/record-replay stay frame-accurate).
         # Checked before the precache so the template config stays stable.
-        from ..graph.nodemodel import FrameGraph as _FG
+        from ..graph.nodemodel import FrameGraph as _FG, GenSlot
         if _FG._is_genclip(clip):
-            return clip
+            return GenSlot(clip, n)
         lay = self._precache.pop((id(clip), n), None)
         return lay if lay is not None else clip.get_frame(n)
 

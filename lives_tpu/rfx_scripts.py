@@ -48,7 +48,15 @@ class ScriptDef:
         blocks, so they advertise their own defaults — advertising names
         the runner would silently swallow is worse than a renamed UI."""
         if self.runner is not None:
-            return [{"name": k, "kind": "num", "default": v}
+            def kind_of(v):
+                if isinstance(v, bool):
+                    return "bool"
+                if isinstance(v, str):
+                    return "string"
+                if isinstance(v, int):
+                    return "int"
+                return "num"
+            return [{"name": k, "kind": kind_of(v), "default": v}
                     for k, v in self.defaults.items()]
         p = REF_SCRIPTS / f"{self.name}.script"
         if p.is_file():
@@ -60,6 +68,22 @@ class ScriptDef:
                 pass
         return [{"name": k, "kind": "num", "default": v}
                 for k, v in self.defaults.items()]
+
+
+def parse_param_value(v):
+    """Parse a CLI/OSC string param: int-looking stays int, float-looking
+    becomes float, everything else stays a string. Shared by `cli rfx`
+    and OSC /rfx/apply so the two surfaces cannot drift."""
+    if not isinstance(v, str):
+        return v
+    try:
+        if v.lstrip("-").isdigit():
+            return int(v)
+        if "." in v:
+            return float(v)
+    except ValueError:
+        pass
+    return v
 
 
 _SCRIPTS: dict[str, ScriptDef] = {}
@@ -236,11 +260,15 @@ def _modulate_mapping(p, n_frames):
     p1/p3/p5 per frame from start to end values)."""
     span = max(n_frames - 1, 1)
 
+    def norm(v):
+        # values > 4 are ImageMagick percent scale (100 = unchanged);
+        # each endpoint normalises independently (mixing a defaulted 1.0
+        # with a percent 150 must not crush the default to 0.01)
+        return v / 100.0 if v > 4.0 else v
+
     def ramp(k0, k1):
-        a, b = float(p.get(k0, 1.0)), float(p.get(k1, p.get(k0, 1.0)))
-        # values > 4 are ImageMagick percent scale (100 = unchanged)
-        if a > 4.0 or b > 4.0:
-            a, b = a / 100.0, b / 100.0
+        a = norm(float(p.get(k0, 1.0)))
+        b = norm(float(p.get(k1, p.get(k0, 1.0))))
         return lambda f: a + (b - a) * (f / span)
 
     return {"brightness": ramp("bstart", "bend"),
@@ -433,17 +461,20 @@ def _jumble_runner(clip, start, end, progress=None, seed: int = 0, **_):
     seed = int(seed)
     rng = np.random.default_rng(seed or None)
     src = rng.integers(start, end, end - start)
-    # stage the source range as image files (disk, not RAM: decoded 4K
-    # frames are ~24 MB each), then write outputs reading from the stage
-    clip.realize(start, end)
+    # stage only the UNIQUE sampled source frames as image files (disk,
+    # not RAM: decoded 4K frames are ~24 MB each; replacement sampling
+    # draws ~63% of the range), then write outputs reading from the stage
     stage = tempfile.mkdtemp(prefix="jumble_", dir=clip.clip_dir)
     try:
-        for n in range(start, end):
-            shutil.copy2(clip.image_path(n), f"{stage}/{n}.png")
         import jax.numpy as jnp
         from PIL import Image
         from .constants import Palette
         from .layer import Layer as _Layer
+        from .ops.colorspace import convert_layer
+        for sn in np.unique(src):
+            lay = convert_layer(clip.get_frame(int(sn)), Palette.RGB24)
+            arr = np.moveaxis(np.asarray(lay.planes[0]), 0, -1)
+            Image.fromarray(arr).save(f"{stage}/{int(sn)}.png")
         for i, sn in enumerate(src):
             with Image.open(f"{stage}/{int(sn)}.png") as im:
                 arr = np.moveaxis(np.asarray(im.convert("RGB")),

@@ -234,3 +234,37 @@ def test_fourklives_as_clip_audio():
     ap.load_clip_audio(clip)
     out = np.concatenate([ap.pull() for _ in range(4)])
     assert np.abs(out).max() > 0.05  # the tune is audible
+
+
+def test_genslot_matches_get_frame():
+    """Review finding: in-template generation must reproduce
+    clip.get_frame(n) exactly (clip clock, not graph clock) so scratch,
+    independent bg rates and record/replay stay frame-accurate."""
+    from lives_tpu.graph.nodemodel import FrameGraph, GenSlot, SinkSpec
+    from lives_tpu.io.genclip import GeneratorClip
+    clip = GeneratorClip("plasma", 64, 48, fps=25.0)
+    g = FrameGraph([], SinkSpec(), fps=50.0)  # graph clock != clip clock
+    n = 7
+    out = g.run([GenSlot(clip, n)], tc=n / 50.0, frame=n)
+    direct = clip.get_frame(n)
+    np.testing.assert_array_equal(np.asarray(out.planes[0]),
+                                  np.asarray(direct.planes[0]))
+
+
+def test_genclip_read_audio_full_duration():
+    """Review finding: finite clips > 600 s render their FULL audio."""
+    from lives_tpu.audio.fx import ToneSource
+    from lives_tpu.io.genclip import GeneratorClip
+    clip = GeneratorClip("plasma", 32, 32, fps=25.0, frames=25 * 700,
+                         audio_source=ToneSource(rate=1000))
+    assert len(clip.read_audio()) == 700 * 1000
+
+
+def test_audio_volume_headroom():
+    """Review finding: gain stages must not clip between filters."""
+    from lives_tpu.audio.fx import apply_audio_chain, audio_instantiate
+    chain = [audio_instantiate("audio_volume", left=4.0, right=4.0),
+             audio_instantiate("audio_volume", left=0.25, right=0.25)]
+    block = np.full((32, 2), 0.5, np.float32)
+    out = apply_audio_chain(chain, block)
+    np.testing.assert_allclose(out, 0.5, atol=1e-6)

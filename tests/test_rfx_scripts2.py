@@ -297,3 +297,27 @@ def test_modulate_percent_scale(tmp_path):
                  sstart=100.0, send=100.0, hstart=100.0, hend=100.0)
     np.testing.assert_allclose(_frame(c, 0).astype(int), f0.astype(int),
                                atol=1)
+
+
+def test_modulate_mixed_scale(tmp_path):
+    """Review finding: a percent-scale endpoint must not crush a
+    ratio-scale default."""
+    c = _clip(tmp_path, seed=40)
+    f0 = _frame(c, 0).copy()
+    # bstart defaults to 1.0 (unchanged); bend=150 (percent) -> 1.5
+    apply_script(c, "modulate", bend=150.0)
+    out0 = _frame(c, 0)   # frame 0: brightness 1.0 -> ~unchanged
+    np.testing.assert_allclose(out0.astype(int), f0.astype(int), atol=1)
+
+
+def test_runner_param_kinds():
+    from lives_tpu.rfx_scripts import get_script, parse_param_value
+    spec = {q["name"]: q["kind"]
+            for q in get_script("trim_frames").params_spec()}
+    assert spec["border"] == "bool" and spec["x"] == "int"
+    spec = {q["name"]: q["kind"]
+            for q in get_script("image_overlay").params_spec()}
+    assert spec["image"] == "string"
+    assert parse_param_value("8") == 8
+    assert parse_param_value("0.5") == 0.5
+    assert parse_param_value("hi") == "hi"
