@@ -222,3 +222,65 @@ register_filter(Filter(
     out_params=tuple(Param(f"o{i}", "num", 0.5, 0.0, 1.0)
                      for i in range(_NN_OUT)),
     description="evolving random net data mapper (nn_programmer.c)"))
+
+
+# -- smoother -----------------------------------------------------------------
+
+_N_SMOOTH = 4
+
+
+def _smooth_init(w, h, palette):
+    return jnp.zeros(_N_SMOOTH, jnp.float32)
+
+
+def _smooth_process(ins, p, ctx, state):
+    """EMA smoother for param streams — the reference wires this role via
+    data_processor state expressions (e.g. compound/image_stabilizer's
+    s[0]=(s[0]+i[0]*8.)/2.). `rate` 1.0 follows instantly, 0 freezes."""
+    cur = jnp.stack([jnp.asarray(p[f"in{j}"], jnp.float32)
+                     for j in range(_N_SMOOTH)])
+    rate = jnp.clip(jnp.asarray(p["rate"], jnp.float32), 0.0, 1.0)
+    new = state + (cur - state) * rate
+    outs = {f"o{j}": new[j] for j in range(_N_SMOOTH)}
+    return (ins[0] if ins else None), new, outs
+
+
+register_filter(Filter(
+    name="smoother", process=_smooth_process, in_channels=_ONE_IN,
+    flags=FILTER_STATEFUL, init_state=_smooth_init,
+    params=tuple(Param(f"in{j}", "num", 0.0, -1e6, 1e6)
+                 for j in range(_N_SMOOTH))
+    + (Param("rate", "num", 0.5, 0.0, 1.0),),
+    out_params=tuple(Param(f"o{j}", "num", 0.0, -1e6, 1e6)
+                     for j in range(_N_SMOOTH)),
+    description="EMA smoothing of param streams (data_processor s[] role)"))
+
+
+# -- integrator ---------------------------------------------------------------
+
+def _integ_init(w, h, palette):
+    return jnp.zeros(_N_SMOOTH, jnp.float32)
+
+
+def _integ_process(ins, p, ctx, state):
+    """Leaky integrator for param streams: state = state*decay + in.
+    Turns per-frame velocities (optical flow) into positions — the
+    image-stabilizer accumulator (compound/image_stabilizer's s[] role,
+    with decay bounding drift)."""
+    cur = jnp.stack([jnp.asarray(p[f"in{j}"], jnp.float32)
+                     for j in range(_N_SMOOTH)])
+    decay = jnp.clip(jnp.asarray(p["decay"], jnp.float32), 0.0, 1.0)
+    new = state * decay + cur
+    outs = {f"o{j}": new[j] for j in range(_N_SMOOTH)}
+    return (ins[0] if ins else None), new, outs
+
+
+register_filter(Filter(
+    name="integrator", process=_integ_process, in_channels=_ONE_IN,
+    flags=FILTER_STATEFUL, init_state=_integ_init,
+    params=tuple(Param(f"in{j}", "num", 0.0, -1e6, 1e6)
+                 for j in range(_N_SMOOTH))
+    + (Param("decay", "num", 0.95, 0.0, 1.0),),
+    out_params=tuple(Param(f"o{j}", "num", 0.0, -1e6, 1e6)
+                     for j in range(_N_SMOOTH)),
+    description="leaky integrator (velocity -> position accumulator)"))

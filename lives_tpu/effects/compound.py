@@ -23,10 +23,18 @@ class Export:
 
 
 def make_compound(name: str, steps: Sequence[tuple[str, dict]],
-                  description: str = "") -> Filter:
+                  description: str = "",
+                  connections: Sequence[tuple] = ()) -> Filter:
     """steps: [(filter_name, {param: value | Export("exposed_name")})].
 
     Values fix sub-params; Export(...) re-exports them on the compound.
+
+    `connections`: internal out-param -> in-param wiring, the reference
+    compound format's param links (e.g. plugins/effects/compound/
+    image_stabilizer wires farneback flow into shift):
+    (src_step, out_name, dst_step, in_name[, transform]) — after src_step
+    runs, its out-param value (optionally through `transform`, a pure
+    traceable fn) overrides dst_step's param.
     """
     sub_filters = [get_filter(fname) for fname, _ in steps]
     # build exported param templates
@@ -46,7 +54,15 @@ def make_compound(name: str, steps: Sequence[tuple[str, dict]],
     in_channels = sub_filters[0].in_channels if n_in <= 1 else \
         max((f.in_channels for f in sub_filters), key=len)
 
-    def _sub_params(i: int, params: dict) -> dict:
+    conns = [(c[0], c[1], c[2], c[3], c[4] if len(c) > 4 else None)
+             for c in connections]
+    for (ss, on, ds, inn, _t) in conns:
+        if ds <= ss:
+            raise ValueError("connections must feed forward (src < dst)")
+        sub_filters[ds].param(inn)  # validate destination
+
+    def _sub_params(i: int, params: dict, outs=None,
+                    ctx=None) -> dict:
         f = sub_filters[i]
         out = {p.name: p.default for p in f.params}
         for pname, v in steps[i][1].items():
@@ -55,26 +71,39 @@ def make_compound(name: str, steps: Sequence[tuple[str, dict]],
         for (si, sp, en) in export_map:
             if si == i:
                 out[sp] = params[en]
+        if outs is not None:
+            for (ss, on, ds, inn, tf) in conns:
+                if ds == i and on in outs[ss]:
+                    v = outs[ss][on]
+                    out[inn] = tf(v, params, ctx) if tf is not None else v
         return out
 
     def process_stateless(ins, params, ctx):
         layers = list(ins)
+        outs = [{} for _ in sub_filters]
         for i, f in enumerate(sub_filters):
-            inst = Instance(filter=f, values=_sub_params(i, params),
+            inst = Instance(filter=f, values=_sub_params(i, params, outs, ctx),
                             in_tracks=tuple(range(f.n_in)))
             layers = apply_instance(inst, layers, ctx)
+            outs[i] = inst.out_values
         return layers[0]
 
     def process_stateful(ins, params, ctx, state):
         layers = list(ins)
         state = list(state) if state is not None \
             else [None] * len(sub_filters)
+        outs = [{} for _ in sub_filters]
         for i, f in enumerate(sub_filters):
-            inst = Instance(filter=f, values=_sub_params(i, params),
+            inst = Instance(filter=f, values=_sub_params(i, params, outs, ctx),
                             state=state[i],
                             in_tracks=tuple(range(f.n_in)))
             layers = apply_instance(inst, layers, ctx)
+            outs[i] = inst.out_values
             state[i] = inst.state
+        if sub_filters[-1].out_params:
+            # the compound re-exports its final step's out-params (the
+            # reference compound format's out-param links)
+            return layers[0], tuple(state), outs[-1]
         return layers[0], tuple(state)
 
     def init_state(w, h, pal):
@@ -86,6 +115,7 @@ def make_compound(name: str, steps: Sequence[tuple[str, dict]],
         process=process_stateful if stateful else process_stateless,
         in_channels=in_channels,
         params=tuple(exported),
+        out_params=sub_filters[-1].out_params if stateful else (),
         flags=FILTER_STATEFUL if stateful else 0,
         init_state=init_state if stateful else None,
         description=description or
@@ -114,3 +144,42 @@ def register_builtin_compounds():
         ("saturation", {"saturation": Export("colour")}),
         ("motion_blur", {"radius": 3, "amount": 0.5}),
     ], description="chroma-shifted tape look")
+    # plugins/effects/compound/image_stabilizer: motion estimate -> EMA
+    # smoothing -> counter-shift (reference wires farneback flow through a
+    # data_processor s[]-EMA into shift)
+    make_compound("image_stabilizer", [
+        ("motion_analyser", {}),
+        ("integrator", {"decay": 0.95}),
+        ("shift", {"dx": 0.0, "dy": 0.0}),
+    ], connections=[
+        (0, "flow_x", 1, "in0"),
+        (0, "flow_y", 1, "in1"),
+        # flow is measured on 8x-downsampled luma: x8 to full-res pixels
+        # (the reference expr's i[0]*8.), then to a frame fraction
+        (1, "o0", 2, "dx",
+         lambda v, p, c: -v * 8.0 * p["strength"] / max(c.width, 1)),
+        (1, "o1", 2, "dy",
+         lambda v, p, c: -v * 8.0 * p["strength"] / max(c.height, 1)),
+    ], description="counter-shift accumulated motion "
+                   "(compound/image_stabilizer)")
+    # expose strength on the stabilizer (transform reads params[])
+    from .host import _REGISTRY as _R, Param as _Param
+    stab = _R["image_stabilizer"]
+    _R["image_stabilizer"] = Filter(
+        **{**{f.name: getattr(stab, f.name)
+              for f in __import__("dataclasses").fields(stab)},
+           "params": stab.params
+           + (_Param("strength", "num", 1.0, 0.0, 4.0),)})
+    # plugins/effects/compound/neural_net: unpack -> evolving net -> sigmoid
+    make_compound("neural_net", [
+        ("data_unpacker", {"in0": Export("a"), "in1": Export("b"),
+                           "in2": Export("c"), "in3": Export("d")}),
+        ("nn_programmer", {"fitness": Export("fitness")}),
+        ("log_sig", {}),
+    ], connections=[
+        (0, "o0", 1, "a"), (0, "o1", 1, "b"),
+        (0, "o2", 1, "c"), (0, "o3", 1, "d"),
+        (1, "o0", 2, "in0"), (1, "o1", 2, "in1"),
+        (1, "o2", 2, "in2"), (1, "o3", 2, "in3"),
+    ], description="evolving net over unpacked data "
+                   "(compound/neural_net)")

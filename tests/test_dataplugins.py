@@ -268,3 +268,48 @@ def test_audio_volume_headroom():
     block = np.full((32, 2), 0.5, np.float32)
     out = apply_audio_chain(chain, block)
     np.testing.assert_allclose(out, 0.5, atol=1e-6)
+
+
+def test_smoother_ema():
+    lay = mk(np.random.default_rng(0))
+    inst = instantiate("smoother", rate=0.5, in0=1.0)
+    vals = []
+    for i in range(4):
+        apply_instance(inst, [lay], FrameContext(frame=i))
+        vals.append(float(inst.out_values["o0"]))
+    np.testing.assert_allclose(vals, [0.5, 0.75, 0.875, 0.9375])
+
+
+def test_image_stabilizer_compound():
+    """compound/image_stabilizer: a translating square gets counter-shifted
+    — consecutive stabilized frames are more similar than raw frames."""
+    h, w = 64, 128
+
+    def frame(x):
+        a = np.zeros((3, h, w), np.uint8)
+        a[:, 24:40, x:x + 16] = 255
+        return Layer(planes=(jnp.asarray(a),), palette=int(Palette.RGB24))
+
+    inst = instantiate("image_stabilizer", strength=1.0)
+    prev_out = None
+    raw_prev = None
+    diffs_stab, diffs_raw = [], []
+    for i, x in enumerate(range(20, 68, 8)):  # move 8 px/frame
+        lay = frame(x)
+        out = np.asarray(apply_instance(
+            inst, [lay], FrameContext(frame=i, width=w, height=h))
+            [0].planes[0]).astype(int)
+        raw = np.asarray(lay.planes[0]).astype(int)
+        if prev_out is not None and i >= 3:  # after EMA settles
+            diffs_stab.append(np.abs(out - prev_out).mean())
+            diffs_raw.append(np.abs(raw - raw_prev).mean())
+        prev_out, raw_prev = out, raw
+    assert np.mean(diffs_stab) < np.mean(diffs_raw) * 0.8
+
+
+def test_neural_net_compound():
+    lay = mk(np.random.default_rng(1))
+    inst = instantiate("neural_net", a=0.5, b=-0.5, fitness=1.0)
+    apply_instance(inst, [lay], FrameContext(frame=0))
+    outs = {k: float(v) for k, v in inst.out_values.items()}
+    assert len(outs) >= 4 and all(0.0 <= v <= 1.0 for v in outs.values())
