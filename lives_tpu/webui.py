@@ -126,6 +126,12 @@ select{background:#26262c;color:#eee;border:1px solid #555;padding:3px}
   <button onclick="openClip()">open</button>
  </div>
  <div id="clips"></div>
+ <h3>Rendered effects</h3>
+ <div>
+  <select id="rfx"></select>
+  <button onclick="applyRfx()">apply</button>
+  <button onclick="cmd('/clip/undo')">undo</button>
+ </div>
  <h3>Effect keys</h3><div id="keys"></div>
  <h3>Parameters</h3><div id="params"></div>
  <h3>Timeline</h3><div id="timeline"></div>
@@ -134,6 +140,21 @@ select{background:#26262c;color:#eee;border:1px solid #555;padding:3px}
 <div id="main"><img src="/preview.mjpg"></div>
 <script>
 let curKey=1;
+async function loadRfx(){
+ const r=await (await fetch('/api/cmd',{method:'POST',
+   body:JSON.stringify({path:'/rfx/list',args:[]})})).json();
+ const sel=document.getElementById('rfx');
+ (r.ret||'').split(' ').forEach((n)=>{
+  const o=document.createElement('option'); o.value=n; o.textContent=n;
+  sel.appendChild(o);});
+}
+async function applyRfx(){
+ const n=document.getElementById('rfx').value;
+ const r=await (await fetch('/api/cmd',{method:'POST',
+   body:JSON.stringify({path:'/rfx/apply',args:[n]})})).json();
+ if(!r.ok)alert(r.error);
+}
+loadRfx();
 async function cmd(path,args){
  await fetch('/api/cmd',{method:'POST',
   body:JSON.stringify({path:path,args:args||[]})});
