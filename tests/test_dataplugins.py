@@ -313,3 +313,22 @@ def test_neural_net_compound():
     apply_instance(inst, [lay], FrameContext(frame=0))
     outs = {k: float(v) for k, v in inst.out_values.items()}
     assert len(outs) >= 4 and all(0.0 <= v <= 1.0 for v in outs.values())
+
+
+def test_in_template_generator_parity_random():
+    """Property: for every stateless generator, in-template GenSlot
+    rendering equals get_frame exactly (any frame, any clip fps)."""
+    from lives_tpu.graph.nodemodel import FrameGraph, GenSlot, SinkSpec
+    from lives_tpu.io.genclip import GeneratorClip
+    rng = np.random.default_rng(11)
+    for name in ("plasma", "gradient", "checkerboard", "colour_bars",
+                 "noise", "solid_colour"):
+        fps = float(rng.choice([12.5, 25.0, 30.0]))
+        clip = GeneratorClip(name, 64, 48, fps=fps)
+        g = FrameGraph([], SinkSpec(), fps=60.0)
+        n = int(rng.integers(0, 200))
+        out = g.run([GenSlot(clip, n)], tc=0.123, frame=999)
+        ref = clip.get_frame(n)
+        np.testing.assert_array_equal(
+            np.asarray(out.planes[0]), np.asarray(ref.planes[0]),
+            err_msg=f"{name} frame {n} fps {fps}")

@@ -23,7 +23,10 @@ from lives_tpu.osc import build_message  # noqa: E402
 
 FILTERS = ["negate", "gaussian_blur", "vignette", "saturation", "sepia",
            "posterize", "pixelate", "crossfade", "feedback", "fire",
-           "kaleidoscope", "solarize", "blend_screen"]
+           "kaleidoscope", "solarize", "blend_screen",
+           "warptv", "textfun", "dissolve", "iris_rectangle",
+           "compositor", "scribbler", "template_tracker",
+           "image_stabilizer", "data_counter", "nn_programmer"]
 
 PATHS = [
     ("/video/play", lambda r: ()),
@@ -66,6 +69,8 @@ PATHS = [
     ("/lives/mode/set", lambda r: (r.randint(0, 1),)),
     ("/lives/constant/value/get",
      lambda r: ("LIVES_STATUS_PLAYING",)),
+    ("/rfx/list", lambda r: ()),
+    ("/rfx/params/get", lambda r: (r.choice(["blur", "negate", "sepia"]),)),
     ("/output/fullscreen/enable", lambda r: ()),
     ("/output/nodrop/disable", lambda r: ()),
     ("/output/fps/set", lambda r: (r.uniform(1, 60),)),
