@@ -35,19 +35,38 @@ def _stateful(name, process, init_state, params=(), desc=""):
 # -- rgb_delay ---------------------------------------------------------------
 
 def _rgbdelay_init(w, h, pal):
-    return jnp.zeros((MAX_DELAY, 3, h, w), jnp.float32)
+    # rotating ring: u8 slots (delayed frames ARE u8 content — RGBdelay.c
+    # keeps u8 copies) + an int32 head. A full-f32 ring rebuilt by
+    # concatenate cost ~760 MB of HBM traffic PER FRAME at 1080p and
+    # dominated the stateful scan path; the rotating u8 write is O(one
+    # slot) and lets XLA alias the carried buffer in lax.scan.
+    return {"ring": jnp.zeros((MAX_DELAY, 3, h, w), jnp.uint8),
+            "head": jnp.int32(0)}
 
 
 def _rgbdelay_process(ins, p, ctx, state):
+    import jax
     lay = ins[0]
     a = to_f01(lay)
     rgb, al = split_alpha(a)
-    ring = jnp.concatenate([rgb[None], state[:-1]], 0)
+    head = state["head"]
+    cur_u8 = jnp.clip(jnp.floor(rgb * 255.0 + 0.5), 0, 255) \
+        .astype(jnp.int32).astype(jnp.uint8)
+    ring = jax.lax.dynamic_update_index_in_dim(state["ring"], cur_u8,
+                                               head, 0)
     dr = jnp.clip(p["delay_r"], 0, MAX_DELAY - 1).astype(jnp.int32)
     dg = jnp.clip(p["delay_g"], 0, MAX_DELAY - 1).astype(jnp.int32)
     db = jnp.clip(p["delay_b"], 0, MAX_DELAY - 1).astype(jnp.int32)
-    out = jnp.stack([ring[dr, 0], ring[dg, 1], ring[db, 2]])
-    return from_f01(join_alpha(out, al), lay), ring
+
+    def chan(d, c):
+        idx = (head - d) % MAX_DELAY  # d frames ago
+        return jax.lax.dynamic_index_in_dim(
+            ring, idx, 0, keepdims=False)[c] \
+            .astype(jnp.int32).astype(jnp.float32) * np.float32(1 / 255.0)
+
+    out = jnp.stack([chan(dr, 0), chan(dg, 1), chan(db, 2)])
+    new_state = {"ring": ring, "head": (head + 1) % MAX_DELAY}
+    return from_f01(join_alpha(out, al), lay), new_state
 
 
 _stateful("rgb_delay", _rgbdelay_process, _rgbdelay_init,
@@ -196,19 +215,27 @@ NERVOUS_DEPTH = 8
 
 
 def _nervous_init(w, h, pal):
-    return jnp.zeros((NERVOUS_DEPTH, 3, h, w), jnp.float32)
+    # rotating u8 ring (see _rgbdelay_init: O(one slot) write per frame)
+    return {"ring": jnp.zeros((NERVOUS_DEPTH, 3, h, w), jnp.uint8),
+            "head": jnp.int32(0)}
 
 
 def _nervous_process(ins, p, ctx, state):
     lay = ins[0]
     a = to_f01(lay)
     rgb, al = split_alpha(a)
-    ring = jnp.concatenate([rgb[None], state[:-1]], 0)
+    head = state["head"]
+    cur_u8 = jnp.clip(jnp.floor(rgb * 255.0 + 0.5), 0, 255) \
+        .astype(jnp.int32).astype(jnp.uint8)
+    ring = jax.lax.dynamic_update_index_in_dim(state["ring"], cur_u8,
+                                               head, 0)
     key = jax.random.fold_in(jax.random.PRNGKey(1234),
                              jnp.asarray(ctx.frame, jnp.int32))
     idx = jax.random.randint(key, (), 0, NERVOUS_DEPTH)
-    out = ring[idx]
-    return from_f01(join_alpha(out, al), lay), ring
+    out = jax.lax.dynamic_index_in_dim(ring, idx, 0, keepdims=False) \
+        .astype(jnp.int32).astype(jnp.float32) * np.float32(1 / 255.0)
+    new_state = {"ring": ring, "head": (head + 1) % NERVOUS_DEPTH}
+    return from_f01(join_alpha(out, al), lay), new_state
 
 
 _stateful("nervous", _nervous_process, _nervous_init,

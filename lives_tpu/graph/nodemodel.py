@@ -318,11 +318,46 @@ class FrameGraph:
                 full_spec, T_src, B, getattr(source, "h", 0),
                 getattr(source, "w", 0), rows_key, self.fps, source,
                 self.sink)
-        # pallas composite: fuse the coordinate-free prefix of the chain
-        # into one VMEM-tile kernel (XLA splits long many-input chains into
-        # several full-res materialisations)
+        # stateful chains: fuse generation + the stateless PREFIX into one
+        # sweep kernel emitting a float comp, then scan only the stateful
+        # remainder over it — the track frames never materialise, which is
+        # the dominant traffic of the scan path (measured 12.8x -> see
+        # benchmarks/render_stateful.py)
         npre = 0
         comp_builder = None
+        pre_sweep = None
+        if (self.has_stateful and source is not None and not layers
+                and _os2.environ.get("LIVES_TPU_FUSED_SWEEP", "1") != "0"
+                and hasattr(source, "traced_tile")):
+            from ..effects.host import FILTER_STATEFUL
+            from .pallas_composite import (COORD_SAFE, PALLAS_SAFE,
+                                           _stencil_fns, build_fused_sweep)
+            safe = PALLAS_SAFE | COORD_SAFE | set(_stencil_fns())
+            pre_n = 0
+            for inst in self.chain:
+                if not inst.enabled:
+                    pre_n += 1
+                    continue
+                if (inst.filter.flags & FILTER_STATEFUL
+                        or inst.filter.name not in safe):
+                    break
+                pre_n += 1
+            # the scanned remainder reads only the comp (track 0)
+            tail_ok = all(
+                tuple(inst.in_tracks[: inst.filter.n_in]) in ((), (0,))
+                for inst in self.chain[pre_n:] if inst.enabled)
+            if pre_n >= 1 and tail_ok:
+                pre_spec = []
+                for inst in self.chain[:pre_n]:
+                    static, _ = _split_params(inst)
+                    pre_spec.append((inst.filter, static, inst.in_tracks,
+                                     inst.out_tracks, inst.enabled))
+                pre_sweep = build_fused_sweep(
+                    pre_spec, src_dev.shape[1], B,
+                    getattr(source, "h", 0), getattr(source, "w", 0),
+                    rows_key, self.fps, source, self.sink, emit="comp")
+                if pre_sweep is not None:
+                    npre = pre_n
         if (fused is None and not self.has_stateful
                 and _os2.environ.get("LIVES_TPU_PALLAS_COMPOSITE") == "1"):
             from .pallas_composite import (build_composite, splittable_prefix,
@@ -364,7 +399,7 @@ class FrameGraph:
                     if comp_builder is None:
                         npre = 0
         key = ("batch", self._config_key(layers), self.has_stateful,
-               rows_key, npre, fused is not None,
+               rows_key, npre, fused is not None, pre_sweep is not None,
                _os2.environ.get("LIVES_TPU_SWEEP_TILE", ""),
                source.source_key() if source is not None else None,
                tuple(src_dev.shape) if src_dev is not None else None)
@@ -406,8 +441,15 @@ class FrameGraph:
                                        for t in range(T)]
 
             if self.has_stateful:
-                def batch_fn(layers, src, packed, states):
-                    layers = materialise(layers, src)
+                def batch_fn(layers, src, packed, states, _pre=pre_sweep):
+                    if _pre is not None:
+                        # generation + stateless prefix: one sweep kernel,
+                        # float comp out; scan only the stateful remainder
+                        comp = _pre(src, packed)
+                        layers = [Layer(planes=(comp,),
+                                        palette=int(Palette.RGBFLOAT))]
+                    else:
+                        layers = materialise(layers, src)
                     def step(states, per_frame):
                         lyrs, col = per_frame
                         out, ns = one(lyrs, col, states)

@@ -207,7 +207,7 @@ def sweep_supported(H: int, W: int) -> bool:
 
 
 def build_fused_sweep(chain_spec, n_tracks: int, B: int, H: int, W: int,
-                      rows_key, fps: float, source, sink):
+                      rows_key, fps: float, source, sink, emit: str = "u8"):
     """Single-sweep plan template: in-kernel source generation + the entire
     effect chain + sink quantisation, one pallas kernel per frame chunk —
     HBM traffic is the u8 output write only.
@@ -234,6 +234,12 @@ def build_fused_sweep(chain_spec, n_tracks: int, B: int, H: int, W: int,
     fn(src_ids (2,T,B) int32, packed (P+2,B) f32) -> (B,3,H,W) uint8,
     or None when the chain/sink/source does not qualify.
 
+    `emit="comp"` builds a PREFIX kernel instead: no sink step, the band
+    is stored as a float comp (bf16 by default, f32 under
+    LIVES_TPU_CHAIN_DTYPE=f32) — run_batch uses this to fuse generation +
+    the stateless prefix of a STATEFUL chain into one kernel, then scans
+    only the stateful remainder over the comp.
+
     Halo semantics: generation coordinates are clamped to the frame, which
     reproduces the XLA path's edge padding exactly (all ops upstream of a
     stencil are pointwise, so edge-replicating their inputs equals
@@ -247,12 +253,17 @@ def build_fused_sweep(chain_spec, n_tracks: int, B: int, H: int, W: int,
     if source is None or not hasattr(source, "traced_tile") \
             or getattr(source, "alpha", False):
         return None
-    if sink.palette != Palette.RGB24 or sink.letterbox:
-        return None
-    if sink.width not in (0, W) or sink.height not in (0, H):
-        return None
-    if sink.gamma != Gamma.SRGB:  # synthetic layers are SRGB-tagged
-        return None
+    comp_dt = None
+    if emit == "comp":
+        comp_dt = jnp.float32 if os.environ.get(
+            "LIVES_TPU_CHAIN_DTYPE") == "f32" else jnp.bfloat16
+    else:
+        if sink.palette != Palette.RGB24 or sink.letterbox:
+            return None
+        if sink.width not in (0, W) or sink.height not in (0, H):
+            return None
+        if sink.gamma != Gamma.SRGB:  # synthetic layers are SRGB-tagged
+            return None
     stencils = _stencil_fns()
     plan: list[tuple] = []
     R = 0
@@ -353,9 +364,13 @@ def build_fused_sweep(chain_spec, n_tracks: int, B: int, H: int, W: int,
                 out = filt.process(fx_ins, params, ctx)
                 layers[out_tr[0]] = out
         arr = layers[0].planes[0]
-        u8 = jnp.clip(jnp.floor(arr * np.float32(255.0) + np.float32(0.5)),
-                      0, 255).astype(jnp.int32).astype(jnp.uint8)
-        out_ref[...] = u8[None]
+        if comp_dt is not None:  # prefix kernel: float comp out, no sink
+            out_ref[...] = arr.astype(comp_dt)[None]
+        else:
+            u8 = jnp.clip(jnp.floor(arr * np.float32(255.0)
+                                    + np.float32(0.5)),
+                          0, 255).astype(jnp.int32).astype(jnp.uint8)
+            out_ref[...] = u8[None]
 
     def run(src_ids, packed):
         """Traceable: src_ids (2,T,B) int32, packed (P+2,B) f32."""
@@ -372,7 +387,8 @@ def build_fused_sweep(chain_spec, n_tracks: int, B: int, H: int, W: int,
             ],
             out_specs=pl.BlockSpec((1, 3, TH, W), lambda b, i: (b, 0, i, 0),
                                    memory_space=pltpu.VMEM),
-            out_shape=jax.ShapeDtypeStruct((B, 3, H, W), jnp.uint8),
+            out_shape=jax.ShapeDtypeStruct(
+                (B, 3, H, W), comp_dt if comp_dt is not None else jnp.uint8),
             scratch_shapes=scratch_shapes,
             interpret=interpret,
             **({} if interpret else {"compiler_params": pltpu.CompilerParams(

@@ -1,0 +1,85 @@
+"""Stateful-chain prefix sweep: generation + the stateless prefix fuse
+into one pallas kernel (float comp out); only the stateful remainder
+scans. Parity vs the pure-XLA scan path (CPU interpret mode; the
+real-TPU run is exercised by benchmarks/render_stateful.py)."""
+
+import os
+
+import numpy as np
+import pytest
+
+from lives_tpu.effects import instantiate
+from lives_tpu.graph import SinkSpec
+from lives_tpu.graph.nodemodel import FrameGraph
+from lives_tpu.scenes import DeviceSyntheticSource
+
+
+def _chain():
+    chain = [instantiate("crossfade", amount=0.6),
+             instantiate("vignette", amount=0.5),
+             instantiate("rgb_delay", delay_r=0.0, delay_g=1.0,
+                         delay_b=2.0),
+             instantiate("saturation", saturation=1.2)]
+    chain[0].in_tracks = (0, 1)
+    return chain
+
+
+def _run(fused: bool, B=6, H=48, W=256, chunks=2):
+    env = {"LIVES_TPU_PALLAS_INTERPRET": "1" if fused else "0",
+           "LIVES_TPU_FUSED_SWEEP": "1" if fused else "0",
+           "LIVES_TPU_CHAIN_DTYPE": "f32"}
+    old = {k: os.environ.get(k) for k in env}
+    os.environ.update(env)
+    try:
+        src = DeviceSyntheticSource(H, W)
+        g = FrameGraph(_chain(), SinkSpec(width=W, height=H), fps=25.0)
+        outs = []
+        for c in range(chunks):
+            ids = np.zeros((2, 2, B), np.int32)
+            ids[0, 0], ids[0, 1] = 1, 2
+            ids[1] = np.arange(B) + c * B
+            tcs = (np.arange(B) + c * B).astype(np.float32) / 25.0
+            frames = (np.arange(B) + c * B).astype(np.int32)
+            out = g.run_batch([], tcs, frames, source=src, src_args=ids)
+            outs.append(np.asarray(out.planes[0]))
+    finally:
+        for k, v in old.items():
+            if v is None:
+                os.environ.pop(k, None)
+            else:
+                os.environ[k] = v
+    return np.concatenate(outs)
+
+
+def test_stateful_prefix_sweep_parity():
+    ref = _run(fused=False)
+    out = _run(fused=True)
+    assert out.shape == ref.shape
+    diff = np.abs(out.astype(int) - ref.astype(int))
+    assert diff.max() <= 1, f"max diff {diff.max()}"
+
+
+def test_prefix_engages():
+    """The prefix sweep template actually builds for this chain (guards
+    against a silent fallback to the materialise path)."""
+    from lives_tpu.graph import nodemodel
+    from lives_tpu.graph.pallas_composite import build_fused_sweep
+    src = DeviceSyntheticSource(48, 256)
+    chain = _chain()
+    spec = []
+    from lives_tpu.graph.nodemodel import _split_params
+    for inst in chain[:2]:
+        static, _ = _split_params(inst)
+        spec.append((inst.filter, static, inst.in_tracks,
+                     inst.out_tracks, inst.enabled))
+    os.environ["LIVES_TPU_PALLAS_INTERPRET"] = "1"
+    try:
+        fn = build_fused_sweep(spec, 2, 4, 48, 256, (), 25.0, src,
+                               SinkSpec(width=256, height=48), emit="comp")
+        assert fn is not None
+        comp = fn(np.zeros((2, 2, 4), np.int32),
+                  np.zeros((2, 4), np.float32))
+        assert comp.shape == (4, 3, 48, 256)
+        assert str(comp.dtype) in ("bfloat16", "float32")
+    finally:
+        os.environ.pop("LIVES_TPU_PALLAS_INTERPRET", None)
