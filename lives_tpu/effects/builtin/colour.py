@@ -61,10 +61,14 @@ _rgb_filter("saturation", _saturation,
 
 
 def _hue_rotate(rgb, p, c):
-    """Rotate hue by angle (YIQ-space rotation, constant-luma)."""
+    """Rotate hue by angle (YIQ-space rotation, constant-luma).
+
+    Channel-wise scalar coefficients, NOT an einsum with a traced-scalar
+    matrix: Mosaic (pallas) rejects captured-const einsums and traced-
+    scalar stacking (the sepia lesson, PERF_NOTES.md), and XLA fuses both
+    forms identically — this form runs inside the fused sweep."""
     th = p["angle"] * np.float32(2.0 * np.pi)
     cs, sn = jnp.cos(th), jnp.sin(th)
-    # standard hue-rotation matrix decomposition
     m0 = np.array([[0.213, 0.715, 0.072]] * 3, np.float32)
     m1 = np.array([[0.787, -0.715, -0.072],
                    [-0.213, 0.285, -0.072],
@@ -72,8 +76,13 @@ def _hue_rotate(rgb, p, c):
     m2 = np.array([[-0.213, -0.715, 0.928],
                    [0.143, 0.140, -0.283],
                    [-0.787, 0.715, 0.072]], np.float32)
-    m = jnp.asarray(m0) + cs * jnp.asarray(m1) + sn * jnp.asarray(m2)
-    return jnp.einsum("ij,jhw->ihw", m, rgb)
+    r, g, b = rgb[0], rgb[1], rgb[2]
+    chans = []
+    for i in range(3):
+        coef = [np.float32(m0[i, j]) + cs * np.float32(m1[i, j])
+                + sn * np.float32(m2[i, j]) for j in range(3)]
+        chans.append(coef[0] * r + coef[1] * g + coef[2] * b)
+    return jnp.stack(chans)
 
 
 _rgb_filter("hue_rotate", _hue_rotate,
@@ -214,12 +223,16 @@ _rgb_filter("white_balance", _white_balance,
 
 def _colour_replace(rgb, p, c):
     """colour_replace.script: pixels within `tolerance` of (red,green,blue)
-    become (red2,green2,blue2) (ImageMagick -opaque with -fuzz)."""
-    src = jnp.stack([p["red"], p["green"], p["blue"]])[:, None, None]
-    dst = jnp.stack([p["red2"], p["green2"], p["blue2"]])[:, None, None]
-    dist = jnp.sqrt(((rgb - src) ** 2).sum(0) / 3.0)
-    m = (dist <= p["tolerance"]).astype(jnp.float32)[None]
-    return rgb * (1.0 - m) + dst * m
+    become (red2,green2,blue2) (ImageMagick -opaque with -fuzz).
+    Channel-wise (no traced-scalar stacking) so it runs in the fused
+    sweep."""
+    d2 = ((rgb[0] - p["red"]) ** 2 + (rgb[1] - p["green"]) ** 2
+          + (rgb[2] - p["blue"]) ** 2) * np.float32(1.0 / 3.0)
+    m = (jnp.sqrt(d2) <= p["tolerance"]).astype(jnp.float32)
+    inv = 1.0 - m
+    return jnp.stack([rgb[0] * inv + p["red2"] * m,
+                      rgb[1] * inv + p["green2"] * m,
+                      rgb[2] * inv + p["blue2"] * m])
 
 
 _rgb_filter("colour_replace", _colour_replace,

@@ -58,7 +58,7 @@ PALLAS_SAFE = {
     "colour_balance", "levels", "greyscale", "sepia", "posterize",
     "solarize", "threshold", "softlight", "tint",
     "chroma_blend", "luma_overlay", "luma_underlay",
-    "negative_luma_overlay",
+    "negative_luma_overlay", "hue_rotate", "modulate", "colour_replace",
 }
 
 
