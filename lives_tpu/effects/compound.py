@@ -24,10 +24,14 @@ class Export:
 
 def make_compound(name: str, steps: Sequence[tuple[str, dict]],
                   description: str = "",
-                  connections: Sequence[tuple] = ()) -> Filter:
+                  connections: Sequence[tuple] = (),
+                  extra_params: Sequence[Param] = ()) -> Filter:
     """steps: [(filter_name, {param: value | Export("exposed_name")})].
 
     Values fix sub-params; Export(...) re-exports them on the compound.
+
+    `extra_params`: additional compound-level params readable by
+    connection transforms (e.g. a gain the transform scales by).
 
     `connections`: internal out-param -> in-param wiring, the reference
     compound format's param links (e.g. plugins/effects/compound/
@@ -49,7 +53,8 @@ def make_compound(name: str, steps: Sequence[tuple[str, dict]],
                                       src.min, src.max, src.choices))
                 export_map.append((i, pname, v.name))
 
-    stateful = any(f.flags & FILTER_STATEFUL for f in sub_filters)
+    stateful = any(f.flags & FILTER_STATEFUL for f in sub_filters) \
+        or bool(sub_filters[-1].out_params)
     n_in = max(f.n_in for f in sub_filters)
     in_channels = sub_filters[0].in_channels if n_in <= 1 else \
         max((f.in_channels for f in sub_filters), key=len)
@@ -60,6 +65,10 @@ def make_compound(name: str, steps: Sequence[tuple[str, dict]],
         if ds <= ss:
             raise ValueError("connections must feed forward (src < dst)")
         sub_filters[ds].param(inn)  # validate destination
+        if not any(q.name == on for q in sub_filters[ss].out_params):
+            raise ValueError(
+                f"{name}: step {ss} ({sub_filters[ss].name}) has no "
+                f"out-param {on!r}")
 
     def _sub_params(i: int, params: dict, outs=None,
                     ctx=None) -> dict:
@@ -114,7 +123,7 @@ def make_compound(name: str, steps: Sequence[tuple[str, dict]],
         name=name,
         process=process_stateful if stateful else process_stateless,
         in_channels=in_channels,
-        params=tuple(exported),
+        params=tuple(exported) + tuple(extra_params),
         out_params=sub_filters[-1].out_params if stateful else (),
         flags=FILTER_STATEFUL if stateful else 0,
         init_state=init_state if stateful else None,
@@ -160,16 +169,9 @@ def register_builtin_compounds():
          lambda v, p, c: -v * 8.0 * p["strength"] / max(c.width, 1)),
         (1, "o1", 2, "dy",
          lambda v, p, c: -v * 8.0 * p["strength"] / max(c.height, 1)),
-    ], description="counter-shift accumulated motion "
+    ], extra_params=(Param("strength", "num", 1.0, 0.0, 4.0),),
+       description="counter-shift accumulated motion "
                    "(compound/image_stabilizer)")
-    # expose strength on the stabilizer (transform reads params[])
-    from .host import _REGISTRY as _R, Param as _Param
-    stab = _R["image_stabilizer"]
-    _R["image_stabilizer"] = Filter(
-        **{**{f.name: getattr(stab, f.name)
-              for f in __import__("dataclasses").fields(stab)},
-           "params": stab.params
-           + (_Param("strength", "num", 1.0, 0.0, 4.0),)})
     # plugins/effects/compound/neural_net: unpack -> evolving net -> sigmoid
     make_compound("neural_net", [
         ("data_unpacker", {"in0": Export("a"), "in1": Export("b"),

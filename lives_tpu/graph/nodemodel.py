@@ -297,71 +297,35 @@ class FrameGraph:
                         and self.states[i] is None
                         and inst.filter.init_state is not None):
                     self.states[i] = inst.filter.init_state(w0, h0, pal0)
-        # fused sweep: when every track is generated in-template and the
-        # whole chain + sink qualifies, the ENTIRE plan collapses into ONE
-        # pallas kernel — in-VMEM generation, chain, stencils, quantise;
-        # HBM traffic is the output write only (measured ~98x realtime for
-        # the 10-track 1080p30 driver config vs ~20x for the XLA path)
+        # Eligibility for the pallas fusion paths is computed CHEAPLY here
+        # (it is part of the template key); the kernels themselves are only
+        # built on a cache miss — building a sweep closure per chunk would
+        # waste the single host core (CLAUDE.md). Build success is a
+        # deterministic function of the key'd config, so key-on-candidate
+        # is sound.
         import os as _os2
-        fused = None
-        if (not self.has_stateful and source is not None and not layers
-                and _os2.environ.get("LIVES_TPU_FUSED_SWEEP", "1") != "0"
-                and hasattr(source, "traced_tile")):
-            from .pallas_composite import build_fused_sweep
-            full_spec = []
-            for inst in self.chain:
-                static, _ = _split_params(inst)
-                full_spec.append((inst.filter, static, inst.in_tracks,
-                                  inst.out_tracks, inst.enabled))
-            T_src = src_dev.shape[1]
-            fused = build_fused_sweep(
-                full_spec, T_src, B, getattr(source, "h", 0),
-                getattr(source, "w", 0), rows_key, self.fps, source,
-                self.sink)
-        # stateful chains: fuse generation + the stateless PREFIX into one
-        # sweep kernel emitting a float comp, then scan only the stateful
-        # remainder over it — the track frames never materialise, which is
-        # the dominant traffic of the scan path (measured 12.8x -> see
-        # benchmarks/render_stateful.py)
-        npre = 0
-        comp_builder = None
-        pre_sweep = None
-        if (self.has_stateful and source is not None and not layers
-                and _os2.environ.get("LIVES_TPU_FUSED_SWEEP", "1") != "0"
-                and hasattr(source, "traced_tile")):
-            from ..effects.host import FILTER_STATEFUL
-            from .pallas_composite import (COORD_SAFE, PALLAS_SAFE,
-                                           _stencil_fns, build_fused_sweep)
-            safe = PALLAS_SAFE | COORD_SAFE | set(_stencil_fns())
-            pre_n = 0
-            for inst in self.chain:
-                if not inst.enabled:
-                    pre_n += 1
-                    continue
-                if (inst.filter.flags & FILTER_STATEFUL
-                        or inst.filter.name not in safe):
-                    break
-                pre_n += 1
-            # the scanned remainder reads only the comp (track 0)
+        from .pallas_composite import sweep_prefix_len
+        sweep_env = _os2.environ.get("LIVES_TPU_FUSED_SWEEP", "1") != "0"
+        sweepable_src = (source is not None and not layers and sweep_env
+                         and hasattr(source, "traced_tile"))
+        fused_eligible = sweepable_src and not self.has_stateful
+        # stateful chains: generation + the stateless PREFIX fuse into one
+        # sweep kernel emitting a float comp; only the stateful remainder
+        # scans (track frames never materialise — see
+        # benchmarks/render_stateful.py, 12.8x -> 133x)
+        pre_n = 0
+        if sweepable_src and self.has_stateful:
+            cand = sweep_prefix_len(self.chain)
             tail_ok = all(
                 tuple(inst.in_tracks[: inst.filter.n_in]) in ((), (0,))
-                for inst in self.chain[pre_n:] if inst.enabled)
-            if pre_n >= 1 and tail_ok:
-                pre_spec = []
-                for inst in self.chain[:pre_n]:
-                    static, _ = _split_params(inst)
-                    pre_spec.append((inst.filter, static, inst.in_tracks,
-                                     inst.out_tracks, inst.enabled))
-                pre_sweep = build_fused_sweep(
-                    pre_spec, src_dev.shape[1], B,
-                    getattr(source, "h", 0), getattr(source, "w", 0),
-                    rows_key, self.fps, source, self.sink, emit="comp")
-                if pre_sweep is not None:
-                    npre = pre_n
-        if (fused is None and not self.has_stateful
+                for inst in self.chain[cand:] if inst.enabled)
+            if cand >= 1 and tail_ok:
+                pre_n = cand
+        comp_n = 0
+        comp_geo = None
+        if (not sweepable_src and not self.has_stateful
                 and _os2.environ.get("LIVES_TPU_PALLAS_COMPOSITE") == "1"):
-            from .pallas_composite import (build_composite, splittable_prefix,
-                                           supported)
+            from .pallas_composite import splittable_prefix, supported
             if source is not None:
                 gh, gw = getattr(source, "h", 0), getattr(source, "w", 0)
                 u8_ok = not getattr(source, "alpha", False)
@@ -374,36 +338,66 @@ class FrameGraph:
                 gh = gw = 0
                 u8_ok = False
             if u8_ok and supported(gh, gw):
-                npre = splittable_prefix(self.chain)
-                if npre >= 3:
-                    prefix_spec = []
-                    maxtrack = 0
-                    # clamp missing tracks to the front layer, matching
-                    # apply_instance's short-stack fallback (a 2-in filter
-                    # on a 1-track config must not make the kernel index a
-                    # track that does not exist)
-                    n_avail = len(layers) if layers else None
-                    for inst in self.chain[:npre]:
-                        static, _ = _split_params(inst)
-                        in_tr = tuple(
-                            t if n_avail is None or t < n_avail else 0
-                            for t in inst.in_tracks)
-                        prefix_spec.append((inst.filter, static,
-                                            in_tr, inst.out_tracks,
-                                            inst.enabled))
-                        maxtrack = max([maxtrack, *in_tr])
-                    comp_tracks = maxtrack + 1
-                    comp_builder = build_composite(
-                        prefix_spec, comp_tracks, B, gh, gw, rows_key,
-                        self.fps)
-                    if comp_builder is None:
-                        npre = 0
+                cand = splittable_prefix(self.chain)
+                if cand >= 3:
+                    comp_n = cand
+                    comp_geo = (gh, gw)
         key = ("batch", self._config_key(layers), self.has_stateful,
-               rows_key, npre, fused is not None, pre_sweep is not None,
+               rows_key, fused_eligible, pre_n, comp_n,
                _os2.environ.get("LIVES_TPU_SWEEP_TILE", ""),
                source.source_key() if source is not None else None,
                tuple(src_dev.shape) if src_dev is not None else None)
         tmpl = self._templates.get(key)
+        npre = 0
+        fused = None
+        pre_sweep = None
+        comp_builder = None
+        comp_tracks = 0
+        if tmpl is None:
+            # build the fusion kernels now (cache miss only)
+            def _spec(chain):
+                out = []
+                for inst in chain:
+                    static, _ = _split_params(inst)
+                    out.append((inst.filter, static, inst.in_tracks,
+                                inst.out_tracks, inst.enabled))
+                return out
+
+            from .pallas_composite import build_fused_sweep
+            if fused_eligible:
+                fused = build_fused_sweep(
+                    _spec(self.chain), src_dev.shape[1], B,
+                    getattr(source, "h", 0), getattr(source, "w", 0),
+                    rows_key, self.fps, source, self.sink)
+            if pre_n:
+                pre_sweep = build_fused_sweep(
+                    _spec(self.chain[:pre_n]), src_dev.shape[1], B,
+                    getattr(source, "h", 0), getattr(source, "w", 0),
+                    rows_key, self.fps, source, self.sink, emit="comp")
+                if pre_sweep is not None:
+                    npre = pre_n
+            if comp_n:
+                from .pallas_composite import build_composite
+                gh, gw = comp_geo
+                n_avail = len(layers) if layers else None
+                prefix_spec = []
+                maxtrack = 0
+                # clamp missing tracks to the front layer, matching
+                # apply_instance's short-stack fallback
+                for (filt, static, in_tr, out_tr, enabled) \
+                        in _spec(self.chain[:comp_n]):
+                    in_tr = tuple(
+                        t if n_avail is None or t < n_avail else 0
+                        for t in in_tr)
+                    prefix_spec.append((filt, static, in_tr, out_tr,
+                                        enabled))
+                    maxtrack = max([maxtrack, *in_tr])
+                comp_tracks = maxtrack + 1
+                comp_builder = build_composite(
+                    prefix_spec, comp_tracks, B, gh, gw, rows_key,
+                    self.fps)
+                if comp_builder is not None:
+                    npre = comp_n
         if tmpl is None and fused is not None:
             sink_gamma = self.sink.gamma
 

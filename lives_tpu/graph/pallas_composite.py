@@ -396,3 +396,23 @@ def build_fused_sweep(chain_spec, n_tracks: int, B: int, H: int, W: int,
         )(packed, ids)
 
     return run
+
+
+def sweep_prefix_len(chain: Sequence[Instance]) -> int:
+    """Length of the leading run of enabled STATELESS sweep-safe effects
+    (pointwise + coord + stencils) — the fusable prefix of a stateful
+    chain (nodemodel's prefix sweep). The single source of truth for
+    what the sweep kernel accepts; build_fused_sweep re-validates track
+    wiring and returns None for anything this over-approximates."""
+    from ..effects.host import FILTER_STATEFUL
+    safe = PALLAS_SAFE | COORD_SAFE | set(_stencil_fns())
+    n = 0
+    for inst in chain:
+        if not inst.enabled:
+            n += 1
+            continue
+        if (inst.filter.flags & FILTER_STATEFUL
+                or inst.filter.name not in safe):
+            break
+        n += 1
+    return n

@@ -143,16 +143,18 @@ let curKey=1;
 async function loadRfx(){
  const r=await (await fetch('/api/cmd',{method:'POST',
    body:JSON.stringify({path:'/rfx/list',args:[]})})).json();
+ if(!r.ok||!r.ret)return;
  const sel=document.getElementById('rfx');
- (r.ret||'').split(' ').forEach((n)=>{
+ r.ret.split(' ').filter(Boolean).forEach((n)=>{
   const o=document.createElement('option'); o.value=n; o.textContent=n;
   sel.appendChild(o);});
 }
 async function applyRfx(){
  const n=document.getElementById('rfx').value;
+ if(!n)return;
  const r=await (await fetch('/api/cmd',{method:'POST',
    body:JSON.stringify({path:'/rfx/apply',args:[n]})})).json();
- if(!r.ok)alert(r.error);
+ if(!r.ok)alert(r.error); else refresh();
 }
 loadRfx();
 async function cmd(path,args){

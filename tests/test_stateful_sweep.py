@@ -83,3 +83,36 @@ def test_prefix_engages():
         assert str(comp.dtype) in ("bfloat16", "float32")
     finally:
         os.environ.pop("LIVES_TPU_PALLAS_INTERPRET", None)
+
+
+def _run_dt(fused: bool, dtype: str):
+    env = {"LIVES_TPU_PALLAS_INTERPRET": "1" if fused else "0",
+           "LIVES_TPU_FUSED_SWEEP": "1" if fused else "0",
+           "LIVES_TPU_CHAIN_DTYPE": dtype}
+    old = {k: os.environ.get(k) for k in env}
+    os.environ.update(env)
+    try:
+        src = DeviceSyntheticSource(48, 256)
+        g = FrameGraph(_chain(), SinkSpec(width=256, height=48), fps=25.0)
+        ids = np.zeros((2, 2, 6), np.int32)
+        ids[0, 0], ids[0, 1] = 1, 2
+        ids[1] = np.arange(6)
+        out = g.run_batch([], np.arange(6, dtype=np.float32) / 25.0,
+                          np.arange(6, dtype=np.int32),
+                          source=src, src_args=ids)
+        return np.asarray(out.planes[0])
+    finally:
+        for k, v in old.items():
+            if v is None:
+                os.environ.pop(k, None)
+            else:
+                os.environ[k] = v
+
+
+def test_stateful_prefix_sweep_bf16_envelope():
+    """The PRODUCTION default emits a bf16 comp; drift vs the bf16 XLA
+    path must stay within the documented bf16 envelope (<=4 LSB)."""
+    ref = _run_dt(fused=False, dtype="bf16")
+    out = _run_dt(fused=True, dtype="bf16")
+    diff = np.abs(out.astype(int) - ref.astype(int))
+    assert diff.max() <= 4, f"bf16 drift {diff.max()}"
