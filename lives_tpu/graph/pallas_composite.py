@@ -186,7 +186,8 @@ def _pick_sweep_tile(H: int) -> int | None:
     LIVES_TPU_SWEEP_TILE overrides for tuning."""
     import os
     forced = int(os.environ.get("LIVES_TPU_SWEEP_TILE", 0))
-    if forced and H % forced == 0:
+    # Mosaic block rows must be multiples of 8 (or span the array)
+    if forced and H % forced == 0 and (forced % 8 == 0 or forced == H):
         return forced
     for th in (40, 48, 36, 32, 30, 24, 20, 16, 12, 10, 8):
         if H % th == 0:

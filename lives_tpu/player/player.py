@@ -101,13 +101,13 @@ class KeyMap:
     REF_FILTER_MAP = {
         "rotozoom": "rotozoom", "lifetv": "life", "firetv": "fire",
         "blurzoom": "blurzoom", "mirror": "mirror", "kaleidoscope":
-        "kaleidoscope", "rippletv": "ripple", "warptv": "ripple",
+        "kaleidoscope", "rippletv": "ripple", "warptv": "warptv",
         "negat": "negate", "posterise": "posterize", "posterize":
         "posterize", "blur": "gaussian_blur", "vertigo": "vertigo",
         "edge": "edge", "rgbdelay": "rgb_delay", "noise":
         "noise", "plasma": "plasma", "bump2d": "bump2d", "bump": "lens",
         "onedtv": "onedtv",
-        "nervous": "nervous", "textfun": "livetext", "colorkey":
+        "nervous": "nervous", "textfun": "textfun", "colorkey":
         "chroma_key",
         # simple_blend.c modes
         "negative luma overlay": "luma_key", "luma overlay": "luma_key",
@@ -121,8 +121,8 @@ class KeyMap:
         "blend_difference": "blend_difference",
         # other plugin families
         "slide_over": "slide_over", "tvpic": "tvpic",
-        "puretext": "livetext", "scribbler": "livetext",
-        "videowall": "videowall", "compositor": "grid4",
+        "puretext": "livetext", "scribbler": "scribbler",
+        "videowall": "videowall", "compositor": "compositor",
     }
 
     def load_reference_keymap(self, path) -> int:
