@@ -332,3 +332,23 @@ def test_in_template_generator_parity_random():
         np.testing.assert_array_equal(
             np.asarray(out.planes[0]), np.asarray(ref.planes[0]),
             err_msg=f"{name} frame {n} fps {fps}")
+
+
+def test_generator_clip_transcode_with_audio(tmp_path):
+    """e2e: generator video + fourKlives audio -> transcode -> the encoded
+    file carries both streams (exercises GeneratorClip.read_audio through
+    the real encode path)."""
+    import pytest
+    from lives_tpu.io.av import load_avbridge
+    if load_avbridge() is None:
+        pytest.skip("libav unavailable")
+    from lives_tpu.io.decoders import try_decoders
+    from lives_tpu.io.genclip import GeneratorClip
+    from lives_tpu.transcode import transcode
+    clip = GeneratorClip("plasma", 128, 96, fps=25.0, frames=20,
+                         audio_source=FourKLives(rate=22050))
+    out = str(tmp_path / "gen.mkv")
+    assert transcode(clip, out, encoder="av", include_audio=True)
+    cd = try_decoders(out)
+    assert cd is not None and cd.nframes >= 18
+    assert cd.achans >= 1 and cd.arate > 0
