@@ -129,3 +129,92 @@ def _relayout_images(clip: Clip, idx: np.ndarray, new_order: list[int],
         tmp.append((t, dst))
     for t, dst in tmp:
         os.rename(t, dst)
+
+
+def merge_clipboard(clip: Clip, cb: Clipboard, transition: str = "crossfade",
+                    start: int = 0, end: int | None = None,
+                    ramp: tuple[float, float] = (0.0, 1.0),
+                    with_audio: bool = True, batch_size: int = 32,
+                    progress=None, **params) -> int:
+    """Merge the clipboard into the clip's selection through ANY registered
+    2-input transition filter, the reference Merge dialog
+    (`/root/reference/src/merge.c`: clipboard composited over the
+    selection with a realtime transition, amount ramping across the
+    range; clipboard loops when shorter). Batched device work via the
+    FrameGraph; clipboard audio crossfades in when present.
+
+    The CLIPBOARD rides track 0 (the transition's fg), so `ramp` is the
+    clipboard weight for every transition: (0, 1) = the selection
+    dissolves/wipes into the clipboard; the audio blend follows the same
+    ramp."""
+    import jax.numpy as jnp
+    from .effects.host import instantiate
+    from .graph.nodemodel import FrameGraph, SinkSpec
+    from .layer import Layer
+    from .ops.resize import resize_layer
+
+    end = clip.frames if end is None else min(end, clip.frames)
+    n = max(end - start, 0)
+    if n == 0 or not len(cb.frames):
+        return 0
+    inst = instantiate(transition, **params)
+    inst.in_tracks = (0, 1)
+    graph = FrameGraph([inst], SinkSpec(), fps=clip.fps)
+    span = max(n - 1, 1)
+    done = 0
+    for ofs in range(start, end, batch_size):
+        hi = min(ofs + batch_size, end)
+        a = np.stack([np.asarray(convert_layer(
+            clip.get_frame(k), Palette.RGB24).planes[0])
+            for k in range(ofs, hi)])
+        b_frames = []
+        for k in range(ofs, hi):
+            arr = cb.frames[(k - start) % len(cb.frames)]
+            if arr.shape[1:] != (clip.height, clip.width):
+                lay = Layer(planes=(jnp.asarray(arr),),
+                            palette=int(Palette.RGB24))
+                arr = np.asarray(resize_layer(lay, clip.width,
+                                              clip.height).planes[0])
+            b_frames.append(arr)
+        b = np.stack(b_frames)
+        tcs = np.arange(ofs, hi, dtype=np.float32) / clip.fps
+        frames = np.arange(ofs, hi, dtype=np.int32)
+        amt = ramp[0] + (ramp[1] - ramp[0]) * (
+            np.arange(ofs, hi, dtype=np.float32) - start) / span
+        tp = [{k2: (amt if k2 == "amount"
+                    else np.broadcast_to(np.float32(v), (hi - ofs,)))
+               for k2, v in _merge_traced(inst).items()}]
+        la = Layer(planes=(jnp.asarray(a),), palette=int(Palette.RGB24))
+        lb = Layer(planes=(jnp.asarray(b),), palette=int(Palette.RGB24))
+        out = graph.run_batch([lb, la], tcs, frames, traced_params=tp)
+        out_arr = np.asarray(out.planes[0])
+        for i, k in enumerate(range(ofs, hi)):
+            clip.put_frame(k, Layer(planes=(jnp.asarray(out_arr[i]),),
+                                    palette=int(Palette.RGB24)))
+            done += 1
+            if progress:
+                progress(done, n)
+    if with_audio and cb.audio is not None and clip.achans:
+        a = clip.read_audio()
+        s0 = int(start / clip.fps * clip.arate)
+        s1 = min(int(end / clip.fps * clip.arate), len(a))
+        seg = a[s0:s1]
+        cba = cb.audio
+        if cb.arate and cb.arate != clip.arate:
+            from .audio.engine import resample as _resample
+            cba = _resample(cba, cb.arate, clip.arate)
+        reps = int(np.ceil(len(seg) / max(len(cba), 1)))
+        cba = np.tile(cba[:, : seg.shape[1]], (reps, 1))[: len(seg)]
+        t = (ramp[0] + (ramp[1] - ramp[0])
+             * np.linspace(0, 1, len(seg), dtype=np.float32))[:, None]
+        a[s0:s1] = seg * (1.0 - t) + cba * t
+        clip.write_audio(a, clip.arate)
+    clip.save_header()
+    return done
+
+
+def _merge_traced(inst):
+    """Traced param defaults of the merge transition instance."""
+    from .graph.nodemodel import _split_params
+    _, traced = _split_params(inst)
+    return traced

@@ -309,6 +309,21 @@ def register_extended(srv) -> None:
 
     m("/clip/selection/rte_apply", rte_apply)
 
+    def sel_merge(transition="crossfade", ramp_start=0.0, ramp_end=1.0):
+        """Merge the clipboard into the selection through a transition
+        (the reference Merge dialog, src/merge.c)."""
+        from ..clipedit import merge_clipboard
+        if srv.clipboard is None:
+            raise RuntimeError("clipboard empty")
+        clip = cur()
+        s, e = _sel(clip)
+        return int(merge_clipboard(clip, srv.clipboard, str(transition),
+                                   start=s, end=e,
+                                   ramp=(float(ramp_start),
+                                         float(ramp_end))))
+
+    m("/clip/selection/merge", sel_merge)
+
     # ---- RFX rendered-effect scripts (the reference applies these via
     # menus; the control-plane analogue exposes the script library) --------
     def rfx_list():

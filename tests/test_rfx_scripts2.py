@@ -321,3 +321,38 @@ def test_runner_param_kinds():
     assert parse_param_value("8") == 8
     assert parse_param_value("0.5") == 0.5
     assert parse_param_value("hi") == "hi"
+
+
+def test_merge_clipboard(tmp_path):
+    """merge.c: clipboard merged into the selection through any 2-in
+    transition, amount ramping across the range; audio crossfades."""
+    from lives_tpu.clipedit import copy_frames, merge_clipboard
+    a = _clip(tmp_path / "a", seed=50)
+    a.achans, a.arate = 1, 8000
+    a.write_audio(np.full((int(8 / 25 * 8000), 1), 0.5, np.float32), 8000)
+    b = _clip(tmp_path / "b", seed=51)
+    b.achans, b.arate = 1, 8000
+    b.write_audio(np.full((int(8 / 25 * 8000), 1), -0.5, np.float32), 8000)
+    f0, f7 = _frame(a, 0).copy(), _frame(a, 7).copy()
+    cb = copy_frames(b, 0, 8)
+    n = merge_clipboard(a, cb, transition="crossfade", ramp=(0.0, 1.0))
+    assert n == 8
+    # ramp = clipboard weight: frame 0 stays original, frame 7 is the
+    # clipboard frame
+    np.testing.assert_array_equal(_frame(a, 0), f0)
+    np.testing.assert_array_equal(_frame(a, 7), _frame(b, 7))
+    assert not np.array_equal(_frame(a, 4), f7)
+    # audio ramped toward the clipboard's -0.5
+    aud = a.read_audio()
+    assert abs(float(aud[0, 0]) - 0.5) < 0.05
+    assert float(aud[-1, 0]) < -0.4
+
+
+def test_merge_with_wipe(tmp_path):
+    from lives_tpu.clipedit import copy_frames, merge_clipboard
+    a = _clip(tmp_path / "a", seed=52)
+    b = _clip(tmp_path / "b", seed=53)
+    cb = copy_frames(b, 0, 8, with_audio=False)
+    n = merge_clipboard(a, cb, transition="wipe", ramp=(0.0, 1.0),
+                        with_audio=False)
+    assert n == 8
