@@ -137,7 +137,8 @@ select{background:#26262c;color:#eee;border:1px solid #555;padding:3px}
  <h3>Timeline</h3><div id="timeline"></div>
  <h3>Stats</h3><div id="stats"></div>
 </div>
-<div id="main"><img src="/preview.mjpg"></div>
+<div id="main"><img id="preview" src="/preview.mjpg"
+ title="click: set the active key's x/y params (framedraw)"></div>
 <script>
 let curKey=1;
 async function loadRfx(){
@@ -157,6 +158,22 @@ async function applyRfx(){
  if(!r.ok)alert(r.error); else refresh();
 }
 loadRfx();
+// framedraw (src/framedraw.c): click the preview to set the current
+// key's x/y (position) params from the click point
+document.addEventListener('DOMContentLoaded',()=>{
+ document.getElementById('preview').onclick=async(e)=>{
+  const r=e.target.getBoundingClientRect();
+  const nx=(e.clientX-r.left)/r.width, ny=(e.clientY-r.top)/r.height;
+  const spec=await (await fetch('/api/params/'+curKey)).json();
+  if(!spec.widgets)return;
+  for(const [nm,v] of [['x',nx],['y',ny]]){
+   const p=spec.widgets.find(q=>q.name===nm);
+   if(p&&p.index>=0)
+    await cmd('/effect_key/parameter/value/set',[curKey,p.index,v]);
+  }
+  loadParams(curKey);
+ };
+});
 async function cmd(path,args){
  await fetch('/api/cmd',{method:'POST',
   body:JSON.stringify({path:path,args:args||[]})});
@@ -187,7 +204,13 @@ async function refresh(){
  const cl=document.getElementById('clips'); cl.innerHTML='';
  st.clips.forEach(c=>{
   const b=document.createElement('button');
-  b.textContent=c.id+': '+c.name+(c.fg?' [fg]':'')+(c.bg?' [bg]':'');
+  const t=document.createElement('img');
+  t.src='/api/thumb/'+c.id; t.style.cssText=
+   'height:24px;vertical-align:middle;margin-right:4px;border-radius:2px';
+  t.onerror=()=>t.remove();
+  b.appendChild(t);
+  b.appendChild(document.createTextNode(
+   c.id+': '+c.name+(c.fg?' [fg]':'')+(c.bg?' [bg]':'')));
   if(c.fg)b.className='on';
   b.onclick=()=>cmd('/clip/select',[c.id]);
   b.oncontextmenu=(e)=>{e.preventDefault();cmd('/clip/background/select',[c.id]);};
@@ -300,6 +323,17 @@ class WebUI:
                 elif self.path.startswith("/api/params/"):
                     self._json(ui.param_spec(int(self.path.rsplit("/", 1)
                                                  [-1])))
+                elif self.path.startswith("/api/thumb/"):
+                    jpeg = ui.thumb(int(self.path.rsplit("/", 1)[-1]))
+                    if jpeg is None:
+                        self.send_response(404)
+                        self.end_headers()
+                        return
+                    self.send_response(200)
+                    self.send_header("Content-Type", "image/jpeg")
+                    self.send_header("Content-Length", str(len(jpeg)))
+                    self.end_headers()
+                    self.wfile.write(jpeg)
                 elif self.path == "/preview.jpg":
                     jpeg, _ = ui.tap.wait_jpeg(-1, timeout=0.0)
                     if jpeg is None:
@@ -362,6 +396,36 @@ class WebUI:
         self._thread: Optional[threading.Thread] = None
 
     # -- bindings -----------------------------------------------------------
+    def thumb(self, cid: int):
+        """96px-wide JPEG of a clip's first frame (the ce_thumbs.c clip
+        thumbnail strip); cached per clip."""
+        clip = self.osc.clips.get(cid)
+        if clip is None:
+            return None
+        cache = getattr(self, "_thumbs", None)
+        if cache is None:
+            cache = self._thumbs = {}
+        key = (cid, id(clip))
+        if key not in cache:
+            try:
+                import io as _io
+
+                import numpy as _np
+                from PIL import Image
+
+                from .constants import Palette as _P
+                from .ops.colorspace import convert_layer as _cv
+                lay = _cv(clip.get_frame(0), _P.RGB24)
+                arr = _np.moveaxis(_np.asarray(lay.planes[0]), 0, -1)
+                im = Image.fromarray(arr)
+                im = im.resize((96, max(1, 96 * im.height // im.width)))
+                buf = _io.BytesIO()
+                im.save(buf, "JPEG", quality=70)
+                cache[key] = buf.getvalue()
+            except Exception:
+                cache[key] = None
+        return cache[key]
+
     def call(self, path: str, args: list):
         """Route through the OSC method table (the 215-method namespace)."""
         fn = self.osc.methods.get(path)

@@ -169,3 +169,20 @@ def test_timeline_endpoint(ui):
     assert tl["tracks"][0]["blocks"][0] == {"start": 0, "end": 10,
                                             "clip": 7}
     assert "Timeline" in _get(ui, "/").decode()
+
+
+def test_clip_thumbnail(ui):
+    """ce_thumbs.c role: /api/thumb/<id> serves a JPEG of frame 0."""
+    data = _get(ui, "/api/thumb/1")
+    assert data[:2] == b"\xff\xd8"  # JPEG SOI
+    # cached second hit
+    assert _get(ui, "/api/thumb/1") == data
+    import urllib.error
+    import pytest as _pt
+    with _pt.raises(urllib.error.HTTPError):
+        _get(ui, "/api/thumb/99")
+
+
+def test_framedraw_js_present(ui):
+    page = _get(ui, "/").decode()
+    assert "framedraw" in page and "/api/thumb/" in page
