@@ -335,3 +335,25 @@ _stateful("vertigo", _vertigo_process, _vertigo_init,
                   Param("speed", "num", 0.6, 0.0, 1.0),
                   Param("zoom", "num", 0.5, 0.0, 1.0)),
           desc="rotating/zooming feedback (vertigoTV)")
+
+
+# -- alien overlay (scripts/alien_overlay.script) -----------------------------
+
+def _alien_init(w, h, pal):
+    return jnp.zeros((3, h, w), jnp.float32)
+
+
+def _alien_process(ins, p, ctx, state):
+    """alien_overlay.script: blend the frame with a slow exponential ghost
+    of itself — static areas stay solid, motion leaves translucent
+    trails."""
+    lay = ins[0]
+    a = to_f01(lay)
+    rgb, al = split_alpha(a)
+    ghost = state + (rgb - state) * 0.1
+    out = rgb * 0.5 + ghost * 0.5
+    return from_f01(join_alpha(jnp.clip(out, 0, 1), al), lay), ghost
+
+
+_stateful("alien_overlay", _alien_process, _alien_init,
+          desc="ghost-blend motion trails (alien_overlay.script)")

@@ -363,3 +363,51 @@ _chan_filter("warptv", _warptv,
              params=(Param("amplitude", "num", 0.5, 0.0, 1.0),
                      Param("speed", "num", 0.5, 0.0, 1.0)),
              desc="rubber-sheet wobble (warpTV.c)")
+
+
+def _targeted_zoom(a, p, c):
+    """targeted_zoom.script: zoom about an arbitrary (x, y) point — the
+    framedraw-driven zoom (click the preview to set the target)."""
+    h, w = a.shape[-2:]
+    z = jnp.maximum(p["zoom"], 1.0)
+    cy = p["y"] * (h - 1)
+    cx = p["x"] * (w - 1)
+    y = jnp.arange(h, dtype=jnp.float32)[:, None]
+    x = jnp.arange(w, dtype=jnp.float32)[None, :]
+    yy = jnp.clip(cy + (y - cy) / z, 0, h - 1)
+    xx = jnp.clip(cx + (x - cx) / z, 0, w - 1)
+    return _warp_sample(a, jnp.broadcast_to(yy, (h, w)),
+                        jnp.broadcast_to(xx, (h, w)))
+
+
+_chan_filter("targeted_zoom", _targeted_zoom,
+             params=(Param("zoom", "num", 2.0, 1.0, 16.0),
+                     Param("x", "num", 0.5, 0.0, 1.0),
+                     Param("y", "num", 0.5, 0.0, 1.0)),
+             desc="zoom about a point (targeted_zoom.script)")
+
+
+def _revtv(a, p, c):
+    """revTV (scripts/revTV.script, the EffecTV Rutt-Etra look): the frame
+    becomes rows of waveforms — each scan band draws its centre row's luma
+    as a vertical displacement trace. Gather-once per band, pointwise
+    compare per pixel (no scatter)."""
+    h, w = a.shape[-2:]
+    lum = 0.299 * a[0] + 0.587 * a[1] + 0.114 * a[2]
+    band_px = max(int(p["linespace"]) * 2, 2)  # static: rows per band x2
+    y = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0)
+    band_base = jnp.clip((y // band_px) * band_px + band_px // 2,
+                         0, h - 1)
+    l_band = jnp.take_along_axis(lum, band_base, axis=0)  # luma at centre
+    trace_y = band_base.astype(jnp.float32) \
+        - l_band * p["gain"] * np.float32(band_px)
+    lit = (jnp.abs(y.astype(jnp.float32) - trace_y) <= 1.0) \
+        .astype(jnp.float32)
+    v = lit * (0.3 + 0.7 * l_band)
+    return jnp.stack([v, v, v])
+
+
+_chan_filter("revtv", _revtv,
+             params=(Param("linespace", "int", 4, 2, 16),
+                     Param("gain", "num", 0.9, 0.0, 2.0)),
+             desc="waveform scan rows (revTV.script, Rutt-Etra)")

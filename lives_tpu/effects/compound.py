@@ -172,6 +172,13 @@ def register_builtin_compounds():
     ], extra_params=(Param("strength", "num", 1.0, 0.0, 4.0),),
        description="counter-shift accumulated motion "
                    "(compound/image_stabilizer)")
+    # weed-plugins/scripts/comic.script: comic-book look (edge-boosted
+    # posterised colour)
+    make_compound("comic", [
+        ("posterize", {"levels": 5}),
+        ("sharpen", {"radius": 2, "amount": Export("strength")}),
+        ("saturation", {"saturation": 1.4}),
+    ], description="comic-book look (comic.script)")
     # plugins/effects/compound/neural_net: unpack -> evolving net -> sigmoid
     make_compound("neural_net", [
         ("data_unpacker", {"in0": Export("a"), "in1": Export("b"),

@@ -174,3 +174,33 @@ def test_warptv_and_audio_volume():
     block = np.ones((64, 2), np.float32)
     out = inst.apply(block)
     assert abs(out[:, 0].mean() - 0.5) < 1e-6 and out[:, 1].max() == 0.0
+
+
+def test_weed_script_plugins():
+    """scripts/*.script-generated plugins: targeted_zoom, revtv,
+    alien_overlay, comic."""
+    rng = np.random.default_rng(9)
+    lay = mk(rng.integers(0, 256, (3, 64, 64), np.uint8))
+    ctx = FrameContext(width=64, height=64)
+    # targeted zoom at a corner: the corner pixel is invariant
+    out = np.asarray(apply_instance(
+        instantiate("targeted_zoom", zoom=4.0, x=0.0, y=0.0),
+        [lay], ctx)[0].planes[0])
+    src = np.asarray(lay.planes[0])
+    np.testing.assert_allclose(out[:, 0, 0].astype(int),
+                               src[:, 0, 0].astype(int), atol=2)
+    # revtv: output is a sparse waveform (mostly black)
+    out = np.asarray(apply_instance(
+        instantiate("revtv"), [lay], ctx)[0].planes[0])
+    assert (out == 0).mean() > 0.5
+    assert np.array_equal(out[0], out[1])  # monochrome traces
+    # alien_overlay: static input converges to itself
+    inst = instantiate("alien_overlay")
+    for i in range(3):
+        res = apply_instance(inst, [lay], FrameContext(frame=i))[0]
+    diff = np.abs(np.asarray(res.planes[0]).astype(int) - src.astype(int))
+    assert diff.mean() < 130  # ghost approaching the static frame
+    # comic compound
+    out = np.asarray(apply_instance(
+        instantiate("comic"), [lay], ctx)[0].planes[0])
+    assert out.shape == (3, 64, 64)
