@@ -158,7 +158,16 @@ def merge_clipboard(clip: Clip, cb: Clipboard, transition: str = "crossfade",
     if n == 0 or not len(cb.frames):
         return 0
     inst = instantiate(transition, **params)
+    if inst.filter.n_in != 2:
+        raise ValueError(f"{transition!r} is not a 2-input transition")
     inst.in_tracks = (0, 1)
+    # the ramped param: transitions name their blend knob differently
+    ramp_param = next((nm for nm in ("amount", "opacity")
+                       if any(q.name == nm for q in inst.filter.params)),
+                      None)
+    if ramp_param is None:
+        traced0 = sorted(_merge_traced(inst))
+        ramp_param = traced0[0] if traced0 else None
     graph = FrameGraph([inst], SinkSpec(), fps=clip.fps)
     span = max(n - 1, 1)
     done = 0
@@ -181,7 +190,7 @@ def merge_clipboard(clip: Clip, cb: Clipboard, transition: str = "crossfade",
         frames = np.arange(ofs, hi, dtype=np.int32)
         amt = ramp[0] + (ramp[1] - ramp[0]) * (
             np.arange(ofs, hi, dtype=np.float32) - start) / span
-        tp = [{k2: (amt if k2 == "amount"
+        tp = [{k2: (amt if k2 == ramp_param
                     else np.broadcast_to(np.float32(v), (hi - ofs,)))
                for k2, v in _merge_traced(inst).items()}]
         la = Layer(planes=(jnp.asarray(a),), palette=int(Palette.RGB24))
@@ -203,6 +212,9 @@ def merge_clipboard(clip: Clip, cb: Clipboard, transition: str = "crossfade",
         if cb.arate and cb.arate != clip.arate:
             from .audio.engine import resample as _resample
             cba = _resample(cba, cb.arate, clip.arate)
+        if not len(cba) or not len(seg):
+            clip.save_header()
+            return done
         reps = int(np.ceil(len(seg) / max(len(cba), 1)))
         cba = np.tile(cba[:, : seg.shape[1]], (reps, 1))[: len(seg)]
         t = (ramp[0] + (ramp[1] - ramp[0])

@@ -392,8 +392,9 @@ def _revtv(a, p, c):
     becomes rows of waveforms — each scan band draws its centre row's luma
     as a vertical displacement trace. Gather-once per band, pointwise
     compare per pixel (no scatter)."""
+    from ..util import luma as _luma
     h, w = a.shape[-2:]
-    lum = 0.299 * a[0] + 0.587 * a[1] + 0.114 * a[2]
+    lum = _luma(a[:3])
     band_px = max(int(p["linespace"]) * 2, 2)  # static: rows per band x2
     y = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0)
     band_base = jnp.clip((y // band_px) * band_px + band_px // 2,
@@ -404,7 +405,10 @@ def _revtv(a, p, c):
     lit = (jnp.abs(y.astype(jnp.float32) - trace_y) <= 1.0) \
         .astype(jnp.float32)
     v = lit * (0.3 + 0.7 * l_band)
-    return jnp.stack([v, v, v])
+    out = jnp.stack([v, v, v])
+    if a.shape[0] == 4:  # preserve the input's alpha channel count
+        out = jnp.concatenate([out, a[3:4]], 0)
+    return out
 
 
 _chan_filter("revtv", _revtv,

@@ -189,7 +189,9 @@ def _pick_sweep_tile(H: int) -> int | None:
     # Mosaic block rows must be multiples of 8 (or span the array)
     if forced and H % forced == 0 and (forced % 8 == 0 or forced == H):
         return forced
-    for th in (40, 48, 36, 32, 30, 24, 20, 16, 12, 10, 8):
+    # every candidate honours the Mosaic block-row rule (multiple of 8):
+    # heights with no x8 divisor (e.g. 540) return None -> XLA fallback
+    for th in (40, 48, 64, 32, 24, 16, 8):
         if H % th == 0:
             return th
     return None

@@ -324,13 +324,20 @@ class WebUI:
                     self._json(ui.param_spec(int(self.path.rsplit("/", 1)
                                                  [-1])))
                 elif self.path.startswith("/api/thumb/"):
-                    jpeg = ui.thumb(int(self.path.rsplit("/", 1)[-1]))
+                    try:
+                        cid = int(self.path.rsplit("/", 1)[-1])
+                    except ValueError:
+                        self.send_response(404)
+                        self.end_headers()
+                        return
+                    jpeg = ui.thumb(cid)
                     if jpeg is None:
                         self.send_response(404)
                         self.end_headers()
                         return
                     self.send_response(200)
                     self.send_header("Content-Type", "image/jpeg")
+                    self.send_header("Cache-Control", "max-age=30")
                     self.send_header("Content-Length", str(len(jpeg)))
                     self.end_headers()
                     self.wfile.write(jpeg)
@@ -405,7 +412,11 @@ class WebUI:
         cache = getattr(self, "_thumbs", None)
         if cache is None:
             cache = self._thumbs = {}
-        key = (cid, id(clip))
+        if len(cache) > 64:  # bound (closed clips accumulate otherwise)
+            cache.clear()
+        # id() recycles after GC and cids after close: key by the clip's
+        # durable identity when it has one
+        key = (cid, getattr(clip, "unique_id", None) or id(clip))
         if key not in cache:
             try:
                 import io as _io
@@ -423,8 +434,8 @@ class WebUI:
                 im.save(buf, "JPEG", quality=70)
                 cache[key] = buf.getvalue()
             except Exception:
-                cache[key] = None
-        return cache[key]
+                return None  # transient (decoder warming): don't cache
+        return cache.get(key)
 
     def call(self, path: str, args: list):
         """Route through the OSC method table (the 215-method namespace)."""

@@ -356,3 +356,49 @@ def test_merge_with_wipe(tmp_path):
     n = merge_clipboard(a, cb, transition="wipe", ramp=(0.0, 1.0),
                         with_audio=False)
     assert n == 8
+
+
+def test_merge_ramp_param_and_validation(tmp_path):
+    """Review findings: the ramp drives the transition's own blend knob
+    (alpha_over uses `opacity`), non-transitions are rejected, empty
+    clipboard audio doesn't crash."""
+    from lives_tpu.clipedit import Clipboard, copy_frames, merge_clipboard
+    a = _clip(tmp_path / "a", seed=60)
+    b = _clip(tmp_path / "b", seed=61)
+    f0 = _frame(a, 0).copy()
+    cb = copy_frames(b, 0, 8, with_audio=False)
+    n = merge_clipboard(a, cb, transition="alpha_over", ramp=(0.0, 1.0),
+                        with_audio=False)
+    assert n == 8
+    np.testing.assert_array_equal(_frame(a, 0), f0)  # opacity 0 at start
+    np.testing.assert_array_equal(_frame(a, 7), _frame(b, 7))
+    with pytest.raises(ValueError):
+        merge_clipboard(a, cb, transition="negate")
+    # empty clipboard audio: no crash, frames still merged
+    a2 = _clip(tmp_path / "a2", seed=62)
+    a2.achans, a2.arate = 1, 8000
+    a2.write_audio(np.full((1000, 1), 0.5, np.float32), 8000)
+    cb2 = Clipboard(frames=cb.frames, audio=np.zeros((0, 1), np.float32),
+                    arate=8000)
+    assert merge_clipboard(a2, cb2, transition="crossfade") == 8
+
+
+def test_revtv_preserves_alpha():
+    import jax.numpy as jnp
+    from lives_tpu.effects import apply_instance, instantiate
+    from lives_tpu.layer import Layer
+    rng = np.random.default_rng(63)
+    lay = Layer(planes=(jnp.asarray(
+        rng.integers(0, 256, (4, 32, 64), np.uint8)),),
+        palette=int(Palette.RGBA32))
+    out = apply_instance(instantiate("revtv"), [lay])[0]
+    assert np.asarray(out.planes[0]).shape[0] == 4
+
+
+def test_sweep_tiles_are_mosaic_legal():
+    from lives_tpu.graph.pallas_composite import _pick_sweep_tile
+    for h in (1080, 2160, 480, 240, 48, 540, 544):
+        th = _pick_sweep_tile(h)
+        if th is not None:
+            assert h % th == 0 and (th % 8 == 0 or th == h), (h, th)
+    assert _pick_sweep_tile(540) is None  # no x8 divisor -> XLA fallback
