@@ -143,3 +143,40 @@ def test_json_roundtrip():
     assert el2.fps == el.fps
     segs = segment_events(el2)
     assert [len(x.frames) for x in segs] == [5, 10, 5]
+
+
+def test_render_multi_input_filter_through_event_list():
+    """triple_split (3-input) renders through the event-list path and
+    binary-round-trips with its full param set — multi-input filters and
+    high-param-count filters survive the whole recorded pipeline."""
+    from lives_tpu.events.renderer import render_to_arrays
+    import io
+    from lives_tpu.events.weed_binary import (load_event_list_binary,
+                                              save_event_list_binary)
+    from lives_tpu.graph import SinkSpec
+
+    el = EventList(fps=25.0, width=128, height=32)
+    init = filter_init_event(0, "triple_split", in_tracks=[0, 1, 2],
+                             values={"xstart": 0.25, "xend": 0.75})
+    el.insert(init)
+    el.insert(filter_map_event(0, [init.event_id]))
+    for i in range(6):
+        el.insert(frame_event(i * TPF, [1, 2, 3], [i, i, i]))
+
+    # binary Weed round trip preserves the multi-input wiring + params
+    buf = io.BytesIO()
+    save_event_list_binary(el, buf)
+    buf.seek(0)
+    el2 = load_event_list_binary(buf)
+    src = SyntheticSource(32, 128)
+    sink = SinkSpec(width=128, height=32)
+    a, _ = render_to_arrays(el, src, sink, batch_size=4)
+    b, _ = render_to_arrays(el2, src, sink, batch_size=4)
+    a, b = np.asarray(a), np.asarray(b)
+    np.testing.assert_array_equal(a, b)
+    # structure: left third from track 0 (clip 1), right from track 2
+    f0 = a[0]
+    t0 = src.frame(1, 0)
+    t2 = src.frame(3, 0)
+    np.testing.assert_array_equal(f0[:, :, 5], t0[:, :, 5])
+    np.testing.assert_array_equal(f0[:, :, 120], t2[:, :, 120])
