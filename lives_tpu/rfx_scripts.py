@@ -294,6 +294,26 @@ def _cycle_mapping(p, n_frames):
 _SCRIPTS["cycle"] = ScriptDef("cycle", "hue_rotate", _cycle_mapping,
                               {"shift": 0.0, "step": 10.0})
 
+
+def _pan_zoom_mapping(p, n_frames):
+    """pan_and_zoomy (weed-plugins/scripts): Ken Burns — animate zoom and
+    target point from a start to an end view across the range."""
+    span = max(n_frames - 1, 1)
+
+    def ramp(k0, k1, d0, d1):
+        a, b = float(p.get(k0, d0)), float(p.get(k1, d1))
+        return lambda f: a + (b - a) * (f / span)
+
+    return {"zoom": ramp("zstart", "zend", 1.0, 2.0),
+            "x": ramp("xstart", "xend", 0.5, 0.5),
+            "y": ramp("ystart", "yend", 0.5, 0.5)}
+
+
+_SCRIPTS["pan_and_zoom"] = ScriptDef(
+    "pan_and_zoom", "targeted_zoom", _pan_zoom_mapping,
+    {"zstart": 1.0, "zend": 2.0, "xstart": 0.5, "xend": 0.5,
+     "ystart": 0.5, "yend": 0.5})
+
 _script("blank_frames", "solid_colour",
         {"red": 0.0, "green": 0.0, "blue": 0.0})
 

@@ -402,3 +402,14 @@ def test_sweep_tiles_are_mosaic_legal():
         if th is not None:
             assert h % th == 0 and (th % 8 == 0 or th == h), (h, th)
     assert _pick_sweep_tile(540) is None  # no x8 divisor -> XLA fallback
+
+
+def test_pan_and_zoom(tmp_path):
+    """Ken Burns: frame 0 unzoomed, last frame zoomed at the target."""
+    c = _clip(tmp_path, seed=70)
+    f0 = _frame(c, 0).copy()
+    apply_script(c, "pan_and_zoom", zstart=1.0, zend=3.0,
+                 xstart=0.5, xend=0.2, ystart=0.5, yend=0.2)
+    np.testing.assert_allclose(_frame(c, 0).astype(int), f0.astype(int),
+                               atol=1)  # zoom 1.0 = identity
+    assert not np.array_equal(_frame(c, 7), f0)
