@@ -123,6 +123,10 @@ class KeyMap:
         "slide_over": "slide_over", "tvpic": "tvpic",
         "puretext": "livetext", "scribbler": "scribbler",
         "videowall": "videowall", "compositor": "compositor",
+        # weed-builder scripts (weed-plugins/scripts/)
+        "ccorrect": "colour_balance", "alien_overlay": "alien_overlay",
+        "targeted_zoom": "targeted_zoom", "revtv": "revtv",
+        "pan_and_zoom": "targeted_zoom", "comic": "comic",
     }
 
     def load_reference_keymap(self, path) -> int:
