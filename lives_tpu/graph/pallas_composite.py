@@ -178,7 +178,7 @@ def build_composite(prefix: Sequence[tuple], n_tracks: int,
 # Fused sweep: the WHOLE plan (LOAD + chain + sink quantise) in one kernel
 # ---------------------------------------------------------------------------
 
-def _pick_sweep_tile(H: int) -> int | None:
+def _pick_sweep_tile(H: int, allow_full: bool = False) -> int | None:
     """Output tile height: full-width row bands. Bigger bands amortise the
     blur halo's wasted rows (vregs pad rows to 8 anyway); very tall bands
     inflate Mosaic compile time and VMEM. ~40 rows is the sweet spot
@@ -194,6 +194,11 @@ def _pick_sweep_tile(H: int) -> int | None:
     for th in (40, 48, 64, 32, 24, 16, 8):
         if H % th == 0:
             return th
+    if allow_full and H <= 160:
+        # a block spanning the whole dimension is also legal (Mosaic's
+        # "or equal to the respective dimension") — used for spatial
+        # bands like 1080/8 = 135 whose height has no x8 divisor
+        return H
     return None
 
 
@@ -210,7 +215,8 @@ def sweep_supported(H: int, W: int) -> bool:
 
 
 def build_fused_sweep(chain_spec, n_tracks: int, B: int, H: int, W: int,
-                      rows_key, fps: float, source, sink, emit: str = "u8"):
+                      rows_key, fps: float, source, sink, emit: str = "u8",
+                      band_h: int | None = None):
     """Single-sweep plan template: in-kernel source generation + the entire
     effect chain + sink quantisation, one pallas kernel per frame chunk —
     HBM traffic is the u8 output write only.
@@ -243,6 +249,14 @@ def build_fused_sweep(chain_spec, n_tracks: int, B: int, H: int, W: int,
     the stateless prefix of a STATEFUL chain into one kernel, then scans
     only the stateful remainder over the comp.
 
+    `band_h` builds a SPATIAL-BAND kernel: the output covers band_h rows
+    of the H-row frame starting at a TRACED row offset, supplied as packed
+    row P+2 (same value per batch entry). Because sweep sources are pure
+    coordinate functions, each device of a spatially-sharded mesh
+    generates its own stencil halo locally — the multi-chip sweep needs
+    ZERO collectives (parallel/mesh.spatial_sweep_fn), and per-pixel
+    arithmetic is bitwise identical to the single-device kernel.
+
     Halo semantics: generation coordinates are clamped to the frame, which
     reproduces the XLA path's edge padding exactly (all ops upstream of a
     stencil are pointwise, so edge-replicating their inputs equals
@@ -251,8 +265,15 @@ def build_fused_sweep(chain_spec, n_tracks: int, B: int, H: int, W: int,
     import os
     from ..constants import Gamma
     interpret = os.environ.get("LIVES_TPU_PALLAS_INTERPRET") == "1"
-    if not sweep_supported(H, W):
-        return None
+    if band_h is None:
+        if not sweep_supported(H, W):
+            return None
+    else:
+        if not HAVE_PALLAS or W % 128 != 0:
+            return None
+        if os.environ.get("LIVES_TPU_PALLAS_INTERPRET") != "1" \
+                and jax.default_backend() != "tpu":
+            return None
     if source is None or not hasattr(source, "traced_tile") \
             or getattr(source, "alpha", False):
         return None
@@ -267,6 +288,7 @@ def build_fused_sweep(chain_spec, n_tracks: int, B: int, H: int, W: int,
             return None
         if sink.gamma != Gamma.SRGB:  # synthetic layers are SRGB-tagged
             return None
+    out_h = band_h if band_h is not None else H
     stencils = _stencil_fns()
     plan: list[tuple] = []
     R = 0
@@ -292,7 +314,9 @@ def build_fused_sweep(chain_spec, n_tracks: int, B: int, H: int, W: int,
             plan.append(("point",))
         else:
             return None
-    TH = _pick_sweep_tile(H)
+    TH = _pick_sweep_tile(out_h, allow_full=band_h is not None)
+    if TH is None:
+        return None
     # scratch per stencil, at that stencil's remaining halo
     scratch_shapes = []
     cur = R
@@ -308,8 +332,10 @@ def build_fused_sweep(chain_spec, n_tracks: int, B: int, H: int, W: int,
         b = pl.program_id(0)
         i = pl.program_id(1)
         hh, ww = TH + 2 * R, W + 2 * R
+        y_off = params_ref[P + 2, b].astype(jnp.int32) if band_h is not None \
+            else 0
         yc = jnp.clip(jax.lax.broadcasted_iota(jnp.int32, (hh, ww), 0)
-                      + (i * TH - R), 0, H - 1)
+                      + (i * TH - R) + y_off, 0, H - 1)
         xc = jnp.clip(jax.lax.broadcasted_iota(jnp.int32, (hh, ww), 1)
                       - R, 0, W - 1)
         layers = []
@@ -362,7 +388,7 @@ def build_fused_sweep(chain_spec, n_tracks: int, B: int, H: int, W: int,
             else:
                 ctx = FrameContext(tc=tc, frame=fr, fps=fps,
                                    width=W, height=H,
-                                   y0=i * TH - cur, x0=-cur)
+                                   y0=i * TH - cur + y_off, x0=-cur)
                 fx_ins = [layers[t] for t in in_tr[: filt.n_in]]
                 out = filt.process(fx_ins, params, ctx)
                 layers[out_tr[0]] = out
@@ -376,9 +402,10 @@ def build_fused_sweep(chain_spec, n_tracks: int, B: int, H: int, W: int,
             out_ref[...] = u8[None]
 
     def run(src_ids, packed):
-        """Traceable: src_ids (2,T,B) int32, packed (P+2,B) f32."""
+        """Traceable: src_ids (2,T,B) int32, packed (P+2,B) f32
+        (+ a (P+2)th row holding the band row offset in band mode)."""
         ids = src_ids.reshape(2 * n_tracks, B)
-        grid = (B, H // TH)
+        grid = (B, out_h // TH)
         return pl.pallas_call(
             kernel,
             grid=grid,
@@ -391,7 +418,8 @@ def build_fused_sweep(chain_spec, n_tracks: int, B: int, H: int, W: int,
             out_specs=pl.BlockSpec((1, 3, TH, W), lambda b, i: (b, 0, i, 0),
                                    memory_space=pltpu.VMEM),
             out_shape=jax.ShapeDtypeStruct(
-                (B, 3, H, W), comp_dt if comp_dt is not None else jnp.uint8),
+                (B, 3, out_h, W),
+                comp_dt if comp_dt is not None else jnp.uint8),
             scratch_shapes=scratch_shapes,
             interpret=interpret,
             **({} if interpret else {"compiler_params": pltpu.CompilerParams(

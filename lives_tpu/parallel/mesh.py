@@ -242,3 +242,70 @@ def grid_batch_fn(graph, mesh: Mesh, batch_axis: str = "b",
     exchange."""
     return _band_batch_fn(graph, mesh, spatial_axis=spatial_axis,
                           batch_axis=batch_axis)
+
+
+def spatial_sweep_fn(graph, mesh: Mesh, source, B: int, H: int, W: int,
+                     axis: str = "s"):
+    """Spatially-sharded FUSED SWEEP: each device runs the whole-plan
+    pallas kernel (graph/pallas_composite.build_fused_sweep) on its own
+    H-band of every frame, with the band's global row offset traced in.
+
+    Because sweep sources are pure coordinate functions
+    (`source.traced_tile`), every device GENERATES its own stencil halo
+    locally — the multi-chip sweep needs **zero collectives** (vs the XLA
+    band path's ppermute halo exchange), and per-pixel arithmetic is
+    bitwise identical to the single-device kernel. This is the production
+    multi-chip form of the driver-bench path: the 74-84x single-chip
+    kernel scales across a mesh with no communication on the hot path.
+
+    Returns run(src_ids (2,T,B) int32, packed (P+2,B) f32) ->
+    (B,3,H,W) uint8 with H sharded over `axis`, or None when the chain
+    does not qualify (caller falls back to spatial_batch_fn).
+    """
+    from ..graph.nodemodel import _split_params
+    from ..graph.pallas_composite import build_fused_sweep
+
+    ns = int(mesh.shape[axis])
+    if H % ns:
+        return None
+    band_h = H // ns
+    spec = []
+    rows = []
+    for i, inst in enumerate(graph.chain):
+        static, traced = _split_params(inst)
+        spec.append((inst.filter, static, inst.in_tracks,
+                     inst.out_tracks, inst.enabled))
+        rows += [(i, k) for k in sorted(traced)]
+    rows_key = tuple(rows)
+    n_tracks = None  # resolved per call from src_ids
+
+    def build(T):
+        return build_fused_sweep(spec, T, B, H, W, rows_key, graph.fps,
+                                 source, graph.sink, band_h=band_h)
+
+    built = {}
+
+    def run(src_ids, packed):
+        T = int(np.asarray(src_ids).shape[1])
+        fn = built.get(T)
+        if fn is None:
+            fn = built[T] = build(T)
+        if fn is None:
+            return None
+
+        def body(ids, pk):
+            y0 = (jax.lax.axis_index(axis) * band_h).astype(jnp.float32)
+            pk_ext = jnp.concatenate(
+                [pk, jnp.broadcast_to(y0, (1, pk.shape[1]))], axis=0)
+            return fn(ids, pk_ext)
+
+        # check_vma must be off: pallas_call inside shard_map cannot
+        # annotate varying-mesh-axes on its out_shape
+        shardfn = jax.jit(jax.shard_map(
+            body, mesh=mesh,
+            in_specs=(P(), P()),
+            out_specs=P(None, None, axis, None),
+            check_vma=False))
+        return shardfn(jnp.asarray(src_ids), jnp.asarray(packed))
+
+    return run

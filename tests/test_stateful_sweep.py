@@ -116,3 +116,55 @@ def test_stateful_prefix_sweep_bf16_envelope():
     out = _run_dt(fused=True, dtype="bf16")
     diff = np.abs(out.astype(int) - ref.astype(int))
     assert diff.max() <= 4, f"bf16 drift {diff.max()}"
+
+
+def test_spatial_sweep_bitwise_parity_8dev():
+    """The spatially-sharded fused sweep (zero collectives: each device
+    generates its own halo) is BITWISE identical to the single-device
+    sweep on the 8-device mesh (interpret mode)."""
+    import jax
+    from lives_tpu.graph.nodemodel import _split_params
+    from lives_tpu.graph.pallas_composite import build_fused_sweep
+    from lives_tpu.parallel.mesh import frame_mesh, spatial_sweep_fn
+
+    env = {"LIVES_TPU_PALLAS_INTERPRET": "1"}
+    old = {k: os.environ.get(k) for k in env}
+    os.environ.update(env)
+    try:
+        H, W, B = 64, 256, 4
+        src = DeviceSyntheticSource(H, W)
+        chain = [instantiate("crossfade", amount=0.6),
+                 instantiate("gaussian_blur", radius=2, amount=1.0),
+                 instantiate("vignette", amount=0.7)]
+        chain[0].in_tracks = (0, 1)
+        g = FrameGraph(chain, SinkSpec(width=W, height=H), fps=25.0)
+        spec, rows = [], []
+        for i, inst in enumerate(g.chain):
+            static, traced = _split_params(inst)
+            spec.append((inst.filter, static, inst.in_tracks,
+                         inst.out_tracks, inst.enabled))
+            rows += [(i, k) for k in sorted(traced)]
+        ids = np.zeros((2, 2, B), np.int32)
+        ids[0, 0], ids[0, 1] = 1, 2
+        ids[1] = np.arange(B)
+        packed = np.stack(
+            [np.full(B, 0.6, np.float32), np.full(B, 1.0, np.float32),
+             np.full(B, 0.7, np.float32),
+             np.arange(B, dtype=np.float32) / 25.0,
+             np.arange(B, dtype=np.float32)])
+        single = build_fused_sweep(spec, 2, B, H, W, tuple(rows), 25.0,
+                                   src, g.sink)
+        assert single is not None
+        ref = np.asarray(single(ids, packed))
+        mesh = frame_mesh(8, axis="s")
+        run = spatial_sweep_fn(g, mesh, src, B, H, W, axis="s")
+        assert run is not None
+        out = run(ids, packed)
+        assert out is not None
+        np.testing.assert_array_equal(np.asarray(out), ref)
+    finally:
+        for k, v in old.items():
+            if v is None:
+                os.environ.pop(k, None)
+            else:
+                os.environ[k] = v
