@@ -285,11 +285,10 @@ def spatial_sweep_fn(graph, mesh: Mesh, source, B: int, H: int, W: int,
 
     built = {}
 
-    def run(src_ids, packed):
-        T = int(np.asarray(src_ids).shape[1])
-        fn = built.get(T)
-        if fn is None:
-            fn = built[T] = build(T)
+    def _shardfn(T):
+        """One jitted shard_map per track count (cached: re-wrapping jit
+        per call would retrace every invocation)."""
+        fn = build(T)
         if fn is None:
             return None
 
@@ -301,11 +300,19 @@ def spatial_sweep_fn(graph, mesh: Mesh, source, B: int, H: int, W: int,
 
         # check_vma must be off: pallas_call inside shard_map cannot
         # annotate varying-mesh-axes on its out_shape
-        shardfn = jax.jit(jax.shard_map(
+        return jax.jit(jax.shard_map(
             body, mesh=mesh,
             in_specs=(P(), P()),
             out_specs=P(None, None, axis, None),
             check_vma=False))
+
+    def run(src_ids, packed):
+        T = int(np.asarray(src_ids).shape[1])
+        if T not in built:
+            built[T] = _shardfn(T)
+        shardfn = built[T]
+        if shardfn is None:
+            return None
         return shardfn(jnp.asarray(src_ids), jnp.asarray(packed))
 
     return run
