@@ -269,6 +269,8 @@ def build_fused_sweep(chain_spec, n_tracks: int, B: int, H: int, W: int,
         if not sweep_supported(H, W):
             return None
     else:
+        # band mode relaxes only the TILE constraint (the band height has
+        # its own tile pick below); platform + width rules still apply
         if not HAVE_PALLAS or W % 128 != 0:
             return None
         if os.environ.get("LIVES_TPU_PALLAS_INTERPRET") != "1" \
@@ -282,6 +284,8 @@ def build_fused_sweep(chain_spec, n_tracks: int, B: int, H: int, W: int,
         comp_dt = jnp.float32 if os.environ.get(
             "LIVES_TPU_CHAIN_DTYPE") == "f32" else jnp.bfloat16
     else:
+        # sink constraints hold in EVERY u8-emitting mode (band included:
+        # the kernel writes quantised RGB24 with no sink convert step)
         if sink.palette != Palette.RGB24 or sink.letterbox:
             return None
         if sink.width not in (0, W) or sink.height not in (0, H):

@@ -168,3 +168,27 @@ def test_spatial_sweep_bitwise_parity_8dev():
                 os.environ.pop(k, None)
             else:
                 os.environ[k] = v
+
+
+def test_band_sweep_respects_sink_constraints():
+    """Band mode must refuse non-RGB24/letterbox sinks like the full
+    sweep does (it writes quantised RGB24 with no sink convert step)."""
+    from lives_tpu.constants import Palette
+    from lives_tpu.graph.nodemodel import _split_params
+    from lives_tpu.graph.pallas_composite import build_fused_sweep
+    os.environ["LIVES_TPU_PALLAS_INTERPRET"] = "1"
+    try:
+        src = DeviceSyntheticSource(64, 256)
+        inst = instantiate("negate")
+        static, _ = _split_params(inst)
+        spec = [(inst.filter, static, inst.in_tracks, inst.out_tracks,
+                 True)]
+        bad = SinkSpec(width=256, height=64,
+                       palette=int(Palette.YUV420P))
+        assert build_fused_sweep(spec, 1, 2, 64, 256, (), 25.0, src, bad,
+                                 band_h=32) is None
+        ok = SinkSpec(width=256, height=64)
+        assert build_fused_sweep(spec, 1, 2, 64, 256, (), 25.0, src, ok,
+                                 band_h=32) is not None
+    finally:
+        os.environ.pop("LIVES_TPU_PALLAS_INTERPRET", None)
