@@ -192,3 +192,21 @@ def test_band_sweep_respects_sink_constraints():
                                  band_h=32) is not None
     finally:
         os.environ.pop("LIVES_TPU_PALLAS_INTERPRET", None)
+
+
+def test_spatial_sweep_fallback_for_unsafe_chain():
+    """Chains the kernel cannot fuse (gather warps) return None — callers
+    fall back to the ppermute band path."""
+    from lives_tpu.parallel.mesh import frame_mesh, spatial_sweep_fn
+    os.environ["LIVES_TPU_PALLAS_INTERPRET"] = "1"
+    try:
+        src = DeviceSyntheticSource(64, 256)
+        g = FrameGraph([instantiate("kaleidoscope")],
+                       SinkSpec(width=256, height=64), fps=25.0)
+        run = spatial_sweep_fn(g, frame_mesh(8, axis="s"), src, 4, 64, 256,
+                               axis="s")
+        ids = np.zeros((2, 1, 4), np.int32)
+        packed = np.zeros((4, 4), np.float32)
+        assert run(ids, packed) is None
+    finally:
+        os.environ.pop("LIVES_TPU_PALLAS_INTERPRET", None)
