@@ -36,7 +36,7 @@ from ..ops.colorspace import convert_layer
 from ..ops.gamma import gamma_convert_layer
 from ..ops.resize import letterbox_layer, resize_layer
 
-_STATIC_KINDS = ("int", "string", "string_list", "bool")
+_STATIC_KINDS = ("int", "string", "string_list", "bool", "color")
 
 #: process-wide compiled plan templates, keyed by full config
 _TEMPLATE_CACHE: dict = {}
@@ -133,7 +133,8 @@ class FrameGraph:
         gen_filters = [l.inst.filter for _, l in gens]
         gen_static = [_split_params(l.inst)[0] for _, l in gens]
         gen_dims = [(l.width, l.height) for _, l in gens]
-        fps = self.fps
+        # each slot generates on ITS clip's clock (get_frame parity)
+        gen_fps = [getattr(l, "fps", self.fps) or self.fps for _, l in gens]
 
         def tmpl_fn(real_layers, traced, gen_traced, gen_times, states,
                     tc, frame):
@@ -145,12 +146,13 @@ class FrameGraph:
                     filt = gen_filters[gi]
                     w, h = gen_dims[gi]
                     gtc, gframe = gen_times[gi]
-                    ctx = FrameContext(tc=gtc, frame=gframe, fps=fps,
+                    ctx = FrameContext(tc=gtc, frame=gframe,
+                                       fps=gen_fps[gi],
                                        width=w, height=h)
+                    # NO clamp: GeneratorClip.get_frame does not clamp, and
+                    # the in-template result must match it exactly
                     params = {**{p.name: p.default for p in filt.params},
                               **gen_static[gi], **gen_traced[gi]}
-                    params = {k: filt.param(k).clamp(v)
-                              for k, v in params.items()}
                     lays.append(filt.process([], params, ctx))
                 else:
                     lays.append(real_layers[ri])
@@ -186,7 +188,7 @@ class FrameGraph:
         in-template LOAD)."""
         from ..effects.host import FILTER_STATEFUL
         if isinstance(obj, GenSlot):
-            return True
+            obj = obj.clip  # the wrapped clip must itself qualify
         inst = getattr(obj, "inst", None)
         return (inst is not None and hasattr(obj, "get_frame")
                 and inst.filter.is_generator
@@ -210,6 +212,10 @@ class FrameGraph:
                     gens.append((i, l.clip, l.n))
                 else:
                     gens.append((i, l, None))
+            elif isinstance(l, GenSlot):
+                raise ValueError(
+                    "GenSlot wraps a stateful/non-generator clip; pull its "
+                    "frames via get_frame instead")
             else:
                 real.append(l)
         key = (self._config_key(real),
@@ -278,7 +284,9 @@ class FrameGraph:
                     {k: np.broadcast_to(np.float32(v), (B,))
                      for k, v in tp.items()})
         # pack every traced scalar stream into ONE host->device transfer:
-        # per-leaf uploads dominate dispatch latency on remote-attached TPUs
+        # per-leaf uploads dominate dispatch latency on remote-attached TPUs.
+        # Frame numbers ride as f32 (exact to 2^24 ~ 78h @ 60fps); longer
+        # absolute timelines should renumber per segment
         rows = [(i, k) for i, d in enumerate(traced_params)
                 for k in sorted(d)]
         packed_np = np.stack(
@@ -288,10 +296,18 @@ class FrameGraph:
         rows_key = tuple(rows)
         if self.has_stateful:
             # scan carry structure must be stable: materialise init states
+            # at the FRAME geometry (source dims for in-template tracks —
+            # the default SinkSpec is 0x0 and may differ from the source)
             from ..effects.host import FILTER_STATEFUL
-            w0 = layers[0].width if layers else self.sink.width
-            h0 = layers[0].height if layers else self.sink.height
-            pal0 = layers[0].palette if layers else None
+            if layers:
+                w0, h0, pal0 = (layers[0].width, layers[0].height,
+                                layers[0].palette)
+            elif source is not None:
+                w0 = getattr(source, "w", 0) or self.sink.width
+                h0 = getattr(source, "h", 0) or self.sink.height
+                pal0 = None
+            else:
+                w0, h0, pal0 = self.sink.width, self.sink.height, None
             for i, inst in enumerate(self.chain):
                 if (inst.filter.flags & FILTER_STATEFUL
                         and self.states[i] is None
@@ -379,7 +395,8 @@ class FrameGraph:
             if comp_n:
                 from .pallas_composite import build_composite
                 gh, gw = comp_geo
-                n_avail = len(layers) if layers else None
+                n_avail = len(layers) if layers else (
+                    int(src_dev.shape[1]) if src_dev is not None else None)
                 prefix_spec = []
                 maxtrack = 0
                 # clamp missing tracks to the front layer, matching
@@ -560,6 +577,19 @@ class FrameGraph:
         return frame_fn
 
     def invalidate(self):
-        """Drop compiled templates (config change, reference
-        rebuild_nodemodel nodemodel.c:7853)."""
-        self._templates.clear()
+        """Drop THIS graph's compiled templates (config change; reference
+        rebuild_nodemodel, nodemodel.c:7853). The template cache is shared
+        process-wide, so eviction matches on this chain's static key —
+        clearing everything would recompile every other graph (30 s-minutes
+        per template through the tunnel)."""
+        ck = _chain_static_key(self.chain)
+
+        def mentions(obj):
+            if obj == ck:
+                return True
+            if isinstance(obj, tuple):
+                return any(mentions(x) for x in obj)
+            return False
+
+        for key in [k for k in self._templates if mentions(k)]:
+            del self._templates[key]

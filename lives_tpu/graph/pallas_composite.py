@@ -130,12 +130,18 @@ def build_composite(prefix: Sequence[tuple], n_tracks: int,
         ins = refs[:n_tracks]
         out_ref = refs[n_tracks]
         b = pl.program_id(0)  # frame index within the batch
+        ti = pl.program_id(1)
+        tj = pl.program_id(2)
         layers = [Layer(planes=(r[0],), palette=int(Palette.RGB24))
                   for r in ins]
+        # FrameContext contract (host.py): width/height are the FULL frame
+        # dims with the tile origin in y0/x0, so ctx_grid users stay
+        # correct if they ever join PALLAS_SAFE
         ctx = FrameContext(tc=params_ref[len(rows_key), b],
                            frame=params_ref[len(rows_key) + 1, b]
                            .astype(jnp.int32),
-                           fps=fps, width=tile_w, height=tile_h)
+                           fps=fps, width=w, height=h,
+                           y0=ti * tile_h, x0=tj * tile_w)
         for idx, (filt, static, in_tr, out_tr, enabled) in enumerate(prefix):
             if not enabled:
                 continue
@@ -304,8 +310,15 @@ def build_fused_sweep(chain_spec, n_tracks: int, B: int, H: int, W: int,
         if tuple(out_tr) != (0,):
             return None
         if filt.name in stencils:
-            dflt = filt.param("radius").default
-            r = max(1, int(static.get("radius", dflt)))
+            rp = filt.param("radius")
+            r = max(1, int(static.get("radius", rp.default)))
+            r = min(r, int(rp.max))
+            if r > 16:
+                # XLA's sep_conv switches algorithms (band-matrix matmul
+                # with edge renormalisation) above kernel length 33; the
+                # shifted-add sweep would diverge past the +/-1 LSB parity
+                # contract AND unroll 2r+1 taps in Mosaic — fall back
+                return None
             plan.append(("stencil", r))
             R += r
             seen_stencil = True

@@ -352,3 +352,33 @@ def test_generator_clip_transcode_with_audio(tmp_path):
     cd = try_decoders(out)
     assert cd is not None and cd.nframes >= 18
     assert cd.achans >= 1 and cd.arate > 0
+
+
+def test_stateful_batch_with_source_and_default_sink():
+    """Review finding: stateful init_state must size from the SOURCE dims
+    when tracks are generated in-template (the default SinkSpec is 0x0)."""
+    from lives_tpu.effects import instantiate
+    from lives_tpu.graph.nodemodel import FrameGraph, SinkSpec
+    from lives_tpu.scenes import DeviceSyntheticSource
+    src = DeviceSyntheticSource(32, 128)
+    g = FrameGraph([instantiate("nervous")], SinkSpec(), fps=25.0)
+    ids = np.zeros((2, 1, 4), np.int32)
+    ids[0, 0] = 1
+    ids[1] = np.arange(4)
+    out = g.run_batch([], np.arange(4, dtype=np.float32) / 25.0,
+                      np.arange(4, dtype=np.int32),
+                      source=src, src_args=ids)
+    assert np.asarray(out.planes[0]).shape == (4, 3, 32, 128)
+
+
+def test_genslot_fps_parity_nondefault_clip_rate():
+    """Review finding: in-template generation must use the CLIP's fps in
+    ctx (generators that read ctx.fps must match get_frame exactly)."""
+    from lives_tpu.graph.nodemodel import FrameGraph, GenSlot, SinkSpec
+    from lives_tpu.io.genclip import GeneratorClip
+    clip = GeneratorClip("spectrascope", 64, 48, fps=12.5)
+    g = FrameGraph([], SinkSpec(), fps=60.0)
+    out = g.run([GenSlot(clip, 5)], tc=0.0, frame=0)
+    ref = clip.get_frame(5)
+    np.testing.assert_array_equal(np.asarray(out.planes[0]),
+                                  np.asarray(ref.planes[0]))

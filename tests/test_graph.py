@@ -88,3 +88,35 @@ def test_transition_graph(rng):
     expect = np.floor((a * 0.25 + b * 0.75) / 255.0 * 255.0 + 0.5)
     got = np.asarray(out.planes[0], np.float32)
     assert np.abs(expect - got).max() <= 1.0
+
+
+def test_invalidate_is_scoped_to_the_graph():
+    """Review finding: invalidate() must not evict OTHER graphs' compiled
+    templates from the shared process-wide cache."""
+    import jax.numpy as jnp
+    import numpy as np
+    from lives_tpu.constants import Palette
+    from lives_tpu.effects import instantiate
+    from lives_tpu.graph.nodemodel import FrameGraph, SinkSpec
+    from lives_tpu.layer import Layer
+
+    def lay():
+        rng = np.random.default_rng(0)
+        return Layer(planes=(jnp.asarray(
+            rng.integers(0, 256, (3, 16, 32), np.uint8)),),
+            palette=int(Palette.RGB24))
+
+    g1 = FrameGraph([instantiate("negate")], SinkSpec(), fps=25.0)
+    g2 = FrameGraph([instantiate("sepia")], SinkSpec(), fps=25.0)
+    g1.run([lay()])
+    g2.run([lay()])
+    from lives_tpu.graph.nodemodel import _chain_static_key
+    k2_before = [k for k in g2._templates
+                 if _chain_static_key(g2.chain) == k[0][0]
+                 or True]  # count all entries
+    n_before = len(g2._templates)
+    g1.invalidate()
+    # g2's template survives; at least one (g1's) was evicted
+    assert len(g2._templates) < n_before
+    g2_key_alive = any("sepia" in str(k) for k in g2._templates)
+    assert g2_key_alive
