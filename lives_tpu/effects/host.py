@@ -185,10 +185,14 @@ def list_filters() -> list[str]:
     return sorted(_REGISTRY)
 
 
+_BUILTINS_LOADED = False
+
+
 def _ensure_builtins():
-    if not _REGISTRY.get("_builtins_loaded"):
+    global _BUILTINS_LOADED
+    if not _BUILTINS_LOADED:
+        _BUILTINS_LOADED = True
         from . import builtin  # noqa: F401  (registers on import)
-        _REGISTRY["_builtins_loaded"] = True  # type: ignore
 
 
 def instantiate(name_or_filter, **values) -> Instance:

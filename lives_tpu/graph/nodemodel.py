@@ -195,7 +195,7 @@ class FrameGraph:
                 and not (inst.filter.flags & FILTER_STATEFUL))
 
     def run(self, layers: Sequence[Layer], tc: float = 0.0,
-            frame: int = 0) -> Layer:
+            frame: int = 0, mirror_state: bool = True) -> Layer:
         """One plan cycle: apply the chain to a layer stack. Entries may be
         GeneratorClips or GenSlots (see _is_genclip): those are generated
         in-template. A bare GeneratorClip animates on the graph clock
@@ -233,12 +233,15 @@ class FrameGraph:
         gen_times = [(jnp.float32(tc), jnp.int32(frame)) if n is None
                      else (jnp.float32(n / (c.fps or 25.0)), jnp.int32(n))
                      for _, c, n in gens]
-        out, self.states = tmpl(real, traced, gen_traced, gen_times,
-                                self.states,
-                                jnp.float32(tc), jnp.int32(frame))
-        # state lives across frames on the graph, mirrored back to instances
-        for inst, st in zip(self.chain, self.states):
-            inst.state = st
+        out, new_states = tmpl(real, traced, gen_traced, gen_times,
+                               self.states,
+                               jnp.float32(tc), jnp.int32(frame))
+        if mirror_state:
+            # state lives across frames on the graph, mirrored back to
+            # the instances
+            self.states = new_states
+            for inst, st in zip(self.chain, self.states):
+                inst.state = st
         return out
 
     # -- batch execution (the multitrack batch-render path) ----------------

@@ -93,8 +93,14 @@ class KeyMap:
         return out
 
     def chain_key(self):
-        return tuple((k, self.current_filter(k)) for k in range(N_KEYS)
-                     if self.active[k])
+        # must agree with active_chain() (keys without a materialised
+        # instance are NOT in the chain) and must distinguish instance
+        # identity: re-instantiation (mode change / new defaults) makes a
+        # new graph — the compiled template is still shared via the
+        # process-wide cache, only the cheap wrapper rebuilds
+        return tuple((k, self.current_filter(k), id(self.instances[k]))
+                     for k in range(N_KEYS)
+                     if self.active[k] and self.instances[k])
 
     #: substrings of reference Weed hashnames -> our filter names, used when
     #: importing a reference default.keymap
@@ -147,8 +153,7 @@ class KeyMap:
             h = hashname.lower()
             for frag, ours in self.REF_FILTER_MAP.items():
                 if frag in h and ours in have:
-                    self.set_key(key, len([m for m in self.slots[key]
-                                           if m]), ours)
+                    self.set_key(key, len(self.slots[key]), ours)
                     n += 1
                     break
         return n
@@ -306,16 +311,20 @@ class Player:
         lo = st.sel_start
         hi = st.sel_end if st.sel_end >= 0 else n - 1
         span = max(hi - lo + 1, 1)
+        import math
         if st.ping_pong:
-            m = int(f - lo) % (2 * span)
+            m = math.floor(f - lo) % (2 * span)
             return lo + (m if m < span else 2 * span - 1 - m)
         if st.loop:
-            return lo + int(f - lo) % span
-        return max(lo, min(int(f), hi))
+            return lo + math.floor(f - lo) % span
+        return max(lo, min(math.floor(f), hi))
 
     # -- rte keys ----------------------------------------------------------
     def key_toggle(self, key: int, on: bool | None = None):
+        was = self.keymap.active[key]
         state = self.keymap.toggle(key, on)
+        if state == was:
+            return state  # idempotent enable/disable: nothing to record
         if self.record and self.event_list is not None:
             tc = self._rec_tc()
             if state:
@@ -363,6 +372,22 @@ class Player:
         self._rec_backup_path = backup_path
         self._rec_backup_every = backup_every
         self._rec_last_backup = time.monotonic()
+        # effects already live at record start must appear in the
+        # re-render: snapshot the active chain as tc=0 inits + filter map
+        # (the reference records from the current rte state too)
+        for k in range(N_KEYS):
+            if self.keymap.active[k] and self.keymap.instances[k]:
+                inst = self.keymap.instances[k]
+                init = filter_init_event(
+                    0, inst.filter.name,
+                    in_tracks=list(inst.in_tracks),
+                    out_tracks=list(inst.out_tracks),
+                    values={kk: v for kk, v in inst.values.items()
+                            if not hasattr(v, "shape")})
+                self.event_list.insert(init)
+                self._rec_inits[k] = init
+        if self._rec_inits:
+            self._refresh_rec_map(0)
 
     def record_stop(self) -> EventList:
         self.record = False
@@ -499,6 +524,11 @@ class Player:
             g = self._graph_for_chain()
             self._served_key = desired
             return g
+        cached = self._graphs.get(desired)
+        if cached is not None:
+            # toggling back to an already-compiled chain: switch instantly
+            self._served_key = desired
+            return cached
         # chain changed: compile the new template off-thread, keep serving
         # the old graph meanwhile
         import threading
@@ -508,7 +538,12 @@ class Player:
             def compile_job(lys=list(layers)):
                 try:
                     import jax
-                    out = new_graph.run(lys, tc=0.0, frame=0)
+                    # warm-up frame: do NOT mirror state back into the
+                    # Instance objects (shared with the live graph — an
+                    # unsynchronized cross-thread write, and the adopted
+                    # graph must not have consumed a phantom frame)
+                    out = new_graph.run(lys, tc=0.0, frame=0,
+                                        mirror_state=False)
                     jax.block_until_ready(out.planes)
                     self._graphs[desired] = new_graph
                     self._served_key = desired
@@ -520,7 +555,10 @@ class Player:
             self._compile_thread = threading.Thread(target=compile_job,
                                                     daemon=True)
             self._compile_thread.start()
-        return self._graphs[self._served_key]
+        served = self._graphs.get(self._served_key)
+        if served is None:  # effort transition cleared the cache
+            served = self._build_graph(self._served_key)                 if self._served_key else self._graph_for_chain()
+        return served
 
     def process_one(self) -> bool:
         """One player cycle (player.c:2185). Returns False when stopped."""
@@ -555,7 +593,10 @@ class Player:
         tc = target / abs(st.pb_fps or 25.0)
         out = graph.run(layers, tc=tc, frame=target)
         if self.subtitles is not None:
-            out = self.subtitles.apply(out, tc)
+            # subtitles index CLIP time (frame/clip fps), not the
+            # playback-rate clock — scratching must not shift captions
+            clip_fps = getattr(st.fg_clip, "fps", 25.0) or 25.0
+            out = self.subtitles.apply(out, target / clip_fps)
         if self.pipeline_depth > 0:
             self._pending.append((out, tc))
             ok = True

@@ -322,3 +322,56 @@ def test_player_subtitle_overlay(tmp_path):
     base10 = np.asarray(p.state.fg_clip.get_frame(10).planes[0])
     assert np.array_equal(no_sub, base10)         # untouched between subs
     p.stop()
+
+
+def test_record_start_snapshots_active_chain():
+    """Review finding: effects live at record start must appear in the
+    re-rendered event list."""
+    from lives_tpu.events.event_list import EventType
+    p, _ = make_player()
+    p.keymap.set_key(0, 0, "negate")
+    p.key_toggle(0, True)
+    p.record_start(width=32, height=16)
+    el = p.event_list
+    inits = [e for e in el.events if e.type == EventType.FILTER_INIT]
+    assert len(inits) == 1 and inits[0].props["filter"] == "negate"
+    p.record_stop()
+
+
+def test_idempotent_toggle_records_once():
+    from lives_tpu.events.event_list import EventType
+    p, _ = make_player()
+    p.keymap.set_key(0, 0, "negate")
+    p.record_start(width=32, height=16)
+    p.key_toggle(0, True)
+    p.key_toggle(0, True)   # idempotent: no duplicate init
+    p.key_toggle(0, True)
+    el = p.event_list
+    inits = [e for e in el.events if e.type == EventType.FILTER_INIT]
+    assert len(inits) == 1
+    p.record_stop()
+
+
+def test_chain_key_matches_active_chain():
+    """Review finding: a key left active with no materialised instance
+    (mode change) must not appear in the cache key."""
+    p, _ = make_player()
+    p.keymap.set_key(0, 0, "negate")
+    p.keymap.set_key(0, 1, "sepia")
+    p.key_toggle(0, True)
+    k1 = p.keymap.chain_key()
+    assert len(k1) == 1
+    p.keymap.next_mode(0)          # instance dropped, key still active
+    assert p.keymap.active_chain() == []
+    assert p.keymap.chain_key() == ()  # agrees with active_chain
+    p.key_toggle(0, False)
+    p.key_toggle(0, True)          # new instance (sepia)
+    k2 = p.keymap.chain_key()
+    assert len(k2) == 1 and k2 != k1
+
+
+def test_list_filters_has_no_sentinel():
+    from lives_tpu.effects.host import get_filter, list_filters
+    for n in list_filters():
+        assert not n.startswith("_")
+        assert hasattr(get_filter(n), "process")
