@@ -300,9 +300,11 @@ class AVEncodeSession:
     def write_audio(self, pcm: np.ndarray):
         """(N,) or (N,chans) int16 interleaved samples."""
         pcm = np.ascontiguousarray(np.asarray(pcm, np.int16).reshape(-1))
-        self._lib.avb_enc_audio(
-            self._h, pcm.ctypes.data_as(ctypes.POINTER(ctypes.c_int16)),
-            pcm.size // max(1, self.achans))
+        if not self._lib.avb_enc_audio(
+                self._h,
+                pcm.ctypes.data_as(ctypes.POINTER(ctypes.c_int16)),
+                pcm.size // max(1, self.achans)):
+            raise IOError("audio encode failed")
 
     def close(self):
         if getattr(self, "_h", None):
@@ -341,6 +343,13 @@ class AVStreamSource:
         lib.avb_info(self._h, info)
         self.width, self.height = int(info[0]), int(info[1])
         self.fps = (int(info[2]) / int(info[3])) if info[3] else 25.0
+        # colour metadata flags, same positions AVDecoder reads: HD streams
+        # are typically BT709 and MJPEG/YUVJ streams full-range — dropping
+        # them shifts colours through the conversion engine
+        self._clamping = int(YUVClamping.UNCLAMPED if int(info[9])
+                             else YUVClamping.CLAMPED)
+        self._subspace = int(YUVSubspace.BT709 if int(info[10])
+                             else YUVSubspace.YCBCR)
         if self.width <= 0:
             lib.avb_close(self._h)
             self._h = None
@@ -366,7 +375,8 @@ class AVStreamSource:
                                 .reshape(h // 2, w // 2).copy()),
                     jnp.asarray(a[w * h + cs:]
                                 .reshape(h // 2, w // 2).copy())),
-            palette=int(Palette.YUV420P))
+            palette=int(Palette.YUV420P),
+            clamping=self._clamping, subspace=self._subspace)
         self._last = lay
         return lay
 

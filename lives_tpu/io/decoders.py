@@ -133,8 +133,11 @@ class ImageSeqDecoder(Decoder):
         p = Path(uri)
         if not (HAVE_PIL and p.is_dir()):
             return None
+        # numeric sort: unpadded sequences (1, 2, ..., 10) must not play
+        # in lexicographic order
         files = sorted([f for f in p.iterdir()
-                        if re.fullmatch(r"\d+\.(png|jpg|jpeg)", f.name)])
+                        if re.fullmatch(r"\d+\.(png|jpg|jpeg)", f.name)],
+                       key=lambda f: int(f.stem))
         if not files:
             return None
         with Image.open(files[0]) as im:
@@ -228,6 +231,8 @@ class Y4MDecoder(Decoder):
             # scan every FRAME header: the spec allows per-frame parameters,
             # so header length may vary — in that case fall back to an
             # explicit per-frame offset index (sequential parse)
+            import os as _os
+            file_size = _os.fstat(fh.fileno()).st_size
             offsets = []
             header_skip = None
             constant = True
@@ -242,10 +247,12 @@ class Y4MDecoder(Decoder):
                 elif len(frame_hdr) != header_skip:
                     constant = False
                 pos = fh.tell()
+                # seeking past EOF "succeeds" on regular files: bound by
+                # the real file size so a truncated last frame is excluded
+                if pos + frame_size > file_size:
+                    break
                 offsets.append(pos)
                 fh.seek(pos + frame_size)
-                if fh.tell() != pos + frame_size:
-                    break
             if header_skip is None:
                 return None
             nframes = len(offsets)
@@ -324,6 +331,10 @@ class Y4MStreamSource:
             raise EOFError("y4m stream ended")
         w, h = self.width, self.height
         buf = self._fh.read(w * h * 3 // 2)
+        if len(buf) < w * h * 3 // 2:
+            if self._last is not None:
+                return self._last  # stream died mid-frame: hold
+            raise EOFError("y4m stream ended mid-frame")
         y = np.frombuffer(buf[: w * h], np.uint8).reshape(h, w)
         cs = (w // 2) * (h // 2)
         u = np.frombuffer(buf[w * h: w * h + cs], np.uint8
@@ -373,7 +384,19 @@ class WavDecoder(Decoder):
         p = Path(uri)
         if not (p.is_file() and p.suffix.lower() == ".wav"):
             return None
-        data = p.read_bytes()
+        import mmap
+        with open(p, "rb") as fh:
+            try:
+                data = mmap.mmap(fh.fileno(), 0, access=mmap.ACCESS_READ)
+            except (ValueError, OSError):
+                return None
+            try:
+                return cls._probe_wav(uri, p, data)
+            finally:
+                data.close()
+
+    @classmethod
+    def _probe_wav(cls, uri, p, data):
         if data[:4] != b"RIFF" or data[8:12] != b"WAVE":
             return None
         pos = 12
@@ -389,19 +412,45 @@ class WavDecoder(Decoder):
             pos += 8 + sz + (sz & 1)
         if fmt is None or not data_len:
             return None
-        _, channels, rate, _, _, bits = fmt
+        tag, channels, rate, _, _, bits = fmt
+        if tag not in (1, 3) or bits not in (8, 16, 24, 32):
+            return None  # 1=PCM, 3=IEEE float; exotic formats -> libav
         cd = ClipData(uri=uri, nframes=0, fps=25.0, width=0, height=0,
-                      arate=rate, achans=channels, asamps=bits)
+                      arate=rate, achans=channels, asamps=16)
         cd.decoder = cls(cd, p, data_ofs, data_len)
+        cd.decoder._fmt = (tag, bits)
         return cd
 
     def get_frame(self, n: int) -> Layer:
         raise RuntimeError("wav clips have no video frames")
 
     def rip_audio(self, path: str) -> bool:
+        """Clip audio is s16le by contract (Clip.read_audio parses '<i2');
+        convert 8/24/32-bit PCM and 32-bit float on the way."""
         with open(self.path, "rb") as fh:
             fh.seek(self.data_ofs)
-            Path(path).write_bytes(fh.read(self.data_len))
+            raw = fh.read(self.data_len)
+        tag, bits = getattr(self, "_fmt", (1, 16))
+        if tag == 3 and bits == 32:  # IEEE float
+            f = np.frombuffer(raw, "<f4")
+            pcm = np.clip(f * 32767.0, -32768, 32767).astype("<i2")
+        elif bits == 8:              # unsigned 8-bit
+            pcm = ((np.frombuffer(raw, np.uint8).astype(np.int16) - 128)
+                   << 8).astype("<i2")
+        elif bits == 24:
+            b = np.frombuffer(raw[: len(raw) - len(raw) % 3], np.uint8)
+            b = b.reshape(-1, 3)
+            v = (b[:, 0].astype(np.int32)
+                 | (b[:, 1].astype(np.int32) << 8)
+                 | (b[:, 2].astype(np.int32) << 16))
+            v = np.where(v >= 1 << 23, v - (1 << 24), v)
+            pcm = (v >> 8).astype("<i2")
+        elif bits == 32:             # 32-bit int PCM
+            pcm = (np.frombuffer(raw, "<i4") >> 16).astype("<i2")
+        else:                        # already s16le
+            Path(path).write_bytes(raw)
+            return True
+        Path(path).write_bytes(pcm.tobytes())
         return True
 
 
@@ -414,11 +463,13 @@ class AVIDecoder(Decoder):
     name = "avi"
 
     def __init__(self, cdata: ClipData, path: Path, offsets: list[tuple[int, int]],
-                 fourcc: str):
+                 fourcc: str, topdown: bool = False):
         self.cdata = cdata
         self.path = path
         self.offsets = offsets
         self.fourcc = fourcc
+        # negative biHeight = top-down DIB rows (no flip needed)
+        self.topdown = topdown
         self._fh = open(path, "rb")
 
     @classmethod
@@ -426,10 +477,28 @@ class AVIDecoder(Decoder):
         p = Path(uri)
         if not (p.is_file() and p.suffix.lower() == ".avi"):
             return None
-        data = p.read_bytes()
+        # mmap, not read_bytes: the probe touches only chunk headers, so a
+        # 2 GB file pages in KBs instead of loading whole into RAM
+        import mmap
+        fh = open(p, "rb")
+        try:
+            data = mmap.mmap(fh.fileno(), 0, access=mmap.ACCESS_READ)
+        except (ValueError, OSError):
+            fh.close()
+            return None
         if data[:4] != b"RIFF" or data[8:12] != b"AVI ":
+            data.close()
+            fh.close()
             return None
         # strh/strf for the vids stream
+        try:
+            return cls._probe_avi(uri, p, data)
+        finally:
+            data.close()
+            fh.close()
+
+    @classmethod
+    def _probe_avi(cls, uri, p, data):
         i = data.find(b"strh")
         if i < 0 or data[i + 8: i + 12] != b"vids":
             return None
@@ -449,6 +518,11 @@ class AVIDecoder(Decoder):
         while pos + 8 <= len(data):
             cid = data[pos: pos + 4]
             (sz,) = struct.unpack("<I", data[pos + 4: pos + 8])
+            if cid == b"LIST":
+                # interleave groups ('rec ') wrap frame chunks: recurse by
+                # stepping INTO the list (past its 4-byte type), not over it
+                pos += 12
+                continue
             if cid[2:4] in (b"db", b"dc"):
                 offsets.append((pos + 8, sz))
             if cid == b"idx1" or sz == 0 and cid[:4] == b"\0\0\0\0":
@@ -458,7 +532,7 @@ class AVIDecoder(Decoder):
             return None
         cd = ClipData(uri=uri, nframes=len(offsets), width=w, height=abs(h),
                       fps=fps, palette=int(Palette.RGB24))
-        cd.decoder = cls(cd, p, offsets, fourcc)
+        cd.decoder = cls(cd, p, offsets, fourcc, topdown=h < 0)
         return cd
 
     def get_frame(self, n: int) -> Layer:
@@ -475,7 +549,9 @@ class AVIDecoder(Decoder):
             stride = (w * 3 + 3) & ~3
             arr = np.frombuffer(raw[: stride * h], np.uint8
                                 ).reshape(h, stride)[:, : w * 3]
-            arr = arr.reshape(h, w, 3)[::-1, :, ::-1]
+            arr = arr.reshape(h, w, 3)[:, :, ::-1]
+            if not self.topdown:  # bottom-up rows (positive biHeight)
+                arr = arr[::-1]
         chans = np.moveaxis(arr, -1, 0).copy()
         return Layer(planes=(jnp.asarray(chans),),
                      palette=int(Palette.RGB24), gamma=int(Gamma.SRGB))
@@ -525,11 +601,23 @@ class FFmpegDecoder(Decoder):
         import jax.numpy as jnp
         cd = self.cdata
         t = n / cd.fps
-        out = subprocess.run(
-            [FFMPEG, "-v", "quiet", "-ss", f"{t:.6f}", "-i", cd.uri,
-             "-frames:v", "1", "-f", "rawvideo", "-pix_fmt", "rgb24", "-"],
-            capture_output=True, timeout=60).stdout
-        arr = np.frombuffer(out[: cd.width * cd.height * 3], np.uint8
+        need = cd.width * cd.height * 3
+
+        def grab(ts):
+            return subprocess.run(
+                [FFMPEG, "-v", "quiet", "-ss", f"{ts:.6f}", "-i", cd.uri,
+                 "-frames:v", "1", "-f", "rawvideo", "-pix_fmt", "rgb24",
+                 "-"],
+                capture_output=True, timeout=60).stdout
+
+        out = grab(t)
+        if len(out) < need and t > 0:
+            # VFR tails overshoot the duration: retry a frame earlier,
+            # then fall back to black rather than crashing the render
+            out = grab(max(t - 1.0 / cd.fps, 0.0))
+        if len(out) < need:
+            out = bytes(need)
+        arr = np.frombuffer(out[:need], np.uint8
                             ).reshape(cd.height, cd.width, 3)
         return Layer(planes=(jnp.asarray(np.moveaxis(arr, -1, 0).copy()),),
                      palette=int(Palette.RGB24))

@@ -207,3 +207,52 @@ def test_md5_frame_identity(tmp_path):
     c.frames = 3
     assert md5_frame(c, 0) == md5_frame(c, 1)
     assert md5_frame(c, 0) != md5_frame(c, 2)
+
+
+def test_imageseq_numeric_order(tmp_path):
+    """Unpadded numbered sequences (1..12) must not sort lexicographically."""
+    import jax.numpy as jnp
+    from PIL import Image
+    from lives_tpu.io.decoders import try_decoders
+    for i in range(1, 13):
+        Image.new("RGB", (8, 8), (i * 10, 0, 0)).save(tmp_path / f"{i}.png")
+    cd = try_decoders(str(tmp_path))
+    assert cd is not None and cd.nframes == 12
+    first = np.asarray(cd.decoder.get_frame(0).planes[0])
+    tenth = np.asarray(cd.decoder.get_frame(9).planes[0])
+    assert first[0, 0, 0] == 10 and tenth[0, 0, 0] == 100
+
+
+def test_wav_float32_rips_to_s16(tmp_path):
+    """32-bit float WAVs (DAW exports) convert to the clip s16 contract."""
+    import struct
+    from lives_tpu.io.decoders import try_decoders
+    n, rate = 256, 8000
+    samples = (np.sin(np.arange(n) * 0.1) * 0.5).astype("<f4")
+    data = samples.tobytes()
+    hdr = (b"RIFF" + struct.pack("<I", 36 + len(data)) + b"WAVE"
+           + b"fmt " + struct.pack("<IHHIIHH", 16, 3, 1, rate,
+                                   rate * 4, 4, 32)
+           + b"data" + struct.pack("<I", len(data)))
+    p = tmp_path / "f32.wav"
+    p.write_bytes(hdr + data)
+    cd = try_decoders(str(p))
+    assert cd is not None and cd.asamps == 16
+    out = tmp_path / "audio"
+    assert cd.decoder.rip_audio(str(out))
+    pcm = np.frombuffer(out.read_bytes(), "<i2")
+    np.testing.assert_allclose(pcm / 32767.0, samples, atol=2e-4)
+
+
+def test_y4m_truncated_final_frame_excluded(tmp_path):
+    from lives_tpu.io.decoders import try_decoders, write_y4m
+    frames = [tuple(np.full(s, i * 30, np.uint8) for s in
+                    ((16, 32), (8, 16), (8, 16))) for i in range(4)]
+    p = tmp_path / "t.y4m"
+    write_y4m(str(p), frames, fps=25.0)
+    # truncate the last frame's payload
+    raw = p.read_bytes()
+    p.write_bytes(raw[:-100])
+    cd = try_decoders(str(p))
+    assert cd is not None and cd.nframes == 3
+    cd.decoder.get_frame(2)  # last intact frame reads fine
