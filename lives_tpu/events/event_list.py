@@ -113,6 +113,11 @@ class EventList:
 
     # -- CRUD (reference events.c:246-1151) --------------------------------
     def insert(self, ev: Event) -> Event:
+        # fast path: live recording appends in tc order — rebuilding the
+        # rank list per insert is O(N) on the player's per-frame path
+        if not self.events or ev._rank >= self.events[-1]._rank:
+            self.events.append(ev)
+            return ev
         keys = [e._rank for e in self.events]
         idx = bisect.bisect_right(keys, ev._rank)
         self.events.insert(idx, ev)
@@ -209,7 +214,10 @@ class EventList:
 
     # -- quantisation (reference resample.c:536 quantise_events) -----------
     def quantise(self, new_fps: float) -> "EventList":
-        """Re-time FRAME events onto a new_fps grid; nearest-frame policy."""
+        """Re-time FRAME events onto a new_fps grid. Source pick is
+        floor/hold-last (the latest source frame at or before each grid
+        tc — the reference quantise_events walks the same way); per-frame
+        props (audio_clips/audio_seeks from recordings) are preserved."""
         out = EventList(fps=new_fps, width=self.width, height=self.height,
                         audio_rate=self.audio_rate,
                         audio_channels=self.audio_channels)
@@ -225,9 +233,14 @@ class EventList:
                 while fi + 1 < len(frames) and frames[fi + 1].tc <= tc:
                     fi += 1
                 src = frames[fi]
-                out.insert(frame_event(tc, src.clips, src.frames))
+                import copy as _copy
+                extra = {k: _copy.deepcopy(v) for k, v in src.props.items()
+                         if k not in ("clips", "frames")}
+                out.insert(frame_event(tc, src.clips, src.frames, **extra))
+        import copy as _copy
         for e in others:
-            out.insert(Event(e.tc, e.type, dict(e.props), e.event_id))
+            out.insert(Event(e.tc, e.type, _copy.deepcopy(e.props),
+                             e.event_id))
         return out
 
     # -- serialisation (reference weed_plant_serialise :10969; we use a
@@ -257,4 +270,7 @@ class EventList:
         for ed in d["events"]:
             el.events.append(Event(ed["tc"], EventType(ed["type"]),
                                    ed["props"], ed["event_id"]))
+        # canonical (tc, rank) order: navigation break-early scans assume
+        # it, and external/hand-edited files may group events by type
+        el.events.sort(key=lambda e: e._rank)
         return el

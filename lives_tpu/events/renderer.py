@@ -39,33 +39,85 @@ class Segment:
 
 
 def segment_events(el: EventList) -> list[Segment]:
-    """Split the timeline at filter-map changes (and track-pattern changes,
-    so each segment has a fixed per-track clip lineup)."""
+    """Split the timeline at filter-map changes, track-pattern changes (so
+    each segment has a fixed per-track clip lineup), and STATIC-kind
+    PARAM_CHANGEs (int/choice/string params retrace the template, so the
+    re-render must switch chains exactly where the performer did).
+
+    One incremental pass over the sorted events — the per-frame
+    active_inits_at scan made this O(N^2) on long recordings."""
+    from ..graph.nodemodel import _STATIC_KINDS
     segs: list[Segment] = []
     cur: list[Event] = []
-    cur_inits: list[str] | None = None
+    cur_ids: tuple | None = None
     cur_clips: tuple | None = None
+    cur_snapshot: list[Event] = []
+    inits_by_id: dict[str, Event] = {}
+    order: list[str] | None = None
+    pending_split = False
+    kind_cache: dict[tuple[str, str], str] = {}
+    # DEINITs rank AFTER the FRAME at the same tc, but active_inits_at
+    # semantics include every event at <= tc: precompute each init's
+    # deinit tc so a frame at that tc already sees it inactive
+    INF = float("inf")
+    deinit_tc: dict[str, int] = {}
+    for e in el.events:
+        if e.type == EventType.FILTER_DEINIT:
+            d = e.props.get("init_event")
+            if d is not None and d not in deinit_tc:
+                deinit_tc[d] = e.tc
 
-    def flush():
-        nonlocal cur
-        if cur:
-            inits = el.active_inits_at(cur[0].tc)
-            segs.append(Segment(frames=cur, inits=inits))
-            cur = []
+    def active_list(tc):
+        alive = {k: v for k, v in inits_by_id.items()
+                 if deinit_tc.get(k, INF) > tc}
+        if order is not None:
+            out = [alive[i] for i in order if i in alive]
+            out += [v for k, v in alive.items() if k not in order]
+            return out
+        return list(alive.values())
+
+    def static_change(e) -> bool:
+        init = inits_by_id.get(e.props.get("init_event"))
+        if init is None:
+            return False
+        key = (init.props["filter"], e.props["param"])
+        if key not in kind_cache:
+            try:
+                kind_cache[key] = get_filter(key[0]).param(key[1]).kind
+            except KeyError:
+                kind_cache[key] = "num"
+        return kind_cache[key] in _STATIC_KINDS
 
     for e in el.events:
-        if e.type == EventType.FRAME:
-            ids = tuple(i.event_id for i in el.active_inits_at(e.tc))
+        if e.type == EventType.FILTER_INIT:
+            inits_by_id[e.event_id] = e
+        elif e.type == EventType.FILTER_DEINIT:
+            pass  # handled via deinit_tc (same-tc semantics)
+        elif e.type == EventType.FILTER_MAP:
+            order = e.props.get("init_events")
+        elif e.type == EventType.PARAM_CHANGE and static_change(e):
+            pending_split = True
+        elif e.type == EventType.FRAME:
+            act = active_list(e.tc)
+            ids = tuple(i.event_id for i in act)
             clips = tuple(e.clips)
-            if (ids != cur_inits or clips != cur_clips) and cur:
-                flush()
-            cur_inits, cur_clips = ids, clips
+            if cur and (ids != cur_ids or clips != cur_clips
+                        or pending_split):
+                segs.append(Segment(frames=cur, inits=cur_snapshot))
+                cur = []
+            if not cur:
+                cur_snapshot = act
+                cur_ids, cur_clips = ids, clips
+            pending_split = False
             cur.append(e)
-    flush()
+    if cur:
+        segs.append(Segment(frames=cur, inits=cur_snapshot))
     return segs
 
 
-def _chain_for(inits: list[Event], el: EventList) -> list[Instance]:
+def _chain_for(inits: list[Event], el: EventList,
+               start_tc: int | None = None
+               ) -> "tuple[list[Event], list[Instance]]":
     """Instances for a segment's active inits. Filters absent from the
     registry (e.g. imported reference layouts naming plugins we don't
     ship) are skipped with a warning rather than failing the render —
@@ -82,7 +134,23 @@ def _chain_for(inits: list[Event], el: EventList) -> list[Instance]:
             warnings.warn(f"skipping unknown filter {name!r} "
                           "(not in the registry)")
             continue
-        inst = Instance(filter=f, values=dict(init.props.get("values", {})),
+        values = dict(init.props.get("values", {}))
+        if start_tc is not None:
+            # fold in recorded STATIC-kind param changes effective at the
+            # segment start (traced kinds interpolate per frame instead)
+            from ..graph.nodemodel import _STATIC_KINDS
+            for e in el.events:
+                if e.tc > start_tc:
+                    break
+                if (e.type == EventType.PARAM_CHANGE
+                        and e.props.get("init_event") == init.event_id):
+                    try:
+                        kind = f.param(e.props["param"]).kind
+                    except KeyError:
+                        continue
+                    if kind in _STATIC_KINDS:
+                        values[e.props["param"]] = e.props["value"]
+        inst = Instance(filter=f, values=values,
                         in_tracks=tuple(init.props.get("in_tracks", (0,))),
                         out_tracks=tuple(init.props.get("out_tracks", (0,))))
         kept.append(init)
@@ -110,8 +178,9 @@ def _interp_arrays(el: EventList, inits: list[Event],
     out = []
     for init, inst in zip(inits, chain):
         d = {}
+        from ..graph.nodemodel import _STATIC_KINDS
         for p in inst.filter.params:
-            if p.kind in ("int", "string", "string_list", "bool"):
+            if p.kind in _STATIC_KINDS:
                 continue
             base = init.props.get("values", {}).get(p.name, p.default)
             chain_pts = pchains.get((init.event_id, p.name))
@@ -148,7 +217,7 @@ def render_events(el: EventList, source: FrameSource,
     fps = fps or el.fps
     sink = sink or SinkSpec(width=el.width, height=el.height)
     for seg in segment_events(el):
-        inits, chain = _chain_for(seg.inits, el)
+        inits, chain = _chain_for(seg.inits, el, seg.frames[0].tc)
         graph = FrameGraph(chain, sink, fps=fps)
         n_tracks = max((len(f.clips) for f in seg.frames), default=0)
         for ofs in range(0, len(seg.frames), batch_size):
@@ -213,6 +282,9 @@ class ClipFrameSource:
         from ..constants import Palette as _P
         from ..layer import layer_blank
         from ..ops.colorspace import convert_layer
+        # collect on HOST, upload ONCE: per-frame device transfers cost
+        # ~ms each on the remote-attached TPU (CLAUDE.md) — one packed
+        # (B,C,H,W) array replaces B separate uploads + stacks
         arrs = []
         for c, f in zip(clip_ids, frame_nums):
             clip = self.clips.get(int(c))
@@ -223,8 +295,9 @@ class ClipFrameSource:
                 lay = layer_blank(w, h, self.palette)
             else:
                 lay = convert_layer(clip.get_frame(int(f)), self.palette)
-            arrs.append(lay.planes[0])
-        return Layer(planes=(jnp.stack(arrs),), palette=self.palette)
+            arrs.append(np.asarray(lay.planes[0]))
+        return Layer(planes=(jnp.asarray(np.stack(arrs)),),
+                     palette=self.palette)
 
 
 def render_recording(el: EventList, clips_by_uid: dict,

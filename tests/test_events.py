@@ -180,3 +180,57 @@ def test_render_multi_input_filter_through_event_list():
     t2 = src.frame(3, 0)
     np.testing.assert_array_equal(f0[:, :, 5], t0[:, :, 5])
     np.testing.assert_array_equal(f0[:, :, 120], t2[:, :, 120])
+
+
+def test_quantise_preserves_audio_props_and_isolates_copies():
+    """Review findings: quantise must keep recorded audio_clips/audio_seeks
+    on FRAME events and must not share nested props with the source."""
+    el = EventList(fps=25.0, width=32, height=16)
+    init = filter_init_event(0, "negate", values={"x": 1.0})
+    el.insert(init)
+    for i in range(4):
+        el.insert(frame_event(i * TPF, [1], [i],
+                              audio_clips=[1], audio_seeks=[i * 0.04]))
+    q = el.quantise(50.0)
+    qframes = [e for e in q.events if e.type == EventType.FRAME]
+    assert all("audio_clips" in e.props for e in qframes)
+    # deep copy: mutating the quantised init must not touch the original
+    qinit = next(e for e in q.events if e.type == EventType.FILTER_INIT)
+    qinit.props["values"]["x"] = 999
+    assert init.props["values"]["x"] == 1.0
+
+
+def test_static_param_change_splits_segments():
+    """Review finding: recorded int/choice param changes must take effect
+    in the re-render (segments split at the change)."""
+    from lives_tpu.events.renderer import segment_events
+    el = EventList(fps=25.0, width=32, height=16)
+    init = filter_init_event(0, "pixelate", values={"block": 4})
+    el.insert(init)
+    el.insert(filter_map_event(0, [init.event_id]))
+    for i in range(8):
+        el.insert(frame_event(i * TPF, [1], [i]))
+    el.insert(param_change_event(4 * TPF, init.event_id, "block", 16))
+    segs = segment_events(el)
+    assert len(segs) == 2
+    assert len(segs[0].frames) == 4 and len(segs[1].frames) == 4
+    from lives_tpu.events.renderer import _chain_for
+    _, chain1 = _chain_for(segs[0].inits, el, segs[0].frames[0].tc)
+    _, chain2 = _chain_for(segs[1].inits, el, segs[1].frames[0].tc)
+    assert chain1[0].values["block"] == 4
+    assert chain2[0].values["block"] == 16
+
+
+def test_from_json_restores_canonical_order():
+    el = EventList(fps=25.0, width=32, height=16)
+    init = filter_init_event(2 * TPF, "negate")
+    el.insert(init)
+    el.insert(filter_map_event(2 * TPF, [init.event_id]))
+    for i in range(4):
+        el.insert(frame_event(i * TPF, [1], [i]))
+    import json
+    d = json.loads(el.to_json())
+    d["events"] = list(reversed(d["events"]))  # scrambled file
+    el2 = EventList.from_json(json.dumps(d))
+    assert [e.tc for e in el2.events] == sorted(e.tc for e in el2.events)
+    assert len(el2.active_inits_at(3 * TPF)) == 1
