@@ -187,18 +187,35 @@ def render_audio_from_seeks(event_list, clips: dict, arate: int = 44100,
                                 or arate)
         return audio_cache[uid]
 
-    for a, b in zip(evs[:-1], evs[1:]):
+    # synthesize a terminal pseudo-event so the LAST frame's audio (to the
+    # timeline end) renders too, instead of being silently dropped
+    end_tc = max(dur_ticks, evs[-1].tc + TICKS_PER_SECOND / 25.0) \
+        if evs else 0
+    pairs = list(zip(evs[:-1], evs[1:])) + ([(evs[-1], None)] if evs else [])
+    for a, b in pairs:
         uid = a.props["audio_clips"][0]
         data, src_rate = clip_audio(uid)
         if not len(data):
             continue
         t0 = a.tc / TICKS_PER_SECOND
-        t1 = b.tc / TICKS_PER_SECOND
-        o0, o1 = int(t0 * arate), int(t1 * arate)
+        t1 = (b.tc if b is not None else end_tc) / TICKS_PER_SECOND
+        o0, o1 = int(t0 * arate), min(int(t1 * arate), n_out)
         if o1 <= o0:
             continue
+        dur = (o1 - o0) / arate
         s0 = a.props["audio_seeks"][0] * src_rate
-        s1 = b.props["audio_seeks"][0] * src_rate
+        same_clip = (b is not None
+                     and b.props.get("audio_clips", [None])[0] == uid)
+        if same_clip:
+            s1 = b.props["audio_seeks"][0] * src_rate
+            # a seek jump that one frame interval cannot explain (clip
+            # switch artefact / loop wrap) would sweep the whole file as a
+            # chirp: extrapolate at nominal velocity instead
+            if abs(s1 - s0) > dur * src_rate * 8.0:
+                s1 = s0 + dur * src_rate
+        else:
+            # clip switched (or last event): extrapolate forward
+            s1 = s0 + dur * src_rate
         pos = np.linspace(s0, s1, o1 - o0, endpoint=False)
         idx = np.clip(pos, 0, len(data) - 1)
         lo = np.floor(idx).astype(np.int64)

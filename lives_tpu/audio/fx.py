@@ -18,7 +18,7 @@ from typing import Any, Callable, Optional
 
 import numpy as np
 
-from .engine import velocity_resample
+from .engine import to_channels, velocity_resample
 
 
 @dataclass(frozen=True)
@@ -97,7 +97,7 @@ def _echo(block, p, state):
     rate = int(p["rate"])
     delay = max(1, int(p["delay"] * rate))
     fb = p["feedback"]
-    if state is None or len(state) != delay:
+    if state is None or state.shape != (delay, block.shape[1]):
         state = np.zeros((delay, block.shape[1]), np.float32)
     out = np.empty_like(block)
     i = 0
@@ -115,12 +115,21 @@ register_audio_filter(AudioFilter(
 
 
 def _lowpass(block, p, state):
+    """One-pole IIR, vectorised via scipy.signal.lfilter (a per-sample
+    Python loop at 44.1 kHz would fight the video loop for the single
+    host core — CLAUDE.md)."""
+    from scipy.signal import lfilter
     a = min(max(p["cutoff"], 0.001), 1.0)
     y = state if state is not None else np.zeros(block.shape[1], np.float32)
+    if np.shape(y) != (block.shape[1],):
+        y = np.zeros(block.shape[1], np.float32)
     out = np.empty_like(block)
-    for i in range(len(block)):  # one-pole IIR
-        y = y + a * (block[i] - y)
-        out[i] = y
+    for c in range(block.shape[1]):
+        # y[n] = (1-a) y[n-1] + a x[n]
+        zi = np.asarray([(1.0 - a) * y[c]], np.float64)
+        out[:, c], zf = lfilter([a], [1.0, a - 1.0], block[:, c], zi=zi)
+        y = np.asarray(y, np.float32)
+        y[c] = out[-1, c]
     return out, y
 
 
@@ -271,10 +280,14 @@ class AudioPlayer:
         self._pos = 0.0
 
     def pull(self) -> np.ndarray:
-        """One callback's worth of audio (velocity-aware)."""
-        if getattr(self, "_gen", None) is not None:
-            return self._pull_generated()
-        if self._data is None or not len(self._data):
+        """One callback's worth of audio (velocity-aware). Snapshots the
+        shared source refs once: load_clip_audio from another thread may
+        swap them mid-pull."""
+        gen = getattr(self, "_gen", None)
+        if gen is not None:
+            return self._pull_generated(gen)
+        data = self._data
+        if data is None or not len(data):
             return np.zeros((self.block, 2), np.float32)
         st = self.player.state if self.player else None
         fps_ratio = 1.0
@@ -298,14 +311,14 @@ class AudioPlayer:
                 # gentle 5% velocity stretch toward the video clock
                 vel -= np.sign(delta) * abs(vel) * 0.05
                 self.sync_corrections += 1
-        block, self._pos = velocity_resample(self._data, self._pos, vel,
+        block, self._pos = velocity_resample(data, self._pos, vel,
                                              self.block)
         block = apply_audio_chain(self.chain, block)
         if self.muted:
             block = block * 0.0
         return np.clip(block * self.volume, -1, 1)
 
-    def _pull_generated(self) -> np.ndarray:
+    def _pull_generated(self, gen) -> np.ndarray:
         """Velocity-aware pull from an audio GENERATOR (pure render_at):
         synthesize the exact source window the output block maps onto, then
         interpolate — scratching pitches the synth like clip audio."""
@@ -322,7 +335,7 @@ class AudioPlayer:
             idx = idx - lo
             self._pos -= lo
             lo, hi = 0, hi - lo
-        data = self._gen.render_at(lo, hi - lo)
+        data = gen.render_at(lo, hi - lo)
         rel = idx - lo
         i0 = rel.astype(np.int64)
         f = (rel - i0)[:, None].astype(np.float32)
@@ -351,15 +364,33 @@ class AudioPlayer:
         return self._pos / self._src_rate - self._video_clip_time()
 
     def start(self):
+        if self._running and self._thread is not None \
+                and self._thread.is_alive():
+            return  # double-start would spawn a second feeder at 2x speed
         self._running = True
+        # time-based filter params follow the REAL stream rate (a filter's
+        # default 44100 would mistime delays at other rates)
+        for inst in self.chain:
+            if "rate" in inst.filter.params:
+                inst.values.setdefault("rate", self.rate)
 
         def loop():
             period = self.block / self.rate
+            nxt = time.monotonic() + period
             while self._running:
-                t0 = time.monotonic()
-                self.sink.write(self.pull(), self.rate)
-                dt = time.monotonic() - t0
-                time.sleep(max(0.0, period - dt))
+                try:
+                    self.sink.write(self.pull(), self.rate)
+                except Exception:
+                    # a transient mid-swap error must not kill the feeder
+                    pass
+                # absolute deadline: relative sleeps accumulate overshoot
+                # and run audibly slow against a fixed-rate consumer
+                now = time.monotonic()
+                if nxt - now > 0:
+                    time.sleep(nxt - now)
+                    nxt += period
+                else:  # fell behind: resync rather than burst
+                    nxt = now + period
 
         self._thread = threading.Thread(target=loop, daemon=True)
         self._thread.start()
@@ -390,11 +421,22 @@ class PipeAudioSink(AudioSink):
         import os as _os
         pcm = np.clip(np.asarray(block, np.float32), -1.0, 1.0)
         data = (pcm * 32767.0).astype("<i2").tobytes()
+        frame_bytes = 2 * pcm.shape[1] if pcm.ndim == 2 else 2
+        sent = 0
         try:
-            _os.write(self._fd, data)
-            self.frames += len(block)
+            while sent < len(data):
+                n = _os.write(self._fd, data[sent:])
+                sent += n
+                if n == 0:
+                    break
         except BlockingIOError:
-            pass  # consumer not keeping up: drop (realtime semantics)
+            # consumer not keeping up: drop the tail, but ONLY on a frame
+            # boundary — a partial frame would channel-swap the stream
+            rem = sent % frame_bytes
+            if rem:
+                _os.write(self._fd, data[sent: sent + frame_bytes - rem])
+                sent += frame_bytes - rem
+        self.frames += sent // frame_bytes
 
     def close(self):
         import os as _os
@@ -438,7 +480,13 @@ class AlsaAudioSink(AudioSink):
     def write(self, block, rate):
         import ctypes
         pcm = np.clip(np.asarray(block, np.float32), -1.0, 1.0)
-        data = (pcm * 32767.0).astype("<i2")
+        if pcm.ndim == 1:
+            pcm = pcm[:, None]
+        if pcm.shape[1] != self.channels:
+            # device frame = self.channels samples: a mono block passed
+            # as-is would make snd_pcm_writei read past the buffer
+            pcm = to_channels(pcm, self.channels)
+        data = np.ascontiguousarray((pcm * 32767.0).astype("<i2"))
         n = len(data)
         r = self._a.snd_pcm_writei(
             self._pcm, data.ctypes.data_as(ctypes.c_void_p), n)

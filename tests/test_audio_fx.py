@@ -313,3 +313,63 @@ def test_audio_master_time_source():
     assert abs(target - 2.0 * FPS) < 2.0  # ~frame 50
     p.process_one()
     assert abs(p.state.frame - 50) <= 2
+
+
+def test_seek_render_clip_switch_no_chirp():
+    """Review finding: a clip switch between FRAME events must not sweep
+    the old clip's audio (cross-clip seek interpolation)."""
+    from lives_tpu.audio.engine import render_audio_from_seeks
+    from lives_tpu.events import (EventList, TICKS_PER_SECOND, frame_event)
+
+    class C:
+        def __init__(self, uid, val):
+            self.unique_id, self._v, self.arate, self.achans = uid, val, 8000, 1
+        def read_audio(self):
+            return np.full((8000, 1), self._v, np.float32)
+
+    a, b = C(1, 0.25), C(2, -0.25)
+    el = EventList(fps=25.0, width=8, height=8)
+    TPF = int(TICKS_PER_SECOND / 25.0)
+    # clip 1 playing near its END, then switch to clip 2 at its start
+    el.insert(frame_event(0, [1], [0], audio_clips=[1], audio_seeks=[0.9]))
+    el.insert(frame_event(TPF, [1], [1], audio_clips=[1],
+                          audio_seeks=[0.94]))
+    el.insert(frame_event(2 * TPF, [2], [0], audio_clips=[2],
+                          audio_seeks=[0.0]))
+    el.insert(frame_event(3 * TPF, [2], [1], audio_clips=[2],
+                          audio_seeks=[0.04]))
+    out = render_audio_from_seeks(el, {1: a, 2: b}, arate=8000, channels=1)
+    # the switch interval must be clip 1 audio at normal velocity (constant
+    # 0.25), NOT a backwards sweep; after the switch, clip 2's value
+    assert abs(out[int(1.5 * 8000 / 25), 0] - 0.25) < 1e-3
+    assert abs(out[int(2.5 * 8000 / 25), 0] + 0.25) < 1e-3
+    # audio extends to the buffer end (duration_ticks), not cut at the
+    # second-to-last event
+    assert abs(out[-2, 0] + 0.25) < 1e-3
+
+
+def test_echo_survives_channel_change():
+    from lives_tpu.audio.fx import audio_instantiate
+    inst = audio_instantiate("echo", delay=0.01, rate=8000)
+    inst.apply(np.zeros((64, 2), np.float32))
+    out = inst.apply(np.zeros((64, 1), np.float32))  # mono follows stereo
+    assert out.shape == (64, 1)
+
+
+def test_audio_player_double_start_and_rate_injection():
+    from lives_tpu.audio.fx import (AudioPlayer, NullAudioSink,
+                                    audio_instantiate)
+
+    class _P:
+        state = type("S", (), {"pb_fps": 25.0, "fg_clip": None,
+                               "frame": 0})()
+        time_source = "system"
+
+    ap = AudioPlayer(_P, NullAudioSink(), rate=48000, block=480)
+    ap.chain.append(audio_instantiate("echo", delay=0.01))
+    ap.start()
+    t1 = ap._thread
+    ap.start()               # no duplicate feeder
+    assert ap._thread is t1
+    assert ap.chain[0].values["rate"] == 48000  # stream rate injected
+    ap.stop()
