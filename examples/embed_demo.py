@@ -82,6 +82,37 @@ def main():
     print(f"re-rendered {frames.shape[0]} frames at "
           f"{frames.shape[3]}x{frames.shape[2]}")
 
+    # -- multitrack through the API only (liblives.hpp:761-915 surface) --
+    from lives_tpu.multitrack import Gravity, InsertMode, Multitrack
+    app.multitrack = Multitrack(width=clip.width, height=clip.height)
+    mtk = app.get_multitrack()
+    mtk.set_gravity(Gravity.NORMAL)
+    mtk.set_insert_mode(InsertMode.NORMAL)
+
+    mtk.set_current_track(0)
+    mtk.set_current_time(0.0)
+    b1 = mtk.insert_block(clip)                 # full clip on track 0
+    clip.set_selection_start(10)
+    clip.set_selection_end(25)
+    mtk.set_current_track(1)
+    mtk.set_current_time(0.5)
+    b2 = mtk.insert_block(clip)                 # selection on track 1
+    print(f"blocks: t{b1.track()} @{b1.start_time():.2f}s "
+          f"len {b1.length():.2f}s | t{b2.track()} "
+          f"@{b2.start_time():.2f}s len {b2.length():.2f}s")
+    b2.move_to(1, 1.0)
+    print(f"moved block 2 -> @{b2.start_time():.2f}s")
+
+    # crossfade region + keyframed volume fade on track 0
+    mt = mtk.model
+    mt.add_effect("crossfade", [0, 1], 25, 15, values={"amount": 0.5})
+    mt.set_track_volume(0, 1.0, frame=0)
+    mt.set_track_volume(0, 0.2, frame=mt.n_frames - 1)
+
+    rendered = mtk.render(render_audio=True)
+    print(f"multitrack rendered -> clip {rendered.number}: "
+          f"{rendered.frames} frames {rendered.width}x{rendered.height}")
+
     app.set.save("demo_set")
     print(f"set saved under {app.workdir}/sets/demo_set")
     app.quit()

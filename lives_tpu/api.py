@@ -60,6 +60,32 @@ class LiVESClip:
         self._app.player._player.state.bg_clip = self._clip
         return True
 
+    # -- frame selection (liblives.hpp:~825 selectionStart/End/selectAll;
+    #    1-based inclusive frames like the reference) --------------------
+    @property
+    def selection_start(self) -> int:
+        return getattr(self, "_selection", (0, 0))[0]
+
+    @property
+    def selection_end(self) -> int:
+        return getattr(self, "_selection", (0, 0))[1]
+
+    def select_all(self) -> bool:
+        self._selection = (1, max(self.frames, 1))
+        return True
+
+    def set_selection_start(self, start: int) -> bool:
+        start = max(1, min(int(start), max(self.frames, 1)))
+        end = max(self.selection_end, start)
+        self._selection = (start, end)
+        return True
+
+    def set_selection_end(self, end: int) -> bool:
+        end = max(1, min(int(end), max(self.frames, 1)))
+        start = min(self.selection_start or 1, end)
+        self._selection = (max(start, 1), end)
+        return True
+
     def raw(self) -> _Clip:
         return self._clip
 
@@ -160,6 +186,258 @@ class ClipSet:
         return True
 
 
+class LiVESBlock:
+    """liblives `block` (liblives.hpp:~278 + block class): a handle onto
+    one timeline block, identified by (track, start time). Like the
+    reference, the underlying block is only a *view* on the event list —
+    the handle revalidates against the model on each call and becomes
+    invalid when the block no longer exists."""
+
+    def __init__(self, mtk: "LiVESMultitrack", track: int, start: int):
+        self._mtk = mtk
+        self._track = track
+        self._start = start
+
+    def _find(self):
+        for b in self._mtk._mt.blocks(self._track):
+            if b.start == self._start:
+                return b
+        return None
+
+    @property
+    def is_valid(self) -> bool:
+        return self._find() is not None
+
+    def start_time(self) -> float:
+        """block::startTime() — seconds."""
+        b = self._find()
+        return b.start / self._mtk._mt.el.fps if b else -1.0
+
+    def length(self) -> float:
+        """block::length() — seconds."""
+        b = self._find()
+        return b.length / self._mtk._mt.el.fps if b else -1.0
+
+    def track(self) -> int:
+        return self._track if self._find() else -65536
+
+    def remove(self) -> bool:
+        """block::remove() — gravity may relocate other blocks."""
+        b = self._find()
+        if b is None:
+            return False
+        self._mtk._mt.delete_block(b)
+        if self._mtk._mt.gravity == self._mtk._mt.gravity.__class__.LEFT:
+            self._mtk._mt.remove_gaps([self._track], 0,
+                                      self._mtk._mt.n_frames)
+        self._mtk._app._notify(NOTIFY.BLOCK_DELETED, "")
+        return True
+
+    def move_to(self, track: int, time: float) -> bool:
+        """block::moveTo(track, time)."""
+        b = self._find()
+        if b is None:
+            return False
+        mt = self._mtk._mt
+        nb = mt.move_block(b, track, int(round(time * mt.el.fps)))
+        if nb is None:
+            return False
+        self._track, self._start = nb.track, nb.start
+        self._mtk._app._notify(NOTIFY.BLOCK_MOVED, "")
+        return True
+
+
+class LiVESMultitrack:
+    """liblives `multitrack` (liblives.hpp:761-915 surface): current
+    track/time insertion point, gravity/insert modes, block insertion and
+    render-to-clip over the headless Multitrack model."""
+
+    def __init__(self, app: "LiVESApp"):
+        self._app = app
+        self._current_track = 0
+        self._current_time = 0.0
+        self._labels: dict[int, str] = {}
+
+    # the raw model lives on the app (`app.multitrack`), so layout loads
+    # (sets.py) and OSC handlers see the same timeline this API edits
+    @property
+    def _mt(self) -> Multitrack:
+        return self._app.multitrack
+
+    @property
+    def model(self) -> Multitrack:
+        return self._mt
+
+    def is_active(self) -> bool:
+        return True  # headless build: always available
+
+    # -- insertion point ---------------------------------------------------
+    def set_current_track(self, track: int) -> bool:
+        """multitrack::setCurrentTrack (liblives.hpp:1736)."""
+        if not (-self._mt.n_audio_tracks <= track < self._mt.n_tracks):
+            return False
+        self._current_track = int(track)
+        self._app._notify(NOTIFY.MT_TRACK_CHANGED, str(track))
+        return True
+
+    def current_track(self) -> int:
+        return self._current_track
+
+    def set_current_time(self, time: float) -> float:
+        """multitrack::setCurrentTime (liblives.hpp:1758)."""
+        if time >= 0.0:
+            self._current_time = float(time)
+            self._app._notify(NOTIFY.MT_TIME_CHANGED, str(time))
+        return self._current_time
+
+    def current_time(self) -> float:
+        return self._current_time
+
+    # -- modes -------------------------------------------------------------
+    def gravity(self):
+        return self._mt.gravity
+
+    def set_gravity(self, mode):
+        from .multitrack import Gravity
+        self._mt.gravity = Gravity(mode)
+        return self._mt.gravity
+
+    def insert_mode(self):
+        return self._mt.insert_mode
+
+    def set_insert_mode(self, mode):
+        from .multitrack import InsertMode
+        self._mt.insert_mode = InsertMode(mode)
+        return self._mt.insert_mode
+
+    # -- tracks ------------------------------------------------------------
+    def num_video_tracks(self) -> int:
+        return self._mt.n_tracks
+
+    def num_audio_tracks(self) -> int:
+        return self._mt.n_audio_tracks
+
+    def add_video_track(self, in_front: bool = False) -> bool:
+        """multitrack::addVideoTrack. ``in_front`` renumbers existing
+        content one track down (reference insert-before semantics)."""
+        self._mt.add_track()
+        if in_front:
+            from .events.event_list import EventType
+            for e in self._mt.el.events:
+                if e.type == EventType.FRAME:
+                    e.props["clips"].insert(0, -1)
+                    e.props["clips"].pop()
+                    e.props["frames"].insert(0, 0)
+                    e.props["frames"].pop()
+                elif e.type == EventType.FILTER_INIT \
+                        and not e.props.get("audio"):
+                    e.props["in_tracks"] = [t + 1 for t in
+                                            e.props.get("in_tracks", [])]
+                    e.props["out_tracks"] = [t + 1 for t in
+                                             e.props.get("out_tracks", [])]
+        return True
+
+    def fps(self) -> float:
+        return self._mt.el.fps
+
+    def set_track_label(self, track: int, label: str = "") -> bool:
+        self._labels[int(track)] = label
+        return True
+
+    def track_label(self, track: int) -> str:
+        return self._labels.get(int(track), f"Video {track}"
+                                if track >= 0 else f"Audio {-track}")
+
+    # -- blocks ------------------------------------------------------------
+    def insert_block(self, c: "LiVESClip",
+                     ignore_selection_limits: bool = False,
+                     without_audio: bool = False) -> Optional[LiVESBlock]:
+        """multitrack::insertBlock: inserts `c` at (currentTrack,
+        currentTime), honouring the clip's frame selection unless
+        ignored, plus gravity/insert mode."""
+        mt = self._mt
+        start = int(round(self._current_time * mt.el.fps))
+        offset, length = 0, max(int(c.frames), 1)
+        sel = getattr(c, "_selection", None)
+        if sel and not ignore_selection_limits:
+            offset = max(sel[0] - 1, 0)
+            length = max(sel[1] - sel[0] + 1, 1)
+        if self._current_track < 0:
+            ab = mt.insert_audio_block(self._current_track, c.unique_id,
+                                       start, length,
+                                       seek=offset / mt.el.fps)
+            if ab is None:
+                return None
+            self._app._notify(NOTIFY.BLOCK_INSERTED, "")
+            blk = LiVESBlock(self, ab.track, ab.start)
+            return blk
+        b = mt.insert_block(self._current_track, c.unique_id, start,
+                            length, offset,
+                            with_audio=not without_audio)
+        if b is None:
+            return None
+        self._app._notify(NOTIFY.BLOCK_INSERTED, "")
+        return LiVESBlock(self, b.track, b.start)
+
+    def wipe_layout(self, force: bool = False) -> str:
+        name = getattr(self, "_layout_name", "")
+        self._app.multitrack = Multitrack(fps=self._mt.el.fps,
+                                          width=self._mt.el.width,
+                                          height=self._mt.el.height,
+                                          n_tracks=self._mt.n_tracks)
+        self._app._notify(NOTIFY.LAYOUT_WIPED, name)
+        return name
+
+    def save_layout(self, path: str) -> str:
+        self._mt.save_layout(path)
+        self._layout_name = path
+        return path
+
+    def reload_layout(self, path: str) -> bool:
+        self._app.multitrack = Multitrack.load_layout(path)
+        self._layout_name = path
+        return True
+
+    # -- render ------------------------------------------------------------
+    def render(self, render_audio: bool = True,
+               normalise_audio: bool = True) -> Optional["LiVESClip"]:
+        """multitrack::render — renders the timeline to a NEW clip in the
+        app (render_to_clip, events.c:4994)."""
+        from .events.renderer import ClipFrameSource
+        from .layer import Layer
+        mt = self._mt
+        uid_map = {cl.unique_id: cl.raw() for cl in self._app._clips}
+        if not uid_map or mt.n_frames == 0:
+            return None
+        src = ClipFrameSource(uid_map)
+        w = mt.el.width or max(c.width for c in uid_map.values())
+        h = mt.el.height or max(c.height for c in uid_map.values())
+        frames, _tcs = mt.render(
+            src, sink=SinkSpec(width=w, height=h))
+        out = self._app.new_clip(w, h, mt.el.fps, name="rendered")
+        import jax.numpy as jnp
+        import numpy as np
+
+        from .constants import Palette
+        raw = out.raw()
+        raw.frames = len(frames)
+        raw.create_frame_index(all_virtual=False)
+        for i in range(len(frames)):
+            raw.put_frame(i, Layer(planes=(jnp.asarray(frames[i]),),
+                                   palette=int(Palette.RGB24)))
+        if render_audio:
+            audio = mt.render_audio(uid_map)
+            if len(audio):
+                if normalise_audio:
+                    peak = float(np.abs(audio).max())
+                    if peak > 1e-6:
+                        audio = audio * min(1.0, 0.95 / peak)
+                out.raw().write_audio(audio.astype(np.float32), 44100)
+        out.raw().save_header()
+        self._app._notify(NOTIFY.MT_RENDERED, str(out.number))
+        return out
+
+
 class LiVESApp:
     """liblives `livesApp`: the top-level embeddable application object."""
 
@@ -173,6 +451,7 @@ class LiVESApp:
         self.effect_key_map = EffectKeyMap(self)
         self.set = ClipSet(self)
         self.multitrack = Multitrack()
+        self.mt = LiVESMultitrack(self)
         self._callbacks: dict[int, list[Callable]] = {}
         self.osc: Optional[OSCServer] = None
         if osc_port is not None:
@@ -215,6 +494,10 @@ class LiVESApp:
             self.osc.notify(event, data)
         for fn in self._callbacks.get(event, []):
             fn(data)
+
+    def get_multitrack(self) -> LiVESMultitrack:
+        """liblives `livesApp::getMultitrack()`."""
+        return self.mt
 
     def quit(self):
         self._notify(NOTIFY.APP_QUIT, "")

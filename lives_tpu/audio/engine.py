@@ -128,6 +128,108 @@ def mix_tracks(tracks: list[np.ndarray], vols: list[float] | None = None,
     return np.clip(acc, -1.0, 1.0) if clip else acc
 
 
+def _avol_envelope(el, track: int, times: np.ndarray) -> np.ndarray:
+    """Per-track gain at absolute timeline seconds from the avol filter's
+    keyframed multi-valued volume pchain (events.c:2636 model; consumed
+    by render_audio_segment at audio.c:1686)."""
+    from ..events.event_list import EventType, TICKS_PER_SECOND
+    init = next((e for e in el.events
+                 if e.type == EventType.FILTER_INIT
+                 and e.props.get("filter") == "avol"), None)
+    if init is None:
+        return np.ones(len(times), np.float32)
+    tracks = init.props.get("in_tracks", [])
+    if track not in tracks:
+        return np.ones(len(times), np.float32)
+    idx = tracks.index(track)
+    vols = init.props.get("values", {}).get("volume", [])
+    base = float(vols[idx]) if idx < len(vols) else 1.0
+    pts = [(init.tc, base)]
+    for pc in el.pchain(init.event_id, "volume"):
+        v = pc.props["value"]
+        if isinstance(v, (list, tuple)) and idx < len(v):
+            pts.append((pc.tc, float(v[idx])))
+    if len(pts) == 1:
+        return np.full(len(times), base, np.float32)
+    xp = np.asarray([t / TICKS_PER_SECOND for t, _ in pts], np.float64)
+    fp = np.asarray([v for _, v in pts], np.float64)
+    keep = np.concatenate([xp[1:] > xp[:-1], [True]])
+    return np.interp(times, xp[keep], fp[keep]).astype(np.float32)
+
+
+def _clip_audio_cached(clips: dict, cache: dict, uid, arate: int):
+    if uid not in cache:
+        clip = clips.get(uid)
+        if clip is None:
+            cache[uid] = (np.zeros((0, 1), np.float32), arate)
+        else:
+            data = clip.read_audio() if hasattr(clip, "read_audio") \
+                else np.asarray(clip, np.float32)
+            if data.ndim == 1:
+                data = data[:, None]
+            cache[uid] = (data, getattr(clip, "arate", arate) or arate)
+    return cache[uid]
+
+
+def render_timeline_audio(event_list, clips: dict, arate: int = 44100,
+                          channels: int = 2) -> np.ndarray:
+    """Mix a multitrack timeline's audio from the sparse per-track
+    transition state machine on FRAME events (audio_clips/audio_seeks
+    pairs, events.c:1251) with per-track avol volume envelopes —
+    render_audio_segment's successor (audio.c:1686). Velocity-aware
+    (reverse/speed audio blocks render as performed); audio past a clip's
+    end is silence (no looping, matching the reference)."""
+    from ..events.event_list import (EventType, TICKS_PER_SECOND,
+                                     get_audio_entry)
+    transitions: dict[int, list] = {}   # track -> [(tc, clip, seek, vel)]
+    for e in event_list.events:
+        if e.type != EventType.FRAME:
+            continue
+        ac = e.props.get("audio_clips")
+        if not ac:
+            continue
+        for i in range(0, len(ac) - 1, 2):
+            ent = get_audio_entry(e, ac[i])
+            transitions.setdefault(ac[i], []).append(
+                (e.tc, ent[0], ent[1], ent[2]))
+    if not transitions:
+        # legacy timelines (no audio events): clip-placement fallback
+        return render_audio(event_list, clips, arate, channels)
+    frames = event_list.frame_events()
+    tpf = TICKS_PER_SECOND / (event_list.fps or 25.0)
+    end_tc = (frames[-1].tc + tpf) if frames else 0
+    n_out = int(np.ceil(end_tc / TICKS_PER_SECOND * arate)) + 1
+    acc = np.zeros((n_out, channels), np.float32)
+    cache: dict = {}
+    for track, trs in transitions.items():
+        for k, (tc, clip, seek, vel) in enumerate(trs):
+            if clip < 0 or vel == 0.0:
+                continue
+            t1_tc = trs[k + 1][0] if k + 1 < len(trs) else end_tc
+            t0 = tc / TICKS_PER_SECOND
+            t1 = t1_tc / TICKS_PER_SECOND
+            o0, o1 = int(round(t0 * arate)), min(int(round(t1 * arate)),
+                                                 n_out)
+            if o1 <= o0:
+                continue
+            data, src_rate = _clip_audio_cached(clips, cache, clip, arate)
+            if not len(data):
+                continue
+            rel = np.arange(o1 - o0, dtype=np.float64) / arate
+            pos = (seek + rel * vel) * src_rate
+            valid = (pos >= 0) & (pos <= len(data) - 1)
+            idx = np.clip(pos, 0, len(data) - 1)
+            lo = idx.astype(np.int64)
+            hi = np.minimum(lo + 1, len(data) - 1)
+            frac = (idx - lo).astype(np.float32)[:, None]
+            seg = data[lo] * (1.0 - frac) + data[hi] * frac
+            seg[~valid] = 0.0
+            seg = to_channels(seg, channels)
+            env = _avol_envelope(event_list, track, t0 + rel)
+            acc[o0:o1] += seg * env[:, None]
+    return np.clip(acc, -1.0, 1.0)
+
+
 def render_audio(event_list, clips: dict, arate: int = 44100,
                  channels: int = 2,
                  vols: dict[int, float] | None = None) -> np.ndarray:
@@ -167,8 +269,19 @@ def render_audio_from_seeks(event_list, clips: dict, arate: int = 44100,
     audio_clips/audio_seeks): between consecutive FRAME events the clip's
     audio plays from seek_i to seek_{i+1} — scratching, reverse and speed
     changes reproduce exactly as performed. Falls back to `render_audio`
-    when no seeks were recorded."""
+    when no seeks were recorded. Accepts both the reference pair schema
+    ([track, clip] / [seek, vel], events.c:1251) and this project's
+    pre-0.3 singleton recordings."""
     from ..events.event_list import EventType, TICKS_PER_SECOND
+
+    def rec_entry(ev):
+        ac = ev.props.get("audio_clips") or []
+        asx = ev.props.get("audio_seeks") or []
+        if len(ac) >= 2 and len(asx) >= 2:     # pair schema
+            return ac[1], float(asx[0])
+        if ac:                                  # legacy singleton
+            return ac[0], float(asx[0]) if asx else 0.0
+        return None, 0.0
     evs = [e for e in event_list.events
            if e.type == EventType.FRAME and e.props.get("audio_seeks")]
     if len(evs) < 2:
@@ -193,7 +306,7 @@ def render_audio_from_seeks(event_list, clips: dict, arate: int = 44100,
         if evs else 0
     pairs = list(zip(evs[:-1], evs[1:])) + ([(evs[-1], None)] if evs else [])
     for a, b in pairs:
-        uid = a.props["audio_clips"][0]
+        uid, _ = rec_entry(a)
         data, src_rate = clip_audio(uid)
         if not len(data):
             continue
@@ -203,11 +316,11 @@ def render_audio_from_seeks(event_list, clips: dict, arate: int = 44100,
         if o1 <= o0:
             continue
         dur = (o1 - o0) / arate
-        s0 = a.props["audio_seeks"][0] * src_rate
-        same_clip = (b is not None
-                     and b.props.get("audio_clips", [None])[0] == uid)
+        s0 = rec_entry(a)[1] * src_rate
+        b_uid = rec_entry(b)[0] if b is not None else None
+        same_clip = b_uid == uid
         if same_clip:
-            s1 = b.props["audio_seeks"][0] * src_rate
+            s1 = rec_entry(b)[1] * src_rate
             # a seek jump that one frame interval cannot explain (clip
             # switch artefact / loop wrap) would sweep the whole file as a
             # chirp: extrapolate at nominal velocity instead

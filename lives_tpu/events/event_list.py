@@ -95,11 +95,91 @@ def marker_event(tc: int, **props) -> Event:
     return Event(tc, EventType.MARKER, dict(props))
 
 
+# -- sparse audio transitions on FRAME events ------------------------------
+# Reference model (events.c:1251 insert_audio_event_at): flat pairs
+# audio_clips=[track, clip, ...], audio_seeks=[seek_seconds, velocity, ...].
+# An entry switches `track`'s audio; vel == 0 or clip < 0 means off.
+
+def get_audio_entry(ev: Event, track: int):
+    """(clip, seek, vel) for `track` at this FRAME event, or None."""
+    ac = ev.props.get("audio_clips")
+    if not ac:
+        return None
+    asx = ev.props.get("audio_seeks", [])
+    for i in range(0, len(ac) - 1, 2):
+        if ac[i] == track:
+            seek = asx[i] if i < len(asx) else 0.0
+            vel = asx[i + 1] if i + 1 < len(asx) else 1.0
+            return (ac[i + 1], float(seek), float(vel))
+    return None
+
+
+def set_audio_entry(ev: Event, track: int, clip: int, seek: float,
+                    vel: float):
+    """Insert/replace `track`'s audio transition (insert_audio_event_at).
+    Velocity rounds to 4 dp like the reference (events.c:1257)."""
+    vel = round(float(vel) * 10000.0) / 10000.0
+    ac = ev.props.setdefault("audio_clips", [])
+    asx = ev.props.setdefault("audio_seeks", [])
+    while len(asx) < len(ac):
+        asx.append(0.0)
+    for i in range(0, len(ac) - 1, 2):
+        if ac[i] == track:
+            ac[i + 1] = int(clip)
+            asx[i], asx[i + 1] = float(seek), vel
+            return
+    ac.extend([int(track), int(clip)])
+    asx.extend([float(seek), vel])
+
+
+def is_audio_terminator(ev: Event) -> bool:
+    """True for a FRAME event carrying no video and only audio OFF
+    markers — a timeline-end audio bound, not a frame of content."""
+    if ev.type != EventType.FRAME:
+        return False
+    if any(c >= 0 for c in ev.props.get("clips", [])):
+        return False
+    ac = ev.props.get("audio_clips") or []
+    asx = ev.props.get("audio_seeks") or []
+    if not ac:
+        return False
+    for i in range(0, len(ac) - 1, 2):
+        vel = asx[i + 1] if i + 1 < len(asx) else 1.0
+        if ac[i + 1] >= 0 and vel != 0.0:
+            return False
+    return True
+
+
+def remove_audio_entry(ev: Event, track: int):
+    """Drop `track`'s transition (remove_audio_for_track,
+    events.c:1355); deletes the leaves when empty."""
+    ac = ev.props.get("audio_clips")
+    if not ac:
+        return
+    asx = ev.props.get("audio_seeks", [])
+    for i in range(0, len(ac) - 1, 2):
+        if ac[i] == track:
+            del ac[i: i + 2]
+            if i + 1 < len(asx):
+                del asx[i: i + 2]
+            break
+    if not ac:
+        ev.props.pop("audio_clips", None)
+        ev.props.pop("audio_seeks", None)
+
+
 class EventList:
     """An ordered timeline of events + global header (fps, geometry, audio).
 
     The single source of truth for recordings and multitrack layouts
     (reference multitrack.h:756-773: blocks are only *views* onto this).
+
+    Indexed: alongside the sorted ``events`` list we keep a parallel rank
+    list (O(log N) position lookups), an event-id map, and a sorted
+    frame-tc index (O(log N) ``get_frame_event_at``) — the reference walks
+    its linked list per lookup (events.c:792 get_frame_event_at), which
+    made editor operations O(timeline x edit). All mutations must go
+    through insert()/remove() (or call reindex() after bulk surgery).
     """
 
     def __init__(self, fps: float = 25.0, width: int = 0, height: int = 0,
@@ -110,17 +190,36 @@ class EventList:
         self.audio_rate = audio_rate
         self.audio_channels = audio_channels
         self.events: list[Event] = []
+        self._ranks: list[tuple] = []          # parallel to events
+        self._by_id: dict[str, Event] = {}
+        self._frame_tcs: list[int] = []        # sorted tcs of FRAME events
+        self._frame_at: dict[int, Event] = {}  # tc -> FRAME event
+
+    def reindex(self):
+        """Rebuild all indices after direct surgery on ``events``."""
+        self.events.sort(key=lambda e: e._rank)
+        self._ranks = [e._rank for e in self.events]
+        self._by_id = {e.event_id: e for e in self.events}
+        self._frame_at = {e.tc: e for e in self.events
+                          if e.type == EventType.FRAME}
+        self._frame_tcs = sorted(self._frame_at)
 
     # -- CRUD (reference events.c:246-1151) --------------------------------
     def insert(self, ev: Event) -> Event:
-        # fast path: live recording appends in tc order — rebuilding the
-        # rank list per insert is O(N) on the player's per-frame path
-        if not self.events or ev._rank >= self.events[-1]._rank:
+        rank = ev._rank
+        # fast path: live recording appends in tc order
+        if not self._ranks or rank >= self._ranks[-1]:
             self.events.append(ev)
-            return ev
-        keys = [e._rank for e in self.events]
-        idx = bisect.bisect_right(keys, ev._rank)
-        self.events.insert(idx, ev)
+            self._ranks.append(rank)
+        else:
+            idx = bisect.bisect_right(self._ranks, rank)
+            self.events.insert(idx, ev)
+            self._ranks.insert(idx, rank)
+        self._by_id[ev.event_id] = ev
+        if ev.type == EventType.FRAME:
+            if ev.tc not in self._frame_at:
+                bisect.insort(self._frame_tcs, ev.tc)
+            self._frame_at[ev.tc] = ev
         return ev
 
     def extend(self, evs: Iterable[Event]):
@@ -128,13 +227,24 @@ class EventList:
             self.insert(e)
 
     def remove(self, ev: Event):
-        self.events.remove(ev)
+        idx = bisect.bisect_left(self._ranks, ev._rank)
+        while idx < len(self.events) and self.events[idx] is not ev:
+            if self._ranks[idx] != ev._rank:
+                raise ValueError("event not in list")
+            idx += 1
+        if idx >= len(self.events):
+            raise ValueError("event not in list")
+        del self.events[idx]
+        del self._ranks[idx]
+        self._by_id.pop(ev.event_id, None)
+        if ev.type == EventType.FRAME and self._frame_at.get(ev.tc) is ev:
+            del self._frame_at[ev.tc]
+            ti = bisect.bisect_left(self._frame_tcs, ev.tc)
+            del self._frame_tcs[ti]
+        return ev
 
     def get(self, event_id: str) -> Event | None:
-        for e in self.events:
-            if e.event_id == event_id:
-                return e
-        return None
+        return self._by_id.get(event_id)
 
     def __len__(self):
         return len(self.events)
@@ -148,20 +258,24 @@ class EventList:
 
     # -- navigation --------------------------------------------------------
     def frame_events(self) -> list[Event]:
-        return [e for e in self.events if e.type == EventType.FRAME]
+        return [self._frame_at[tc] for tc in self._frame_tcs]
+
+    @property
+    def n_frame_events(self) -> int:
+        return len(self._frame_tcs)
 
     def get_frame_event_at(self, tc: int, exact: bool = False) -> Event | None:
-        """Last FRAME event at or before tc (reference events.c:792)."""
-        best = None
-        for e in self.events:
-            if e.type != EventType.FRAME:
-                continue
-            if e.tc == tc:
-                return e
-            if e.tc > tc:
-                break
-            best = e
-        return None if exact else best
+        """Last FRAME event at or before tc (reference events.c:792),
+        O(log F) via the frame-tc index."""
+        e = self._frame_at.get(tc)
+        if e is not None:
+            return e
+        if exact:
+            return None
+        idx = bisect.bisect_right(self._frame_tcs, tc)
+        if idx == 0:
+            return None
+        return self._frame_at[self._frame_tcs[idx - 1]]
 
     def active_inits_at(self, tc: int) -> list[Event]:
         """FILTER_INIT events whose [init, deinit) interval covers tc,
@@ -209,6 +323,15 @@ class EventList:
                     and e.tc > prev_tc:
                 t = (tc - prev_tc) / (e.tc - prev_tc)
                 return prev_v + (v - prev_v) * t
+            if (isinstance(v, (list, tuple)) and isinstance(prev_v,
+                                                            (list, tuple))
+                    and len(v) == len(prev_v) and e.tc > prev_tc
+                    and all(isinstance(x, (int, float)) for x in v)
+                    and all(isinstance(x, (int, float)) for x in prev_v)):
+                # element-wise interp for multi-valued params (the avol
+                # per-track volume model, events.c:2636)
+                t = (tc - prev_tc) / (e.tc - prev_tc)
+                return [a + (b - a) * t for a, b in zip(prev_v, v)]
             return prev_v
         return prev_v
 
@@ -270,7 +393,7 @@ class EventList:
         for ed in d["events"]:
             el.events.append(Event(ed["tc"], EventType(ed["type"]),
                                    ed["props"], ed["event_id"]))
-        # canonical (tc, rank) order: navigation break-early scans assume
-        # it, and external/hand-edited files may group events by type
-        el.events.sort(key=lambda e: e._rank)
+        # canonical (tc, rank) order + indices: external/hand-edited files
+        # may group events by type
+        el.reindex()
         return el

@@ -126,6 +126,8 @@ def _chain_for(inits: list[Event], el: EventList,
     zips them)."""
     kept, chain = [], []
     for init in inits:
+        if init.props.get("audio"):
+            continue  # audio-only filters (avol) mix in the audio path
         name = init.props["filter"]
         try:
             f = get_filter(name)
@@ -216,7 +218,16 @@ def render_events(el: EventList, source: FrameSource,
     Successor of render_events/render_to_clip (events.c:3802,4994)."""
     fps = fps or el.fps
     sink = sink or SinkSpec(width=el.width, height=el.height)
-    for seg in segment_events(el):
+    segs = segment_events(el)
+    if segs:
+        # a trailing audio terminator bounds the timeline's audio; it is
+        # not a frame of video content (multitrack block-end off marker)
+        from .event_list import is_audio_terminator
+        if is_audio_terminator(segs[-1].frames[-1]):
+            segs[-1].frames.pop()
+            if not segs[-1].frames:
+                segs.pop()
+    for seg in segs:
         inits, chain = _chain_for(seg.inits, el, seg.frames[0].tc)
         graph = FrameGraph(chain, sink, fps=fps)
         n_tracks = max((len(f.clips) for f in seg.frames), default=0)

@@ -258,6 +258,10 @@ def save_event_list_binary(el: EventList, fh: BinaryIO) -> int:
                                     [int(t) for t in
                                      p.get("out_tracks", [0])])
             leaves["event_id"] = (SEED_INT64, [int_id(ev.event_id)])
+            if p.get("audio"):
+                # audio-filter marker (our avol init; the reference infers
+                # this from the plugin's channel templates)
+                leaves["host_audio"] = (SEED_BOOLEAN, [1])
             # initial param values: the reference records these as
             # PARAM_CHANGE events at the init's tc (pchain heads); we also
             # keep them verbatim in a host leaf so OUR round trip is exact
@@ -389,6 +393,11 @@ def load_event_list_binary(fh: BinaryIO) -> EventList:
                             out_tracks=[int(t) for t in arr("out_tracks")]
                             or [0], values=values),
                        event_id=eid)
+            raw_name = str(get("filter", ""))
+            if get("host_audio") or "audio volume" in raw_name \
+                    or "audio_volume" in raw_name:
+                ev.props["filter"] = "avol"
+                ev.props["audio"] = True
             init_filters[eid] = ours
             init_events[eid] = ev
         elif etype == EventType.FILTER_DEINIT:
@@ -427,7 +436,7 @@ def load_event_list_binary(fh: BinaryIO) -> EventList:
                                   SEED_STRING, SEED_INT64)}
             ev = Event(tc, EventType.MARKER, props)
         el.events.append(ev)
-    el.events.sort(key=lambda e: e._rank)
+    el.reindex()
     return el
 
 

@@ -455,6 +455,8 @@ class FrameGraph:
                                        for t in range(T)]
 
             if self.has_stateful:
+                in_scan_gen = source is not None and not layers
+
                 def batch_fn(layers, src, packed, states, _pre=pre_sweep):
                     if _pre is not None:
                         # generation + stateless prefix: one sweep kernel,
@@ -462,8 +464,34 @@ class FrameGraph:
                         comp = _pre(src, packed)
                         layers = [Layer(planes=(comp,),
                                         palette=int(Palette.RGBFLOAT))]
+                    elif in_scan_gen:
+                        # stateful-LED chain (no fusable prefix): generate
+                        # each frame's tracks INSIDE the scan body. Scan
+                        # xs must be materialised buffers, so pre-batch
+                        # generation would write T x B full frames to HBM
+                        # (the dominant traffic at 10 tracks); in-body
+                        # generation lets XLA fuse the LOAD step straight
+                        # into the chain — only state + comp touch HBM
+                        T = src.shape[1]
+
+                        def gstep(states, per_frame):
+                            src_col, col = per_frame  # (2,T), (P+2,)
+                            lyrs = []
+                            for t in range(T):
+                                l = source.traced_layer(
+                                    src_col[0, t][None],
+                                    src_col[1, t][None])
+                                lyrs.append(l.replace(planes=tuple(
+                                    p[0] for p in l.planes)))
+                            out, ns = one(lyrs, col, states)
+                            return ns, out
+                        new_states, outs = jax.lax.scan(
+                            gstep, states,
+                            (jnp.moveaxis(src, 2, 0), packed.T))
+                        return outs, new_states
                     else:
                         layers = materialise(layers, src)
+
                     def step(states, per_frame):
                         lyrs, col = per_frame
                         out, ns = one(lyrs, col, states)

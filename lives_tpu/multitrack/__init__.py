@@ -1,3 +1,3 @@
 """Multitrack timeline model (reference L: src/multitrack.c, headless)."""
 
-from .model import Block, Gravity, Multitrack
+from .model import AudioBlock, Block, Gravity, InsertMode, Multitrack

@@ -8,6 +8,18 @@ bounded ring of serialized event lists (the reference's snapshot model).
 
 The timeline is a frame grid at the event list's fps (the reference
 quantises inserted clips to the timeline fps too, via resample.c).
+
+Audio model (reference events.c:1251 insert_audio_event_at): FRAME events
+carry sparse per-track audio *transitions* as flat pairs —
+``audio_clips = [track, clip, ...]`` and ``audio_seeks = [seek, vel, ...]``
+— a state machine: an entry switches that track's audio to play `clip`
+from `seek` seconds at velocity `vel` until the next entry; vel == 0 or
+clip < 0 means off (audio.c:3656 records off as vel 0). Backing audio
+tracks use negative indices (-1 = first), video tracks >= 0 carry their
+own audio (events.c:2653 avol in_tracks layout). Per-track volume is the
+avol filter model: one FILTER_INIT spanning the timeline whose
+multi-valued "volume" param is keyframed via PARAM_CHANGE pchains
+(events.c:2636 add_track_to_avol_init, mixed at audio.c:1686).
 """
 
 from __future__ import annotations
@@ -21,13 +33,23 @@ import numpy as np
 from ..events.event_list import (EventList, EventType, TICKS_PER_SECOND,
                                  filter_deinit_event, filter_init_event,
                                  filter_map_event, frame_event,
-                                 param_change_event)
+                                 get_audio_entry, param_change_event,
+                                 remove_audio_entry, set_audio_entry)
 
 
 class Gravity(enum.IntEnum):
-    """multitrack.h:101-117 insert gravity modes."""
+    """multitrack.h:113-117 lives_mt_grav_mode_t."""
     NORMAL = 0
     LEFT = 1
+    RIGHT = 2
+
+
+class InsertMode(enum.IntEnum):
+    """multitrack.h:103-111 lives_mt_insert_mode_t (reference ordinals;
+    AMATCH/FLEX are unimplemented there too)."""
+    NORMAL = 0      # only insert if it fits (clipped to the free gap)
+    OVERWRITE = 2   # overwrite existing blocks
+    FILL = 4        # fill the gap / selection (side picked by gravity)
 
 
 @dataclass(frozen=True)
@@ -44,16 +66,38 @@ class Block:
         return self.start + self.length
 
 
+@dataclass(frozen=True)
+class AudioBlock:
+    """A backing-audio-track block view (multitrack.c audio block model):
+    derived from the sparse audio-transition state machine."""
+    track: int          # negative: -1 = first backing audio track
+    start: int          # timeline frame index
+    length: int
+    clip: int
+    seek: float         # clip audio start, seconds
+    vel: float = 1.0
+
+    @property
+    def end(self) -> int:
+        return self.start + self.length
+
+
 class Multitrack:
     def __init__(self, fps: float = 25.0, width: int = 1920,
                  height: int = 1080, n_tracks: int = 2,
-                 undo_depth: int = 32):
+                 n_audio_tracks: int = 1, undo_depth: int = 32):
         self.el = EventList(fps=fps, width=width, height=height)
         self.n_tracks = n_tracks
+        # backing audio tracks (negative indices -1..-n); reference default
+        # is one (multitrack.c opts.back_audio_tracks)
+        self.n_audio_tracks = n_audio_tracks
         self.gravity = Gravity.NORMAL
-        # per-track audio volumes (the avol filter model,
-        # events.c:2636 add_track_to_avol_init)
-        self.track_volumes: dict[int, float] = {}
+        self.insert_mode = InsertMode.NORMAL
+        # region selection (multitrack.c region model): (tracks, start, end)
+        self.sel_tracks: list[int] = []
+        self.sel_start: int = 0
+        self.sel_end: int = 0
+        self._avol_id: Optional[str] = None
         self._undo: list[str] = []
         self._redo: list[str] = []
         self._undo_depth = undo_depth
@@ -69,13 +113,7 @@ class Multitrack:
         return int(round(tc / self._tpf()))
 
     def _frame_event_at(self, i: int):
-        tc = self.frame_tc(i)
-        for e in self.el.events:
-            if e.type == EventType.FRAME and e.tc == tc:
-                return e
-            if e.tc > tc:
-                break
-        return None
+        return self.el.get_frame_event_at(self.frame_tc(i), exact=True)
 
     def _ensure_frame_event(self, i: int):
         e = self._frame_event_at(i)
@@ -89,10 +127,35 @@ class Multitrack:
             e.props["frames"].append(0)
         return e
 
+    @staticmethod
+    def _has_video(e) -> bool:
+        return any(c >= 0 for c in e.props.get("clips", []))
+
+    @staticmethod
+    def _audio_off_only(e) -> bool:
+        """True if the event's audio entries are all off markers."""
+        ac = e.props.get("audio_clips") or []
+        asx = e.props.get("audio_seeks") or []
+        if not ac:
+            return False
+        for i in range(0, len(ac) - 1, 2):
+            vel = asx[i + 1] if i + 1 < len(asx) else 1.0
+            if ac[i + 1] >= 0 and vel != 0.0:
+                return False
+        return True
+
     @property
     def n_frames(self) -> int:
         evs = self.el.frame_events()
-        return self.tc_frame(evs[-1].tc) + 1 if evs else 0
+        if not evs:
+            return 0
+        last = evs[-1]
+        i = self.tc_frame(last.tc)
+        # a trailing pure audio terminator bounds the timeline, it is not
+        # a frame of content
+        if not self._has_video(last) and self._audio_off_only(last):
+            return i
+        return i + 1
 
     # -- undo (bounded event-list snapshots) -------------------------------
     def _checkpoint(self):
@@ -118,30 +181,136 @@ class Multitrack:
     # -- track ops ---------------------------------------------------------
     def add_track(self) -> int:
         self.n_tracks += 1
+        self._avol_add_track()
         return self.n_tracks - 1
+
+    def add_audio_track(self) -> int:
+        """Add a backing audio track; returns its (negative) index."""
+        self.n_audio_tracks += 1
+        self._avol_add_track()
+        return -self.n_audio_tracks
+
+    # -- selection (region ops operate on it) ------------------------------
+    def select_region(self, tracks: Sequence[int], start: int, end: int):
+        self.sel_tracks = list(tracks)
+        self.sel_start, self.sel_end = int(start), int(end)
+
+    def clear_selection(self):
+        self.sel_tracks, self.sel_start, self.sel_end = [], 0, 0
+
+    # -- block geometry helpers --------------------------------------------
+    def _occupied(self, track: int) -> list[tuple[int, int]]:
+        """Sorted [start, end) occupied intervals on a track."""
+        return [(b.start, b.end) for b in self.blocks(track)]
+
+    def _gap_at(self, track: int, i: int) -> tuple[int, int]:
+        """The free interval [lo, hi) containing frame i (hi may be a
+        large sentinel when the gap is unbounded to the right)."""
+        lo, hi = 0, 1 << 40
+        for s, e in self._occupied(track):
+            if e <= i:
+                lo = max(lo, e)
+            elif s > i:
+                hi = min(hi, s)
+                break
+            else:                      # i inside a block: zero gap
+                return (i, i)
+        return (lo, hi)
 
     # -- block ops (all are event-list rewrites) ---------------------------
     def insert_block(self, track: int, clip: int, start: int, length: int,
-                     offset: int = 0) -> Block:
-        """Place clip frames on a track (in_block insertion,
-        multitrack.c insert handlers)."""
-        self._checkpoint()
+                     offset: int = 0, with_audio: bool = True,
+                     mode: InsertMode | None = None) -> Optional[Block]:
+        """Place clip frames on a track (multitrack.c insert handlers).
+
+        Honours ``self.gravity`` (NORMAL = at `start`; LEFT = snap back
+        against the previous block; RIGHT = snap forward so the block ends
+        flush against the next block) and the insert mode (NORMAL fits
+        into the free gap, clipping the length; OVERWRITE replaces;
+        FILL fills the gap/selection). Returns the Block view, or None if
+        nothing could be inserted. ``with_audio`` writes the clip's audio
+        transitions alongside (reference mt->opts.insert_audio)."""
+        mode = self.insert_mode if mode is None else mode
+        if track < 0:
+            raise ValueError("use insert_audio_block for audio tracks")
+        start = max(0, int(start))
+        length = int(length)
         if self.gravity == Gravity.LEFT:
-            blocks = [b for b in self.blocks(track) if b.end <= start]
-            start = blocks[-1].end if blocks else 0
+            prev = [b for b in self.blocks(track) if b.end <= start]
+            start = prev[-1].end if prev else 0
+        elif self.gravity == Gravity.RIGHT:
+            nxt = [b for b in self.blocks(track) if b.start >= start]
+            if nxt:
+                prev = [b for b in self.blocks(track)
+                        if b.end <= nxt[0].start]
+                floor = prev[-1].end if prev else 0
+                start = max(floor, nxt[0].start - length)
+        if mode == InsertMode.NORMAL:
+            lo, hi = self._gap_at(track, start)
+            if hi <= start:
+                return None
+            length = min(length, hi - start)
+        elif mode == InsertMode.FILL:
+            lo, hi = self._gap_at(track, start)
+            if self.sel_tracks and track in self.sel_tracks \
+                    and self.sel_end > self.sel_start:
+                lo, hi = max(lo, self.sel_start), min(hi, self.sel_end)
+            if hi <= lo:
+                return None
+            fill = min(length, hi - lo)
+            # side picked by gravity (multitrack.h:110 comment): RIGHT
+            # fills flush against the gap end, else from the gap start
+            start = hi - fill if self.gravity == Gravity.RIGHT else lo
+            length = fill
+        if length <= 0:
+            return None
+        self._checkpoint()
+        return self._write_block(track, clip, start, length, offset,
+                                 with_audio)
+
+    def _fill_grid(self, upto: int):
+        """The timeline frame grid is complete: every frame slot from 0 to
+        the last content frame has a FRAME event (the reference's
+        multitrack event lists are full grids too — quantise_events emits
+        one event per timeline frame). Leading/inner gaps are blank
+        events, so renders preserve gap timing."""
+        for i in range(self.n_frames, upto):
+            self._ensure_frame_event(i)
+
+    def _write_block(self, track: int, clip: int, start: int, length: int,
+                     offset: int, with_audio: bool) -> Block:
+        self._fill_grid(start)
+        end = start + length
+        end_state = self._audio_state_at(track, self.frame_tc(end))
         for k in range(length):
             e = self._ensure_frame_event(start + k)
             e.props["clips"][track] = clip
             e.props["frames"][track] = offset + k
+        if with_audio:
+            self._clear_audio_range(track, start + 1, end)
+            e0 = self._ensure_frame_event(start)
+            set_audio_entry(e0, track, clip, offset / self.el.fps, 1.0)
+            self._terminate_audio(track, end, end_state)
         return Block(track, start, length, clip, offset)
 
     def delete_block(self, block: Block):
         self._checkpoint()
+        pre = self._audio_state_at(block.track,
+                                   self.frame_tc(block.start) - 1)
+        end_state = self._audio_state_at(block.track,
+                                         self.frame_tc(block.end))
         for k in range(block.start, block.end):
             e = self._frame_event_at(k)
             if e is not None and block.track < len(e.props["clips"]):
                 e.props["clips"][block.track] = -1
                 e.props["frames"][block.track] = 0
+        self._clear_audio_range(block.track, block.start, block.end)
+        if pre is not None and pre[2] != 0.0 and pre[0] >= 0:
+            # audio flowing in from the left must stop here
+            e0 = self._ensure_frame_event(block.start)
+            set_audio_entry(e0, block.track, pre[0], 0.0, 0.0)
+        self._terminate_audio(block.track, block.end, end_state,
+                              only_if_needed=True)
         self._prune_empty()
 
     def move_block(self, block: Block, new_track: int,
@@ -150,9 +319,9 @@ class Multitrack:
         saved = self._undo.pop()  # merge both rewrites into one undo step
         self.delete_block(block)
         self._undo.pop()
-        nb = self.insert_block(new_track, block.clip, new_start,
-                               block.length, block.offset)
-        self._undo[-1] = saved
+        nb = self._write_block(new_track, block.clip, max(0, new_start),
+                               block.length, block.offset, True)
+        self._undo.append(saved)
         return nb
 
     def split_block(self, block: Block, at: int) -> tuple[Block, Block]:
@@ -163,17 +332,159 @@ class Multitrack:
                   block.offset + (at - block.start))
         return a, b
 
+    def trim_block(self, block: Block, new_length: int,
+                   from_start: bool = False) -> Optional[Block]:
+        """Shorten a block (block-resize handler role). ``from_start``
+        trims the head (offset advances) instead of the tail."""
+        new_length = int(new_length)
+        if new_length >= block.length or new_length <= 0:
+            return block if new_length == block.length else None
+        self._checkpoint()
+        saved = self._undo.pop()
+        if from_start:
+            cut = Block(block.track, block.start,
+                        block.length - new_length, block.clip, block.offset)
+            kept = Block(block.track, block.start + (block.length
+                                                     - new_length),
+                         new_length, block.clip,
+                         block.offset + block.length - new_length)
+        else:
+            cut = Block(block.track, block.start + new_length,
+                        block.length - new_length, block.clip,
+                        block.offset + new_length)
+            kept = Block(block.track, block.start, new_length, block.clip,
+                         block.offset)
+        self.delete_block(cut)
+        self._undo.pop()
+        self._undo.append(saved)
+        if from_start:
+            # re-anchor audio seek at the new head
+            e0 = self._frame_event_at(kept.start)
+            if e0 is not None:
+                set_audio_entry(e0, kept.track, kept.clip,
+                                kept.offset / self.el.fps, 1.0)
+        return kept
+
+    # -- gap / region ops (multitrack.c insert gap / remove gaps) ----------
+    def insert_gap(self, tracks: Sequence[int], start: int, length: int):
+        """Shift the content of `tracks` at or after `start` right by
+        `length` frames. When every video track shifts, effect events
+        after `start` shift with the content (reference insert-gap over
+        the full selection)."""
+        self._checkpoint()
+        tracks = list(tracks)
+        start, length = int(start), int(length)
+        shift_all = set(t for t in tracks if t >= 0) \
+            >= set(range(self.n_tracks))
+        self._shift_content(tracks, start, length)
+        if shift_all:
+            dt = int(round(length * self._tpf()))
+            tc0 = self.frame_tc(start)
+            for e in list(self.el.events):
+                if e.tc >= tc0 and e.type in (EventType.FILTER_INIT,
+                                              EventType.FILTER_DEINIT,
+                                              EventType.PARAM_CHANGE,
+                                              EventType.FILTER_MAP):
+                    e.tc += dt
+            self.el.reindex()
+
+    def _shift_content(self, tracks: Sequence[int], start: int,
+                       length: int):
+        """Move per-track (clip, frame, audio) content right by length."""
+        n = self.n_frames
+        for t in tracks:
+            if t >= 0:
+                runs = [(i, self._frame_event_at(i)) for i in
+                        range(start, n)]
+                content = []
+                for i, e in runs:
+                    if e is not None and t < len(e.props["clips"]) \
+                            and e.props["clips"][t] >= 0:
+                        content.append((i, e.props["clips"][t],
+                                        e.props["frames"][t]))
+                        e.props["clips"][t] = -1
+                        e.props["frames"][t] = 0
+                for i, c, f in content:
+                    e = self._ensure_frame_event(i + length)
+                    e.props["clips"][t] = c
+                    e.props["frames"][t] = f
+            # audio transitions shift for both audio + video tracks
+            moves = []
+            for i in range(start, n):
+                e = self._frame_event_at(i)
+                if e is None:
+                    continue
+                ent = get_audio_entry(e, t)
+                if ent is not None:
+                    moves.append((i, ent))
+                    remove_audio_entry(e, t)
+            for i, (c, s, v) in moves:
+                e = self._ensure_frame_event(i + length)
+                set_audio_entry(e, t, c, s, v)
+
+    def remove_gaps(self, tracks: Sequence[int] | None = None,
+                    start: int | None = None, end: int | None = None,
+                    first_only: bool = False):
+        """Close gaps leftwards per track within the region (reference
+        remove-gaps / remove-first-gap on the selection)."""
+        self._checkpoint()
+        tracks = list(tracks) if tracks is not None else (
+            self.sel_tracks or list(range(self.n_tracks)))
+        start = self.sel_start if start is None else int(start)
+        end = (self.sel_end or self.n_frames) if end is None else int(end)
+        for t in tracks:
+            blks = [b for b in self.blocks(t)
+                    if b.start >= start and b.end <= end] if t >= 0 else \
+                   [b for b in self.audio_blocks(t)
+                    if b.start >= start and b.end <= end]
+            pos = start
+            moved_one = False
+            for b in blks:
+                if b.start > pos and not (first_only and moved_one):
+                    if t >= 0:
+                        self._move_inline(b, pos)
+                    else:
+                        self._move_audio_inline(b, pos)
+                    moved_one = True
+                    pos += b.length
+                else:
+                    pos = max(pos, b.end)
+        # a single undo step for the whole operation
+        if len(self._undo) >= 2 and self._undo[-1] == self._undo[-2]:
+            self._undo.pop()
+
+    def _move_inline(self, block: Block, new_start: int):
+        saved = list(self._undo)
+        self.delete_block(block)
+        self._write_block(block.track, block.clip, new_start, block.length,
+                          block.offset, True)
+        self._undo[:] = saved
+
+    def _move_audio_inline(self, ab: "AudioBlock", new_start: int):
+        saved = list(self._undo)
+        self.delete_audio_block(ab)
+        self._write_audio_block(ab.track, ab.clip, new_start, ab.length,
+                                ab.seek, ab.vel)
+        self._undo[:] = saved
+
     def _prune_empty(self):
-        drop = [e for e in self.el.events
-                if e.type == EventType.FRAME
-                and all(c < 0 for c in e.props["clips"])]
-        for e in drop:
-            # keep grid continuity inside the timeline: only prune tail
-            pass
-        # only trailing empties are removed (timeline keeps inner gaps)
+        """Remove trailing frame events that carry no video and no live
+        audio (inner gaps are part of the timeline and stay). A trailing
+        pure terminator survives only while it actually terminates audio."""
         evs = self.el.frame_events()
-        while evs and all(c < 0 for c in evs[-1].props["clips"]):
-            self.el.remove(evs[-1])
+        while evs:
+            e = evs[-1]
+            if self._has_video(e):
+                break
+            ac = e.props.get("audio_clips")
+            if ac and not self._audio_off_only(e):
+                break
+            if ac:
+                tracks = [ac[i] for i in range(0, len(ac) - 1, 2)]
+                if any(self._audio_state_at(t, e.tc - 1) is not None
+                       for t in tracks):
+                    break
+            self.el.remove(e)
             evs.pop()
 
     def blocks(self, track: int) -> list[Block]:
@@ -199,6 +510,208 @@ class Multitrack:
             out.append(Block(track, cur[0], cur[3], cur[1], cur[2]))
         return out
 
+    # -- audio blocks (backing tracks; multitrack.c audio block model) -----
+    def insert_audio_block(self, track: int, clip: int, start: int,
+                           length: int, seek: float = 0.0,
+                           vel: float = 1.0) -> Optional[AudioBlock]:
+        """Place an audio block on a backing audio track (negative index)
+        or write standalone audio for a video track."""
+        start = max(0, int(start))
+        if self.insert_mode == InsertMode.NORMAL:
+            spans = [(b.start, b.end) for b in self.audio_blocks(track)]
+            for s, e in spans:
+                if s <= start < e:
+                    return None
+                if s > start:
+                    length = min(length, s - start)
+                    break
+        if length <= 0:
+            return None
+        self._checkpoint()
+        return self._write_audio_block(track, clip, start, length, seek,
+                                       vel)
+
+    def _write_audio_block(self, track, clip, start, length, seek, vel):
+        self._fill_grid(start)
+        end = start + length
+        end_state = self._audio_state_at(track, self.frame_tc(end))
+        self._clear_audio_range(track, start + 1, end)
+        e0 = self._ensure_frame_event(start)
+        set_audio_entry(e0, track, clip, float(seek), float(vel))
+        self._terminate_audio(track, end, end_state)
+        return AudioBlock(track, start, length, clip, float(seek),
+                          float(vel))
+
+    def delete_audio_block(self, ab: AudioBlock):
+        self._checkpoint()
+        self._clear_audio_range(ab.track, ab.start, ab.end)
+        # stop marker only if a later on-state follows at end (keep it)
+        e_end = self._frame_event_at(ab.end)
+        if e_end is None or get_audio_entry(e_end, ab.track) is None:
+            nxt = self._next_audio_entry_after(ab.track, ab.end)
+            if nxt is not None:
+                e0 = self._ensure_frame_event(ab.start)
+                set_audio_entry(e0, ab.track, ab.clip, 0.0, 0.0)
+        self._prune_empty()
+
+    def audio_blocks(self, track: int) -> list[AudioBlock]:
+        """Derive audio block views from the transition state machine."""
+        out: list[AudioBlock] = []
+        cur = None  # (start_frame, clip, seek, vel)
+        for e in self.el.frame_events():
+            ent = get_audio_entry(e, track)
+            if ent is None:
+                continue
+            i = self.tc_frame(e.tc)
+            clip, seek, vel = ent
+            if cur is not None:
+                out.append(AudioBlock(track, cur[0], i - cur[0], cur[1],
+                                      cur[2], cur[3]))
+                cur = None
+            if clip >= 0 and vel != 0.0:
+                cur = (i, clip, seek, vel)
+        if cur is not None:
+            out.append(AudioBlock(track, cur[0],
+                                  max(1, self.n_frames - cur[0]), cur[1],
+                                  cur[2], cur[3]))
+        return out
+
+    def _audio_state_at(self, track: int, tc: int):
+        """(clip, seek_now_seconds, vel) active on `track` at tc, or None.
+        Walks the sparse transitions (the editor's per-edit helper)."""
+        if tc < 0:
+            return None
+        state = None  # (clip, seek, vel, since_tc)
+        for e in self.el.frame_events():
+            if e.tc > tc:
+                break
+            ent = get_audio_entry(e, track)
+            if ent is not None:
+                state = (ent[0], ent[1], ent[2], e.tc)
+        if state is None or state[2] == 0.0 or state[0] < 0:
+            return None
+        clip, seek, vel, since = state
+        return (clip, seek + (tc - since) / TICKS_PER_SECOND * vel, vel)
+
+    def _next_audio_entry_after(self, track: int, i: int):
+        tc = self.frame_tc(i)
+        for e in self.el.frame_events():
+            if e.tc <= tc:
+                continue
+            ent = get_audio_entry(e, track)
+            if ent is not None:
+                return (e, ent)
+        return None
+
+    def _clear_audio_range(self, track: int, start: int, end: int):
+        """Drop the track's audio transitions in frames [start, end)."""
+        tc0, tc1 = self.frame_tc(start), self.frame_tc(end)
+        for e in self.el.frame_events():
+            if e.tc < tc0:
+                continue
+            if e.tc >= tc1:
+                break
+            remove_audio_entry(e, track)
+
+    def _terminate_audio(self, track: int, end: int, end_state,
+                         only_if_needed: bool = False):
+        """At frame `end`, either resume the audio that was playing there
+        before the edit, or (on insert) write an off marker — the state
+        machine must not let block audio flow past the block
+        (reference writes off as vel 0, audio.c:3656)."""
+        e_end = self._frame_event_at(end)
+        if e_end is not None and get_audio_entry(e_end, track) is not None:
+            return  # a following block's own transition rules from here
+        if end_state is not None:
+            e = self._ensure_frame_event(end)
+            set_audio_entry(e, track, end_state[0], end_state[1],
+                            end_state[2])
+        elif not only_if_needed:
+            e = self._ensure_frame_event(end)
+            set_audio_entry(e, track, -1, 0.0, 0.0)
+
+    # -- per-track volume: the avol filter model ---------------------------
+    def _avol_tracks(self) -> list[int]:
+        """avol in_tracks layout (events.c:2653): backing audio tracks
+        first (negative), then video tracks."""
+        return list(range(-self.n_audio_tracks, 0)) + \
+            list(range(self.n_tracks))
+
+    def _ensure_avol(self):
+        init = self.el.get(self._avol_id) if self._avol_id else None
+        if init is None:
+            for e in self.el.events:
+                if e.type == EventType.FILTER_INIT \
+                        and e.props.get("filter") == "avol":
+                    init = e
+                    break
+        if init is None:
+            tracks = self._avol_tracks()
+            init = filter_init_event(
+                0, "avol", in_tracks=tracks, out_tracks=[],
+                values={"volume": [1.0] * len(tracks)}, audio=True)
+            self.el.insert(init)
+            self.el.insert(filter_deinit_event(
+                max(self.el.duration_ticks, 1), init.event_id))
+        self._avol_id = init.event_id
+        return init
+
+    def _avol_add_track(self):
+        """Widen the avol init + every pchain entry to the new track list
+        (reference add_track_to_avol_init, events.c:2636)."""
+        if self._avol_id is None and not any(
+                e.type == EventType.FILTER_INIT
+                and e.props.get("filter") == "avol"
+                for e in self.el.events):
+            return
+        init = self._ensure_avol()
+        old_tracks = list(init.props.get("in_tracks", []))
+        new_tracks = self._avol_tracks()
+        vols = list(init.props["values"].get(
+            "volume", [1.0] * len(old_tracks)))
+        old_map = dict(zip(old_tracks, vols))
+        init.props["in_tracks"] = new_tracks
+        init.props["values"]["volume"] = [old_map.get(t, 1.0)
+                                          for t in new_tracks]
+        for pc in self.el.pchain(init.event_id, "volume"):
+            old_vals = dict(zip(old_tracks, pc.props["value"]))
+            pc.props["value"] = [old_vals.get(t, 1.0) for t in new_tracks]
+
+    def set_track_volume(self, track: int, vol: float,
+                         frame: int | None = None):
+        """Static (frame=None) or keyframed per-track volume via the avol
+        pchain (the audio mixer model, audio.c:1686 consumption)."""
+        init = self._ensure_avol()
+        tracks = init.props["in_tracks"]
+        if track not in tracks:
+            self._avol_add_track()
+            tracks = init.props["in_tracks"]
+        idx = tracks.index(track)
+        if frame is None:
+            init.props["values"]["volume"][idx] = float(vol)
+            return
+        tc = self.frame_tc(frame)
+        for pc in self.el.pchain(init.event_id, "volume"):
+            if pc.tc == tc:
+                pc.props["value"][idx] = float(vol)
+                return
+        # new keyframe: start from the interpolated state at tc
+        cur = [float(v) for v in self.el.interp_param(init, "volume", tc)]
+        cur[idx] = float(vol)
+        self.el.insert(param_change_event(tc, init.event_id, "volume",
+                                          cur))
+
+    def track_volume(self, track: int, frame: int | None = None) -> float:
+        init = self._ensure_avol()
+        tracks = init.props["in_tracks"]
+        if track not in tracks:
+            return 1.0
+        idx = tracks.index(track)
+        if frame is None:
+            return float(init.props["values"]["volume"][idx])
+        v = self.el.interp_param(init, "volume", self.frame_tc(frame))
+        return float(v[idx])
+
     # -- effects -----------------------------------------------------------
     def add_effect(self, filter_name: str, tracks: Sequence[int],
                    start: int, length: int,
@@ -215,6 +728,15 @@ class Multitrack:
         self.el.insert(filter_deinit_event(tc1, init.event_id))
         self._rebuild_filter_maps()
         return init.event_id
+
+    def add_region_effect(self, filter_name: str,
+                          values: dict | None = None) -> str:
+        """Apply an effect over the current region selection."""
+        if not self.sel_tracks or self.sel_end <= self.sel_start:
+            raise ValueError("no region selected")
+        return self.add_effect(filter_name, self.sel_tracks,
+                               self.sel_start,
+                               self.sel_end - self.sel_start, values)
 
     def remove_effect(self, init_id: str):
         self._checkpoint()
@@ -234,17 +756,62 @@ class Multitrack:
         self.el.insert(param_change_event(self.frame_tc(frame), init_id,
                                           param, value))
 
+    def keyframes(self, init_id: str, param: str) -> list[tuple[int, Any]]:
+        """(frame, value) pairs of a pchain (keyframe UI feed)."""
+        return [(self.tc_frame(e.tc), e.props["value"])
+                for e in self.el.pchain(init_id, param)]
+
+    def remove_keyframe(self, init_id: str, frame: int, param: str) -> bool:
+        tc = self.frame_tc(frame)
+        for e in self.el.pchain(init_id, param):
+            if e.tc == tc:
+                self._checkpoint()
+                self.el.remove(e)
+                return True
+        return False
+
+    def effects(self) -> list[dict]:
+        """Summaries of every (non-audio) effect on the timeline."""
+        out = []
+        for e in self.el.events:
+            if e.type != EventType.FILTER_INIT or e.props.get("audio"):
+                continue
+            deinit = next((d for d in self.el.events
+                           if d.type == EventType.FILTER_DEINIT
+                           and d.props.get("init_event") == e.event_id),
+                          None)
+            out.append(dict(
+                id=e.event_id, filter=e.props["filter"],
+                tracks=e.props.get("in_tracks", []),
+                start=self.tc_frame(e.tc),
+                end=self.tc_frame(deinit.tc) if deinit else self.n_frames))
+        return out
+
     def _rebuild_filter_maps(self):
-        """Regenerate FILTER_MAP events at every init/deinit boundary
-        (reference filter-map maintenance, events.c:1014-1753)."""
+        """Regenerate FILTER_MAP events at every init/deinit boundary —
+        one O(N) pass (reference filter-map maintenance,
+        events.c:1014-1753). Audio-only inits (avol) stay out of the
+        video maps."""
         for e in [e for e in self.el.events
                   if e.type == EventType.FILTER_MAP]:
             self.el.remove(e)
-        bounds = sorted({e.tc for e in self.el.events
-                         if e.type in (EventType.FILTER_INIT,
-                                       EventType.FILTER_DEINIT)})
-        for tc in bounds:
-            active = self.el.active_inits_at(tc)
+        inits: dict[str, Any] = {}
+        bounds: dict[int, bool] = {}
+        deinit_tc: dict[str, int] = {}
+        for e in self.el.events:
+            if e.type == EventType.FILTER_INIT \
+                    and not e.props.get("audio"):
+                inits[e.event_id] = e
+                bounds[e.tc] = True
+            elif e.type == EventType.FILTER_DEINIT:
+                if e.props.get("init_event") in inits:
+                    bounds[e.tc] = True
+                deinit_tc[e.props.get("init_event")] = e.tc
+        INF = float("inf")
+        for tc in sorted(bounds):
+            active = [i for i in inits.values()
+                      if i.tc <= tc and deinit_tc.get(i.event_id,
+                                                      INF) > tc]
             self.el.insert(filter_map_event(
                 tc, [i.event_id for i in active]))
 
@@ -257,16 +824,14 @@ class Multitrack:
         sink = sink or SinkSpec(width=self.el.width, height=self.el.height)
         return render_to_arrays(self.el, source, sink, batch_size)
 
-    def set_track_volume(self, track: int, vol: float):
-        self.track_volumes[track] = float(vol)
-
     def render_audio(self, clips: dict, arate: int = 44100,
                      channels: int = 2):
-        """Mix the timeline's audio with per-track volumes
+        """Mix the timeline's audio from the per-track transition state
+        machine, through the avol volume envelopes
         (render_audio_segment + avol, audio.c:1686)."""
-        from ..audio.engine import render_audio as _render
-        return _render(self.el, clips, arate, channels,
-                       vols=self.track_volumes or None)
+        from ..audio.engine import render_timeline_audio
+        self._ensure_avol()
+        return render_timeline_audio(self.el, clips, arate, channels)
 
     # -- layout save/load --------------------------------------------------
     def save_layout(self, path: str):
@@ -298,4 +863,11 @@ class Multitrack:
         mt.n_tracks = n_tracks or max(
             (len(e.props.get("clips", [])) for e in el.events
              if e.type == EventType.FRAME), default=2)
+        for e in el.events:
+            if e.type == EventType.FILTER_INIT \
+                    and e.props.get("filter") == "avol":
+                mt._avol_id = e.event_id
+                neg = [t for t in e.props.get("in_tracks", []) if t < 0]
+                mt.n_audio_tracks = max(len(neg), 1)
+                break
         return mt

@@ -631,6 +631,134 @@ def register_extended(srv) -> None:
         return len(mt().blocks(int(track)))
 
     m("/block/delete", block_delete)  # extension (GUI delete handler role)
+
+    # extended editing surface (multitrack.c editing handlers over OSC;
+    # the web UI timeline drives these)
+    m("/mt/gravity/get", lambda: int(mt().gravity))
+    m("/mt/gravity/set",
+      lambda g: setattr(mt(), "gravity",
+                        __import__("lives_tpu.multitrack",
+                                   fromlist=["Gravity"]).Gravity(int(g))))
+    m("/mt/insert_mode/get", lambda: int(mt().insert_mode))
+    m("/mt/insert_mode/set",
+      lambda i: setattr(mt(), "insert_mode",
+                        __import__("lives_tpu.multitrack",
+                                   fromlist=["InsertMode"])
+                        .InsertMode(int(i))))
+    m("/mt/ntracks/get", lambda: mt().n_tracks)
+    m("/mt/natracks/get", lambda: mt().n_audio_tracks)
+    m("/mt/track/add", lambda: mt().add_track())
+    m("/mt/atrack/add", lambda: mt().add_audio_track())
+    m("/mt/nframes/get", lambda: mt().n_frames)
+    m("/mt/undo", lambda: 1 if mt().undo() else 0)
+    m("/mt/redo", lambda: 1 if mt().redo() else 0)
+
+    def region_select(t0, t1, *tracks):
+        mt().select_region([int(t) for t in tracks] or
+                           list(range(mt().n_tracks)),
+                           int(t0), int(t1))
+        return 1
+
+    m("/mt/region/select", region_select)
+    m("/mt/region/clear", lambda: (mt().clear_selection(), 1)[1])
+
+    def block_move(track, idx, new_track, at_time):
+        b = mt().blocks(int(track))[int(idx)]
+        nb = mt().move_block(b, int(new_track),
+                             int(round(float(at_time) * mt().el.fps)))
+        return nb.start if nb else -1
+
+    m("/block/move", block_move)
+
+    def block_split(track, idx, at_time):
+        b = mt().blocks(int(track))[int(idx)]
+        at = int(round(float(at_time) * mt().el.fps))
+        mt().split_block(b, at)
+        return at
+
+    m("/block/split", block_split)
+
+    def block_trim(track, idx, new_len_time, from_start=0):
+        b = mt().blocks(int(track))[int(idx)]
+        nb = mt().trim_block(b, int(round(float(new_len_time)
+                                          * mt().el.fps)),
+                             from_start=bool(int(from_start)))
+        return nb.length if nb else -1
+
+    m("/block/trim", block_trim)
+
+    def ablock_insert(clip_id, track=-1, at=0.0, length=None, seek=0.0,
+                      vel=1.0):
+        clip = clip_by_id(clip_id)
+        n = int(round(float(length) * mt().el.fps)) if length is not None \
+            else max(getattr(clip, "frames", 25), 25)
+        ab = mt().insert_audio_block(
+            int(track), getattr(clip, "unique_id", int(clip_id)),
+            int(round(float(at) * mt().el.fps)), n, float(seek),
+            float(vel))
+        return len(mt().audio_blocks(int(track))) if ab else 0
+
+    m("/mt/ablock/insert", ablock_insert)
+    m("/mt/ablock/count",
+      lambda track=-1: len(mt().audio_blocks(int(track))))
+
+    def ablock_delete(track, idx):
+        abs_ = mt().audio_blocks(int(track))
+        mt().delete_audio_block(abs_[int(idx)])
+        return len(mt().audio_blocks(int(track)))
+
+    m("/mt/ablock/delete", ablock_delete)
+
+    def gap_insert(at_time, length_time, *tracks):
+        mt().insert_gap([int(t) for t in tracks] or
+                        list(range(mt().n_tracks)),
+                        int(round(float(at_time) * mt().el.fps)),
+                        int(round(float(length_time) * mt().el.fps)))
+        return 1
+
+    m("/mt/gap/insert", gap_insert)
+
+    def gap_remove(first_only=0):
+        mt().remove_gaps(first_only=bool(int(first_only)))
+        return 1
+
+    m("/mt/gap/remove", gap_remove)
+
+    m("/mt/track/volume/get",
+      lambda track, frame=None: mt().track_volume(
+          int(track), int(frame) if frame is not None else None))
+
+    def track_volume_set(track, vol, frame=None):
+        mt().set_track_volume(int(track), float(vol),
+                              int(frame) if frame is not None else None)
+        return 1
+
+    m("/mt/track/volume/set", track_volume_set)
+
+    def fx_region(fname, t0, t1, *tracks):
+        trk = [int(t) for t in tracks] or [0]
+        return mt().add_effect(str(fname), trk, int(t0),
+                               int(t1) - int(t0))
+
+    m("/mt/fx/region", fx_region)  # frames, not seconds (grid-exact)
+    m("/mt/fx/list",
+      lambda: ";".join(f"{d['id']},{d['filter']},{d['start']},{d['end']},"
+                       f"{'|'.join(map(str, d['tracks']))}"
+                       for d in mt().effects()))
+    m("/mt/fx/remove", lambda fid: (mt().remove_effect(str(fid)), 1)[1])
+
+    def kf_set(fid, frame, pname, value):
+        mt().set_keyframe(str(fid), int(frame), str(pname), float(value))
+        return 1
+
+    m("/mt/keyframe/set", kf_set)
+    m("/mt/keyframe/remove",
+      lambda fid, frame, pname: 1 if mt().remove_keyframe(
+          str(fid), int(frame), str(pname)) else 0)
+    m("/mt/keyframe/list",
+      lambda fid, pname: ";".join(
+          f"{fr},{v}" for fr, v in mt().keyframes(str(fid), str(pname))))
+
     m("/layout/clear", lambda: setattr(srv, "multitrack", None))
 
 

@@ -35,6 +35,15 @@ class NOTIFY:
     FAILED = 8193
     CANCELLED = 8194
     MODE_CHANGED = 4096
+    # extension range (no reference analogue; > USER1 base): multitrack
+    # editing notifications for the liblives-style multitrack/block API
+    BLOCK_INSERTED = 16384
+    BLOCK_DELETED = 16385
+    BLOCK_MOVED = 16386
+    MT_TRACK_CHANGED = 16387
+    MT_TIME_CHANGED = 16388
+    LAYOUT_WIPED = 16389
+    MT_RENDERED = 16390
 
 
 class OSCServer:

@@ -615,11 +615,14 @@ class Player:
             if self.audio is not None and \
                     getattr(self.audio, "_data", None) is not None:
                 # audio state per frame (reference records audio_clips/
-                # audio_seeks so scratch performances re-render with the
-                # audio they made, player.c record path)
-                extra["audio_clips"] = [clips[0]]
+                # audio_seeks pairs — track -1 = the performance audio,
+                # events.c:5665 — so scratch performances re-render with
+                # the audio they made)
+                base = getattr(st.fg_clip, "fps", 25.0) or 25.0
+                vel = (st.pb_fps or base) / base
+                extra["audio_clips"] = [-1, clips[0]]
                 extra["audio_seeks"] = [self.audio._pos
-                                        / self.audio._src_rate]
+                                        / self.audio._src_rate, vel]
             self.event_list.insert(
                 frame_event(self._rec_tc(), clips, frames, **extra))
             if getattr(self, "_rec_backup_path", None) and \

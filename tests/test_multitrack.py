@@ -154,3 +154,187 @@ def test_multitrack_audio_mix(tmp_path):
     mt.set_track_volume(1, 1.0)
     out2 = mt.render_audio({1: c1, 2: c2})
     assert np.abs(out2[:44000] - 1.0).max() < 1e-2  # both mixed
+
+
+# ---------------------------------------------------------------------------
+# Round-3 depth: gravity/insert modes, gaps, audio blocks, avol keyframes
+# (reference multitrack.h:101-117 modes; events.c:1251 audio transitions;
+#  events.c:2636 add_track_to_avol_init)
+
+from lives_tpu.multitrack import AudioBlock, InsertMode
+
+
+def test_gravity_right():
+    mt = Multitrack(n_tracks=1, width=32, height=16)
+    mt.insert_block(0, 1, 20, 5)            # block at [20, 25)
+    mt.gravity = Gravity.RIGHT
+    b = mt.insert_block(0, 2, 0, 5)         # snaps forward against it
+    assert b.start == 15 and b.end == 20
+
+
+def test_gravity_right_clamps_to_previous():
+    mt = Multitrack(n_tracks=1, width=32, height=16)
+    mt.insert_block(0, 1, 0, 8)             # [0, 8)
+    mt.insert_block(0, 2, 10, 5)            # [10, 15)
+    mt.gravity = Gravity.RIGHT
+    b = mt.insert_block(0, 3, 9, 5, mode=InsertMode.NORMAL)
+    # wants to end at 10 but only [8, 10) is free -> clipped
+    assert b.start == 8 and b.length == 2
+
+
+def test_insert_mode_normal_fits_gap():
+    mt = Multitrack(n_tracks=1, width=32, height=16)
+    mt.insert_block(0, 1, 0, 5)
+    mt.insert_block(0, 2, 10, 5)
+    b = mt.insert_block(0, 3, 5, 100)       # gap is [5, 10)
+    assert b.start == 5 and b.length == 5
+    assert mt.insert_block(0, 4, 2, 3) is None   # inside a block
+
+
+def test_insert_mode_fill_selection():
+    mt = Multitrack(n_tracks=1, width=32, height=16)
+    mt.insert_block(0, 1, 0, 5)
+    mt.insert_block(0, 2, 20, 5)
+    mt.select_region([0], 8, 16)
+    b = mt.insert_block(0, 3, 9, 100, mode=InsertMode.FILL)
+    assert b.start == 8 and b.end == 16     # fills selection (gap is wider)
+    mt.undo()
+    mt.gravity = Gravity.RIGHT              # fill from the selection end
+    b = mt.insert_block(0, 3, 9, 4, mode=InsertMode.FILL)
+    assert b.end == 16 and b.length == 4
+
+
+def test_insert_and_remove_gap():
+    mt = Multitrack(n_tracks=1, width=32, height=16)
+    mt.insert_block(0, 1, 0, 5)
+    mt.insert_block(0, 2, 5, 5)
+    mt.insert_gap([0], 5, 3)
+    assert [(b.start, b.clip) for b in mt.blocks(0)] == [(0, 1), (8, 2)]
+    mt.remove_gaps([0], 0, mt.n_frames)
+    assert [(b.start, b.clip) for b in mt.blocks(0)] == [(0, 1), (5, 2)]
+
+
+def test_insert_gap_shifts_effects():
+    mt = Multitrack(n_tracks=1, width=32, height=16)
+    mt.insert_block(0, 1, 0, 10)
+    fid = mt.add_effect("negate", [0], 4, 4)
+    mt.insert_gap([0], 2, 5)
+    init = mt.el.get(fid)
+    assert mt.tc_frame(init.tc) == 9        # effect moved with content
+
+
+def test_audio_block_views_and_state():
+    mt = Multitrack(n_tracks=1, width=32, height=16)
+    ab = mt.insert_audio_block(-1, 9, 5, 10, seek=2.0)
+    assert ab == AudioBlock(-1, 5, 10, 9, 2.0, 1.0)
+    assert mt.audio_blocks(-1) == [ab]
+    st = mt._audio_state_at(-1, mt.frame_tc(10))
+    assert st is not None and st[0] == 9
+    assert abs(st[1] - 2.2) < 1e-6          # 5 frames @25fps past seek 2.0
+    assert mt._audio_state_at(-1, mt.frame_tc(16)) is None  # past block
+    mt.delete_audio_block(ab)
+    assert mt.audio_blocks(-1) == []
+
+
+def test_audio_block_under_video_mixdown(tmp_path):
+    from lives_tpu.io import create_clip
+    mt = Multitrack(n_tracks=1, width=16, height=8)
+    cv = create_clip(tmp_path, 16, 8)
+    ca = create_clip(tmp_path, 16, 8)
+    cv.write_audio(np.full((44100, 2), 0.25, np.float32), 44100)
+    ca.write_audio(np.full((44100, 2), 0.5, np.float32), 44100)
+    mt.insert_block(0, 1, 0, 25)            # video track with audio, 1 s
+    mt.insert_audio_block(-1, 2, 0, 25)     # backing audio underneath
+    out = mt.render_audio({1: cv, 2: ca})
+    assert np.abs(out[1000:20000] - 0.75).max() < 1e-2
+    # backing track volume rides its own avol slot
+    mt.set_track_volume(-1, 0.5)
+    out = mt.render_audio({1: cv, 2: ca})
+    assert np.abs(out[1000:20000] - 0.5).max() < 1e-2
+
+
+def test_avol_volume_keyframes_audible(tmp_path):
+    from lives_tpu.io import create_clip
+    mt = Multitrack(n_tracks=1, width=16, height=8)
+    c = create_clip(tmp_path, 16, 8)
+    c.write_audio(np.full((88200, 2), 0.5, np.float32), 44100)
+    mt.insert_block(0, 1, 0, 50)            # 2 s
+    mt.set_track_volume(0, 1.0, frame=0)
+    mt.set_track_volume(0, 0.0, frame=50)   # fade out over the block
+    out = mt.render_audio({1: c})
+    n = len(out)
+    early = np.abs(out[: n // 8]).mean()
+    late = np.abs(out[-n // 8:]).mean()
+    assert early > 0.35 and late < 0.15
+    # static volume API reads back the init value
+    mt.set_track_volume(0, 0.7)
+    assert abs(mt.track_volume(0) - 0.7) < 1e-9
+
+
+def test_audio_block_velocity_reverse(tmp_path):
+    from lives_tpu.io import create_clip
+    mt = Multitrack(n_tracks=1, width=16, height=8)
+    c = create_clip(tmp_path, 16, 8)
+    ramp = np.linspace(0, 1, 44100, dtype=np.float32)
+    c.write_audio(np.stack([ramp, ramp], 1), 44100)
+    mt.insert_audio_block(-1, 1, 0, 25, seek=1.0, vel=-1.0)  # reverse
+    out = mt.render_audio({1: c})
+    # ramp played backwards: starts loud, decays
+    assert out[100, 0] > out[20000, 0] > out[40000, 0]
+
+
+def test_audio_trim_and_block_termination(tmp_path):
+    from lives_tpu.io import create_clip
+    mt = Multitrack(n_tracks=2, width=16, height=8)
+    c = create_clip(tmp_path, 16, 8)
+    c.write_audio(np.full((88200, 2), 0.5, np.float32), 44100)
+    mt.insert_block(1, 3, 0, 50, with_audio=False)  # holds timeline length
+    b = mt.insert_block(0, 1, 0, 50)
+    kept = mt.trim_block(b, 25)             # audio must stop at frame 25
+    assert kept.length == 25
+    out = mt.render_audio({1: c})
+    assert np.abs(out[:42000]).mean() > 0.4
+    assert np.abs(out[46000:]).max() < 1e-6
+
+
+def test_avol_add_track_widens_keyframes():
+    mt = Multitrack(n_tracks=1, width=32, height=16)
+    mt.set_track_volume(0, 0.5, frame=10)
+    mt.add_track()
+    init = mt.el.get(mt._avol_id)
+    assert init.props["in_tracks"] == [-1, 0, 1]
+    for pc in mt.el.pchain(mt._avol_id, "volume"):
+        assert len(pc.props["value"]) == 3
+    assert mt.track_volume(1) == 1.0
+
+
+def test_avol_binary_roundtrip(tmp_path):
+    mt = Multitrack(n_tracks=2, width=32, height=16)
+    mt.insert_block(0, 1, 0, 10)
+    mt.set_track_volume(0, 0.25)
+    p = tmp_path / "layout.lay"
+    mt.save_layout(str(p))
+    mt2 = Multitrack.load_layout(str(p))
+    assert abs(mt2.track_volume(0) - 0.25) < 1e-9
+    init = mt2.el.get(mt2._avol_id)
+    assert init.props.get("audio") is True
+
+
+def test_editor_ops_fast_on_long_timeline():
+    """Editor edits must not scan the whole event list per frame
+    (VERDICT: O(L x N) insert_block on 100k events)."""
+    import time
+    mt = Multitrack(n_tracks=2, width=32, height=16)
+    # build a 50k-frame timeline through the fast append path
+    for i in range(50_000):
+        e = mt._ensure_frame_event(i)
+        e.props["clips"][0] = 1
+        e.props["frames"][0] = i
+    t0 = time.monotonic()
+    mt.insert_block(1, 2, 40_000, 200, mode=InsertMode.OVERWRITE)
+    dt = time.monotonic() - t0
+    assert dt < 1.0, f"insert took {dt:.2f}s"
+    t0 = time.monotonic()
+    e = mt.el.get_frame_event_at(mt.frame_tc(25_000))
+    dt = time.monotonic() - t0
+    assert e is not None and dt < 0.01

@@ -208,3 +208,49 @@ def test_selection_edit_end_inclusive(srv, tmp_path):
     time.sleep(0.1)
     n = _rpc(srv, "/clip/selection/delete").args[0]
     assert n == 7  # 10 - 3
+
+
+def test_mt_editing_surface(srv):
+    """Round-3 multitrack editing over OSC (gravity/insert modes, region,
+    gaps, audio blocks, volume keyframes, region fx)."""
+    _rpc(srv, "/mt/gravity/set", 2, expect_reply=False)
+    time.sleep(0.05)
+    assert _rpc(srv, "/mt/gravity/get").args[0] == 2
+    _rpc(srv, "/mt/gravity/set", 0, expect_reply=False)
+    _rpc(srv, "/mt/insert_mode/set", 2, expect_reply=False)
+    time.sleep(0.05)
+    assert _rpc(srv, "/mt/insert_mode/get").args[0] == 2
+    _rpc(srv, "/mt/ctrack/set", 0, expect_reply=False)
+    assert _rpc(srv, "/block/insert", 1).args[0] == 1
+    # move the block to track 1 at 0.4s
+    st = _rpc(srv, "/block/move", 0, 0, 1, 0.4).args[0]
+    assert st == 10
+    assert _rpc(srv, "/block/count", 1).args[0] == 1
+    # gaps
+    _rpc(srv, "/mt/gap/insert", 0.0, 0.2, 1, expect_reply=False)
+    time.sleep(0.05)
+    t0 = _rpc(srv, "/block/start/time/get", 1, 0).args[0]
+    assert abs(t0 - 0.6) < 1e-6
+    _rpc(srv, "/mt/gap/remove", expect_reply=False)
+    time.sleep(0.05)
+    assert _rpc(srv, "/block/start/time/get", 1, 0).args[0] == 0.0
+    # audio block + volume keyframes
+    assert _rpc(srv, "/mt/ablock/insert", 1, -1, 0.0, 0.5).args[0] == 1
+    assert _rpc(srv, "/mt/ablock/count", -1).args[0] == 1
+    _rpc(srv, "/mt/track/volume/set", -1, 0.5, expect_reply=False)
+    time.sleep(0.05)
+    assert abs(_rpc(srv, "/mt/track/volume/get", -1).args[0] - 0.5) < 1e-9
+    # region effect + keyframes
+    fid = _rpc(srv, "/mt/fx/region", "negate", 0, 5, 1).args[0]
+    assert fid
+    lst = _rpc(srv, "/mt/fx/list").args[0]
+    assert "negate" in lst
+    _rpc(srv, "/mt/keyframe/set", fid, 2, "amount", 0.7,
+         expect_reply=False)
+    time.sleep(0.05)
+    ks = _rpc(srv, "/mt/keyframe/list", fid, "amount").args[0]
+    fr, val = ks.split(";")[0].split(",")
+    assert int(fr) == 2 and abs(float(val) - 0.7) < 1e-6
+    _rpc(srv, "/mt/fx/remove", fid, expect_reply=False)
+    time.sleep(0.05)
+    assert "negate" not in _rpc(srv, "/mt/fx/list").args[0]
