@@ -333,13 +333,34 @@ class FrameGraph:
         # scans (track frames never materialise — see
         # benchmarks/render_stateful.py, 12.8x -> 133x)
         pre_n = 0
+        suf_n = 0
         if sweepable_src and self.has_stateful:
+            from .pallas_composite import sweep_suffix_len
+            cand_s = sweep_suffix_len(self.chain)
+            if cand_s >= 2:
+                suf_n = cand_s
             cand = sweep_prefix_len(self.chain)
+            # after a fused prefix the scan sees ONLY the comp layer, so
+            # the scanned middle must read track 0 alone; the fused suffix
+            # regenerates its other tracks in-kernel
+            mid_hi = len(self.chain) - suf_n
             tail_ok = all(
                 tuple(inst.in_tracks[: inst.filter.n_in]) in ((), (0,))
-                for inst in self.chain[cand:] if inst.enabled)
+                for inst in self.chain[cand:mid_hi] if inst.enabled)
             if cand >= 1 and tail_ok:
                 pre_n = cand
+            elif suf_n:
+                # no prefix: the in-scan-generation middle still needs its
+                # multi-track reads inside the track count
+                n_avail = src_dev.shape[1] if src_dev is not None else 0
+                mid_ok = all(
+                    max(inst.in_tracks[: inst.filter.n_in], default=0)
+                    < n_avail
+                    for inst in self.chain[:mid_hi] if inst.enabled)
+                if not mid_ok:
+                    suf_n = 0
+            if pre_n + suf_n > len(self.chain):
+                suf_n = len(self.chain) - pre_n
         comp_n = 0
         comp_geo = None
         if (not sweepable_src and not self.has_stateful
@@ -362,14 +383,17 @@ class FrameGraph:
                     comp_n = cand
                     comp_geo = (gh, gw)
         key = ("batch", self._config_key(layers), self.has_stateful,
-               rows_key, fused_eligible, pre_n, comp_n,
+               rows_key, fused_eligible, pre_n, suf_n, comp_n,
                _os2.environ.get("LIVES_TPU_SWEEP_TILE", ""),
+               _os2.environ.get("LIVES_TPU_IN_SCAN_GEN", "1"),
                source.source_key() if source is not None else None,
                tuple(src_dev.shape) if src_dev is not None else None)
         tmpl = self._templates.get(key)
         npre = 0
+        nsuf = 0
         fused = None
         pre_sweep = None
+        suf_sweep = None
         comp_builder = None
         comp_tracks = 0
         if tmpl is None:
@@ -395,6 +419,14 @@ class FrameGraph:
                     rows_key, self.fps, source, self.sink, emit="comp")
                 if pre_sweep is not None:
                     npre = pre_n
+            if suf_n:
+                suf_sweep = build_fused_sweep(
+                    _spec(self.chain[-suf_n:]), src_dev.shape[1], B,
+                    getattr(source, "h", 0), getattr(source, "w", 0),
+                    rows_key, self.fps, source, self.sink,
+                    consume="comp", idx_base=len(self.chain) - suf_n)
+                if suf_sweep is not None:
+                    nsuf = suf_n
             if comp_n:
                 from .pallas_composite import build_composite
                 gh, gw = comp_geo
@@ -429,7 +461,9 @@ class FrameGraph:
             tmpl = jax.jit(batch_fn)
             self._templates[key] = tmpl
         if tmpl is None:
-            frame_fn = self._make_frame_fn(start=npre)
+            stop = len(self.chain) - nsuf
+            frame_fn = self._make_frame_fn(start=npre, stop=stop,
+                                           emit_comp=nsuf > 0)
             n_inst = len(self.chain)
 
             def unpack(col):
@@ -441,9 +475,9 @@ class FrameGraph:
 
             def one(layers, col, states):
                 tps, tc, fr = unpack(col)
-                out, ns = frame_fn(layers, tps[npre:], states[npre:],
-                                   tc, fr)
-                return out, states[:npre] + ns
+                out, ns = frame_fn(layers, tps[npre:stop],
+                                   states[npre:stop], tc, fr)
+                return out, states[:npre] + ns + states[stop:]
 
             def materialise(layers, src):
                 if source is None:
@@ -455,7 +489,24 @@ class FrameGraph:
                                        for t in range(T)]
 
             if self.has_stateful:
-                in_scan_gen = source is not None and not layers
+                # LIVES_TPU_IN_SCAN_GEN=0: A/B knob for the pre-batch
+                # materialisation path (benchmarks/render_stateful_led.py)
+                in_scan_gen = (source is not None and not layers
+                               and _os2.environ.get(
+                                   "LIVES_TPU_IN_SCAN_GEN", "1") != "0")
+
+                sink_gamma = self.sink.gamma
+
+                def finish(outs, new_states, src, packed, _suf=suf_sweep):
+                    if _suf is None:
+                        return outs, new_states
+                    # fused SUFFIX: the scanned middle emitted float comps;
+                    # one sweep kernel regenerates the suffix's other
+                    # tracks in-VMEM, applies the trailing stateless run
+                    # and quantises — comp in, u8 out
+                    u8 = _suf(src, packed, outs.planes[0])
+                    return Layer(planes=(u8,), palette=int(Palette.RGB24),
+                                 gamma=sink_gamma), new_states
 
                 def batch_fn(layers, src, packed, states, _pre=pre_sweep):
                     if _pre is not None:
@@ -488,7 +539,7 @@ class FrameGraph:
                         new_states, outs = jax.lax.scan(
                             gstep, states,
                             (jnp.moveaxis(src, 2, 0), packed.T))
-                        return outs, new_states
+                        return finish(outs, new_states, src, packed)
                     else:
                         layers = materialise(layers, src)
 
@@ -498,7 +549,7 @@ class FrameGraph:
                         return ns, out
                     new_states, outs = jax.lax.scan(
                         step, states, (layers, packed.T))
-                    return outs, new_states
+                    return finish(outs, new_states, src, packed)
             else:
                 vm = jax.vmap(one, in_axes=(0, 1, None))
 
@@ -523,11 +574,14 @@ class FrameGraph:
             inst.state = st
         return out
 
-    def _make_frame_fn(self, start: int = 0):
+    def _make_frame_fn(self, start: int = 0, stop: int | None = None,
+                       emit_comp: bool = False):
         """Untraced single-frame function (shared by run and run_batch).
         `start` skips chain instances already applied by a fused composite
-        kernel (their traced_params/states entries must be sliced off by
-        the caller).
+        kernel; `stop` cuts the chain before instances a fused SUFFIX
+        kernel will apply (their traced_params/states entries must be
+        sliced off by the caller). `emit_comp` returns the float comp
+        (no sink step) for the suffix kernel to consume.
 
         The returned fn accepts an optional `origin=(y0, full_h, full_w)`:
         when given, the layers are a horizontal band (possibly halo-padded)
@@ -537,7 +591,7 @@ class FrameGraph:
         This is how the spatially-sharded multi-chip path
         (parallel/mesh.spatial_batch_fn) runs the production chain."""
         chain_spec = []
-        for inst in self.chain[start:]:
+        for inst in self.chain[start: stop]:
             static, _ = _split_params(inst)
             chain_spec.append((inst.filter, static, inst.in_tracks,
                                inst.out_tracks, inst.enabled))
@@ -594,6 +648,16 @@ class FrameGraph:
                 layers = apply_instance(inst, layers, ctx)
                 new_states.append(inst.state)
             out = layers[0]
+            if emit_comp:
+                # suffix-kernel handoff: float comp, no sink step
+                from ..constants import Palette as _P2
+                comp_dt2 = jnp.float32 if _os.environ.get(
+                    "LIVES_TPU_CHAIN_DTYPE") == "f32" else jnp.bfloat16
+                if out.palette != int(_P2.RGBFLOAT):
+                    out = convert_layer(out, _P2.RGBFLOAT)
+                out = out.replace(planes=tuple(
+                    p.astype(comp_dt2) for p in out.planes))
+                return out, new_states
             if origin is not None:
                 # band execution: pointwise sink steps only (gamma/palette);
                 # geometry belongs to the caller

@@ -222,7 +222,8 @@ def sweep_supported(H: int, W: int) -> bool:
 
 def build_fused_sweep(chain_spec, n_tracks: int, B: int, H: int, W: int,
                       rows_key, fps: float, source, sink, emit: str = "u8",
-                      band_h: int | None = None):
+                      band_h: int | None = None, consume: str | None = None,
+                      idx_base: int = 0):
     """Single-sweep plan template: in-kernel source generation + the entire
     effect chain + sink quantisation, one pallas kernel per frame chunk —
     HBM traffic is the u8 output write only.
@@ -254,6 +255,16 @@ def build_fused_sweep(chain_spec, n_tracks: int, B: int, H: int, W: int,
     LIVES_TPU_CHAIN_DTYPE=f32) — run_batch uses this to fuse generation +
     the stateless prefix of a STATEFUL chain into one kernel, then scans
     only the stateful remainder over the comp.
+
+    `consume="comp"` builds a SUFFIX kernel: track 0 is read from an HBM
+    float-comp operand (the lax.scan'd stateful middle's output) instead of
+    being generated; the other tracks still generate in-VMEM. The suffix
+    must be stencil-free (the comp operand carries no halo rows).
+    `idx_base` offsets chain_spec's local indices into the GLOBAL rows_key
+    instance numbering (suffix instances start at idx_base). Together with
+    `emit="comp"` on the prefix, a stateful chain renders as
+    [prefix sweep kernel] -> [scan of the stateful middle] ->
+    [suffix sweep kernel] — only comps and state touch HBM.
 
     `band_h` builds a SPATIAL-BAND kernel: the output covers band_h rows
     of the H-row frame starting at a TRACED row offset, supplied as packed
@@ -298,6 +309,10 @@ def build_fused_sweep(chain_spec, n_tracks: int, B: int, H: int, W: int,
             return None
         if sink.gamma != Gamma.SRGB:  # synthetic layers are SRGB-tagged
             return None
+    in_dt = None
+    if consume == "comp":
+        in_dt = jnp.float32 if os.environ.get(
+            "LIVES_TPU_CHAIN_DTYPE") == "f32" else jnp.bfloat16
     out_h = band_h if band_h is not None else H
     stencils = _stencil_fns()
     plan: list[tuple] = []
@@ -309,6 +324,8 @@ def build_fused_sweep(chain_spec, n_tracks: int, B: int, H: int, W: int,
             continue
         if tuple(out_tr) != (0,):
             return None
+        if filt.name in stencils and consume == "comp":
+            return None  # the comp operand carries no stencil halo
         if filt.name in stencils:
             rp = filt.param("radius")
             r = max(1, int(static.get("radius", rp.default)))
@@ -345,7 +362,12 @@ def build_fused_sweep(chain_spec, n_tracks: int, B: int, H: int, W: int,
     P = len(rows_key)
     inv255 = np.float32(1.0 / 255.0)
 
-    def kernel(params_ref, ids_ref, out_ref, *scratches):
+    def kernel(params_ref, ids_ref, *rest):
+        if in_dt is not None:
+            comp_ref, out_ref, *scratches = rest
+        else:
+            comp_ref = None
+            out_ref, *scratches = rest
         b = pl.program_id(0)
         i = pl.program_id(1)
         hh, ww = TH + 2 * R, W + 2 * R
@@ -357,6 +379,11 @@ def build_fused_sweep(chain_spec, n_tracks: int, B: int, H: int, W: int,
                       - R, 0, W - 1)
         layers = []
         for t in range(n_tracks):
+            if t == 0 and comp_ref is not None:
+                layers.append(Layer(
+                    planes=(comp_ref[0].astype(jnp.float32),),
+                    palette=int(Palette.RGBFLOAT)))
+                continue
             ch = source.traced_tile(ids_ref[t, b], ids_ref[n_tracks + t, b],
                                     yc, xc)
             layers.append(Layer(
@@ -371,7 +398,8 @@ def build_fused_sweep(chain_spec, n_tracks: int, B: int, H: int, W: int,
                 continue
             filt, static, in_tr, out_tr, enabled = spec
             tp = {k: params_ref[r_, b]
-                  for r_, (i_, k) in enumerate(rows_key) if i_ == idx}
+                  for r_, (i_, k) in enumerate(rows_key)
+                  if i_ == idx + idx_base}
             params = {**{p.name: p.default for p in filt.params},
                       **static, **tp}
             params = {k: filt.param(k).clamp(v) for k, v in params.items()
@@ -418,20 +446,28 @@ def build_fused_sweep(chain_spec, n_tracks: int, B: int, H: int, W: int,
                           0, 255).astype(jnp.int32).astype(jnp.uint8)
             out_ref[...] = u8[None]
 
-    def run(src_ids, packed):
+    def run(src_ids, packed, comps=None):
         """Traceable: src_ids (2,T,B) int32, packed (P+2,B) f32
-        (+ a (P+2)th row holding the band row offset in band mode)."""
+        (+ a (P+2)th row holding the band row offset in band mode;
+        + comps (B,3,H,W) float in consume="comp" suffix mode)."""
         ids = src_ids.reshape(2 * n_tracks, B)
         grid = (B, out_h // TH)
+        in_specs = [
+            pl.BlockSpec((packed.shape[0], B), lambda b, i: (0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((2 * n_tracks, B), lambda b, i: (0, 0),
+                         memory_space=pltpu.SMEM),
+        ]
+        operands = [packed, ids]
+        if in_dt is not None:
+            in_specs.append(pl.BlockSpec((1, 3, TH, W),
+                                         lambda b, i: (b, 0, i, 0),
+                                         memory_space=pltpu.VMEM))
+            operands.append(comps.astype(in_dt))
         return pl.pallas_call(
             kernel,
             grid=grid,
-            in_specs=[
-                pl.BlockSpec((packed.shape[0], B), lambda b, i: (0, 0),
-                             memory_space=pltpu.SMEM),
-                pl.BlockSpec((2 * n_tracks, B), lambda b, i: (0, 0),
-                             memory_space=pltpu.SMEM),
-            ],
+            in_specs=in_specs,
             out_specs=pl.BlockSpec((1, 3, TH, W), lambda b, i: (b, 0, i, 0),
                                    memory_space=pltpu.VMEM),
             out_shape=jax.ShapeDtypeStruct(
@@ -441,9 +477,27 @@ def build_fused_sweep(chain_spec, n_tracks: int, B: int, H: int, W: int,
             interpret=interpret,
             **({} if interpret else {"compiler_params": pltpu.CompilerParams(
                 dimension_semantics=("parallel", "arbitrary"))}),
-        )(packed, ids)
+        )(*operands)
 
     return run
+
+
+def sweep_suffix_len(chain: Sequence[Instance]) -> int:
+    """Length of the trailing run of enabled stateless pointwise/coord
+    effects (NO stencils: the suffix kernel's comp operand carries no
+    halo) — the fusable suffix of a stateful chain."""
+    from ..effects.host import FILTER_STATEFUL
+    safe = PALLAS_SAFE | COORD_SAFE
+    n = 0
+    for inst in reversed(list(chain)):
+        if not inst.enabled:
+            n += 1
+            continue
+        if (inst.filter.flags & FILTER_STATEFUL
+                or inst.filter.name not in safe):
+            break
+        n += 1
+    return n
 
 
 def sweep_prefix_len(chain: Sequence[Instance]) -> int:

@@ -210,3 +210,92 @@ def test_spatial_sweep_fallback_for_unsafe_chain():
         assert run(ids, packed) is None
     finally:
         os.environ.pop("LIVES_TPU_PALLAS_INTERPRET", None)
+
+
+# -- round 3: fused SUFFIX sweep (stateful-LED chains) ----------------------
+
+def _led_chain(T=4):
+    """Chain LED by stateful fx, transitions + colour work after — no
+    fusable prefix, a fusable suffix (VERDICT item 2 shape:
+    fireTV.c/blurzoom.c-led chains)."""
+    chain = [instantiate("fire", threshold=0.6),
+             instantiate("rgb_delay", delay_r=0.0, delay_g=1.0,
+                         delay_b=2.0)]
+    names = ["crossfade", "blend_screen", "blend_add"]
+    for t in range(1, T):
+        inst = instantiate(names[(t - 1) % len(names)], amount=0.5)
+        inst.in_tracks = (0, t)
+        chain.append(inst)
+    chain += [instantiate("saturation", saturation=1.2),
+              instantiate("vignette", amount=0.5)]
+    return chain
+
+
+def _run_led(fused: bool, B=6, H=48, W=256, chunks=2, T=4):
+    env = {"LIVES_TPU_PALLAS_INTERPRET": "1" if fused else "0",
+           "LIVES_TPU_FUSED_SWEEP": "1" if fused else "0",
+           "LIVES_TPU_CHAIN_DTYPE": "f32"}
+    old = {k: os.environ.get(k) for k in env}
+    os.environ.update(env)
+    try:
+        src = DeviceSyntheticSource(H, W)
+        g = FrameGraph(_led_chain(T), SinkSpec(width=W, height=H),
+                       fps=25.0)
+        outs = []
+        for c in range(chunks):
+            ids = np.zeros((2, T, B), np.int32)
+            for t in range(T):
+                ids[0, t] = t + 1
+            ids[1] = np.arange(B) + c * B
+            tcs = (np.arange(B) + c * B).astype(np.float32) / 25.0
+            frames = (np.arange(B) + c * B).astype(np.int32)
+            out = g.run_batch([], tcs, frames, source=src, src_args=ids)
+            outs.append(np.asarray(out.planes[0]))
+    finally:
+        for k, v in old.items():
+            if v is None:
+                os.environ.pop(k, None)
+            else:
+                os.environ[k] = v
+    return np.concatenate(outs)
+
+
+def test_stateful_suffix_sweep_parity():
+    ref = _run_led(fused=False)
+    out = _run_led(fused=True)
+    assert out.shape == ref.shape
+    diff = np.abs(out.astype(int) - ref.astype(int))
+    assert diff.max() <= 1, f"max diff {diff.max()}"
+
+
+def test_suffix_engages():
+    """sweep_suffix_len finds the trailing stateless run and the suffix
+    kernel builds for it (consume='comp')."""
+    from lives_tpu.graph.nodemodel import _split_params
+    from lives_tpu.graph.pallas_composite import (build_fused_sweep,
+                                                  sweep_suffix_len)
+    chain = _led_chain(T=4)
+    n = sweep_suffix_len(chain)
+    assert n == 5      # 3 transitions + saturation + vignette
+    src = DeviceSyntheticSource(48, 256)
+    spec = []
+    for inst in chain[-n:]:
+        static, _ = _split_params(inst)
+        spec.append((inst.filter, static, inst.in_tracks,
+                     inst.out_tracks, inst.enabled))
+    os.environ["LIVES_TPU_PALLAS_INTERPRET"] = "1"
+    try:
+        fn = build_fused_sweep(spec, 4, 4, 48, 256, (), 25.0, src,
+                               SinkSpec(width=256, height=48),
+                               consume="comp", idx_base=len(chain) - n)
+        assert fn is not None
+        os.environ["LIVES_TPU_CHAIN_DTYPE"] = "f32"
+        comps = np.random.default_rng(0).random((4, 3, 48, 256)
+                                                ).astype(np.float32)
+        out = fn(np.zeros((2, 4, 4), np.int32),
+                 np.zeros((2, 4), np.float32), comps)
+        assert np.asarray(out).shape == (4, 3, 48, 256)
+        assert np.asarray(out).dtype == np.uint8
+    finally:
+        os.environ.pop("LIVES_TPU_PALLAS_INTERPRET", None)
+        os.environ.pop("LIVES_TPU_CHAIN_DTYPE", None)
