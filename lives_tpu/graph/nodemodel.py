@@ -113,12 +113,11 @@ class FrameGraph:
 
     # -- configuration key (plan-template cache key) -----------------------
     def _config_key(self, layers: Sequence[Layer]):
-        import os as _os
+        from ..prefs import pref as _pref
         return (_chain_static_key(self.chain),
                 tuple(l.config for l in layers),
                 self.sink.key(), self.fps,
-                _os.environ.get("LIVES_TPU_CHAIN_DTYPE", "bf16"),
-                _os.environ.get("LIVES_TPU_FLOAT_CHAIN", "1"))
+                _pref("chain_dtype"), _pref("float_chain"))
 
     # -- template compilation ---------------------------------------------
     def _build_template(self, layers: Sequence[Layer], gens=()):
@@ -322,9 +321,9 @@ class FrameGraph:
         # waste the single host core (CLAUDE.md). Build success is a
         # deterministic function of the key'd config, so key-on-candidate
         # is sound.
-        import os as _os2
+        from ..prefs import pref as _pref2
         from .pallas_composite import sweep_prefix_len
-        sweep_env = _os2.environ.get("LIVES_TPU_FUSED_SWEEP", "1") != "0"
+        sweep_env = _pref2("fused_sweep") != "0"
         sweepable_src = (source is not None and not layers and sweep_env
                          and hasattr(source, "traced_tile"))
         fused_eligible = sweepable_src and not self.has_stateful
@@ -364,7 +363,7 @@ class FrameGraph:
         comp_n = 0
         comp_geo = None
         if (not sweepable_src and not self.has_stateful
-                and _os2.environ.get("LIVES_TPU_PALLAS_COMPOSITE") == "1"):
+                and _pref2("pallas_composite") == "1"):
             from .pallas_composite import splittable_prefix, supported
             if source is not None:
                 gh, gw = getattr(source, "h", 0), getattr(source, "w", 0)
@@ -384,8 +383,7 @@ class FrameGraph:
                     comp_geo = (gh, gw)
         key = ("batch", self._config_key(layers), self.has_stateful,
                rows_key, fused_eligible, pre_n, suf_n, comp_n,
-               _os2.environ.get("LIVES_TPU_SWEEP_TILE", ""),
-               _os2.environ.get("LIVES_TPU_IN_SCAN_GEN", "1"),
+               _pref2("sweep_tile"), _pref2("in_scan_gen"),
                source.source_key() if source is not None else None,
                tuple(src_dev.shape) if src_dev is not None else None)
         tmpl = self._templates.get(key)
@@ -492,8 +490,7 @@ class FrameGraph:
                 # LIVES_TPU_IN_SCAN_GEN=0: A/B knob for the pre-batch
                 # materialisation path (benchmarks/render_stateful_led.py)
                 in_scan_gen = (source is not None and not layers
-                               and _os2.environ.get(
-                                   "LIVES_TPU_IN_SCAN_GEN", "1") != "0")
+                               and _pref2("in_scan_gen") != "0")
 
                 sink_gamma = self.sink.gamma
 
@@ -598,9 +595,9 @@ class FrameGraph:
         sink = self.sink
         fps = self.fps
 
-        import os as _os
-        float_chain = (len(chain_spec) >= 2 and
-                       _os.environ.get('LIVES_TPU_FLOAT_CHAIN', '1') != '0')
+        from ..prefs import pref as _pref
+        float_chain = (len(chain_spec) >= 2
+                       and _pref("float_chain") != "0")
 
         def frame_fn(layers, traced_params, states, tc, frame, origin=None):
             w0 = layers[0].width if layers else sink.width
@@ -627,8 +624,8 @@ class FrameGraph:
                 # inter-stage comp dtype: bf16 halves HBM traffic at
                 # <=+/-3 LSB vs f32; f32 matches the fused pallas sweep
                 # exactly (parity tests set LIVES_TPU_CHAIN_DTYPE=f32)
-                comp_dt = jnp.float32 if _os.environ.get(
-                    "LIVES_TPU_CHAIN_DTYPE") == "f32" else jnp.bfloat16
+                comp_dt = jnp.float32 if _pref(
+                    "chain_dtype") == "f32" else jnp.bfloat16
 
                 def to_float(l):
                     fl = convert_layer(
@@ -651,8 +648,8 @@ class FrameGraph:
             if emit_comp:
                 # suffix-kernel handoff: float comp, no sink step
                 from ..constants import Palette as _P2
-                comp_dt2 = jnp.float32 if _os.environ.get(
-                    "LIVES_TPU_CHAIN_DTYPE") == "f32" else jnp.bfloat16
+                comp_dt2 = jnp.float32 if _pref(
+                    "chain_dtype") == "f32" else jnp.bfloat16
                 if out.palette != int(_P2.RGBFLOAT):
                     out = convert_layer(out, _P2.RGBFLOAT)
                 out = out.replace(planes=tuple(

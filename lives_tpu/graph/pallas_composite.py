@@ -190,8 +190,8 @@ def _pick_sweep_tile(H: int, allow_full: bool = False) -> int | None:
     inflate Mosaic compile time and VMEM. ~40 rows is the sweet spot
     measured on v5e (98x realtime at 1080p vs 58x at 8 rows).
     LIVES_TPU_SWEEP_TILE overrides for tuning."""
-    import os
-    forced = int(os.environ.get("LIVES_TPU_SWEEP_TILE", 0))
+    from ..prefs import pref
+    forced = int(pref("sweep_tile") or 0)
     # Mosaic block rows must be multiples of 8 (or span the array)
     if forced and H % forced == 0 and (forced % 8 == 0 or forced == H):
         return forced
@@ -209,13 +209,13 @@ def _pick_sweep_tile(H: int, allow_full: bool = False) -> int | None:
 
 
 def sweep_supported(H: int, W: int) -> bool:
-    import os
+    from ..prefs import pref
     if not HAVE_PALLAS:
         return False
     if W % 128 != 0 or _pick_sweep_tile(H) is None:
         return False
     import jax
-    if os.environ.get("LIVES_TPU_PALLAS_INTERPRET") == "1":
+    if pref("pallas_interpret") == "1":
         return True  # CPU interpret mode (tests)
     return jax.default_backend() == "tpu"
 
@@ -279,9 +279,9 @@ def build_fused_sweep(chain_spec, n_tracks: int, B: int, H: int, W: int,
     stencil are pointwise, so edge-replicating their inputs equals
     edge-replicating their outputs).
     """
-    import os
     from ..constants import Gamma
-    interpret = os.environ.get("LIVES_TPU_PALLAS_INTERPRET") == "1"
+    from ..prefs import pref
+    interpret = pref("pallas_interpret") == "1"
     if band_h is None:
         if not sweep_supported(H, W):
             return None
@@ -290,16 +290,15 @@ def build_fused_sweep(chain_spec, n_tracks: int, B: int, H: int, W: int,
         # its own tile pick below); platform + width rules still apply
         if not HAVE_PALLAS or W % 128 != 0:
             return None
-        if os.environ.get("LIVES_TPU_PALLAS_INTERPRET") != "1" \
-                and jax.default_backend() != "tpu":
+        if not interpret and jax.default_backend() != "tpu":
             return None
     if source is None or not hasattr(source, "traced_tile") \
             or getattr(source, "alpha", False):
         return None
     comp_dt = None
     if emit == "comp":
-        comp_dt = jnp.float32 if os.environ.get(
-            "LIVES_TPU_CHAIN_DTYPE") == "f32" else jnp.bfloat16
+        comp_dt = jnp.float32 if pref(
+            "chain_dtype") == "f32" else jnp.bfloat16
     else:
         # sink constraints hold in EVERY u8-emitting mode (band included:
         # the kernel writes quantised RGB24 with no sink convert step)
@@ -311,8 +310,8 @@ def build_fused_sweep(chain_spec, n_tracks: int, B: int, H: int, W: int,
             return None
     in_dt = None
     if consume == "comp":
-        in_dt = jnp.float32 if os.environ.get(
-            "LIVES_TPU_CHAIN_DTYPE") == "f32" else jnp.bfloat16
+        in_dt = jnp.float32 if pref(
+            "chain_dtype") == "f32" else jnp.bfloat16
     out_h = band_h if band_h is not None else H
     stencils = _stencil_fns()
     plan: list[tuple] = []

@@ -210,6 +210,17 @@ def layer_from_bytes(buf: bytes | np.ndarray, width: int, height: int,
         planes = (y, m[..., 0], m[..., 3])
     elif pal == Palette.A8:
         planes = (a.reshape(height, width),)
+    elif pal == Palette.A1:
+        # packed 1 bit/pixel, rowstride (width+7)>>3 (reference
+        # colourspace.c:11335); device representation is (H,W) u8 in {0,1}
+        rs = (width + 7) >> 3
+        rows = a[: height * rs].reshape(height, rs)
+        planes = (np.unpackbits(rows, axis=1)[:, :width],)
+    elif pal == Palette.AFLOAT:
+        f = (np.frombuffer(buf, np.float32)
+             if not isinstance(buf, np.ndarray)
+             else buf.reshape(-1).view(np.float32))
+        planes = (f[: height * width].reshape(height, width),)
     else:
         raise ValueError(f"layer_from_bytes: unsupported palette {pal}")
     return Layer(planes=tuple(jnp.asarray(p) for p in planes),
@@ -254,4 +265,9 @@ def layer_to_bytes(layer: Layer) -> bytes:
         return m.tobytes()
     if pal == Palette.A8:
         return planes[0].tobytes()
+    if pal == Palette.A1:
+        bits = (planes[0].astype(np.uint8) & 1)
+        return np.packbits(bits, axis=1).tobytes()
+    if pal == Palette.AFLOAT:
+        return planes[0].astype(np.float32).tobytes()
     raise ValueError(f"layer_to_bytes: unsupported palette {pal}")

@@ -117,6 +117,8 @@ class OMCLearner:
                        lambda v: p.set_pb_fps(-p.state.pb_fps))
         self.add_macro("blend", lambda v: setattr(
             p.state, "blend_amount", v), True)
+        self.add_macro("nervous", lambda v: setattr(
+            p.state, "nervous", not p.state.nervous))
         for k in range(9):  # the 9 physical vj keys
             self.add_macro(f"key{k + 1}_toggle",
                            lambda v, k=k: p.key_toggle(k))

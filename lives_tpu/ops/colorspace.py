@@ -245,22 +245,54 @@ def convert_layer(layer: Layer, palette: int,
                           else jnp.full_like(y, 255))
         return Layer(planes=tuple(planes), **meta)
 
-    # --- alpha palettes ---
-    if pal_out == Palette.A8:
+    # --- alpha palettes (A8 / A1 / AFLOAT) ---
+    # Device representations: A8 = (H,W) u8, A1 = (H,W) u8 in {0,1}
+    # (bit-packing happens at the host boundary, layer.py — the reference
+    # packs rows at (width+7)>>3, colourspace.c:11335), AFLOAT = (H,W) f32
+    # in [0,1]. These are the negotiation options for alpha channels
+    # (effects-weed.c:1118); colour <-> alpha goes through luma, like the
+    # reference's A8-from-Y convention.
+    _ALPHA = (Palette.A8, Palette.A1, Palette.AFLOAT)
+
+    def _encode_alpha(a8):
+        """u8 alpha plane -> target alpha palette representation."""
+        if pal_out == Palette.A8:
+            return a8
+        if pal_out == Palette.A1:
+            # threshold at half (round-to-nearest of a8/255)
+            return (a8 >= 128).astype(jnp.uint8)
+        return a8.astype(jnp.float32) * (1.0 / 255.0)        # AFLOAT
+
+    if pal_in in _ALPHA:
+        a = layer.planes[0]
+        if pal_in == Palette.A1:
+            a8 = (a.astype(jnp.uint8) & 1) * jnp.uint8(255)
+        elif pal_in == Palette.AFLOAT:
+            a8 = jnp.clip(jnp.floor(a * 255.0 + 0.5), 0, 255
+                          ).astype(jnp.uint8)
+        else:
+            a8 = a
+        if pal_out in _ALPHA:
+            return Layer(planes=(_encode_alpha(a8),), **meta)
+        # alpha -> colour: expand to grey RGB, then recurse for YUV/packed
+        grey = Layer(planes=(jnp.stack([a8, a8, a8], 0),),
+                     palette=int(Palette.RGB24), clamping=layer.clamping,
+                     sampling=layer.sampling, subspace=layer.subspace,
+                     gamma=layer.gamma, premult=layer.premult)
+        if pal_out == Palette.RGB24:
+            return Layer(planes=grey.planes, **meta)
+        return convert_layer(grey, pal_out, clamping, subspace, sampling)
+    if pal_out in _ALPHA:
         if is_rgb_palette(pal_in):
             arr = _rgb_planes(layer)
+            if is_float_palette(pal_in):
+                arr = jnp.clip(jnp.floor(arr * 255.0 + 0.5), 0, 255
+                               ).astype(jnp.uint8)
             y, _, _ = rgb_to_yuv(arr[0], arr[1], arr[2], subspace,
                                  YUVClamping.UNCLAMPED)
-            return Layer(planes=(y,), **meta)
+            return Layer(planes=(_encode_alpha(y),), **meta)
         if is_yuv_palette(pal_in):
-            return Layer(planes=(layer.planes[0],), **meta)
-    if pal_in == Palette.A8:
-        g = layer.planes[0]
-        if is_rgb_palette(pal_out):
-            chans = [g, g, g]
-            if has_alpha(pal_out):
-                chans.append(jnp.full_like(g, 255))
-            return Layer(planes=(jnp.stack(chans, 0),), **meta)
+            return Layer(planes=(_encode_alpha(layer.planes[0]),), **meta)
 
     raise NotImplementedError(
         f"convert_layer: {pal_in.name} -> {pal_out.name}")

@@ -129,6 +129,11 @@ def register_extended(srv) -> None:
     m("/video/freeze/toggle",
       lambda: p().set_pb_fps(0.0 if st().pb_fps else
                              (getattr(st().fg_clip, "fps", 25.0) or 25.0)))
+    # nervous-mode trickplay (player.c:1013; reference binds ctrl-\ via
+    # nervous_callback, callbacks.c:10817)
+    m("/video/nervous/enable", lambda: setattr(st(), "nervous", True))
+    m("/video/nervous/disable", lambda: setattr(st(), "nervous", False))
+    m("/video/nervous/get", lambda: int(st().nervous))
 
     def fps_ratio_get():
         base = getattr(st().fg_clip, "fps", 25.0) or 25.0
@@ -582,6 +587,29 @@ def register_extended(srv) -> None:
       lambda: srv.output_flags.__setitem__("nodrop", False))
     m("/output/fps/set",
       lambda fps: srv.output_flags.__setitem__("fps", float(fps)))
+
+    # ---- preferences (preferences.h PREF_* namespace over OSC; the
+    # live/deferred split mirrors prefs/future_prefs) ------------------------
+    def _prefs():
+        from ..prefs import store
+        return store()
+
+    def pref_set(key, value, deferred=0):
+        if isinstance(value, str):
+            for conv in (int, float):
+                try:
+                    value = conv(value)
+                    break
+                except ValueError:
+                    continue
+        _prefs().set(str(key), value, deferred=bool(int(deferred)))
+        return 1
+
+    m("/pref/set", pref_set)
+    m("/pref/get",
+      lambda key, default="": _prefs().get(str(key), default))
+    m("/pref/apply_future", lambda: (_prefs().apply_future(), 1)[1])
+    m("/pref/save", lambda: (_prefs().save(), 1)[1])
 
     # ---- audio source ------------------------------------------------------
     m("/audio/source/get",

@@ -203,6 +203,7 @@ class PlayerState:
     blend_amount: float = 0.5    # fg/bg mix (blend factor, effects-weed.c:8815)
     sel_start: int = 0
     sel_end: int = -1            # -1 = clip end
+    nervous: bool = False        # random-walk trickplay (player.c:1013)
 
 
 class Player:
@@ -217,6 +218,7 @@ class Player:
         self._frame0: float = 0.0
         self.record = False
         self.event_list: EventList | None = None
+        self._nervous_rng = np.random.default_rng()
         self._rec_inits: dict[int, Any] = {}
         # stats ladder (diagnostics.c:97 get_inst_fps)
         self.frames_shown = 0
@@ -231,6 +233,10 @@ class Player:
         # rebuilds the nodemodel at safe points, player.c:2655)
         self.async_compile = False
         self._served_key: Any = None
+        # per-frame latency ladder (layers.h:78-85 status timestamps +
+        # diagnostics.c:97): attach a diagnostics.FrameLadder to collect
+        # queued->loaded->applied->displayed stage times per frame
+        self.ladder = None
         self._compile_thread = None
         # predictive frame cache (pred_frame/precache, player.c:2185-2230)
         self.precache_depth = 0
@@ -567,6 +573,18 @@ class Player:
             return False
         t_start = time.monotonic()
         target = self.clamp_frame(self._target_frame_f())
+        if st.nervous:
+            # nervous-mode trickplay (player.c:1013): random walk +/-10
+            # around the playhead, only for clips that can seek backwards;
+            # out-of-range jumps fall back to the clock frame. The jittered
+            # frame IS the shown frame, so recordings capture it and
+            # re-renders reproduce the performance deterministically.
+            can_rev = getattr(st.fg_clip, "can_reverse", True)
+            n = getattr(st.fg_clip, "frames", 0) or 0
+            if can_rev and n > 1:
+                cand = target + int(self._nervous_rng.integers(-10, 11))
+                if 0 <= cand < n:
+                    target = cand
         if target == st.frame and self.frames_shown > 0:
             return True  # nothing new to show
         if self.frames_shown > 0:
@@ -578,9 +596,13 @@ class Player:
             if wrapped > 1:
                 self.frames_dropped += wrapped - 1
         st.frame = target
+        if self.ladder is not None:
+            self.ladder.begin()
         layers = [self._pull(st.fg_clip, target)]
         if st.bg_clip is not None:
             layers.append(self._pull(st.bg_clip, self._bg_frame(target)))
+        if self.ladder is not None:
+            self.ladder.mark("loaded")
         graph = self._select_graph(layers)
         if self.datacons is not None:
             for inst in self.keymap.active_chain():
@@ -592,6 +614,8 @@ class Player:
             self._request_precache(target)
         tc = target / abs(st.pb_fps or 25.0)
         out = graph.run(layers, tc=tc, frame=target)
+        if self.ladder is not None:
+            self.ladder.mark("applied")
         if self.subtitles is not None:
             # subtitles index CLIP time (frame/clip fps), not the
             # playback-rate clock — scratching must not shift captions
@@ -605,6 +629,9 @@ class Player:
                 ok = self.sink.play_frame(o, t)
         else:
             ok = self.sink.play_frame(out, tc)
+        if self.ladder is not None:
+            self.ladder.mark("displayed")
+            self.ladder.end()
         if self.record and self.event_list is not None:
             clips = [getattr(st.fg_clip, "unique_id", 1)]
             frames = [target]

@@ -375,3 +375,45 @@ def test_list_filters_has_no_sentinel():
     for n in list_filters():
         assert not n.startswith("_")
         assert hasattr(get_filter(n), "process")
+
+
+def test_nervous_mode_records_deterministically():
+    """Nervous trickplay (player.c:1013): random-walk frame jitter around
+    the playhead; the jittered frames are what's shown AND recorded, so a
+    recorded nervous session re-renders exactly."""
+    import time as _t
+    from lives_tpu.events.event_list import EventType
+    p, sink = make_player()
+    p._nervous_rng = np.random.default_rng(123)
+    p.state.nervous = True
+    p.record_start(width=48, height=24)
+    p.start()
+    shown = []
+    for k in range(8):
+        p.state.frame = -1            # force a re-show each cycle
+        p._clock0 = _t.monotonic()
+        p._frame0 = float(k)
+        p.process_one()
+        shown.append(p.state.frame)
+    el = p.record_stop()
+    p.stop()
+    rec = [e.frames[0] for e in el.events if e.type == EventType.FRAME]
+    # the recorded frames are the jittered ones actually shown
+    assert rec == [f for f in shown]
+    # jitter really happened (a clock-only session would be 0..7)
+    assert rec != sorted(set(rec)) or any(f > 7 for f in rec) \
+        or len(set(rec)) < len(rec) or rec != list(range(8))
+
+
+def test_nervous_respects_can_reverse():
+    p, _ = make_player()
+    p.state.fg_clip.can_reverse = False
+    p._nervous_rng = np.random.default_rng(1)
+    p.state.nervous = True
+    p.start()
+    import time as _t
+    p.state.frame = -1
+    p._clock0 = _t.monotonic()
+    p._frame0 = 5.0
+    p.process_one()
+    assert p.state.frame == 5     # jitter suppressed
