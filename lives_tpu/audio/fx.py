@@ -501,7 +501,15 @@ class AlsaAudioSink(AudioSink):
 
 
 def best_audio_sink(rate: int = 44100) -> AudioSink:
-    """Pick the most real output available: ALSA device > null."""
+    """Pick the most real output available: JACK > ALSA device > null
+    (the reference's audio-player preference order, prefs->audio_player)."""
+    from .jack import load_libjack
+    if load_libjack() is not None:
+        try:
+            from .jack import JackAudioSink
+            return JackAudioSink()
+        except RuntimeError:
+            pass
     if AlsaAudioSink.available():
         try:
             return AlsaAudioSink(rate=rate)

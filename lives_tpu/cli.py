@@ -40,6 +40,9 @@ def build_player(uri: str | None, fx: list[str], width: int, height: int,
         host, _, port = (out or "127.0.0.1:48888").partition(":")
         sink = StreamSender(host, int(port or 48888))
         spec = SinkSpec(width=width, height=height)
+    elif sink_kind == "sdl":
+        from .player.sdl import SDLSink
+        sink = SDLSink()
     elif sink_kind == "av":
         # encode/stream through the libav bridge: file (mkv/mp4/ogv) or
         # network URL (udp://host:port mpegts, icecast://...)

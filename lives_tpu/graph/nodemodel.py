@@ -120,6 +120,60 @@ class FrameGraph:
                 _pref("chain_dtype"), _pref("float_chain"))
 
     # -- template compilation ---------------------------------------------
+    def _build_template_packed(self, layers: Sequence[Layer], gens=()):
+        """Packed-scalar live template: every traced scalar (chain params,
+        generator params, generator clocks, tc/frame) arrives in ONE (K,)
+        f32 array — per-leaf host->device transfers cost ~ms each on
+        remote-attached TPUs (CLAUDE.md), and the unpacked pytree path
+        shipped 5-10 leaves per frame, dominating live-path latency."""
+        frame_fn = self._make_frame_fn()
+        names = [sorted(_split_params(inst)[1]) for inst in self.chain]
+        gen_names = [sorted(_split_params(l.inst)[1]) for _, l in gens]
+        gen_slots = [i for i, _ in gens]
+        gen_filters = [l.inst.filter for _, l in gens]
+        gen_static = [_split_params(l.inst)[0] for _, l in gens]
+        gen_dims = [(l.width, l.height) for _, l in gens]
+        gen_fps = [getattr(l, "fps", self.fps) or self.fps for _, l in gens]
+
+        def tmpl_fn(real_layers, packed, states):
+            i = 0
+            traced = []
+            for nm in names:
+                traced.append({k: packed[i + j]
+                               for j, k in enumerate(nm)})
+                i += len(nm)
+            gen_traced = []
+            for nm in gen_names:
+                gen_traced.append({k: packed[i + j]
+                                   for j, k in enumerate(nm)})
+                i += len(nm)
+            gen_times = []
+            for _ in gens:
+                gen_times.append((packed[i],
+                                  packed[i + 1].astype(jnp.int32)))
+                i += 2
+            tc = packed[i]
+            frame = packed[i + 1].astype(jnp.int32)
+            lays, ri = [], 0
+            total = len(real_layers) + len(gen_slots)
+            for slot in range(total):
+                if slot in gen_slots:
+                    gi = gen_slots.index(slot)
+                    filt = gen_filters[gi]
+                    w, h = gen_dims[gi]
+                    gtc, gframe = gen_times[gi]
+                    ctx = FrameContext(tc=gtc, frame=gframe,
+                                       fps=gen_fps[gi], width=w, height=h)
+                    params = {**{p.name: p.default for p in filt.params},
+                              **gen_static[gi], **gen_traced[gi]}
+                    lays.append(filt.process([], params, ctx))
+                else:
+                    lays.append(real_layers[ri])
+                    ri += 1
+            return frame_fn(lays, traced, states, tc, frame)
+
+        return jax.jit(tmpl_fn)
+
     def _build_template(self, layers: Sequence[Layer], gens=()):
         frame_fn = self._make_frame_fn()
         if not gens:
@@ -217,24 +271,50 @@ class FrameGraph:
                     "frames via get_frame instead")
             else:
                 real.append(l)
+        traced = [_split_params(inst)[1] for inst in self.chain]
+        gen_traced = [_split_params(c.inst)[1] for _, c, _ in gens]
+        # pack every traced scalar into ONE transfer when all values are
+        # host scalars; device-resident values (data-connection wiring
+        # feeds analyser out-params straight across) keep the pytree path
+        # so they never round-trip through the host
+        import numbers
+        packable = all(isinstance(v, numbers.Number)
+                       for d in (*traced, *gen_traced) for v in d.values())
         key = (self._config_key(real),
                tuple((i, c.inst.filter.hashname, c.width, c.height,
                       n is None,
                       tuple(sorted(_split_params(c.inst)[0].items())))
-                     for i, c, n in gens))
+                     for i, c, n in gens), packable)
         tmpl = self._templates.get(key)
         if tmpl is None:
-            tmpl = self._build_template(real, [(i, c) for i, c, _ in gens])
+            pairs = [(i, c) for i, c, _ in gens]
+            tmpl = (self._build_template_packed(real, pairs) if packable
+                    else self._build_template(real, pairs))
             self._templates[key] = tmpl
         self.stats[key] = self.stats.get(key, 0) + 1
-        traced = [_split_params(inst)[1] for inst in self.chain]
-        gen_traced = [_split_params(c.inst)[1] for _, c, _ in gens]
-        gen_times = [(jnp.float32(tc), jnp.int32(frame)) if n is None
-                     else (jnp.float32(n / (c.fps or 25.0)), jnp.int32(n))
-                     for _, c, n in gens]
-        out, new_states = tmpl(real, traced, gen_traced, gen_times,
-                               self.states,
-                               jnp.float32(tc), jnp.int32(frame))
+        if packable:
+            import numpy as np
+            vals: list[float] = []
+            for d in traced:
+                vals.extend(float(d[k]) for k in sorted(d))
+            for d in gen_traced:
+                vals.extend(float(d[k]) for k in sorted(d))
+            for _, c, n in gens:
+                if n is None:
+                    vals.extend([float(tc), float(frame)])
+                else:
+                    vals.extend([n / (c.fps or 25.0), float(n)])
+            vals.extend([float(tc), float(frame)])
+            packed = jnp.asarray(np.asarray(vals, np.float32))
+            out, new_states = tmpl(real, packed, self.states)
+        else:
+            gen_times = [(jnp.float32(tc), jnp.int32(frame)) if n is None
+                         else (jnp.float32(n / (c.fps or 25.0)),
+                               jnp.int32(n))
+                         for _, c, n in gens]
+            out, new_states = tmpl(real, traced, gen_traced, gen_times,
+                                   self.states,
+                                   jnp.float32(tc), jnp.int32(frame))
         if mirror_state:
             # state lives across frames on the graph, mirrored back to
             # the instances

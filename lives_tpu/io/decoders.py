@@ -458,6 +458,41 @@ class WavDecoder(Decoder):
 # AVI decoder: MJPEG + raw DIB, pure-python RIFF parse
 # ---------------------------------------------------------------------------
 
+def write_mjpeg_avi(path, jpeg_frames, width: int, height: int,
+                    fps: float = 25.0):
+    """Minimal MJPEG AVI writer (RIFF avih/strh/strf + movi 00dc chunks +
+    idx1) — enough for AVIDecoder and any libjpeg-based player. Used to
+    author test/bench media for the compressed ingest path."""
+    frames = list(jpeg_frames)
+
+    def chunk(cid, payload):
+        pad = b"\0" if len(payload) & 1 else b""
+        return cid + struct.pack("<I", len(payload)) + payload + pad
+
+    rate = int(round(fps * 1000))
+    avih = struct.pack("<IIIIIIIIIIIIII", int(1e6 / fps), 0, 0, 0x10,
+                       len(frames), 0, 1, 0, width, height, 0, 0, 0, 0)
+    strh = (b"vids" + b"MJPG" + struct.pack("<IHHIIIIIIIII", 0, 0, 0, 0,
+                                            1000, rate, 0, len(frames),
+                                            0, 0xFFFFFFFF, 0, 0))
+    strf = struct.pack("<IiiHH4sIiiII", 40, width, height, 1, 24, b"MJPG",
+                       width * height * 3, 0, 0, 0, 0)
+    hdrl = chunk(b"LIST", b"hdrl" + chunk(b"avih", avih)
+                 + chunk(b"LIST", b"strl" + chunk(b"strh", strh)
+                         + chunk(b"strf", strf)))
+    movi_body = b"movi"
+    idx = b""
+    off = 4
+    for f in frames:
+        movi_body += chunk(b"00dc", f)
+        idx += b"00dc" + struct.pack("<III", 0x10, off, len(f))
+        off += 8 + len(f) + (len(f) & 1)
+    movi = chunk(b"LIST", movi_body)
+    body = b"AVI " + hdrl + movi + chunk(b"idx1", idx)
+    with open(path, "wb") as fh:
+        fh.write(b"RIFF" + struct.pack("<I", len(body)) + body)
+
+
 @register_decoder
 class AVIDecoder(Decoder):
     name = "avi"
@@ -534,6 +569,14 @@ class AVIDecoder(Decoder):
                       fps=fps, palette=int(Palette.RGB24))
         cd.decoder = cls(cd, p, offsets, fourcc, topdown=h < 0)
         return cd
+
+    def get_frame_bytes(self, n: int) -> bytes:
+        """Raw codec chunk (the JPEG bitstream for MJPG streams) — the
+        compressed device-side ingest path (io/jpeg_ingest.py) consumes
+        these instead of host-decoded pixels."""
+        ofs, sz = self.offsets[n]
+        self._fh.seek(ofs)
+        return self._fh.read(sz)
 
     def get_frame(self, n: int) -> Layer:
         import io as _io

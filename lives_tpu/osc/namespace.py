@@ -662,6 +662,11 @@ def register_extended(srv) -> None:
 
     # extended editing surface (multitrack.c editing handlers over OSC;
     # the web UI timeline drives these)
+    def _all_filters():
+        from ..effects.host import list_filters
+        return " ".join(sorted(list_filters()))
+
+    m("/effects/list", _all_filters)  # full registry (region-fx picker)
     m("/mt/gravity/get", lambda: int(mt().gravity))
     m("/mt/gravity/set",
       lambda g: setattr(mt(), "gravity",

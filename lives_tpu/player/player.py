@@ -248,6 +248,9 @@ class Player:
         # clock source: "system" (monotonic) or "audio" (the audio
         # feeder's clip position — reference soundcard time source)
         self.time_source = "system"
+        # external transport glue (audio/jack.py JackTransport): master
+        # mode mirrors start/stop/seek onto the JACK transport
+        self.transport = None
         self._precache_thread = None
         self._precache_req: list = []
         # optional realtime audio feeder (audio/fx.AudioPlayer), attached by
@@ -304,6 +307,13 @@ class Player:
             st = self.state
             base = getattr(st.fg_clip, "fps", 25.0) or 25.0
             return self.audio._pos / self.audio._src_rate * base
+        if callable(self.time_source):
+            # external transport clock (jack transport slave,
+            # src/jack.c transport model): seconds -> clip frames at the
+            # clip's base rate; trickplay rate is the transport's business
+            st = self.state
+            base = getattr(st.fg_clip, "fps", 25.0) or 25.0
+            return float(self.time_source()) * base
         if self._clock0 is None:
             return float(self.state.frame)
         dt = time.monotonic() - self._clock0
@@ -419,9 +429,14 @@ class Player:
                     or getattr(clip, "audio_source", None) is not None):
                 self.audio.load_clip_audio(clip)
                 self.audio.start()
+        if getattr(self, "transport", None) is not None:
+            # jack transport master (jack_pb_start, player.c:2288)
+            self.transport.on_play()
 
     def stop(self):
         self.state.playing = False
+        if getattr(self, "transport", None) is not None:
+            self.transport.on_stop()
         for o, t in self._pending:
             self.sink.play_frame(o, t)
         self._pending.clear()

@@ -217,35 +217,185 @@ async function refresh(){
   cl.appendChild(b);
  });
 }
+// --- multitrack editing surface (multitrack.c roles, all via OSC) ------
+let mtSel=null;  // client mirror of the region selection
 async function drawTimeline(){
  const tl=await (await fetch('/api/timeline')).json();
  const el=document.getElementById('timeline'); el.innerHTML='';
- const total=Math.max(tl.frames,1);
- tl.tracks.forEach(tr=>{
+ const total=Math.max(tl.frames,1), fps=tl.fps||25;
+ // mode bar: gravity / insert-mode / region fx / gaps / undo
+ const bar=document.createElement('div');
+ bar.style.cssText='margin:2px 0;font-size:11px';
+ const gsel=document.createElement('select');
+ [['normal',0],['left',1],['right',2]].forEach(([n,v])=>{
+  const o=document.createElement('option');o.value=v;o.textContent='grav:'+n;
+  gsel.appendChild(o);});
+ gsel.value=tl.gravity;
+ gsel.onchange=()=>cmd('/mt/gravity/set',[+gsel.value]);
+ bar.appendChild(gsel);
+ const isel=document.createElement('select');
+ [['normal',0],['overwrite',2],['fill',4]].forEach(([n,v])=>{
+  const o=document.createElement('option');o.value=v;o.textContent='ins:'+n;
+  isel.appendChild(o);});
+ isel.value=tl.insert_mode;
+ isel.onchange=()=>cmd('/mt/insert_mode/set',[+isel.value]);
+ bar.appendChild(isel);
+ const fsel=document.createElement('select'); fsel.id='mtfx';
+ (window._fxnames||[]).forEach(n=>{const o=document.createElement('option');
+  o.value=n;o.textContent=n;fsel.appendChild(o);});
+ bar.appendChild(fsel);
+ const fxb=document.createElement('button'); fxb.textContent='fx on selection';
+ fxb.onclick=async()=>{
+  if(!mtSel)return alert('shift-drag a region first');
+  await cmd('/mt/fx/region',[fsel.value,mtSel.start,mtSel.end,mtSel.track]);
+  drawTimeline();};
+ bar.appendChild(fxb);
+ const gapb=document.createElement('button'); gapb.textContent='close gaps';
+ gapb.onclick=async()=>{await cmd('/mt/gap/remove');drawTimeline();};
+ bar.appendChild(gapb);
+ const ub=document.createElement('button'); ub.textContent='undo';
+ ub.onclick=async()=>{await cmd('/mt/undo');drawTimeline();};
+ bar.appendChild(ub);
+ el.appendChild(bar);
+ const allRows=[];
+ const mkRow=(tr,isAudio)=>{
+  const wrap=document.createElement('div');
+  wrap.style.cssText='display:flex;align-items:center;gap:4px;margin:2px 0';
+  const lab=document.createElement('span');
+  lab.textContent=(isAudio?'A':'V')+Math.abs(tr.track);
+  lab.style.cssText='width:20px;font-size:10px;color:#888';
+  wrap.appendChild(lab);
   const row=document.createElement('div');
+  row.dataset.track=tr.track;
   row.style.cssText='position:relative;height:16px;background:#222;'+
-   'margin:2px 0;border-radius:3px;overflow:hidden;cursor:copy';
-  row.onclick=async(e)=>{  // click: insert current fg clip here
+   'flex:1;border-radius:3px;cursor:copy';
+  allRows.push(row);
+  // click: insert fg clip; shift-drag: region select
+  row.onmousedown=(e)=>{
+   if(!e.shiftKey)return;
+   e.preventDefault();
+   const r=row.getBoundingClientRect();
+   const f0=Math.round((e.clientX-r.left)/r.width*total);
+   const move=(ev)=>{
+    const f1=Math.round((ev.clientX-r.left)/r.width*total);
+    mtSel={track:tr.track,start:Math.min(f0,f1),end:Math.max(f0,f1)};
+   };
+   const up=async()=>{document.removeEventListener('mousemove',move);
+    document.removeEventListener('mouseup',up);
+    if(mtSel)await cmd('/mt/region/select',[mtSel.start,mtSel.end,mtSel.track]);
+    drawTimeline();};
+   document.addEventListener('mousemove',move);
+   document.addEventListener('mouseup',up);
+  };
+  row.onclick=async(e)=>{
+   if(e.shiftKey)return;
    const st=await (await fetch('/api/state')).json();
    const fg=st.clips.find(c=>c.fg); if(!fg)return;
    const frac=(e.clientX-row.getBoundingClientRect().left)/row.offsetWidth;
-   await cmd('/block/insert',[fg.id,tr.track,frac*total/(tl.fps||25)]);
+   await cmd(isAudio?'/mt/ablock/insert':'/block/insert',
+    isAudio?[fg.id,tr.track,frac*total/fps]:[fg.id,tr.track,frac*total/fps]);
    drawTimeline();
   };
-  tr.blocks.forEach(b=>{
+  // selection highlight
+  if(mtSel&&mtSel.track===tr.track){
+   const s=document.createElement('div');
+   s.style.cssText='position:absolute;top:0;bottom:0;background:#fff2;'+
+    'left:'+(mtSel.start/total*100)+'%;width:'+
+    ((mtSel.end-mtSel.start)/total*100)+'%;pointer-events:none';
+   row.appendChild(s);
+  }
+  tr.blocks.forEach((b,bi)=>{
    const d=document.createElement('div');
-   d.title='clip '+b.clip+' ['+b.start+'-'+b.end+') — right-click deletes';
+   d.title='clip '+b.clip+' ['+b.start+'-'+b.end+') — drag moves, '+
+    'edge-drag trims, right-click deletes';
    d.style.cssText='position:absolute;top:0;bottom:0;background:hsl('+
-    (b.clip*67%360)+',60%,45%);left:'+(b.start/total*100)+
-    '%;width:'+((b.end-b.start)/total*100)+'%';
+    (b.clip*67%360)+','+(isAudio?'35':'60')+'%,45%);left:'+
+    (b.start/total*100)+'%;width:'+((b.end-b.start)/total*100)+'%';
    d.oncontextmenu=async(e)=>{e.preventDefault();e.stopPropagation();
-    await cmd('/block/delete',[tr.track,tr.blocks.indexOf(b)]);
+    await cmd(isAudio?'/mt/ablock/delete':'/block/delete',[tr.track,bi]);
     drawTimeline();};
+   d.onmousedown=(e)=>{   // drag to move / edge-drag to trim
+    if(e.button!==0||e.shiftKey)return;
+    e.preventDefault(); e.stopPropagation();
+    const r=row.getBoundingClientRect(), x0=e.clientX, y0=e.clientY;
+    const edge=(e.clientX>d.getBoundingClientRect().right-6);
+    let moved=false;
+    const move=(ev)=>{ if(Math.abs(ev.clientX-x0)>3||
+                          Math.abs(ev.clientY-y0)>8) moved=true; };
+    const up=async(ev)=>{
+     document.removeEventListener('mousemove',move);
+     document.removeEventListener('mouseup',up);
+     if(!moved)return;
+     if(edge&&!isAudio){
+      const nl=((ev.clientX-r.left)/r.width*total-b.start)/fps;
+      await cmd('/block/trim',[tr.track,bi,Math.max(nl,1/fps)]);
+     }else if(!isAudio){
+      const df=(ev.clientX-x0)/r.width*total;
+      let nt=tr.track;
+      const tgt=allRows.find(rw=>{const rr=rw.getBoundingClientRect();
+       return ev.clientY>=rr.top&&ev.clientY<=rr.bottom;});
+      if(tgt)nt=+tgt.dataset.track;
+      if(nt>=0)
+       await cmd('/block/move',[tr.track,bi,nt,(b.start+df)/fps]);
+     }
+     drawTimeline();
+    };
+    document.addEventListener('mousemove',move);
+    document.addEventListener('mouseup',up);
+   };
    row.appendChild(d);
+  });
+  // audio mixer slider (avol model)
+  const vol=document.createElement('input');
+  vol.type='range'; vol.min=0; vol.max=1.5; vol.step=0.01;
+  vol.value=tr.volume; vol.title='track volume (avol)';
+  vol.style.width='70px';
+  vol.oninput=()=>cmd('/mt/track/volume/set',[tr.track,+vol.value]);
+  wrap.appendChild(row); wrap.appendChild(vol);
+  el.appendChild(wrap);
+ };
+ tl.tracks.forEach(tr=>mkRow(tr,false));
+ (tl.atracks||[]).forEach(tr=>mkRow(tr,true));
+ // effect region strips + keyframe dots
+ (tl.effects||[]).forEach(fx=>{
+  const row=document.createElement('div');
+  row.style.cssText='position:relative;height:8px;background:#1a1a1a;'+
+   'margin:1px 0 1px 24px;border-radius:2px';
+  const d=document.createElement('div');
+  d.title=fx.filter+' t'+fx.tracks.join(',')+' — click adds keyframe, '+
+   'right-click removes fx';
+  d.style.cssText='position:absolute;top:0;bottom:0;background:#777;'+
+   'left:'+(fx.start/total*100)+'%;width:'+
+   ((fx.end-fx.start)/total*100)+'%;border-radius:2px';
+  d.oncontextmenu=async(e)=>{e.preventDefault();
+   await cmd('/mt/fx/remove',[fx.id]); drawTimeline();};
+  d.onclick=async(e)=>{
+   const frac=(e.clientX-row.getBoundingClientRect().left)/row.offsetWidth;
+   const pn=prompt('keyframe param name for '+fx.filter+':');
+   if(!pn)return;
+   const v=prompt('value at frame '+Math.round(frac*total)+':');
+   if(v===null)return;
+   await cmd('/mt/keyframe/set',[fx.id,Math.round(frac*total),pn,+v]);
+   drawTimeline();};
+  row.appendChild(d);
+  Object.entries(fx.keyframes||{}).forEach(([pn,frames])=>{
+   frames.forEach(f=>{
+    const k=document.createElement('div');
+    k.title=fx.filter+'.'+pn+' @'+f;
+    k.style.cssText='position:absolute;top:-1px;width:5px;height:10px;'+
+     'background:#ff0;border-radius:50%;left:calc('+(f/total*100)+'% - 2px)';
+    row.appendChild(k);
+   });
   });
   el.appendChild(row);
  });
 }
+// fx name list for the region-fx dropdown
+(async()=>{
+ const r=await (await fetch('/api/cmd',{method:'POST',
+   body:JSON.stringify({path:'/effects/list',args:[]})})).json();
+ if(r.ok&&r.ret)window._fxnames=r.ret.split(' ').filter(Boolean);
+})();
 async function loadParams(k){
  const spec=await (await fetch('/api/params/'+k)).json();
  const pd=document.getElementById('params'); pd.innerHTML='';
@@ -469,20 +619,43 @@ class WebUI:
                 "blend": st.blend_amount}
 
     def timeline(self) -> dict[str, Any]:
-        """Multitrack readout: per-track block views (multitrack.c's
-        timeline, as data)."""
+        """Multitrack readout: per-track block views, backing audio
+        tracks, effect regions + keyframes, per-track volumes, modes
+        (multitrack.c's timeline, as data for the editing surface)."""
         mt = getattr(self.osc, "multitrack", None)
         if mt is None:
             return {"frames": 0, "tracks": []}
-        total = 0
+        total = mt.n_frames
         tracks = []
         for t in range(mt.n_tracks):
             blocks = [{"start": b.start, "end": b.end, "clip": int(b.clip)}
                       for b in mt.blocks(t)]
-            if blocks:
-                total = max(total, max(b["end"] for b in blocks))
-            tracks.append({"track": t, "blocks": blocks})
-        return {"frames": total, "fps": mt.el.fps, "tracks": tracks}
+            tracks.append({"track": t, "blocks": blocks,
+                           "volume": mt.track_volume(t)})
+        atracks = []
+        for k in range(mt.n_audio_tracks):
+            t = -(k + 1)
+            blocks = [{"start": b.start, "end": b.end, "clip": int(b.clip)}
+                      for b in mt.audio_blocks(t)]
+            atracks.append({"track": t, "blocks": blocks,
+                            "volume": mt.track_volume(t)})
+        from .events.event_list import EventType
+        effects = []
+        for d in mt.effects():
+            kfs: dict[str, list] = {}
+            for e in mt.el.events:
+                if e.type == EventType.PARAM_CHANGE \
+                        and e.props.get("init_event") == d["id"]:
+                    kfs.setdefault(e.props["param"], []).append(
+                        mt.tc_frame(e.tc))
+            effects.append({**d, "keyframes": kfs})
+        return {"frames": total, "fps": mt.el.fps, "tracks": tracks,
+                "atracks": atracks, "effects": effects,
+                "gravity": int(mt.gravity),
+                "insert_mode": int(mt.insert_mode),
+                "selection": {"tracks": mt.sel_tracks,
+                              "start": mt.sel_start,
+                              "end": mt.sel_end}}
 
     def param_spec(self, key: int) -> dict[str, Any]:
         """paramwindow spec + live values for an effect key's filter."""

@@ -1,0 +1,112 @@
+// jpegcoef.cpp — entropy-decode-only JPEG reader for the compressed
+// device-side ingest path (lives_tpu/io/jpeg_ingest.py).
+//
+// Role: the host half of the split-decode pipeline. libjpeg's
+// jpeg_read_coefficients() runs ONLY the Huffman/arithmetic entropy
+// decode (cheap, one pass over the ~10-20x-compressed bitstream) and
+// hands back the quantised DCT coefficient blocks; dequantisation, the
+// 8x8 IDCT (batched matmuls on the MXU) and chroma upsampling all happen
+// on the TPU. Succeeds the decoder-plugin host decode stage
+// (reference lives-plugins/plugins/decoders/decplugin.h:280 get_frame)
+// for MJPEG/JPEG media without shipping raw pixels over the tunnel.
+//
+// Layout notes (libjpeg internals): entropy decoding un-zigzags into
+// natural (raster) order (jdhuff.c writes block[jpeg_natural_order[k]]),
+// and quant_tbl_ptrs[]->quantval is natural order too — so both sides of
+// the bridge speak raster-ordered 8x8 blocks and no zigzag tables are
+// needed.
+
+#include <cstddef>
+#include <cstdio>
+
+#include <jpeglib.h>
+
+#include <csetjmp>
+#include <cstdint>
+#include <cstring>
+
+namespace {
+
+struct ErrMgr {
+  jpeg_error_mgr mgr;
+  jmp_buf jb;
+};
+
+void on_error(j_common_ptr cinfo) {
+  ErrMgr* e = reinterpret_cast<ErrMgr*>(cinfo->err);
+  longjmp(e->jb, 1);
+}
+
+}  // namespace
+
+extern "C" {
+
+// info layout: [ncomp, image_h, image_w] + per component (up to 4):
+//   [height_in_blocks, width_in_blocks, h_samp, v_samp, quant_tbl_no,
+//    downsampled_width, downsampled_height]            (3 + 4*7 ints)
+// qtabs: 4 tables x 64 uint16 (natural order; absent tables zeroed)
+// coefs: concatenated per-component dense blocks, row-major blocks of 64
+//   int16 each (natural order)
+// returns: total int16 values written, -1 on decode error, -2 when
+//   coef_cap is too small
+long long jc_read(const unsigned char* buf, long long len, int* info,
+                  unsigned short* qtabs, short* coefs,
+                  long long coef_cap) {
+  jpeg_decompress_struct cinfo;
+  ErrMgr jerr;
+  cinfo.err = jpeg_std_error(&jerr.mgr);
+  jerr.mgr.error_exit = on_error;
+  if (setjmp(jerr.jb)) {
+    jpeg_destroy_decompress(&cinfo);
+    return -1;
+  }
+  jpeg_create_decompress(&cinfo);
+  jpeg_mem_src(&cinfo, buf, static_cast<unsigned long>(len));
+  jpeg_read_header(&cinfo, TRUE);
+  jvirt_barray_ptr* bar = jpeg_read_coefficients(&cinfo);
+  if (!bar) {
+    jpeg_destroy_decompress(&cinfo);
+    return -1;
+  }
+  info[0] = cinfo.num_components;
+  info[1] = static_cast<int>(cinfo.image_height);
+  info[2] = static_cast<int>(cinfo.image_width);
+  for (int t = 0; t < 4; t++) {
+    if (cinfo.quant_tbl_ptrs[t])
+      memcpy(qtabs + t * 64, cinfo.quant_tbl_ptrs[t]->quantval,
+             64 * sizeof(unsigned short));
+    else
+      memset(qtabs + t * 64, 0, 64 * sizeof(unsigned short));
+  }
+  long long off = 0;
+  int ncomp = cinfo.num_components < 4 ? cinfo.num_components : 4;
+  for (int c = 0; c < ncomp; c++) {
+    jpeg_component_info* ci = cinfo.comp_info + c;
+    int hb = static_cast<int>(ci->height_in_blocks);
+    int wb = static_cast<int>(ci->width_in_blocks);
+    int* ip = info + 3 + c * 7;
+    ip[0] = hb;
+    ip[1] = wb;
+    ip[2] = ci->h_samp_factor;
+    ip[3] = ci->v_samp_factor;
+    ip[4] = ci->quant_tbl_no;
+    ip[5] = static_cast<int>(ci->downsampled_width);
+    ip[6] = static_cast<int>(ci->downsampled_height);
+    if (off + static_cast<long long>(hb) * wb * 64 > coef_cap) {
+      jpeg_destroy_decompress(&cinfo);
+      return -2;
+    }
+    for (int r = 0; r < hb; r++) {
+      JBLOCKARRAY rows = (cinfo.mem->access_virt_barray)(
+          reinterpret_cast<j_common_ptr>(&cinfo), bar[c],
+          static_cast<JDIMENSION>(r), 1, FALSE);
+      memcpy(coefs + off, rows[0][0], wb * 64 * sizeof(short));
+      off += static_cast<long long>(wb) * 64;
+    }
+  }
+  jpeg_finish_decompress(&cinfo);
+  jpeg_destroy_decompress(&cinfo);
+  return off;
+}
+
+}  // extern "C"

@@ -1,0 +1,140 @@
+"""Compressed device-side JPEG ingest (native/jpegcoef.cpp +
+io/jpeg_ingest.py): entropy decode on host, dequant+IDCT+reassembly on
+device, parity vs the float64 twin and vs PIL's libjpeg decode."""
+
+import io
+
+import numpy as np
+import pytest
+
+PIL = pytest.importorskip("PIL.Image")
+
+from lives_tpu.io.jpeg_ingest import (JpegMeta, JpegStreamSource,
+                                      build_device_decoder,
+                                      decode_frame_ref, load_jpegcoef,
+                                      pack_frame, read_coefficients,
+                                      wire_bytes)
+
+pytestmark = pytest.mark.skipif(load_jpegcoef() is None,
+                                reason="libjpeg bridge unavailable")
+
+
+def _jpeg_bytes(w=128, h=64, quality=85, seed=0, gray=False):
+    rng = np.random.default_rng(seed)
+    # smooth-ish content (pure noise defeats any compression)
+    yy, xx = np.mgrid[0:h, 0:w]
+    base = (128 + 80 * np.sin(xx / 17.0) * np.cos(yy / 11.0)
+            + rng.normal(0, 6, (h, w))).clip(0, 255)
+    if gray:
+        img = PIL.fromarray(base.astype(np.uint8), "L")
+    else:
+        rgb = np.stack([base, np.roll(base, 7, 1), 255 - base],
+                       -1).astype(np.uint8)
+        img = PIL.fromarray(rgb, "RGB")
+    buf = io.BytesIO()
+    img.save(buf, "JPEG", quality=quality)
+    return buf.getvalue()
+
+
+def test_read_coefficients_shapes():
+    f = read_coefficients(_jpeg_bytes())
+    assert f.height == 64 and f.width == 128
+    assert len(f.comps) == 3
+    y = f.comps[0]
+    assert (y["hb"], y["wb"]) == (8, 16)       # 64/8, 128/8
+    assert y["coefs"].shape == (128, 64)
+    # 4:2:0 by default in PIL
+    assert (y["hs"], y["vs"]) == (2, 2)
+    assert f.comps[1]["dw"] == 64 and f.comps[1]["dh"] == 32
+    # DC coefficients are mostly nonzero; ACs mostly zero (sparsity is
+    # the wire win)
+    nz = sum(np.count_nonzero(c["coefs"]) for c in f.comps)
+    dense = sum(c["coefs"].size for c in f.comps)
+    assert nz < dense * 0.5
+
+
+def test_device_matches_float64_twin():
+    """The +/-1 LSB golden contract (repo convention)."""
+    import jax.numpy as jnp
+    f = read_coefficients(_jpeg_bytes(quality=90, seed=3))
+    meta = JpegMeta.of(f)
+    cap = int(meta.n_blocks * 64 * 0.6)
+    packed = pack_frame(f, cap)
+    assert packed is not None
+    counts, pos, vals, qt = packed
+    dec = build_device_decoder(meta, 1, cap)
+    planes = dec(jnp.asarray(counts[None]), jnp.asarray(pos[None]),
+                 jnp.asarray(vals[None]),
+                 jnp.asarray(qt.astype(np.float32)[None]))
+    ref = decode_frame_ref(f)
+    for dev, r in zip(planes, ref):
+        d = np.abs(np.asarray(dev)[0].astype(int) - r.astype(int))
+        assert d.max() <= 1, f"device vs twin diff {d.max()}"
+
+
+def test_twin_matches_pil_decode():
+    """The split decode reproduces libjpeg's own output (integer IDCT)
+    within the usual cross-IDCT tolerance."""
+    data = _jpeg_bytes(quality=90, seed=5)
+    f = read_coefficients(data)
+    ref_y = decode_frame_ref(f)[0]
+    img = PIL.open(io.BytesIO(data)).convert("YCbCr")
+    pil_y = np.asarray(img)[:, :, 0]
+    d = np.abs(ref_y.astype(int) - pil_y.astype(int))
+    assert d.mean() < 1.0 and d.max() <= 4
+
+
+def test_grayscale_jpeg():
+    f = read_coefficients(_jpeg_bytes(gray=True))
+    assert len(f.comps) == 1
+    ref = decode_frame_ref(f)[0]
+    assert ref.shape == (64, 128)
+
+
+def test_stream_source_end_to_end():
+    frames = [_jpeg_bytes(seed=s) for s in range(4)]
+    src = JpegStreamSource(frames)
+    lay = src.get_batch_planes([0, 1, 2, 3])
+    assert np.asarray(lay.planes[0]).shape == (4, 64, 128)
+    assert np.asarray(lay.planes[1]).shape == (4, 32, 64)
+    # each batch entry matches its twin decode
+    for i in range(4):
+        ref = decode_frame_ref(read_coefficients(frames[i]))
+        for k in range(3):
+            d = np.abs(np.asarray(lay.planes[k])[i].astype(int)
+                       - ref[k].astype(int))
+            assert d.max() <= 1
+    # wire size beats raw planes
+    raw = 128 * 64 * 3 // 2
+    assert src.wire_bytes_per_frame() < raw * 1.6  # tiny noisy frames
+
+
+def test_capacity_fallback():
+    frames = [_jpeg_bytes(seed=9, quality=98)]
+    src = JpegStreamSource(frames, capacity_frac=0.01)  # force overflow
+    lay = src.get_batch_planes([0])
+    assert src.fallbacks == 1
+    ref = decode_frame_ref(read_coefficients(frames[0]))
+    d = np.abs(np.asarray(lay.planes[0])[0].astype(int)
+               - ref[0].astype(int))
+    assert d.max() == 0   # fallback is the twin itself
+
+
+def test_full_convert_chain():
+    """YUV layer from the compressed path flows through convert_layer."""
+    from lives_tpu.constants import Palette
+    from lives_tpu.layer import Layer
+    from lives_tpu.ops.colorspace import convert_layer
+    frames = [_jpeg_bytes(seed=2)]
+    src = JpegStreamSource(frames)
+    lay = src.get_batch_planes([0])
+    one = Layer(planes=tuple(p[0] for p in lay.planes),
+                palette=lay.palette, clamping=lay.clamping,
+                subspace=lay.subspace)
+    rgb = convert_layer(one, Palette.RGB24)
+    arr = np.asarray(rgb.planes[0])
+    assert arr.shape == (3, 64, 128)
+    # compare against PIL's full RGB decode loosely (different chroma
+    # upsampling filters; compare means)
+    pil = np.asarray(PIL.open(io.BytesIO(frames[0])).convert("RGB"))
+    assert abs(arr.mean() - pil.mean()) < 3.0

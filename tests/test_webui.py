@@ -186,3 +186,42 @@ def test_clip_thumbnail(ui):
 def test_framedraw_js_present(ui):
     page = _get(ui, "/").decode()
     assert "framedraw" in page and "/api/thumb/" in page
+
+
+def test_timeline_editing_surface(ui):
+    """Round-3 multitrack editing surface: the timeline payload carries
+    audio tracks, effects + keyframes, volumes, modes; the browser edit
+    actions flow through the OSC table (/api/cmd)."""
+    from lives_tpu.multitrack.model import Multitrack
+    mt = Multitrack(n_tracks=2, width=32, height=16)
+    mt.insert_block(0, clip=7, start=0, length=10)
+    mt.insert_audio_block(-1, 7, 0, 10)
+    fid = mt.add_effect("negate", [0], 2, 5)
+    mt.set_keyframe(fid, 3, "amount", 0.5)
+    mt.set_track_volume(0, 0.8)
+    ui.osc.multitrack = mt
+    tl = json.loads(_get(ui, "/api/timeline"))
+    assert tl["atracks"][0]["blocks"][0]["start"] == 0
+    assert tl["effects"][0]["filter"] == "negate"
+    assert tl["effects"][0]["keyframes"].get("amount") == [3]
+    assert abs(tl["tracks"][0]["volume"] - 0.8) < 1e-9
+    assert tl["gravity"] == 0 and tl["insert_mode"] == 0
+    # edit actions through the cmd endpoint (what the JS calls)
+    r = _post(ui, "/api/cmd", {"path": "/mt/gravity/set", "args": [2]})
+    assert r["ok"]
+    assert json.loads(_get(ui, "/api/timeline"))["gravity"] == 2
+    r = _post(ui, "/api/cmd", {"path": "/block/trim",
+                               "args": [0, 0, 0.2]})
+    assert r["ok"]
+    assert json.loads(_get(ui, "/api/timeline")
+                      )["tracks"][0]["blocks"][0]["end"] == 5
+    r = _post(ui, "/api/cmd", {"path": "/mt/track/volume/set",
+                               "args": [-1, 0.3]})
+    assert r["ok"]
+    tl = json.loads(_get(ui, "/api/timeline"))
+    assert abs(tl["atracks"][0]["volume"] - 0.3) < 1e-9
+    # the page ships the editing JS
+    page = _get(ui, "/").decode()
+    for needle in ("grav:", "fx on selection", "/block/move",
+                   "/mt/keyframe/set", "/mt/ablock/insert"):
+        assert needle in page

@@ -1,0 +1,207 @@
+#!/usr/bin/env python
+"""Multitrack edit-session soak: drives a full editing session through
+the BROWSER endpoints (webui /api/cmd → the OSC method table), the way
+the timeline JS does — insert/move/trim/delete blocks, gravity + insert
+modes, region selection + region fx, keyframes, gaps, audio blocks and
+volume changes, with undo/redo mixed in — then renders the surviving
+timeline and checks invariants (the multitrack.c editing surface at
+soak depth; VERDICT round-2 item 10).
+
+Usage: python tools/mt_edit_soak.py [--ops 300] [--seed 0]
+Exits nonzero on any endpoint error or invariant violation.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import random
+import sys
+import urllib.request
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+
+def api(base, path, args):
+    req = urllib.request.Request(
+        base + "/api/cmd",
+        data=json.dumps({"path": path, "args": args}).encode(),
+        method="POST")
+    with urllib.request.urlopen(req, timeout=10) as r:
+        return json.loads(r.read())
+
+
+def get_timeline(base):
+    with urllib.request.urlopen(base + "/api/timeline", timeout=10) as r:
+        return json.loads(r.read())
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--ops", type=int, default=300)
+    ap.add_argument("--seed", type=int, default=0)
+    args = ap.parse_args()
+    rng = random.Random(args.seed)
+
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+    from lives_tpu.multitrack.model import Multitrack
+    from lives_tpu.osc.server import OSCServer
+    from lives_tpu.player import CollectSink, Player
+    from lives_tpu.webui import WebUI
+
+    srv = OSCServer(player=Player(sink=CollectSink()))
+    srv.multitrack = Multitrack(n_tracks=3, width=64, height=32)
+
+    class FakeClip:
+        def __init__(self, uid):
+            self.unique_id = uid
+            self.frames = rng.randint(10, 60)
+            self.fps = 25.0
+            self.width, self.height = 64, 32
+    for cid in (1, 2, 3):
+        srv.clips[cid] = FakeClip(cid)
+
+    ui = WebUI(srv).start()
+    base = f"http://{ui.host}:{ui.port}"
+    errors = 0
+    fx_ids: list[str] = []
+
+    def op_insert():
+        t = rng.randrange(3)
+        return api(base, "/block/insert",
+                   [rng.choice([1, 2, 3]), t, rng.uniform(0, 6)])
+
+    def op_move():
+        tl = get_timeline(base)
+        cands = [(tr["track"], i) for tr in tl["tracks"]
+                 for i in range(len(tr["blocks"]))]
+        if not cands:
+            return {"ok": True}
+        t, i = rng.choice(cands)
+        return api(base, "/block/move",
+                   [t, i, rng.randrange(3), rng.uniform(0, 6)])
+
+    def op_trim():
+        tl = get_timeline(base)
+        cands = [(tr["track"], i, b) for tr in tl["tracks"]
+                 for i, b in enumerate(tr["blocks"])]
+        if not cands:
+            return {"ok": True}
+        t, i, b = rng.choice(cands)
+        return api(base, "/block/trim",
+                   [t, i, rng.uniform(0.05, (b["end"] - b["start"]) / 25.0),
+                    rng.randint(0, 1)])
+
+    def op_delete():
+        tl = get_timeline(base)
+        cands = [(tr["track"], len(tr["blocks"])) for tr in tl["tracks"]
+                 if tr["blocks"]]
+        if not cands:
+            return {"ok": True}
+        t, n = rng.choice(cands)
+        return api(base, "/block/delete", [t, rng.randrange(n)])
+
+    def op_modes():
+        api(base, "/mt/gravity/set", [rng.choice([0, 1, 2])])
+        return api(base, "/mt/insert_mode/set", [rng.choice([0, 2, 4])])
+
+    def op_region_fx():
+        t = rng.randrange(3)
+        s = rng.randrange(0, 80)
+        api(base, "/mt/region/select", [s, s + rng.randint(2, 30), t])
+        r = api(base, "/mt/fx/region",
+                [rng.choice(["negate", "vignette", "saturation"]),
+                 s, s + rng.randint(2, 30), t])
+        if r.get("ok") and r.get("ret"):
+            fx_ids.append(r["ret"])
+        return r
+
+    def op_keyframe():
+        if not fx_ids:
+            return {"ok": True}
+        fid = rng.choice(fx_ids)
+        return api(base, "/mt/keyframe/set",
+                   [fid, rng.randrange(0, 100), "amount",
+                    rng.uniform(0, 1)])
+
+    def op_fx_remove():
+        if not fx_ids:
+            return {"ok": True}
+        return api(base, "/mt/fx/remove", [fx_ids.pop()])
+
+    def op_gap():
+        if rng.random() < 0.5:
+            return api(base, "/mt/gap/insert",
+                       [rng.uniform(0, 3), rng.uniform(0.1, 1.0),
+                        rng.randrange(3)])
+        return api(base, "/mt/gap/remove", [rng.randint(0, 1)])
+
+    def op_audio():
+        if rng.random() < 0.5:
+            return api(base, "/mt/ablock/insert",
+                       [rng.choice([1, 2, 3]), -1, rng.uniform(0, 5),
+                        rng.uniform(0.2, 2.0)])
+        return api(base, "/mt/track/volume/set",
+                   [rng.choice([-1, 0, 1, 2]), rng.uniform(0, 1.2),
+                    rng.randrange(0, 100) if rng.random() < 0.5 else None]
+                   if rng.random() < 0.5 else
+                   [rng.choice([-1, 0, 1, 2]), rng.uniform(0, 1.2)])
+
+    def op_undo():
+        return api(base, rng.choice(["/mt/undo", "/mt/redo"]), [])
+
+    ops = ([op_insert] * 5 + [op_move] * 3 + [op_trim] * 2
+           + [op_delete] * 2 + [op_modes] + [op_region_fx] * 2
+           + [op_keyframe] * 2 + [op_fx_remove] + [op_gap] * 2
+           + [op_audio] * 3 + [op_undo] * 2)
+    for k in range(args.ops):
+        fn = rng.choice(ops)
+        try:
+            r = fn()
+            if not r.get("ok", False):
+                print(f"op {k} {fn.__name__}: {r.get('error')}")
+                errors += 1
+        except Exception as e:  # noqa: BLE001
+            print(f"op {k} {fn.__name__}: EXC {e}")
+            errors += 1
+        if k % 50 == 49:
+            # invariants: timeline readable, blocks sane, no overlap
+            tl = get_timeline(base)
+            for tr in tl["tracks"]:
+                last = -1
+                for b in sorted(tr["blocks"], key=lambda b: b["start"]):
+                    assert b["end"] > b["start"], (tr, b)
+                    assert b["start"] >= last, f"overlap on {tr['track']}"
+                    last = b["end"]
+
+    # final render of whatever survives (the render_to_clip path)
+    mt = srv.multitrack
+    rendered = 0
+    if mt.n_frames:
+        import numpy as np
+
+        import jax.numpy as jnp
+        from lives_tpu.constants import Palette
+        from lives_tpu.layer import Layer
+
+        class Src:
+            def get_batch(self, cids, fnums):
+                arrs = [np.full((3, 32, 64), (int(c) * 40) % 255, np.uint8)
+                        if c >= 0 else np.zeros((3, 32, 64), np.uint8)
+                        for c in cids]
+                return Layer(planes=(jnp.asarray(np.stack(arrs)),),
+                             palette=int(Palette.RGB24))
+        frames, _ = mt.render(Src(), batch_size=16)
+        rendered = len(frames)
+        audio = mt.render_audio({})
+        assert len(audio) >= 0
+    ui.stop()
+    print(f"mt_edit_soak: {args.ops} ops, {errors} errors, "
+          f"{mt.n_frames} frames, rendered {rendered}")
+    return 1 if errors else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
