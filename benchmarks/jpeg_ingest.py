@@ -53,16 +53,21 @@ def make_clip(path, n=24):
     return frames
 
 
-def run_raw(dec, barrier):
-    """Host full decode + raw upload (the status-quo real-media path)."""
+def run_raw(chunks, barrier):
+    """Host full decode + raw upload (the status-quo real-media path:
+    PIL/libjpeg decode to numpy on the feeder thread, one stacked device
+    upload per batch — no intermediate device round trips)."""
+    from PIL import Image
     import jax.numpy as jnp
     q = queue.Queue(maxsize=2)
 
     def feeder():
         for k in range(N_BATCH + 1):
-            arrs = [np.asarray(dec.get_frame((k * B + i) % dec.cdata
-                                             .nframes).planes[0])
-                    for i in range(B)]
+            arrs = []
+            for i in range(B):
+                raw = chunks[(k * B + i) % len(chunks)]
+                im = Image.open(_io.BytesIO(raw)).convert("RGB")
+                arrs.append(np.moveaxis(np.asarray(im), -1, 0))
             q.put(np.stack(arrs))
         q.put(None)
 
@@ -101,9 +106,14 @@ def run_compressed(chunks, barrier):
     t.start()
     from lives_tpu.io.jpeg_ingest import build_device_decoder
     dec = build_device_decoder(src.meta, B, src.capacity)
-    counts, pos, vals, qt, _f = q.get()
-    dec(jnp.asarray(counts), jnp.asarray(pos), jnp.asarray(vals),
-        jnp.asarray(qt))
+
+    def submit(item):
+        dc, counts, pos, vals, ei, ev, qt, _f = item
+        dec(jnp.asarray(dc), jnp.asarray(counts), jnp.asarray(pos),
+            jnp.asarray(vals), jnp.asarray(ei), jnp.asarray(ev),
+            jnp.asarray(qt))
+
+    submit(q.get())
     barrier()
     t0 = time.perf_counter()
     done = 0
@@ -111,9 +121,7 @@ def run_compressed(chunks, barrier):
         item = q.get()
         if item is None:
             break
-        counts, pos, vals, qt, _f = item
-        dec(jnp.asarray(counts), jnp.asarray(pos), jnp.asarray(vals),
-            jnp.asarray(qt))
+        submit(item)
         done += B
     barrier()
     dt = time.perf_counter() - t0
@@ -147,7 +155,7 @@ def main():
                               - r.astype(int)).max())
                    for p, r in zip(lay.planes, ref))
 
-    raw_fps = run_raw(cd.decoder, barrier)
+    raw_fps = run_raw(chunks, barrier)
     comp_fps, src = run_compressed(chunks, barrier)
 
     wire_mb = src.wire_bytes_per_frame() / 1e6

@@ -167,6 +167,125 @@ register_audio_filter(AudioFilter(
     "equal-power A/B crossfade (audio_transition.c)"))
 
 
+def _highpass(block, p, state):
+    """One-pole highpass: x - lowpass(x) (the LADSPA-universe staple)."""
+    from scipy.signal import lfilter
+    a = min(max(p["cutoff"], 0.001), 1.0)
+    y = state if state is not None and np.shape(state) == \
+        (block.shape[1],) else np.zeros(block.shape[1], np.float32)
+    out = np.empty_like(block)
+    for c in range(block.shape[1]):
+        lp, zf = lfilter([a], [1.0, -(1.0 - a)], block[:, c],
+                         zi=np.asarray([(1.0 - a) * y[c]]))
+        out[:, c] = block[:, c] - lp
+        y[c] = lp[-1] if len(lp) else y[c]
+    return np.clip(out, -1, 1), y
+
+
+register_audio_filter(AudioFilter("highpass", _highpass, {"cutoff": 0.1},
+                                  "one-pole highpass"))
+
+
+def _eq3(block, p, state):
+    """3-band shelving EQ from two one-pole splits (low/mid/high gains)."""
+    from scipy.signal import lfilter
+    lo_c, hi_c = 0.02, 0.3
+    if state is None or not (isinstance(state, np.ndarray)
+                             and state.shape == (2, block.shape[1])):
+        state = np.zeros((2, block.shape[1]), np.float32)
+    out = np.empty_like(block)
+    for c in range(block.shape[1]):
+        lp1, z1 = lfilter([lo_c], [1.0, -(1.0 - lo_c)], block[:, c],
+                          zi=np.asarray([(1.0 - lo_c) * state[0, c]]))
+        lp2, z2 = lfilter([hi_c], [1.0, -(1.0 - hi_c)], block[:, c],
+                          zi=np.asarray([(1.0 - hi_c) * state[1, c]]))
+        low, mid, high = lp1, lp2 - lp1, block[:, c] - lp2
+        out[:, c] = (low * p["low"] + mid * p["mid"] + high * p["high"])
+        state[0, c] = lp1[-1] if len(lp1) else state[0, c]
+        state[1, c] = lp2[-1] if len(lp2) else state[1, c]
+    return np.clip(out, -1, 1), state
+
+
+register_audio_filter(AudioFilter(
+    "eq3", _eq3, {"low": 1.0, "mid": 1.0, "high": 1.0},
+    "3-band shelving EQ"))
+
+
+def _reverb(block, p, state):
+    """Small Schroeder reverb: 4 parallel feedback combs + wet mix
+    (block-wise vectorised like _echo)."""
+    rate = int(p["rate"])
+    room = min(max(p["room"], 0.05), 0.98)
+    wet = min(max(p["wet"], 0.0), 1.0)
+    delays = [int(rate * d) for d in (0.0297, 0.0371, 0.0411, 0.0437)]
+    ch = block.shape[1]
+    if state is None or len(state) != len(delays) \
+            or state[0].shape[1] != ch:
+        state = [np.zeros((d, ch), np.float32) for d in delays]
+    acc = np.zeros_like(block)
+    new_state = []
+    for buf in state:
+        d = len(buf)
+        out = np.empty_like(block)
+        i = 0
+        b = buf
+        while i < len(block):
+            n = min(d, len(block) - i)
+            out[i: i + n] = block[i: i + n] + room * b[:n]
+            b = np.concatenate([b[n:], out[i: i + n]])
+            i += n
+        acc += out
+        new_state.append(b)
+    acc /= len(delays)
+    return np.clip(block * (1 - wet) + acc * wet, -1, 1), new_state
+
+
+register_audio_filter(AudioFilter(
+    "reverb", _reverb, {"room": 0.7, "wet": 0.3, "rate": 44100},
+    "Schroeder comb reverb"))
+
+
+def _chorus(block, p, state):
+    """Modulated-delay chorus (LFO over a short ring buffer)."""
+    rate = int(p["rate"])
+    depth = int(max(p["depth"], 0.001) * rate)      # max extra delay
+    base = int(0.02 * rate)
+    if state is None or not isinstance(state, tuple) \
+            or state[0].shape[1] != block.shape[1]:
+        state = (np.zeros((base + depth + len(block) + 1,
+                           block.shape[1]), np.float32), 0.0)
+    ring, phase = state
+    hist = np.concatenate([ring[-(base + depth + 1):], block])
+    t = phase + np.arange(len(block)) * (2 * np.pi * p["speed"] / rate)
+    delay = base + (np.sin(t) * 0.5 + 0.5) * depth
+    idx = (base + depth + 1) + np.arange(len(block)) - delay
+    lo = np.clip(idx.astype(np.int64), 0, len(hist) - 1)
+    hi = np.clip(lo + 1, 0, len(hist) - 1)
+    frac = (idx - lo).astype(np.float32)[:, None]
+    tap = hist[lo] * (1 - frac) + hist[hi] * frac
+    out = np.clip(block * 0.7 + tap * 0.7 * p["mix"], -1, 1)
+    return out, (hist, float(t[-1]) if len(t) else phase)
+
+
+register_audio_filter(AudioFilter(
+    "chorus", _chorus, {"depth": 0.004, "speed": 1.2, "mix": 0.6,
+                        "rate": 44100}, "LFO modulated-delay chorus"))
+
+
+def _noise_gate(block, p, state):
+    """RMS gate with release smoothing."""
+    env = state if isinstance(state, float) else 0.0
+    rms = float(np.sqrt(np.mean(block ** 2))) if len(block) else 0.0
+    env = max(rms, env * p.get("release", 0.9))
+    g = 1.0 if env >= p["threshold"] else 0.0
+    return block * g, env
+
+
+register_audio_filter(AudioFilter(
+    "noise_gate", _noise_gate, {"threshold": 0.02, "release": 0.9},
+    "RMS noise gate"))
+
+
 def tone_gen(n: int, freq: float = 440.0, rate: int = 44100,
              channels: int = 2, phase: float = 0.0,
              wave: str = "sine") -> tuple[np.ndarray, float]:
@@ -500,14 +619,83 @@ class AlsaAudioSink(AudioSink):
             self._pcm = None
 
 
+class PulseAudioSink(AudioSink):
+    """PulseAudio playback via ctypes libpulse-simple (the reference's
+    pulse driver role, src/pulse.c:2324 — its pull-model callback loop
+    collapses into the AudioPlayer feeder + this blocking-write sink).
+    Gated: raises RuntimeError when libpulse-simple is absent; accepts an
+    injected `lib` for mock tests."""
+
+    @staticmethod
+    def available() -> bool:
+        import ctypes.util
+        return ctypes.util.find_library("pulse-simple") is not None
+
+    def __init__(self, app_name: str = "lives_tpu", rate: int = 44100,
+                 channels: int = 2, lib=None):
+        import ctypes
+        import ctypes.util
+        if lib is None:
+            path = ctypes.util.find_library("pulse-simple")
+            if path is None:
+                raise RuntimeError("libpulse-simple not available")
+            lib = ctypes.CDLL(path)
+        self._p = lib
+        if isinstance(lib, ctypes.CDLL):
+            lib.pa_simple_new.restype = ctypes.c_void_p
+
+        class SampleSpec(ctypes.Structure):
+            _fields_ = [("format", ctypes.c_int),
+                        ("rate", ctypes.c_uint32),
+                        ("channels", ctypes.c_uint8)]
+        ss = SampleSpec(3, rate, channels)  # PA_SAMPLE_S16LE = 3
+        err = ctypes.c_int(0)
+        # PA_STREAM_PLAYBACK = 1
+        self._s = lib.pa_simple_new(None, app_name.encode(), 1, None,
+                                    b"playback", ctypes.byref(ss), None,
+                                    None, ctypes.byref(err))
+        if not self._s:
+            raise RuntimeError(f"pa_simple_new failed (err {err.value})")
+        self.channels = channels
+        self.frames = 0
+
+    def write(self, block, rate):
+        import ctypes
+        pcm = np.clip(np.asarray(block, np.float32), -1.0, 1.0)
+        if pcm.ndim == 1:
+            pcm = pcm[:, None]
+        if pcm.shape[1] != self.channels:
+            pcm = to_channels(pcm, self.channels)
+        data = np.ascontiguousarray((pcm * 32767.0).astype("<i2"))
+        err = ctypes.c_int(0)
+        self._p.pa_simple_write(self._s,
+                                data.ctypes.data_as(ctypes.c_void_p),
+                                data.nbytes, ctypes.byref(err))
+        self.frames += len(data)
+
+    def close(self):
+        import ctypes
+        if getattr(self, "_s", None):
+            err = ctypes.c_int(0)
+            self._p.pa_simple_drain(self._s, ctypes.byref(err))
+            self._p.pa_simple_free(self._s)
+            self._s = None
+
+
 def best_audio_sink(rate: int = 44100) -> AudioSink:
-    """Pick the most real output available: JACK > ALSA device > null
-    (the reference's audio-player preference order, prefs->audio_player)."""
+    """Pick the most real output available: JACK > PulseAudio > ALSA
+    device > null (the reference's audio-player preference order,
+    prefs->audio_player)."""
     from .jack import load_libjack
     if load_libjack() is not None:
         try:
             from .jack import JackAudioSink
             return JackAudioSink()
+        except RuntimeError:
+            pass
+    if PulseAudioSink.available():
+        try:
+            return PulseAudioSink(rate=rate)
         except RuntimeError:
             pass
     if AlsaAudioSink.available():

@@ -40,6 +40,10 @@ _STATIC_KINDS = ("int", "string", "string_list", "bool", "color")
 
 #: process-wide compiled plan templates, keyed by full config
 _TEMPLATE_CACHE: dict = {}
+#: exact eviction index: chain static key -> the template-cache keys it
+#: owns (invalidate() pops precisely these instead of structurally
+#: searching every key for an embedded chain key)
+_CACHE_OWNERS: dict = {}
 
 
 @dataclass(frozen=True)
@@ -290,7 +294,7 @@ class FrameGraph:
             pairs = [(i, c) for i, c, _ in gens]
             tmpl = (self._build_template_packed(real, pairs) if packable
                     else self._build_template(real, pairs))
-            self._templates[key] = tmpl
+            self._cache_put(key, tmpl)
         self.stats[key] = self.stats.get(key, 0) + 1
         if packable:
             import numpy as np
@@ -537,7 +541,7 @@ class FrameGraph:
                              gamma=sink_gamma), states
 
             tmpl = jax.jit(batch_fn)
-            self._templates[key] = tmpl
+            self._cache_put(key, tmpl)
         if tmpl is None:
             stop = len(self.chain) - nsuf
             frame_fn = self._make_frame_fn(start=npre, stop=stop,
@@ -645,7 +649,7 @@ class FrameGraph:
                             + layers[1:]
                     return vm(layers, packed, states)
             tmpl = jax.jit(batch_fn)
-            self._templates[key] = tmpl
+            self._cache_put(key, tmpl)
         out, self.states = tmpl(layers, src_dev, packed, self.states)
         for inst, st in zip(self.chain, self.states):
             inst.state = st
@@ -748,20 +752,20 @@ class FrameGraph:
 
         return frame_fn
 
+    def _cache_put(self, key, tmpl):
+        """Store a compiled template + record exact ownership for
+        invalidate()."""
+        self._templates[key] = tmpl
+        _CACHE_OWNERS.setdefault(_chain_static_key(self.chain),
+                                 set()).add(key)
+
     def invalidate(self):
         """Drop THIS graph's compiled templates (config change; reference
         rebuild_nodemodel, nodemodel.c:7853). The template cache is shared
-        process-wide, so eviction matches on this chain's static key —
-        clearing everything would recompile every other graph (30 s-minutes
-        per template through the tunnel)."""
+        process-wide; the ownership index maps this chain's static key to
+        exactly the entries it created — clearing everything would
+        recompile every other graph (30 s-minutes per template through
+        the tunnel)."""
         ck = _chain_static_key(self.chain)
-
-        def mentions(obj):
-            if obj == ck:
-                return True
-            if isinstance(obj, tuple):
-                return any(mentions(x) for x in obj)
-            return False
-
-        for key in [k for k in self._templates if mentions(k)]:
-            del self._templates[key]
+        for key in _CACHE_OWNERS.pop(ck, ()):
+            self._templates.pop(key, None)

@@ -9,10 +9,11 @@ decoder plugins do the WHOLE decode host-side and ship pixels,
 decplugin.h:280 get_frame):
 
   host  : entropy (Huffman) decode only — native/jpegcoef.cpp wraps
-          libjpeg's jpeg_read_coefficients — then sparse-pack the mostly
-          zero quantised coefficients as (counts u8/block, pos u8,
-          value i16): ~3 bytes per nonzero coefficient, typically
-          1-2 MB/frame at 1080p (3-6x under raw);
+          libjpeg's jpeg_read_coefficients — then sparse-pack (v2 wire
+          format): dense int16 DC per block + (count u8, pos u8,
+          val i8) per nonzero AC + a small escape list for |AC| > 127:
+          ~2 B/block + 2 B per nonzero AC, typically 0.4-0.8 MB/frame
+          at 1080p (4-8x under raw YUV420);
   wire  : one packed transfer per frame batch;
   device: scatter -> dequant -> batched 8x8 IDCT as two MXU matmul
           contractions -> block reassembly -> planar YUV Layer
@@ -131,34 +132,72 @@ class JpegMeta:
         return sum(hb * wb for hb, wb, _, _, _ in self.comp_dims)
 
 
-def pack_frame(f: JpegFrame, capacity: int):
-    """Sparse-pack one frame: (counts u8 (NB,), pos u8 (C,), vals i16
-    (C,), qtabs u16 (4,64)) or None when the frame has more nonzero
-    coefficients than `capacity` (caller falls back to host decode)."""
-    all_counts, all_pos, all_vals = [], [], []
+def esc_cap_for(n_blocks: int) -> int:
+    """Escape slots per frame (|AC| > 127 is rare); scales with the
+    frame so tiny streams don't pay a fixed padding tax."""
+    return max(256, n_blocks // 8)
+
+
+def pack_frame(f: JpegFrame, capacity: int, esc_cap: int | None = None):
+    """Sparse-pack one frame (wire format v2 — every byte is shipped
+    per frame, so the format is sized to the signal):
+
+      dc     (NB,)  int16  — DC per block, dense (almost always nonzero)
+      counts (NB,)  uint8  — nonzero-AC count per block
+      pos    (C,)   uint8  — AC position in block (1..63)
+      vals   (C,)   int8   — AC value clamped to +-127
+      esc    (E,2)  int32/int16 pairs — (global coeff idx, true value)
+             for the rare |AC| > 127
+      qtabs  (4,64) uint16
+
+    ~2 B/block + 2 B per nonzero AC: a 1080p q85 frame lands near
+    0.5 MB vs 3.1 MB raw YUV420. Returns None when C or E overflow
+    (caller falls back to host decode)."""
+    dcs, all_counts, all_pos, all_vals = [], [], [], []
+    esc_idx, esc_val = [], []
+    boff = 0
     for c in f.comps:
         co = c["coefs"]                      # (nb, 64)
-        bi, pos = np.nonzero(co)
+        dcs.append(co[:, 0])
+        bi, pj = np.nonzero(co[:, 1:])
+        pos = (pj + 1).astype(np.uint8)
+        vals = co[bi, pos]
         all_counts.append(np.bincount(bi, minlength=co.shape[0]))
-        all_pos.append(pos.astype(np.uint8))
-        all_vals.append(co[bi, pos])
+        all_pos.append(pos)
+        all_vals.append(np.clip(vals, -127, 127).astype(np.int8))
+        esc = np.abs(vals) > 127
+        if esc.any():
+            esc_idx.append(((boff + bi[esc]) * 64
+                            + pos[esc]).astype(np.int32))
+            esc_val.append(vals[esc].astype(np.int16))
+        boff += co.shape[0]
     counts = np.concatenate(all_counts)
     if counts.max(initial=0) > 255:
         return None
     pos = np.concatenate(all_pos)
-    vals = np.concatenate(all_vals).astype(np.int16)
-    if len(pos) > capacity:
+    vals = np.concatenate(all_vals)
+    if esc_cap is None:
+        esc_cap = esc_cap_for(len(counts))
+    n_esc = sum(len(e) for e in esc_idx)
+    if len(pos) > capacity or n_esc > esc_cap:
         return None
     cpos = np.zeros(capacity, np.uint8)
-    cvals = np.zeros(capacity, np.int16)
+    cvals = np.zeros(capacity, np.int8)
     cpos[: len(pos)] = pos
     cvals[: len(vals)] = vals
-    return counts.astype(np.uint8), cpos, cvals, f.qtabs
+    ei = np.full(esc_cap, -1, np.int32)
+    ev = np.zeros(esc_cap, np.int16)
+    if n_esc:
+        ei[:n_esc] = np.concatenate(esc_idx)
+        ev[:n_esc] = np.concatenate(esc_val)
+    return (np.concatenate(dcs).astype(np.int16),
+            counts.astype(np.uint8), cpos, cvals, ei, ev, f.qtabs)
 
 
 def wire_bytes(capacity: int, n_blocks: int) -> int:
     """Per-frame transfer size of the packed format."""
-    return n_blocks + capacity * 3 + 4 * 64 * 2
+    return (n_blocks * 3 + capacity * 2 + esc_cap_for(n_blocks) * 6
+            + 4 * 64 * 2)
 
 
 # ---------------------------------------------------------------------------
@@ -175,7 +214,8 @@ def _idct_basis(dtype=np.float32) -> np.ndarray:
 
 
 def build_device_decoder(meta: JpegMeta, B: int, capacity: int):
-    """Jitted fn(counts (B,NB) u8, pos (B,C) u8, vals (B,C) i16,
+    """Jitted fn(dc (B,NB) i16, counts (B,NB) u8, pos (B,C) u8,
+    vals (B,C) i8, esc_idx (B,E) i32, esc_val (B,E) i16,
     qtabs (B,4,64) f32) -> planar YUV planes list [(B,h,w) u8 ...]
     (full-range JFIF: UNCLAMPED YCbCr)."""
     import jax
@@ -185,17 +225,28 @@ def build_device_decoder(meta: JpegMeta, B: int, capacity: int):
     TOT = NB * 64
     A = np.asarray(_idct_basis())
 
-    def one(counts, pos, vals, qtabs):
-        starts = jnp.concatenate([jnp.zeros(1, jnp.int32),
-                                  jnp.cumsum(counts.astype(jnp.int32))])
-        total = starts[-1]
+    def one(dc, counts, pos, vals, esc_idx, esc_val, qtabs):
+        ci = counts.astype(jnp.int32)
+        total = ci.sum()
         e = jnp.arange(capacity, dtype=jnp.int32)
-        block_of = jnp.searchsorted(starts, e, side="right") - 1
+        # expand per-block counts to a block id per entry; repeat with a
+        # static total length is O(C) (searchsorted cost a log(NB) factor
+        # per entry); padding repeats the last block id but the valid
+        # mask routes those to the dump slot
+        block_of = jnp.repeat(jnp.arange(NB, dtype=jnp.int32), ci,
+                              total_repeat_length=capacity)
         valid = e < total
         gidx = jnp.where(valid, block_of * 64 + pos.astype(jnp.int32),
                          TOT)                       # dump slot
         dense = jnp.zeros(TOT + 1, jnp.float32).at[gidx].set(
-            vals.astype(jnp.float32))[:TOT]
+            vals.astype(jnp.float32))
+        # escapes override their clamped entries; padding slots (-1)
+        # route to the dump slot
+        eidx = jnp.where(esc_idx >= 0, esc_idx, TOT)
+        dense = dense.at[eidx].set(esc_val.astype(jnp.float32))[:TOT]
+        # dense DC column (always shipped whole)
+        dense = dense.reshape(NB, 64).at[:, 0].set(
+            dc.astype(jnp.float32)).reshape(TOT)
         planes = []
         off = 0
         for (hb, wb, qno, dw, dh) in meta.comp_dims:
@@ -271,11 +322,20 @@ class JpegStreamSource:
     the host (shipped raw — rare at sane qualities)."""
 
     def __init__(self, frames: Sequence[bytes],
-                 capacity_frac: float = 0.4):
+                 capacity_frac: float | None = None):
         self.frames = list(frames)
         f0 = read_coefficients(self.frames[0])
         self.meta = JpegMeta.of(f0)
-        self.capacity = int(self.meta.n_blocks * 64 * capacity_frac)
+        if capacity_frac is not None:
+            self.capacity = int(self.meta.n_blocks * 64 * capacity_frac)
+        else:
+            # size the wire buffers from the stream itself: capacity is
+            # shipped whole every frame, so padding is pure upload waste
+            # (a 0.4x-dense cap cost 3.8 MB/frame where the actual
+            # nonzeros were 0.65 MB)
+            nnz0 = sum(int(np.count_nonzero(c["coefs"][:, 1:]))
+                       for c in f0.comps)
+            self.capacity = max(int(nnz0 * 1.6), 4096)
         self._dec = {}
         self.fallbacks = 0
 
@@ -283,36 +343,42 @@ class JpegStreamSource:
         return wire_bytes(self.capacity, self.meta.n_blocks)
 
     def entropy_pack(self, idx: Sequence[int]):
-        """Host half for a frame batch (run it on a feeder thread)."""
-        counts, pos, vals, qt, falls = [], [], [], [], []
+        """Host half for a frame batch (run it on a feeder thread).
+        Returns (dc, counts, pos, vals, esc_idx, esc_val, qt, falls)."""
+        cols = [[] for _ in range(7)]
+        falls = []
         for i in idx:
             f = read_coefficients(self.frames[int(i) % len(self.frames)])
             p = pack_frame(f, self.capacity)
             if p is None:
                 self.fallbacks += 1
-                falls.append((len(counts), decode_frame_ref(f)))
-                p = (np.zeros(self.meta.n_blocks, np.uint8),
+                falls.append((len(cols[0]), decode_frame_ref(f)))
+                ec = esc_cap_for(self.meta.n_blocks)
+                p = (np.zeros(self.meta.n_blocks, np.int16),
+                     np.zeros(self.meta.n_blocks, np.uint8),
                      np.zeros(self.capacity, np.uint8),
-                     np.zeros(self.capacity, np.int16), f.qtabs)
-            counts.append(p[0])
-            pos.append(p[1])
-            vals.append(p[2])
-            qt.append(p[3].astype(np.float32))
-        return (np.stack(counts), np.stack(pos), np.stack(vals),
-                np.stack(qt), falls)
+                     np.zeros(self.capacity, np.int8),
+                     np.full(ec, -1, np.int32),
+                     np.zeros(ec, np.int16), f.qtabs)
+            for k in range(6):
+                cols[k].append(p[k])
+            cols[6].append(p[6].astype(np.float32))
+        return tuple(np.stack(c) for c in cols) + (falls,)
 
     def get_batch_planes(self, idx: Sequence[int]):
         """Full path: entropy decode + pack on host, decode on device.
         Returns the batched YUV Layer."""
         import jax.numpy as jnp
-        counts, pos, vals, qt, falls = self.entropy_pack(idx)
+        dc, counts, pos, vals, ei, ev, qt, falls = self.entropy_pack(idx)
         B = len(idx)
         key = B
         if key not in self._dec:
             self._dec[key] = build_device_decoder(self.meta, B,
                                                   self.capacity)
-        planes = self._dec[key](jnp.asarray(counts), jnp.asarray(pos),
-                                jnp.asarray(vals), jnp.asarray(qt))
+        planes = self._dec[key](jnp.asarray(dc), jnp.asarray(counts),
+                                jnp.asarray(pos), jnp.asarray(vals),
+                                jnp.asarray(ei), jnp.asarray(ev),
+                                jnp.asarray(qt))
         if falls:
             planes = [np.array(p) for p in planes]  # writable copies
             for bi, ref_planes in falls:

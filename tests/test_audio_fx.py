@@ -373,3 +373,98 @@ def test_audio_player_double_start_and_rate_injection():
     assert ap._thread is t1
     assert ap.chain[0].values["rate"] == 48000  # stream rate injected
     ap.stop()
+
+
+# -- round 3: widened fx surface + PulseAudio sink --------------------------
+
+def _blk(n=4096, ch=2, seed=0):
+    rng = np.random.default_rng(seed)
+    return (rng.random((n, ch)).astype(np.float32) - 0.5)
+
+
+def test_highpass_removes_dc():
+    from lives_tpu.audio.fx import audio_instantiate, apply_audio_chain
+    inst = audio_instantiate("highpass", cutoff=0.05)
+    blk = _blk() + 0.5          # DC offset
+    out = blk
+    for _ in range(6):
+        out = apply_audio_chain([inst], out)
+    assert abs(float(out[-1024:].mean())) < 0.05
+
+
+def test_eq3_band_gains():
+    from lives_tpu.audio.fx import audio_instantiate, apply_audio_chain
+    # silence the high band of white noise: output power drops
+    inst = audio_instantiate("eq3", low=1.0, mid=1.0, high=0.0)
+    blk = _blk()
+    out = apply_audio_chain([inst], blk)
+    assert float(np.abs(out).mean()) < float(np.abs(blk).mean())
+    # unity gains pass through (steady state)
+    flat = audio_instantiate("eq3")
+    out2 = apply_audio_chain([flat], blk)
+    assert np.abs(out2[256:] - blk[256:]).max() < 0.02
+
+
+def test_reverb_tail_and_wet():
+    from lives_tpu.audio.fx import audio_instantiate, apply_audio_chain
+    inst = audio_instantiate("reverb", room=0.8, wet=1.0)
+    impulse = np.zeros((8192, 2), np.float32)
+    impulse[0] = 1.0
+    out = apply_audio_chain([inst], impulse)
+    # energy arrives later than the dry impulse (comb delays ~30-44 ms)
+    assert np.abs(out[1200:]).max() > 0.1
+    silence = np.zeros((8192, 2), np.float32)
+    tail = apply_audio_chain([inst], silence)
+    assert np.abs(tail).max() > 0.01      # state carries the tail
+
+
+def test_chorus_modulates():
+    from lives_tpu.audio.fx import audio_instantiate, apply_audio_chain
+    inst = audio_instantiate("chorus", mix=1.0)
+    t = np.arange(8192) / 44100.0
+    tone = np.repeat(np.sin(2 * np.pi * 440 * t)[:, None], 2, 1
+                     ).astype(np.float32)
+    out = apply_audio_chain([inst], tone)
+    assert out.shape == tone.shape
+    assert not np.allclose(out[4096:], tone[4096:] * 1.4, atol=0.2)
+
+
+def test_noise_gate():
+    from lives_tpu.audio.fx import audio_instantiate, apply_audio_chain
+    inst = audio_instantiate("noise_gate", threshold=0.1)
+    quiet = np.full((1024, 2), 0.01, np.float32)
+    loud = np.full((1024, 2), 0.5, np.float32)
+    assert np.abs(apply_audio_chain([inst], quiet)).max() == 0.0
+    inst2 = audio_instantiate("noise_gate", threshold=0.1)
+    assert np.abs(apply_audio_chain([inst2], loud)).max() > 0.4
+
+
+def test_pulse_sink_mock():
+    import ctypes
+    from lives_tpu.audio.fx import PulseAudioSink
+
+    class MockPulse:
+        def __init__(self):
+            self.written = b""
+
+        def pa_simple_new(self, *a):
+            return 0xBEEF
+
+        def pa_simple_write(self, s, data, nbytes, err):
+            self.written += ctypes.string_at(data, nbytes)
+            return 0
+
+        def pa_simple_drain(self, s, err):
+            return 0
+
+        def pa_simple_free(self, s):
+            self.freed = True
+
+    mock = MockPulse()
+    s = PulseAudioSink(lib=mock)
+    s.write(np.full((100, 2), 0.5, np.float32), 44100)
+    assert len(mock.written) == 100 * 2 * 2
+    vals = np.frombuffer(mock.written, "<i2")
+    assert abs(int(vals[0]) - 16383) <= 1
+    s.close()
+    assert getattr(mock, "freed", False)

@@ -61,10 +61,11 @@ def test_device_matches_float64_twin():
     cap = int(meta.n_blocks * 64 * 0.6)
     packed = pack_frame(f, cap)
     assert packed is not None
-    counts, pos, vals, qt = packed
+    dc, counts, pos, vals, ei, ev, qt = packed
     dec = build_device_decoder(meta, 1, cap)
-    planes = dec(jnp.asarray(counts[None]), jnp.asarray(pos[None]),
-                 jnp.asarray(vals[None]),
+    planes = dec(jnp.asarray(dc[None]), jnp.asarray(counts[None]),
+                 jnp.asarray(pos[None]), jnp.asarray(vals[None]),
+                 jnp.asarray(ei[None]), jnp.asarray(ev[None]),
                  jnp.asarray(qt.astype(np.float32)[None]))
     ref = decode_frame_ref(f)
     for dev, r in zip(planes, ref):
