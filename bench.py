@@ -36,13 +36,9 @@ def main():
     w, h = 1920, 1080
     batch = 96
 
-    # device-order barrier: fetch of this op's result implies all previously
-    # issued device work has completed (in-order execution)
-    _tiny = jnp.zeros((8, 128), jnp.uint8)
-    _bar = jax.jit(lambda a: a + 1)
-
-    def barrier():
-        np.asarray(_bar(_tiny))
+    # device-order barrier: fetch of a tiny op's result implies all
+    # previously issued device work has completed (in-order execution)
+    from lives_tpu.utils import device_barrier as barrier
 
     src = DeviceSyntheticSource(h, w)
     sink = SinkSpec(width=w, height=h)

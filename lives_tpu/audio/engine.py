@@ -172,7 +172,8 @@ def _clip_audio_cached(clips: dict, cache: dict, uid, arate: int):
 
 
 def render_timeline_audio(event_list, clips: dict, arate: int = 44100,
-                          channels: int = 2) -> np.ndarray:
+                          channels: int = 2,
+                          legacy_fallback: bool = True) -> np.ndarray:
     """Mix a multitrack timeline's audio from the sparse per-track
     transition state machine on FRAME events (audio_clips/audio_seeks
     pairs, events.c:1251) with per-track avol volume envelopes —
@@ -193,8 +194,14 @@ def render_timeline_audio(event_list, clips: dict, arate: int = 44100,
             transitions.setdefault(ac[i], []).append(
                 (e.tc, ent[0], ent[1], ent[2]))
     if not transitions:
-        # legacy timelines (no audio events): clip-placement fallback
-        return render_audio(event_list, clips, arate, channels)
+        if legacy_fallback:
+            # legacy timelines (no audio events): clip-placement fallback
+            return render_audio(event_list, clips, arate, channels)
+        frames0 = event_list.frame_events()
+        tpf0 = TICKS_PER_SECOND / (event_list.fps or 25.0)
+        end0 = (frames0[-1].tc + tpf0) if frames0 else 0
+        return np.zeros((int(np.ceil(end0 / TICKS_PER_SECOND * arate))
+                         + 1, channels), np.float32)
     frames = event_list.frame_events()
     tpf = TICKS_PER_SECOND / (event_list.fps or 25.0)
     end_tc = (frames[-1].tc + tpf) if frames else 0

@@ -189,6 +189,9 @@ class EventList:
         self.height = height
         self.audio_rate = audio_rate
         self.audio_channels = audio_channels
+        #: container schema: 2 = audio transitions are explicit events
+        #: (pre-2 lists get the legacy clip-placement audio fallback)
+        self.schema = 2
         self.events: list[Event] = []
         self._ranks: list[tuple] = []          # parallel to events
         self._by_id: dict[str, Event] = {}
@@ -371,7 +374,7 @@ class EventList:
     def to_json(self) -> str:
         return json.dumps({
             "format": "lives_tpu_event_list",
-            "version": 1,
+            "version": self.schema,
             "weed_event_api_version": 122,
             "fps": self.fps, "width": self.width, "height": self.height,
             "audio_rate": self.audio_rate,
@@ -390,6 +393,7 @@ class EventList:
         el = cls(fps=d["fps"], width=d["width"], height=d["height"],
                  audio_rate=d["audio_rate"],
                  audio_channels=d["audio_channels"])
+        el.schema = int(d.get("version", 1))
         for ed in d["events"]:
             el.events.append(Event(ed["tc"], EventType(ed["type"]),
                                    ed["props"], ed["event_id"]))

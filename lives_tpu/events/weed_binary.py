@@ -224,6 +224,9 @@ def save_event_list_binary(el: EventList, fh: BinaryIO) -> int:
         "audio_sample_size": (SEED_INT, [16]),
         "audio_signed": (SEED_BOOLEAN, [1]),
         "audio_endian": (SEED_INT, [0]),
+        # host marker: audio transitions are explicit events (schema 2);
+        # reference-authored files lack it and get schema 1 semantics
+        "host_schema": (SEED_INT, [int(getattr(el, "schema", 2))]),
     }
     total = fh.write(serialise_plant(PLANT_EVENT_LIST, header))
     for ev in el.events:
@@ -341,6 +344,10 @@ def load_event_list_binary(fh: BinaryIO) -> EventList:
                    width=int(one("width", 0)), height=int(one("height", 0)),
                    audio_rate=int(one("audio_rate", 44100)),
                    audio_channels=int(one("audio_channels", 2)))
+    # reference layouts DO carry explicit audio events (aclips pairs), so
+    # they take schema 2 semantics; only our own pre-0.3 containers
+    # (version 1 JSON) keep the legacy placement fallback
+    el.schema = int(one("host_schema", 2))
     id_map: dict[int, str] = {}
     init_filters: dict[str, str] = {}
     init_events: dict[str, Event] = {}

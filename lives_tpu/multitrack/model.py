@@ -313,14 +313,24 @@ class Multitrack:
                               only_if_needed=True)
         self._prune_empty()
 
+    def _block_has_audio(self, block: Block) -> bool:
+        """Whether the block carries its own audio-on transition (blocks
+        inserted with_audio=False must stay silent through edits)."""
+        e = self._frame_event_at(block.start)
+        if e is None:
+            return False
+        ent = get_audio_entry(e, block.track)
+        return ent is not None and ent[0] == block.clip and ent[2] != 0.0
+
     def move_block(self, block: Block, new_track: int,
                    new_start: int) -> Block:
         self._checkpoint()
         saved = self._undo.pop()  # merge both rewrites into one undo step
+        had_audio = self._block_has_audio(block)
         self.delete_block(block)
         self._undo.pop()
         nb = self._write_block(new_track, block.clip, max(0, new_start),
-                               block.length, block.offset, True)
+                               block.length, block.offset, had_audio)
         self._undo.append(saved)
         return nb
 
@@ -354,10 +364,11 @@ class Multitrack:
                         block.offset + new_length)
             kept = Block(block.track, block.start, new_length, block.clip,
                          block.offset)
+        had_audio = self._block_has_audio(block)
         self.delete_block(cut)
         self._undo.pop()
         self._undo.append(saved)
-        if from_start:
+        if from_start and had_audio:
             # re-anchor audio seek at the new head
             e0 = self._frame_event_at(kept.start)
             if e0 is not None:
@@ -455,9 +466,10 @@ class Multitrack:
 
     def _move_inline(self, block: Block, new_start: int):
         saved = list(self._undo)
+        had_audio = self._block_has_audio(block)
         self.delete_block(block)
         self._write_block(block.track, block.clip, new_start, block.length,
-                          block.offset, True)
+                          block.offset, had_audio)
         self._undo[:] = saved
 
     def _move_audio_inline(self, ab: "AudioBlock", new_start: int):
@@ -828,10 +840,21 @@ class Multitrack:
                      channels: int = 2):
         """Mix the timeline's audio from the per-track transition state
         machine, through the avol volume envelopes
-        (render_audio_segment + avol, audio.c:1686)."""
+        (render_audio_segment + avol, audio.c:1686). Layouts predating
+        the audio-event schema (no transitions AND no avol anywhere) fall
+        back to legacy clip placement; a modern timeline whose blocks
+        were inserted with_audio=False renders silence."""
+        from ..audio.engine import render_audio as _legacy
         from ..audio.engine import render_timeline_audio
+        if getattr(self.el, "schema", 2) < 2 and not any(
+                e.props.get("audio_clips")
+                for e in self.el.frame_events()):
+            # pre-0.3 container (no audio-transition schema): legacy
+            # clip-placement semantics
+            return _legacy(self.el, clips, arate, channels)
         self._ensure_avol()
-        return render_timeline_audio(self.el, clips, arate, channels)
+        return render_timeline_audio(self.el, clips, arate, channels,
+                                     legacy_fallback=False)
 
     # -- layout save/load --------------------------------------------------
     def save_layout(self, path: str):

@@ -338,3 +338,26 @@ def test_editor_ops_fast_on_long_timeline():
     e = mt.el.get_frame_event_at(mt.frame_tc(25_000))
     dt = time.monotonic() - t0
     assert e is not None and dt < 0.01
+
+
+def test_silent_blocks_stay_silent_through_edits(tmp_path):
+    """Review fix: move/trim of a with_audio=False block must not
+    conjure audio transitions."""
+    from lives_tpu.io import create_clip
+    mt = Multitrack(n_tracks=2, width=16, height=8)
+    c = create_clip(tmp_path, 16, 8)
+    c.write_audio(np.full((88200, 2), 0.5, np.float32), 44100)
+    b = mt.insert_block(0, 1, 0, 25, with_audio=False)
+    out = mt.render_audio({1: c})
+    assert np.abs(out).max() < 1e-6
+    nb = mt.move_block(b, 1, 5)
+    out = mt.render_audio({1: c})
+    assert np.abs(out).max() < 1e-6
+    kept = mt.trim_block(nb, 10, from_start=True)
+    out = mt.render_audio({1: c})
+    assert np.abs(out).max() < 1e-6
+    # while an audioful block keeps its audio through a move
+    b2 = mt.insert_block(0, 1, 0, 25)
+    nb2 = mt.move_block(b2, 0, 10)
+    out = mt.render_audio({1: c})
+    assert np.abs(out).max() > 0.4
