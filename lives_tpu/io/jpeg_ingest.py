@@ -284,6 +284,14 @@ def layer_from_planes(planes, meta: JpegMeta):
     hs, vs = meta.sampling
     pal = {(2, 2): Palette.YUV420P, (2, 1): Palette.YUV422P,
            (1, 1): Palette.YUV444P}.get((hs, vs), Palette.YUV444P)
+    if (hs, vs) != (1, 1):
+        # odd geometry: JPEG rounds chroma UP (ceil), our planar layers
+        # floor-divide — crop luma to even dims and chroma to match
+        y = planes[0]
+        H2 = y.shape[1] - (y.shape[1] % vs)
+        W2 = y.shape[2] - (y.shape[2] % hs)
+        planes = [y[:, :H2, :W2]] + [
+            c[:, : H2 // vs, : W2 // hs] for c in planes[1:]]
     return Layer(planes=tuple(planes), palette=int(pal),
                  clamping=int(YUVClamping.UNCLAMPED),
                  subspace=int(YUVSubspace.YCBCR))
@@ -313,6 +321,47 @@ def decode_frame_ref(f: JpegFrame) -> list[np.ndarray]:
 # ---------------------------------------------------------------------------
 # Batched source over stored JPEG frames (live/ingest pipelines)
 # ---------------------------------------------------------------------------
+
+class MJPEGClipSource:
+    """Renderer FrameSource over an MJPG clip decoder (io/decoders.py
+    AVIDecoder or anything with `get_frame_bytes(n)`): frame batches
+    travel as packed coefficients and decode on device — the batch-render
+    analogue of the live ingest path. `get_frame` stays the per-frame
+    contract (decplugin.h:280); this is the wide lane next to it."""
+
+    def __init__(self, decoder, blank_clip_id: int = -1):
+        self.decoder = decoder
+        self.n = decoder.cdata.nframes if hasattr(decoder, "cdata") else 0
+        self._src: Optional[JpegStreamSource] = None
+
+    def _stream(self) -> "JpegStreamSource":
+        if self._src is None:
+            first = self.decoder.get_frame_bytes(0)
+            src = JpegStreamSource([first])
+            src.frames = _LazyChunks(self.decoder, self.n)
+            self._src = src
+        return self._src
+
+    def get_batch(self, clip_ids, frame_nums):
+        """(B,) ids/frames -> batched YUV Layer (clip ids are ignored:
+        one source serves one clip, the renderer's per-track contract)."""
+        src = self._stream()
+        idx = [max(0, min(int(f), self.n - 1)) for f in frame_nums]
+        return src.get_batch_planes(idx)
+
+
+class _LazyChunks:
+    """Sequence view over a decoder's raw chunks (no upfront read)."""
+
+    def __init__(self, decoder, n):
+        self.decoder, self.n = decoder, n
+
+    def __len__(self):
+        return self.n
+
+    def __getitem__(self, i):
+        return self.decoder.get_frame_bytes(int(i) % max(self.n, 1))
+
 
 class JpegStreamSource:
     """Turns a sequence of JPEG byte strings (an MJPEG stream's frames)

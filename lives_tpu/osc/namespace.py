@@ -792,6 +792,44 @@ def register_extended(srv) -> None:
       lambda fid, pname: ";".join(
           f"{fr},{v}" for fr, v in mt().keyframes(str(fid), str(pname))))
 
+    def mt_render(with_audio=1):
+        """Render the timeline to a NEW clip registered with the server
+        (render_to_clip, events.c:4994). Returns the new clip id."""
+        import numpy as np
+
+        import jax.numpy as jnp
+        from ..constants import Palette
+        from ..events.renderer import ClipFrameSource
+        from ..io.clips import create_clip
+        from ..layer import Layer
+        model = mt()
+        if model.n_frames == 0:
+            raise ValueError("empty timeline")
+        uid_map = {}
+        for cid, clip in srv.clips.items():
+            uid_map[getattr(clip, "unique_id", cid)] = clip
+        w = model.el.width or 64
+        h = model.el.height or 64
+        from ..graph.nodemodel import SinkSpec
+        frames, _tcs = model.render(ClipFrameSource(uid_map),
+                                    sink=SinkSpec(width=w, height=h))
+        out = create_clip(workdir(), w, h, model.el.fps,
+                          name="mt_render")
+        out.frames = len(frames)
+        out.create_frame_index(all_virtual=False)
+        for i in range(len(frames)):
+            out.put_frame(i, Layer(planes=(jnp.asarray(frames[i]),),
+                                   palette=int(Palette.RGB24)))
+        if int(with_audio):
+            audio = model.render_audio(uid_map)
+            if len(audio):
+                out.write_audio(audio.astype(np.float32), 44100)
+        out.save_header()
+        cid = new_id()
+        srv.clips[cid] = out
+        return cid
+
+    m("/mt/render", mt_render)
     m("/layout/clear", lambda: setattr(srv, "multitrack", None))
 
 

@@ -139,3 +139,110 @@ def test_full_convert_chain():
     # upsampling filters; compare means)
     pil = np.asarray(PIL.open(io.BytesIO(frames[0])).convert("RGB"))
     assert abs(arr.mean() - pil.mean()) < 3.0
+
+
+def test_progressive_jpeg():
+    """jpeg_read_coefficients handles progressive streams too."""
+    rng = np.random.default_rng(3)
+    yy, xx = np.mgrid[0:48, 0:96]
+    base = (128 + 90 * np.sin(xx / 13.0) * np.cos(yy / 7.0)).clip(0, 255)
+    rgb = np.stack([base] * 3, -1).astype(np.uint8)
+    buf = io.BytesIO()
+    PIL.fromarray(rgb, "RGB").save(buf, "JPEG", quality=80,
+                                   progressive=True)
+    f = read_coefficients(buf.getvalue())
+    ref = decode_frame_ref(f)
+    pil_y = np.asarray(PIL.open(io.BytesIO(buf.getvalue()))
+                       .convert("YCbCr"))[:, :, 0]
+    d = np.abs(ref[0].astype(int) - pil_y.astype(int))
+    assert d.mean() < 1.0 and d.max() <= 4
+
+
+def test_444_subsampling_and_odd_dims():
+    """4:4:4 streams and non-multiple-of-16 geometry (MCU padding is
+    cropped by downsampled dims)."""
+    import jax.numpy as jnp
+    rng = np.random.default_rng(5)
+    h, w = 75, 101
+    base = rng.normal(128, 30, (h, w)).clip(0, 255)
+    rgb = np.stack([base, base, base], -1).astype(np.uint8)
+    buf = io.BytesIO()
+    PIL.fromarray(rgb, "RGB").save(buf, "JPEG", quality=92,
+                                   subsampling=0)    # 4:4:4
+    f = read_coefficients(buf.getvalue())
+    assert (f.comps[0]["hs"], f.comps[0]["vs"]) == (1, 1)
+    assert f.comps[0]["dw"] == w and f.comps[0]["dh"] == h
+    src = JpegStreamSource([buf.getvalue()])
+    lay = src.get_batch_planes([0])
+    from lives_tpu.constants import Palette
+    assert lay.palette == int(Palette.YUV444P)
+    for k in range(3):
+        assert np.asarray(lay.planes[k]).shape == (1, h, w)
+    ref = decode_frame_ref(f)
+    d = np.abs(np.asarray(lay.planes[0])[0].astype(int)
+               - ref[0].astype(int))
+    assert d.max() <= 1
+
+
+def test_420_odd_dims_cropped():
+    """Odd-geometry 4:2:0: JPEG ceils chroma, planar layers floor — the
+    Layer crops to even luma dims so convert_layer stays consistent."""
+    rng = np.random.default_rng(6)
+    h, w = 75, 101
+    base = rng.normal(128, 30, (h, w)).clip(0, 255)
+    rgb = np.stack([base] * 3, -1).astype(np.uint8)
+    buf = io.BytesIO()
+    PIL.fromarray(rgb, "RGB").save(buf, "JPEG", quality=85,
+                                   subsampling=2)    # 4:2:0
+    src = JpegStreamSource([buf.getvalue()])
+    lay = src.get_batch_planes([0])
+    y = np.asarray(lay.planes[0])
+    assert y.shape == (1, 74, 100)
+    assert np.asarray(lay.planes[1]).shape == (1, 37, 50)
+    from lives_tpu.constants import Palette
+    from lives_tpu.layer import Layer
+    from lives_tpu.ops.colorspace import convert_layer
+    one = Layer(planes=tuple(p[0] for p in lay.planes),
+                palette=lay.palette, clamping=lay.clamping,
+                subspace=lay.subspace)
+    out = convert_layer(one, Palette.RGB24)
+    assert np.asarray(out.planes[0]).shape == (3, 74, 100)
+
+
+def test_mjpeg_clip_source_renders(tmp_path):
+    """MJPEGClipSource feeds the batch renderer from a real MJPEG AVI:
+    compressed-domain batches, device decode, effects applied — output
+    matches the twin-decoded frames through the same convert chain."""
+    import jax.numpy as jnp
+    from lives_tpu.constants import Palette
+    from lives_tpu.events.event_list import (EventList, frame_event)
+    from lives_tpu.events.renderer import render_to_arrays
+    from lives_tpu.graph.nodemodel import SinkSpec
+    from lives_tpu.io.decoders import AVIDecoder, write_mjpeg_avi
+    from lives_tpu.io.jpeg_ingest import MJPEGClipSource
+    from lives_tpu.layer import Layer
+    from lives_tpu.ops.colorspace import convert_layer
+    frames = [_jpeg_bytes(w=64, h=32, seed=s) for s in range(6)]
+    p = str(tmp_path / "clip.avi")
+    write_mjpeg_avi(p, frames, 64, 32, 25.0)
+    cd = AVIDecoder.get_clip_data(p)
+    src = MJPEGClipSource(cd.decoder)
+    el = EventList(fps=25.0, width=64, height=32)
+    for i in range(6):
+        el.insert(frame_event(int(i * 4e6), [1], [i]))
+    out, _ = render_to_arrays(el, src, SinkSpec(width=64, height=32),
+                              batch_size=6)
+    assert out.shape == (6, 3, 32, 64)
+    # golden: twin decode -> same YUV Layer -> same convert
+    for i in (0, 3, 5):
+        f = read_coefficients(frames[i])
+        ref_planes = decode_frame_ref(f)
+        from lives_tpu.io.jpeg_ingest import JpegMeta, layer_from_planes
+        lay = layer_from_planes(
+            [jnp.asarray(pl[None]) for pl in ref_planes], JpegMeta.of(f))
+        one = Layer(planes=tuple(pl[0] for pl in lay.planes),
+                    palette=lay.palette, clamping=lay.clamping,
+                    subspace=lay.subspace)
+        exp = np.asarray(convert_layer(one, Palette.RGB24).planes[0])
+        d = np.abs(out[i].astype(int) - exp.astype(int))
+        assert d.max() <= 2, f"frame {i} diff {d.max()}"

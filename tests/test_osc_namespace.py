@@ -254,3 +254,17 @@ def test_mt_editing_surface(srv):
     _rpc(srv, "/mt/fx/remove", fid, expect_reply=False)
     time.sleep(0.05)
     assert "negate" not in _rpc(srv, "/mt/fx/list").args[0]
+
+
+def test_mt_render_to_clip(srv):
+    """OSC /mt/render: timeline -> new clip registered with the server
+    (render_to_clip role over the control surface)."""
+    _rpc(srv, "/mt/ctrack/set", 0, expect_reply=False)
+    assert _rpc(srv, "/block/insert", 1).args[0] >= 1
+    cid = _rpc(srv, "/mt/render", 0, timeout=120).args[0]
+    assert cid in srv.clips
+    clip = srv.clips[cid]
+    assert clip.frames > 0
+    lay = clip.get_frame(0)
+    import numpy as np
+    assert np.asarray(lay.planes[0]).ndim == 3
