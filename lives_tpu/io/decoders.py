@@ -578,6 +578,28 @@ class AVIDecoder(Decoder):
         self._fh.seek(ofs)
         return self._fh.read(sz)
 
+    def get_frame_device(self, n: int) -> Layer:
+        """Per-frame compressed-domain decode: host entropy pass + device
+        dequant/IDCT (io/jpeg_ingest.py) — ~7x less upload than raw
+        pixels on remote-attached TPUs. The live player prefers this lane
+        for MJPG when available; get_frame keeps the host-decode
+        contract. Raises for non-MJPG streams or when the libjpeg bridge
+        is absent (caller falls back)."""
+        if self.fourcc != "MJPG":
+            raise RuntimeError("device decode is MJPG-only")
+        src = getattr(self, "_jsrc", None)
+        if src is None:
+            from .jpeg_ingest import (MJPEGClipSource, load_jpegcoef)
+            if load_jpegcoef() is None:
+                raise RuntimeError("jpegcoef bridge unavailable")
+            src = MJPEGClipSource(self)
+            self._jsrc = src
+        lay = src.get_batch(None, [n])
+        return Layer(planes=tuple(p[0] for p in lay.planes),
+                     palette=lay.palette, clamping=lay.clamping,
+                     sampling=lay.sampling, subspace=lay.subspace,
+                     gamma=int(Gamma.SRGB))
+
     def get_frame(self, n: int) -> Layer:
         import io as _io
         import jax.numpy as jnp

@@ -246,3 +246,46 @@ def test_mjpeg_clip_source_renders(tmp_path):
         exp = np.asarray(convert_layer(one, Palette.RGB24).planes[0])
         d = np.abs(out[i].astype(int) - exp.astype(int))
         assert d.max() <= 2, f"frame {i} diff {d.max()}"
+
+
+def test_player_pull_uses_device_lane(tmp_path):
+    """Player._pull prefers the compressed-domain lane for MJPG clips:
+    the pulled Layer is device YUV (no host pixel decode), content
+    matches the twin, and the chain consumes it."""
+    from lives_tpu.constants import Palette
+    from lives_tpu.graph import SinkSpec
+    from lives_tpu.io.clips import open_clip
+    from lives_tpu.io.decoders import write_mjpeg_avi
+    from lives_tpu.player import CollectSink, Player
+    frames = [_jpeg_bytes(w=64, h=32, seed=s) for s in range(5)]
+    avi = str(tmp_path / "clip.avi")
+    write_mjpeg_avi(avi, frames, 64, 32, 25.0)
+    clip = open_clip(avi, tmp_path)
+    p = Player(sink=CollectSink(), sink_spec=SinkSpec(width=64, height=32))
+    p.state.fg_clip = clip
+    lay = p._pull(clip, 2)
+    assert lay.palette in (int(Palette.YUV420P), int(Palette.YUV444P))
+    ref = decode_frame_ref(read_coefficients(frames[2]))
+    d = np.abs(np.asarray(lay.planes[0]).astype(int)
+               - ref[0][: lay.planes[0].shape[0],
+                        : lay.planes[0].shape[1]].astype(int))
+    assert d.max() <= 1
+    # full player cycle consumes the YUV layer through the chain
+    import time as _t
+    p.start()
+    p.state.frame = -1
+    p._clock0 = _t.monotonic()
+    p._frame0 = 2.0
+    assert p.process_one()
+    p.stop()
+    # pref kill-switch: host decode path returns RGB24
+    import os
+    from lives_tpu import prefs as P
+    s = P.PrefsStore(tmp_path / "prefsrc")
+    P.set_store(s)
+    try:
+        s.set("mjpeg_device_decode", 0)
+        lay2 = p._pull(clip, 2)
+        assert lay2.palette == int(Palette.RGB24)
+    finally:
+        P.set_store(None)
