@@ -208,7 +208,13 @@ def render_timeline_audio(event_list, clips: dict, arate: int = 44100,
     n_out = int(np.ceil(end_tc / TICKS_PER_SECOND * arate)) + 1
     acc = np.zeros((n_out, channels), np.float32)
     cache: dict = {}
+    per_track_fx, master_fx = _audio_fx_chains(event_list, arate)
     for track, trs in transitions.items():
+        # tracks with audio-filter regions get a full-length buffer so
+        # the chain (reverb tails etc.) runs over contiguous audio;
+        # others accumulate segment-wise
+        fx = per_track_fx.get(track)
+        tbuf = np.zeros((n_out, channels), np.float32) if fx else None
         for k, (tc, clip, seek, vel) in enumerate(trs):
             if clip < 0 or vel == 0.0:
                 continue
@@ -233,8 +239,74 @@ def render_timeline_audio(event_list, clips: dict, arate: int = 44100,
             seg[~valid] = 0.0
             seg = to_channels(seg, channels)
             env = _avol_envelope(event_list, track, t0 + rel)
-            acc[o0:o1] += seg * env[:, None]
+            if tbuf is not None:
+                tbuf[o0:o1] += seg * env[:, None]
+            else:
+                acc[o0:o1] += seg * env[:, None]
+        if tbuf is not None:
+            acc += _apply_timeline_audio_fx(event_list, tbuf, fx, arate)
+    if master_fx:
+        acc = _apply_timeline_audio_fx(event_list, acc, master_fx, arate)
     return np.clip(acc, -1.0, 1.0)
+
+
+def _audio_fx_chains(el, arate: int):
+    """Timeline audio-filter regions (FILTER_INIT events tagged
+    audio=True, excluding avol) resolved to AudioInstances — the
+    weed_apply_audio_instance-during-render role (effects-weed.c:2747,
+    applied by render_audio_segment). Returns
+    (track -> [(inst, init, tc0, tc1)], master list for inits with no
+    in_tracks)."""
+    from ..events.event_list import EventType
+    from .fx import audio_instantiate
+    per_track: dict[int, list] = {}
+    master: list = []
+    deinits = {e.props.get("init_event"): e.tc for e in el.events
+               if e.type == EventType.FILTER_DEINIT}
+    for e in el.events:
+        if e.type != EventType.FILTER_INIT or not e.props.get("audio") \
+                or e.props.get("filter") == "avol":
+            continue
+        try:
+            inst = audio_instantiate(e.props["filter"])
+        except KeyError:
+            continue
+        static = {k: v for k, v in e.props.get("values", {}).items()
+                  if isinstance(v, (int, float))}
+        inst.values.update(static)
+        if "rate" in inst.filter.params:
+            inst.values["rate"] = arate
+        item = (inst, e, e.tc, deinits.get(e.event_id, 1 << 62))
+        tracks = e.props.get("in_tracks") or []
+        if tracks:
+            for t in tracks:
+                per_track.setdefault(t, []).append(item)
+        else:
+            master.append(item)
+    return per_track, master
+
+
+def _apply_timeline_audio_fx(el, buf: np.ndarray, items, arate: int,
+                             block: int = 2048) -> np.ndarray:
+    """Run audio-filter regions over `buf` in blocks, interpolating
+    keyframed params (pchains) at each block start — interpolate_params
+    for audio (effects-weed.c:10448 role)."""
+    from ..events.event_list import TICKS_PER_SECOND
+    from .fx import apply_audio_chain
+    for inst, init, tc0, tc1 in items:
+        s0 = max(0, int(tc0 / TICKS_PER_SECOND * arate))
+        s1 = min(int(tc1 / TICKS_PER_SECOND * arate), len(buf))
+        names = [p for p in init.props.get("values", {})
+                 if p in inst.filter.params]
+        for o in range(s0, s1, block):
+            for pname in names:
+                v = el.interp_param(init, pname,
+                                    int(o / arate * TICKS_PER_SECOND))
+                if isinstance(v, (int, float)):
+                    inst.values[pname] = float(v)
+            buf[o: o + block] = apply_audio_chain(
+                [inst], buf[o: o + block])
+    return buf
 
 
 def render_audio(event_list, clips: dict, arate: int = 44100,

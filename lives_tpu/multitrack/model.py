@@ -741,6 +741,26 @@ class Multitrack:
         self._rebuild_filter_maps()
         return init.event_id
 
+    def add_audio_effect(self, filter_name: str, tracks: Sequence[int],
+                         start: int, length: int,
+                         values: dict | None = None) -> str:
+        """Attach an AUDIO filter region (audio/fx.py registry) over
+        [start, start+length) — the reference applies audio instances
+        during render_audio_segment (weed_apply_audio_instance,
+        effects-weed.c:2747). Empty `tracks` = master bus. Keyframe its
+        params with set_keyframe like video effects."""
+        from ..audio.fx import get_audio_filter
+        get_audio_filter(filter_name)       # validate early
+        self._checkpoint()
+        tc0 = self.frame_tc(start)
+        tc1 = self.frame_tc(start + length)
+        init = filter_init_event(tc0, filter_name,
+                                 in_tracks=list(tracks), out_tracks=[],
+                                 values=dict(values or {}), audio=True)
+        self.el.insert(init)
+        self.el.insert(filter_deinit_event(tc1, init.event_id))
+        return init.event_id
+
     def add_region_effect(self, filter_name: str,
                           values: dict | None = None) -> str:
         """Apply an effect over the current region selection."""

@@ -780,6 +780,13 @@ def register_extended(srv) -> None:
                        for d in mt().effects()))
     m("/mt/fx/remove", lambda fid: (mt().remove_effect(str(fid)), 1)[1])
 
+    def afx_region(fname, t0, t1, *tracks):
+        return mt().add_audio_effect(str(fname),
+                                     [int(t) for t in tracks],
+                                     int(t0), int(t1) - int(t0))
+
+    m("/mt/afx/region", afx_region)  # audio-filter region (frames)
+
     def kf_set(fid, frame, pname, value):
         mt().set_keyframe(str(fid), int(frame), str(pname), float(value))
         return 1

@@ -361,3 +361,29 @@ def test_silent_blocks_stay_silent_through_edits(tmp_path):
     nb2 = mt.move_block(b2, 0, 10)
     out = mt.render_audio({1: c})
     assert np.abs(out).max() > 0.4
+
+
+def test_timeline_audio_effects(tmp_path):
+    """Audio-filter regions render during the timeline mixdown
+    (weed_apply_audio_instance role): per-track gain region halves one
+    half of a block; keyframed gain ramps; master-bus region affects the
+    mix."""
+    from lives_tpu.io import create_clip
+    mt = Multitrack(n_tracks=1, width=16, height=8)
+    c = create_clip(tmp_path, 16, 8)
+    c.write_audio(np.full((88200, 2), 0.5, np.float32), 44100)
+    mt.insert_block(0, 1, 0, 50)            # 2 s
+    fid = mt.add_audio_effect("gain", [0], 25, 25, values={"gain": 0.5})
+    out = mt.render_audio({1: c})
+    assert np.abs(out[:42000] - 0.5).max() < 1e-3      # untouched half
+    assert np.abs(out[46000:86000] - 0.25).max() < 1e-3  # gained half
+    # keyframed: ramp the gain across the region
+    mt.set_keyframe(fid, 25, "gain", 1.0)
+    mt.set_keyframe(fid, 50, "gain", 0.0)
+    out2 = mt.render_audio({1: c})
+    assert out2[46000].mean() > out2[66000].mean() > out2[85000].mean()
+    # master-bus region (no tracks): scales everything in range
+    mt.remove_effect(fid)
+    mt.add_audio_effect("gain", [], 0, 50, values={"gain": 0.1})
+    out3 = mt.render_audio({1: c})
+    assert np.abs(out3[1000:85000] - 0.05).max() < 1e-2
