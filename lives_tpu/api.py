@@ -340,6 +340,21 @@ class LiVESMultitrack:
     def fps(self) -> float:
         return self._mt.el.fps
 
+    # -- autotransition (liblives setAutoTransition/disableAutoTransition)
+    def set_auto_transition(self, filter_name: str) -> bool:
+        from .effects.host import get_filter
+        f = get_filter(filter_name)
+        if f.n_in < 2:
+            return False
+        self._mt.autotrans_filter = filter_name
+        return True
+
+    def disable_auto_transition(self):
+        self._mt.autotrans_filter = None
+
+    def auto_transition(self) -> str:
+        return self._mt.autotrans_filter or ""
+
     def set_track_label(self, track: int, label: str = "") -> bool:
         self._labels[int(track)] = label
         return True

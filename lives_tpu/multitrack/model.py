@@ -93,6 +93,11 @@ class Multitrack:
         self.n_audio_tracks = n_audio_tracks
         self.gravity = Gravity.NORMAL
         self.insert_mode = InsertMode.NORMAL
+        # multitrack autotransition (mt->opts.atrans_fx; liblives
+        # multitrack::setAutoTransition): inserting a block that overlaps
+        # a neighbouring track auto-adds this transition over the
+        # overlap, with its blend ramped across it
+        self.autotrans_filter: Optional[str] = None
         # region selection (multitrack.c region model): (tracks, start, end)
         self.sel_tracks: list[int] = []
         self.sel_start: int = 0
@@ -265,8 +270,30 @@ class Multitrack:
         if length <= 0:
             return None
         self._checkpoint()
-        return self._write_block(track, clip, start, length, offset,
-                                 with_audio)
+        b = self._write_block(track, clip, start, length, offset,
+                              with_audio)
+        if self.autotrans_filter:
+            self._apply_autotrans(b)
+        return b
+
+    def _apply_autotrans(self, b: Block):
+        """Auto-add the configured transition over overlaps with the
+        neighbouring tracks, blend ramped 0->1 across each overlap
+        (multitrack.c atrans handling)."""
+        for ot in (b.track - 1, b.track + 1):
+            if not 0 <= ot < self.n_tracks:
+                continue
+            for nb in self.blocks(ot):
+                s, e = max(b.start, nb.start), min(b.end, nb.end)
+                if e - s <= 0:
+                    continue
+                lo, hi = min(ot, b.track), max(ot, b.track)
+                saved = list(self._undo)
+                fid = self.add_effect(self.autotrans_filter, [lo, hi],
+                                      s, e - s, values={"amount": 0.0})
+                self.set_keyframe(fid, s, "amount", 0.0)
+                self.set_keyframe(fid, e, "amount", 1.0)
+                self._undo[:] = saved   # one undo step for the insert
 
     def _fill_grid(self, upto: int):
         """The timeline frame grid is complete: every frame slot from 0 to

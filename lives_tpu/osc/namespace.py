@@ -134,6 +134,12 @@ def register_extended(srv) -> None:
     m("/video/nervous/enable", lambda: setattr(st(), "nervous", True))
     m("/video/nervous/disable", lambda: setattr(st(), "nervous", False))
     m("/video/nervous/get", lambda: int(st().nervous))
+    # autotransition on clip switch (prefs->autotrans_key/amt,
+    # player.c:1001 set_trans_amt; keys 1-based on the wire)
+    m("/video/autotrans/set",
+      lambda key, duration=1.0: p().set_autotrans(int(key) - 1,
+                                                  float(duration)))
+    m("/video/autotrans/disable", lambda: p().set_autotrans(None))
 
     def fps_ratio_get():
         base = getattr(st().fg_clip, "fps", 25.0) or 25.0

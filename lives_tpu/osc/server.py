@@ -347,7 +347,7 @@ class OSCServer:
         if bg:
             self.player.state.bg_clip = clip
         else:
-            self.player.state.fg_clip = clip
+            self.player.switch_fg(clip)
 
     def _swap_fg_bg(self):
         st = self.player.state

@@ -335,6 +335,53 @@ class Player:
             return lo + math.floor(f - lo) % span
         return max(lo, min(math.floor(f), hi))
 
+    # -- clip switching + autotransition (player.c:1001 set_trans_amt,
+    #    prefs->autotrans_key/mode/amt) ------------------------------------
+    def set_autotrans(self, key: int | None, duration: float = 1.0):
+        """Configure automatic transitions on clip switch: `key` is an
+        rte key holding a 2-input transition; switching the fg clip
+        during playback puts the old clip on the bg track and ramps the
+        blend from old to new over `duration` seconds."""
+        self.autotrans_key = key
+        self.autotrans_duration = max(float(duration), 1e-3)
+
+    def switch_fg(self, clip):
+        """Switch the foreground clip (the OSC /clip/select path). With
+        autotransition configured and playback running, the switch rides
+        a timed crossfade instead of a hard cut."""
+        st = self.state
+        old = st.fg_clip
+        key = getattr(self, "autotrans_key", None)
+        if key is None or not st.playing or old is None or old is clip:
+            st.fg_clip = clip
+            return
+        st.bg_clip = old
+        st.fg_clip = clip
+        st.blend_amount = 1.0        # start fully on the OLD clip
+        self._autotrans_t0 = time.monotonic()
+        if not self.keymap.active[key]:
+            self.key_toggle(key, True)
+        if self.audio is not None and (
+                hasattr(clip, "read_audio")
+                or getattr(clip, "audio_source", None) is not None):
+            self.audio.load_clip_audio(clip)
+
+    def _autotrans_step(self):
+        t0 = getattr(self, "_autotrans_t0", None)
+        if t0 is None:
+            return
+        dur = getattr(self, "autotrans_duration", 1.0)
+        amt = 1.0 - min((time.monotonic() - t0) / dur, 1.0)
+        self.state.blend_amount = amt
+        if amt <= 0.0:
+            # transition complete: release the bg track + key
+            self._autotrans_t0 = None
+            key = getattr(self, "autotrans_key", None)
+            if key is not None and self.keymap.active[key]:
+                self.key_toggle(key, False)
+            self.state.bg_clip = None
+            self.state.blend_amount = 0.5
+
     # -- rte keys ----------------------------------------------------------
     def key_toggle(self, key: int, on: bool | None = None):
         was = self.keymap.active[key]
@@ -611,6 +658,7 @@ class Player:
         if not st.playing or st.fg_clip is None:
             return False
         t_start = time.monotonic()
+        self._autotrans_step()
         target = self.clamp_frame(self._target_frame_f())
         if st.nervous:
             # nervous-mode trickplay (player.c:1013): random walk +/-10

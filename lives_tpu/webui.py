@@ -257,6 +257,20 @@ async function drawTimeline(){
  ub.onclick=async()=>{await cmd('/mt/undo');drawTimeline();};
  bar.appendChild(ub);
  el.appendChild(bar);
+ // playhead scrubber + rendered-frame preview (multitrack preview pane)
+ if(total>1){
+  const ph=document.createElement('input'); ph.type='range';
+  ph.min=0; ph.max=total-1; ph.style.width='100%';
+  ph.value=window._mtPlayhead||0;
+  const pv=document.createElement('img');
+  pv.style.cssText='max-width:240px;display:block;margin:2px 0;'+
+   'border-radius:4px';
+  pv.src='/api/mt_preview/'+(window._mtPlayhead||0);
+  pv.onerror=()=>{pv.style.display='none';};
+  ph.oninput=()=>{window._mtPlayhead=+ph.value;
+   pv.src='/api/mt_preview/'+ph.value; pv.style.display='block';};
+  el.appendChild(ph); el.appendChild(pv);
+ }
  const allRows=[];
  const mkRow=(tr,isAudio)=>{
   const wrap=document.createElement('div');
@@ -491,6 +505,23 @@ class WebUI:
                     self.send_header("Content-Length", str(len(jpeg)))
                     self.end_headers()
                     self.wfile.write(jpeg)
+                elif self.path.startswith("/api/mt_preview/"):
+                    try:
+                        fr = int(self.path.rsplit("/", 1)[-1])
+                    except ValueError:
+                        self.send_response(404)
+                        self.end_headers()
+                        return
+                    jpeg = ui.mt_preview(fr)
+                    if jpeg is None:
+                        self.send_response(404)
+                        self.end_headers()
+                        return
+                    self.send_response(200)
+                    self.send_header("Content-Type", "image/jpeg")
+                    self.send_header("Content-Length", str(len(jpeg)))
+                    self.end_headers()
+                    self.wfile.write(jpeg)
                 elif self.path == "/preview.jpg":
                     jpeg, _ = ui.tap.wait_jpeg(-1, timeout=0.0)
                     if jpeg is None:
@@ -553,6 +584,49 @@ class WebUI:
         self._thread: Optional[threading.Thread] = None
 
     # -- bindings -----------------------------------------------------------
+    def mt_preview(self, frame: int):
+        """JPEG of ONE rendered timeline frame at `frame` — the
+        multitrack preview pane (multitrack.c show_preview role). Renders
+        through the real segment renderer against the server's clips."""
+        mt = getattr(self.osc, "multitrack", None)
+        if mt is None or mt.n_frames == 0:
+            return None
+        frame = max(0, min(int(frame), mt.n_frames - 1))
+        try:
+            import io as _io
+
+            import numpy as _np
+            from PIL import Image
+
+            from .events.event_list import EventList
+            from .events.renderer import ClipFrameSource, render_to_arrays
+            from .graph.nodemodel import SinkSpec
+            from .events.event_list import EventType
+            ev = mt._frame_event_at(frame)
+            if ev is None:
+                return None
+            sub = EventList(fps=mt.el.fps, width=mt.el.width,
+                            height=mt.el.height)
+            # one FRAME event + the filter state active at its tc
+            for e in mt.el.events:
+                if e.tc <= ev.tc and e.type != EventType.FRAME:
+                    sub.insert(e)
+            sub.insert(ev)
+            uid_map = {getattr(c, "unique_id", k): c
+                       for k, c in self.osc.clips.items()}
+            w = min(mt.el.width or 480, 480)
+            h = max(1, int((mt.el.height or 270) * w
+                           / max(mt.el.width or 480, 1)))
+            frames, _ = render_to_arrays(
+                sub, ClipFrameSource(uid_map),
+                SinkSpec(width=w, height=h), batch_size=1)
+            arr = _np.moveaxis(frames[0], 0, -1)
+            buf = _io.BytesIO()
+            Image.fromarray(arr).save(buf, "JPEG", quality=75)
+            return buf.getvalue()
+        except Exception:
+            return None
+
     def thumb(self, cid: int):
         """96px-wide JPEG of a clip's first frame (the ce_thumbs.c clip
         thumbnail strip); cached per clip."""

@@ -16,9 +16,9 @@ class Src:
         self.h, self.w = h, w
 
     def frame(self, c, f):
-        rng = np.random.default_rng(c * 1000 + f)
         if c < 0:
             return np.zeros((3, self.h, self.w), np.uint8)
+        rng = np.random.default_rng(c * 1000 + f)
         return rng.integers(0, 256, (3, self.h, self.w), np.uint8)
 
     def get_batch(self, clip_ids, frame_nums):
@@ -387,3 +387,29 @@ def test_timeline_audio_effects(tmp_path):
     mt.add_audio_effect("gain", [], 0, 50, values={"gain": 0.1})
     out3 = mt.render_audio({1: c})
     assert np.abs(out3[1000:85000] - 0.05).max() < 1e-2
+
+
+def test_autotransition_on_overlap():
+    """mt->opts.atrans_fx: inserting a block overlapping the neighbour
+    track auto-adds the transition over the overlap with a 0->1 ramp."""
+    mt = Multitrack(n_tracks=2, width=32, height=16)
+    mt.autotrans_filter = "crossfade"
+    mt.insert_block(0, 1, 0, 10)
+    b = mt.insert_block(1, 2, 5, 10)        # overlap [5, 10)
+    fx = mt.effects()
+    assert len(fx) == 1
+    assert fx[0]["filter"] == "crossfade"
+    assert fx[0]["start"] == 5 and fx[0]["end"] == 10
+    assert sorted(fx[0]["tracks"]) == [0, 1]
+    kfs = mt.keyframes(fx[0]["id"], "amount")
+    assert kfs[0] == (5, 0.0) and kfs[-1][0] == 10
+    # renders: midpoint is a blend of both tracks
+    src = Src()
+    out, _ = mt.render(src, batch_size=8)
+    a = src.frame(1, 7).astype(int)
+    bfr = src.frame(2, 2).astype(int)
+    mid = out[7].astype(int)
+    assert np.abs(mid - a).mean() > 4 and np.abs(mid - bfr).mean() > 4
+    # undo removes the block AND its auto transition in one step
+    assert mt.undo()
+    assert mt.effects() == [] and mt.blocks(1) == []

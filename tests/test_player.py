@@ -417,3 +417,42 @@ def test_nervous_respects_can_reverse():
     p._frame0 = 5.0
     p.process_one()
     assert p.state.frame == 5     # jitter suppressed
+
+
+def test_autotransition_on_clip_switch():
+    """Autotransition (player.c:1001 set_trans_amt / prefs autotrans):
+    switching fg during playback rides a crossfade — old clip lands on
+    the bg track, the transition key engages, blend ramps 1->0, then the
+    bg track and key release."""
+    import time as _t
+    p, sink = make_player()
+    old = p.state.fg_clip
+    new = MemClip(uid=2)
+    p.keymap.set_key(3, 0, "crossfade")
+    p.set_autotrans(3, duration=0.2)
+    p.start()
+    p.process_one()
+    p.switch_fg(new)
+    assert p.state.fg_clip is new and p.state.bg_clip is old
+    assert p.keymap.active[3]
+    assert p.state.blend_amount == 1.0
+    p.state.frame = -1
+    p._clock0 = _t.monotonic()
+    p.process_one()
+    assert 0.0 < p.state.blend_amount <= 1.0
+    _t.sleep(0.25)
+    p.state.frame = -1
+    p._clock0 = _t.monotonic()
+    p.process_one()
+    assert p.state.bg_clip is None          # released
+    assert not p.keymap.active[3]
+    p.stop()
+
+
+def test_switch_fg_hard_cut_without_autotrans():
+    p, _ = make_player()
+    new = MemClip(uid=3)
+    p.start()
+    p.switch_fg(new)
+    assert p.state.fg_clip is new and p.state.bg_clip is None
+    p.stop()

@@ -225,3 +225,20 @@ def test_timeline_editing_surface(ui):
     for needle in ("grav:", "fx on selection", "/block/move",
                    "/mt/keyframe/set", "/mt/ablock/insert"):
         assert needle in page
+
+
+def test_mt_preview_endpoint(ui):
+    """/api/mt_preview/<frame>: one rendered timeline frame as JPEG
+    (multitrack preview pane role)."""
+    from lives_tpu.multitrack.model import Multitrack
+    mt = Multitrack(n_tracks=1, width=48, height=24)
+    mt.insert_block(0, 1, 0, 5)
+    mt.add_effect("negate", [0], 2, 2)
+    ui.osc.multitrack = mt
+    raw = _get(ui, "/api/mt_preview/0")
+    assert raw[:2] == b"\xff\xd8"
+    raw2 = _get(ui, "/api/mt_preview/3")   # negated frame
+    assert raw2[:2] == b"\xff\xd8" and raw2 != raw
+    import urllib.error
+    with pytest.raises(urllib.error.HTTPError):
+        _get(ui, "/api/mt_preview/nope")
