@@ -291,7 +291,10 @@ def save_event_list_binary(el: EventList, fh: BinaryIO) -> int:
             leaves["host_param_name"] = (SEED_STRING, [p["param"]])
         elif ev.type == EventType.MARKER:
             for k, v in p.items():
-                if isinstance(v, (bool, int, float, str)):
+                if isinstance(v, (bool, int, float, str)) or (
+                        isinstance(v, (list, tuple)) and v
+                        and all(isinstance(x, (int, float)) for x in v)):
+                    # incl. the reference's BLOCK_START "tracks" array
                     leaves[k] = _value_leaf(v)
         total += fh.write(serialise_plant(PLANT_EVENT, leaves))
         if ev.type == EventType.FILTER_INIT and p.get("values"):

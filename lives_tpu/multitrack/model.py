@@ -362,12 +362,41 @@ class Multitrack:
         return nb
 
     def split_block(self, block: Block, at: int) -> tuple[Block, Block]:
-        """Split at timeline frame `at` (inside the block)."""
+        """Split at timeline frame `at` (inside the block). A
+        BLOCK_START marker makes the split DURABLE — without it the two
+        views would re-merge on the next blocks() scan (the reference
+        records EVENT_MARKER_BLOCK_START for exactly this,
+        events.h:357, multitrack.c:17219)."""
+        from ..events.event_list import marker_event
+        self._checkpoint()
+        tc = self.frame_tc(at)
+        for e in self.el.events:
+            if e.tc == tc and e.type == EventType.MARKER \
+                    and e.props.get("lives_type") == 1:
+                if block.track not in e.props.setdefault("tracks", []):
+                    e.props["tracks"].append(block.track)
+                break
+        else:
+            self.el.insert(marker_event(tc, lives_type=1,
+                                        tracks=[block.track]))
         a = Block(block.track, block.start, at - block.start, block.clip,
                   block.offset)
         b = Block(block.track, at, block.end - at, block.clip,
                   block.offset + (at - block.start))
         return a, b
+
+    def _split_marks(self, track: int) -> set[int]:
+        """Timeline frames where BLOCK_START markers split this track."""
+        out = set()
+        for e in self.el.events:
+            if e.type == EventType.MARKER \
+                    and e.props.get("lives_type") == 1:
+                trs = e.props.get("tracks", [])
+                if isinstance(trs, int):   # single-element binary leaf
+                    trs = [trs]
+                if not trs or track in trs:
+                    out.add(self.tc_frame(e.tc))
+        return out
 
     def trim_block(self, block: Block, new_length: int,
                    from_start: bool = False) -> Optional[Block]:
@@ -527,7 +556,9 @@ class Multitrack:
             evs.pop()
 
     def blocks(self, track: int) -> list[Block]:
-        """Derive block views by scanning the event list."""
+        """Derive block views by scanning the event list; BLOCK_START
+        markers break contiguous runs (durable splits)."""
+        marks = self._split_marks(track)
         out: list[Block] = []
         cur: Optional[list] = None  # [start, clip, offset, len]
         for e in self.el.frame_events():
@@ -537,7 +568,8 @@ class Multitrack:
             f = e.props["frames"][track] if track < len(clips) else 0
             if cur is not None:
                 contiguous = (i == cur[0] + cur[3]
-                              and c == cur[1] and f == cur[2] + cur[3])
+                              and c == cur[1] and f == cur[2] + cur[3]
+                              and i not in marks)
                 if contiguous:
                     cur[3] += 1
                     continue

@@ -413,3 +413,23 @@ def test_autotransition_on_overlap():
     # undo removes the block AND its auto transition in one step
     assert mt.undo()
     assert mt.effects() == [] and mt.blocks(1) == []
+
+
+def test_split_block_is_durable(tmp_path):
+    """split_block records an EVENT_MARKER_BLOCK_START (events.h:357) so
+    the halves stay separate views, survive a binary round trip, and
+    edit independently."""
+    mt = Multitrack(n_tracks=1, width=32, height=16)
+    b = mt.insert_block(0, 1, 0, 10, offset=2)
+    a, c = mt.split_block(b, 4)
+    got = mt.blocks(0)
+    assert got == [a, c]
+    # the halves edit independently now
+    mt.delete_block(got[0])
+    assert mt.blocks(0) == [c]
+    assert mt.undo()                 # delete undone
+    assert mt.blocks(0) == [a, c]
+    p = tmp_path / "layout.lay"
+    mt.save_layout(str(p))
+    mt2 = Multitrack.load_layout(str(p))
+    assert mt2.blocks(0) == [a, c]   # marker survived binary round trip
