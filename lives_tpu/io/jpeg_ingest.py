@@ -62,6 +62,18 @@ def load_jpegcoef():
             ctypes.POINTER(ctypes.c_int),
             ctypes.POINTER(ctypes.c_uint16),
             ctypes.POINTER(ctypes.c_int16), ctypes.c_longlong]
+        lib.jc_read_packed.restype = ctypes.c_longlong
+        lib.jc_read_packed.argtypes = [
+            ctypes.c_char_p, ctypes.c_longlong,
+            ctypes.POINTER(ctypes.c_int),
+            ctypes.POINTER(ctypes.c_uint16),
+            ctypes.POINTER(ctypes.c_int16),
+            ctypes.POINTER(ctypes.c_uint8),
+            ctypes.POINTER(ctypes.c_uint8),
+            ctypes.POINTER(ctypes.c_int8), ctypes.c_longlong,
+            ctypes.POINTER(ctypes.c_int32),
+            ctypes.POINTER(ctypes.c_int16), ctypes.c_int,
+            ctypes.POINTER(ctypes.c_int), ctypes.c_longlong]
         _LIB = lib
     except Exception:
         _LIB = None
@@ -192,6 +204,48 @@ def pack_frame(f: JpegFrame, capacity: int, esc_cap: int | None = None):
         ev[:n_esc] = np.concatenate(esc_val)
     return (np.concatenate(dcs).astype(np.int16),
             counts.astype(np.uint8), cpos, cvals, ei, ev, f.qtabs)
+
+
+def read_packed_native(data: bytes, meta: "JpegMeta", capacity: int):
+    """One native pass: entropy decode + v2 sparse pack straight from the
+    coefficient rows (jc_read_packed) — skips the numpy repack on the
+    single host core. Returns the pack_frame tuple, None when the bridge
+    is absent or geometry/capacity mismatch (caller falls back to the
+    python path)."""
+    lib = load_jpegcoef()
+    if lib is None or not hasattr(lib, "jc_read_packed"):
+        return None
+    NB = meta.n_blocks
+    ec = esc_cap_for(NB)
+    info = (ctypes.c_int * 32)()
+    qtabs = np.zeros((4, 64), np.uint16)
+    dc = np.zeros(NB, np.int16)
+    counts = np.zeros(NB, np.uint8)
+    pos = np.zeros(capacity, np.uint8)
+    vals = np.zeros(capacity, np.int8)
+    ei = np.full(ec, -1, np.int32)
+    ev = np.zeros(ec, np.int16)
+    nesc = ctypes.c_int(0)
+
+    def ptr(a, ct):
+        return a.ctypes.data_as(ctypes.POINTER(ct))
+
+    n = lib.jc_read_packed(
+        data, len(data), info, ptr(qtabs, ctypes.c_uint16),
+        ptr(dc, ctypes.c_int16), ptr(counts, ctypes.c_uint8),
+        ptr(pos, ctypes.c_uint8), ptr(vals, ctypes.c_int8), capacity,
+        ptr(ei, ctypes.c_int32), ptr(ev, ctypes.c_int16), ec,
+        ctypes.byref(nesc), NB)
+    if n < 0:
+        return None
+    # geometry must still match the stream meta (template key)
+    dims = tuple((info[3 + c * 7], info[3 + c * 7 + 1],
+                  info[3 + c * 7 + 4], info[3 + c * 7 + 5],
+                  info[3 + c * 7 + 6]) for c in range(min(info[0], 4)))
+    if dims != meta.comp_dims:
+        return None
+    ei[nesc.value:] = -1
+    return dc, counts, pos, vals, ei, ev, qtabs
 
 
 def wire_bytes(capacity: int, n_blocks: int) -> int:
@@ -397,7 +451,14 @@ class JpegStreamSource:
         cols = [[] for _ in range(7)]
         falls = []
         for i in idx:
-            f = read_coefficients(self.frames[int(i) % len(self.frames)])
+            data = self.frames[int(i) % len(self.frames)]
+            p = read_packed_native(data, self.meta, self.capacity)
+            if p is not None:
+                for k in range(6):
+                    cols[k].append(p[k])
+                cols[6].append(p[6].astype(np.float32))
+                continue
+            f = read_coefficients(data)
             p = pack_frame(f, self.capacity)
             if p is None:
                 self.fallbacks += 1

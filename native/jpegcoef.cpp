@@ -109,4 +109,108 @@ long long jc_read(const unsigned char* buf, long long len, int* info,
   return off;
 }
 
+// One-pass entropy decode + sparse pack (the v2 wire format of
+// io/jpeg_ingest.py, emitted directly from the coefficient rows so the
+// single host core skips a numpy repack):
+//   dc[NB] int16, counts[NB] uint8 (nonzero-AC count, -1 on >255),
+//   pos[C] uint8, vals[C] int8 (clamped), escapes (idx int32/val int16)
+//   for |AC| > 127.
+// info layout as jc_read. Returns the AC nonzero count, -1 decode error,
+// -2 when ac_cap or esc_cap overflow (caller falls back to full decode).
+long long jc_read_packed(const unsigned char* buf, long long len,
+                         int* info, unsigned short* qtabs, short* dc,
+                         unsigned char* counts, unsigned char* pos,
+                         signed char* vals, long long ac_cap,
+                         int* esc_idx, short* esc_val, int esc_cap,
+                         int* esc_count, long long nb_cap) {
+  jpeg_decompress_struct cinfo;
+  ErrMgr jerr;
+  cinfo.err = jpeg_std_error(&jerr.mgr);
+  jerr.mgr.error_exit = on_error;
+  if (setjmp(jerr.jb)) {
+    jpeg_destroy_decompress(&cinfo);
+    return -1;
+  }
+  jpeg_create_decompress(&cinfo);
+  jpeg_mem_src(&cinfo, buf, static_cast<unsigned long>(len));
+  jpeg_read_header(&cinfo, TRUE);
+  jvirt_barray_ptr* bar = jpeg_read_coefficients(&cinfo);
+  if (!bar) {
+    jpeg_destroy_decompress(&cinfo);
+    return -1;
+  }
+  info[0] = cinfo.num_components;
+  info[1] = static_cast<int>(cinfo.image_height);
+  info[2] = static_cast<int>(cinfo.image_width);
+  for (int t = 0; t < 4; t++) {
+    if (cinfo.quant_tbl_ptrs[t])
+      memcpy(qtabs + t * 64, cinfo.quant_tbl_ptrs[t]->quantval,
+             64 * sizeof(unsigned short));
+    else
+      memset(qtabs + t * 64, 0, 64 * sizeof(unsigned short));
+  }
+  long long nb = 0, nac = 0;
+  int nesc = 0;
+  int ncomp = cinfo.num_components < 4 ? cinfo.num_components : 4;
+  for (int c = 0; c < ncomp; c++) {
+    jpeg_component_info* ci = cinfo.comp_info + c;
+    int hb = static_cast<int>(ci->height_in_blocks);
+    int wb = static_cast<int>(ci->width_in_blocks);
+    int* ip = info + 3 + c * 7;
+    ip[0] = hb;
+    ip[1] = wb;
+    ip[2] = ci->h_samp_factor;
+    ip[3] = ci->v_samp_factor;
+    ip[4] = ci->quant_tbl_no;
+    ip[5] = static_cast<int>(ci->downsampled_width);
+    ip[6] = static_cast<int>(ci->downsampled_height);
+    for (int r = 0; r < hb; r++) {
+      JBLOCKARRAY rows = (cinfo.mem->access_virt_barray)(
+          reinterpret_cast<j_common_ptr>(&cinfo), bar[c],
+          static_cast<JDIMENSION>(r), 1, FALSE);
+      for (int b = 0; b < wb; b++, nb++) {
+        if (nb >= nb_cap) {            // geometry changed mid-stream
+          jpeg_destroy_decompress(&cinfo);
+          return -3;
+        }
+        const JCOEF* blk = rows[0][b];
+        dc[nb] = blk[0];
+        int cnt = 0;
+        for (int k = 1; k < 64; k++) {
+          JCOEF v = blk[k];
+          if (!v) continue;
+          if (nac >= ac_cap) {
+            jpeg_destroy_decompress(&cinfo);
+            return -2;
+          }
+          pos[nac] = static_cast<unsigned char>(k);
+          if (v > 127 || v < -127) {
+            if (nesc >= esc_cap) {
+              jpeg_destroy_decompress(&cinfo);
+              return -2;
+            }
+            esc_idx[nesc] = static_cast<int>(nb * 64 + k);
+            esc_val[nesc] = v;
+            nesc++;
+            vals[nac] = v > 0 ? 127 : -127;
+          } else {
+            vals[nac] = static_cast<signed char>(v);
+          }
+          nac++;
+          cnt++;
+        }
+        if (cnt > 255) {
+          jpeg_destroy_decompress(&cinfo);
+          return -2;
+        }
+        counts[nb] = static_cast<unsigned char>(cnt);
+      }
+    }
+  }
+  *esc_count = nesc;
+  jpeg_finish_decompress(&cinfo);
+  jpeg_destroy_decompress(&cinfo);
+  return nac;
+}
+
 }  // extern "C"

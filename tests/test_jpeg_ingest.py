@@ -289,3 +289,28 @@ def test_player_pull_uses_device_lane(tmp_path):
         assert lay2.palette == int(Palette.RGB24)
     finally:
         P.set_store(None)
+
+
+def test_native_pack_matches_python_pack():
+    """jc_read_packed emits the identical v2 wire tuple as the python
+    pack (bit-for-bit; escapes included)."""
+    from lives_tpu.io.jpeg_ingest import read_packed_native
+    data = _jpeg_bytes(quality=97, seed=11)   # high q -> some escapes
+    f = read_coefficients(data)
+    meta = JpegMeta.of(f)
+    cap = int(meta.n_blocks * 64)
+    py = pack_frame(f, cap)
+    nat = read_packed_native(data, meta, cap)
+    assert nat is not None and py is not None
+    names = ("dc", "counts", "pos", "vals", "esc_idx", "esc_val",
+             "qtabs")
+    for nm, a, b in zip(names, py, nat):
+        np.testing.assert_array_equal(a, np.asarray(b), err_msg=nm)
+
+
+def test_native_pack_overflow_falls_back():
+    from lives_tpu.io.jpeg_ingest import read_packed_native
+    data = _jpeg_bytes(quality=95, seed=1)
+    f = read_coefficients(data)
+    meta = JpegMeta.of(f)
+    assert read_packed_native(data, meta, 4) is None   # cap too small
