@@ -79,6 +79,24 @@ PATHS = [
     ("/mt/ctrack/set", lambda r: (r.randint(0, 4),)),
     ("/block/count", lambda r: (r.randint(0, 4),)),
     ("/lives/methods/count", lambda r: ()),
+    # round-3 surface: nervous/autotrans trickplay, prefs, mt editing
+    ("/video/nervous/enable", lambda r: ()),
+    ("/video/nervous/disable", lambda r: ()),
+    ("/video/autotrans/set", lambda r: (r.randint(1, 9),
+                                        r.uniform(0.1, 1.0))),
+    ("/video/autotrans/disable", lambda r: ()),
+    ("/pref/set", lambda r: (r.choice(["def_fps", "pb_quality",
+                                       "screen_gamma"]),
+                             r.uniform(0.5, 60))),
+    ("/pref/get", lambda r: (r.choice(["def_fps", "encoder",
+                                       "gui_theme"]),)),
+    ("/mt/gravity/set", lambda r: (r.choice([0, 1, 2]),)),
+    ("/mt/insert_mode/set", lambda r: (r.choice([0, 2, 4]),)),
+    ("/mt/region/select", lambda r: (r.randint(0, 50),
+                                     r.randint(51, 120), 0)),
+    ("/mt/track/volume/set", lambda r: (r.choice([-1, 0, 1]),
+                                        r.uniform(0, 1.2))),
+    ("/mt/undo", lambda r: ()),
 ]
 
 
