@@ -404,6 +404,76 @@ class MJPEGClipSource:
         return src.get_batch_planes(idx)
 
 
+class MJPEGMultiClipSource:
+    """Renderer FrameSource over SEVERAL clips keyed by unique id (the
+    multitrack ClipFrameSource role, compressed-domain): a frame batch is
+    grouped by clip, each group decodes on device through its stream's
+    packed format, groups are converted/resized to a common RGB24
+    geometry and scattered back into batch order. Non-MJPG clips fall
+    back to their host get_frame."""
+
+    def __init__(self, clips_by_uid: dict, width: int, height: int):
+        self.clips = dict(clips_by_uid)
+        self.w, self.h = int(width), int(height)
+        self._srcs: dict = {}
+
+    def _src_for(self, uid):
+        if uid not in self._srcs:
+            clip = self.clips.get(uid)
+            dec = getattr(getattr(clip, "cdata", None), "decoder", None)
+            if dec is not None and getattr(dec, "fourcc", "") == "MJPG" \
+                    and load_jpegcoef() is not None:
+                self._srcs[uid] = MJPEGClipSource(dec)
+            else:
+                self._srcs[uid] = None
+        return self._srcs[uid]
+
+    def get_batch(self, clip_ids, frame_nums):
+        import jax.numpy as jnp
+
+        from ..constants import Palette
+        from ..layer import Layer
+        from ..ops.colorspace import convert_layer
+        from ..ops.resize import resize_layer
+        B = len(clip_ids)
+        out = jnp.zeros((B, 3, self.h, self.w), jnp.uint8)
+        groups: dict = {}
+        for i, (c, f) in enumerate(zip(clip_ids, frame_nums)):
+            groups.setdefault(int(c), []).append((i, int(f)))
+        for uid, items in groups.items():
+            idx = [i for i, _ in items]
+            fns = [f for _, f in items]
+            src = self._src_for(uid)
+            if src is not None:
+                import jax
+                lay = src.get_batch(None, fns)      # batched YUV
+                # convert_layer stacks channel-first (per-frame code):
+                # vmap it over the batch axis
+                meta = dict(palette=lay.palette, clamping=lay.clamping,
+                            sampling=lay.sampling, subspace=lay.subspace)
+
+                def conv1(*planes):
+                    one = Layer(planes=planes, **meta)
+                    return convert_layer(one, Palette.RGB24).planes[0]
+                rgb = Layer(planes=(jax.vmap(conv1)(*lay.planes),),
+                            palette=int(Palette.RGB24))
+            else:
+                clip = self.clips.get(uid)
+                if clip is None:
+                    continue                        # blank stays zero
+                import numpy as _np
+                arrs = []
+                for f in fns:
+                    l1 = convert_layer(clip.get_frame(f), Palette.RGB24)
+                    arrs.append(_np.asarray(l1.planes[0]))
+                rgb = Layer(planes=(jnp.asarray(_np.stack(arrs)),),
+                            palette=int(Palette.RGB24))
+            if (rgb.height, rgb.width) != (self.h, self.w):
+                rgb = resize_layer(rgb, self.w, self.h)
+            out = out.at[jnp.asarray(idx)].set(rgb.planes[0])
+        return Layer(planes=(out,), palette=int(Palette.RGB24))
+
+
 class _LazyChunks:
     """Sequence view over a decoder's raw chunks (no upfront read)."""
 
