@@ -418,15 +418,17 @@ class LiVESMultitrack:
                normalise_audio: bool = True) -> Optional["LiVESClip"]:
         """multitrack::render — renders the timeline to a NEW clip in the
         app (render_to_clip, events.c:4994)."""
-        from .events.renderer import ClipFrameSource
+        from .io.jpeg_ingest import MJPEGMultiClipSource
         from .layer import Layer
         mt = self._mt
         uid_map = {cl.unique_id: cl.raw() for cl in self._app._clips}
         if not uid_map or mt.n_frames == 0:
             return None
-        src = ClipFrameSource(uid_map)
         w = mt.el.width or max(c.width for c in uid_map.values())
         h = mt.el.height or max(c.height for c in uid_map.values())
+        # compressed-domain batches for MJPEG clips, host decode for the
+        # rest — per-clip routing inside the source
+        src = MJPEGMultiClipSource(uid_map, w, h)
         frames, _tcs = mt.render(
             src, sink=SinkSpec(width=w, height=h))
         out = self._app.new_clip(w, h, mt.el.fps, name="rendered")

@@ -260,6 +260,12 @@ class Multitrack:
             if self.sel_tracks and track in self.sel_tracks \
                     and self.sel_end > self.sel_start:
                 lo, hi = max(lo, self.sel_start), min(hi, self.sel_end)
+            if hi >= (1 << 39):
+                # unbounded right gap with nothing to fill against:
+                # degrade to a normal-length insert from the gap start
+                # (fuzz found the sentinel otherwise became the fill
+                # target — a 2^40-frame grid)
+                hi = lo + length
             if hi <= lo:
                 return None
             fill = min(length, hi - lo)
@@ -301,6 +307,10 @@ class Multitrack:
         multitrack event lists are full grids too — quantise_events emits
         one event per timeline frame). Leading/inner gaps are blank
         events, so renders preserve gap timing."""
+        if upto - self.n_frames > 10_000_000:
+            raise ValueError(
+                f"refusing to materialise a {upto}-frame grid "
+                "(runaway edit coordinates)")
         for i in range(self.n_frames, upto):
             self._ensure_frame_event(i)
 

@@ -812,8 +812,8 @@ def register_extended(srv) -> None:
 
         import jax.numpy as jnp
         from ..constants import Palette
-        from ..events.renderer import ClipFrameSource
         from ..io.clips import create_clip
+        from ..io.jpeg_ingest import MJPEGMultiClipSource
         from ..layer import Layer
         model = mt()
         if model.n_frames == 0:
@@ -824,7 +824,7 @@ def register_extended(srv) -> None:
         w = model.el.width or 64
         h = model.el.height or 64
         from ..graph.nodemodel import SinkSpec
-        frames, _tcs = model.render(ClipFrameSource(uid_map),
+        frames, _tcs = model.render(MJPEGMultiClipSource(uid_map, w, h),
                                     sink=SinkSpec(width=w, height=h))
         out = create_clip(workdir(), w, h, model.el.fps,
                           name="mt_render")
