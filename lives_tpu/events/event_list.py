@@ -350,13 +350,19 @@ class EventList:
         tick_per_frame = TICKS_PER_SECOND / new_fps
         frames = self.frame_events()
         others = [e for e in self.events if e.type != EventType.FRAME]
+        # rebase the timeline at the FIRST frame event (the reference
+        # quantises relative to it too): without this, recordings whose
+        # first frame lands late (compile warm-up) grew a dead pre-roll
+        # of grid frames sitting BEFORE every recorded filter init — the
+        # re-render's opening frames silently lost their effects
+        t0 = frames[0].tc if frames else 0
         if frames:
-            end_tc = frames[-1].tc
+            end_tc = frames[-1].tc - t0
             n_out = int(round(end_tc / tick_per_frame)) + 1
             fi = 0
             for i in range(n_out):
                 tc = int(round(i * tick_per_frame))
-                while fi + 1 < len(frames) and frames[fi + 1].tc <= tc:
+                while fi + 1 < len(frames) and frames[fi + 1].tc - t0 <= tc:
                     fi += 1
                 src = frames[fi]
                 import copy as _copy
@@ -365,8 +371,8 @@ class EventList:
                 out.insert(frame_event(tc, src.clips, src.frames, **extra))
         import copy as _copy
         for e in others:
-            out.insert(Event(e.tc, e.type, _copy.deepcopy(e.props),
-                             e.event_id))
+            out.insert(Event(max(e.tc - t0, 0), e.type,
+                             _copy.deepcopy(e.props), e.event_id))
         return out
 
     # -- serialisation (reference weed_plant_serialise :10969; we use a

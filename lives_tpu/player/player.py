@@ -357,7 +357,9 @@ class Player:
             return
         st.bg_clip = old
         st.fg_clip = clip
-        st.blend_amount = 1.0        # start fully on the OLD clip
+        # crossfade amount weights the FG input: 0 = all old (bg track),
+        # ramping to 1 = all new
+        st.blend_amount = 0.0
         self._autotrans_t0 = time.monotonic()
         if not self.keymap.active[key]:
             self.key_toggle(key, True)
@@ -371,9 +373,9 @@ class Player:
         if t0 is None:
             return
         dur = getattr(self, "autotrans_duration", 1.0)
-        amt = 1.0 - min((time.monotonic() - t0) / dur, 1.0)
+        amt = min((time.monotonic() - t0) / dur, 1.0)
         self.state.blend_amount = amt
-        if amt <= 0.0:
+        if amt >= 1.0:
             # transition complete: release the bg track + key
             self._autotrans_t0 = None
             key = getattr(self, "autotrans_key", None)
@@ -420,6 +422,9 @@ class Player:
 
     def _refresh_rec_map(self, tc: int):
         ids = [i.event_id for i in self._rec_inits.values()]
+        automix = getattr(self, "_rec_automix", None)
+        if automix is not None:
+            ids.append(automix.event_id)
         self.event_list.insert(filter_map_event(tc, ids))
 
     # -- recording ---------------------------------------------------------
@@ -456,7 +461,40 @@ class Player:
         self.record = False
         el, self.event_list = self.event_list, None
         self._rec_inits.clear()
+        self._rec_automix = None
+        self._rec_automix_amt = None
         return el
+
+    def _record_automix(self, mix):
+        """Record the fg/bg auto-blend as a crossfade init + amount
+        pchain — without this, a performance's bg blending (blend factor
+        scratching, autotransitions) silently vanished from re-renders
+        (the reference records the blend through its recorded filter
+        maps)."""
+        el = self.event_list
+        amt = float(self.state.blend_amount)
+        if mix is not None:
+            init = getattr(self, "_rec_automix", None)
+            if init is None:
+                init = filter_init_event(
+                    self._rec_tc(), "crossfade", in_tracks=[0, 1],
+                    out_tracks=[0], values={"amount": amt})
+                el.insert(init)
+                self._rec_automix = init
+                self._rec_automix_amt = amt
+                self._refresh_rec_map(init.tc)
+            elif amt != self._rec_automix_amt:
+                el.insert(param_change_event(self._rec_tc(),
+                                             init.event_id, "amount",
+                                             amt))
+                self._rec_automix_amt = amt
+        else:
+            init = getattr(self, "_rec_automix", None)
+            if init is not None:
+                el.insert(filter_deinit_event(self._rec_tc(),
+                                              init.event_id))
+                self._rec_automix = None
+                self._refresh_rec_map(self._rec_tc())
 
     def _rec_tc(self) -> int:
         return self._now_ticks() - self._rec_t0
@@ -720,6 +758,7 @@ class Player:
             self.ladder.mark("displayed")
             self.ladder.end()
         if self.record and self.event_list is not None:
+            self._record_automix(mix)
             clips = [getattr(st.fg_clip, "unique_id", 1)]
             frames = [target]
             if st.bg_clip is not None:

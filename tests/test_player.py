@@ -435,11 +435,11 @@ def test_autotransition_on_clip_switch():
     p.switch_fg(new)
     assert p.state.fg_clip is new and p.state.bg_clip is old
     assert p.keymap.active[3]
-    assert p.state.blend_amount == 1.0
+    assert p.state.blend_amount == 0.0   # crossfade amount weights FG
     p.state.frame = -1
     p._clock0 = _t.monotonic()
     p.process_one()
-    assert 0.0 < p.state.blend_amount <= 1.0
+    assert 0.0 <= p.state.blend_amount < 1.0
     _t.sleep(0.25)
     p.state.frame = -1
     p._clock0 = _t.monotonic()
@@ -456,3 +456,52 @@ def test_switch_fg_hard_cut_without_autotrans():
     p.switch_fg(new)
     assert p.state.fg_clip is new and p.state.bg_clip is None
     p.stop()
+
+
+def test_recording_captures_bg_blend():
+    """The fg/bg auto-mix is recorded (crossfade init + amount pchain)
+    so blend scratching re-renders; removing the bg records the deinit."""
+    import time as _t
+    from lives_tpu.events.event_list import EventType
+    p, _ = make_player()
+    p.state.bg_clip = MemClip(uid=2)
+    p.record_start(width=48, height=24)
+    p.start()
+
+    def step(i, blend):
+        p.state.blend_amount = blend
+        p.state.frame = -1
+        p._clock0 = _t.monotonic()
+        p._frame0 = float(i)
+        p.process_one()
+    step(0, 0.2)
+    step(1, 0.2)      # unchanged: no extra pchain point
+    step(2, 0.9)
+    p.state.bg_clip = None
+    step(3, 0.9)
+    el = p.record_stop()
+    p.stop()
+    inits = [e for e in el.events if e.type == EventType.FILTER_INIT
+             and e.props["filter"] == "crossfade"]
+    assert len(inits) == 1
+    assert inits[0].props["in_tracks"] == [0, 1]
+    assert inits[0].props["values"]["amount"] == pytest.approx(0.2)
+    pcs = [e for e in el.events if e.type == EventType.PARAM_CHANGE
+           and e.props["init_event"] == inits[0].event_id]
+    assert len(pcs) == 1 and pcs[0].props["value"] == pytest.approx(0.9)
+    deinits = [e for e in el.events if e.type == EventType.FILTER_DEINIT
+               and e.props["init_event"] == inits[0].event_id]
+    assert len(deinits) == 1
+    # the blend survives a re-render (amount weights the FG input:
+    # 0.2 -> 0.2 fg + 0.8 bg)
+    from lives_tpu.events.renderer import render_recording
+    clips = {1: p.state.fg_clip, 2: MemClip(uid=2)}
+    frames, _tcs = render_recording(el, clips,
+                                    fps=25.0, batch_size=8)
+    fg0 = clips[1].frame_array(0).astype(float)
+    bg0 = clips[2].frame_array(0).astype(float)
+    blend = frames[0].astype(float)
+    d_pure = np.abs(blend - fg0).mean()
+    assert d_pure > 2.0          # not a plain fg frame
+    exp = fg0 * 0.2 + bg0 * 0.8
+    assert np.abs(blend - exp).mean() < 3.0
