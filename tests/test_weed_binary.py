@@ -224,3 +224,74 @@ def test_loader_survives_fuzz():
             load_event_list_binary(io.BytesIO(data[:cut]))
         except (ValueError, EOFError):
             pass
+
+
+def test_binary_roundtrip_fuzz():
+    """Random event lists survive save->load with semantic equality
+    (tc, type, frame content, audio pairs, init wiring, markers)."""
+    import io as _io
+    import random
+
+    from lives_tpu.events.event_list import (EventList, filter_deinit_event,
+                                             filter_init_event,
+                                             filter_map_event, frame_event,
+                                             marker_event,
+                                             param_change_event,
+                                             set_audio_entry)
+    from lives_tpu.events.weed_binary import (load_event_list_binary,
+                                              save_event_list_binary)
+    rng = random.Random(5)
+    for trial in range(8):
+        el = EventList(fps=rng.choice([24.0, 25.0, 30.0]),
+                       width=rng.choice([64, 320]), height=48)
+        inits = []
+        tc = 0
+        for k in range(rng.randint(5, 40)):
+            tc += rng.randint(1, 5) * 4_000_000
+            kind = rng.random()
+            if kind < 0.6 or not inits:
+                ev = frame_event(tc, [rng.randint(-1, 3) for _ in range(3)],
+                                 [rng.randint(0, 99) for _ in range(3)])
+                if rng.random() < 0.4:
+                    set_audio_entry(ev, rng.choice([-1, 0, 1]),
+                                    rng.randint(-1, 3),
+                                    rng.uniform(0, 5),
+                                    rng.choice([0.0, 1.0, -1.0, 0.5]))
+                el.insert(ev)
+            elif kind < 0.75:
+                init = filter_init_event(tc, rng.choice(
+                    ["negate", "vignette", "crossfade"]),
+                    in_tracks=[0, 1][: rng.randint(1, 2)],
+                    values={"amount": rng.random()})
+                el.insert(init)
+                inits.append(init)
+                el.insert(filter_map_event(tc,
+                                           [i.event_id for i in inits]))
+            elif kind < 0.85:
+                el.insert(param_change_event(
+                    tc, rng.choice(inits).event_id, "amount",
+                    rng.random()))
+            elif kind < 0.93:
+                el.insert(filter_deinit_event(tc,
+                                              rng.choice(inits).event_id))
+            else:
+                el.insert(marker_event(tc, lives_type=1,
+                                       tracks=[rng.randrange(3)]))
+        buf = _io.BytesIO()
+        save_event_list_binary(el, buf)
+        buf.seek(0)
+        el2 = load_event_list_binary(buf)
+        assert len(el2) >= len(el)   # synthetic init-value pchains fold back
+        f1, f2 = el.frame_events(), el2.frame_events()
+        assert len(f1) == len(f2)
+        for a, b in zip(f1, f2):
+            assert a.tc == b.tc and a.clips == b.clips \
+                and a.frames == b.frames
+            assert a.props.get("audio_clips", []) == \
+                list(b.props.get("audio_clips", []))
+        from lives_tpu.events.event_list import EventType
+        for t in (EventType.FILTER_INIT, EventType.FILTER_DEINIT,
+                  EventType.PARAM_CHANGE, EventType.MARKER):
+            n1 = sum(1 for e in el.events if e.type == t)
+            n2 = sum(1 for e in el2.events if e.type == t)
+            assert n1 == n2, (trial, t, n1, n2)
