@@ -321,6 +321,27 @@ def build_device_decoder(meta: JpegMeta, B: int, capacity: int):
     return jax.jit(jax.vmap(one))
 
 
+def shard_decode_batch(mesh, dec, arrays, axis: str | None = None):
+    """Run a built device decoder with its frame batch sharded over
+    `mesh`'s `axis` (data-parallel ingest: each chip entropy-unpacks its
+    shard of the batch — the decode is per-frame independent, so XLA
+    partitions it with zero collectives). `arrays` is the
+    (dc, counts, pos, vals, esc_idx, esc_val, qtabs) tuple with leading
+    batch axis B divisible by the mesh axis size."""
+    import jax
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    if axis is None:
+        axis = mesh.axis_names[0]
+    sh = NamedSharding(mesh, P(axis))
+    placed = [jax.device_put(jnp_asarray(a), sh) for a in arrays]
+    return dec(*placed)
+
+
+def jnp_asarray(a):
+    import jax.numpy as jnp
+    return jnp.asarray(a)
+
+
 def layer_from_planes(planes, meta: JpegMeta):
     """Batched device planes -> Layer (YUV420P/422P/444P, unclamped JFIF;
     greyscale JPEGs become Y + flat chroma)."""
