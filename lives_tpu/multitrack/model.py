@@ -28,8 +28,6 @@ import enum
 from dataclasses import dataclass
 from typing import Any, Optional, Sequence
 
-import numpy as np
-
 from ..events.event_list import (EventList, EventType, TICKS_PER_SECOND,
                                  filter_deinit_event, filter_init_event,
                                  filter_map_event, frame_event,

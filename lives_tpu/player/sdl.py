@@ -14,8 +14,6 @@ into an SDL texture.
 from __future__ import annotations
 
 import ctypes
-from typing import Optional
-
 import numpy as np
 
 from ..constants import Palette
