@@ -39,4 +39,4 @@ from .constants import (Gamma, Palette, YUVClamping, YUVSampling,
                         YUVSubspace)
 from .layer import Layer, layer_blank, layer_from_bytes, layer_to_bytes
 
-__version__ = "0.2.0"
+__version__ = "0.3.0"
