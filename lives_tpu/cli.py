@@ -149,8 +149,14 @@ def main(argv=None):
     lst = sub.add_parser("effects", help="list registered filters")
 
     rend = sub.add_parser("render", help="batch-render an event list")
-    rend.add_argument("layout")
+    rend.add_argument("layout", help=".json or binary .lay layout")
     rend.add_argument("--out", default="render.y4m")
+    rend.add_argument("--clip", action="append", default=[],
+                      metavar="UID=PATH",
+                      help="map a timeline clip uid to a media file "
+                           "(omit for the synthetic source)")
+    rend.add_argument("--audio", action="store_true",
+                      help="mix timeline audio into the output")
 
     diag = sub.add_parser("selftest", help="run startup diagnostics")
 
@@ -187,17 +193,31 @@ def main(argv=None):
             print(f"{'PASS' if v else 'FAIL'} {k}")
         return 0 if all(res.values()) else 1
     if args.cmd == "render":
-        from .events import EventList
+        import numpy as np
+
         from .events.renderer import render_events
-        from .graph.nodemodel import SinkSpec
-        from .scenes import DeviceSyntheticSource
-        el = EventList.from_json(open(args.layout).read())
-        src = DeviceSyntheticSource(el.height or 360, el.width or 640)
-        from .io.encoders import get_encoder
+        from .io.encoders import get_encoder, list_encoders
+        from .multitrack import Multitrack
+        mt = Multitrack.load_layout(args.layout)   # .json OR binary .lay
+        el = mt.el
+        clips = {}
+        for spec in args.clip:
+            uid, _, path = spec.partition("=")
+            from .io.clips import open_clip
+            import tempfile
+            clips[int(uid)] = open_clip(
+                path, tempfile.mkdtemp(prefix="lives_tpu_render_"))
+        if clips:
+            from .io.jpeg_ingest import MJPEGMultiClipSource
+            w = el.width or max(c.width for c in clips.values())
+            h = el.height or max(c.height for c in clips.values())
+            src = MJPEGMultiClipSource(clips, w, h)
+        else:
+            from .scenes import DeviceSyntheticSource
+            src = DeviceSyntheticSource(el.height or 360, el.width or 640)
 
         def frames():
             for _, lay in render_events(el, src):
-                import numpy as np
                 arr = np.asarray(lay.planes[0])
                 for k in range(arr.shape[0]):
                     yield arr[k]
@@ -205,10 +225,16 @@ def main(argv=None):
         if ext in ("y4m", "yuv4mpeg"):
             enc = "yuv4mpeg"
         else:
-            from .io.encoders import list_encoders
             enc = "av" if "av" in list_encoders() else "yuv4mpeg"
-        get_encoder(enc).encode(args.out, frames(), el.fps)
-        print(f"rendered -> {args.out} ({enc})")
+        audio = None
+        if args.audio and clips:
+            audio = mt.render_audio(
+                {getattr(c, "unique_id", uid): c
+                 for uid, c in clips.items()} | clips)
+        get_encoder(enc).encode(args.out, frames(), el.fps,
+                                audio=audio, arate=44100)
+        print(f"rendered -> {args.out} ({enc}"
+              f"{', audio mixed' if audio is not None else ''})")
         return 0
     if args.cmd == "rfx":
         from .rfx_scripts import apply_script, get_script, list_scripts
