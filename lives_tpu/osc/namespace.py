@@ -623,6 +623,47 @@ def register_extended(srv) -> None:
     m("/audio/source/set",
       lambda v: setattr(srv, "_audio_source", int(v)))
 
+    # live audio fx chain on the realtime feeder (the reference applies
+    # audio filters in the jack/pulse callback, weed_apply_audio_
+    # effects_rt, effects-weed.c:3438)
+    def _achain():
+        ap = getattr(p(), "audio", None)
+        if ap is None:
+            raise RuntimeError("no audio player attached")
+        return ap.chain
+
+    def afx_add(name, *kv):
+        from ..audio.fx import audio_instantiate
+        values = {}
+        for pair in kv:
+            k, _, v = str(pair).partition("=")
+            try:
+                values[k] = float(v)
+            except ValueError:
+                values[k] = v
+        inst = audio_instantiate(str(name), **values)
+        _achain().append(inst)
+        return len(_achain())
+
+    m("/audio/fx/add", afx_add)
+    m("/audio/fx/count", lambda: len(_achain()))
+    m("/audio/fx/list",
+      lambda: " ".join(i.filter.name for i in _achain()))
+
+    def afx_remove(idx=-1):
+        ch = _achain()
+        ch.pop(int(idx))
+        return len(ch)
+
+    m("/audio/fx/remove", afx_remove)
+    m("/audio/fx/clear", lambda: (_achain().clear(), 0)[1])
+
+    def afx_param(idx, pname, value):
+        _achain()[int(idx)].values[str(pname)] = float(value)
+        return 1
+
+    m("/audio/fx/parameter/set", afx_param)
+
     # ---- multitrack (/mt, /block) ------------------------------------------
     def mt():
         if srv.multitrack is None:

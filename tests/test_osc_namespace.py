@@ -268,3 +268,32 @@ def test_mt_render_to_clip(srv):
     lay = clip.get_frame(0)
     import numpy as np
     assert np.asarray(lay.planes[0]).ndim == 3
+
+
+def test_live_audio_fx_chain(srv):
+    """Live audio fx over OSC (weed_apply_audio_effects_rt role): add a
+    gain to the feeder chain, tweak it, hear it in pull()."""
+    import numpy as np
+    from lives_tpu.audio.fx import AudioPlayer, NullAudioSink
+    ap = AudioPlayer(srv.player, NullAudioSink())
+    srv.player.audio = ap
+
+    class AClip:
+        arate = 44100
+        fps = 25.0
+        frames = 100
+        width = height = 8
+
+        def read_audio(self):
+            return np.full((44100, 2), 0.5, np.float32)
+    ap.load_clip_audio(AClip())
+    assert _rpc(srv, "/audio/fx/add", "gain", "gain=0.5").args[0] == 1
+    assert _rpc(srv, "/audio/fx/list").args[0] == "gain"
+    blk = ap.pull()
+    assert abs(float(np.abs(blk).max()) - 0.25) < 0.01
+    _rpc(srv, "/audio/fx/parameter/set", 0, "gain", 0.1,
+         expect_reply=False)
+    time.sleep(0.05)
+    blk = ap.pull()
+    assert abs(float(np.abs(blk).max()) - 0.05) < 0.01
+    assert _rpc(srv, "/audio/fx/remove", 0).args[0] == 0
