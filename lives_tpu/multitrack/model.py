@@ -312,6 +312,19 @@ class Multitrack:
         for i in range(self.n_frames, upto):
             self._ensure_frame_event(i)
 
+    def _fill_holes(self):
+        """Re-complete the frame grid below the last event (gap inserts
+        can shift a trailing audio terminator past the content, leaving
+        slots with no event — which a render would silently compress)."""
+        evs = self.el.frame_events()
+        if not evs:
+            return
+        top = self.tc_frame(evs[-1].tc)
+        have = {self.tc_frame(e.tc) for e in evs}
+        for i in range(top):
+            if i not in have:
+                self._ensure_frame_event(i)
+
     def _write_block(self, track: int, clip: int, start: int, length: int,
                      offset: int, with_audio: bool) -> Block:
         self._fill_grid(start)
@@ -452,6 +465,7 @@ class Multitrack:
         shift_all = set(t for t in tracks if t >= 0) \
             >= set(range(self.n_tracks))
         self._shift_content(tracks, start, length)
+        self._fill_holes()
         if shift_all:
             dt = int(round(length * self._tpf()))
             tc0 = self.frame_tc(start)
@@ -611,8 +625,12 @@ class Multitrack:
                                        vel)
 
     def _write_audio_block(self, track, clip, start, length, seek, vel):
-        self._fill_grid(start)
         end = start + length
+        # materialise the block's interior grid too: a video render of an
+        # audio-only span must produce black frames of the right
+        # duration, not compress time (soak found renders shorter than
+        # n_frames)
+        self._fill_grid(end)
         end_state = self._audio_state_at(track, self.frame_tc(end))
         self._clear_audio_range(track, start + 1, end)
         e0 = self._ensure_frame_event(start)

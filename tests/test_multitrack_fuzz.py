@@ -145,3 +145,48 @@ def test_fuzz_edit_sequences(seed):
             return np.full((44100, 2), 0.3, np.float32)
     audio = mt.render_audio({c: FakeClip() for c in range(1, 5)})
     assert np.isfinite(audio).all()
+
+
+@pytest.mark.parametrize("seed", [9, 13])
+def test_fuzz_grid_completeness(seed):
+    """Every grid slot below the last frame event has an event after any
+    edit sequence (renders must never compress time)."""
+    rng = random.Random(seed)
+    mt = Multitrack(n_tracks=3, width=32, height=16)
+    for k in range(150):
+        r = rng.random()
+        try:
+            if r < 0.3:
+                mt.gravity = Gravity(rng.choice([0, 1, 2]))
+                mt.insert_mode = InsertMode(rng.choice([0, 2, 4]))
+                mt.insert_block(rng.randrange(3), rng.randint(1, 4),
+                                rng.randrange(80), rng.randint(1, 20))
+            elif r < 0.4:
+                mt.insert_audio_block(-1, rng.randint(1, 4),
+                                      rng.randrange(80),
+                                      rng.randint(1, 20))
+            elif r < 0.5:
+                bs = mt.blocks(rng.randrange(3))
+                if bs:
+                    mt.move_block(rng.choice(bs), rng.randrange(3),
+                                  rng.randrange(80))
+            elif r < 0.6:
+                bs = mt.blocks(rng.randrange(3))
+                if bs:
+                    mt.delete_block(rng.choice(bs))
+            elif r < 0.7:
+                mt.insert_gap([rng.randrange(3)], rng.randrange(40),
+                              rng.randint(1, 8))
+            elif r < 0.8:
+                mt.remove_gaps([rng.randrange(3)], 0, mt.n_frames or 1)
+            elif r < 0.9:
+                mt.undo()
+            else:
+                mt.redo()
+        except ValueError:
+            pass
+        evs = {mt.tc_frame(e.tc) for e in mt.el.frame_events()}
+        if evs:
+            top = max(evs)
+            missing = set(range(top)) - evs
+            assert not missing, (k, sorted(missing)[:10])
