@@ -505,3 +505,51 @@ def test_recording_captures_bg_blend():
     assert d_pure > 2.0          # not a plain fg frame
     exp = fg0 * 0.2 + bg0 * 0.8
     assert np.abs(blend - exp).mean() < 3.0
+
+
+def test_chaotic_recording_rerenders_deterministically():
+    """A recorded performance under random trickplay (key toggles, fps
+    scratching, nervous mode, bg blending, param tweaks) re-renders to
+    the SAME pixels twice — the event list is a complete, deterministic
+    description of what happened (the durable-source-of-truth contract,
+    SURVEY 5.3)."""
+    import random
+    import time as _t
+    from lives_tpu.events.renderer import render_recording
+    rng = random.Random(4)
+    p, _ = make_player()
+    p._nervous_rng = np.random.default_rng(7)
+    p.state.bg_clip = MemClip(uid=2)
+    p.keymap.set_key(0, 0, "negate")
+    p.keymap.set_key(1, 0, "saturation")
+    p.record_start(width=48, height=24)
+    p.start()
+    for i in range(25):
+        op = rng.random()
+        if op < 0.2:
+            p.key_toggle(rng.randrange(2))
+        elif op < 0.3:
+            p.set_pb_fps(rng.choice([25.0, -50.0, 12.5]))
+        elif op < 0.4:
+            p.state.nervous = not p.state.nervous
+        elif op < 0.5:
+            p.state.blend_amount = rng.random()
+        elif op < 0.6:
+            p.set_key_param(1, "saturation", rng.uniform(0.5, 2.0))
+        p.state.frame = -1
+        p._clock0 = _t.monotonic()
+        p._frame0 = float(i % 20)
+        p.process_one()
+    el = p.record_stop()
+    p.stop()
+    clips = {1: MemClip(uid=1), 2: MemClip(uid=2)}
+    f1, t1 = render_recording(el, clips, fps=25.0, batch_size=8)
+    f2, t2 = render_recording(el, clips, fps=25.0, batch_size=8)
+    assert t1 == t2
+    np.testing.assert_array_equal(f1, f2)
+    assert len(f1) >= 1
+    # and the serialized form re-renders identically too
+    from lives_tpu.events import EventList
+    el2 = EventList.from_json(el.to_json())
+    f3, _ = render_recording(el2, clips, fps=25.0, batch_size=8)
+    np.testing.assert_array_equal(f1, f3)
