@@ -90,6 +90,10 @@ def segment_events(el: EventList) -> list[Segment]:
 
     for e in el.events:
         if e.type == EventType.FILTER_INIT:
+            if e.props.get("audio"):
+                continue  # audio filters mix in the audio path; letting
+                # them into the active set would split video segments
+                # (and cost a template compile) at avol boundaries
             inits_by_id[e.event_id] = e
         elif e.type == EventType.FILTER_DEINIT:
             pass  # handled via deinit_tc (same-tc semantics)
