@@ -467,7 +467,15 @@ class MJPEGMultiClipSource:
             src = self._src_for(uid)
             if src is not None:
                 import jax
-                lay = src.get_batch(None, fns)      # batched YUV
+                try:
+                    lay = src.get_batch(None, fns)  # batched YUV
+                except Exception:
+                    # undecodable stream (arithmetic-coded, corrupt
+                    # chunk...): permanently fall back to host decode
+                    # for this clip
+                    self._srcs[uid] = None
+                    src = None
+            if src is not None:
                 # convert_layer stacks channel-first (per-frame code):
                 # vmap it over the batch axis
                 meta = dict(palette=lay.palette, clamping=lay.clamping,

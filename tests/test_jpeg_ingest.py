@@ -359,3 +359,36 @@ def test_multi_clip_source_multitrack_render(tmp_path):
     # split-decode YUV->RGB differs from PIL's full decode by chroma
     # upsampling filters: compare loosely but meaningfully
     assert d.mean() < 3.0 and out.std() > 10
+
+
+def test_multi_clip_source_survives_bad_stream(tmp_path):
+    """A clip whose chunks don't entropy-decode falls back to host
+    get_frame (per-clip, permanently) instead of failing the render."""
+    import jax.numpy as jnp
+    from lives_tpu.constants import Palette
+    from lives_tpu.io.jpeg_ingest import MJPEGMultiClipSource
+    from lives_tpu.layer import Layer
+
+    class BadMJPG:
+        class cdata:
+            class decoder:
+                fourcc = "MJPG"
+        width, height, frames, fps = 64, 32, 4, 25.0
+
+        def get_frame(self, n):
+            arr = np.full((3, 32, 64), 77, np.uint8)
+            return Layer(planes=(jnp.asarray(arr),),
+                         palette=int(Palette.RGB24))
+    clip = BadMJPG()
+    clip.cdata = clip.cdata()
+    clip.cdata.decoder = type("D", (), {
+        "fourcc": "MJPG",
+        "cdata": type("C", (), {"nframes": 4})(),
+        "get_frame_bytes": lambda self, n: b"not a jpeg",
+    })()
+    src = MJPEGMultiClipSource({1: clip}, 64, 32)
+    lay = src.get_batch([1, 1], [0, 1])
+    arr = np.asarray(lay.planes[0])
+    assert arr.shape == (2, 3, 32, 64)
+    assert np.all(arr == 77)
+    assert src._srcs[1] is None   # permanent per-clip fallback
