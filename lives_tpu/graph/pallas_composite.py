@@ -12,8 +12,8 @@ and XLA paths share one source of truth:
    separable stencils (blur via scratch-ref round-trips) and
    coordinate-dependent effects (ctx_grid tile origins), and the sink
    quantise — is ONE kernel per frame chunk. HBM traffic is the u8 output
-   write only. Driver bench: 78-80x realtime at 1080p (20x for the XLA
-   path), 20x realtime at 4K, parity +/-1 LSB vs the f32-comp XLA path
+   write only. Driver bench: 87-88x realtime at 1080p (20x for the XLA
+   path), 24.4x realtime at 4K, parity +/-1 LSB vs the f32-comp XLA path
    (CPU interpret + real-TPU tests).
 
 2. `build_composite` — the prefix kernel for HBM-fed (decoded) tracks:
