@@ -195,6 +195,9 @@ def main():
                              palette=int(Palette.RGB24))
         frames, _ = mt.render(Src(), batch_size=16)
         rendered = len(frames)
+        # grid completeness: the render must cover every timeline frame
+        # (time never compresses)
+        assert rendered == mt.n_frames, (rendered, mt.n_frames)
         audio = mt.render_audio({})
         assert len(audio) >= 0
     ui.stop()
