@@ -291,12 +291,18 @@ def _apply_timeline_audio_fx(el, buf: np.ndarray, items, arate: int,
     """Run audio-filter regions over `buf` in blocks, interpolating
     keyframed params (pchains) at each block start — interpolate_params
     for audio (effects-weed.c:10448 role)."""
-    from ..events.event_list import TICKS_PER_SECOND
+    from ..events.event_list import EventType, TICKS_PER_SECOND
     from .fx import apply_audio_chain
     for inst, init, tc0, tc1 in items:
         s0 = max(0, int(tc0 / TICKS_PER_SECOND * arate))
         s1 = min(int(tc1 / TICKS_PER_SECOND * arate), len(buf))
-        names = [p for p in init.props.get("values", {})
+        # interpolate every param that has an init value OR a pchain (a
+        # keyframe on a param never set at init time must still apply)
+        pchain_names = {e.props["param"] for e in el.events
+                        if e.type == EventType.PARAM_CHANGE
+                        and e.props.get("init_event") == init.event_id}
+        names = [p for p in
+                 (set(init.props.get("values", {})) | pchain_names)
                  if p in inst.filter.params]
         for o in range(s0, s1, block):
             for pname in names:

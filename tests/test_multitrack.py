@@ -433,3 +433,18 @@ def test_split_block_is_durable(tmp_path):
     mt.save_layout(str(p))
     mt2 = Multitrack.load_layout(str(p))
     assert mt2.blocks(0) == [a, c]   # marker survived binary round trip
+
+
+def test_audio_fx_keyframe_without_init_value(tmp_path):
+    """A keyframe on a param never set at init time still applies
+    (review fix: only init-value params were interpolated)."""
+    from lives_tpu.io import create_clip
+    mt = Multitrack(n_tracks=1, width=16, height=8)
+    c = create_clip(tmp_path, 16, 8)
+    c.write_audio(np.full((88200, 2), 0.5, np.float32), 44100)
+    mt.insert_block(0, 1, 0, 50)
+    fid = mt.add_audio_effect("gain", [0], 0, 50)     # no values
+    mt.set_keyframe(fid, 0, "gain", 0.2)
+    mt.set_keyframe(fid, 50, "gain", 0.2)
+    out = mt.render_audio({1: c})
+    assert np.abs(out[2000:80000] - 0.1).max() < 0.02
