@@ -646,6 +646,10 @@ def register_extended(srv) -> None:
         return len(_achain())
 
     m("/audio/fx/add", afx_add)
+    m("/audio/fx/names",
+      lambda: " ".join(sorted(__import__(
+          "lives_tpu.audio.fx", fromlist=["list_audio_filters"])
+          .list_audio_filters())))
     m("/audio/fx/count", lambda: len(_achain()))
     m("/audio/fx/list",
       lambda: " ".join(i.filter.name for i in _achain()))

@@ -134,6 +134,7 @@ select{background:#26262c;color:#eee;border:1px solid #555;padding:3px}
  </div>
  <h3>Effect keys</h3><div id="keys"></div>
  <h3>Parameters</h3><div id="params"></div>
+ <h3>Audio fx</h3><div id="audiofx"></div>
  <h3>Timeline</h3><div id="timeline"></div>
  <h3>Stats</h3><div id="stats"></div>
 </div>
@@ -158,6 +159,7 @@ async function applyRfx(){
  if(!r.ok)alert(r.error); else refresh();
 }
 loadRfx();
+setTimeout(drawAudioFx, 300);
 // framedraw (src/framedraw.c): click the preview to set the current
 // key's x/y (position) params from the click point
 document.addEventListener('DOMContentLoaded',()=>{
@@ -250,6 +252,17 @@ async function drawTimeline(){
   await cmd('/mt/fx/region',[fsel.value,mtSel.start,mtSel.end,mtSel.track]);
   drawTimeline();};
  bar.appendChild(fxb);
+ const asel=document.createElement('select'); asel.id='mtafx';
+ (window._afxnames||[]).forEach(n=>{const o=document.createElement('option');
+  o.value=n;o.textContent='a:'+n;asel.appendChild(o);});
+ bar.appendChild(asel);
+ const afb=document.createElement('button'); afb.textContent='audio fx';
+ afb.title='audio-filter region on the selection (master bus if none)';
+ afb.onclick=async()=>{
+  const s=mtSel?mtSel.start:0, e=mtSel?mtSel.end:total;
+  const args=mtSel?[asel.value,s,e,mtSel.track]:[asel.value,0,total];
+  await cmd('/mt/afx/region',args); drawTimeline();};
+ bar.appendChild(afb);
  const gapb=document.createElement('button'); gapb.textContent='close gaps';
  gapb.onclick=async()=>{await cmd('/mt/gap/remove');drawTimeline();};
  bar.appendChild(gapb);
@@ -404,12 +417,33 @@ async function drawTimeline(){
   el.appendChild(row);
  });
 }
-// fx name list for the region-fx dropdown
+// fx name lists for the region-fx dropdowns
 (async()=>{
  const r=await (await fetch('/api/cmd',{method:'POST',
    body:JSON.stringify({path:'/effects/list',args:[]})})).json();
  if(r.ok&&r.ret)window._fxnames=r.ret.split(' ').filter(Boolean);
+ const a=await (await fetch('/api/cmd',{method:'POST',
+   body:JSON.stringify({path:'/audio/fx/names',args:[]})})).json();
+ if(a.ok&&a.ret)window._afxnames=a.ret.split(' ').filter(Boolean);
 })();
+// live audio fx chain (weed_apply_audio_effects_rt role)
+async function drawAudioFx(){
+ const el=document.getElementById('audiofx'); if(!el)return;
+ el.innerHTML='';
+ const sel=document.createElement('select');
+ (window._afxnames||[]).forEach(n=>{const o=document.createElement('option');
+  o.value=n;o.textContent=n;sel.appendChild(o);});
+ const add=document.createElement('button'); add.textContent='add';
+ add.onclick=async()=>{await cmd('/audio/fx/add',[sel.value]);drawAudioFx();};
+ el.appendChild(sel); el.appendChild(add);
+ const r=await (await fetch('/api/cmd',{method:'POST',
+   body:JSON.stringify({path:'/audio/fx/list',args:[]})})).json();
+ if(r.ok&&r.ret)r.ret.split(' ').filter(Boolean).forEach((n,i)=>{
+  const b=document.createElement('button'); b.textContent=i+': '+n+' ✕';
+  b.onclick=async()=>{await cmd('/audio/fx/remove',[i]);drawAudioFx();};
+  el.appendChild(b);});
+}
+
 async function loadParams(k){
  const spec=await (await fetch('/api/params/'+k)).json();
  const pd=document.getElementById('params'); pd.innerHTML='';
