@@ -62,6 +62,11 @@ def build_player(uri: str | None, fx: list[str], width: int, height: int,
         clip = open_clip(uri, tempfile.mkdtemp(prefix="lives_tpu_cli_"))
         p.state.fg_clip = clip
         p.set_pb_fps(clip.fps or 25.0)
+        # real media: overlap decode/upload with compute (the precache
+        # worker feeds ahead; the pipelined sink hides fetch latency —
+        # measured 13.5 -> 29.8 fps live MJPEG 1080p, PERF_NOTES.md)
+        p.precache_depth = 4
+        p.pipeline_depth = 2
     else:
         p.state.fg_clip = GeneratorClip("plasma", width or 640, height or 360)
     for i, name in enumerate(fx):
