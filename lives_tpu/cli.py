@@ -43,6 +43,7 @@ def build_player(uri: str | None, fx: list[str], width: int, height: int,
     elif sink_kind == "sdl":
         from .player.sdl import SDLSink
         sink = SDLSink()
+        spec = SinkSpec(width=width, height=height)
     elif sink_kind == "av":
         # encode/stream through the libav bridge: file (mkv/mp4/ogv) or
         # network URL (udp://host:port mpegts, icecast://...)
@@ -143,7 +144,7 @@ def main(argv=None):
     play.add_argument("--fx", default="", help="comma-separated filters "
                       "bound to keys 0..8")
     play.add_argument("--sink", default="null",
-                      choices=["null", "y4m", "png", "stream", "av"])
+                      choices=["null", "y4m", "png", "stream", "av", "sdl"])
     play.add_argument("--out", default=None)
     play.add_argument("--width", type=int, default=0)
     play.add_argument("--height", type=int, default=0)
