@@ -5,8 +5,8 @@ TPU-native re-expressions of the reference's core weed plugins
 for the specific plugins covered.
 """
 
-from . import (analysers, blends, blur, colour, dataplugins,  # noqa: F401
-               effectv, extra, generators, geometry, keying)
+from . import (alpha, analysers, blends, blur, colour,  # noqa: F401
+               dataplugins, effectv, extra, generators, geometry, keying)
 from ..compound import register_builtin_compounds
 
 register_builtin_compounds()

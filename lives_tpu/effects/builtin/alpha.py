@@ -1,0 +1,223 @@
+"""Alpha-channel producers and consumers — the cconx filter family.
+
+TPU-native re-expressions of the reference's separated-alpha plugins:
+  farneback_analyser  <- weed-plugins/farneback_analyser.cpp (dense optical
+                         flow exported as two AFLOAT out-channels + scalar
+                         out-params; here a one-iteration Lucas-Kanade
+                         estimate — box-filtered gradient products, fully
+                         vectorised, no OpenCV)
+  alpha_visualizer    <- weed-plugins/alpha_visualizer.c (alpha in-channel
+                         rendered to RGB(A) with per-primary enables and a
+                         float range)
+  fg_bg_removal       <- weed-plugins/fg_bg_removal.c (running-average luma
+                         background model; static pixels replaced by black /
+                         fire noise / blue glow; the foreground mask is also
+                         exported as an A8 out-channel — a cconx source)
+  motion_mask         — frame-difference motion mask as an A8 out-channel
+                        (the role farneback masks play in reference sessions,
+                        cheap form; pairs with mask_overlay/compositor)
+
+Alpha out-channels ride data connections (effects/data.py, reference
+src/effects-data.c:1730 cconx_new) into downstream alpha in-channels; inside
+a FrameGraph template the wiring is one traced computation.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ...constants import Palette
+from ...layer import Layer
+from ..host import (FILTER_STATEFUL, ChannelTemplate, Filter, Param,
+                    register_filter)
+from ..util import from_f01, join_alpha, luma, split_alpha, to_f01
+
+_RGBX = (Palette.RGB24, Palette.RGBA32)
+_ONE_IN = (ChannelTemplate("in", _RGBX),)
+_ALPHA_ANY = (Palette.A8, Palette.AFLOAT, Palette.A1)
+
+
+def _alpha_f01(a: Layer) -> jnp.ndarray:
+    """(H,W) float [0,1] view of an alpha layer (any alpha palette)."""
+    p = a.planes[0]
+    if a.palette == int(Palette.AFLOAT):
+        return p.astype(jnp.float32)
+    if a.palette == int(Palette.A1):
+        return p.astype(jnp.float32)
+    return p.astype(jnp.int32).astype(jnp.float32) * np.float32(1 / 255.0)
+
+
+def _a8(m_f01: jnp.ndarray) -> Layer:
+    """[0,1] (H,W) float mask -> A8 alpha Layer."""
+    u8 = jnp.clip(jnp.floor(m_f01 * 255.0 + 0.5), 0, 255) \
+        .astype(jnp.int32).astype(jnp.uint8)
+    return Layer(planes=(u8,), palette=int(Palette.A8))
+
+
+def _afloat(m: jnp.ndarray) -> Layer:
+    return Layer(planes=(m.astype(jnp.float32),),
+                 palette=int(Palette.AFLOAT))
+
+
+# -- motion_mask: frame-diff -> A8 mask --------------------------------------
+
+def _motion_mask_process(ins, p, ctx, state):
+    g = luma(split_alpha(to_f01(ins[0]))[0])
+    prev = state
+    d = jnp.abs(g - prev)
+    m = jnp.clip((d - p["threshold"]) / jnp.maximum(p["softness"], 1e-4),
+                 0.0, 1.0)
+    return ins[0], g, {"mask": _a8(m), "motion": jnp.mean(d)}
+
+
+register_filter(Filter(
+    name="motion_mask", process=_motion_mask_process, in_channels=_ONE_IN,
+    params=(Param("threshold", "num", 0.05, 0.0, 1.0),
+            Param("softness", "num", 0.1, 0.0, 1.0)),
+    out_params=(Param("motion", "num", 0.0, 0.0, 1.0),),
+    alpha_outs=(ChannelTemplate("mask", (Palette.A8,)),),
+    flags=FILTER_STATEFUL,
+    init_state=lambda w, h, pal: jnp.zeros((h, w), jnp.float32),
+    description="frame-difference motion mask exported as an A8 "
+                "out-channel (cconx source)"))
+
+
+# -- farneback_analyser: dense flow as AFLOAT channels -----------------------
+
+def _box3(x):
+    """3x3 box filter, edge-padded (separable; stays on the VPU)."""
+    x = (x + jnp.roll(x, 1, 0) + jnp.roll(x, -1, 0))
+    return (x + jnp.roll(x, 1, 1) + jnp.roll(x, -1, 1)) * np.float32(1 / 9)
+
+
+def _farneback_process(ins, p, ctx, state):
+    """One-iteration Lucas-Kanade dense flow (farneback_analyser.cpp's
+    role): solve the 2x2 normal equations of I_x*u + I_y*v = -I_t over a
+    box window, per pixel."""
+    g = luma(split_alpha(to_f01(ins[0]))[0])
+    prev = state
+    ix = (jnp.roll(g, -1, 1) - jnp.roll(g, 1, 1)) * 0.5
+    iy = (jnp.roll(g, -1, 0) - jnp.roll(g, 1, 0)) * 0.5
+    it = g - prev
+    a11 = _box3(ix * ix) + np.float32(1e-4)
+    a12 = _box3(ix * iy)
+    a22 = _box3(iy * iy) + np.float32(1e-4)
+    b1 = -_box3(ix * it)
+    b2 = -_box3(iy * it)
+    det = a11 * a22 - a12 * a12
+    u = (a22 * b1 - a12 * b2) / det
+    v = (a11 * b2 - a12 * b1) / det
+    mag = jnp.sqrt(u * u + v * v)
+    scale = p["scale"]
+    return ins[0], g, {
+        "flow_x": _afloat(u * scale), "flow_y": _afloat(v * scale),
+        "mean_flow_x": jnp.mean(u), "mean_flow_y": jnp.mean(v),
+        "mean_magnitude": jnp.mean(mag), "max_magnitude": jnp.max(mag)}
+
+
+register_filter(Filter(
+    name="farneback_analyser", process=_farneback_process,
+    in_channels=_ONE_IN,
+    params=(Param("scale", "num", 1.0, 0.0, 16.0),),
+    out_params=(Param("mean_flow_x", "num", 0.0, -64.0, 64.0),
+                Param("mean_flow_y", "num", 0.0, -64.0, 64.0),
+                Param("mean_magnitude", "num", 0.0, 0.0, 64.0),
+                Param("max_magnitude", "num", 0.0, 0.0, 64.0)),
+    alpha_outs=(ChannelTemplate("flow_x", (Palette.AFLOAT,)),
+                ChannelTemplate("flow_y", (Palette.AFLOAT,))),
+    flags=FILTER_STATEFUL,
+    init_state=lambda w, h, pal: jnp.zeros((h, w), jnp.float32),
+    description="dense optical flow -> two AFLOAT out-channels + flow "
+                "stats (farneback_analyser.cpp)"))
+
+
+# -- alpha_visualizer: alpha in-channel -> RGB(A) -----------------------------
+
+def _alpha_vis_process(ins, p, ctx):
+    video = ins[0]
+    a = ins[1]  # connected alpha (slot 0) or None
+    arr = to_f01(video)
+    vrgb, al = split_alpha(arr)
+    if a is not None:
+        m = _alpha_f01(a)
+        lo, hi = p["fmin"], p["fmax"]
+        m = jnp.clip((m - lo) / jnp.maximum(hi - lo, 1e-6), 0.0, 1.0)
+    else:
+        # unconnected: visualise the layer's own alpha (or luma)
+        m = al if al is not None else luma(vrgb)
+    rgb = jnp.clip(jnp.stack([m * p["red"], m * p["green"], m * p["blue"]]),
+                   0.0, 1.0)
+    # output alpha (if present) goes opaque, as the reference documents
+    out = join_alpha(rgb, jnp.ones_like(al) if al is not None else None)
+    return from_f01(out, video)
+
+
+register_filter(Filter(
+    name="alpha_visualizer", process=_alpha_vis_process,
+    in_channels=_ONE_IN,
+    alpha_ins=(ChannelTemplate("alpha", _ALPHA_ANY, optional=True),),
+    params=(Param("red", "num", 1.0, 0.0, 1.0),
+            Param("green", "num", 1.0, 0.0, 1.0),
+            Param("blue", "num", 1.0, 0.0, 1.0),
+            Param("fmin", "num", 0.0, -64.0, 64.0),
+            Param("fmax", "num", 1.0, -64.0, 64.0)),
+    description="render a connected alpha channel as RGB(A) "
+                "(alpha_visualizer.c)"))
+
+
+# -- fg_bg_removal: background model + replacement ----------------------------
+
+def _hash01(h, w, salt):
+    """Deterministic integer-hash noise field in [0,1) (no transcendentals:
+    Mosaic != XLA on f32 sin — CLAUDE.md)."""
+    iy = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0)
+    ix = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1)
+    v = ix * np.int32(73856093) ^ iy * np.int32(19349663) \
+        ^ (jnp.asarray(salt, jnp.int32) * np.int32(83492791))
+    v = (v ^ (v >> 13)) * np.int32(0x5BD1E995)
+    v = v ^ (v >> 15)
+    return (v & np.int32(0xFFFF)).astype(jnp.float32) * np.float32(1 / 65536)
+
+
+def _fg_bg_process(ins, p, ctx, state):
+    """Static pixels (|luma - running average| < threshold) get replaced:
+    type 0 black, 1 fire noise, 2 blue glow (fg_bg_removal.c:135-160).
+    The moving-foreground mask is exported for cconx consumers."""
+    lay = ins[0]
+    arr = to_f01(lay)
+    rgb, al = split_alpha(arr)
+    g = luma(rgb)
+    avg, count = state
+    new_avg = (avg * count + g) / (count + 1.0)
+    is_bg = (jnp.abs(g - new_avg) < p["threshold"]).astype(jnp.float32)
+    h, w = g.shape
+    t = int(p.get("type", 0))
+    if t == 1:    # fire-ish: random red + green, no blue
+        r = _hash01(h, w, ctx.frame) * 0.5
+        gg = _hash01(h, w, ctx.frame + 7919) * 0.5
+        repl = jnp.stack([r + gg, gg, jnp.zeros_like(g)])
+    elif t == 2:  # blue glow: random grey + full blue
+        n = _hash01(h, w, ctx.frame)
+        repl = jnp.stack([n, n, jnp.ones_like(g)])
+    else:         # black
+        repl = jnp.zeros_like(rgb)
+    out = rgb * (1.0 - is_bg) + repl * is_bg
+    mask = 1.0 - is_bg  # moving foreground
+    new_count = jnp.minimum(count + 1.0, p["history"])
+    return (from_f01(join_alpha(out, al), lay), (new_avg, new_count),
+            {"mask": _a8(mask)})
+
+
+register_filter(Filter(
+    name="fg_bg_removal", process=_fg_bg_process, in_channels=_ONE_IN,
+    params=(Param("threshold", "num", 64 / 255.0, 0.0, 1.0),
+            Param("type", "int", 0, 0, 2),
+            Param("history", "num", 255.0, 1.0, 1000.0)),
+    alpha_outs=(ChannelTemplate("mask", (Palette.A8,)),),
+    flags=FILTER_STATEFUL,
+    init_state=lambda w, h, pal: (jnp.zeros((h, w), jnp.float32),
+                                  jnp.float32(0.0)),
+    description="running-average background removal, 3 replacement types; "
+                "exports the fg mask (fg_bg_removal.c)"))

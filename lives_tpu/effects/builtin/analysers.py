@@ -45,15 +45,27 @@ def _means_analyse(ins, p, ctx):
     rgb, al = split_alpha(to_f01(ins[0]))
     out = {"mean_r": jnp.mean(rgb[0]), "mean_g": jnp.mean(rgb[1]),
            "mean_b": jnp.mean(rgb[2])}
-    out["mean_a"] = jnp.mean(al) if al is not None \
-        else jnp.float32(1.0)
+    # a connected alpha channel (cconx — the reference alpha_means.c reads
+    # a separated ALPHA in-channel) wins over the layer's own alpha
+    a_conn = ins[1] if len(ins) > 1 else None
+    if a_conn is not None:
+        from .alpha import _alpha_f01
+        out["mean_a"] = jnp.mean(_alpha_f01(a_conn))
+    else:
+        out["mean_a"] = jnp.mean(al) if al is not None else jnp.float32(1.0)
     return out
 
 
-_mk_analyser("alpha_means", _means_analyse,
-             out_params=tuple(Param(f"mean_{c}", "num", 0.0, 0.0, 1.0)
-                              for c in "rgba"),
-             desc="per-channel means (alpha_means.c)")
+register_filter(Filter(
+    name="alpha_means", process=_passthrough, in_channels=_ONE_IN,
+    alpha_ins=(ChannelTemplate(
+        "alpha", (Palette.A8, Palette.AFLOAT, Palette.A1),
+        optional=True),),
+    out_params=tuple(Param(f"mean_{c}", "num", 0.0, 0.0, 1.0)
+                     for c in "rgba"),
+    analyse=_means_analyse,
+    description="per-channel means; mean_a reads a connected alpha "
+                "channel when wired (alpha_means.c)"))
 
 
 def _histogram_analyse(ins, p, ctx):

@@ -7,7 +7,7 @@ TPU-native re-expressions of the reference data plugins
   data_counter.c    — boolean transition counters with on/off thresholds
   log_sig.c         — sigmoid squash of in params
   nn_programmer.c   — evolving random 2-layer net (fitness-driven walk)
-  alpha_visualizer.c — render an alpha channel as coloured RGB(A)
+(alpha_visualizer.c lives in builtin/alpha.py with the cconx family)
 
 Like `data_processor`/`randomiser` (extra.py), pure data filters take a
 pass-through video input so they slot into effect chains; their real work
@@ -39,26 +39,9 @@ _NN_HIDDEN = 16
 _NN_OUT = 4
 
 
-# -- alpha_visualizer ---------------------------------------------------------
-
-def _alpha_vis_process(ins, p, ctx):
-    """alpha_visualizer.c: render the input's alpha (or luma, for an
-    RGB-only input) as an r/g/b-scaled colour image."""
-    lay = ins[0]
-    a = to_f01(lay)
-    rgb, al = split_alpha(a)
-    src = al if al is not None else luma(rgb)
-    colour = jnp.stack([p["red"], p["green"], p["blue"]])[:, None, None]
-    out = jnp.clip(src[None] * colour, 0.0, 1.0)
-    return from_f01(join_alpha(out, al), lay)
-
-
-register_filter(Filter(
-    name="alpha_visualizer", process=_alpha_vis_process, in_channels=_ONE_IN,
-    params=(Param("red", "num", 1.0, 0.0, 1.0),
-            Param("green", "num", 1.0, 0.0, 1.0),
-            Param("blue", "num", 1.0, 0.0, 1.0)),
-    description="render alpha/luma as colour (alpha_visualizer.c)"))
+# alpha_visualizer moved to builtin/alpha.py (now a true cconx consumer
+# with an alpha in-channel; the unconnected fallback keeps this module's
+# old own-alpha/luma behaviour)
 
 
 # -- data_unpacker ------------------------------------------------------------

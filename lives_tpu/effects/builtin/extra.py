@@ -85,8 +85,15 @@ def _mask_overlay_process(ins, p, ctx):
     fg, bg = ins[0], ins[1]
     a, b = to_f01(fg), to_f01(bg)
     argb, aal = split_alpha(a)
-    brgb, bal = split_alpha(b)
-    g = luma(brgb)  # mask from bg luma (mask clip on track 1)
+    alpha_in = ins[2] if len(ins) > 2 else None
+    if alpha_in is not None:
+        # connected alpha channel (cconx) IS the mask — an analyser
+        # (motion_mask / fg_bg_removal) drives the overlay live
+        from .alpha import _alpha_f01
+        g = _alpha_f01(alpha_in)
+    else:
+        brgb, bal = split_alpha(b)
+        g = luma(brgb)  # mask from bg luma (mask clip on track 1)
     m = jnp.clip((g - p["threshold"]) / (p["softness"] + 1e-4), 0.0, 1.0)
     inv = p["invert"]
     m = m * (1.0 - inv) + (1.0 - m) * inv
@@ -96,11 +103,15 @@ def _mask_overlay_process(ins, p, ctx):
 
 register_filter(Filter(
     name="mask_overlay", process=_mask_overlay_process, in_channels=_TWO_IN,
+    alpha_ins=(ChannelTemplate(
+        "mask", (Palette.A8, Palette.AFLOAT, Palette.A1),
+        optional=True),),
     params=(Param("threshold", "num", 0.5, 0.0, 1.0),
             Param("softness", "num", 0.05, 0.0, 1.0),
             Param("invert", "num", 0.0, 0.0, 1.0)),
     flags=FILTER_IS_TRANSITION,
-    description="mask fg by bg luma (gdk/mask_overlay.c)"))
+    description="mask fg by bg luma, or by a connected alpha channel "
+                "(gdk/mask_overlay.c + cconx, effects-data.c:1730)"))
 
 
 # -- push transition (true slide: fg pushes bg out) --------------------------

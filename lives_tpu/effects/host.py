@@ -91,9 +91,21 @@ class Filter:
     init_state: Callable | None = None  # (width,height,palette)->state pytree
     preferred_gamma: int | None = None  # e.g. LINEAR for physical-light fx
     # analyser hook: (ins, params, ctx) -> dict of out-param values
-    # (weed out-parameters; feeds data connections, effects-data.c)
+    # (weed out-parameters; feeds data connections, effects-data.c).
+    # Layer-valued entries are alpha OUT-CHANNELS (must match a template in
+    # `alpha_outs` by name); scalars/arrays are out-params. Both feed data
+    # connections — pconx routes scalars, cconx routes alpha channels
+    # (effects-data.c:1730 cconx_new, :2283 cconx_chain_data).
     analyse: Callable | None = None
     out_params: tuple[Param, ...] = ()
+    # alpha channel templates (cconx endpoints). `alpha_outs`: channels the
+    # filter exports (via analyse / the stateful out-dict). `alpha_ins`:
+    # optional alpha inputs appended to `ins` AFTER the regular channels —
+    # process sees ins[n_in + j] as a negotiated alpha Layer or None when
+    # unconnected. (Reference: weed channel templates with alpha palettes,
+    # filled by cconx_chain_data before the instance runs.)
+    alpha_outs: tuple[ChannelTemplate, ...] = ()
+    alpha_ins: tuple[ChannelTemplate, ...] = ()
 
     @property
     def hashname(self) -> str:
@@ -133,6 +145,8 @@ class Instance:
     out_tracks: tuple[int, ...] = (0,)
     # latest analyser outputs (weed out-param values)
     out_values: dict[str, Any] = field(default_factory=dict)
+    # latest exported alpha out-channels: name -> Layer (cconx sources)
+    out_channels: dict[str, Any] = field(default_factory=dict)
 
     def param_values(self) -> dict[str, Any]:
         out = {}
@@ -249,12 +263,18 @@ def negotiate_layer(layer: Layer, tmpl: ChannelTemplate,
 
 
 def apply_instance(inst: Instance, layers: Sequence[Layer],
-                   ctx: FrameContext | None = None) -> list[Layer]:
+                   ctx: FrameContext | None = None,
+                   alpha_ins: dict[int, Layer] | None = None) -> list[Layer]:
     """Apply one instance to a layer stack; returns the new stack.
 
     Layers are indexed by track; inst.in_tracks selects inputs; the result
     replaces the layer at out_tracks[0]. (weed_apply_instance,
     effects-weed.c:1850.)
+
+    `alpha_ins` maps alpha-in slot index -> connected alpha Layer (cconx,
+    effects-data.c:2283 cconx_chain_data): each is negotiated to the
+    slot's template palettes + the frame geometry and appended to `ins`
+    after the regular channels; unconnected slots pass None.
     """
     f = inst.filter
     layers = list(layers)
@@ -273,27 +293,46 @@ def apply_instance(inst: Instance, layers: Sequence[Layer],
         ins = [negotiate_layer(l, f.in_channels[min(i, f.n_in - 1)], w, h,
                                f.preferred_gamma)
                for i, l in enumerate(ins)]
+    if f.alpha_ins:
+        w = ins[0].width if ins else 0
+        h = ins[0].height if ins else 0
+        for j, tmpl in enumerate(f.alpha_ins):
+            a = (alpha_ins or {}).get(j)
+            if a is not None:
+                a = negotiate_layer(a, tmpl, w or None, h or None)
+            ins.append(a)
+    lead = next((l for l in ins if l is not None), None)
     if ctx is None:
-        ctx = FrameContext(width=ins[0].width if ins else 0,
-                           height=ins[0].height if ins else 0)
+        ctx = FrameContext(width=lead.width if lead is not None else 0,
+                           height=lead.height if lead is not None else 0)
     params = {k: f.param(k).clamp(v) for k, v in inst.param_values().items()}
+
+    def _split_outs(d: dict) -> None:
+        """Analyser outputs: Layer values are alpha out-channels (cconx
+        sources), everything else is an out-param value (pconx)."""
+        inst.out_values = {k: v for k, v in d.items()
+                           if not isinstance(v, Layer)}
+        chans = {k: v for k, v in d.items() if isinstance(v, Layer)}
+        if chans:
+            inst.out_channels = chans
 
     if f.flags & FILTER_STATEFUL:
         state = inst.state
         if state is None and f.init_state is not None:
-            w0 = ins[0].width if ins else ctx.width
-            h0 = ins[0].height if ins else ctx.height
-            state = f.init_state(w0, h0, ins[0].palette if ins else None)
+            w0 = lead.width if lead is not None else ctx.width
+            h0 = lead.height if lead is not None else ctx.height
+            state = f.init_state(w0, h0,
+                                 lead.palette if lead is not None else None)
         ret = f.process(ins, params, ctx, state)
         if len(ret) == 3:  # stateful analysers: (out, state, out_values)
             out, inst.state, outs = ret
-            inst.out_values = dict(outs)
+            _split_outs(dict(outs))
         else:
             out, inst.state = ret
     else:
         out = f.process(ins, params, ctx)
     if f.analyse is not None:
-        inst.out_values = dict(f.analyse(ins, params, ctx))
+        _split_outs(dict(f.analyse(ins, params, ctx)))
     outs = out if isinstance(out, (list, tuple)) else [out]
     for t, o in zip(inst.out_tracks, outs):
         while len(layers) <= t:

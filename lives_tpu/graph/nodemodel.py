@@ -102,8 +102,30 @@ class FrameGraph:
     """
 
     def __init__(self, chain: Sequence[Instance], sink: SinkSpec | None = None,
-                 fps: float = 25.0):
+                 fps: float = 25.0,
+                 cconx: Sequence[tuple] = ()):
+        """`cconx`: static alpha-channel wiring (reference cconx,
+        effects-data.c:1730) as (src_idx, out_channel_name, dst_idx,
+        in_slot) tuples over chain indices. Edges must run forward
+        (src_idx < dst_idx): inside ONE jitted template the source's alpha
+        out-channel flows to the destination as a traced array — the
+        analyser mask and its consumer execute in the same XLA
+        computation, no host round-trip."""
         self.chain = list(chain)
+        self.cconx = tuple(tuple(c) for c in cconx)
+        for (si, name, di, slot) in self.cconx:
+            if not si < di:
+                raise ValueError(
+                    f"cconx edge {si}->{di} must run forward in the chain "
+                    "(the reference applies effects in key order; a "
+                    "backward edge would read a frame-stale channel)")
+            if not any(t.name == name
+                       for t in self.chain[si].filter.alpha_outs):
+                raise KeyError(f"{self.chain[si].filter.name}: no alpha "
+                               f"out-channel {name!r}")
+            if not 0 <= slot < len(self.chain[di].filter.alpha_ins):
+                raise IndexError(f"{self.chain[di].filter.name}: no alpha "
+                                 f"in-channel slot {slot}")
         self.sink = sink or SinkSpec()
         self.fps = fps
         # process-wide plan-template cache: the config key fully determines
@@ -118,7 +140,7 @@ class FrameGraph:
     # -- configuration key (plan-template cache key) -----------------------
     def _config_key(self, layers: Sequence[Layer]):
         from ..prefs import pref as _pref
-        return (_chain_static_key(self.chain),
+        return (_chain_static_key(self.chain), self.cconx,
                 tuple(l.config for l in layers),
                 self.sink.key(), self.fps,
                 _pref("chain_dtype"), _pref("float_chain"))
@@ -407,7 +429,7 @@ class FrameGraph:
         # is sound.
         from ..prefs import pref as _pref2
         from .pallas_composite import sweep_prefix_len
-        sweep_env = _pref2("fused_sweep") != "0"
+        sweep_env = _pref2("fused_sweep") != "0" and not self.cconx
         sweepable_src = (source is not None and not layers and sweep_env
                          and hasattr(source, "traced_tile"))
         fused_eligible = sweepable_src and not self.has_stateful
@@ -446,7 +468,7 @@ class FrameGraph:
                 suf_n = len(self.chain) - pre_n
         comp_n = 0
         comp_geo = None
-        if (not sweepable_src and not self.has_stateful
+        if (not sweepable_src and not self.has_stateful and not self.cconx
                 and _pref2("pallas_composite") == "1"):
             from .pallas_composite import splittable_prefix, supported
             if source is not None:
@@ -678,6 +700,7 @@ class FrameGraph:
                                inst.out_tracks, inst.enabled))
         sink = self.sink
         fps = self.fps
+        cconx = self.cconx
 
         from ..prefs import pref as _pref
         float_chain = (len(chain_spec) >= 2
@@ -721,13 +744,25 @@ class FrameGraph:
             if not layers:
                 layers = [None]
             new_states = []
-            for (filt, static, in_tr, out_tr, enabled), tp, st in zip(
-                    chain_spec, traced_params, states):
+            # cconx: alpha out-channels exported earlier in the chain feed
+            # later instances' alpha in-slots — all inside this one trace
+            # (the reference copies channel pixel_data between instances
+            # per frame, cconx_chain_data effects-data.c:2283)
+            alpha_store: dict[tuple[int, str], Any] = {}
+            for i, ((filt, static, in_tr, out_tr, enabled), tp, st) in \
+                    enumerate(zip(chain_spec, traced_params, states)):
+                a_ins = None
+                for (si, name, di, slot) in cconx:
+                    if di == i + start and (si, name) in alpha_store:
+                        a_ins = a_ins or {}
+                        a_ins[slot] = alpha_store[(si, name)]
                 inst = Instance(filter=filt, values={**static, **tp},
                                 state=st, enabled=enabled,
                                 in_tracks=in_tr, out_tracks=out_tr)
-                layers = apply_instance(inst, layers, ctx)
+                layers = apply_instance(inst, layers, ctx, alpha_ins=a_ins)
                 new_states.append(inst.state)
+                for nm, lay in inst.out_channels.items():
+                    alpha_store[(i + start, nm)] = lay
             out = layers[0]
             if emit_comp:
                 # suffix-kernel handoff: float comp, no sink step
