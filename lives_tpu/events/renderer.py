@@ -164,6 +164,22 @@ def _chain_for(inits: list[Event], el: EventList,
     return kept, chain
 
 
+def _cconx_for(kept: list[Event]) -> list[tuple]:
+    """In-template channel wiring recorded on init events (player
+    _annotate_rec_cconx): [[src_init_event_id, out_channel, slot], ...]
+    on the DESTINATION init -> (src_idx, name, dst_idx, slot) over the
+    kept chain. The render re-applies the performance's cconx exactly
+    (reference: cconx_chain_data under is_rendering, effects-data.c:2295)."""
+    idx = {init.event_id: i for i, init in enumerate(kept)}
+    edges = []
+    for di, init in enumerate(kept):
+        for src_eid, name, slot in init.props.get("cconx", ()):
+            si = idx.get(src_eid)
+            if si is not None and si < di:
+                edges.append((si, name, di, slot))
+    return edges
+
+
 def _interp_arrays(el: EventList, inits: list[Event],
                    chain: list[Instance], tcs: list[int]):
     """Per-instance dicts of per-frame traced param arrays.
@@ -233,7 +249,7 @@ def render_events(el: EventList, source: FrameSource,
                 segs.pop()
     for seg in segs:
         inits, chain = _chain_for(seg.inits, el, seg.frames[0].tc)
-        graph = FrameGraph(chain, sink, fps=fps)
+        graph = FrameGraph(chain, sink, fps=fps, cconx=_cconx_for(inits))
         n_tracks = max((len(f.clips) for f in seg.frames), default=0)
         for ofs in range(0, len(seg.frames), batch_size):
             chunk = seg.frames[ofs: ofs + batch_size]

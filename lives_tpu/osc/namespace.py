@@ -533,11 +533,17 @@ def register_extended(srv) -> None:
     m("/effect_key/outparameter/has_default", lambda k, i: 1)
     m("/effect_key/outparameter/colorspace/get", lambda k, i: "")
 
-    # data connections (effects-data.c pconx/cconx)
+    # data connections (effects-data.c pconx/cconx). The map is SHARED
+    # with the player (player.datacons) so live playback applies it —
+    # pconx host-side each frame, cconx in-template via _build_graph.
     def conns():
         if not hasattr(srv, "datacons"):
             from ..effects.data import DataConnections
-            srv.datacons = DataConnections()
+            pl = getattr(srv, "player", None)
+            existing = getattr(pl, "datacons", None) if pl else None
+            srv.datacons = existing or DataConnections()
+            if pl is not None:
+                pl.datacons = srv.datacons
         return srv.datacons
 
     def conn_add(k, i, dk, di, autoscale=1):
@@ -560,17 +566,51 @@ def register_extended(srv) -> None:
     m("/effect_key/outparameter/connection/add", conn_add)
     m("/effect_key/outparameter/connection/list", conn_list)
     m("/effect_key/outparameter/connection/delete", conn_del)
-    m("/effect_key/outchannel/connection/add", conn_add)
-    m("/effect_key/outchannel/connection/list", conn_list)
-    m("/effect_key/outchannel/connection/delete", conn_del)
 
-    # channels
+    # cconx: alpha out-channel i of key k -> alpha in-slot di of key dk
+    # (cconx_add_connection, effects-data.c:2106)
+    def cconn_add(k, i, dk, di=0):
+        src = inst_of(k)
+        tmpl = src.filter.alpha_outs[int(i)]
+        conns().add_channel(src, tmpl.name, inst_of(dk), int(di))
+        return 1
+
+    def cconn_del(k, i):
+        src = inst_of(k)
+        tmpl = src.filter.alpha_outs[int(i)]
+        for c in list(conns().chan_conns):
+            if c.src is src and c.out_channel == tmpl.name:
+                conns().remove(c)
+
+    def cconn_list(k=None):
+        return " ".join(f"{c.out_channel}->{c.in_slot}"
+                        for c in conns().chan_conns) or ""
+
+    m("/effect_key/outchannel/connection/add", cconn_add)
+    m("/effect_key/outchannel/connection/list", cconn_list)
+    m("/effect_key/outchannel/connection/delete", cconn_del)
+
+    # channels (alpha channels counted after the colour ones, like the
+    # reference's enabled-channel iteration in cconx_chain_data)
     m("/effect_key/inchannel/active/count",
-      lambda k: len(filt_of(k).in_channels))
+      lambda k: len(filt_of(k).in_channels) + len(filt_of(k).alpha_ins))
     m("/effect_key/outchannel/active/count",
-      lambda k: len(filt_of(k).out_channels))
-    m("/effect_key/inchannel/palette/get", lambda k, i=0: "RGB24")
-    m("/effect_key/outchannel/palette/get", lambda k, i=0: "RGB24")
+      lambda k: len(filt_of(k).out_channels) + len(filt_of(k).alpha_outs))
+
+    def _chan_pal(tmpls, base, i):
+        i = int(i)
+        if i < len(base):
+            return "RGB24"
+        t = tmpls[i - len(base)]
+        from ..constants import Palette as _Pal
+        return _Pal(t.palettes[0]).name if t.palettes else "A8"
+
+    m("/effect_key/inchannel/palette/get",
+      lambda k, i=0: _chan_pal(filt_of(k).alpha_ins,
+                               filt_of(k).in_channels, i))
+    m("/effect_key/outchannel/palette/get",
+      lambda k, i=0: _chan_pal(filt_of(k).alpha_outs,
+                               filt_of(k).out_channels, i))
 
     # ---- playback-plugin ("/video/play/parameter") namespace ---------------
     # our sinks expose no tweakable params yet: count 0, typed errors beyond

@@ -426,6 +426,31 @@ class Player:
         if automix is not None:
             ids.append(automix.event_id)
         self.event_list.insert(filter_map_event(tc, ids))
+        self._annotate_rec_cconx()
+
+    def _annotate_rec_cconx(self):
+        """Stamp channel-connection wiring onto recorded init events so a
+        re-render rebuilds the same in-template cconx (the reference keeps
+        datacons as global state a render re-applies, effects-data.c:2295
+        get_new_inst_for_keymode under is_rendering). Connection edits are
+        not timestamped — like the reference's datacons.map, the wiring is
+        per-performance state, re-annotated at each map refresh."""
+        if self.datacons is None or self.event_list is None:
+            return
+        by_inst = {}
+        for k, init in self._rec_inits.items():
+            inst = self.keymap.instances[k]
+            if inst is not None:
+                by_inst[id(inst)] = init
+        for init in self._rec_inits.values():
+            init.props.pop("cconx", None)
+        for c in getattr(self.datacons, "chan_conns", ()):
+            src_init = by_inst.get(id(c.src))
+            dst_init = by_inst.get(id(c.dst))
+            if src_init is None or dst_init is None:
+                continue
+            dst_init.props.setdefault("cconx", []).append(
+                [src_init.event_id, c.out_channel, c.in_slot])
 
     # -- recording ---------------------------------------------------------
     def record_start(self, width: int = 0, height: int = 0,
@@ -458,6 +483,7 @@ class Player:
             self._refresh_rec_map(0)
 
     def record_stop(self) -> EventList:
+        self._annotate_rec_cconx()  # final wiring snapshot
         self.record = False
         el, self.event_list = self.event_list, None
         self._rec_inits.clear()
@@ -536,12 +562,26 @@ class Player:
                 th.join(timeout=60)
         self.sink.exit_screen()
 
+    def _cconx_sig(self):
+        """Channel-connection topology over keymap slots — part of the
+        graph cache key (a cconx edit is a config change: the reference
+        rebuilds the nodemodel, nodemodel.c:7853)."""
+        dc = self.datacons
+        if dc is None or not getattr(dc, "chan_conns", None):
+            return ()
+        pos = {id(inst): k for k, inst in enumerate(self.keymap.instances)
+               if inst is not None}
+        return tuple((pos.get(id(c.src)), c.out_channel,
+                      pos.get(id(c.dst)), c.in_slot)
+                     for c in dc.chan_conns)
+
     def _chain_cache_key(self):
         # bg presence changes the built chain (_build_graph appends the
         # crossfade), so it must be part of the cache key: a graph cached
         # without a bg clip must not serve once one is selected (and vice
         # versa — the cached crossfade would index a missing track 1)
-        return (self.keymap.chain_key(), self.state.bg_clip is not None)
+        return (self.keymap.chain_key(), self.state.bg_clip is not None,
+                self._cconx_sig())
 
     def _graph_for_chain(self) -> FrameGraph:
         key = self._chain_cache_key()
@@ -560,8 +600,19 @@ class Player:
             auto_mix = instantiate("crossfade", amount=self.state.blend_amount)
             auto_mix.in_tracks = (0, 1)
             chain.append(auto_mix)
+        # cconx: resolve channel connections between chain members to
+        # in-template wiring (forward edges only — the chain applies in
+        # key order, like the reference's key-order effect application)
+        cconx = []
+        if self.datacons is not None:
+            idx = {id(inst): i for i, inst in enumerate(chain)}
+            for c in getattr(self.datacons, "chan_conns", ()):
+                si, di = idx.get(id(c.src)), idx.get(id(c.dst))
+                if si is not None and di is not None and si < di:
+                    cconx.append((si, c.out_channel, di, c.in_slot))
         g = FrameGraph(chain, self.sink_spec,
-                       fps=abs(self.state.pb_fps) or 25.0)
+                       fps=abs(self.state.pb_fps) or 25.0,
+                       cconx=cconx)
         # blend_amount is a traced param: keep a handle so process_one can
         # refresh it per frame without recompiling
         g.auto_mix = auto_mix

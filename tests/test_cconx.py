@@ -282,6 +282,109 @@ def test_fg_bg_mask_into_compositor_style_chain(rng):
 
 # -- persistence ---------------------------------------------------------------
 
+# -- live player + record/re-render --------------------------------------------
+
+class _MemClip:
+    def __init__(self, n=20, h=24, w=48, uid=1):
+        self.frames = n
+        self.fps = 25.0
+        self.width, self.height = w, h
+        self.unique_id = uid
+
+    def get_frame(self, n):
+        r = np.random.default_rng(self.unique_id * 7919 + n)
+        return Layer(planes=(jnp.asarray(
+            r.integers(0, 256, (3, self.height, self.width), np.uint8)),),
+            palette=int(Palette.RGB24))
+
+
+def _play_session(wire: bool, record: bool = False, n: int = 8):
+    import time as _t
+    from lives_tpu.player import CollectSink, Player
+    p = Player(sink=CollectSink(), sink_spec=SinkSpec())
+    p.state.fg_clip = _MemClip()
+    p.keymap.set_key(0, 0, "motion_mask")
+    p.keymap.set_key(1, 0, "mask_overlay")
+    p.key_toggle(0, True)
+    p.key_toggle(1, True)
+    p.keymap.instances[1].in_tracks = (0, 0)
+    if wire:
+        dc = DataConnections()
+        dc.add_channel(p.keymap.instances[0], "mask",
+                       p.keymap.instances[1], 0)
+        p.datacons = dc
+    if record:
+        p.record_start(width=48, height=24)
+    p.start()
+    for i in range(n):
+        p.state.frame = -1
+        p._clock0 = _t.monotonic()
+        p._frame0 = float(i)
+        p.process_one()
+    el = p.record_stop() if record else None
+    p.stop()
+    return p, el
+
+
+def test_player_live_cconx_changes_output():
+    p_wired, _ = _play_session(wire=True)
+    p_plain, _ = _play_session(wire=False)
+    a = p_wired.sink.frames[-1]
+    b = p_plain.sink.frames[-1]
+    assert a.shape == b.shape
+    assert not np.array_equal(a, b)  # the live mask engaged in-template
+
+
+def test_player_cconx_recorded_and_rerenders_deterministically():
+    from lives_tpu.events import EventList
+    from lives_tpu.events.renderer import render_recording
+    _, el = _play_session(wire=True, record=True)
+    inits = [e for e in el.events if e.type.name == "FILTER_INIT"]
+    dst = next(e for e in inits if e.props["filter"] == "mask_overlay")
+    src = next(e for e in inits if e.props["filter"] == "motion_mask")
+    assert dst.props["cconx"] == [[src.event_id, "mask", 0]]
+    clips = {1: _MemClip(uid=1)}
+    f1, t1 = render_recording(el, clips, fps=25.0, batch_size=4)
+    f2, t2 = render_recording(el, clips, fps=25.0, batch_size=4)
+    assert t1 == t2
+    np.testing.assert_array_equal(f1, f2)
+    # the wiring survives serialisation (JSON round trip) too
+    el2 = EventList.from_json(el.to_json())
+    f3, _ = render_recording(el2, clips, fps=25.0, batch_size=4)
+    np.testing.assert_array_equal(f1, f3)
+    # and it matters: stripping the cconx props changes the render
+    for e in el.events:
+        e.props.pop("cconx", None)
+    f4, _ = render_recording(el, clips, fps=25.0, batch_size=4)
+    assert not all(np.array_equal(x, y) for x, y in zip(f1, f4))
+
+
+def test_osc_outchannel_connection_surface():
+    """/effect_key/outchannel/connection/{add,list,delete} speak real
+    cconx (channel indices over alpha_outs/alpha_ins), shared with the
+    player's datacons."""
+    from lives_tpu.osc.server import OSCServer
+    from lives_tpu.player import CollectSink, Player
+    srv = OSCServer(player=Player(sink=CollectSink()))
+    pl = srv.player
+    pl.keymap.set_key(0, 0, "motion_mask")
+    pl.keymap.set_key(1, 0, "mask_overlay")
+    pl.keymap.toggle(0, True)
+    pl.keymap.toggle(1, True)
+    call = lambda path, *a: srv.methods[path](*a)
+    assert call("/effect_key/outchannel/connection/add", 1, 0, 2, 0) == 1
+    assert pl.datacons is not None
+    assert len(pl.datacons.chan_conns) == 1
+    assert "mask->0" in call("/effect_key/outchannel/connection/list")
+    # the live graph cache key reflects the wiring
+    sig = pl._cconx_sig()
+    assert sig == ((0, "mask", 1, 0),)
+    call("/effect_key/outchannel/connection/delete", 1, 0)
+    assert len(pl.datacons.chan_conns) == 0
+    assert call("/effect_key/inchannel/active/count", 2) == 3
+    assert call("/effect_key/inchannel/palette/get", 2, 2) == "A8"
+
+
 def test_datacons_save_load_channels(tmp_path):
     from lives_tpu.effects.data import load_datacons, save_datacons
     from lives_tpu.player.player import KeyMap
