@@ -230,14 +230,24 @@ class Player:
         self._pending: list[tuple[Any, float]] = []
         # async chain rebuild: new key chains compile in the background
         # while the previous graph keeps serving frames (the reference
-        # rebuilds the nodemodel at safe points, player.c:2655)
-        self.async_compile = False
+        # rebuilds the nodemodel at safe points, player.c:2655). Default
+        # ON: a mid-performance template compile is the single worst
+        # live-path stall (30 s-minutes through a remote attachment)
+        self.async_compile = True
+        # pre-build templates for one-toggle-away configs at safe points
+        # (the reference pre-builds nodemodels, player.c:2655) so a key
+        # toggle usually swaps to an already-compiled graph instantly
+        self.prewarm_compile = True
+        self._prewarm_seen: set = set()
+        self._last_layers: list = []
         self._served_key: Any = None
         # per-frame latency ladder (layers.h:78-85 status timestamps +
         # diagnostics.c:97): attach a diagnostics.FrameLadder to collect
         # queued->loaded->applied->displayed stage times per frame
         self.ladder = None
         self._compile_thread = None
+        self._compile_key: Any = None      # chain key compiling right now
+        self._compile_adopt = False        # adopt-on-finish flag (upgradable)
         # predictive frame cache (pred_frame/precache, player.c:2185-2230)
         self.precache_depth = 0
         self._precache: dict[tuple[int, int], Any] = {}
@@ -491,7 +501,7 @@ class Player:
         self._rec_automix_amt = None
         return el
 
-    def _record_automix(self, mix):
+    def _record_automix(self, active: bool):
         """Record the fg/bg auto-blend as a crossfade init + amount
         pchain — without this, a performance's bg blending (blend factor
         scratching, autotransitions) silently vanished from re-renders
@@ -499,7 +509,7 @@ class Player:
         maps)."""
         el = self.event_list
         amt = float(self.state.blend_amount)
-        if mix is not None:
+        if active:
             init = getattr(self, "_rec_automix", None)
             if init is None:
                 init = filter_init_event(
@@ -590,7 +600,7 @@ class Player:
             g = self._build_graph(key)
         return g
 
-    def _build_graph(self, key) -> FrameGraph:
+    def _build_graph(self, key, register: bool = True) -> FrameGraph:
         chain = list(self.keymap.active_chain())
         # fg/bg blend: if a bg clip is present and no transition in the
         # chain consumes track 1, append the blend (player fg/bg mix)
@@ -616,7 +626,13 @@ class Player:
         # blend_amount is a traced param: keep a handle so process_one can
         # refresh it per frame without recompiling
         g.auto_mix = auto_mix
-        self._graphs[key] = g
+        if register:
+            # NOT registered for async/prewarm builds: _select_graph's
+            # "already-compiled chain" fast path must only ever see graphs
+            # whose template is warm — registering before the warm-up run
+            # made the frame AFTER a toggle adopt the cold graph and block
+            # on its compile (the toggle-storm p99 spike)
+            self._graphs[key] = g
         return g
 
     def _bg_frame(self, target: int) -> int:
@@ -698,7 +714,44 @@ class Player:
             self._precache_thread.start()
 
     # -- async chain rebuild ----------------------------------------------
+    def _warm_graph_async(self, graph, key, layers, adopt: bool):
+        """Compile a graph's template off-thread on a warm-up frame;
+        register it (and optionally adopt it as served) only once warm.
+        One compile at a time: compiles through a remote attachment take
+        30 s-minutes and the single host core must keep serving."""
+        import threading
+
+        self._compile_key = key
+        self._compile_adopt = adopt
+
+        def compile_job(lys=list(layers)):
+            try:
+                import jax
+                # warm-up frame: do NOT mirror state back into the
+                # Instance objects (shared with the live graph — an
+                # unsynchronized cross-thread write, and the adopted
+                # graph must not have consumed a phantom frame)
+                out = graph.run(lys, tc=0.0, frame=0, mirror_state=False)
+                jax.block_until_ready(out.planes)
+                self._graphs[key] = graph
+                # re-read the adopt flag AFTER the warm-up: a prewarm
+                # compile gets upgraded by _select_graph when the user
+                # toggles to this exact chain while it is in flight
+                if self._compile_adopt:
+                    self._served_key = key
+            except Exception:
+                if self._compile_adopt:
+                    self._served_key = key  # fall through to sync path
+            finally:
+                self._compile_key = None
+                self._compile_thread = None
+
+        self._compile_thread = threading.Thread(target=compile_job,
+                                                daemon=True)
+        self._compile_thread.start()
+
     def _select_graph(self, layers):
+        self._last_layers = list(layers)
         desired = self._chain_cache_key()
         if not self.async_compile or self._served_key is None \
                 or desired == self._served_key:
@@ -712,34 +765,53 @@ class Player:
             return cached
         # chain changed: compile the new template off-thread, keep serving
         # the old graph meanwhile
-        import threading
         if self._compile_thread is None or not self._compile_thread.is_alive():
-            new_graph = self._build_graph(desired)
-
-            def compile_job(lys=list(layers)):
-                try:
-                    import jax
-                    # warm-up frame: do NOT mirror state back into the
-                    # Instance objects (shared with the live graph — an
-                    # unsynchronized cross-thread write, and the adopted
-                    # graph must not have consumed a phantom frame)
-                    out = new_graph.run(lys, tc=0.0, frame=0,
-                                        mirror_state=False)
-                    jax.block_until_ready(out.planes)
-                    self._graphs[desired] = new_graph
-                    self._served_key = desired
-                except Exception:
-                    self._served_key = desired  # fall through to sync path
-                finally:
-                    self._compile_thread = None
-
-            self._compile_thread = threading.Thread(target=compile_job,
-                                                    daemon=True)
-            self._compile_thread.start()
+            new_graph = self._build_graph(desired, register=False)
+            self._warm_graph_async(new_graph, desired, layers, adopt=True)
+        elif self._compile_key == desired:
+            # the desired chain is already compiling as a prewarm:
+            # upgrade it to adopt-on-finish instead of compiling twice
+            self._compile_adopt = True
         served = self._graphs.get(self._served_key)
         if served is None:  # effort transition cleared the cache
-            served = self._build_graph(self._served_key)                 if self._served_key else self._graph_for_chain()
+            served = self._build_graph(self._served_key) \
+                if self._served_key else self._graph_for_chain()
         return served
+
+    def _prewarm_step(self):
+        """Safe-point pre-compilation (reference: nodemodel pre-build at
+        safe points, player.c:2655): while idle, background-compile the
+        graph for ONE config reachable by a single key toggle, so the
+        toggle itself swaps to a warm template. Runs at most one compile
+        at a time and remembers attempted configs."""
+        if not (self.async_compile and self.prewarm_compile):
+            return
+        if self._compile_thread is not None \
+                and self._compile_thread.is_alive():
+            return
+        if not self._last_layers:
+            return
+        km = self.keymap
+        for k in range(N_KEYS):
+            if not km.current_filter(k):
+                continue
+            was = km.active[k]
+            if not was and km.instances[k] is None:
+                if not km.toggle(k, True):
+                    continue
+                km.active[k] = False
+            km.active[k] = not was
+            try:
+                key = self._chain_cache_key()
+                if key in self._graphs or key in self._prewarm_seen:
+                    continue
+                self._prewarm_seen.add(key)
+                g = self._build_graph(key, register=False)
+                self._warm_graph_async(g, key, self._last_layers,
+                                       adopt=False)
+                return  # one prewarm per safe point
+            finally:
+                km.active[k] = was
 
     def process_one(self) -> bool:
         """One player cycle (player.c:2185). Returns False when stopped."""
@@ -809,7 +881,13 @@ class Player:
             self.ladder.mark("displayed")
             self.ladder.end()
         if self.record and self.event_list is not None:
-            self._record_automix(mix)
+            # record against the PERFORMANCE state, not the served graph:
+            # with async_compile the old graph (still carrying auto_mix)
+            # keeps serving after bg_clip is dropped, which must not delay
+            # the recorded deinit to the template-swap frame
+            uses_bg = any(len(i.in_tracks) > 1
+                          for i in self.keymap.active_chain())
+            self._record_automix(st.bg_clip is not None and not uses_bg)
             clips = [getattr(st.fg_clip, "unique_id", 1)]
             frames = [target]
             if st.bg_clip is not None:
@@ -849,6 +927,7 @@ class Player:
             self._frame_times = self._frame_times[-128:]
         if self.adaptive_quality:
             self._update_effort()
+        self._prewarm_step()  # safe point: frame delivered
         return ok
 
     def _update_effort(self):
@@ -889,6 +968,7 @@ class Player:
             elif getattr(self, "_precache_saved", 0):
                 self.precache_depth = self._precache_saved
             self._graphs.clear()  # re-template at the new quality
+            self._prewarm_seen.clear()  # prewarmed configs gone with them
 
     def play_n_cycles(self, n: int, realtime: bool = False):
         """Drive n cycles (tests / headless playback)."""
