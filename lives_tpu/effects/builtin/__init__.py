@@ -6,7 +6,8 @@ for the specific plugins covered.
 """
 
 from . import (alpha, analysers, blends, blur, colour,  # noqa: F401
-               dataplugins, effectv, extra, generators, geometry, keying)
+               dataplugins, effectv, extra, generators, geometry, keying,
+               puretext)
 from ..compound import register_builtin_compounds
 
 register_builtin_compounds()

@@ -221,3 +221,73 @@ register_filter(Filter(
                                   jnp.float32(0.0)),
     description="running-average background removal, 3 replacement types; "
                 "exports the fg mask (fg_bg_removal.c)"))
+
+
+# -- vector_visualiser: flow-field arrows over video ---------------------------
+
+def _vector_vis_process(ins, p, ctx):
+    """cairo/vector_visualiser.c grid mode (the only mode reachable in the
+    reference — `mode` is hardcoded MD_GRID at :244): the frame is divided
+    into a ~20x20 grid; at each cell centre an arrow is drawn whose vector
+    comes from two connected AFLOAT channels (x-plane, y-plane — e.g. the
+    farneback_analyser flow). TPU re-expression: the coarse flow is a
+    static strided slice, broadcast back per-pixel with jnp.repeat, and
+    arrows render as per-pixel distance fields (segment + tip ring) — no
+    gathers, no host loop, fuses into one VPU pass."""
+    video = ins[0]
+    ax, ay = ins[1], ins[2]
+    arr = to_f01(video)
+    rgb, al = split_alpha(arr)
+    if ax is None or ay is None:
+        return video  # nothing connected: pass through
+    h, w = rgb.shape[-2:]
+    sm_h, sm_w = max(h // 20, 1), max(w // 20, 1)
+    fx = ax.planes[0].astype(jnp.float32) * p["scale"]
+    fy = ay.planes[0].astype(jnp.float32) * p["scale"]
+    # arrow bases at (sm + 2*sm*k), exactly the reference's loop lattice
+    cfx = fx[sm_h::2 * sm_h, sm_w::2 * sm_w]
+    cfy = fy[sm_h::2 * sm_h, sm_w::2 * sm_w]
+    ny, nx = cfx.shape
+    # per-pixel vector of the OWN cell (2sm x 2sm block around each base)
+    rep = lambda c: jnp.repeat(jnp.repeat(c, 2 * sm_h, 0), 2 * sm_w, 1)
+    pad_y, pad_x = h - ny * 2 * sm_h, w - nx * 2 * sm_w
+    def full(c):
+        r = rep(c)
+        if pad_y > 0:
+            r = jnp.concatenate([r, jnp.repeat(r[-1:], pad_y, 0)], 0)
+        if pad_x > 0:
+            r = jnp.concatenate([r, jnp.repeat(r[:, -1:], pad_x, 1)], 1)
+        return r[:h, :w]
+    vx, vy = full(cfx), full(cfy)
+    yy = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0).astype(jnp.float32)
+    xx = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1).astype(jnp.float32)
+    # own-cell base point (bx, by); arrow runs S=(b - v - .5) -> E=b
+    by = (jnp.floor(yy / (2 * sm_h)) * (2 * sm_h) + sm_h)
+    bx = (jnp.floor(xx / (2 * sm_w)) * (2 * sm_w) + sm_w)
+    sx, sy = bx - vx - 0.5, by - vy - 0.5
+    ex, ey = bx, by
+    dx, dy = ex - sx, ey - sy
+    seg2 = jnp.maximum(dx * dx + dy * dy, 1e-6)
+    t = jnp.clip(((xx - sx) * dx + (yy - sy) * dy) / seg2, 0.0, 1.0)
+    qx, qy = sx + t * dx - xx, sy + t * dy - yy
+    d_seg = jnp.sqrt(qx * qx + qy * qy)
+    ln = jnp.sqrt(vx * vx + vy * vy)
+    d_tip = jnp.abs(jnp.sqrt((xx - ex) ** 2 + (yy - ey) ** 2) - ln * 0.25)
+    lw = 2.0  # cairo line width 4 -> half-width 2
+    stroke = jnp.clip(lw - jnp.minimum(d_seg, d_tip) + 0.5, 0.0, 1.0)
+    # suppress degenerate (near-zero) vectors so still frames stay clean
+    stroke = stroke * (ln > 0.25)
+    red = jnp.stack([jnp.ones_like(stroke), jnp.zeros_like(stroke),
+                     jnp.zeros_like(stroke)])
+    out = rgb * (1.0 - stroke[None]) + red * stroke[None]
+    return from_f01(join_alpha(out, al), video)
+
+
+register_filter(Filter(
+    name="vector_visualiser", process=_vector_vis_process,
+    in_channels=_ONE_IN,
+    alpha_ins=(ChannelTemplate("x-plane", (Palette.AFLOAT,), optional=True),
+               ChannelTemplate("y-plane", (Palette.AFLOAT,), optional=True)),
+    params=(Param("scale", "num", 1.0, 0.0, 64.0),),
+    description="overlay a 20x20 grid of flow arrows from two connected "
+                "AFLOAT channels (cairo/vector_visualiser.c grid mode)"))

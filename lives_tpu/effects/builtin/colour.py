@@ -271,3 +271,84 @@ _rgb_filter("modulate", _modulate,
                     Param("saturation", "num", 1.0, 0.0, 2.0),
                     Param("hue", "num", 1.0, 0.0, 2.0)),
             desc="combined brightness/saturation/hue (modulate.script)")
+
+
+# -- posterise (exact script semantics) ---------------------------------------
+
+def _posterise_process(ins, p, ctx):
+    """Bit-plane posterise with the reference's exact semantics
+    (scripts/posterise.script): keep the top `levels` bits of each RGB
+    byte (levmask = 128 + 128>>1 + ... for `levels` terms); alpha passes
+    through untouched. Pure integer AND on the u8 planes — no f01
+    round-trip, so the output is bit-exact with the reference."""
+    lay = ins[0]
+    arr = lay.planes[0]
+    levels = max(1, min(int(p["levels"]), 8))
+    if jnp.issubdtype(arr.dtype, jnp.integer):
+        m = 0
+        for i in range(levels):
+            m |= 128 >> i
+        rgb = arr[:3] & arr.dtype.type(m)
+    else:
+        # float lane (graph templates carry f01 bf16 planes): keeping the
+        # top `levels` bits == uniform quantisation with step q=2^(8-levels)
+        # (v & mask == floor(v/q)*q) — arithmetically identical, f32 math
+        q = np.float32(1 << (8 - levels))
+        v = arr[:3].astype(jnp.float32) * np.float32(255.0)
+        rgb = (jnp.floor(v / q) * q * np.float32(1 / 255.0)).astype(arr.dtype)
+    out = jnp.concatenate([rgb, arr[3:4]], 0) if arr.shape[0] == 4 else rgb
+    return lay.replace(planes=(out,))
+
+
+register_filter(Filter(
+    name="posterise", process=_posterise_process, in_channels=_ONE_IN,
+    params=(Param("levels", "int", 1, 1, 8),),
+    description="reduce colour levels by bit-plane mask "
+                "(scripts/posterise.script, bit-exact)"))
+
+
+# -- palette_mapper ------------------------------------------------------------
+
+_FIXED_PALETTES = {
+    # name -> (K, 3) float [0,1] rows. Classic machine palettes.
+    "mono": np.array([[0, 0, 0], [255, 255, 255]], np.float32) / 255.0,
+    "gameboy": np.array([[15, 56, 15], [48, 98, 48], [139, 172, 15],
+                         [155, 188, 15]], np.float32) / 255.0,
+    "cga": np.array([[0, 0, 0], [85, 255, 255], [255, 85, 255],
+                     [255, 255, 255]], np.float32) / 255.0,
+    "ega16": np.array(
+        [[0, 0, 0], [0, 0, 170], [0, 170, 0], [0, 170, 170],
+         [170, 0, 0], [170, 0, 170], [170, 85, 0], [170, 170, 170],
+         [85, 85, 85], [85, 85, 255], [85, 255, 85], [85, 255, 255],
+         [255, 85, 85], [255, 85, 255], [255, 255, 85],
+         [255, 255, 255]], np.float32) / 255.0,
+    "c64": np.array(
+        [[0, 0, 0], [255, 255, 255], [136, 57, 50], [103, 182, 189],
+         [139, 63, 150], [85, 160, 73], [64, 49, 141], [191, 206, 114],
+         [139, 84, 41], [87, 66, 0], [184, 105, 98], [80, 80, 80],
+         [120, 120, 120], [148, 224, 137], [120, 105, 196],
+         [159, 159, 159]], np.float32) / 255.0,
+}
+
+
+def _palette_mapper(rgb, p, c):
+    """Map every pixel to the nearest colour of a fixed machine palette
+    (nearest-neighbour in RGB; the distance dot-products ride the MXU as
+    one (HW,3)x(3,K) matmul). `strength` blends the mapped image back
+    over the original."""
+    name = list(_FIXED_PALETTES)[int(p["palette"])]
+    pal = jnp.asarray(_FIXED_PALETTES[name])            # (K, 3)
+    # argmin_k |x - c_k|^2 = argmin_k (|c_k|^2 - 2 x.c_k)
+    dots = jnp.einsum("chw,kc->khw", rgb, pal)          # MXU
+    k = jnp.argmin((pal * pal).sum(1)[:, None, None] - 2.0 * dots, axis=0)
+    mapped = jnp.moveaxis(pal[k], -1, 0)                # (3, H, W)
+    s = jnp.clip(p["strength"], 0.0, 1.0)
+    return rgb * (1.0 - s) + mapped * s
+
+
+_rgb_filter("palette_mapper", _palette_mapper,
+            params=(Param("palette", "string_list", 0,
+                          choices=tuple(_FIXED_PALETTES)),
+                    Param("strength", "num", 1.0, 0.0, 1.0)),
+            desc="map colours to the nearest entry of a classic fixed "
+                 "palette (mono/gameboy/cga/ega16/c64)")

@@ -479,3 +479,45 @@ register_filter(Filter(
                   choices=("colour pixels", "monochrome", "greyscale",
                            "solid colours"))),
     description="frame as glyph-art text (textfun.c)"))
+
+
+# -- photo_censor --------------------------------------------------------------
+
+def _photo_censor_process(ins, p, ctx):
+    """Censor a rectangular region: pixelate (block mosaic), black bar, or
+    invert. The pixelation is a nearest-block sample (every pixel reads its
+    block's top-left corner) — one gather-free remap that XLA fuses.
+    Region coordinates are relative (0..1) so the filter is
+    geometry-independent; pairs with the framedraw rect widget."""
+    lay = ins[0]
+    a = to_f01(lay)
+    rgb, al = split_alpha(a)
+    h, w = rgb.shape[-2:]
+    yy = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0)
+    xx = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1)
+    box = ((yy >= p["top"] * h) & (yy < p["bottom"] * h)
+           & (xx >= p["left"] * w) & (xx < p["right"] * w))
+    mode = int(p["mode"])
+    if mode == 1:            # black bar
+        repl = jnp.zeros_like(rgb)
+    elif mode == 2:          # invert
+        repl = 1.0 - rgb
+    else:                    # pixelate
+        blk = max(2, int(p["block"]))
+        ys = (jnp.arange(h) // blk) * blk
+        xs = (jnp.arange(w) // blk) * blk
+        repl = rgb[:, ys][:, :, xs]
+    out = jnp.where(box[None], repl, rgb)
+    return from_f01(join_alpha(out, al), lay)
+
+
+register_filter(Filter(
+    name="photo_censor", process=_photo_censor_process, in_channels=_ONE_IN,
+    params=(Param("left", "num", 0.25, 0.0, 1.0),
+            Param("top", "num", 0.25, 0.0, 1.0),
+            Param("right", "num", 0.75, 0.0, 1.0),
+            Param("bottom", "num", 0.75, 0.0, 1.0),
+            Param("mode", "string_list", 0,
+                  choices=("pixelate", "black", "invert")),
+            Param("block", "int", 16, 2, 128)),
+    description="censor a region: pixelate / black bar / invert"))

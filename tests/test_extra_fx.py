@@ -162,3 +162,98 @@ def test_toonz_family_registered_and_effective():
         a = np.asarray(out.planes[0])
         assert a.shape == (3, 48, 64)
         assert not np.array_equal(a, np.asarray(lay.planes[0])), n
+
+
+# -- round-4 named-gap filters (VERDICT r3 item 8) ----------------------------
+
+def test_posterise_bit_exact(rng):
+    """posterise keeps the top `levels` bits (scripts/posterise.script
+    levmask semantics), alpha untouched."""
+    lay = mk(rng)
+    src = np.asarray(lay.planes[0])
+    for levels, mask in ((1, 0x80), (2, 0xC0), (4, 0xF0), (8, 0xFF)):
+        out = apply_instance(instantiate("posterise", levels=levels),
+                             [lay])[0]
+        np.testing.assert_array_equal(np.asarray(out.planes[0]), src & mask)
+    rgba = Layer(planes=(jnp.asarray(np.random.default_rng(1).integers(
+        0, 256, (4, 32, 64), np.uint8)),), palette=int(Palette.RGBA32))
+    out = apply_instance(instantiate("posterise", levels=2), [rgba])[0]
+    a = np.asarray(out.planes[0])
+    np.testing.assert_array_equal(a[3], np.asarray(rgba.planes[0])[3])
+
+
+def test_palette_mapper_quantises(rng):
+    lay = mk(rng)
+    out = apply_instance(instantiate("palette_mapper", palette=1), [lay])[0]
+    a = np.asarray(out.planes[0]).reshape(3, -1).T
+    gameboy = {(15, 56, 15), (48, 98, 48), (139, 172, 15), (155, 188, 15)}
+    assert {tuple(int(v) for v in c) for c in a} <= gameboy
+    # strength 0 = identity
+    out0 = apply_instance(instantiate("palette_mapper", strength=0.0),
+                          [lay])[0]
+    np.testing.assert_array_equal(np.asarray(out0.planes[0]),
+                                  np.asarray(lay.planes[0]))
+
+
+def test_photo_censor_modes(rng):
+    lay = mk(rng, 64, 96)
+    src = np.asarray(lay.planes[0])
+    for mode in (0, 1, 2):
+        out = apply_instance(instantiate("photo_censor", mode=mode), [lay])[0]
+        a = np.asarray(out.planes[0])
+        # outside the region untouched, inside changed
+        np.testing.assert_array_equal(a[:, :8, :8], src[:, :8, :8])
+        assert (a[:, 20:40, 30:60] != src[:, 20:40, 30:60]).any()
+    black = np.asarray(apply_instance(
+        instantiate("photo_censor", mode=1), [lay])[0].planes[0])
+    assert (black[:, 20:40, 30:60] == 0).all()
+
+
+def test_vector_visualiser_draws_arrows(rng):
+    """farneback flow -> vector_visualiser via cconx draws red arrows;
+    unconnected it passes through (cairo/vector_visualiser.c)."""
+    from lives_tpu.effects.data import DataConnections, apply_chain_connected
+    lay = mk(rng, 96, 160)
+    fb = instantiate("farneback_analyser", scale=8.0)
+    vv = instantiate("vector_visualiser")
+    dc = DataConnections()
+    dc.add_channel(fb, "flow_x", vv, 0)
+    dc.add_channel(fb, "flow_y", vv, 1)
+    apply_chain_connected([fb, vv], [lay], FrameContext(), dc)
+    out = apply_chain_connected([fb, vv], [lay], FrameContext(), dc)
+    a = np.asarray(out.planes[0])
+    red = (a[0] > 200) & (a[1] < 60) & (a[2] < 60)
+    assert red.sum() > 20  # arrows landed
+    passthru = apply_instance(instantiate("vector_visualiser"), [lay])[0]
+    np.testing.assert_array_equal(np.asarray(passthru.planes[0]),
+                                  np.asarray(lay.planes[0]))
+
+
+def test_puretext_modes_animate(rng):
+    """All 7 puretext op modes (gdk/puretext.c PT_*) draw letters whose
+    coverage evolves with the timecode; tc is traced (no recompile)."""
+    from lives_tpu.effects.builtin.puretext import MODES
+    lay = mk(rng, 144, 256)
+    for mode in range(len(MODES)):
+        inst = instantiate("puretext", text="HELLO WORLD", mode=mode,
+                           size=24)
+        cov = []
+        for tc in (0.2, 0.7, 1.5, 3.0):
+            out = apply_instance(inst, [lay], FrameContext(tc=tc))[0]
+            a = np.asarray(out.planes[0]).astype(int)
+            cov.append(int((a.sum(0) > 600).sum()))
+        assert max(cov) > 50, (MODES[mode], cov)
+        # the animation moves: coverage is not constant across tc
+        if mode != 6:  # bounce coverage is ~constant (letters just move)
+            assert len(set(cov)) > 1, (MODES[mode], cov)
+
+
+def test_puretext_terminal_reveals_in_order(rng):
+    lay = mk(rng, 144, 256)
+    inst = instantiate("puretext", text="ABCDEF", mode=4, size=24,
+                       speed=1.0)
+    early = np.asarray(apply_instance(
+        inst, [lay], FrameContext(tc=0.15))[0].planes[0]).astype(int)
+    late = np.asarray(apply_instance(
+        inst, [lay], FrameContext(tc=10.0))[0].planes[0]).astype(int)
+    assert (late.sum(0) > 600).sum() > (early.sum(0) > 600).sum()
