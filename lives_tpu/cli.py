@@ -40,6 +40,13 @@ def build_player(uri: str | None, fx: list[str], width: int, height: int,
         host, _, port = (out or "127.0.0.1:48888").partition(":")
         sink = StreamSender(host, int(port or 48888))
         spec = SinkSpec(width=width, height=height)
+    elif sink_kind == "l2l":
+        # reference LiVES-to-LiVES wire format: a real LiVES instance
+        # can receive this (Advanced / Receive LiVES stream from...)
+        from .stream import L2LSender
+        host, _, port = (out or "127.0.0.1:8888").partition(":")
+        sink = L2LSender(host, int(port or 8888))
+        spec = SinkSpec(width=width, height=height)
     elif sink_kind == "sdl":
         from .player.sdl import SDLSink
         sink = SDLSink()
@@ -144,7 +151,8 @@ def main(argv=None):
     play.add_argument("--fx", default="", help="comma-separated filters "
                       "bound to keys 0..8")
     play.add_argument("--sink", default="null",
-                      choices=["null", "y4m", "png", "stream", "av", "sdl"])
+                      choices=["null", "y4m", "png", "stream", "l2l", "av",
+                               "sdl"])
     play.add_argument("--out", default=None)
     play.add_argument("--width", type=int, default=0)
     play.add_argument("--height", type=int, default=0)

@@ -542,9 +542,21 @@ class Player:
         self._frame0 = float(self.state.frame)
         clip = self.state.fg_clip
         if clip is not None:
-            self.sink.init_screen(self.sink_spec.width or clip.width,
-                                  self.sink_spec.height or clip.height,
-                                  abs(self.state.pb_fps))
+            w = self.sink_spec.width or clip.width
+            h = self.sink_spec.height or clip.height
+            self.sink.init_screen(w, h, abs(self.state.pb_fps))
+            if getattr(self.sink, "fetches_frames", True):
+                # Prewarm the device->host transfer path: the FIRST
+                # fetch in a process compiles a transfer program through
+                # the attachment (~20 s measured; ~0.1 s per further
+                # shape). Pay it here, not on frame 1 of the serving
+                # loop (same philosophy as safe-point template prewarm).
+                try:
+                    blank = layer_blank(w, h, int(self.sink_spec.palette))
+                    for p in blank.planes:
+                        np.asarray(p)
+                except Exception:
+                    pass
             if self.audio is not None and (
                     hasattr(clip, "read_audio")
                     or getattr(clip, "audio_source", None) is not None):

@@ -21,6 +21,7 @@ class Sink:
     """Base sink. `palette_list` drives sink-side palette negotiation."""
 
     palette_list: tuple[int, ...] = (Palette.RGB24,)
+    fetches_frames = True   # most sinks fetch pixels to host each frame
 
     def init_screen(self, width: int, height: int, fps: float):
         pass
@@ -34,6 +35,8 @@ class Sink:
 
 class NullSink(Sink):
     """Discards frames after forcing materialisation (benchmark sink)."""
+
+    fetches_frames = False  # no device->host fetch: skip transfer prewarm
 
     def __init__(self):
         self.count = 0

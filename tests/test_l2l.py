@@ -1,0 +1,272 @@
+"""Reference L2L wire-protocol interop (stream.py L2LSender/L2LParser/
+L2LReceiver vs `src/stream.c:415` + `lives2lives_stream.c:310`).
+
+The "recorded reference stream" fixtures below are built byte-by-byte from
+the C sender's code path (snprintf format, datagram sequence) — NOT via our
+own encoder — so the decode tests prove interop against the published
+format, and the encode test proves our packets match that same recording.
+"""
+
+import random
+import socket
+import time
+
+import numpy as np
+import pytest
+
+from lives_tpu.constants import Palette, YUVClamping
+from lives_tpu.layer import Layer, layer_from_bytes, layer_to_bytes
+from lives_tpu.stream import (
+    L2L_TICKS_PER_SECOND,
+    L2LParser,
+    L2LReceiver,
+    L2LSender,
+    l2l_frame_datagrams,
+)
+
+
+def _rgb_frame(w=32, h=24, seed=1):
+    rng = np.random.default_rng(seed)
+    return rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+
+
+def _ref_sender_bytes(img, tc_ticks, fps=25.0, palette=int(Palette.RGB24),
+                      clamping=0, yuv=None):
+    """Exactly what lives2lives_stream.c render_frame_stream emits:
+    "PACKET " + snprintf("1 0 0 %d %ld %d %d %.8f %d 1 %d 0 0 ") +
+    "DATA" + payload (RGB24 packed / YUV420P planes in Y,U,V order)."""
+    h, w = (img.shape[:2] if yuv is None else
+            (yuv[0].shape[0], yuv[0].shape[1]))
+    if yuv is None:
+        payload = img.tobytes()
+    else:
+        payload = b"".join(p.tobytes() for p in yuv)
+    dsize = len(payload)
+    hdr = ("1 0 0 %d %d %d %d %.8f %d 1 %d 0 0 "
+           % (dsize, tc_ticks, w, h, fps, palette, clamping))
+    return b"PACKET " + hdr.encode() + b"DATA" + payload
+
+
+def test_decode_recorded_reference_stream_rgb24():
+    img = _rgb_frame()
+    wire = _ref_sender_bytes(img, tc_ticks=4_000_000_000, fps=30.0)
+    p = L2LParser()
+    frames = p.feed(wire)
+    assert len(frames) == 1
+    lay = frames[0]
+    assert lay.palette == int(Palette.RGB24)
+    assert (lay.width, lay.height) == (32, 24)
+    got = np.asarray(layer_from_bytes(img.tobytes(), 32, 24,
+                                      Palette.RGB24).planes[0])
+    np.testing.assert_array_equal(np.asarray(lay.planes[0]), got)
+    assert p.fps == 30.0
+    assert p.last_tc_ticks == 4_000_000_000
+
+
+def test_decode_recorded_reference_stream_yuv420p():
+    rng = np.random.default_rng(7)
+    y = rng.integers(16, 236, (24, 32), dtype=np.uint8)
+    u = rng.integers(16, 241, (12, 16), dtype=np.uint8)
+    v = rng.integers(16, 241, (12, 16), dtype=np.uint8)
+    wire = _ref_sender_bytes(None, tc_ticks=123, fps=25.0,
+                             palette=int(Palette.YUV420P), clamping=0,
+                             yuv=(y, u, v))
+    frames = L2LParser().feed(wire)
+    assert len(frames) == 1
+    lay = frames[0]
+    assert lay.palette == int(Palette.YUV420P)
+    assert lay.clamping == YUVClamping.CLAMPED
+    np.testing.assert_array_equal(np.asarray(lay.planes[0]), y)
+    np.testing.assert_array_equal(np.asarray(lay.planes[1]), u)
+    np.testing.assert_array_equal(np.asarray(lay.planes[2]), v)
+
+
+def test_encoder_matches_reference_recording():
+    """Our datagrams, concatenated, are byte-identical to the C sender's
+    output for the same frame (packet-level round-trip parity)."""
+    img = _rgb_frame(seed=3)
+    lay = layer_from_bytes(img.tobytes(), 32, 24, Palette.RGB24,
+                           clamping=YUVClamping.CLAMPED)
+    tc = 0.5
+    ours = b"".join(l2l_frame_datagrams(lay, tc, fps=25.0))
+    ref = _ref_sender_bytes(img, tc_ticks=int(tc * L2L_TICKS_PER_SECOND),
+                            fps=25.0, clamping=int(lay.clamping))
+    assert ours == ref
+
+
+def test_chunked_feed_any_boundaries():
+    """The receiver treats datagrams as a byte stream (stream.c pckbuf);
+    chunk boundaries must not matter."""
+    imgs = [_rgb_frame(seed=s) for s in range(4)]
+    wire = b"".join(_ref_sender_bytes(im, tc_ticks=i * 4_000_000)
+                    for i, im in enumerate(imgs))
+    rng = random.Random(0)
+    p = L2LParser()
+    frames = []
+    i = 0
+    while i < len(wire):
+        n = rng.randrange(1, 700)
+        frames += p.feed(wire[i: i + n])
+        i += n
+    assert len(frames) == 4
+    for im, lay in zip(imgs, frames):
+        np.testing.assert_array_equal(
+            np.asarray(lay.planes[0]),
+            np.asarray(layer_from_bytes(im.tobytes(), 32, 24,
+                                        Palette.RGB24).planes[0]))
+
+
+def test_resync_after_garbage_and_truncated_packet():
+    """Joining mid-stream: garbage + a tail of a lost frame, then clean
+    packets — the parser must resync on "PACKET " (stream.c:188)."""
+    img = _rgb_frame(seed=9)
+    good = _ref_sender_bytes(img, tc_ticks=1)
+    junk = b"\x00\xffnoise DATA PACK" + good[-301:]  # torn tail, no sync
+    p = L2LParser()
+    frames = p.feed(junk + good + good)
+    assert len(frames) == 2
+
+
+def test_payload_containing_sync_token_not_misparsed():
+    """Payload bytes that spell "PACKET " / "DATA" must be consumed as
+    pixels, not re-synced on (the reference consumes dsize blindly)."""
+    img = _rgb_frame(seed=5)
+    flat = img.reshape(-1).copy()
+    token = np.frombuffer(b"PACKET 1 0 0 9 DATA", np.uint8)
+    flat[100:100 + token.size] = token
+    img = flat.reshape(img.shape)
+    wire = _ref_sender_bytes(img, tc_ticks=2) * 2
+    frames = L2LParser().feed(wire)
+    assert len(frames) == 2
+    np.testing.assert_array_equal(
+        np.asarray(frames[0].planes[0]),
+        np.asarray(layer_from_bytes(img.tobytes(), 32, 24,
+                                    Palette.RGB24).planes[0]))
+
+
+def test_continuation_packets_reassemble():
+    """flags bit 0 = IS_CONTINUATION: later packets carry only 4 header
+    fields and append to the current frame (stream.c:370,703)."""
+    img = _rgb_frame(seed=11)
+    payload = img.tobytes()
+    third = len(payload) // 3
+    parts = [payload[:third], payload[third:2 * third], payload[2 * third:]]
+    wire = _ref_sender_bytes(img, tc_ticks=77)[:0]  # b""
+    # first packet: full header, dsize = first chunk only
+    hdr = ("1 0 0 %d %d %d %d %.8f %d 1 %d 0 0 "
+           % (len(parts[0]), 77, 32, 24, 25.0, int(Palette.RGB24), 0))
+    wire += b"PACKET " + hdr.encode() + b"DATA" + parts[0]
+    for part in parts[1:]:
+        cont = "1 0 1 %d " % len(part)
+        wire += b"PACKET " + cont.encode() + b"DATA" + part
+    frames = L2LParser().feed(wire)
+    assert len(frames) == 1
+    np.testing.assert_array_equal(
+        np.asarray(frames[0].planes[0]),
+        np.asarray(layer_from_bytes(payload, 32, 24,
+                                    Palette.RGB24).planes[0]))
+
+
+def test_missing_continuation_delivers_partial_on_next_frame():
+    """If continuations are lost, the next fresh header delivers what
+    arrived (zero-padded) — "just return what we have" (stream.c:708)."""
+    img = _rgb_frame(seed=13)
+    payload = img.tobytes()
+    half = len(payload) // 2
+    hdr = ("1 0 0 %d %d %d %d %.8f %d 1 %d 0 0 "
+           % (half, 5, 32, 24, 25.0, int(Palette.RGB24), 0))
+    wire = b"PACKET " + hdr.encode() + b"DATA" + payload[:half]
+    img2 = _rgb_frame(seed=14)
+    wire += _ref_sender_bytes(img2, tc_ticks=6)
+    frames = L2LParser().feed(wire)
+    assert len(frames) == 2
+    first = np.asarray(frames[0].planes[0])
+    ref_half = np.frombuffer(payload[:half] + b"\0" * (len(payload) - half),
+                             np.uint8)
+    exp = np.asarray(layer_from_bytes(ref_half.tobytes(), 32, 24,
+                                      Palette.RGB24).planes[0])
+    np.testing.assert_array_equal(first, exp)
+
+
+def test_foreign_stream_id_and_type_dropped():
+    img = _rgb_frame(seed=21)
+    payload = img.tobytes()
+    # audio-type packet (ptype 2) and video on stream id 3: both dropped
+    for ptype, pid in ((2, 0), (1, 3)):
+        hdr = ("%d %d 0 %d %d %d %d %.8f %d 1 0 0 0 "
+               % (ptype, pid, len(payload), 1, 32, 24, 25.0,
+                  int(Palette.RGB24)))
+        wire = (b"PACKET " + hdr.encode() + b"DATA" + payload
+                + _ref_sender_bytes(img, tc_ticks=1))
+        frames = L2LParser().feed(wire)
+        assert len(frames) == 1  # only the stream-0 video frame
+
+
+def test_strend_ends_stream():
+    img = _rgb_frame(seed=31)
+    wire = _ref_sender_bytes(img, tc_ticks=1) + b"STREND"
+    p = L2LParser()
+    frames = p.feed(wire)
+    assert len(frames) == 1
+    assert p.ended
+
+
+def test_udp_end_to_end_sender_to_receiver():
+    """Full loopback loop: L2LSender sink → L2LReceiver clip source."""
+    rx = L2LReceiver(port=0)
+    try:
+        tx = L2LSender("127.0.0.1", rx.port)
+        tx.init_screen(32, 24, 30.0)
+        imgs = [_rgb_frame(seed=40 + i) for i in range(5)]
+        for i, im in enumerate(imgs):
+            lay = layer_from_bytes(im.tobytes(), 32, 24, Palette.RGB24)
+            assert tx.play_frame(lay, i / 30.0)
+            time.sleep(0.01)
+        deadline = time.monotonic() + 5.0
+        want = np.asarray(layer_from_bytes(imgs[-1].tobytes(), 32, 24,
+                                           Palette.RGB24).planes[0])
+        while time.monotonic() < deadline:
+            got = np.asarray(rx.get_frame(0).planes[0])
+            if got.shape == want.shape and np.array_equal(got, want):
+                break
+            time.sleep(0.05)
+        else:
+            pytest.fail("receiver never converged on the last sent frame")
+        assert rx.fps == 30.0
+        tx.exit_screen()  # sends STREND
+        deadline = time.monotonic() + 3.0
+        while time.monotonic() < deadline and not rx.ended:
+            time.sleep(0.05)
+        assert rx.ended
+    finally:
+        rx.close()
+
+
+def test_yuv420p_udp_round_trip():
+    rx = L2LReceiver(port=0)
+    try:
+        tx = L2LSender("127.0.0.1", rx.port)
+        tx.init_screen(64, 48, 25.0)
+        rng = np.random.default_rng(3)
+        y = rng.integers(0, 256, (48, 64), dtype=np.uint8)
+        u = rng.integers(0, 256, (24, 32), dtype=np.uint8)
+        v = rng.integers(0, 256, (24, 32), dtype=np.uint8)
+        lay = layer_from_bytes(y.tobytes() + u.tobytes() + v.tobytes(),
+                               64, 48, Palette.YUV420P)
+        for _ in range(3):
+            assert tx.play_frame(lay, 0.0)
+            time.sleep(0.01)
+        deadline = time.monotonic() + 5.0
+        while time.monotonic() < deadline:
+            got = rx.get_frame(0)
+            if got.palette == int(Palette.YUV420P):
+                np.testing.assert_array_equal(np.asarray(got.planes[0]), y)
+                np.testing.assert_array_equal(np.asarray(got.planes[1]), u)
+                np.testing.assert_array_equal(np.asarray(got.planes[2]), v)
+                break
+            time.sleep(0.05)
+        else:
+            pytest.fail("no YUV frame arrived")
+        tx.exit_screen()
+    finally:
+        rx.close()
