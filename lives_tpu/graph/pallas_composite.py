@@ -187,8 +187,11 @@ def build_composite(prefix: Sequence[tuple], n_tracks: int,
 def _pick_sweep_tile(H: int, allow_full: bool = False) -> int | None:
     """Output tile height: full-width row bands. Bigger bands amortise the
     blur halo's wasted rows (vregs pad rows to 8 anyway); very tall bands
-    inflate Mosaic compile time and VMEM. ~40 rows is the sweet spot
-    measured on v5e (98x realtime at 1080p vs 58x at 8 rows).
+    inflate Mosaic compile time and VMEM. Measured on v5e with the raised
+    scoped-VMEM limit (round 4, 10-track bench chain): 1080p optimum is
+    120 rows (99.5x rt30 vs 86-88x at the old 40-row pick); 4K optimum is
+    72 (26.9x vs 24.3x at 40) — taller 4K bands regress again (120 ->
+    24.6x), so the preference order flips on frame height.
     LIVES_TPU_SWEEP_TILE overrides for tuning."""
     from ..prefs import pref
     forced = int(pref("sweep_tile") or 0)
@@ -197,7 +200,9 @@ def _pick_sweep_tile(H: int, allow_full: bool = False) -> int | None:
         return forced
     # every candidate honours the Mosaic block-row rule (multiple of 8):
     # heights with no x8 divisor (e.g. 540) return None -> XLA fallback
-    for th in (40, 48, 64, 32, 24, 16, 8):
+    cands = (72, 120, 48, 40, 64, 32, 24, 16, 8) if H >= 1600 \
+        else (120, 72, 48, 40, 64, 32, 24, 16, 8)
+    for th in cands:
         if H % th == 0:
             return th
     if allow_full and H <= 160:
@@ -206,6 +211,18 @@ def _pick_sweep_tile(H: int, allow_full: bool = False) -> int | None:
         # bands like 1080/8 = 135 whose height has no x8 divisor
         return H
     return None
+
+
+def _sweep_vmem_bytes() -> int:
+    """Mosaic scoped-VMEM ceiling for sweep kernels. The 16 MB default
+    capped 4K tiles at 40 rows (a 48-row band needs 17.7 MB of scratch +
+    track tiles); physical VMEM is 128 MB on v5e, so raising the scoped
+    limit lets 4K run the tall bands that amortise the stencil halo.
+    LIVES_TPU_SWEEP_VMEM_MB overrides (0 = Mosaic default)."""
+    from ..prefs import pref
+    mb = pref("sweep_vmem_mb")
+    mb = int(mb) if mb else 96
+    return mb << 20 if mb else None
 
 
 def sweep_supported(H: int, W: int) -> bool:
@@ -475,7 +492,8 @@ def build_fused_sweep(chain_spec, n_tracks: int, B: int, H: int, W: int,
             scratch_shapes=scratch_shapes,
             interpret=interpret,
             **({} if interpret else {"compiler_params": pltpu.CompilerParams(
-                dimension_semantics=("parallel", "arbitrary"))}),
+                dimension_semantics=("parallel", "arbitrary"),
+                vmem_limit_bytes=_sweep_vmem_bytes())}),
         )(*operands)
 
     return run

@@ -41,6 +41,31 @@ def widget_for(param) -> dict[str, Any]:
     return w
 
 
+#: Framedraw special-widget hints (reference `src/paramspecial.c:93-112`:
+#: RFX `special|framedraw|<type>|<params>` lines become interactive
+#: widgets drawn over the preview). Types mirror the reference's:
+#: singlepoint (one x/y pair, absolute), scaledpoint (x/y in 0..1),
+#: multirect (x0/y0/x1/y1 rectangle). Filters not listed here fall back
+#: to auto-detection (both "x" and "y" num params -> scaledpoint).
+FRAMEDRAW_SPECIALS: dict[str, dict] = {
+    "compositor": {"type": "multirect", "params": ["x0", "y0", "x1", "y1"]},
+    "picture_in_picture": {"type": "scaledpoint", "params": ["x", "y"]},
+    "targeted_zoom": {"type": "scaledpoint", "params": ["x", "y"]},
+    "template_tracker": {"type": "scaledpoint", "params": ["x", "y"]},
+}
+
+
+def framedraw_special(f: "Filter") -> dict | None:
+    """The framedraw hint for a filter, explicit or auto-detected."""
+    hint = FRAMEDRAW_SPECIALS.get(f.name)
+    if hint is not None:
+        return dict(hint)
+    names = {p.name for p in f.params if p.kind in ("num", "int")}
+    if {"x", "y"} <= names:
+        return {"type": "scaledpoint", "params": ["x", "y"]}
+    return None
+
+
 def param_window_spec(filter_or_name) -> dict[str, Any]:
     """Full parameter-window spec for a filter (make_param_box successor).
     Colour triplets named red/green/blue collapse into one colour widget
@@ -69,6 +94,7 @@ def param_window_spec(filter_or_name) -> dict[str, Any]:
             "description": f.description, "widgets": widgets,
             "is_transition": f.is_transition,
             "n_inputs": f.n_in,
+            "special": framedraw_special(f),
             "out_params": [q.name for q in f.out_params]}
 
 

@@ -174,6 +174,7 @@ ENV_KNOBS = {
     "chain_dtype": ("LIVES_TPU_CHAIN_DTYPE", "bf16"),
     "float_chain": ("LIVES_TPU_FLOAT_CHAIN", "1"),
     "sweep_tile": ("LIVES_TPU_SWEEP_TILE", ""),
+    "sweep_vmem_mb": ("LIVES_TPU_SWEEP_VMEM_MB", ""),
     "pallas_composite": ("LIVES_TPU_PALLAS_COMPOSITE", "0"),
     "in_scan_gen": ("LIVES_TPU_IN_SCAN_GEN", "1"),
     "pallas_interpret": ("LIVES_TPU_PALLAS_INTERPRET", "0"),
