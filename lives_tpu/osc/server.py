@@ -216,8 +216,27 @@ class OSCServer:
         m("/effect_key/toggle", lambda k: p().key_toggle(int(k) - 1))
         m("/effect_key/mode/next",
           lambda k: p().keymap.next_mode(int(k) - 1))
-        m("/effect_key/map",
-          lambda k, name: p().keymap.set_key(int(k) - 1, 0, str(name)))
+        def _fx_map(k, name, mode=None):
+            """Reference semantics (osc.c lives_osc_cb_fx_map →
+            weed_add_effectkey): no mode → bind to the key's first FREE
+            mode; explicit mode (1-based, rte_window drag-assign) →
+            overwrite that slot."""
+            km = p().keymap
+            key = int(k) - 1
+            if mode is None:
+                slot = km.slots[key]
+                mode = next((i for i, s in enumerate(slot) if not s),
+                            len(slot))
+            else:
+                mode = int(mode) - 1
+            km.set_key(key, mode, str(name))
+            return mode + 1
+
+        m("/effect_key/map", _fx_map)
+        m("/effect_key/mode/map",
+          lambda k, mode, name: _fx_map(k, name, mode))
+        m("/keymap/save", lambda path: p().keymap.save(str(path)))
+        m("/keymap/load", lambda path: p().keymap.load(str(path)))
         m("/effect_key/nparameter/set",
           lambda k, pname, v: p().set_key_param(int(k) - 1, str(pname),
                                                 float(v)))

@@ -43,15 +43,20 @@ def widget_for(param) -> dict[str, Any]:
 
 #: Framedraw special-widget hints (reference `src/paramspecial.c:93-112`:
 #: RFX `special|framedraw|<type>|<params>` lines become interactive
-#: widgets drawn over the preview). Types mirror the reference's:
-#: singlepoint (one x/y pair, absolute), scaledpoint (x/y in 0..1),
-#: multirect (x0/y0/x1/y1 rectangle). Filters not listed here fall back
-#: to auto-detection (both "x" and "y" num params -> scaledpoint).
+#: widgets drawn over the preview, `src/framedraw.c`). Types:
+#: scaledpoint — one x/y pair in 0..1 (the reference's singlepoint /
+#: scaledpoint collapse: all our coordinate params are normalised);
+#: multipoint — several x/y pairs (one per input of a compositor-style
+#: filter), the UI picks the nearest point to drag. Filters not listed
+#: fall back to auto-detection (both "x" and "y" num params ->
+#: scaledpoint).
 FRAMEDRAW_SPECIALS: dict[str, dict] = {
-    "compositor": {"type": "multirect", "params": ["x0", "y0", "x1", "y1"]},
-    "picture_in_picture": {"type": "scaledpoint", "params": ["x", "y"]},
-    "targeted_zoom": {"type": "scaledpoint", "params": ["x", "y"]},
-    "template_tracker": {"type": "scaledpoint", "params": ["x", "y"]},
+    "compositor": {"type": "multipoint",
+                   "points": [["x0", "y0"], ["x1", "y1"],
+                              ["x2", "y2"], ["x3", "y3"]]},
+    "picture_in_picture": {"type": "scaledpoint", "points": [["x", "y"]]},
+    "targeted_zoom": {"type": "scaledpoint", "points": [["x", "y"]]},
+    "template_tracker": {"type": "scaledpoint", "points": [["x", "y"]]},
 }
 
 
@@ -62,7 +67,7 @@ def framedraw_special(f: "Filter") -> dict | None:
         return dict(hint)
     names = {p.name for p in f.params if p.kind in ("num", "int")}
     if {"x", "y"} <= names:
-        return {"type": "scaledpoint", "params": ["x", "y"]}
+        return {"type": "scaledpoint", "points": [["x", "y"]]}
     return None
 
 

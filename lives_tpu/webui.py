@@ -11,7 +11,7 @@ minimum viable depth over HTTP with zero extra dependencies:
   from `paramui.param_window_spec` (the paramwindow.c successor),
 - timeline/stats readout, blend factor,
 - every command routes through the OSC method table (osc/server.py,
-  215 methods) — the web UI is just another OSC client that happens to
+  271 methods) — the web UI is just another OSC client that happens to
   speak HTTP.
 
 Usage:
@@ -138,8 +138,20 @@ select{background:#26262c;color:#eee;border:1px solid #555;padding:3px}
  <h3>Timeline</h3><div id="timeline"></div>
  <h3>Stats</h3><div id="stats"></div>
 </div>
-<div id="main"><img id="preview" src="/preview.mjpg"
- title="click: set the active key's x/y params (framedraw)"></div>
+<div id="main">
+ <div id="pwrap" style="position:relative;display:inline-block;max-width:100%">
+  <img id="preview" src="/preview.mjpg"
+   title="drag: set the active key's position params (framedraw)">
+  <div id="fdov" style="position:absolute;inset:0;cursor:crosshair"></div>
+ </div>
+ <div id="stripwrap" style="margin-top:6px">
+  <img id="strip" style="width:100%;display:none;cursor:ew-resize"
+   title="clip-editor thumbnail strip — drag to scrub (ce_thumbs)">
+ </div>
+ <h3>Key map <button onclick="saveKeymap()">save</button>
+  <button onclick="loadKeymap()">load</button></h3>
+ <div id="rte" style="font-size:12px"></div>
+</div>
 <script>
 let curKey=1;
 async function loadRfx(){
@@ -160,22 +172,162 @@ async function applyRfx(){
 }
 loadRfx();
 setTimeout(drawAudioFx, 300);
-// framedraw (src/framedraw.c): click the preview to set the current
-// key's x/y (position) params from the click point
+// framedraw (src/framedraw.c + paramspecial.c specials): the active
+// key's position params render as draggable markers over the preview;
+// multipoint picks the nearest point (compositor input placement)
+let fdSpec=null;  // {type, points:[[xname,yname],...]} of the shown key
+function fdDraw(){
+ const ov=document.getElementById('fdov'); ov.innerHTML='';
+ if(!fdSpec||!fdSpec.widgets)return;
+ fdSpec.points.forEach((pt,pi)=>{
+  const wx=fdSpec.widgets.find(q=>q.name===pt[0]);
+  const wy=fdSpec.widgets.find(q=>q.name===pt[1]);
+  if(!wx||!wy)return;
+  const m=document.createElement('div');
+  m.style.cssText='position:absolute;width:11px;height:11px;margin:-6px;'+
+   'border:2px solid #ff0;border-radius:50%;pointer-events:none;'+
+   'left:'+(wx.value*100)+'%;top:'+(wy.value*100)+'%';
+  m.title=pt[0]+','+pt[1];
+  ov.appendChild(m);
+  const t=document.createElement('div');
+  t.textContent=pi;
+  t.style.cssText='position:absolute;font-size:9px;color:#ff0;'+
+   'pointer-events:none;left:calc('+(wx.value*100)+'% + 6px);'+
+   'top:calc('+(wy.value*100)+'% - 14px)';
+  ov.appendChild(t);
+ });
+}
 document.addEventListener('DOMContentLoaded',()=>{
- document.getElementById('preview').onclick=async(e)=>{
-  const r=e.target.getBoundingClientRect();
-  const nx=(e.clientX-r.left)/r.width, ny=(e.clientY-r.top)/r.height;
-  const spec=await (await fetch('/api/params/'+curKey)).json();
-  if(!spec.widgets)return;
-  for(const [nm,v] of [['x',nx],['y',ny]]){
-   const p=spec.widgets.find(q=>q.name===nm);
-   if(p&&p.index>=0)
-    await cmd('/effect_key/parameter/value/set',[curKey,p.index,v]);
-  }
-  loadParams(curKey);
+ const ov=document.getElementById('fdov');
+ ov.onmousedown=(e)=>{
+  if(!fdSpec||!fdSpec.points.length)return;
+  e.preventDefault();
+  const r=ov.getBoundingClientRect();
+  const pos=(ev)=>[(ev.clientX-r.left)/r.width,(ev.clientY-r.top)/r.height];
+  let [nx,ny]=pos(e);
+  // nearest point wins the drag (multipoint)
+  let best=0,bd=9;
+  fdSpec.points.forEach((pt,pi)=>{
+   const wx=fdSpec.widgets.find(q=>q.name===pt[0]);
+   const wy=fdSpec.widgets.find(q=>q.name===pt[1]);
+   if(!wx||!wy)return;
+   const d=Math.hypot(wx.value-nx,wy.value-ny);
+   if(d<bd){bd=d;best=pi;}
+  });
+  const pt=fdSpec.points[best];
+  const wx=fdSpec.widgets.find(q=>q.name===pt[0]);
+  const wy=fdSpec.widgets.find(q=>q.name===pt[1]);
+  if(!wx||!wy)return;
+  let last=0;
+  const put=async(x,y,force)=>{
+   const now=Date.now();
+   if(!force&&now-last<60)return;
+   last=now;
+   wx.value=Math.min(1,Math.max(0,x)); wy.value=Math.min(1,Math.max(0,y));
+   fdDraw();
+   await cmd('/effect_key/parameter/value/set',[curKey,wx.index,wx.value]);
+   await cmd('/effect_key/parameter/value/set',[curKey,wy.index,wy.value]);
+  };
+  put(nx,ny,true);
+  const move=(ev)=>{const [x,y]=pos(ev);put(x,y,false);};
+  const up=async(ev)=>{
+   document.removeEventListener('mousemove',move);
+   document.removeEventListener('mouseup',up);
+   const [x,y]=pos(ev); await put(x,y,true); loadParams(curKey);
+  };
+  document.addEventListener('mousemove',move);
+  document.addEventListener('mouseup',up);
+ };
+ // thumbnail strip scrub (ce_thumbs.c): drag maps x-fraction -> frame
+ const st=document.getElementById('strip');
+ st.onmousedown=(e)=>{
+  e.preventDefault();
+  const r=st.getBoundingClientRect();
+  let last=0;
+  const go=async(ev,force)=>{
+   const now=Date.now();
+   if(!force&&now-last<80)return;
+   last=now;
+   const frac=Math.min(1,Math.max(0,(ev.clientX-r.left)/r.width));
+   const frames=window._frames||1;
+   await cmd('/clip/goto',[Math.round(frac*(frames-1))+1]);
+  };
+  go(e,true);
+  const move=(ev)=>go(ev,false);
+  const up=(ev)=>{document.removeEventListener('mousemove',move);
+   document.removeEventListener('mouseup',up);go(ev,true);};
+  document.addEventListener('mousemove',move);
+  document.addEventListener('mouseup',up);
  };
 });
+async function drawStrip(){
+ const img=document.getElementById('strip');
+ const st=await (await fetch('/api/state')).json();
+ const fg=st.clips.find(c=>c.fg);
+ window._frames=st.frames;
+ if(!fg||st.frames<2){img.style.display='none';return;}
+ const key=fg.id+'_'+st.frames;
+ if(img.dataset.key!==key){
+  img.dataset.key=key;
+  img.src='/api/strip/'+fg.id+'?v='+st.frames;
+ }
+ img.style.display='block';
+}
+// rte_window.c key-map editor: per-key mode chips, map/unmap, toggle
+async function drawKeymap(){
+ const el=document.getElementById('rte'); if(!el)return;
+ const kmr=await (await fetch('/api/keymap')).json();
+ el.innerHTML='';
+ kmr.keys.forEach(k=>{
+  const row=document.createElement('div');
+  row.style.cssText='display:flex;align-items:center;gap:3px;margin:1px 0';
+  const lab=document.createElement('span');
+  lab.textContent='k'+k.key;
+  lab.style.cssText='width:26px;color:'+(k.active?'#8f8':'#888');
+  row.appendChild(lab);
+  k.modes.forEach((nm,mi)=>{
+   if(!nm)return;
+   const c=document.createElement('button');
+   c.textContent=(mi+1)+':'+nm;
+   c.style.fontSize='11px';
+   if(mi===k.mode)c.className='on';
+   c.title='click: select mode';
+   c.onclick=async()=>{await cmd('/effect_key/mode/set',[k.key,mi+1]);
+    drawKeymap();};
+   row.appendChild(c);
+  });
+  const sel=document.createElement('select');
+  sel.style.fontSize='11px';
+  (window._fxnames||[]).forEach(n=>{const o=document.createElement('option');
+   o.value=n;o.textContent=n;sel.appendChild(o);});
+  row.appendChild(sel);
+  const mb=document.createElement('button'); mb.textContent='map';
+  mb.title='bind the filter to this key\\'s next free mode';
+  mb.onclick=async()=>{await cmd('/effect_key/map',[k.key,sel.value]);
+   drawKeymap();};
+  row.appendChild(mb);
+  const tb=document.createElement('button');
+  tb.textContent=k.active?'on':'off';
+  if(k.active)tb.className='on';
+  tb.onclick=async()=>{await cmd('/effect_key/toggle',[k.key]);
+   drawKeymap();};
+  row.appendChild(tb);
+  const xb=document.createElement('button'); xb.textContent='\\u2715';
+  xb.title='unmap all modes of this key';
+  xb.onclick=async()=>{await cmd('/effect_key/unmap',[k.key]);
+   drawKeymap();};
+  row.appendChild(xb);
+  el.appendChild(row);
+ });
+}
+async function saveKeymap(){
+ const p=prompt('save keymap to path:','/tmp/default.keymap');
+ if(p)await cmd('/keymap/save',[p]);
+}
+async function loadKeymap(){
+ const p=prompt('load keymap from path:','/tmp/default.keymap');
+ if(p){await cmd('/keymap/load',[p]);drawKeymap();}
+}
 async function cmd(path,args){
  await fetch('/api/cmd',{method:'POST',
   body:JSON.stringify({path:path,args:args||[]})});
@@ -447,6 +599,11 @@ async function drawAudioFx(){
 async function loadParams(k){
  const spec=await (await fetch('/api/params/'+k)).json();
  const pd=document.getElementById('params'); pd.innerHTML='';
+ if(spec.special&&spec.widgets){
+  fdSpec={type:spec.special.type,points:spec.special.points||[],
+          widgets:spec.widgets};
+ }else fdSpec=null;
+ fdDraw();
  if(!spec.widgets)return;
  spec.widgets.forEach((p)=>{
   const i=p.index; if(i===undefined||i<0)return;
@@ -477,6 +634,8 @@ async function loadParams(k){
 }
 refresh(); drawTimeline(); setInterval(refresh, 1000);
 setInterval(drawTimeline, 3000);
+setTimeout(drawKeymap, 400); setInterval(drawKeymap, 4000);
+setTimeout(drawStrip, 500); setInterval(drawStrip, 2500);
 </script></body></html>"""
 
 
@@ -521,6 +680,26 @@ class WebUI:
                 elif self.path.startswith("/api/params/"):
                     self._json(ui.param_spec(int(self.path.rsplit("/", 1)
                                                  [-1])))
+                elif self.path == "/api/keymap":
+                    self._json(ui.keymap_state())
+                elif self.path.startswith("/api/strip/"):
+                    try:
+                        cid = int(self.path[len("/api/strip/"):]
+                                  .split("?")[0])
+                    except ValueError:
+                        self.send_response(404)
+                        self.end_headers()
+                        return
+                    jpeg = ui.strip(cid)
+                    if jpeg is None:
+                        self.send_response(404)
+                        self.end_headers()
+                        return
+                    self.send_response(200)
+                    self.send_header("Content-Type", "image/jpeg")
+                    self.send_header("Content-Length", str(len(jpeg)))
+                    self.end_headers()
+                    self.wfile.write(jpeg)
                 elif self.path.startswith("/api/thumb/"):
                     try:
                         cid = int(self.path.rsplit("/", 1)[-1])
@@ -694,6 +873,65 @@ class WebUI:
             except Exception:
                 return None  # transient (decoder warming): don't cache
         return cache.get(key)
+
+    def strip(self, cid: int, n: int = 12, tw: int = 96):
+        """Filmstrip JPEG: `n` thumbnails evenly sampled across the clip,
+        side by side in one image — the clip-editor timeline strip
+        (ce_thumbs.c:262 start_thumb_panel role); drag on it scrubs.
+        Cached per (clip identity, frame count)."""
+        clip = self.osc.clips.get(cid)
+        frames = getattr(clip, "frames", 0)
+        if clip is None or frames < 2:
+            return None
+        cache = getattr(self, "_strips", None)
+        if cache is None:
+            cache = self._strips = {}
+        if len(cache) > 8:
+            cache.clear()
+        key = (cid, getattr(clip, "unique_id", None) or id(clip), frames)
+        if key not in cache:
+            try:
+                import io as _io
+
+                import numpy as _np
+                from PIL import Image
+
+                from .constants import Palette as _P
+                from .ops.colorspace import convert_layer as _cv
+                n_th = min(n, frames)
+                idxs = [round(i * (frames - 1) / (n_th - 1))
+                        for i in range(n_th)]
+                thumbs = []
+                th = None
+                for f in idxs:
+                    lay = _cv(clip.get_frame(f), _P.RGB24)
+                    arr = _np.moveaxis(_np.asarray(lay.planes[0]), 0, -1)
+                    im = Image.fromarray(arr)
+                    th = max(1, tw * im.height // im.width)
+                    thumbs.append(im.resize((tw, th)))
+                out = Image.new("RGB", (tw * n_th, th))
+                for i, im in enumerate(thumbs):
+                    out.paste(im, (i * tw, 0))
+                buf = _io.BytesIO()
+                out.save(buf, "JPEG", quality=70)
+                cache[key] = buf.getvalue()
+            except Exception:
+                return None  # transient (decoder warming): don't cache
+        return cache.get(key)
+
+    def keymap_state(self, n_keys: int = 12) -> dict[str, Any]:
+        """rte_window readout: per-key mode slots, active mode, enabled
+        state — for the key-map editor panel (rte_window.c:1689 role).
+        Shows the first `n_keys` keys plus any mapped key beyond."""
+        km = self.player.keymap
+        rows = []
+        for k in range(len(km.slots)):
+            if k >= n_keys and not any(km.slots[k]):
+                continue
+            rows.append({"key": k + 1, "modes": list(km.slots[k]),
+                         "mode": km.mode[k],
+                         "active": bool(km.active[k])})
+        return {"keys": rows}
 
     def call(self, path: str, args: list):
         """Route through the OSC method table (the 215-method namespace)."""

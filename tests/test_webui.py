@@ -242,3 +242,81 @@ def test_mt_preview_endpoint(ui):
     import urllib.error
     with pytest.raises(urllib.error.HTTPError):
         _get(ui, "/api/mt_preview/nope")
+
+
+def test_filmstrip_endpoint(ui):
+    """ce_thumbs.c start_thumb_panel role: /api/strip/<id> serves one
+    JPEG filmstrip of evenly-sampled thumbnails; drag on it scrubs."""
+    data = _get(ui, "/api/strip/1")
+    assert data[:2] == b"\xff\xd8"
+    # wider than tall: n thumbnails side by side
+    from PIL import Image
+    import io as _io
+    im = Image.open(_io.BytesIO(data))
+    assert im.width == 96 * 12 and im.height < im.width
+    assert _get(ui, "/api/strip/1") == data  # cached
+    import urllib.error
+    with pytest.raises(urllib.error.HTTPError):
+        _get(ui, "/api/strip/99")
+    page = _get(ui, "/").decode()
+    assert "/api/strip/" in page and "ce_thumbs" in page
+
+
+def test_keymap_editor_surface(ui, tmp_path):
+    """rte_window.c role: /api/keymap readout + mode-targeted mapping +
+    keymap save/load through the OSC table."""
+    # map appends to the first free mode (reference weed_add_effectkey)
+    r = _post(ui, "/api/cmd", {"path": "/effect_key/map",
+                               "args": [3, "negate"]})
+    assert r["ok"] and r["ret"] == 1
+    r = _post(ui, "/api/cmd", {"path": "/effect_key/map",
+                               "args": [3, "vignette"]})
+    assert r["ret"] == 2
+    # explicit-mode overwrite (rte_window drag-assign)
+    r = _post(ui, "/api/cmd", {"path": "/effect_key/mode/map",
+                               "args": [3, 2, "sepia"]})
+    assert r["ok"]
+    km = json.loads(_get(ui, "/api/keymap"))
+    row = next(k for k in km["keys"] if k["key"] == 3)
+    assert row["modes"] == ["negate", "sepia"]
+    assert row["mode"] == 0 and not row["active"]
+    # switch mode + toggle reflect in the readout
+    _post(ui, "/api/cmd", {"path": "/effect_key/mode/set", "args": [3, 2]})
+    _post(ui, "/api/cmd", {"path": "/effect_key/enable", "args": [3]})
+    row = next(k for k in json.loads(_get(ui, "/api/keymap"))["keys"]
+               if k["key"] == 3)
+    assert row["mode"] == 1 and row["active"]
+    # save -> clear -> load round-trips the map
+    p = str(tmp_path / "web.keymap")
+    _post(ui, "/api/cmd", {"path": "/keymap/save", "args": [p]})
+    _post(ui, "/api/cmd", {"path": "/effect_key/map/clear", "args": []})
+    assert not any(k["modes"] for k
+                   in json.loads(_get(ui, "/api/keymap"))["keys"])
+    _post(ui, "/api/cmd", {"path": "/keymap/load", "args": [p]})
+    row = next(k for k in json.loads(_get(ui, "/api/keymap"))["keys"]
+               if k["key"] == 3)
+    assert row["modes"] == ["negate", "sepia"]
+    page = _get(ui, "/").decode()
+    for needle in ("drawKeymap", "/effect_key/mode/set", "/keymap/save"):
+        assert needle in page
+
+
+def test_framedraw_special_in_param_spec(ui):
+    """paramspecial.c framedraw role: position params surface as a
+    `special` hint the preview overlay drags."""
+    _post(ui, "/api/cmd", {"path": "/effect_key/map",
+                           "args": [1, "picture_in_picture"]})
+    spec = json.loads(_get(ui, "/api/params/1"))
+    assert spec["special"]["type"] == "scaledpoint"
+    assert spec["special"]["points"] == [["x", "y"]]
+    _post(ui, "/api/cmd", {"path": "/effect_key/map", "args": [2, "negate"]})
+    spec = json.loads(_get(ui, "/api/params/2"))
+    assert spec["special"] is None
+    # compositor: one draggable point per input
+    _post(ui, "/api/cmd", {"path": "/effect_key/map",
+                           "args": [4, "compositor"]})
+    spec = json.loads(_get(ui, "/api/params/4"))
+    assert spec["special"]["type"] == "multipoint"
+    assert len(spec["special"]["points"]) == 4
+    page = _get(ui, "/").decode()
+    assert "fdDraw" in page  # the overlay JS ships
