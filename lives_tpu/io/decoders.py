@@ -594,11 +594,28 @@ class AVIDecoder(Decoder):
                 raise RuntimeError("jpegcoef bridge unavailable")
             src = MJPEGClipSource(self)
             self._jsrc = src
-        lay = src.get_batch(None, [n])
-        return Layer(planes=tuple(p[0] for p in lay.planes),
-                     palette=lay.palette, clamping=lay.clamping,
-                     sampling=lay.sampling, subspace=lay.subspace,
-                     gamma=int(Gamma.SRGB))
+        return self.get_frames_device([n])[0]
+
+    def get_frames_device(self, ns) -> list[Layer]:
+        """Batched compressed-domain decode: ONE host entropy-pack pass,
+        ONE upload set, ONE device dispatch for the whole batch, split
+        into per-frame Layers inside that same jit (3B output buffers,
+        zero per-frame dispatches). This is what lets the precache worker
+        amortise the tunnel RPC cost across its look-ahead window —
+        per-frame get_frame_device pays the full dispatch latency every
+        frame. Reference contract: decplugin.h:280 get_frame, widened."""
+        if self.fourcc != "MJPG":
+            raise RuntimeError("device decode is MJPG-only")
+        src = getattr(self, "_jsrc", None)
+        if src is None:
+            from .jpeg_ingest import (MJPEGClipSource, load_jpegcoef)
+            if load_jpegcoef() is None:
+                raise RuntimeError("jpegcoef bridge unavailable")
+            src = MJPEGClipSource(self)
+            self._jsrc = src
+        lay = src.get_batch(None, list(ns))
+        from .jpeg_ingest import split_layer_batch
+        return split_layer_batch(lay)
 
     def get_frame(self, n: int) -> Layer:
         import io as _io

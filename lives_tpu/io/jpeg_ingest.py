@@ -372,6 +372,41 @@ def layer_from_planes(planes, meta: JpegMeta):
                  subspace=int(YUVSubspace.YCBCR))
 
 
+#: jitted batch→frames splitters, keyed by (B, plane shapes, dtypes) —
+#: re-jitting per call would recompile every time
+_SPLIT_CACHE: dict = {}
+
+
+def split_layer_batch(lay, gamma: int | None = None):
+    """Batched Layer (planes leading axis B) -> list of B per-frame
+    Layers, using ONE jitted dispatch that returns all B×n_planes buffers
+    (per-frame host-side slicing would enqueue 3B separate device ops —
+    each a tunnel RPC on remote attachments)."""
+    import jax
+
+    from ..constants import Gamma
+    from ..layer import Layer
+    B = int(lay.planes[0].shape[0])
+    key = (B, tuple(p.shape for p in lay.planes),
+           tuple(str(p.dtype) for p in lay.planes))
+    fn = _SPLIT_CACHE.get(key)
+    if fn is None:
+        def split(*planes):
+            return tuple(p[i] for i in range(B) for p in planes)
+        fn = _SPLIT_CACHE[key] = jax.jit(split)
+        if len(_SPLIT_CACHE) > 32:
+            _SPLIT_CACHE.clear()
+            _SPLIT_CACHE[key] = fn
+    flat = fn(*lay.planes)
+    n = len(lay.planes)
+    g = int(Gamma.SRGB) if gamma is None else int(gamma)
+    return [Layer(planes=tuple(flat[i * n: (i + 1) * n]),
+                  palette=lay.palette, clamping=lay.clamping,
+                  sampling=lay.sampling, subspace=lay.subspace,
+                  gamma=g)
+            for i in range(B)]
+
+
 # ---------------------------------------------------------------------------
 # CPU golden twin (float64; the +/-1 LSB contract partner)
 # ---------------------------------------------------------------------------

@@ -712,18 +712,57 @@ class Player:
         if self._precache_thread is None or \
                 not self._precache_thread.is_alive():
             def work():
-                for clip, f in list(self._precache_req):
-                    try:
-                        self._precache[(id(clip), f)] = \
-                            self._decode_frame(clip, f)
-                    except Exception:
-                        pass
+                reqs = list(self._precache_req)
+                # group per clip: MJPEG device-lane clips decode their
+                # whole look-ahead window in ONE native pack + ONE device
+                # dispatch (decoders.get_frames_device) — per-frame
+                # dispatch latency through the tunnel was the live-lane
+                # bottleneck (29.8 fps with per-frame precache decodes)
+                groups: dict[int, list[int]] = {}
+                clips: dict[int, Any] = {}
+                for clip, f in reqs:
+                    groups.setdefault(id(clip), []).append(f)
+                    clips[id(clip)] = clip
+                for cid, fs in groups.items():
+                    clip = clips[cid]
+                    lays = None
+                    if len(fs) > 1:
+                        lays = self._decode_frames_batched(clip, fs)
+                    if lays is not None:
+                        for f, lay in zip(fs, lays):
+                            self._precache[(cid, f)] = lay
+                        continue
+                    for f in fs:
+                        try:
+                            self._precache[(cid, f)] = \
+                                self._decode_frame(clip, f)
+                        except Exception:
+                            pass
                 # bound the cache
                 while len(self._precache) > 4 * self.precache_depth:
                     self._precache.pop(next(iter(self._precache)))
             self._precache_thread = threading.Thread(target=work,
                                                      daemon=True)
             self._precache_thread.start()
+
+    def _decode_frames_batched(self, clip, fs):
+        """Whole-window compressed-domain decode for the precache worker;
+        None when the clip has no batched device lane (caller falls back
+        to per-frame decodes)."""
+        from ..prefs import pref
+        dec = getattr(getattr(clip, "cdata", None), "decoder", None)
+        if dec is None or not hasattr(dec, "get_frames_device") \
+                or str(pref("mjpeg_device_decode", "1")) == "0":
+            return None
+        virt = getattr(clip, "is_virtual_frame", lambda _n: True)
+        if not all(virt(f) for f in fs):
+            return None
+        try:
+            fi = getattr(clip, "frame_index", None)
+            dns = [int(fi[f]) if fi is not None else f for f in fs]
+            return dec.get_frames_device(dns)
+        except Exception:
+            return None
 
     # -- async chain rebuild ----------------------------------------------
     def _warm_graph_async(self, graph, key, layers, adopt: bool):

@@ -392,3 +392,48 @@ def test_multi_clip_source_survives_bad_stream(tmp_path):
     assert arr.shape == (2, 3, 32, 64)
     assert np.all(arr == 77)
     assert src._srcs[1] is None   # permanent per-clip fallback
+
+
+def test_batched_device_decode_matches_per_frame(tmp_path):
+    """get_frames_device (the precache worker's whole-window lane): one
+    dispatch, per-frame Layers bitwise-equal to get_frame_device."""
+    from lives_tpu.io.decoders import AVIDecoder, write_mjpeg_avi
+    frames = [_jpeg_bytes(w=96, h=64, seed=s) for s in range(8)]
+    avi = str(tmp_path / "c.avi")
+    write_mjpeg_avi(avi, frames, 96, 64, 25.0)
+    dec = AVIDecoder.get_clip_data(avi).decoder
+    lays = dec.get_frames_device([1, 3, 5])
+    assert len(lays) == 3
+    for n, lb in zip((1, 3, 5), lays):
+        ls = dec.get_frame_device(n)
+        assert lb.palette == ls.palette and lb.gamma == ls.gamma
+        for pb, ps in zip(lb.planes, ls.planes):
+            np.testing.assert_array_equal(np.asarray(pb), np.asarray(ps))
+
+
+def test_precache_worker_batches_mjpeg(tmp_path):
+    """The precache worker decodes its look-ahead window through ONE
+    batched call for MJPEG clips, and the cached frames serve _pull."""
+    from lives_tpu.graph import SinkSpec
+    from lives_tpu.io.clips import open_clip
+    from lives_tpu.io.decoders import write_mjpeg_avi
+    from lives_tpu.player import CollectSink, Player
+    frames = [_jpeg_bytes(w=64, h=32, seed=s) for s in range(10)]
+    avi = str(tmp_path / "clip.avi")
+    write_mjpeg_avi(avi, frames, 64, 32, 25.0)
+    clip = open_clip(avi, tmp_path)
+    p = Player(sink=CollectSink(), sink_spec=SinkSpec(width=64, height=32))
+    p.state.fg_clip = clip
+    p.precache_depth = 3
+    calls = []
+    dec = clip.cdata.decoder
+    orig = dec.get_frames_device
+    dec.get_frames_device = lambda ns: calls.append(list(ns)) or orig(ns)
+    p._request_precache(2)
+    p._precache_thread.join(5)
+    assert calls == [[3, 4, 5]]          # one batched call for the window
+    assert (id(clip), 4) in p._precache
+    lay = p._pull(clip, 4)               # precache hit
+    ref = decode_frame_ref(read_coefficients(frames[4]))
+    d = np.abs(np.asarray(lay.planes[0]).astype(int) - ref[0].astype(int))
+    assert d.max() <= 1
