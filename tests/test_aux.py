@@ -357,6 +357,17 @@ def test_pref_single_source_of_truth(tmp_path, monkeypatch):
         assert P.pref("fused_sweep") == "1"
         # reference PREF_ keys: 186 exist, persist through save/load
         assert len(P.REFERENCE_PREF_KEYS) >= 180
+        # completeness audit against the reference header itself: every
+        # PREF_ string key in preferences.h is covered ("foo" is the doc
+        # example at preferences.h:1131, not a real pref)
+        import pathlib
+        import re
+        hdr = pathlib.Path("/root/reference/src/preferences.h")
+        if hdr.exists():
+            refk = set(re.findall(r'#define\s+PREF_\w+\s+"([^"]+)"',
+                                  hdr.read_text(errors="ignore"))) - {"foo"}
+            missing = refk - set(P.REFERENCE_PREF_KEYS)
+            assert not missing, f"unported PREF_ keys: {sorted(missing)}"
         s.set("mt_def_fps", 50.0)
         s.set("rec_stop-dwarn", 1)
         s.save()
