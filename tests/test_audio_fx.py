@@ -468,3 +468,79 @@ def test_pulse_sink_mock():
     assert abs(int(vals[0]) - 16383) <= 1
     s.close()
     assert getattr(mock, "freed", False)
+
+
+def test_sync_survives_jittered_and_late_callbacks():
+    """Drift corrector vs a misbehaving CALLBACK clock (reference
+    pulse.c pull model under soundcard jitter/xruns): mildly jittered
+    callback periods are absorbed by the soft velocity stretch (no hard
+    resyncs); an xrun-sized stall hard-resyncs once and recovers within
+    a few blocks."""
+    from lives_tpu.audio.fx import AudioPlayer, NullAudioSink
+
+    RATE, FPS = 44100, 25.0
+
+    class Clip:
+        frames, fps = int(120 * FPS), FPS
+        arate, achans = RATE, 2
+
+        def read_audio(self):
+            t = np.arange(int(120 * RATE))
+            x = np.sin(2 * np.pi * 220 * t / RATE).astype(np.float32) * .5
+            return np.stack([x, x], -1)
+
+    class P:
+        pass
+
+    player = P()
+
+    class State:
+        pass
+
+    st = State()
+    st.fg_clip = Clip()
+    st.pb_fps = FPS
+    st.frame = 0
+    player.state = st
+
+    ap = AudioPlayer(player, NullAudioSink(), rate=RATE, block=1024)
+    ap.load_clip_audio(st.fg_clip)
+    nominal = ap.block / RATE
+    rng = np.random.default_rng(7)
+
+    vtime = 0.0
+
+    def callback(period):
+        """One audio callback arriving `period` seconds after the last:
+        the video clock advanced that much; the sink pulls one block."""
+        nonlocal vtime
+        vtime += period * FPS / FPS  # wall time == clip time at 1x
+        st.frame = int(vtime * FPS) % st.fg_clip.frames
+        ap.pull()
+        return ap.sync_delta()
+
+    # phase 1: +-30% period jitter for 20 s — soft loop only
+    deltas = []
+    for i in range(int(20.0 / nominal)):
+        d = callback(nominal * rng.uniform(0.7, 1.3))
+        if i > 20:
+            deltas.append(abs(d))
+    assert ap.sync_resyncs == 0, "jitter must not trigger hard resyncs"
+    assert ap.sync_corrections > 0
+    assert np.percentile(deltas, 95) < ap.sync_tolerance + 2 * nominal
+
+    # phase 2: an xrun — the callback stalls for 0.5 s
+    before = ap.sync_resyncs
+    callback(0.5)
+    recovered = [abs(callback(nominal)) for _ in range(6)]
+    assert ap.sync_resyncs >= before + 1, "xrun gap must hard-resync"
+    assert min(recovered) < ap.sync_deadband + 2 * nominal
+    assert recovered[-1] < ap.sync_tolerance
+
+    # phase 3: consumer runs 10% slow for 10 s (late every callback) —
+    # drift stays bounded (soft stretch + occasional resync, no runaway)
+    tail = []
+    for i in range(int(10.0 / nominal)):
+        tail.append(abs(callback(nominal * 1.1)))
+    assert np.asarray(tail).max() < ap.sync_tolerance + 0.1
+    assert tail[-1] < ap.sync_tolerance + 2 * nominal
