@@ -71,10 +71,14 @@ def build_player(uri: str | None, fx: list[str], width: int, height: int,
         p.state.fg_clip = clip
         p.set_pb_fps(clip.fps or 25.0)
         # real media: overlap decode/upload with compute (the precache
-        # worker feeds ahead; the pipelined sink hides fetch latency —
-        # measured 13.5 -> 29.8 fps live MJPEG 1080p, PERF_NOTES.md)
+        # worker feeds ahead; the pipelined sink hides fetch latency),
+        # and amortise the per-frame display-fetch RPC over groups of 4
+        # (each device->host fetch costs a full tunnel round trip here —
+        # batching them is what lifts the live loop past the RPC ceiling,
+        # PERF_NOTES.md)
         p.precache_depth = 4
         p.pipeline_depth = 2
+        p.fetch_batch = 4
     else:
         p.state.fg_clip = GeneratorClip("plasma", width or 640, height or 360)
     for i, name in enumerate(fx):

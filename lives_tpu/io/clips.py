@@ -72,6 +72,9 @@ class Clip:
     img_type: str = "png"
     frame_index: Optional[np.ndarray] = None   # int32; None = all images
     cdata: Optional[ClipData] = None
+    # content generation: bumped whenever frame n -> pixels changes
+    # (put_frame, index rewrites); frame caches key on it
+    version: int = 0
 
     def close(self):
         """Release the decoder's native resources (close_clip analogue).
@@ -115,6 +118,7 @@ class Clip:
         Image.fromarray(arr).save(self.image_path(n))
         if self.frame_index is not None:
             self.frame_index[n] = -1
+        self.version += 1
 
     # -- frame_index ops (cvirtual.c) --------------------------------------
     def create_frame_index(self, all_virtual: bool = True):
@@ -128,6 +132,7 @@ class Clip:
             self.frame_index = np.delete(self.frame_index,
                                          slice(start, start + count))
         self.frames -= count
+        self.version += 1
 
     def insert_frames(self, at: int, entries: np.ndarray):
         if self.frame_index is None:
@@ -135,11 +140,13 @@ class Clip:
         self.frame_index = np.insert(self.frame_index, at,
                                      entries.astype(np.int32))
         self.frames += len(entries)
+        self.version += 1
 
     def reverse(self):
         """reverse_frame_index (cvirtual.c)."""
         if self.frame_index is not None:
             self.frame_index = self.frame_index[::-1].copy()
+        self.version += 1
 
     def realize(self, start: int = 0, end: int | None = None,
                 progress=None):

@@ -36,6 +36,12 @@ N_KEYS = 64          # prefs::rte_keys_virtual ceiling (mainwindow.h:228)
 MODES_PER_KEY = 32   # mainwindow.h:229
 
 
+class _PrecacheMiss(Exception):
+    """A frame the precache worker is decoding was not ready: the
+    serving loop drops the frame instead of waiting (player.c getahead
+    drop policy)."""
+
+
 class KeyMap:
     """64 effect keys x up to 32 modes each; a key holds filter names, one
     mode active, toggling a key enables its active mode's instance."""
@@ -228,6 +234,17 @@ class Player:
         # consumes them (hides device->host round-trip; 0 = synchronous)
         self.pipeline_depth = 0
         self._pending: list[tuple[Any, float]] = []
+        # batched display fetch: pop the pipeline in groups of K frames,
+        # stack them device-side in one jitted op and fetch the stack in
+        # ONE host transfer, then hand host-backed Layers to the sink.
+        # On a remote attachment every device->host fetch costs a full
+        # RPC round trip (~30-40 ms on this tunnel) regardless of size;
+        # amortising it over K frames is what takes the live loop past
+        # the per-frame RPC ceiling (reference analogue: the display
+        # plugin consuming frames from the player's queue at its own
+        # cadence, videoplugin.h:145). 0 = fetch per frame.
+        self.fetch_batch = 0
+        self._fetch_fns: dict[Any, Any] = {}
         # async chain rebuild: new key chains compile in the background
         # while the previous graph keeps serving frames (the reference
         # rebuilds the nodemodel at safe points, player.c:2655). Default
@@ -250,7 +267,22 @@ class Player:
         self._compile_adopt = False        # adopt-on-finish flag (upgradable)
         # predictive frame cache (pred_frame/precache, player.c:2185-2230)
         self.precache_depth = 0
-        self._precache: dict[tuple[int, int], Any] = {}
+        self._precache: dict[tuple, Any] = {}
+        import threading as _th
+        self._pc_cv = _th.Condition()
+        self._pc_stop = False
+        self._inflight: set = set()
+        # realtime policy on a precache miss whose frame the worker is
+        # already decoding: drop the frame (never block the serving loop
+        # on a synchronous decode — the reference's getahead/pred_frame
+        # drop-never-wait behaviour). First frame always renders.
+        self.drop_on_miss = True
+        # frames per batched look-ahead dispatch: each dispatch pays a
+        # full tunnel RPC (~37 ms here), so bigger chunks lift the
+        # decode ceiling (2-frame chunks cap at ~38 fps; 8-frame at ~80).
+        # Fixed sizes {4, chunk} only — every distinct batch size jits
+        # its own device template
+        self.precache_chunk = 8
         # adaptive quality under load (reference "effort", prefs->pbq_adaptive)
         self.adaptive_quality = False
         self.effort = 0
@@ -577,6 +609,10 @@ class Player:
         # not extend audible playback)
         if self.audio is not None:
             self.audio.stop()
+        # stop the precache worker loop
+        self._pc_stop = True
+        with self._pc_cv:
+            self._pc_cv.notify_all()
         # let in-flight background work land (killing a thread inside an
         # XLA call at interpreter teardown aborts the process)
         for th in (self._compile_thread, self._precache_thread):
@@ -667,10 +703,39 @@ class Player:
         from ..graph.nodemodel import FrameGraph as _FG, GenSlot
         if _FG._is_genclip(clip):
             return GenSlot(clip, n)
-        lay = self._precache.pop((id(clip), n), None)
+        # LRU cache, not a consume-once queue: disk-clip frames are
+        # immutable, so a hit stays cached (a looping clip that fits the
+        # bound re-decodes NOTHING after the first cycle — pop-on-hit
+        # forced every frame of a 12-frame loop through the decoder
+        # forever and the worker fell behind at 60 fps). Re-insert on
+        # hit so the insertion-order eviction approximates LRU.
+        key = self._ck(clip, n)
+        lay = self._precache.pop(key, None)
         if lay is not None:
+            self._precache[key] = lay
             return lay
-        return self._decode_frame(clip, n)
+        dec = getattr(getattr(clip, "cdata", None), "decoder", None)
+        if self.drop_on_miss and self.frames_shown > 0 \
+                and self.precache_depth > 0 \
+                and (key in self._inflight
+                     or (dec is not None
+                         and hasattr(dec, "get_frames_device"))):
+            # the worker is (or will be) on it: skip this frame rather
+            # than stall the loop with a synchronous decode (~21 ms at
+            # 1080p, and it cascades — once the playhead escapes the
+            # window entirely, inline decodes starve the worker further)
+            raise _PrecacheMiss(key)
+        lay = self._decode_frame(clip, n)
+        if self.precache_depth:
+            self._precache[key] = lay
+        return lay
+
+    @staticmethod
+    def _ck(clip, n):
+        # cache key: clip identity + content generation (clips.py
+        # Clip.version bumps on put_frame / frame-index rewrites, so an
+        # edit can never serve a stale cached frame) + frame number
+        return (id(clip), getattr(clip, "version", 0), n)
 
     def _decode_frame(self, clip, n):
         """Frame pull with the compressed-domain lane (MJPG): the decoder
@@ -696,54 +761,105 @@ class Player:
     def _request_precache(self, target: int):
         import threading
         st = self.state
-        direction = 1 if st.pb_fps >= 0 else -1
-        wanted = [self.clamp_frame(target + direction * k)
-                  for k in range(1, self.precache_depth + 1)]
-        # order candidates by decoder seek cost (decplugin estimate_delay,
-        # decplugin.h:305): expensive seeks start earliest
-        dec = getattr(getattr(st.fg_clip, "cdata", None), "decoder", None)
-        if dec is not None and hasattr(dec, "estimate_delay"):
-            wanted.sort(key=lambda f: -dec.estimate_delay(target, f))
         from ..graph.nodemodel import FrameGraph as _FG
         if _FG._is_genclip(st.fg_clip):
             return  # generated in-template; nothing to precache
-        self._precache_req = [(st.fg_clip, f) for f in wanted
-                              if (id(st.fg_clip), f) not in self._precache]
+        direction = 1 if st.pb_fps >= 0 else -1
+        self._pc_state = (st.fg_clip, int(target), direction)
+        with self._pc_cv:
+            self._pc_cv.notify()
         if self._precache_thread is None or \
                 not self._precache_thread.is_alive():
-            def work():
-                reqs = list(self._precache_req)
-                # group per clip: MJPEG device-lane clips decode their
-                # whole look-ahead window in ONE native pack + ONE device
-                # dispatch (decoders.get_frames_device) — per-frame
-                # dispatch latency through the tunnel was the live-lane
-                # bottleneck (29.8 fps with per-frame precache decodes)
-                groups: dict[int, list[int]] = {}
-                clips: dict[int, Any] = {}
-                for clip, f in reqs:
-                    groups.setdefault(id(clip), []).append(f)
-                    clips[id(clip)] = clip
-                for cid, fs in groups.items():
-                    clip = clips[cid]
-                    lays = None
-                    if len(fs) > 1:
-                        lays = self._decode_frames_batched(clip, fs)
-                    if lays is not None:
-                        for f, lay in zip(fs, lays):
-                            self._precache[(cid, f)] = lay
-                        continue
-                    for f in fs:
-                        try:
-                            self._precache[(cid, f)] = \
-                                self._decode_frame(clip, f)
-                        except Exception:
-                            pass
-                # bound the cache
-                while len(self._precache) > 4 * self.precache_depth:
-                    self._precache.pop(next(iter(self._precache)))
-            self._precache_thread = threading.Thread(target=work,
-                                                     daemon=True)
+            self._pc_stop = False
+            self._precache_thread = threading.Thread(
+                target=self._precache_worker, daemon=True)
             self._precache_thread.start()
+
+    def _precache_worker(self):
+        """Free-running look-ahead decoder (the reference's pred_frame /
+        srcgroup clone model, player.c:2185-2230). The main loop only
+        publishes (clip, playhead, direction); the worker keeps the
+        whole window decoded on its own clock, so it can decode FASTER
+        than playback and catch up after a seek — a worker paced by
+        per-frame requests can never recover a deficit (measured: the
+        lane locked one frame late and dropped every other frame).
+
+        Decodes in FIXED batch sizes (4 and precache_chunk, padded by
+        repeating the last frame) so the device decoder jits exactly two
+        templates per geometry — arbitrary window sizes compiled a new
+        template per size (1.4 s stalls mid-performance)."""
+        while not self._pc_stop:
+            state = getattr(self, "_pc_state", None)
+            if state is None:
+                with self._pc_cv:
+                    self._pc_cv.wait(0.5)
+                continue
+            clip, target, direction = state
+            wanted = [self.clamp_frame(target + direction * k)
+                      for k in range(0, self.precache_depth + 1)]
+            missing = [f for f in wanted
+                       if self._ck(clip, f) not in self._precache]
+            nframes = getattr(clip, "frames", 0) or 1
+            # expensive seeks first (decplugin estimate_delay,
+            # decplugin.h:305) — but the playhead's own frame always
+            # goes first: it is the one being dropped on right now
+            dec = getattr(getattr(clip, "cdata", None), "decoder", None)
+            if dec is not None and hasattr(dec, "estimate_delay"):
+                missing.sort(key=lambda f: (f != target,
+                                            -dec.estimate_delay(target, f)))
+            # lead compensation: when the playhead outruns the decode
+            # latency (the target is STILL missing two cycles in a row),
+            # decode farthest-first — frames that land are then ahead of
+            # the playhead and get shown, instead of landing behind it
+            # and being skipped (graceful ~latency-bound degradation
+            # instead of a collapse to ~0 fps)
+            target_missing = self._ck(clip, target) not in self._precache
+            if target_missing and getattr(self, "_pc_behind", False):
+                missing.sort(
+                    key=lambda f: -min(abs(f - target),
+                                       nframes - abs(f - target)))
+            self._pc_behind = target_missing
+            self._inflight = {self._ck(clip, f) for f in missing}
+            near = any(min(abs(f - target), nframes - abs(f - target)) <= 2
+                       for f in missing)
+            if not missing or (len(missing) < 4 and not near):
+                # hysteresis: far-horizon singletons accumulate into one
+                # batched dispatch instead of paying a padded dispatch
+                # RPC every tick (~28 ms/frame -> ~19 ms/frame amortised)
+                with self._pc_cv:
+                    if getattr(self, "_pc_state", None) == state:
+                        self._pc_cv.wait(0.05)
+                continue
+            csz = max(4, int(self.precache_chunk))
+            batched_ok = True
+            while missing and not self._pc_stop:
+                n = csz if len(missing) >= csz else 4
+                chunk = missing[:n]
+                missing = missing[n:]
+                pad = list(chunk)
+                while len(pad) < n:
+                    pad.append(pad[-1])      # fixed template sizes
+                lays = self._decode_frames_batched(clip, pad) \
+                    if batched_ok else None
+                if lays is None:
+                    batched_ok = False
+                    for f in chunk:
+                        k = self._ck(clip, f)
+                        if k not in self._precache:
+                            try:
+                                self._precache[k] = \
+                                    self._decode_frame(clip, f)
+                            except Exception:
+                                pass
+                        self._inflight.discard(k)
+                    continue
+                for f, lay in zip(chunk, lays):
+                    k = self._ck(clip, f)
+                    self._precache[k] = lay
+                    self._inflight.discard(k)
+            # bound the cache
+            while len(self._precache) > 4 * self.precache_depth:
+                self._precache.pop(next(iter(self._precache)))
 
     def _decode_frames_batched(self, clip, fs):
         """Whole-window compressed-domain decode for the precache worker;
@@ -763,6 +879,39 @@ class Player:
             return dec.get_frames_device(dns)
         except Exception:
             return None
+
+    def _fetch_host_layers(self, group):
+        """Materialise a group of pipelined output Layers on the host in
+        ONE transfer: stack each plane index across the group inside a
+        jitted op, fetch the stacks, and rebuild per-frame Layers whose
+        planes are host ndarrays (every Sink.play_frame `np.asarray`
+        then costs nothing). One RPC round trip per plane index per
+        group instead of one per frame."""
+        import dataclasses as _dc
+
+        import jax
+        import jax.numpy as jnp
+
+        outs = [o for o, _ in group]
+        n = len(outs)
+        n_planes = len(outs[0].planes)
+        sig = tuple((p.shape, str(p.dtype)) for p in outs[0].planes)
+        if any(tuple((p.shape, str(p.dtype)) for p in o.planes) != sig
+               for o in outs[1:]):
+            return group  # mixed shapes mid-group (config change): as-is
+        key = (n, sig)
+        fn = self._fetch_fns.get(key)
+        if fn is None:
+            def stack(*flat):
+                return tuple(
+                    jnp.stack(flat[pi::n_planes])
+                    for pi in range(n_planes))
+            fn = jax.jit(stack)
+            self._fetch_fns[key] = fn
+        flat = [p for o in outs for p in o.planes]
+        hosts = [np.asarray(s) for s in fn(*flat)]
+        return [(_dc.replace(o, planes=tuple(h[i] for h in hosts)), t)
+                for i, (o, t) in enumerate(group)]
 
     # -- async chain rebuild ----------------------------------------------
     def _warm_graph_async(self, graph, key, layers, adopt: bool):
@@ -894,12 +1043,32 @@ class Player:
             wrapped = min(step, abs(n - step))
             if wrapped > 1:
                 self.frames_dropped += wrapped - 1
+        prev_frame = st.frame
         st.frame = target
         if self.ladder is not None:
             self.ladder.begin()
-        layers = [self._pull(st.fg_clip, target)]
-        if st.bg_clip is not None:
-            layers.append(self._pull(st.bg_clip, self._bg_frame(target)))
+        try:
+            layers = [self._pull(st.fg_clip, target)]
+            if st.bg_clip is not None:
+                layers.append(self._pull(st.bg_clip,
+                                         self._bg_frame(target)))
+        except _PrecacheMiss as miss:
+            # frame not decoded yet: drop it (never block the serving
+            # loop on a synchronous decode) and let the clock move on —
+            # the worker finishes it for a later retry or the next frame
+            st.frame = prev_frame
+            key = miss.args[0]
+            if key != getattr(self, "_last_missed", None):
+                self.frames_dropped += 1     # count each frame once
+                self._last_missed = key
+            if self.precache_depth:
+                self._request_precache(target)
+            if self.ladder is not None:
+                self.ladder.end()
+            # donate the GIL to the decode worker instead of spinning
+            # (the miss loop otherwise starves the thread that clears it)
+            time.sleep(0.002)
+            return True
         if self.ladder is not None:
             self.ladder.mark("loaded")
         graph = self._select_graph(layers)
@@ -923,9 +1092,20 @@ class Player:
         if self.pipeline_depth > 0:
             self._pending.append((out, tc))
             ok = True
-            while len(self._pending) > self.pipeline_depth:
-                o, t = self._pending.pop(0)
-                ok = self.sink.play_frame(o, t)
+            k = self.fetch_batch
+            if k > 1:
+                # pop in groups of K: one stacked host fetch per group
+                # (adds up to K-1 frames of display latency on top of
+                # pipeline_depth; the RPC cost divides by K)
+                while len(self._pending) >= self.pipeline_depth + k:
+                    group = self._pending[:k]
+                    del self._pending[:k]
+                    for o, t in self._fetch_host_layers(group):
+                        ok = self.sink.play_frame(o, t)
+            else:
+                while len(self._pending) > self.pipeline_depth:
+                    o, t = self._pending.pop(0)
+                    ok = self.sink.play_frame(o, t)
         else:
             ok = self.sink.play_frame(out, tc)
         if self.ladder is not None:

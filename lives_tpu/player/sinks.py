@@ -34,18 +34,45 @@ class Sink:
 
 
 class NullSink(Sink):
-    """Discards frames after forcing materialisation (benchmark sink)."""
+    """Discards frames (benchmark sink), forcing materialisation with a
+    device-order barrier every `sync_every` frames.
+
+    On a remote attachment `jax.block_until_ready` per frame is a pure
+    RPC round trip (~37 ms on this tunnel) that does NOT guarantee
+    completion; the honest enforcement is the device-order barrier the
+    benchmarks use (fetch one tiny jitted output: in-order execution
+    implies all prior work completed). The barrier runs on a small
+    helper thread (at most one in flight), so the serving loop is never
+    stalled by the barrier RPC while the device queue stays bounded to
+    ~sync_every frames of lag — the behaviour of a real display
+    consuming asynchronously. `strict=True` barriers inline instead."""
 
     fetches_frames = False  # no device->host fetch: skip transfer prewarm
 
-    def __init__(self):
+    def __init__(self, sync_every: int = 8, strict: bool = False):
         self.count = 0
+        self.sync_every = max(1, sync_every)
+        self.strict = strict
+        self._sync_thread = None
 
     def play_frame(self, layer: Layer, tc: float) -> bool:
-        import jax
-        jax.block_until_ready(layer.planes)
         self.count += 1
+        if self.count % self.sync_every == 0 \
+                and not isinstance(layer.planes[0], np.ndarray):
+            from ..utils import device_barrier
+            if self.strict:
+                device_barrier()
+            elif self._sync_thread is None \
+                    or not self._sync_thread.is_alive():
+                import threading
+                self._sync_thread = threading.Thread(
+                    target=device_barrier, daemon=True)
+                self._sync_thread.start()
         return True
+
+    def exit_screen(self):
+        if self._sync_thread is not None and self._sync_thread.is_alive():
+            self._sync_thread.join(timeout=30)
 
 
 class CollectSink(Sink):

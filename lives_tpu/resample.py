@@ -49,6 +49,7 @@ def _apply_order(clip: Clip, src: np.ndarray):
 
     clip.frame_index = new_index
     clip.frames = len(src)
+    clip.version += 1
     clip.save_header()
 
 

@@ -156,7 +156,7 @@ def test_precache_prefetches_frames():
         time.sleep(0.02)
     assert len(p._precache) >= 3
     # next cycle consumes from the cache
-    key = (id(p.state.fg_clip), p.clamp_frame(p.state.frame + 1))
+    key = p._ck(p.state.fg_clip, p.clamp_frame(p.state.frame + 1))
     assert key in p._precache
 
 
@@ -207,10 +207,15 @@ def test_toggle_never_blocks_serving_loop():
     t0 = time.monotonic()
     p.process_one()
     dt = time.monotonic() - t0
-    # old graph still serving: identical output, no template compile in
-    # the serving path (CPU-mesh compiles take >>0.5 s; warm run ~ms)
-    np.testing.assert_array_equal(sink.frames[-1], base)
-    assert p._served_key == served_before
+    # the serving path never pays a template compile: either the OLD
+    # graph still serves (identical output, compile in flight) or the
+    # prewarmed template already adopted (persistent XLA cache makes
+    # that near-instant) and the NEW chain serves — both are correct;
+    # blocking the loop is not
+    if p._served_key == served_before:
+        np.testing.assert_array_equal(sink.frames[-1], base)
+    else:
+        np.testing.assert_array_equal(sink.frames[-1], 255 - base)
     assert dt < 0.5, f"toggle blocked the serving loop for {dt:.2f}s"
     # compile-in-flight bookkeeping: desired chain is compiling, adopted
     deadline = time.monotonic() + 30
@@ -611,3 +616,58 @@ def test_chaotic_recording_rerenders_deterministically():
     el2 = EventList.from_json(el.to_json())
     f3, _ = render_recording(el2, clips, fps=25.0, batch_size=8)
     np.testing.assert_array_equal(f1, f3)
+
+
+def test_fetch_batch_delivers_identical_frames():
+    """Batched display fetch (groups of K stacked into one transfer)
+    must deliver the same frames, in order, as the per-frame pop path."""
+    import time
+
+    def drive(fetch, n=10):
+        p, sink = make_player()
+        p.pipeline_depth = 2
+        p.fetch_batch = fetch
+        p.start()
+        for i in range(n):
+            p.state.frame = -1
+            p._clock0 = time.monotonic()
+            p._frame0 = float(i)
+            p.process_one()
+        p.stop()  # drains the pipeline
+        return [np.asarray(f) for f in sink.frames], sink.tcs
+
+    base, base_tcs = drive(0)
+    batched, tcs = drive(3)
+    assert len(batched) == len(base)
+    assert tcs == base_tcs
+    for a, b in zip(base, batched):
+        np.testing.assert_array_equal(a, b)
+
+
+def test_fetch_batch_mixed_shapes_falls_back():
+    """A config change mid-group (different plane shapes) must not break
+    the stacked fetch — the group passes through unfetched."""
+    from lives_tpu.layer import Layer as _Layer
+
+    p, sink = make_player()
+    p.pipeline_depth = 0
+    p.fetch_batch = 2
+    a = _Layer(planes=(jnp.zeros((3, 8, 16), jnp.uint8),))
+    b = _Layer(planes=(jnp.zeros((3, 4, 16), jnp.uint8),))
+    out = p._fetch_host_layers([(a, 0.0), (b, 0.1)])
+    assert out[0][0] is a and out[1][0] is b
+
+
+def test_precache_is_lru_and_version_keyed():
+    """Hits stay cached (looping clips re-decode nothing) and a clip
+    content edit (version bump) invalidates naturally via the key."""
+    p, _ = make_player()
+    clip = p.state.fg_clip
+    p.precache_depth = 2
+    marker = clip.get_frame(3)
+    p._precache[p._ck(clip, 3)] = marker
+    assert p._pull(clip, 3) is marker
+    assert p._pull(clip, 3) is marker          # still cached after a hit
+    clip.version = 1                           # simulated content edit
+    fresh = p._pull(clip, 3)
+    assert fresh is not marker                 # stale entry not served
