@@ -36,25 +36,45 @@ from .player.sinks import Sink
 
 class PreviewTap(Sink):
     """Tee sink: forwards to the wrapped sink and keeps the latest frame
-    as JPEG bytes for the MJPEG stream."""
+    as JPEG bytes for the MJPEG stream.
+
+    Encoding runs on its own worker thread (latest-frame-wins) so the
+    player's loop never blocks on it, and device-resident frames take
+    the compressed fetch lane (io/jpeg_encode.py: FDCT/quantise/sparse
+    pack on the TPU, ~0.5 MB of coefficients over the wire instead of a
+    6.2 MB raw fetch — the download path is the scarce resource on a
+    remote attachment). Host-resident frames fall back to PIL."""
 
     def __init__(self, inner: Sink | None = None, quality: int = 80,
                  max_fps: float = 15.0):
         self.inner = inner
         self.quality = quality
-        # preview encodes are host-side PIL work: cap their rate so the
-        # tap never slows the player's realtime loop
+        # latest-wins handoff: cap the rate so the tap never outpaces
+        # its worker
         self.min_interval = 1.0 / max_fps if max_fps else 0.0
         self._last_enc = 0.0
         self._jpeg: Optional[bytes] = None
         self._seq = 0
         self._cv = threading.Condition()
+        self._pend = None
+        self._pcv = threading.Condition()
+        self._worker = None
+        self._stop = False
+        self._dev_enc = None           # (h, w) -> JpegDeviceEncoder
+        self.device_encodes = 0
+        self.host_encodes = 0
 
     def init_screen(self, width, height, fps):
         if self.inner:
             self.inner.init_screen(width, height, fps)
 
     def exit_screen(self):
+        self._stop = True
+        with self._pcv:
+            self._pcv.notify_all()
+        if self._worker is not None:
+            self._worker.join(timeout=5)
+            self._worker = None
         if self.inner:
             self.inner.exit_screen()
 
@@ -66,25 +86,71 @@ class PreviewTap(Sink):
             return ok
         self._last_enc = now
         try:
-            from PIL import Image
             from .constants import Palette
             from .ops.colorspace import convert_layer
-            rgb = np.asarray(convert_layer(layer, Palette.RGB24).planes[0])
+            plane = convert_layer(layer, Palette.RGB24).planes[0]
+        except Exception:
+            return ok
+        with self._pcv:
+            self._pend = plane
+            self._pcv.notify()
+        if self._worker is None or not self._worker.is_alive():
+            self._stop = False
+            self._worker = threading.Thread(target=self._encode_loop,
+                                            daemon=True)
+            self._worker.start()
+        return ok
+
+    def _encode_loop(self):
+        while not self._stop:
+            with self._pcv:
+                if self._pend is None:
+                    self._pcv.wait(1.0)
+                plane, self._pend = self._pend, None
+            if plane is None:
+                continue
+            data = self._encode_one(plane)
+            if data is None:
+                continue
+            with self._cv:
+                self._jpeg = data
+                self._seq += 1
+                self._cv.notify_all()
+
+    def _encode_one(self, plane) -> Optional[bytes]:
+        h, w = int(plane.shape[-2]), int(plane.shape[-1])
+        if not isinstance(plane, np.ndarray):
+            try:
+                from .io.jpeg_encode import JpegDeviceEncoder
+                if self._dev_enc is None \
+                        or self._dev_enc.meta.height != h \
+                        or self._dev_enc.meta.width != w:
+                    self._dev_enc = JpegDeviceEncoder(
+                        w, h, quality=self.quality, batch=1)
+                data = self._dev_enc.encode_batch(plane[None])[0]
+                self.device_encodes += 1
+                return data
+            except Exception:
+                pass                    # bridge absent: host fallback
+        try:
+            from PIL import Image
+            rgb = np.asarray(plane)
             img = Image.fromarray(np.moveaxis(rgb, 0, -1))
             buf = io.BytesIO()
             img.save(buf, "JPEG", quality=self.quality)
-            with self._cv:
-                self._jpeg = buf.getvalue()
-                self._seq += 1
-                self._cv.notify_all()
+            self.host_encodes += 1
+            return buf.getvalue()
         except Exception:
-            pass
-        return ok
+            return None
 
     def wait_jpeg(self, last_seq: int, timeout: float = 1.0):
+        deadline = time.monotonic() + timeout
         with self._cv:
-            if self._seq == last_seq:
-                self._cv.wait(timeout)
+            while self._jpeg is None or self._seq == last_seq:
+                left = deadline - time.monotonic()
+                if left <= 0:
+                    break
+                self._cv.wait(left)
             return self._jpeg, self._seq
 
 
@@ -736,7 +802,9 @@ class WebUI:
                     self.end_headers()
                     self.wfile.write(jpeg)
                 elif self.path == "/preview.jpg":
-                    jpeg, _ = ui.tap.wait_jpeg(-1, timeout=0.0)
+                    # the encode worker is async: give the first frame a
+                    # moment to land
+                    jpeg, _ = ui.tap.wait_jpeg(-1, timeout=2.0)
                     if jpeg is None:
                         self.send_response(404)
                         self.end_headers()

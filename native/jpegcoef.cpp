@@ -22,6 +22,7 @@
 #include <jpeglib.h>
 
 #include <csetjmp>
+#include <cstdlib>
 #include <cstdint>
 #include <cstring>
 
@@ -211,6 +212,142 @@ long long jc_read_packed(const unsigned char* buf, long long len,
   jpeg_finish_decompress(&cinfo);
   jpeg_destroy_decompress(&cinfo);
   return nac;
+}
+
+// Entropy ENCODE from the v2 sparse wire format (the reverse bridge:
+// lives_tpu/io/jpeg_encode.py computes quantised DCT coefficients on the
+// TPU and ships the sparse pack; this pass reconstructs dense blocks and
+// runs only libjpeg's Huffman encode). Succeeds the reference's
+// host-side JPEG writes (scrap frames / preview streams) without raw
+// pixels crossing the tunnel.
+//
+// info layout: [ncomp, image_h, image_w] + per component (up to 4):
+//   [height_in_blocks, width_in_blocks, h_samp, v_samp, quant_tbl_no]
+//   (unpadded block dims, decode-side convention; MCU padding blocks are
+//   zero-filled here)
+// qtabs: 4 x 64 uint16, natural order (stored into quantval directly).
+// Block stream: comp-major, row-major — dc[NB] i16, counts[NB] u8,
+// pos/vals sparse ACs, escapes override by global index (nb*64+k).
+// Returns bytes written into out, -1 on error, -2 when out_cap is small.
+long long jc_write_packed(const int* info, const unsigned short* qtabs,
+                          const short* dc, const unsigned char* counts,
+                          const unsigned char* pos,
+                          const signed char* vals, long long ac_len,
+                          const int* esc_idx, const short* esc_val,
+                          int nesc,
+                          unsigned char* out, long long out_cap) {
+  jpeg_compress_struct cinfo;
+  ErrMgr jerr;
+  unsigned char* obuf = nullptr;
+  unsigned long osize = 0;
+  cinfo.err = jpeg_std_error(&jerr.mgr);
+  jerr.mgr.error_exit = on_error;
+  if (setjmp(jerr.jb)) {
+    jpeg_destroy_compress(&cinfo);
+    if (obuf) free(obuf);
+    return -1;
+  }
+  jpeg_create_compress(&cinfo);
+  jpeg_mem_dest(&cinfo, &obuf, &osize);
+
+  int ncomp = info[0];
+  cinfo.image_height = static_cast<JDIMENSION>(info[1]);
+  cinfo.image_width = static_cast<JDIMENSION>(info[2]);
+  cinfo.input_components = ncomp;
+  cinfo.in_color_space = ncomp == 1 ? JCS_GRAYSCALE : JCS_YCbCr;
+  jpeg_set_defaults(&cinfo);
+  for (int t = 0; t < 4; t++) {
+    bool any = false;
+    for (int k = 0; k < 64; k++) any = any || qtabs[t * 64 + k];
+    if (!any) continue;
+    if (cinfo.quant_tbl_ptrs[t] == nullptr)
+      cinfo.quant_tbl_ptrs[t] =
+          jpeg_alloc_quant_table(reinterpret_cast<j_common_ptr>(&cinfo));
+    memcpy(cinfo.quant_tbl_ptrs[t]->quantval, qtabs + t * 64,
+           64 * sizeof(unsigned short));
+    cinfo.quant_tbl_ptrs[t]->sent_table = FALSE;
+  }
+  for (int c = 0; c < ncomp; c++) {
+    const int* ip = info + 3 + c * 7;
+    cinfo.comp_info[c].h_samp_factor = ip[2];
+    cinfo.comp_info[c].v_samp_factor = ip[3];
+    cinfo.comp_info[c].quant_tbl_no = ip[4];
+  }
+
+  // padded virtual coefficient arrays (the MCU iteration reads
+  // jround_up(dims, samp) blocks)
+  jvirt_barray_ptr coef[4];
+  for (int c = 0; c < ncomp; c++) {
+    const int* ip = info + 3 + c * 7;
+    int hs = ip[2], vs = ip[3];
+    JDIMENSION wbp = static_cast<JDIMENSION>(((ip[1] + hs - 1) / hs) * hs);
+    JDIMENSION hbp = static_cast<JDIMENSION>(((ip[0] + vs - 1) / vs) * vs);
+    coef[c] = (cinfo.mem->request_virt_barray)(
+        reinterpret_cast<j_common_ptr>(&cinfo), JPOOL_IMAGE, TRUE, wbp,
+        hbp, static_cast<JDIMENSION>(vs));
+  }
+  jpeg_write_coefficients(&cinfo, coef);
+
+  long long nb = 0, nac = 0;
+  for (int c = 0; c < ncomp; c++) {
+    const int* ip = info + 3 + c * 7;
+    int hb = ip[0], wb = ip[1];
+    int hs = ip[2], vs = ip[3];
+    int wbp = ((wb + hs - 1) / hs) * hs;
+    int hbp = ((hb + vs - 1) / vs) * vs;
+    for (int r = 0; r < hbp; r++) {
+      JBLOCKARRAY rows = (cinfo.mem->access_virt_barray)(
+          reinterpret_cast<j_common_ptr>(&cinfo), coef[c],
+          static_cast<JDIMENSION>(r), 1, TRUE);
+      memset(rows[0][0], 0, static_cast<size_t>(wbp) * 64 * sizeof(JCOEF));
+      if (r >= hb) continue;  // zero padding row
+      for (int b = 0; b < wb; b++, nb++) {
+        JCOEF* blk = rows[0][b];
+        blk[0] = dc[nb];
+        int cnt = counts[nb];
+        for (int k = 0; k < cnt && nac < ac_len; k++, nac++) {
+          int p = pos[nac];
+          if (p >= 1 && p < 64) blk[p] = vals[nac];
+        }
+      }
+    }
+  }
+  // escapes carry the true value for |AC| > 127 (vals hold the clamp)
+  for (int e = 0; e < nesc; e++) {
+    long long gi = esc_idx[e];
+    if (gi < 0) continue;
+    long long tb = gi / 64;
+    int k = static_cast<int>(gi % 64);
+    // map global (unpadded) block index back to comp/row/col
+    long long acc = 0;
+    for (int c = 0; c < ncomp; c++) {
+      const int* ip = info + 3 + c * 7;
+      long long n = static_cast<long long>(ip[0]) * ip[1];
+      if (tb < acc + n) {
+        int wb = ip[1];
+        long long lb = tb - acc;
+        int r = static_cast<int>(lb / wb);
+        int bcol = static_cast<int>(lb % wb);
+        JBLOCKARRAY rows = (cinfo.mem->access_virt_barray)(
+            reinterpret_cast<j_common_ptr>(&cinfo), coef[c],
+            static_cast<JDIMENSION>(r), 1, TRUE);
+        rows[0][bcol][k] = esc_val[e];
+        break;
+      }
+      acc += n;
+    }
+  }
+
+  jpeg_finish_compress(&cinfo);
+  jpeg_destroy_compress(&cinfo);
+  long long n = static_cast<long long>(osize);
+  if (n > out_cap) {
+    free(obuf);
+    return -2;
+  }
+  memcpy(out, obuf, static_cast<size_t>(n));
+  free(obuf);
+  return n;
 }
 
 }  // extern "C"

@@ -1,0 +1,153 @@
+"""Device-side JPEG encode lane (io/jpeg_encode.py): coefficient parity
+with the float64 twin, escape handling, and full wire round trips back
+through the ingest lane and through PIL."""
+
+import io
+
+import numpy as np
+import pytest
+
+from lives_tpu.io import jpeg_encode as je
+from lives_tpu.io import jpeg_ingest as ji
+
+
+def _psnr(a, b):
+    mse = np.mean((a.astype(np.float64) - b.astype(np.float64)) ** 2)
+    return 99.0 if mse == 0 else 10 * np.log10(255.0 ** 2 / mse)
+
+
+def smooth_rgb(h, w, seed=0):
+    rng = np.random.default_rng(seed)
+    yy, xx = np.mgrid[0:h, 0:w]
+    base = 128 + 70 * np.sin(xx / 19.0) * np.cos(yy / 13.0)
+    rgb = np.stack([base, np.roll(base, 7, 1), 255 - base]) \
+        + rng.normal(0, 4, (3, h, w))
+    return np.clip(rgb, 0, 255).astype(np.uint8)
+
+
+def _require_writer():
+    if je._writer() is None:
+        pytest.skip("jpegcoef bridge unavailable")
+
+
+def test_wire_coefficients_match_ref_twin():
+    h, w = 64, 80
+    rgb = smooth_rgb(h, w)
+    meta, ref_blocks = je.encode_frame_ref(rgb, 85)
+    enc, lay = je.build_device_encoder(meta, 1, je.capacity_for(meta), 85)
+    wire = np.asarray(enc(rgb[None]))[0]
+    n_ac, n_esc, dc, counts, pos, vals, ei, ev = je.unpack_wire(wire, lay)
+    ref = np.concatenate(ref_blocks)                    # (NB, 64)
+    assert n_ac <= lay.capacity
+    # rebuild dense from the wire
+    dense = np.zeros((meta.n_blocks, 64), np.int32)
+    dense[:, 0] = dc
+    off = 0
+    for b in range(meta.n_blocks):
+        for k in range(counts[b]):
+            dense[b, pos[off]] = vals[off]
+            off += 1
+    for e in range(n_esc):
+        if ei[e] >= 0:
+            dense[ei[e] // 64, ei[e] % 64] = ev[e]
+    assert off == n_ac
+    diff = np.abs(dense - ref)
+    # float32 rint at the .5 boundary may flip the odd coefficient by 1
+    assert diff.max() <= 1
+    assert (diff != 0).mean() < 2e-3
+
+
+def test_roundtrip_through_ingest_lane_is_exact():
+    """Entropy coding is lossless: bytes we write must entropy-decode to
+    the exact coefficients we shipped."""
+    _require_writer()
+    h, w = 48, 64
+    rgb = smooth_rgb(h, w, 1)
+    enc = je.JpegDeviceEncoder(w, h, quality=85, batch=1)
+    data = enc.encode_batch(rgb[None])[0]
+    f = ji.read_coefficients(data)
+    assert f.height == h and f.width == w
+    meta2 = ji.JpegMeta.of(f)
+    assert meta2.comp_dims == enc.meta.comp_dims
+    # coefficients round-trip bit-exactly
+    wire = np.asarray(enc.fn(np.asarray(rgb)[None]))[0]
+    n_ac, n_esc, dc, counts, pos, vals, ei, ev = \
+        je.unpack_wire(wire, enc.layout)
+    got = np.concatenate([c["coefs"] for c in f.comps]).astype(np.int32)
+    dense = np.zeros_like(got)
+    dense[:, 0] = dc
+    off = 0
+    for b in range(dense.shape[0]):
+        for k in range(counts[b]):
+            dense[b, pos[off]] = vals[off]
+            off += 1
+    for e in range(n_esc):
+        if ei[e] >= 0:
+            dense[ei[e] // 64, ei[e] % 64] = ev[e]
+    np.testing.assert_array_equal(got, dense)
+    # and the quant tables arrive as sent
+    np.testing.assert_array_equal(f.qtabs[:2], enc.qtabs[:2])
+
+
+def test_roundtrip_psnr_pil():
+    _require_writer()
+    from PIL import Image
+    h, w = 120, 160
+    rgb = smooth_rgb(h, w, 2)
+    enc = je.JpegDeviceEncoder(w, h, quality=90, batch=2)
+    outs = enc.encode_batch(np.stack([rgb, rgb[:, ::-1]]))
+    assert len(outs) == 2
+    for data, src in zip(outs, [rgb, rgb[:, ::-1]]):
+        img = np.asarray(Image.open(io.BytesIO(data)).convert("RGB"))
+        img = np.moveaxis(img, -1, 0)
+        assert img.shape == src.shape
+        assert _psnr(img, src) > 30.0
+
+
+def test_escape_coefficients_survive():
+    """Block-scale checkerboard: huge low-frequency ACs (|v| > 127) must
+    ride the escape list and decode back exactly."""
+    _require_writer()
+    h, w = 32, 32
+    yy, xx = np.mgrid[0:h, 0:w]
+    hard = (((xx // 4) + (yy // 4)) % 2 * 255).astype(np.uint8)
+    rgb = np.stack([hard, hard, hard])
+    enc = je.JpegDeviceEncoder(w, h, quality=95, batch=1)
+    wire = np.asarray(enc.fn(rgb[None]))[0]
+    n_ac, n_esc, *_ = je.unpack_wire(wire, enc.layout)
+    assert n_esc > 0
+    data = enc.encode_batch(rgb[None])[0]
+    f = ji.read_coefficients(data)
+    ref_meta, ref_blocks = je.encode_frame_ref(rgb, 95)
+    got = np.concatenate([c["coefs"] for c in f.comps]).astype(np.int32)
+    ref = np.concatenate(ref_blocks)
+    assert np.abs(got - ref).max() <= 1
+
+
+def test_odd_dimensions_pad():
+    _require_writer()
+    from PIL import Image
+    h, w = 50, 70
+    rgb = smooth_rgb(h, w, 3)
+    enc = je.JpegDeviceEncoder(w, h, quality=85, batch=1)
+    data = enc.encode_batch(rgb[None])[0]
+    img = Image.open(io.BytesIO(data))
+    assert img.size == (w, h)
+    arr = np.moveaxis(np.asarray(img.convert("RGB")), -1, 0)
+    assert _psnr(arr, rgb) > 28.0
+
+
+def test_yuv444_input_palette():
+    _require_writer()
+    from PIL import Image
+    h, w = 40, 48
+    rng = np.random.default_rng(4)
+    y = np.clip(128 + 60 * np.sin(np.arange(w) / 9.0), 0, 255)
+    y = np.tile(y, (h, 1)).astype(np.uint8)
+    u = np.full((h, w), 100, np.uint8)
+    v = np.full((h, w), 180, np.uint8)
+    enc = je.JpegDeviceEncoder(w, h, quality=85, batch=1,
+                               input_palette="yuv444")
+    data = enc.encode_batch(np.stack([y, u, v])[None])[0]
+    img = Image.open(io.BytesIO(data))
+    assert img.size == (w, h)

@@ -320,3 +320,29 @@ def test_framedraw_special_in_param_spec(ui):
     assert len(spec["special"]["points"]) == 4
     page = _get(ui, "/").decode()
     assert "fdDraw" in page  # the overlay JS ships
+
+
+def test_preview_uses_device_encode_lane(ui):
+    """Device-resident frames must leave as sparse DCT coefficients
+    (io/jpeg_encode.py), not as a raw pixel fetch + PIL re-encode."""
+    import time as _t
+
+    from lives_tpu.io.jpeg_encode import _writer
+    if _writer() is None:
+        import pytest
+        pytest.skip("jpegcoef bridge unavailable")
+    p = ui.player
+    p.start()
+    for i in range(3):
+        p.state.frame = -1
+        p._clock0 = _t.monotonic()
+        p._frame0 = float(i)
+        p.process_one()
+    jpeg = _get(ui, "/preview.jpg")
+    assert jpeg[:3] == b"\xff\xd8\xff"
+    deadline = _t.monotonic() + 3
+    while _t.monotonic() < deadline and ui.tap.device_encodes == 0:
+        _t.sleep(0.02)
+    assert ui.tap.device_encodes > 0
+    assert ui.tap.host_encodes == 0
+    p.stop()
