@@ -254,3 +254,76 @@ if _have_avbridge():
             finally:
                 sess.close()
             return n > 0
+
+
+def _have_jpeg_writer() -> bool:
+    try:
+        from .jpeg_encode import _writer
+        return _writer() is not None
+    except Exception:
+        return False
+
+
+if _have_jpeg_writer():
+    @register_encoder
+    class MJPEGDeviceEncoder(Encoder):
+        """MJPEG/AVI export through the device encode lane
+        (io/jpeg_encode.py): batches of frames FDCT/quantise/sparse-pack
+        on the TPU and cross as coefficients; the host runs only the
+        entropy encode. For device-resident frames this is ~2x a raw
+        fetch + host encode on this attachment's download path; the
+        output AVI feeds straight back into the compressed ingest lane.
+        Reference role: jpeg stream export (marcos-encoders family)."""
+
+        name = "mjpeg"
+
+        @classmethod
+        def get_formats(cls):
+            return [EncFormat("mjpeg_avi", "avi", "Motion-JPEG AVI")]
+
+        def __init__(self, quality: int = 90, batch: int = 8):
+            self.quality = quality
+            self.batch = batch
+
+        def encode(self, out_path, frames, fps, audio=None, arate=44100):
+            import jax.numpy as jnp
+
+            from .decoders import write_mjpeg_avi
+            from .jpeg_encode import JpegDeviceEncoder
+            enc = None
+            datas: list[bytes] = []
+            buf: list = []
+
+            def flush():
+                nonlocal enc
+                if not buf:
+                    return
+                n = len(buf)
+                while len(buf) < self.batch:   # fixed template size
+                    buf.append(buf[-1])
+                if enc is None:
+                    c, h, w = buf[0].shape
+                    enc = JpegDeviceEncoder(w, h, quality=self.quality,
+                                            batch=self.batch)
+                datas.extend(enc.encode_batch(jnp.stack(buf))[:n])
+                buf.clear()
+
+            w = h = 0
+            for f in frames:
+                arr = f if hasattr(f, "shape") and not isinstance(
+                    f, np.ndarray) else jnp.asarray(_chw(f)[:3])
+                if arr.shape[0] != 3:
+                    arr = jnp.moveaxis(arr, -1, 0)[:3]
+                h, w = int(arr.shape[-2]), int(arr.shape[-1])
+                buf.append(arr)
+                if len(buf) >= self.batch:
+                    flush()
+            flush()
+            if not datas:
+                return False
+            write_mjpeg_avi(out_path, datas, w, h, fps)
+            if audio is not None:
+                WavEncoder().encode(
+                    str(Path(out_path).with_suffix(".wav")), [], fps,
+                    audio, arate)
+            return True

@@ -341,19 +341,33 @@ class JpegDeviceEncoder:
 
     def __init__(self, width: int, height: int, quality: int = 85,
                  batch: int = 1, sampling: tuple[int, int] = (2, 2),
-                 density: float = 0.35, input_palette: str = "rgb"):
+                 density: float = 0.18, input_palette: str = "rgb"):
         self.meta = encode_meta(width, height, sampling)
         self.quality = int(quality)
         self.qtabs = quality_qtabs(quality)
         self.batch = int(batch)
-        self.capacity = capacity_for(self.meta, density)
+        self.input_palette = input_palette
+        # capacity padding is shipped EVERY frame (ingest lesson): size
+        # tight for typical q<=90 content (nnz density 0.07-0.13) and
+        # auto-grow on overflow instead of paying 2x wire always
+        self.density = float(density)
+        self.capacity = capacity_for(self.meta, self.density)
         self.fn, self.layout = build_device_encoder(
             self.meta, self.batch, self.capacity, quality,
             input_palette=input_palette)
         self.overflows = 0
+        self._grow = None
 
     def encode_batch(self, frames) -> list[bytes]:
         import jax.numpy as jnp
+        if self._grow is not None:
+            # rebuild once with the larger capacity (one re-jit)
+            self.density = self._grow
+            self.capacity = capacity_for(self.meta, self.density)
+            self.fn, self.layout = build_device_encoder(
+                self.meta, self.batch, self.capacity, self.quality,
+                input_palette=self.input_palette)
+            self._grow = None
         if isinstance(frames, (list, tuple)):
             frames = jnp.stack(frames)
         B = int(frames.shape[0])
@@ -363,10 +377,16 @@ class JpegDeviceEncoder:
             n_ac, n_esc, dc, counts, pos, vals, ei, ev = \
                 unpack_wire(wire[i], self.layout)
             if n_ac > self.capacity or n_esc > self.layout.esc_cap:
-                # overflow: drop precision by re-encoding is the caller's
-                # call; count it and emit best-effort (truncated ACs)
+                # overflow: emit best-effort (ACs truncated at capacity —
+                # a high-frequency quality loss, never corruption) and
+                # grow the wire for the NEXT batch
                 self.overflows += 1
                 n_esc = min(n_esc, self.layout.esc_cap)
+                if self.density < 1.0:
+                    # grow to what the frame actually needed, with slack
+                    need = n_ac / max(1, self.meta.n_blocks * 63)
+                    self._grow = min(1.0, max(self.density * 1.6,
+                                              need * 1.3))
             outs.append(write_jpeg_packed(
                 self.meta, self.qtabs, dc, counts, pos, vals, ei, ev,
                 n_esc))

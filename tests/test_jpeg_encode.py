@@ -151,3 +151,35 @@ def test_yuv444_input_palette():
     data = enc.encode_batch(np.stack([y, u, v])[None])[0]
     img = Image.open(io.BytesIO(data))
     assert img.size == (w, h)
+
+
+def test_capacity_autogrow():
+    """Overflow truncates gracefully and grows the wire for the next
+    batch (one re-jit) instead of overflowing forever."""
+    _require_writer()
+    h, w = 48, 64
+    rng = np.random.default_rng(7)
+    noisy = rng.integers(0, 256, (3, h, w), np.uint8)   # dense ACs
+    enc = je.JpegDeviceEncoder(w, h, quality=98, batch=1, density=0.01)
+    cap0 = enc.capacity
+    enc.encode_batch(noisy[None])
+    assert enc.overflows >= 1
+    enc.encode_batch(noisy[None])    # triggers the rebuild
+    assert enc.capacity > cap0
+
+
+def test_mjpeg_export_roundtrip(tmp_path):
+    """The registered 'mjpeg' encoder writes an AVI the ingest lane can
+    open and decode back within quantisation error."""
+    _require_writer()
+    from lives_tpu.io.clips import open_clip
+    from lives_tpu.io.encoders import get_encoder, list_encoders
+    assert "mjpeg" in list_encoders()
+    frames = [smooth_rgb(64, 96, seed=s) for s in range(10)]
+    out = str(tmp_path / "out.avi")
+    assert get_encoder("mjpeg").encode(out, frames, 25.0)
+    clip = open_clip(out, tmp_path)
+    assert clip.frames == 10
+    for n in (0, 5, 9):
+        got = np.asarray(clip.get_frame(n).planes[0])
+        assert _psnr(got, frames[n]) > 28.0

@@ -113,3 +113,57 @@ def test_jpeg_device_decode_ms(barrier):
     barrier()
     ms = (time.perf_counter() - t0) / 5 / 4 * 1e3
     assert ms < 20.0, f"jpeg device decode {ms:.2f} ms/frame (bound 20)"
+
+
+def test_paced_live_mjpeg_1080p60(barrier, tmp_path):
+    """Full player loop, paced at 60 fps, looping 1080p MJPEG clip with
+    one fx key: steady state measured 59.8 fps shown / 0.1 drops/s
+    (PERF_NOTES round 4). Bound at half: >= 30 fps shown — a regression
+    in the precache worker, the drop policy, or a sync RPC sneaking into
+    the serving path fails this loudly."""
+    import io as _io
+    import tempfile
+
+    from PIL import Image
+
+    from lives_tpu.graph import SinkSpec
+    from lives_tpu.io.clips import open_clip
+    from lives_tpu.io.decoders import write_mjpeg_avi
+    from lives_tpu.player import NullSink, Player
+    yy, xx = np.mgrid[0:1080, 0:1920]
+    frames = []
+    for s in range(12):
+        base = (128 + 70 * np.sin(xx / 23.0 + s * .3)
+                * np.cos(yy / 17.0 - s * .2)).clip(0, 255)
+        rgb = np.stack([base, np.roll(base, 40, 1), 255 - base],
+                       -1).astype(np.uint8)
+        b = _io.BytesIO()
+        Image.fromarray(rgb).save(b, "JPEG", quality=85)
+        frames.append(b.getvalue())
+    avi = str(tmp_path / "c.avi")
+    write_mjpeg_avi(avi, frames, 1920, 1080, 60.0)
+    clip = open_clip(avi, tmp_path)
+    p = Player(sink=NullSink(sync_every=8),
+               sink_spec=SinkSpec(width=1920, height=1080), fps=60.0)
+    p.precache_depth = 6
+    p.pipeline_depth = 2
+    p.prewarm_compile = False
+    p.keymap.set_key(0, 0, "saturation")
+    p.key_toggle(0, True)
+    p.state.fg_clip = clip
+    p.set_pb_fps(60.0)
+    p.start()
+    t_end = time.monotonic() + 2.0
+    while time.monotonic() < t_end:          # warm: compiles + cache
+        p.process_one()
+        time.sleep(0.0005)
+    barrier()
+    shown0 = p.frames_shown
+    t0 = time.monotonic()
+    while time.monotonic() - t0 < 4.0:
+        p.process_one()
+        time.sleep(0.0005)
+    barrier()
+    fps = (p.frames_shown - shown0) / (time.monotonic() - t0)
+    p.stop()
+    assert fps >= 30.0, f"paced live loop {fps:.1f} fps (bound 30)"
