@@ -430,3 +430,21 @@ def encode_frame_ref(rgb: np.ndarray, quality: int = 85,
         blocks.append(np.rint(F / qt[qno].reshape(8, 8))
                       .astype(np.int32).reshape(-1, 64))
     return meta, blocks
+
+
+def shard_encode_batch(mesh, fn, frames, axis: str | None = None):
+    """Run a built device encoder with its frame batch sharded over
+    `mesh`'s `axis` (data-parallel compressed EXPORT, the mirror of
+    jpeg_ingest.shard_decode_batch): each chip FDCTs/packs its shard of
+    the batch — per-frame independent, so XLA partitions the vmap with
+    zero collectives and each host fetches only its shard's wire bytes.
+    `frames` is the (B, 3, H, W) u8 batch, B divisible by the axis
+    size."""
+    import jax
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    if axis is None:
+        axis = mesh.axis_names[0]
+    sh = NamedSharding(mesh, P(axis))
+    import jax.numpy as jnp
+    placed = jax.device_put(jnp.asarray(frames), sh)
+    return fn(placed)

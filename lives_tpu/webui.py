@@ -46,9 +46,10 @@ class PreviewTap(Sink):
     remote attachment). Host-resident frames fall back to PIL."""
 
     def __init__(self, inner: Sink | None = None, quality: int = 80,
-                 max_fps: float = 15.0):
+                 max_fps: float = 15.0, max_width: int = 960):
         self.inner = inner
         self.quality = quality
+        self.max_width = max_width   # 0/None = ship full resolution
         # latest-wins handoff: cap the rate so the tap never outpaces
         # its worker
         self.min_interval = 1.0 / max_fps if max_fps else 0.0
@@ -88,7 +89,15 @@ class PreviewTap(Sink):
         try:
             from .constants import Palette
             from .ops.colorspace import convert_layer
-            plane = convert_layer(layer, Palette.RGB24).planes[0]
+            rgb = convert_layer(layer, Palette.RGB24)
+            if self.max_width and rgb.width > self.max_width:
+                # preview panel is small: device-resize before encoding
+                # (a 1080p->960 halving cuts the DCT/wire cost 4x)
+                from .ops.resize import resize_layer
+                sc = self.max_width / rgb.width
+                rgb = resize_layer(rgb, self.max_width,
+                                   max(2, int(rgb.height * sc)) // 2 * 2)
+            plane = rgb.planes[0]
         except Exception:
             return ok
         with self._pcv:
