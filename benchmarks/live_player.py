@@ -1,0 +1,105 @@
+#!/usr/bin/env python
+"""Paced live playback benchmark: the FULL player loop (clock -> frame
+targeting -> precache -> jitted graph -> pipelined sink) against real
+MJPEG media, at the clip's own rate, counting dropped frames.
+
+This is the round-4 honest methodology (PERF_NOTES "Transfer asymmetry
++ the honest live-lane methodology"): materialisation is enforced with
+the bounded-lag device-order barrier (NullSink sync_every), never with
+per-frame host syncs (a pure ~37 ms RPC on this attachment).
+
+Scenarios:
+  loop    — 12-frame looping clip (the VJ case: the LRU precache keeps
+            the whole set device-resident; steady state decodes nothing)
+  unique  — 240-frame clip larger than the cache (every frame pays the
+            host entropy decode once; bounded by the single host core)
+
+Reference contract: decplugin get_frame feeding player.c:2185 at rate.
+"""
+
+import io as _io
+import json
+import os
+import sys
+import tempfile
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+
+def make_clip(w, h, n, fps):
+    from PIL import Image
+
+    from lives_tpu.io.clips import open_clip
+    from lives_tpu.io.decoders import write_mjpeg_avi
+    yy, xx = np.mgrid[0:h, 0:w]
+    frames = []
+    for s in range(n):
+        base = (128 + 70 * np.sin(xx / 23.0 + s * .3)
+                * np.cos(yy / 17.0 - s * .2)
+                + 20 * np.sin((xx + yy) / 9.0)).clip(0, 255)
+        rgb = np.stack([base, np.roll(base, 40, 1), 255 - base],
+                       -1).astype(np.uint8)
+        b = _io.BytesIO()
+        Image.fromarray(rgb).save(b, "JPEG", quality=85)
+        frames.append(b.getvalue())
+    tmp = tempfile.mkdtemp()
+    avi = os.path.join(tmp, f"{w}x{h}x{n}.avi")
+    write_mjpeg_avi(avi, frames, w, h, fps)
+    return open_clip(avi, tmp)
+
+
+def run(w, h, fps, n_frames, precache, secs=8.0, warm=2.5):
+    from lives_tpu.graph import SinkSpec
+    from lives_tpu.player import NullSink, Player
+    from lives_tpu.utils import device_barrier
+    clip = make_clip(w, h, n_frames, fps)
+    p = Player(sink=NullSink(sync_every=8),
+               sink_spec=SinkSpec(width=w, height=h), fps=fps)
+    p.precache_depth = precache
+    p.pipeline_depth = 2
+    p.prewarm_compile = False
+    p.keymap.set_key(0, 0, "saturation")
+    p.key_toggle(0, True)
+    p.state.fg_clip = clip
+    p.set_pb_fps(fps)
+    p.start()
+    t_end = time.monotonic() + warm
+    while time.monotonic() < t_end:
+        p.process_one()
+        time.sleep(0.0005)
+    device_barrier()
+    shown0, dropped0 = p.frames_shown, p.frames_dropped
+    t0 = time.monotonic()
+    while time.monotonic() - t0 < secs:
+        p.process_one()
+        time.sleep(0.0005)
+    device_barrier()
+    dt = time.monotonic() - t0
+    shown = (p.frames_shown - shown0) / dt
+    dropped = (p.frames_dropped - dropped0) / dt
+    p.stop()
+    return shown, dropped
+
+
+def main():
+    results = {}
+    for name, (w, h, fps, n, pre) in {
+        "loop_1080p60": (1920, 1080, 60.0, 12, 6),
+        "loop_4k30": (3840, 2160, 30.0, 12, 6),
+        "unique_1080p30": (1920, 1080, 30.0, 240, 12),
+    }.items():
+        shown, dropped = run(w, h, fps, n, pre)
+        results[name] = {"shown_fps": round(shown, 1),
+                         "dropped_per_s": round(dropped, 1),
+                         "target_fps": fps}
+        print(f"{name}: {shown:.1f} fps shown, {dropped:.1f} drops/s "
+              f"(target {fps})", flush=True)
+    print(json.dumps({"benchmark": "live_player_paced",
+                      "results": results}))
+
+
+if __name__ == "__main__":
+    main()
