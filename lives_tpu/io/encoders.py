@@ -34,6 +34,9 @@ class EncFormat:
 
 class Encoder:
     name = "base"
+    #: True when encode() can take device-resident (jax) frame arrays —
+    #: callers then skip the raw device->host fetch entirely
+    accepts_device_frames = False
 
     @classmethod
     def get_capabilities(cls) -> int:
@@ -276,6 +279,7 @@ if _have_jpeg_writer():
         Reference role: jpeg stream export (marcos-encoders family)."""
 
         name = "mjpeg"
+        accepts_device_frames = True
 
         @classmethod
         def get_formats(cls):

@@ -28,6 +28,13 @@ def transcode(clip, out_path: str, encoder: str = "yuv4mpeg",
     sink = SinkSpec(width=width or clip.width, height=height or clip.height)
     graph = FrameGraph(list(chain), sink, fps=clip.fps)
 
+    enc = get_encoder(encoder)
+    # device-capable encoders (the compressed MJPEG lane) take the
+    # rendered batch without a raw device->host fetch — at 1080p a
+    # 32-frame batch is 200 MB of pixels vs ~6 MB of coefficients on
+    # this attachment's ~30 MB/s download path
+    dev_frames = getattr(enc, "accepts_device_frames", False)
+
     def frame_iter():
         for ofs in range(start, end, batch_size):
             hi = min(ofs + batch_size, end)
@@ -39,6 +46,10 @@ def transcode(clip, out_path: str, encoder: str = "yuv4mpeg",
             tcs = np.arange(ofs, hi, dtype=np.float32) / clip.fps
             out = graph.run_batch([batch], tcs,
                                   np.arange(ofs, hi, dtype=np.int32))
+            if dev_frames:
+                for k in range(hi - ofs):
+                    yield out.planes[0][k]
+                continue
             out_arr = np.asarray(out.planes[0])
             for k in range(hi - ofs):
                 yield out_arr[k]
@@ -48,5 +59,30 @@ def transcode(clip, out_path: str, encoder: str = "yuv4mpeg",
     if include_audio and getattr(clip, "achans", 0):
         audio = clip.read_audio()
         arate = clip.arate or 44100
-    return get_encoder(encoder).encode(out_path, frame_iter(), clip.fps,
-                                       audio, arate)
+    return enc.encode(out_path, frame_iter(), clip.fps, audio, arate)
+
+
+def render_to_encoder(el, source, out_path: str, encoder: str = "mjpeg",
+                      sink: SinkSpec | None = None,
+                      batch_size: int = 32) -> bool:
+    """Render an event list straight into an encoder (the reference
+    flow of transcode.c + events.c:4994 without the intermediate clip).
+    With a device-capable encoder (the compressed MJPEG lane) the
+    rendered frames never cross to the host as raw pixels."""
+    from .events.renderer import render_events
+    enc = get_encoder(encoder)
+    dev_frames = getattr(enc, "accepts_device_frames", False)
+
+    def frame_iter():
+        for tcs, out in render_events(el, source, sink,
+                                      batch_size=batch_size):
+            p = out.planes[0]
+            if dev_frames:
+                for k in range(int(p.shape[0])):
+                    yield p[k]
+            else:
+                a = np.asarray(p)
+                for k in range(a.shape[0]):
+                    yield a[k]
+
+    return enc.encode(out_path, frame_iter(), el.fps)

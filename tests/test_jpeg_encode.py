@@ -183,3 +183,22 @@ def test_mjpeg_export_roundtrip(tmp_path):
     for n in (0, 5, 9):
         got = np.asarray(clip.get_frame(n).planes[0])
         assert _psnr(got, frames[n]) > 28.0
+
+
+def test_render_to_encoder_device_path(tmp_path):
+    """Timeline render straight into the MJPEG device encoder: the
+    rendered frames never cross as raw pixels; the AVI round-trips."""
+    _require_writer()
+    from lives_tpu.io.clips import open_clip
+    from lives_tpu.scenes import DeviceSyntheticSource, multitrack_timeline
+    from lives_tpu.transcode import render_to_encoder
+    el = multitrack_timeline(n_tracks=3, n_frames=12, width=96, height=64,
+                             fps=25.0)
+    src = DeviceSyntheticSource(64, 96)
+    out = str(tmp_path / "render.avi")
+    assert render_to_encoder(el, src, out, encoder="mjpeg")
+    clip = open_clip(out, tmp_path)
+    assert clip.frames == 12
+    f = np.asarray(clip.get_frame(5).planes[0])
+    assert f.shape == (3, 64, 96)
+    assert f.std() > 5       # real rendered content, not padding
