@@ -524,6 +524,23 @@ async function drawTimeline(){
   row.style.cssText='position:relative;height:16px;background:#222;'+
    'flex:1;border-radius:3px;cursor:copy';
   allRows.push(row);
+  if(isAudio){  // waveform strip behind the blocks (audio.c peaks)
+   const cv=document.createElement('canvas');
+   cv.width=600; cv.height=16;
+   cv.style.cssText='position:absolute;inset:0;width:100%;height:100%;'+
+    'pointer-events:none;opacity:.7';
+   row.appendChild(cv);
+   fetch('/api/audio_wave/'+tr.track+'?w=600').then(r=>r.ok?r.json():null)
+    .then(wv=>{ if(!wv)return;
+     const g=cv.getContext('2d'); g.strokeStyle='#6a9';
+     g.beginPath();
+     for(let c=0;c<wv.width;c++){
+      g.moveTo(c+.5, 8-wv.maxs[c]*7.5);
+      g.lineTo(c+.5, 8-wv.mins[c]*7.5);
+     }
+     g.stroke();
+    }).catch(()=>{});
+  }
   // click: insert fg clip; shift-drag: region select
   row.onmousedown=(e)=>{
    if(!e.shiftKey)return;
@@ -752,6 +769,24 @@ class WebUI:
                     self._json(ui.state())
                 elif self.path == "/api/timeline":
                     self._json(ui.timeline())
+                elif self.path.startswith("/api/audio_wave/"):
+                    try:
+                        q = self.path[len("/api/audio_wave/"):]
+                        trk = int(q.split("?")[0])
+                        w = 600
+                        if "?" in q and "w=" in q:
+                            w = max(16, min(4000, int(
+                                q.split("w=")[1].split("&")[0])))
+                    except ValueError:
+                        self.send_response(404)
+                        self.end_headers()
+                        return
+                    wave = ui.audio_wave(trk, w)
+                    if wave is None:
+                        self.send_response(404)
+                        self.end_headers()
+                        return
+                    self._json(wave)
                 elif self.path.startswith("/api/params/"):
                     self._json(ui.param_spec(int(self.path.rsplit("/", 1)
                                                  [-1])))
@@ -1040,6 +1075,52 @@ class WebUI:
                 "inst_fps": stats["inst_fps"], "p99_ms": stats["p99_ms"],
                 "keys": keys, "clips": clips,
                 "blend": st.blend_amount}
+
+    def audio_wave(self, track: int, width: int = 600):
+        """Per-column min/max peaks of a backing audio track across the
+        timeline — the reference's waveform strips in the multitrack
+        audio rows (audio.c get_audio_peaks / ce_thumbs audio drawing).
+        Columns outside any block stay zero."""
+        mt = getattr(self.osc, "multitrack", None)
+        if mt is None or mt.n_frames <= 0:
+            return None
+        total = mt.n_frames
+        fps = mt.el.fps or 25.0
+        mins = np.zeros(width, np.float32)
+        maxs = np.zeros(width, np.float32)
+        try:
+            blocks = mt.audio_blocks(track)
+        except Exception:
+            return None
+        for b in blocks:
+            clip = self.osc.clips.get(int(b.clip))
+            if clip is None or not getattr(clip, "achans", 0):
+                continue
+            try:
+                au = clip.read_audio()
+            except Exception:
+                continue
+            if au.shape[0] == 0:
+                continue
+            mono = au.mean(axis=1)
+            arate = getattr(clip, "arate", 44100) or 44100
+            vel = abs(getattr(b, "vel", 1.0)) or 1.0
+            c0 = int(b.start / total * width)
+            c1 = max(c0 + 1, int(b.end / total * width))
+            for c in range(c0, min(c1, width)):
+                tl_f0 = c / width * total
+                tl_f1 = (c + 1) / width * total
+                s0 = int((b.seek + max(0.0, tl_f0 - b.start) / fps * vel)
+                         * arate)
+                s1 = int((b.seek + max(0.0, tl_f1 - b.start) / fps * vel)
+                         * arate)
+                seg = mono[max(0, s0): max(s0 + 1, s1)]
+                if seg.size:
+                    mins[c] = min(mins[c], float(seg.min()))
+                    maxs[c] = max(maxs[c], float(seg.max()))
+        return {"track": track, "width": width, "frames": total,
+                "mins": [round(float(v), 3) for v in mins],
+                "maxs": [round(float(v), 3) for v in maxs]}
 
     def timeline(self) -> dict[str, Any]:
         """Multitrack readout: per-track block views, backing audio

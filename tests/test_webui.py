@@ -346,3 +346,34 @@ def test_preview_uses_device_encode_lane(ui):
     assert ui.tap.device_encodes > 0
     assert ui.tap.host_encodes == 0
     p.stop()
+
+
+def test_audio_wave_endpoint(ui, tmp_path):
+    """Waveform strips for the multitrack audio rows (audio.c peaks):
+    per-column min/max peaks aligned to the block span."""
+    from lives_tpu.io.clips import Clip
+    from lives_tpu.multitrack.model import Multitrack
+    clip = Clip(handle="wavetest", clip_dir=tmp_path)
+    clip.arate = 8000
+    t = np.linspace(0, 2.0, 16000, endpoint=False)
+    clip.write_audio(np.sin(2 * np.pi * 220 * t)[:, None] * 0.8, 8000)
+    clip.fps = 25.0
+    clip.frames = 50
+    ui.osc.clips[7] = clip
+    mt = Multitrack(n_tracks=1)
+    mt.insert_block(0, clip=7, start=0, length=40)   # sets n_frames
+    mt.insert_audio_block(-1, 7, 10, 20)             # frames 10..30
+    ui.osc.multitrack = mt
+    wv = json.loads(_get(ui, "/api/audio_wave/-1?w=200"))
+    assert wv["width"] == 200
+    mins = np.array(wv["mins"])
+    maxs = np.array(wv["maxs"])
+    total = wv["frames"]
+    in_cols = slice(int(10 / total * 200) + 1, int(30 / total * 200) - 1)
+    out_cols = slice(0, int(10 / total * 200) - 1)
+    assert maxs[in_cols].max() > 0.5          # sine peaks visible
+    assert mins[in_cols].min() < -0.5
+    assert np.all(maxs[out_cols] == 0)        # silence outside the block
+    # unknown audio track -> empty wave, not an error
+    wv2 = json.loads(_get(ui, "/api/audio_wave/-2?w=64"))
+    assert max(wv2["maxs"]) == 0
