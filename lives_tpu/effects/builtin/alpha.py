@@ -291,3 +291,24 @@ register_filter(Filter(
     params=(Param("scale", "num", 1.0, 0.0, 64.0),),
     description="overlay a 20x20 grid of flow arrows from two connected "
                 "AFLOAT channels (cairo/vector_visualiser.c grid mode)"))
+
+
+# -- alpha_to_grey ------------------------------------------------------------
+
+def _alpha_to_grey_process(ins, p, ctx):
+    """scripts/alpha_to_grey.script: replace RGB with the alpha channel
+    as a grey image (alpha itself passes through). RGB input (no alpha)
+    degrades to its luma — the script's RGBA-only palette list widened
+    to our planar world."""
+    lay = ins[0]
+    a, alpha = split_alpha(to_f01(lay))
+    g = alpha if alpha is not None else luma(a)
+    out = jnp.stack([g, g, g])
+    return from_f01(join_alpha(out, alpha), lay)
+
+
+register_filter(Filter(
+    name="alpha_to_grey", process=_alpha_to_grey_process,
+    in_channels=_ONE_IN,
+    description="alpha channel as grey pixels "
+                "(scripts/alpha_to_grey.script)"))

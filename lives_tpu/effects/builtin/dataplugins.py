@@ -267,3 +267,44 @@ register_filter(Filter(
     out_params=tuple(Param(f"o{j}", "num", 0.0, -1e6, 1e6)
                      for j in range(_N_SMOOTH)),
     description="leaky integrator (velocity -> position accumulator)"))
+
+
+# -- timer --------------------------------------------------------------------
+
+def _timer_init(w, h, palette):
+    return {"started": jnp.zeros((), jnp.bool_),
+            "start": jnp.zeros((), jnp.float32),
+            "reset_at": jnp.zeros((), jnp.float32),
+            "was_reset": jnp.zeros((), jnp.bool_)}
+
+
+def _timer_process(ins, p, ctx, state):
+    """scripts/timer.script: absolute / relative / since-reset clocks as
+    out params, with an edge-triggered reset input (feed `was_reset`
+    back through a data connection to make one-shot resets)."""
+    tc = jnp.asarray(ctx.tc, jnp.float32)
+    started = state["started"]
+    start = jnp.where(started, state["start"], tc)
+    reset_req = jnp.asarray(p["reset"], jnp.float32) > 0.5
+    do_reset = reset_req & ~state["was_reset"]
+    reset_at = jnp.where(started, jnp.where(do_reset, tc,
+                                            state["reset_at"]), tc)
+    new_state = {"started": jnp.ones((), jnp.bool_),
+                 "start": start, "reset_at": reset_at,
+                 "was_reset": reset_req}
+    outs = {"relative": tc - start, "absolute": tc,
+            "sincereset": tc - reset_at,
+            "was_reset": reset_req.astype(jnp.float32)}
+    return (ins[0] if ins else None), new_state, outs
+
+
+register_filter(Filter(
+    name="timer", process=_timer_process, in_channels=_ONE_IN,
+    flags=FILTER_STATEFUL, init_state=_timer_init,
+    params=(Param("reset", "num", 0.0, 0.0, 1.0),),
+    out_params=(Param("relative", "num", 0.0, 0.0, 1e9),
+                Param("absolute", "num", 0.0, 0.0, 1e9),
+                Param("sincereset", "num", 0.0, 0.0, 1e9),
+                Param("was_reset", "num", 0.0, 0.0, 1.0)),
+    description="timecode clocks for data connections "
+                "(scripts/timer.script)"))

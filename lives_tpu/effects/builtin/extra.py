@@ -521,3 +521,90 @@ register_filter(Filter(
                   choices=("pixelate", "black", "invert")),
             Param("block", "int", 16, 2, 128)),
     description="censor a region: pixelate / black bar / invert"))
+
+
+# -- xeffect (graphic novel) --------------------------------------------------
+
+def _xeffect_process(ins, p, ctx):
+    """Graphic-novel look (weed-plugins/scripts/xeffect.script): luma-edge
+    neighbour count routes each pixel to source / black / white. The
+    reference nine_fill splat on non-edge pixels becomes a plain source
+    copy here (a per-pixel 3x3 write race vectorises to nothing useful);
+    edge pixels quantise to ink (dark -> black, bright -> white,
+    mid -> source)."""
+    lay = ins[0]
+    a, alpha = split_alpha(to_f01(lay))
+    rgb = a * 255.0
+    y100 = (0.299 * rgb[0] + 0.587 * rgb[1] + 0.114 * rgb[2]) * 100.0
+    thr = jnp.asarray(p["threshold"], jnp.float32)
+    pad = jnp.pad(y100, 1, mode="edge")
+    nbr = jnp.zeros_like(y100)
+    for dy in (-1, 0, 1):
+        for dx in (-1, 0, 1):
+            if dy == 0 and dx == 0:
+                continue
+            sh = pad[1 + dy: pad.shape[0] - 1 + dy,
+                     1 + dx: pad.shape[1] - 1 + dx]
+            nbr = nbr + (jnp.abs(sh - y100) > thr)
+    edge = (nbr >= 2) & (nbr <= 5)
+    black = jnp.zeros_like(rgb)
+    white = jnp.full_like(rgb, 255.0)
+    ink = jnp.where(y100 < 12500.0, black,
+                    jnp.where(y100 > 20000.0, white, rgb))
+    out = jnp.where(edge[None], ink, rgb)
+    return from_f01(join_alpha(out / 255.0, alpha), lay)
+
+
+register_filter(Filter(
+    name="xeffect", process=_xeffect_process, in_channels=_ONE_IN,
+    params=(Param("threshold", "num", 10000.0, 1000.0, 25000.0),),
+    description="graphic novel: luma-edge ink quantise "
+                "(scripts/xeffect.script)"))
+
+
+# -- haip (autonomous painter) ------------------------------------------------
+
+def _haip_process(ins, p, ctx):
+    """haip.c: wurms start at random positions each frame and random-walk
+    WLEN steps, smearing slightly brightened source colour in 3x3 blocks
+    along their trails. Vectorised: all wurm paths at once (starts +
+    cumulative +-1 steps), one scatter of N*WLEN*9 points; randomness is
+    the integer frame-salted hash (deterministic, path-identical)."""
+    import jax
+
+    lay = ins[0]
+    a, alpha = split_alpha(to_f01(lay))
+    src = a * 255.0
+    c, h, w = src.shape
+    n = 48 * 1                               # num_wurms * WMULT ceiling
+    wlen = 32                                # haip.c WLEN
+    amount = jnp.clip(jnp.asarray(p["wurms"], jnp.float32) / 100.0, 0, 1)
+    key = jax.random.fold_in(jax.random.PRNGKey(1913),
+                             jnp.asarray(ctx.frame, jnp.int32))
+    k1, k2, k3 = jax.random.split(key, 3)
+    sx = jax.random.randint(k1, (n, 1), 1, w - 1)
+    sy = jax.random.randint(k1, (n, 1), 1, h - 1) ^ 0x15  # decorrelate
+    sy = jnp.clip(sy, 1, h - 2)
+    steps = jax.random.randint(k2, (2, n, wlen), -1, 2)
+    xs = jnp.clip(sx + jnp.cumsum(steps[0], axis=1), 1, w - 2)
+    ys = jnp.clip(sy + jnp.cumsum(steps[1], axis=1), 1, h - 2)
+    # wurm slots beyond the active count park on their start pixel
+    active = (jnp.arange(n)[:, None] < amount * n)
+    bright = 1.0 + 0.05 * (jax.random.uniform(k3, (n, wlen)) < 0.01)
+    colour = src[:, ys, xs] * bright[None]
+    out = src
+    for dy in (-1, 0, 1):
+        for dx in (-1, 0, 1):
+            yy = jnp.clip(ys + dy, 0, h - 1)
+            xx = jnp.clip(xs + dx, 0, w - 1)
+            paint = jnp.where(active[None], colour, out[:, yy, xx])
+            out = out.at[:, yy, xx].set(paint)
+    return from_f01(join_alpha(jnp.clip(out, 0, 255) / 255.0, alpha),
+                    lay)
+
+
+register_filter(Filter(
+    name="haip", process=_haip_process, in_channels=_ONE_IN,
+    params=(Param("wurms", "num", 80.0, 0.0, 100.0),),
+    description="autonomous painting wurms smear brightened source "
+                "trails (haip.c)"))

@@ -257,3 +257,85 @@ def test_puretext_terminal_reveals_in_order(rng):
     late = np.asarray(apply_instance(
         inst, [lay], FrameContext(tc=10.0))[0].planes[0]).astype(int)
     assert (late.sum(0) > 600).sum() > (early.sum(0) > 600).sum()
+
+
+def test_xeffect_ink_quantise():
+    """xeffect.script: smooth regions keep source; luma-edge pixels
+    quantise to black (dark) / white (bright)."""
+    from lives_tpu.effects import instantiate
+    from lives_tpu.effects.host import apply_instance
+    h, w = 24, 32
+    src = np.full((3, h, w), 40, np.uint8)      # dark
+    src[:, :, w // 2:] = 220                    # bright half: hard edge
+    lay = Layer(planes=(jnp.asarray(src),), palette=int(Palette.RGB24))
+    out = apply_instance(instantiate("xeffect"), [lay])
+    out = out if hasattr(out, "planes") else out[0]
+    a = np.asarray(out.planes[0])
+    # interior of each half untouched
+    np.testing.assert_array_equal(a[:, :, : w // 2 - 2],
+                                  src[:, :, : w // 2 - 2])
+    # edge columns: dark side inked black, bright side inked white
+    assert (a[:, 2:-2, w // 2 - 1] == 0).all()
+    assert (a[:, 2:-2, w // 2] == 255).all()
+
+
+def test_haip_paints_deterministic_trails():
+    from lives_tpu.effects import instantiate
+    from lives_tpu.effects.host import apply_instance, FrameContext
+    rng = np.random.default_rng(1)
+    src = rng.integers(0, 256, (3, 32, 48), np.uint8)
+    lay = Layer(planes=(jnp.asarray(src),), palette=int(Palette.RGB24))
+    def run(c):
+        out = apply_instance(instantiate("haip"), [lay], ctx=c)
+        out = out if hasattr(out, "planes") else out[0]
+        return np.asarray(out.planes[0])
+
+    ctx = FrameContext(tc=0.4, frame=12, width=48, height=32)
+    a1 = run(ctx)
+    a2 = run(ctx)
+    np.testing.assert_array_equal(a1, a2)      # frame-seeded: reproducible
+    changed = (a1 != src).any(axis=0).mean()
+    assert 0.05 < changed < 0.9                # trails, not a repaint
+    a3 = run(FrameContext(tc=0.5, frame=13, width=48, height=32))
+    assert (a1 != a3).any()                    # new frame, new wurms
+
+
+def test_timer_clocks_and_reset():
+    from lives_tpu.effects import instantiate
+    from lives_tpu.effects.host import FrameContext, apply_instance
+    inst = instantiate("timer")
+    lay = Layer(planes=(jnp.zeros((3, 8, 8), jnp.uint8),),
+                palette=int(Palette.RGB24))
+
+    def step(tc, reset=0.0):
+        inst.values["reset"] = reset
+        apply_instance(inst, [lay], ctx=FrameContext(tc=tc, frame=int(
+            tc * 25), width=8, height=8))
+        return {k: float(v) for k, v in inst.out_values.items()}
+
+    o = step(2.0)
+    assert abs(o["absolute"] - 2.0) < 1e-5
+    assert abs(o["relative"]) < 1e-5           # started at 2.0
+    o = step(3.5)
+    assert abs(o["relative"] - 1.5) < 1e-5
+    assert abs(o["sincereset"] - 1.5) < 1e-5
+    o = step(4.0, reset=1.0)                   # edge-triggered reset
+    assert abs(o["sincereset"]) < 1e-5
+    assert o["was_reset"] == 1.0
+    o = step(5.0, reset=1.0)                   # held high: no re-reset
+    assert abs(o["sincereset"] - 1.0) < 1e-5
+    o = step(6.0)
+    assert abs(o["relative"] - 4.0) < 1e-5
+
+
+def test_alpha_to_grey():
+    from lives_tpu.effects import instantiate
+    from lives_tpu.effects.host import apply_instance
+    rng = np.random.default_rng(3)
+    src = rng.integers(0, 256, (4, 12, 16), np.uint8)
+    lay = Layer(planes=(jnp.asarray(src),), palette=int(Palette.RGBA32))
+    out = apply_instance(instantiate("alpha_to_grey"), [lay])
+    out = out if hasattr(out, "planes") else out[0]
+    a = np.asarray(out.planes[0])
+    for c in range(3):
+        assert np.abs(a[c].astype(int) - src[3].astype(int)).max() <= 1
