@@ -765,7 +765,10 @@ class Player:
         if _FG._is_genclip(st.fg_clip):
             return  # generated in-template; nothing to precache
         direction = 1 if st.pb_fps >= 0 else -1
-        self._pc_state = (st.fg_clip, int(target), direction)
+        bg = None
+        if st.bg_clip is not None and not _FG._is_genclip(st.bg_clip):
+            bg = (st.bg_clip, self._bg_frame(target))
+        self._pc_state = (st.fg_clip, int(target), direction, bg)
         with self._pc_cv:
             self._pc_cv.notify()
         if self._precache_thread is None or \
@@ -794,11 +797,23 @@ class Player:
                 with self._pc_cv:
                     self._pc_cv.wait(0.5)
                 continue
-            clip, target, direction = state
+            clip, target, direction, bg = state
             wanted = [self.clamp_frame(target + direction * k)
                       for k in range(0, self.precache_depth + 1)]
             missing = [f for f in wanted
                        if self._ck(clip, f) not in self._precache]
+            # the bg clip rides the same window (its frames follow the
+            # fg clock via _bg_frame; without this a decoder-backed bg
+            # would miss-drop forever)
+            if bg is not None:
+                bclip, bframe = bg
+                nb = getattr(bclip, "frames", 0) or 1
+                bmiss = [f for f in
+                         {(bframe + direction * k) % nb
+                          for k in range(0, self.precache_depth + 1)}
+                         if self._ck(bclip, f) not in self._precache]
+            else:
+                bmiss = []
             nframes = getattr(clip, "frames", 0) or 1
             # expensive seeks first (decplugin estimate_delay,
             # decplugin.h:305) — but the playhead's own frame always
@@ -819,9 +834,33 @@ class Player:
                     key=lambda f: -min(abs(f - target),
                                        nframes - abs(f - target)))
             self._pc_behind = target_missing
-            self._inflight = {self._ck(clip, f) for f in missing}
+            self._inflight = {self._ck(clip, f) for f in missing} \
+                | ({self._ck(bg[0], f) for f in bmiss} if bg else set())
             near = any(min(abs(f - target), nframes - abs(f - target)) <= 2
                        for f in missing)
+            if bg is not None and bmiss:
+                bclip = bg[0]
+                for j in range(0, len(bmiss), 4):
+                    chunk = bmiss[j:j + 4]
+                    pad = list(chunk)
+                    while len(pad) < 4:
+                        pad.append(pad[-1])
+                    lays = self._decode_frames_batched(bclip, pad)
+                    for f, lay in zip(chunk, lays or []):
+                        self._precache[self._ck(bclip, f)] = lay
+                    if lays is None:
+                        for f in chunk:
+                            k = self._ck(bclip, f)
+                            if k not in self._precache:
+                                try:
+                                    self._precache[k] = \
+                                        self._decode_frame(bclip, f)
+                                except Exception:
+                                    pass
+                            self._inflight.discard(k)
+                    else:
+                        for f in chunk:
+                            self._inflight.discard(self._ck(bclip, f))
             if not missing or (len(missing) < 4 and not near):
                 # hysteresis: far-horizon singletons accumulate into one
                 # batched dispatch instead of paying a padded dispatch

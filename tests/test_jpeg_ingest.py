@@ -444,3 +444,40 @@ def test_precache_worker_batches_mjpeg(tmp_path):
     ref = decode_frame_ref(read_coefficients(frames[4]))
     d = np.abs(np.asarray(lay.planes[0]).astype(int) - ref[0].astype(int))
     assert d.max() <= 1
+
+
+def test_bg_clip_precached_not_dropped_forever(tmp_path):
+    """drop-on-miss + a decoder-backed BG clip: the worker's window must
+    cover the bg's frames too, or every bg pull would drop forever."""
+    import time
+
+    from lives_tpu.graph import SinkSpec
+    from lives_tpu.io.clips import open_clip
+    from lives_tpu.io.decoders import write_mjpeg_avi
+    from lives_tpu.player import CollectSink, Player
+    def clip_for(seed, tag):
+        frames = [_jpeg_bytes(w=64, h=32, seed=seed * 10 + s)
+                  for s in range(8)]
+        avi = str(tmp_path / f"{tag}.avi")
+        write_mjpeg_avi(avi, frames, 64, 32, 25.0)
+        return open_clip(avi, tmp_path)
+    p = Player(sink=CollectSink(), sink_spec=SinkSpec(width=64, height=32))
+    p.precache_depth = 3
+    p.state.fg_clip = clip_for(1, "fg")
+    p.state.bg_clip = clip_for(2, "bg")
+    assert p.drop_on_miss
+    p.start()
+    shown = 0
+    for i in range(8):
+        p.state.frame = -1
+        p._clock0 = time.monotonic()
+        p._frame0 = float(i % 8)
+        if p.process_one() and len(p.sink.frames) > shown:
+            shown = len(p.sink.frames)
+        time.sleep(0.05)           # let the worker fill both windows
+    assert shown >= 4, f"bg pulls starved the loop (shown {shown})"
+    # bg frames actually entered the cache
+    bkeys = [k for k in p._precache
+             if k[0] == id(p.state.bg_clip)]
+    assert bkeys, "worker never precached the bg clip"
+    p.stop()
