@@ -481,3 +481,64 @@ def test_bg_clip_precached_not_dropped_forever(tmp_path):
              if k[0] == id(p.state.bg_clip)]
     assert bkeys, "worker never precached the bg clip"
     p.stop()
+
+
+def test_precache_worker_chaos(tmp_path):
+    """Stress the free-running worker: random clip switches (decoder and
+    memory clips), reverse, trickplay and key toggles must never wedge
+    the loop or leak exceptions; the player stops cleanly."""
+    import time
+
+    import jax.numpy as jnp
+
+    from lives_tpu.constants import Palette
+    from lives_tpu.graph import SinkSpec
+    from lives_tpu.io.clips import open_clip
+    from lives_tpu.io.decoders import write_mjpeg_avi
+    from lives_tpu.layer import Layer
+    from lives_tpu.player import CollectSink, Player
+
+    def mjpeg_clip(seed, tag, n=6):
+        frames = [_jpeg_bytes(w=48, h=32, seed=seed * 100 + s)
+                  for s in range(n)]
+        avi = str(tmp_path / f"{tag}.avi")
+        write_mjpeg_avi(avi, frames, 48, 32, 25.0)
+        return open_clip(avi, tmp_path)
+
+    class MemClip:
+        frames, fps, width, height, unique_id = 9, 25.0, 48, 32, 77
+
+        def get_frame(self, n):
+            rng = np.random.default_rng(n)
+            return Layer(planes=(jnp.asarray(
+                rng.integers(0, 256, (3, 32, 48), np.uint8)),),
+                palette=int(Palette.RGB24))
+
+    clips = [mjpeg_clip(1, "a"), mjpeg_clip(2, "b"), MemClip()]
+    p = Player(sink=CollectSink(), sink_spec=SinkSpec(width=48, height=32))
+    p.precache_depth = 3
+    p.pipeline_depth = 1
+    p.fetch_batch = 2
+    p.async_compile = False
+    p.state.fg_clip = clips[0]
+    p.keymap.set_key(0, 0, "negate")
+    p.start()
+    rng = np.random.default_rng(42)
+    for i in range(60):
+        op = rng.integers(0, 6)
+        if op == 0:
+            p.state.fg_clip = clips[rng.integers(0, 3)]
+        elif op == 1:
+            p.state.bg_clip = (None if rng.random() < 0.5
+                               else clips[rng.integers(0, 3)])
+        elif op == 2:
+            p.set_pb_fps(float(rng.choice([-25.0, 12.5, 25.0, 50.0])))
+        elif op == 3:
+            p.key_toggle(0)
+        p.state.frame = -1
+        p._clock0 = time.monotonic()
+        p._frame0 = float(rng.integers(0, 9))
+        assert p.process_one() in (True, False)
+    assert p.frames_shown > 20
+    p.stop()
+    assert p._precache_thread is None or not p._precache_thread.is_alive()
