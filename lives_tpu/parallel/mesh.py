@@ -316,3 +316,111 @@ def spatial_sweep_fn(graph, mesh: Mesh, source, B: int, H: int, W: int,
         return shardfn(jnp.asarray(src_ids), jnp.asarray(packed))
 
     return run
+
+
+# ---------------------------------------------------------------------------
+# Pipeline parallelism over the effect chain (the "PP" pattern)
+# ---------------------------------------------------------------------------
+
+def pipeline_chain_fn(instances, mesh: Mesh, axis: str = "b"):
+    """GPipe-style pipeline over a long effect chain: device d owns chain
+    stage d; frames stream through the mesh, each step every device
+    applies ITS stage to the frame it holds and `ppermute`s the result
+    to its neighbour over ICI. All stages run concurrently on different
+    frames — the cross-chip form of the reference's inter-step DAG
+    parallelism (one proc-thread per fx node, effects-weed.c).
+
+    `instances` are the chain's effect Instances, one PER DEVICE (len ==
+    mesh size; pad short chains with None = identity). Stages must
+    preserve geometry/palette (elementwise/stencil fx). Returns
+    run(batch_f01: (B, C, H, W) float32, tcs: (B,)) -> (B, C, H, W)
+    with every frame through the full chain, identical to the
+    sequential apply.
+
+    SPMD notes: every device traces every stage and `lax.switch` on
+    axis_index selects the resident one (untaken branches cost code
+    size, not FLOPs). The input window is replicated and the output
+    psum-gathered — right for live-window sizes (the win is chain-depth
+    concurrency, not memory scaling)."""
+    n = int(np.prod([mesh.shape[a] for a in mesh.axis_names]))
+    from ..effects.host import FrameContext
+
+    if len(instances) != n:
+        raise ValueError(f"need {n} stages (got {len(instances)}); "
+                         "pad with None")
+
+    def make_stage_fns():
+        fns = []
+        for inst in instances:
+            if inst is None:
+                fns.append(lambda a, _t: a)
+            else:
+                filt, vals = inst.filter, inst.param_values()
+
+                def fn(a, t, filt=filt, vals=vals):
+                    from ..constants import Palette
+                    from ..layer import Layer
+                    ctx = FrameContext(tc=t, frame=0, fps=25.0,
+                                       width=a.shape[-1],
+                                       height=a.shape[-2])
+                    lay = Layer(planes=(a,),
+                                palette=int(Palette.RGBFLOAT))
+                    out = filt.process([lay], vals, ctx)
+                    if isinstance(out, (tuple, list)):
+                        out = out[0]
+                    return (out.planes[0] if hasattr(out, "planes")
+                            else out).astype(a.dtype)
+                fns.append(fn)
+        return fns
+
+    def run(batch, tcs):
+        import jax
+        from jax.experimental.shard_map import shard_map
+        B = int(batch.shape[0])
+
+        def per_device(chunk, tcs_c):
+            d = jax.lax.axis_index(axis)
+            fns = make_stage_fns()
+
+            def apply_stage(x, t):
+                return jax.lax.switch(d, fns, x, t)
+
+            cur = jnp.zeros_like(chunk[0])
+            tcur = jnp.float32(0)
+            out = jnp.zeros_like(chunk)
+
+            def step(carry, i):
+                cur, tcur, out = carry
+                # hand the previous step's result to the next stage
+                if n > 1:
+                    cur, tcur = jax.lax.ppermute(
+                        (cur, tcur), axis,
+                        [(k, k + 1) for k in range(n - 1)])
+                # device 0 ingests frame i (replicated input window)
+                idx = jnp.clip(i, 0, B - 1)
+                ingest = (d == 0) & (i < B)
+                cur = jnp.where(ingest, chunk[idx], cur)
+                tcur = jnp.where(ingest, tcs_c[idx], tcur)
+                cur = apply_stage(cur, tcur)
+                # device n-1 finished frame i-(n-1)
+                j = i - (n - 1)
+                emit = (d == n - 1) & (j >= 0)
+                sel = (jnp.arange(B)[:, None, None, None]
+                       == jnp.clip(j, 0, B - 1))
+                out = jnp.where(emit & sel, cur[None], out)
+                return (cur, tcur, out), None
+
+            (_, _, out), _ = jax.lax.scan(
+                step, (cur, tcur, out), jnp.arange(B + n - 1))
+            # only device n-1 holds the results: sum-gather replicates
+            keep = jnp.where(d == n - 1, 1.0, 0.0)
+            return jax.lax.psum(out * keep, axis)
+
+        full = P(*([None] * batch.ndim))
+        fn = shard_map(per_device, mesh=mesh,
+                       in_specs=(full, P(None)), out_specs=full,
+                       check_rep=False)
+        return fn(jnp.asarray(batch, jnp.float32),
+                  jnp.asarray(tcs, jnp.float32))
+
+    return run

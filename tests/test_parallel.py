@@ -138,3 +138,62 @@ def test_shard_encode_batch_matches_single():
     mesh = Mesh(np.array(jax.devices()[:8]), ("dp",))
     sharded = np.asarray(shard_encode_batch(mesh, enc.fn, frames))
     np.testing.assert_array_equal(single, sharded)
+
+
+def test_pipeline_chain_matches_sequential():
+    """PP over the effect chain: 8 stages on 8 devices, frames streamed
+    through the ring — output equals the sequential chain."""
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import Mesh
+
+    from lives_tpu.effects import instantiate
+    from lives_tpu.effects.host import FrameContext
+    from lives_tpu.parallel.mesh import pipeline_chain_fn
+
+    names = ["negate", "saturation", "vignette", "brightness_contrast",
+             "sepia", "solarize", "tint", "greyscale"]
+    insts = [instantiate(nm) for nm in names]
+    mesh = Mesh(np.array(jax.devices()[:8]), ("b",))
+    run = pipeline_chain_fn(insts, mesh)
+    rng = np.random.default_rng(0)
+    B = 12
+    batch = rng.random((B, 3, 16, 24)).astype(np.float32)
+    tcs = np.arange(B, dtype=np.float32) / 25.0
+    got = np.asarray(run(batch, tcs))
+
+    # sequential reference
+    from lives_tpu.constants import Palette
+    from lives_tpu.layer import Layer
+
+    def seq(x, t):
+        for inst in insts:
+            ctx = FrameContext(tc=t, frame=0, fps=25.0, width=24,
+                               height=16)
+            lay = Layer(planes=(jnp.asarray(x),),
+                        palette=int(Palette.RGBFLOAT))
+            out = inst.filter.process([lay], inst.param_values(), ctx)
+            if isinstance(out, (tuple, list)):
+                out = out[0]
+            x = np.asarray(out.planes[0] if hasattr(out, "planes")
+                           else out, dtype=np.float32)
+        return x
+    for i in range(B):
+        np.testing.assert_allclose(got[i], seq(batch[i], tcs[i]),
+                                   rtol=1e-5, atol=1e-5)
+
+
+def test_pipeline_chain_pads_identity():
+    import jax
+    import numpy as np_
+    from jax.sharding import Mesh
+
+    from lives_tpu.effects import instantiate
+    from lives_tpu.parallel.mesh import pipeline_chain_fn
+    insts = [instantiate("negate")] + [None] * 7
+    mesh = Mesh(np_.array(jax.devices()[:8]), ("b",))
+    run = pipeline_chain_fn(insts, mesh)
+    batch = np_.random.default_rng(1).random((8, 3, 8, 16)) \
+        .astype(np_.float32)
+    got = np_.asarray(run(batch, np_.zeros(8, np_.float32)))
+    np_.testing.assert_allclose(got, 1.0 - batch, rtol=1e-6, atol=1e-6)
