@@ -155,11 +155,27 @@ def run_startup_tests(verbose: bool = False) -> dict[str, bool]:
         el.insert(frame_event(0, [1], [0]))
         assert len(EventList.from_json(el.to_json())) == 1
 
+    def t_jpeg_lanes():
+        # both halves of the compressed pipeline: encode a frame on
+        # device, entropy-decode it back, compare coefficients survive
+        from .io.jpeg_encode import JpegDeviceEncoder, _writer
+        from .io.jpeg_ingest import load_jpegcoef, read_coefficients
+        if load_jpegcoef() is None or _writer() is None:
+            return                      # gated: bridge absent
+        rng = np.random.default_rng(2)
+        rgb = rng.integers(0, 256, (3, 32, 48), np.uint8)
+        enc = JpegDeviceEncoder(48, 32, quality=85, batch=1)
+        data = enc.encode_batch(rgb[None])[0]
+        assert data[:3] == b"\xff\xd8\xff"
+        f = read_coefficients(data)
+        assert f.height == 32 and f.width == 48
+
     check("layer_blank", t_layer_blank)
     check("palette_bytes_roundtrip", t_palette_roundtrip)
     check("conversion_parity", t_conversion_parity)
     check("effect_host", t_effect_host)
     check("event_list_serialise", t_event_list)
+    check("jpeg_encode_decode_lanes", t_jpeg_lanes)
     return results
 
 
