@@ -896,9 +896,13 @@ class Player:
                     k = self._ck(clip, f)
                     self._precache[k] = lay
                     self._inflight.discard(k)
-            # bound the cache
+            # bound the cache (racy vs _pull's pop-reinsert on the main
+            # thread: a KeyError here would silently kill the worker)
             while len(self._precache) > 4 * self.precache_depth:
-                self._precache.pop(next(iter(self._precache)))
+                try:
+                    self._precache.pop(next(iter(self._precache)), None)
+                except (StopIteration, RuntimeError):
+                    break
 
     def _decode_frames_batched(self, clip, fs):
         """Whole-window compressed-domain decode for the precache worker;
