@@ -581,10 +581,9 @@ def _haip_process(ins, p, ctx):
     amount = jnp.clip(jnp.asarray(p["wurms"], jnp.float32) / 100.0, 0, 1)
     key = jax.random.fold_in(jax.random.PRNGKey(1913),
                              jnp.asarray(ctx.frame, jnp.int32))
-    k1, k2, k3 = jax.random.split(key, 3)
+    k1, k1b, k2, k3 = jax.random.split(key, 4)
     sx = jax.random.randint(k1, (n, 1), 1, w - 1)
-    sy = jax.random.randint(k1, (n, 1), 1, h - 1) ^ 0x15  # decorrelate
-    sy = jnp.clip(sy, 1, h - 2)
+    sy = jax.random.randint(k1b, (n, 1), 1, h - 1)
     steps = jax.random.randint(k2, (2, n, wlen), -1, 2)
     xs = jnp.clip(sx + jnp.cumsum(steps[0], axis=1), 1, w - 2)
     ys = jnp.clip(sy + jnp.cumsum(steps[1], axis=1), 1, h - 2)

@@ -314,10 +314,16 @@ if _have_jpeg_writer():
 
             w = h = 0
             for f in frames:
-                arr = f if hasattr(f, "shape") and not isinstance(
-                    f, np.ndarray) else jnp.asarray(_chw(f)[:3])
-                if arr.shape[0] != 3:
-                    arr = jnp.moveaxis(arr, -1, 0)[:3]
+                if hasattr(f, "shape") and not isinstance(f, np.ndarray):
+                    # device array: CHW by convention (render output);
+                    # HWC only when the channel axis is clearly last
+                    arr = f
+                    if arr.shape[0] not in (3, 4) \
+                            and arr.shape[-1] in (3, 4):
+                        arr = jnp.moveaxis(arr, -1, 0)
+                    arr = arr[:3]
+                else:
+                    arr = jnp.asarray(_chw(f)[:3])
                 h, w = int(arr.shape[-2]), int(arr.shape[-1])
                 buf.append(arr)
                 if len(buf) >= self.batch:

@@ -371,6 +371,21 @@ class JpegDeviceEncoder:
         if isinstance(frames, (list, tuple)):
             frames = jnp.stack(frames)
         B = int(frames.shape[0])
+        if B != self.batch:
+            # keep the jitted template at the FIXED batch size: chunk
+            # oversize inputs and pad the tail by repeating the last
+            # frame (every distinct batch size would compile its own
+            # template through the tunnel)
+            outs = []
+            for ofs in range(0, B, self.batch):
+                chunk = frames[ofs: ofs + self.batch]
+                nc = int(chunk.shape[0])
+                if nc < self.batch:
+                    pad = jnp.broadcast_to(
+                        chunk[-1:], (self.batch - nc,) + chunk.shape[1:])
+                    chunk = jnp.concatenate([chunk, pad])
+                outs.extend(self.encode_batch(chunk)[:nc])
+            return outs
         wire = np.asarray(self.fn(frames))            # ONE fetch
         outs = []
         for i in range(B):

@@ -762,13 +762,23 @@ class Player:
         import threading
         st = self.state
         from ..graph.nodemodel import FrameGraph as _FG
-        if _FG._is_genclip(st.fg_clip):
-            return  # generated in-template; nothing to precache
         direction = 1 if st.pb_fps >= 0 else -1
+        # fg None = generated in-template, nothing to decode — but the
+        # bg clip must still publish (a genclip fg + decoder bg used to
+        # early-return here, so the bg was never precached and
+        # drop_on_miss dropped every frame forever)
+        fgc = None if _FG._is_genclip(st.fg_clip) else st.fg_clip
         bg = None
         if st.bg_clip is not None and not _FG._is_genclip(st.bg_clip):
-            bg = (st.bg_clip, self._bg_frame(target))
-        self._pc_state = (st.fg_clip, int(target), direction, bg)
+            # the bg window follows the REAL bg mapping (independent
+            # rate/direction via _bg_frame), not the fg stride
+            bgs = tuple(dict.fromkeys(
+                self._bg_frame(self.clamp_frame(target + direction * k))
+                for k in range(0, self.precache_depth + 1)))
+            bg = (st.bg_clip, bgs)
+        if fgc is None and bg is None:
+            return
+        self._pc_state = (fgc, int(target), direction, bg)
         with self._pc_cv:
             self._pc_cv.notify()
         if self._precache_thread is None or \
@@ -798,27 +808,29 @@ class Player:
                     self._pc_cv.wait(0.5)
                 continue
             clip, target, direction, bg = state
-            wanted = [self.clamp_frame(target + direction * k)
-                      for k in range(0, self.precache_depth + 1)]
-            missing = [f for f in wanted
-                       if self._ck(clip, f) not in self._precache]
-            # the bg clip rides the same window (its frames follow the
-            # fg clock via _bg_frame; without this a decoder-backed bg
-            # would miss-drop forever)
+            if clip is not None:
+                wanted = [self.clamp_frame(target + direction * k)
+                          for k in range(0, self.precache_depth + 1)]
+                missing = [f for f in wanted
+                           if self._ck(clip, f) not in self._precache]
+                nframes = getattr(clip, "frames", 0) or 1
+            else:
+                missing = []            # generated-in-template fg
+                nframes = 1
+            # the bg clip rides along: its window was computed by the
+            # main thread through the real bg mapping (independent
+            # rate/direction)
             if bg is not None:
-                bclip, bframe = bg
-                nb = getattr(bclip, "frames", 0) or 1
-                bmiss = [f for f in
-                         {(bframe + direction * k) % nb
-                          for k in range(0, self.precache_depth + 1)}
+                bclip, bgs = bg
+                bmiss = [f for f in bgs
                          if self._ck(bclip, f) not in self._precache]
             else:
                 bmiss = []
-            nframes = getattr(clip, "frames", 0) or 1
             # expensive seeks first (decplugin estimate_delay,
             # decplugin.h:305) — but the playhead's own frame always
             # goes first: it is the one being dropped on right now
-            dec = getattr(getattr(clip, "cdata", None), "decoder", None)
+            dec = getattr(getattr(clip, "cdata", None), "decoder",
+                          None) if clip is not None else None
             if dec is not None and hasattr(dec, "estimate_delay"):
                 missing.sort(key=lambda f: (f != target,
                                             -dec.estimate_delay(target, f)))
@@ -828,7 +840,8 @@ class Player:
             # the playhead and get shown, instead of landing behind it
             # and being skipped (graceful ~latency-bound degradation
             # instead of a collapse to ~0 fps)
-            target_missing = self._ck(clip, target) not in self._precache
+            target_missing = clip is not None and \
+                self._ck(clip, target) not in self._precache
             if target_missing and getattr(self, "_pc_behind", False):
                 missing.sort(
                     key=lambda f: -min(abs(f - target),
@@ -861,7 +874,8 @@ class Player:
                     else:
                         for f in chunk:
                             self._inflight.discard(self._ck(bclip, f))
-            if not missing or (len(missing) < 4 and not near):
+            if (not missing and not bmiss) \
+                    or (not bmiss and len(missing) < 4 and not near):
                 # hysteresis: far-horizon singletons accumulate into one
                 # batched dispatch instead of paying a padded dispatch
                 # RPC every tick (~28 ms/frame -> ~19 ms/frame amortised)
@@ -1112,6 +1126,9 @@ class Player:
             # (the miss loop otherwise starves the thread that clears it)
             time.sleep(0.002)
             return True
+        # this target pulled fine: a later re-miss of the same frame key
+        # is a NEW drop episode and must count again
+        self._last_missed = None
         if self.ladder is not None:
             self.ladder.mark("loaded")
         graph = self._select_graph(layers)

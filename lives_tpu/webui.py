@@ -1092,32 +1092,59 @@ class WebUI:
             blocks = mt.audio_blocks(track)
         except Exception:
             return None
+        cache = getattr(self, "_wave_cache", None)
+        if cache is None:
+            cache = self._wave_cache = {}
         for b in blocks:
             clip = self.osc.clips.get(int(b.clip))
             if clip is None or not getattr(clip, "achans", 0):
                 continue
-            try:
-                au = clip.read_audio()
-            except Exception:
-                continue
-            if au.shape[0] == 0:
-                continue
-            mono = au.mean(axis=1)
             arate = getattr(clip, "arate", 44100) or 44100
             vel = abs(getattr(b, "vel", 1.0)) or 1.0
-            c0 = int(b.start / total * width)
-            c1 = max(c0 + 1, int(b.end / total * width))
-            for c in range(c0, min(c1, width)):
-                tl_f0 = c / width * total
-                tl_f1 = (c + 1) / width * total
-                s0 = int((b.seek + max(0.0, tl_f0 - b.start) / fps * vel)
-                         * arate)
-                s1 = int((b.seek + max(0.0, tl_f1 - b.start) / fps * vel)
-                         * arate)
-                seg = mono[max(0, s0): max(s0 + 1, s1)]
-                if seg.size:
-                    mins[c] = min(mins[c], float(seg.min()))
-                    maxs[c] = max(maxs[c], float(seg.max()))
+            ckey = (int(b.clip), getattr(clip, "version", 0),
+                    b.start, b.length, round(b.seek, 4), round(vel, 4),
+                    total, width)
+            hit = cache.get(ckey)
+            if hit is None:
+                try:
+                    au = clip.read_audio()
+                except Exception:
+                    continue
+                if au.shape[0] == 0:
+                    continue
+                mono = au.mean(axis=1)
+                c0 = max(0, int(b.start / total * width))
+                c1 = min(width, max(c0 + 1, int(b.end / total * width)))
+                # vectorised per-column peaks: column edges -> sample
+                # offsets -> reduceat (the single host core cannot
+                # afford a Python loop per pixel column)
+                cols = np.arange(c0, c1 + 1, dtype=np.float64)
+                tl_f = cols / width * total
+                samp = ((b.seek + np.maximum(0.0, tl_f - b.start)
+                         / fps * vel) * arate).astype(np.int64)
+                samp = np.clip(samp, 0, max(len(mono) - 1, 0))
+                starts = samp[:-1]
+                valid = samp[1:] > starts
+                if not valid.any() or len(mono) == 0:
+                    hit = (c0, np.zeros(c1 - c0, np.float32),
+                           np.zeros(c1 - c0, np.float32))
+                else:
+                    # reduceat over ALL edges, drop the trailing
+                    # edge->end segment (reduceat's last result spans to
+                    # the end of the array, not to the column boundary)
+                    bmin = np.minimum.reduceat(mono, samp)[:-1]
+                    bmax = np.maximum.reduceat(mono, samp)[:-1]
+                    bmin = np.where(valid, bmin, 0.0)
+                    bmax = np.where(valid, bmax, 0.0)
+                    hit = (c0, bmin.astype(np.float32),
+                           bmax.astype(np.float32))
+                if len(cache) > 256:
+                    cache.clear()
+                cache[ckey] = hit
+            c0, bmin, bmax = hit
+            c1 = c0 + len(bmin)
+            mins[c0:c1] = np.minimum(mins[c0:c1], bmin)
+            maxs[c0:c1] = np.maximum(maxs[c0:c1], bmax)
         return {"track": track, "width": width, "frames": total,
                 "mins": [round(float(v), 3) for v in mins],
                 "maxs": [round(float(v), 3) for v in maxs]}

@@ -542,3 +542,37 @@ def test_precache_worker_chaos(tmp_path):
     assert p.frames_shown > 20
     p.stop()
     assert p._precache_thread is None or not p._precache_thread.is_alive()
+
+
+def test_genclip_fg_decoder_bg_still_precaches(tmp_path):
+    """Generator fg + decoder-backed bg: the precache request must still
+    publish the bg window (the genclip early-return used to starve the
+    bg into a permanent drop loop)."""
+    import time
+
+    from lives_tpu.graph import SinkSpec
+    from lives_tpu.io.clips import open_clip
+    from lives_tpu.io.decoders import write_mjpeg_avi
+    from lives_tpu.io.genclip import GeneratorClip
+    from lives_tpu.player import CollectSink, Player
+    frames = [_jpeg_bytes(w=64, h=32, seed=s) for s in range(6)]
+    avi = str(tmp_path / "bg.avi")
+    write_mjpeg_avi(avi, frames, 64, 32, 25.0)
+    p = Player(sink=CollectSink(), sink_spec=SinkSpec(width=64, height=32))
+    p.precache_depth = 3
+    p.state.fg_clip = GeneratorClip("colour_bars", 64, 32)
+    p.state.bg_clip = open_clip(avi, tmp_path)
+    assert p.drop_on_miss
+    p.start()
+    shown = 0
+    for i in range(8):
+        p.state.frame = -1
+        p._clock0 = time.monotonic()
+        p._frame0 = float(i % 6)
+        p.process_one()
+        time.sleep(0.05)
+    assert p.frames_shown >= 4, \
+        f"bg starved the loop (shown {p.frames_shown})"
+    assert any(k[0] == id(p.state.bg_clip) for k in p._precache), \
+        "bg never precached"
+    p.stop()
