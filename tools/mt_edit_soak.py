@@ -152,10 +152,22 @@ def main():
     def op_undo():
         return api(base, rng.choice(["/mt/undo", "/mt/redo"]), [])
 
+    def op_wave():
+        # the timeline audio-row waveform endpoint must always answer
+        # (zeros for empty/unknown tracks, never a 500)
+        import urllib.request
+        trk = rng.choice([-1, -2, 0])
+        w = rng.choice([64, 200, 600])
+        with urllib.request.urlopen(
+                f"{base}/api/audio_wave/{trk}?w={w}", timeout=10) as r:
+            wv = json.loads(r.read())
+        assert wv["width"] == w and len(wv["mins"]) == w
+        return {"ok": True}
+
     ops = ([op_insert] * 5 + [op_move] * 3 + [op_trim] * 2
            + [op_delete] * 2 + [op_modes] + [op_region_fx] * 2
            + [op_keyframe] * 2 + [op_fx_remove] + [op_gap] * 2
-           + [op_audio] * 3 + [op_undo] * 2)
+           + [op_audio] * 3 + [op_undo] * 2 + [op_wave])
     for k in range(args.ops):
         fn = rng.choice(ops)
         try:
