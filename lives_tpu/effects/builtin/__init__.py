@@ -9,5 +9,7 @@ from . import (alpha, analysers, blends, blur, colour,  # noqa: F401
                dataplugins, effectv, extra, generators, geometry, keying,
                puretext)
 from ..compound import register_builtin_compounds
+from ..milkdrop import register_builtin_presets
 
 register_builtin_compounds()
+register_builtin_presets()

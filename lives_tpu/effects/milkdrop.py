@@ -1,0 +1,750 @@
+"""MilkDrop `.milk` preset interpreter — the projectM capability.
+
+The reference ships a projectM playback plugin
+(`lives-plugins/plugins/playback/video/projectM.cpp`) and a libvisual
+host (`lives-plugins/plugins/playback/video/libvis.c`): audio-reactive
+generator visuals driven by preset files. Rounds 2-3 added pure-JAX
+stand-ins (generators.py spectrascope/vu_bars/beat_rings); this module
+closes the remaining distance by actually LOADING MilkDrop preset files:
+the ns-eel expression subset used by `per_frame_*` / `per_pixel_*`
+equations is compiled to jnp expressions at trace time, so a preset
+becomes one jitted stateful generator (feedback warp on the previous
+frame + additive waveform), MXU/VPU-friendly with no data-dependent
+Python control flow.
+
+Scope (documented, tested): INI preset parse; per_frame_init / per_frame
+/ per_pixel equation chains; q1..q32 carried across frames and from
+per_frame into per_pixel; the standard warp field (zoom/zoomexp/rot/
+warp/dx/dy/sx/sy/cx/cy) applied as a bilinear resample of the previous
+frame; decay; gamma; basic waveform modes (0 circle / 1 x-spray /
+2 centered line / 4+ horizontal line) with wave_r/g/b/scaling; audio
+drive (bass/mid/treb/vol + *_att) from params wired via pconx from the
+audio_fft analyser, like every other audio-reactive generator. Custom
+waves/shapes (wavecode_*/shapecode_*) and megabuf are out of subset and
+ignored on load.
+
+Expression language notes: `if(c,a,b)` evaluates both branches (matches
+jnp.where); `rand(x)` is counter-hashed on (frame, site) so batch
+rendering stays deterministic and vmappable; numbers fold to python
+floats wherever no runtime value is involved, keeping compiled templates
+small.
+"""
+
+from __future__ import annotations
+
+import math
+import re
+from dataclasses import dataclass, field
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+__all__ = ["compile_expressions", "parse_preset", "MilkPreset",
+           "load_milk_preset", "register_milk_preset"]
+
+
+# ---------------------------------------------------------------------------
+# ns-eel subset: tokenizer
+
+
+_TOKEN_RE = re.compile(r"""
+    (?P<num>(\d+\.\d*|\.\d+|\d+)([eE][+-]?\d+)?)
+  | (?P<name>[A-Za-z_][A-Za-z0-9_]*)
+  | (?P<op><=|>=|==|!=|&&|\|\||[-+*/%^=;,()!<>?:])
+  | (?P<ws>\s+)
+  | (?P<comment>//[^\n]*)
+""", re.VERBOSE)
+
+
+def _tokenize(src: str) -> list[str | float]:
+    out: list[str | float] = []
+    i = 0
+    while i < len(src):
+        m = _TOKEN_RE.match(src, i)
+        if m is None:
+            raise ValueError(f"milkdrop expr: bad char {src[i]!r} at {i}")
+        i = m.end()
+        if m.lastgroup == "num":
+            out.append(float(m.group("num")))
+        elif m.lastgroup == "name":
+            out.append(m.group("name").lower())
+        elif m.lastgroup == "op":
+            out.append(m.group("op"))
+    return out
+
+
+# ---------------------------------------------------------------------------
+# parser -> tiny AST (tuples): ("num", v) ("var", name) ("call", name, args)
+# ("bin", op, a, b) ("un", op, a) ("tern", c, a, b) ("assign", name, expr)
+
+
+class _Parser:
+    def __init__(self, toks):
+        self.toks = toks
+        self.i = 0
+
+    def peek(self):
+        return self.toks[self.i] if self.i < len(self.toks) else None
+
+    def next(self):
+        t = self.peek()
+        self.i += 1
+        return t
+
+    def expect(self, t):
+        got = self.next()
+        if got != t:
+            raise ValueError(f"milkdrop expr: expected {t!r}, got {got!r}")
+
+    def statements(self):
+        """assign (';' assign)* — trailing/empty statements tolerated."""
+        out = []
+        while self.peek() is not None:
+            if self.peek() == ";":
+                self.next()
+                continue
+            out.append(self.assign())
+        return out
+
+    def assign(self):
+        # lookahead: name '=' (but not '==')
+        if (isinstance(self.peek(), str)
+                and self.i + 1 < len(self.toks)
+                and self.toks[self.i + 1] == "="):
+            name = self.next()
+            self.next()
+            return ("assign", name, self.assign())
+        return self.ternary()
+
+    def ternary(self):
+        c = self.or_()
+        if self.peek() == "?":
+            self.next()
+            a = self.assign()
+            self.expect(":")
+            b = self.assign()
+            return ("tern", c, a, b)
+        return c
+
+    def _binlevel(self, sub, ops):
+        def level():
+            a = sub()
+            while self.peek() in ops:
+                op = self.next()
+                a = ("bin", op, a, sub())
+            return a
+        return level
+
+    def or_(self):
+        return self._binlevel(self.and_, ("||",))()
+
+    def and_(self):
+        return self._binlevel(self.cmp, ("&&",))()
+
+    def cmp(self):
+        return self._binlevel(self.addsub,
+                              ("==", "!=", "<", ">", "<=", ">="))()
+
+    def addsub(self):
+        return self._binlevel(self.muldiv, ("+", "-"))()
+
+    def muldiv(self):
+        return self._binlevel(self.unary, ("*", "/", "%"))()
+
+    def unary(self):
+        if self.peek() == "-":
+            self.next()
+            return ("un", "-", self.unary())
+        if self.peek() == "!":
+            self.next()
+            return ("un", "!", self.unary())
+        if self.peek() == "+":
+            self.next()
+            return self.unary()
+        return self.power()
+
+    def power(self):
+        a = self.primary()
+        if self.peek() == "^":  # right-assoc, binds tighter than unary -
+            self.next()
+            return ("bin", "^", a, self.unary())
+        return a
+
+    def primary(self):
+        t = self.next()
+        if isinstance(t, float):
+            return ("num", t)
+        if t == "(":
+            e = self.assign()
+            self.expect(")")
+            return e
+        if isinstance(t, str) and t not in ("", None):
+            if self.peek() == "(":
+                self.next()
+                args = []
+                if self.peek() != ")":
+                    args.append(self.assign())
+                    while self.peek() == ",":
+                        self.next()
+                        args.append(self.assign())
+                self.expect(")")
+                return ("call", t, args)
+            return ("var", t)
+        raise ValueError(f"milkdrop expr: unexpected token {t!r}")
+
+
+# ---------------------------------------------------------------------------
+# evaluator
+
+
+def _rand_hash(frame, site: int):
+    """Counter-based uniform in [0,1): murmur-style integer mix of
+    (frame, site) — deterministic per frame & call site, vmappable."""
+    mul1 = np.uint32(0x9E3779B1).astype(np.int32)
+    mul2 = np.uint32(0xC2B2AE35).astype(np.int32)
+    addc = np.uint32((site * 0x85EBCA6B) & 0xFFFFFFFF).astype(np.int32)
+    h = jnp.asarray(frame, jnp.int32) * mul1 + addc
+    h = h ^ (h >> 13)
+    h = h * mul2
+    h = h ^ (h >> 16)
+    return (h & np.int32(0x7FFFFF)).astype(jnp.float32) \
+        * np.float32(1.0 / 0x800000)
+
+
+def _truthy(v):
+    if isinstance(v, float):
+        return 1.0 if abs(v) > 1e-30 else 0.0
+    return (jnp.abs(v) > 1e-30).astype(jnp.float32)
+
+
+_F1 = {
+    "sin": (math.sin, jnp.sin), "cos": (math.cos, jnp.cos),
+    "tan": (math.tan, jnp.tan), "asin": (math.asin, jnp.arcsin),
+    "acos": (math.acos, jnp.arccos), "atan": (math.atan, jnp.arctan),
+    "sqrt": (lambda x: math.sqrt(abs(x)),
+             lambda x: jnp.sqrt(jnp.abs(x))),
+    "exp": (math.exp, jnp.exp),
+    "log": (lambda x: math.log(x) if x > 0 else -87.3,
+            lambda x: jnp.log(jnp.maximum(x, 1e-38))),
+    "log10": (lambda x: math.log10(x) if x > 0 else -37.9,
+              lambda x: jnp.log10(jnp.maximum(x, 1e-38))),
+    "abs": (abs, jnp.abs),
+    "floor": (math.floor, jnp.floor), "ceil": (math.ceil, jnp.ceil),
+    "int": (float, jnp.trunc),
+    "sign": (lambda x: float(np.sign(x)), jnp.sign),
+    "sqr": (lambda x: x * x, lambda x: x * x),
+    "invsqrt": (lambda x: 1.0 / math.sqrt(abs(x) + 1e-30),
+                lambda x: jax.lax.rsqrt(jnp.abs(x) + 1e-30)),
+    "bnot": (lambda x: 0.0 if abs(x) > 1e-30 else 1.0,
+             lambda x: (jnp.abs(x) <= 1e-30).astype(jnp.float32)),
+}
+
+
+class _Compiler:
+    """AST -> value. Constant subtrees fold to python floats; anything
+    touching a runtime var becomes a jnp expression."""
+
+    def __init__(self):
+        self.rand_sites = 0
+
+    def eval(self, node, env):
+        kind = node[0]
+        if kind == "num":
+            return node[1]
+        if kind == "var":
+            return env.get(node[1], 0.0)
+        if kind == "assign":
+            env[node[1]] = self.eval(node[2], env)
+            return env[node[1]]
+        if kind == "un":
+            v = self.eval(node[1 + 1], env)
+            if node[1] == "-":
+                return -v
+            return 1.0 - _truthy(v) if isinstance(v, float) \
+                else (jnp.abs(v) <= 1e-30).astype(jnp.float32)
+        if kind == "tern":
+            c = self.eval(node[1], env)
+            a = self.eval(node[2], env)
+            b = self.eval(node[3], env)
+            return self._select(c, a, b)
+        if kind == "bin":
+            op, an, bn = node[1], node[2], node[3]
+            a = self.eval(an, env)
+            b = self.eval(bn, env)
+            return self._bin(op, a, b)
+        if kind == "call":
+            return self._call(node[1], node[2], env)
+        raise ValueError(f"bad node {node!r}")
+
+    @staticmethod
+    def _select(c, a, b):
+        if isinstance(c, float):
+            return a if abs(c) > 1e-30 else b
+        return jnp.where(jnp.abs(c) > 1e-30, a, b)
+
+    @staticmethod
+    def _bin(op, a, b):
+        const = isinstance(a, float) and isinstance(b, float)
+        if op == "+":
+            return a + b
+        if op == "-":
+            return a - b
+        if op == "*":
+            return a * b
+        if op == "/":
+            if const:
+                return a / b if abs(b) > 1e-30 else 0.0
+            bb = jnp.where(jnp.abs(b) > 1e-30, b, 1.0)
+            return jnp.where(jnp.abs(b) > 1e-30, a / bb, 0.0)
+        if op == "%":  # eel: integer modulo, x%0 == 0
+            if const:
+                bi = int(b)
+                return float(int(a) % bi) if bi else 0.0
+            ai = jnp.trunc(a)
+            bi = jnp.trunc(b)
+            safe = jnp.where(jnp.abs(bi) > 0.5, bi, 1.0)
+            return jnp.where(jnp.abs(bi) > 0.5, ai - safe *
+                             jnp.floor(ai / safe), 0.0)
+        if op == "^":
+            if const:
+                try:
+                    return float(math.pow(a, b))
+                except ValueError:
+                    return 0.0
+            return _safe_pow(a, b)
+        if op in ("==", "!=", "<", ">", "<=", ">="):
+            if const:
+                return float({"==": a == b, "!=": a != b, "<": a < b,
+                              ">": a > b, "<=": a <= b, ">=": a >= b}[op])
+            fn = {"==": jnp.equal, "!=": jnp.not_equal, "<": jnp.less,
+                  ">": jnp.greater, "<=": jnp.less_equal,
+                  ">=": jnp.greater_equal}[op]
+            return fn(a, b).astype(jnp.float32)
+        if op == "&&":
+            return _truthy(a) * _truthy(b)
+        if op == "||":
+            ta, tb = _truthy(a), _truthy(b)
+            r = ta + tb - ta * tb
+            return r
+        raise ValueError(f"bad op {op}")
+
+    def _call(self, name, argn, env):
+        args = [self.eval(a, env) for a in argn]
+        const = all(isinstance(a, float) for a in args)
+        if name in _F1 and len(args) == 1:
+            py, jx = _F1[name]
+            return py(args[0]) if const else jx(args[0])
+        if name == "pow":
+            return self._bin("^", args[0], args[1])
+        if name == "atan2":
+            return math.atan2(args[0], args[1]) if const \
+                else jnp.arctan2(args[0], args[1])
+        if name in ("min", "max"):
+            fn = (min, jnp.minimum) if name == "min" else (max, jnp.maximum)
+            return fn[0](*args) if const else fn[1](args[0], args[1])
+        if name == "sigmoid":
+            c = args[1] if len(args) > 1 else 1.0
+            if const:
+                return 1.0 / (1.0 + math.exp(-args[0] * c))
+            return jax.nn.sigmoid(args[0] * c)
+        if name == "if":
+            return self._select(args[0], args[1], args[2])
+        if name in ("equal", "above", "below"):
+            op = {"equal": "==", "above": ">", "below": "<"}[name]
+            return self._bin(op, args[0], args[1])
+        if name in ("band", "bor"):
+            return self._bin("&&" if name == "band" else "||",
+                             args[0], args[1])
+        if name == "rand":
+            self.rand_sites += 1
+            site = self.rand_sites
+            frame = env.get("frame", 0.0)
+            hi = args[0] if args else 1.0
+            return _rand_hash(frame, site) * hi
+        raise ValueError(f"milkdrop expr: unknown function {name}")
+
+
+def _safe_pow(a, b):
+    """eel pow semantics on arrays: pow of a negative base uses |a|
+    (projectM's behavior — avoids NaN fields mid-preset)."""
+    return jnp.exp(jnp.log(jnp.maximum(jnp.abs(a), 1e-38)) * b) \
+        * jnp.where(jnp.asarray(a) < 0,
+                    jnp.where(jnp.trunc(b) % 2 == 1, -1.0, 1.0), 1.0)
+
+
+_KNOWN_FNS = frozenset(_F1) | {
+    "pow", "atan2", "min", "max", "sigmoid", "if", "equal", "above",
+    "below", "band", "bor", "rand"}
+
+
+def _check_calls(node):
+    if node[0] == "call":
+        if node[1] not in _KNOWN_FNS:
+            raise ValueError(f"milkdrop expr: unknown function {node[1]}")
+        for a in node[2]:
+            _check_calls(a)
+    elif node[0] in ("bin",):
+        _check_calls(node[2])
+        _check_calls(node[3])
+    elif node[0] == "tern":
+        for c in node[1:]:
+            _check_calls(c)
+    elif node[0] == "un":
+        _check_calls(node[2])
+    elif node[0] == "assign":
+        _check_calls(node[2])
+
+
+def compile_expressions(src: str) -> Callable[[dict], dict]:
+    """Compile a ';'-separated ns-eel statement block into
+    `fn(env) -> env` (env: name -> python float or jnp value). The
+    returned fn is trace-safe: call it under jit with traced env values."""
+    stmts = _Parser(_tokenize(src)).statements()
+    for s in stmts:
+        _check_calls(s)
+
+    def run(env: dict) -> dict:
+        env = dict(env)
+        comp = _Compiler()
+        for s in stmts:
+            comp.eval(s, env)
+        return env
+
+    return run
+
+
+# ---------------------------------------------------------------------------
+# preset file
+
+
+@dataclass
+class MilkPreset:
+    name: str = "preset"
+    init: dict = field(default_factory=dict)       # scalar init values
+    per_frame_init: str = ""
+    per_frame: str = ""
+    per_pixel: str = ""
+
+    DEFAULTS = {
+        "fdecay": 0.98, "fgammaadj": 2.0, "fwarpscale": 1.0,
+        "fwarpanimspeed": 1.0, "zoom": 1.0, "zoomexp": 1.0, "rot": 0.0,
+        "warp": 1.0, "cx": 0.5, "cy": 0.5, "dx": 0.0, "dy": 0.0,
+        "sx": 1.0, "sy": 1.0, "wave_r": 0.6, "wave_g": 0.6, "wave_b": 0.6,
+        "wave_a": 0.8, "wave_x": 0.5, "wave_y": 0.5, "wave_mystery": 0.0,
+        "nwavemode": 0, "fwavescale": 1.0, "fwavesmoothing": 0.75,
+        "bdarkencenter": 0, "echo_zoom": 1.0, "echo_alpha": 0.0,
+    }
+
+    def value(self, key: str) -> float:
+        return float(self.init.get(key, self.DEFAULTS.get(key, 0.0)))
+
+
+_LINE_RE = re.compile(r"^\s*([A-Za-z_][A-Za-z0-9_]*)\s*=\s*(.*?)\s*$")
+
+
+def parse_preset(text: str, name: str = "preset") -> MilkPreset:
+    """Parse `.milk` INI text. Equation lines concatenate in numeric
+    order; `wavecode_*` / `shapecode_*` custom objects are out of subset
+    and skipped."""
+    pre = MilkPreset(name=name)
+    frames, pixels, finits = {}, {}, {}
+    for line in text.splitlines():
+        if line.startswith(("[", ";", "//")):
+            continue
+        m = _LINE_RE.match(line)
+        if m is None:
+            continue
+        key, val = m.group(1).lower(), m.group(2)
+        if key.startswith(("wavecode_", "shapecode_", "wave_0", "wave_1",
+                           "shape_0", "shape_1", "comp_", "warp_")):
+            continue  # custom waves/shapes & shader code: out of subset
+        for prefix, store in (("per_frame_init_", finits),
+                              ("per_frame_", frames),
+                              ("per_pixel_", pixels),
+                              ("per_vertex_", pixels)):
+            if key.startswith(prefix):
+                try:
+                    n = int(key[len(prefix):])
+                except ValueError:
+                    break
+                store[n] = val
+                break
+        else:
+            try:
+                pre.init[key] = float(val)
+            except ValueError:
+                pass  # non-numeric metadata
+    join = lambda d: "\n".join(d[k].rstrip(";") + ";"
+                               for k in sorted(d))  # noqa: E731
+    pre.per_frame_init = join(finits)
+    pre.per_frame = join(frames)
+    pre.per_pixel = join(pixels)
+    return pre
+
+
+# ---------------------------------------------------------------------------
+# renderer: preset -> stateful generator filter
+
+
+_WAVE_POINTS = 48
+
+
+def _wave_curve(pre_env, t, mode: int):
+    """(xs, ys, amp) of the basic waveform: parametric sample points in
+    frame coords [0,1]. The PCM wave is synthesised from the band levels
+    (no raw PCM in the graph): three-harmonic mix, bass->fundamental."""
+    i = jnp.arange(_WAVE_POINTS, dtype=jnp.float32) \
+        / np.float32(_WAVE_POINTS - 1)
+    bass = pre_env.get("bass", 0.3)
+    mid = pre_env.get("mid", 0.3)
+    treb = pre_env.get("treb", 0.3)
+    vol = pre_env.get("vol", (bass + mid + treb) / 3.0)
+    ph = t * 2.1
+    wave = (bass * jnp.sin(i * (2 * np.pi) + ph)
+            + mid * 0.6 * jnp.sin(i * (6 * np.pi) + ph * 1.7)
+            + treb * 0.35 * jnp.sin(i * (14 * np.pi) + ph * 2.3))
+    wave = wave * 0.5 * pre_env.get("wave_scale", 1.0)
+    wx = pre_env.get("wave_x", 0.5)
+    wy = 1.0 - pre_env.get("wave_y", 0.5)  # milkdrop y is bottom-up
+    if mode == 0:  # circular
+        ang = i * (2 * np.pi)
+        r = 0.25 + 0.1 * vol + wave * 0.25
+        xs = wx + jnp.cos(ang) * r * 0.75  # aspect handled by caller
+        ys = wy + jnp.sin(ang) * r
+    elif mode == 1:  # x-spray: wave drawn vertically
+        xs = wx + wave
+        ys = i
+    else:  # centered / horizontal line family
+        xs = i
+        ys = wy + wave
+    return xs, ys, vol
+
+
+def build_preset_process(pre: MilkPreset):
+    """process(ins, p, ctx, state) for a MilkPreset (stateful generator:
+    state = (prev (3,H,W) f32, q (32,) f32, noteq (1,) init-done flag))."""
+    per_frame = compile_expressions(pre.per_frame)
+    per_pixel = compile_expressions(pre.per_pixel)
+    per_init = compile_expressions(pre.per_frame_init)
+
+    from ..layer import Layer
+    from ..constants import Gamma, Palette
+
+    # INI key -> runtime equation-variable name (MilkDrop's own mapping)
+    rename = {"fdecay": "decay", "fgammaadj": "gamma",
+              "fwavescale": "wave_scale", "fwarpscale": "warpscale",
+              "fwarpanimspeed": "warpanimspeed", "nwavemode": "wave_mode",
+              "fwavesmoothing": "wave_smoothing"}
+    base_env = {}
+    for k in pre.DEFAULTS:
+        base_env[rename.get(k, k)] = float(pre.DEFAULTS[k])
+    for k, v in pre.init.items():
+        base_env[rename.get(k, k)] = float(v)
+    wave_mode = int(base_env.get("wave_mode", 0)) & 7
+
+    def init_state(w, h, pal):
+        return (jnp.zeros((3, h, w), jnp.float32),
+                jnp.zeros((32,), jnp.float32),
+                jnp.zeros((1,), jnp.float32))
+
+    def process(ins, p, ctx, state):
+        prev, q, inited = state
+        h, w = prev.shape[-2:]
+        t = ctx.tc
+        frame = jnp.asarray(ctx.frame, jnp.float32) \
+            if not isinstance(ctx.frame, (int, float)) \
+            else float(ctx.frame)
+
+        env = dict(base_env)
+        env.update({
+            "time": t, "frame": frame, "fps": float(ctx.fps or 30.0),
+            "bass": p["bass"], "mid": p["mid"], "treb": p["treb"],
+            "vol": p["vol"], "bass_att": p["bass"], "mid_att": p["mid"],
+            "treb_att": p["treb"], "vol_att": p["vol"],
+            "meshx": 32.0, "meshy": 24.0, "pixelsx": float(w),
+            "pixelsy": float(h), "aspectx": 1.0,
+            "aspecty": float(w) / float(h),
+        })
+        # q1..q32 from state; per_frame_init runs "once": its q values
+        # only land when inited == 0 (trace-safe select, no python branch)
+        for k in range(32):
+            env[f"q{k + 1}"] = q[k]
+        env_init = per_init(dict(env))
+        first = inited[0] <= 0.5
+        for k in range(32):
+            qk = f"q{k + 1}"
+            if qk in env_init and env_init[qk] is not env[qk]:
+                env[qk] = jnp.where(first, env_init[qk], env[qk])
+        env = per_frame(env)
+        q_out = jnp.stack([jnp.asarray(env[f"q{k + 1}"], jnp.float32)
+                           for k in range(32)])
+
+        # ---- per-pixel warp field ----
+        ys = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0) \
+            .astype(jnp.float32) * np.float32(1.0 / max(h - 1, 1))
+        xs = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1) \
+            .astype(jnp.float32) * np.float32(1.0 / max(w - 1, 1))
+        aspect = float(w) / float(h)
+        rad = jnp.sqrt(((xs - 0.5) * aspect) ** 2 + (ys - 0.5) ** 2) \
+            * np.float32(2.0 / math.hypot(aspect, 1.0))
+        ang = jnp.arctan2(ys - 0.5, (xs - 0.5) * aspect + 1e-9)
+        penv = dict(env)
+        penv.update({"x": xs, "y": 1.0 - ys, "rad": rad, "ang": ang})
+        penv = per_pixel(penv)
+        cxv, cyv = penv["cx"], penv["cy"]
+
+        zoom = penv["zoom"]
+        zoomexp = penv["zoomexp"]
+        zoom_coef = _safe_pow(jnp.asarray(zoom, jnp.float32),
+                              _safe_pow(jnp.asarray(zoomexp, jnp.float32),
+                                        rad * 2.0 - 1.0))
+        u = (xs - cxv) / zoom_coef
+        v = (ys - cyv) / zoom_coef
+        rot = penv["rot"]
+        cr, sr = jnp.cos(rot), jnp.sin(rot)
+        u, v = u * cr - v * sr, u * sr + v * cr
+        # classic milkdrop warp ripple (4 phase-locked sines)
+        warp = penv["warp"] * np.float32(0.0035)
+        wt = t * env.get("warpanimspeed", 1.0)
+        wsc = env.get("warpscale", 1.0)
+        f0 = 11.68 + 4.0 * jnp.cos(wt * 1.413 + 10.0)
+        f1 = 8.77 + 3.0 * jnp.cos(wt * 1.113 + 7.0)
+        f2 = 10.54 + 3.0 * jnp.cos(wt * 1.233 + 3.0)
+        f3 = 11.49 + 4.0 * jnp.cos(wt * 0.933 + 5.0)
+        u = u + warp * jnp.sin(wt * 0.333 + wsc * (xs * f0 - ys * f3))
+        u = u + warp * jnp.cos(wt * 0.753 - wsc * (xs * f1 - ys * f2))
+        v = v + warp * jnp.cos(wt * 0.375 - wsc * (xs * f2 + ys * f1))
+        v = v + warp * jnp.sin(wt * 0.825 + wsc * (xs * f0 + ys * f3))
+        u = u / penv["sx"] - penv["dx"] + cxv
+        v = v / penv["sy"] - penv["dy"] + cyv
+
+        # bilinear feedback sample of the previous frame (edge clamp)
+        fu = jnp.clip(u * (w - 1), 0.0, w - 1.0)
+        fv = jnp.clip(v * (h - 1), 0.0, h - 1.0)
+        x0 = jnp.floor(fu).astype(jnp.int32)
+        y0 = jnp.floor(fv).astype(jnp.int32)
+        x1 = jnp.minimum(x0 + 1, w - 1)
+        y1 = jnp.minimum(y0 + 1, h - 1)
+        ax = (fu - x0.astype(jnp.float32))[None]
+        ay = (fv - y0.astype(jnp.float32))[None]
+        g = lambda yy, xx: prev[:, yy, xx]  # noqa: E731
+        warped = ((g(y0, x0) * (1 - ax) + g(y0, x1) * ax) * (1 - ay)
+                  + (g(y1, x0) * (1 - ax) + g(y1, x1) * ax) * ay)
+        out = warped * jnp.asarray(env["decay"], jnp.float32)
+
+        # ---- basic waveform splat (wave_mode is static preset config) ----
+        wxs, wys, vol = _wave_curve(env, t, 0 if wave_mode == 0
+                                    else (1 if wave_mode == 1 else 2))
+        sigma = np.float32((2.5 / h) ** 2)
+        acc = jnp.zeros((h, w), jnp.float32)
+        for k in range(_WAVE_POINTS):
+            d2 = ((xs - wxs[k]) * aspect) ** 2 + (ys - (1.0 - wys[k])) ** 2
+            acc = acc + jnp.exp(-d2 / sigma)
+        alpha = jnp.clip(acc, 0.0, 1.0) \
+            * jnp.clip(jnp.asarray(env["wave_a"], jnp.float32), 0.0, 1.0)
+        wave_rgb = jnp.stack([jnp.asarray(env["wave_r"], jnp.float32),
+                              jnp.asarray(env["wave_g"], jnp.float32),
+                              jnp.asarray(env["wave_b"], jnp.float32)]
+                             ).reshape(3, 1, 1)
+        out = out * (1.0 - alpha[None]) + wave_rgb * alpha[None]
+        out = jnp.clip(out, 0.0, 1.0)
+
+        gamma = env.get("gamma", 2.0)
+        disp = jnp.clip(out * gamma, 0.0, 1.0)
+        u8 = jnp.clip(jnp.floor(disp * 255.0 + 0.5), 0, 255) \
+            .astype(jnp.uint8)
+        layer = Layer(planes=(u8,), palette=int(Palette.RGB24),
+                      gamma=int(Gamma.SRGB))
+        return layer, (out, q_out, jnp.ones((1,), jnp.float32))
+
+    return process, init_state
+
+
+_MILK_PARAMS = None
+
+
+def _milk_params():
+    global _MILK_PARAMS
+    if _MILK_PARAMS is None:
+        from .host import Param
+        _MILK_PARAMS = (Param("bass", "num", 0.3, 0.0, 2.0),
+                        Param("mid", "num", 0.3, 0.0, 2.0),
+                        Param("treb", "num", 0.3, 0.0, 2.0),
+                        Param("vol", "num", 0.3, 0.0, 2.0))
+    return _MILK_PARAMS
+
+
+def register_milk_preset(text: str, name: str | None = None):
+    """Parse + register a preset as generator filter `milk_<name>`;
+    returns the Filter. Idempotent per name (re-registration replaces)."""
+    from .host import (FILTER_IS_GENERATOR, FILTER_STATEFUL, Filter,
+                       register_filter)
+    pre = parse_preset(text, name or "preset")
+    process, init_state = build_preset_process(pre)
+    fname = f"milk_{(name or pre.name).lower()}"
+    return register_filter(Filter(
+        name=fname, process=process, in_channels=(),
+        params=_milk_params(),
+        flags=FILTER_IS_GENERATOR | FILTER_STATEFUL,
+        init_state=init_state,
+        description=f"MilkDrop preset {pre.name!r} "
+                    "(projectM.cpp role; audio via pconx)"))
+
+
+def load_milk_preset(path) -> "Filter":  # noqa: F821
+    """Load a `.milk` file and register it (filter `milk_<stem>`)."""
+    from pathlib import Path
+    p = Path(path)
+    return register_milk_preset(p.read_text(errors="replace"), p.stem)
+
+
+# -- built-in presets (written for this module; exercise the subset) --------
+
+BUILTIN_PRESETS = {
+    "tunnel": """[preset00]
+fDecay=0.96
+fGammaAdj=1.7
+nWaveMode=0
+wave_r=0.2
+wave_g=0.65
+wave_b=1.0
+wave_a=0.9
+zoom=1.035
+rot=0.01
+warp=0.12
+per_frame_1=zoom = zoom + 0.04*bass;
+per_frame_2=rot = rot + 0.02*sin(time*0.35);
+per_frame_3=wave_r = 0.5 + 0.5*sin(time*0.9);
+per_frame_4=wave_b = 0.5 + 0.5*cos(time*1.1);
+per_pixel_1=zoom = zoom + rad*0.02;
+""",
+    "spin": """[preset00]
+fDecay=0.975
+nWaveMode=2
+zoom=1.0
+warp=0.35
+per_frame_1=q1 = q1 + 0.35*treb;
+per_frame_2=rot = 0.05*sin(q1);
+per_frame_3=dx = 0.003*sin(time*0.8);
+per_frame_4=dy = 0.003*cos(time*0.66);
+per_pixel_1=rot = rot + 0.03*sin(rad*6 - time);
+""",
+    "pulse": """[preset00]
+fDecay=0.94
+nWaveMode=5
+wave_x=0.5
+wave_y=0.35
+per_frame_init_1=q2 = 0.5;
+per_frame_1=q2 = q2*0.9 + bass*0.3;
+per_frame_2=zoom = 1.0 + 0.08*q2;
+per_frame_3=warp = 0.4*q2;
+per_frame_4=wave_g = if(above(q2,0.4), 1.0, 0.4);
+""",
+}
+
+
+def register_builtin_presets():
+    for name, text in BUILTIN_PRESETS.items():
+        register_milk_preset(text, name)

@@ -26,6 +26,7 @@ class GeneratorClip:
         self.name = filter_name
         self.unique_id = hash((filter_name, width, height)) & ((1 << 63) - 1)
         self._fn = None
+        self._state = None  # stateful generator state (threads host-side)
         # audio-generator sources (reference: generator instances may carry
         # audio out-channels, e.g. fourKlives / tone_gen): any object with
         # render_at(pos, n) -> (n, ch) float32 and .rate; the player's
@@ -46,23 +47,44 @@ class GeneratorClip:
         return self.audio_source.render_at(0, int(dur * self.arate))
 
     def _build(self):
+        from ..effects.host import FILTER_STATEFUL
         filt = self.inst.filter
-        params_t = self.inst.param_values()
         w, h, fps = self.width, self.height, self.fps
-
-        def fn(tc, frame, params):
-            ctx = FrameContext(tc=tc, frame=frame, fps=fps,
-                               width=w, height=h)
-            return filt.process([], params, ctx)
+        if filt.flags & FILTER_STATEFUL:
+            # stateful generators (beat_rings, milk_* presets): the state
+            # pytree lives on the clip and threads through a 4-arg jit —
+            # frames must be pulled in order for the feedback to evolve
+            # (matching the reference's live generator instance semantics,
+            # effects-weed.c:7739: one instance, one evolving state)
+            def fn(tc, frame, params, state):
+                ctx = FrameContext(tc=tc, frame=frame, fps=fps,
+                                   width=w, height=h)
+                return filt.process([], params, ctx, state)
+        else:
+            def fn(tc, frame, params, state):
+                ctx = FrameContext(tc=tc, frame=frame, fps=fps,
+                                   width=w, height=h)
+                return filt.process([], params, ctx), None
 
         return jax.jit(fn)
 
     def get_frame(self, n: int) -> Layer:
         import jax.numpy as jnp
+        from ..constants import Palette
+        from ..effects.host import FILTER_STATEFUL
+        filt = self.inst.filter
         if self._fn is None:
             self._fn = self._build()
+        if (filt.flags & FILTER_STATEFUL) and self._state is None \
+                and filt.init_state is not None:
+            self._state = filt.init_state(self.width, self.height,
+                                          int(Palette.RGB24))
         params = {k: (jnp.float32(v) if isinstance(v, (int, float))
                       and self.inst.filter.param(k).kind not in
                       ("int", "string", "string_list", "bool") else v)
                   for k, v in self.inst.param_values().items()}
-        return self._fn(jnp.float32(n / self.fps), jnp.int32(n), params)
+        layer, state = self._fn(jnp.float32(n / self.fps), jnp.int32(n),
+                                params, self._state)
+        if filt.flags & FILTER_STATEFUL:
+            self._state = state
+        return layer

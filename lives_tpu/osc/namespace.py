@@ -207,6 +207,29 @@ def register_extended(srv) -> None:
     m("/clip/open/unicap", lambda dev="/dev/video0": _open_videodev(
         srv, str(dev)))
 
+    # extensions: generator clips by filter name, and MilkDrop preset
+    # files loaded live (projectM.cpp role via effects/milkdrop.py);
+    # the reference starts generators via keyed fx (effects-weed.c:7739),
+    # which also works here — these add the clip-source route
+    def clip_open_generator(name, w=640, h=360, fps=30.0):
+        from ..io.genclip import GeneratorClip
+        clip = GeneratorClip(str(name), int(w), int(h), float(fps))
+        cid = new_id()
+        srv.clips[cid] = clip
+        if st().fg_clip is None:
+            st().fg_clip = clip
+        srv.notify(512, str(name))  # CLIP_OPENED
+        return cid
+
+    m("/clip/open/generator", clip_open_generator)
+
+    def clip_open_milk(path, w=640, h=360, fps=30.0):
+        from ..effects.milkdrop import load_milk_preset
+        f = load_milk_preset(str(path))
+        return clip_open_generator(f.name, w, h, fps)
+
+    m("/clip/open/milk", clip_open_milk)
+
     def audio_new(path):
         cd_open = clip_open_file(path)
         return cd_open

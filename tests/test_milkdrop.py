@@ -1,0 +1,286 @@
+"""MilkDrop preset interpreter (effects/milkdrop.py, projectM.cpp role).
+
+Covers: the ns-eel expression subset (numeric agreement with python
+reference evaluation, eel-specific semantics like x/0 == 0 and integer
+%), preset INI parsing, q-var persistence + per_frame_init once-only
+semantics, the warp feedback renderer (identity preset preserves the
+frame; zoom preset moves energy), registration as stateful generators,
+determinism, and end-to-end execution through the FrameGraph.
+"""
+
+import math
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from lives_tpu.constants import Palette
+from lives_tpu.effects import get_filter, instantiate
+from lives_tpu.effects.host import FrameContext
+from lives_tpu.effects.milkdrop import (BUILTIN_PRESETS, MilkPreset,
+                                        compile_expressions, parse_preset,
+                                        register_milk_preset)
+
+
+# ---------------------------------------------------------------------------
+# expression compiler
+
+
+def run_expr(src, **env):
+    return compile_expressions(src)(env)
+
+
+@pytest.mark.parametrize("src,env,expect", [
+    ("y = 2 + 3*4;", {}, {"y": 14.0}),
+    ("y = (2 + 3)*4;", {}, {"y": 20.0}),
+    ("y = 2^10;", {}, {"y": 1024.0}),
+    ("y = -2^2;", {}, {"y": -4.0}),            # unary binds looser than ^
+    ("y = 7 % 3;", {}, {"y": 1.0}),
+    ("y = 7.9 % 3.9;", {}, {"y": 1.0}),        # eel %: integer modulo
+    ("y = 5 / 0;", {}, {"y": 0.0}),            # eel x/0 == 0
+    ("y = 5 % 0;", {}, {"y": 0.0}),
+    ("y = if(above(3,2), 10, 20);", {}, {"y": 10.0}),
+    ("y = if(equal(1,2), 10, 20);", {}, {"y": 20.0}),
+    ("y = band(1, 0) + bor(1, 0)*2 + bnot(0)*4;", {}, {"y": 6.0}),
+    ("y = 2 < 3 && 3 < 2;", {}, {"y": 0.0}),
+    ("y = 2 < 3 || 3 < 2;", {}, {"y": 1.0}),
+    ("y = !1 + !0*2;", {}, {"y": 2.0}),
+    ("y = min(3, x); z = max(3, x);", {"x": 5.0}, {"y": 3.0, "z": 5.0}),
+    ("y = abs(-3) + sign(-2) + floor(2.7) + ceil(2.1);", {},
+     {"y": 3.0 - 1.0 + 2.0 + 3.0}),
+    ("y = sqr(3) + sqrt(16);", {}, {"y": 13.0}),
+    ("y = x > 1 ? 5 : 6;", {"x": 2.0}, {"y": 5.0}),
+    ("a = 2; b = a*3; b = b + 1;", {}, {"a": 2.0, "b": 7.0}),
+])
+def test_expr_scalar_constants(src, env, expect):
+    out = run_expr(src, **env)
+    for k, v in expect.items():
+        assert out[k] == pytest.approx(v), (src, k)
+
+
+def test_expr_transcendentals_match_math():
+    src = ("s = sin(x); c = cos(x); t2 = atan2(x, 2); "
+           "e = exp(x); l = log(x); p = pow(x, 2.5); sg = sigmoid(x,1);")
+    x = 0.7
+    out = run_expr(src, x=x)
+    assert out["s"] == pytest.approx(math.sin(x))
+    assert out["c"] == pytest.approx(math.cos(x))
+    assert out["t2"] == pytest.approx(math.atan2(x, 2))
+    assert out["e"] == pytest.approx(math.exp(x))
+    assert out["l"] == pytest.approx(math.log(x))
+    assert out["p"] == pytest.approx(math.pow(x, 2.5))
+    assert out["sg"] == pytest.approx(1 / (1 + math.exp(-x)))
+
+
+def test_expr_traced_values_match_constant_path():
+    """The same statements over jnp scalars agree with the float path."""
+    src = ("y = if(above(x, 0.5), x^2.0, -x); z = x % 3; w = x / d; "
+           "r = min(x, 2) + max(x, 2);")
+    for x in (0.25, 0.75, 4.0, -2.5):
+        const = run_expr(src, x=x, d=0.0)
+        traced = compile_expressions(src)(
+            {"x": jnp.float32(x), "d": jnp.float32(0.0)})
+        for k in ("y", "z", "w", "r"):
+            assert float(traced[k]) == pytest.approx(const[k], abs=1e-5), \
+                (k, x)
+
+
+def test_expr_arrays_broadcast():
+    out = compile_expressions("y = x*2 + 1;")(
+        {"x": jnp.arange(4, dtype=jnp.float32)})
+    np.testing.assert_allclose(np.asarray(out["y"]), [1, 3, 5, 7])
+
+
+def test_expr_rand_deterministic_per_frame():
+    f = compile_expressions("y = rand(1); z = rand(1);")
+    a = f({"frame": jnp.float32(3)})
+    b = f({"frame": jnp.float32(3)})
+    c = f({"frame": jnp.float32(4)})
+    assert float(a["y"]) == float(b["y"])         # same frame -> same draw
+    assert float(a["y"]) != float(a["z"])         # distinct call sites
+    assert float(a["y"]) != float(c["y"])         # frames decorrelate
+    assert 0.0 <= float(a["y"]) < 1.0
+
+
+def test_expr_unknown_vars_default_zero():
+    assert run_expr("y = nosuchvar + 1;")["y"] == 1.0
+
+
+def test_expr_errors():
+    with pytest.raises(ValueError):
+        compile_expressions("y = $bad;")
+    with pytest.raises(ValueError):
+        compile_expressions("y = nosuchfn(1);")
+    with pytest.raises(ValueError):
+        compile_expressions("y = (1 + 2;")
+
+
+# ---------------------------------------------------------------------------
+# preset parsing
+
+
+MILK_TEXT = """[preset00]
+fRating=4.0
+fGammaAdj=1.5
+fDecay=0.97
+zoom=1.01
+rot=0.0
+nWaveMode=2
+per_frame_init_1=q1 = 7;
+per_frame_2=rot = rot + 0.01*sin(time);
+per_frame_1=zoom = zoom + 0.1*bass;
+per_pixel_1=zoom = zoom + rad*0.05;
+wavecode_0_enabled=1
+shapecode_0_x=0.5
+warp_1=`shader body line to ignore
+"""
+
+
+def test_parse_preset():
+    pre = parse_preset(MILK_TEXT, "demo")
+    assert pre.init["fdecay"] == pytest.approx(0.97)
+    assert pre.init["zoom"] == pytest.approx(1.01)
+    # numeric order preserved: per_frame_1 before per_frame_2
+    assert pre.per_frame.index("bass") < pre.per_frame.index("sin")
+    assert "q1 = 7" in pre.per_frame_init
+    assert "rad*0.05" in pre.per_pixel
+    assert "shader" not in pre.per_frame + pre.per_pixel
+    assert pre.value("nwavemode") == 2
+    assert pre.value("fgammaadj") == pytest.approx(1.5)
+    assert pre.value("echo_zoom") == 1.0  # default
+
+
+# ---------------------------------------------------------------------------
+# renderer
+
+
+def run_frames(name, n, h=48, w=64, params=None):
+    filt = get_filter(name)
+    state = filt.init_state(w, h, int(Palette.RGB24))
+    outs = []
+    p = {q.name: q.default for q in filt.params}
+    p.update(params or {})
+    for i in range(n):
+        ctx = FrameContext(tc=i / 30.0, frame=i, fps=30.0,
+                           width=w, height=h)
+        layer, state = filt.process([], p, ctx, state)
+        outs.append(np.asarray(layer.planes[0]))
+    return outs, state
+
+
+def test_identity_preset_preserves_frame():
+    register_milk_preset(
+        "[p]\nfDecay=1.0\nzoom=1.0\nwarp=0.0\nwave_a=0.0\nfGammaAdj=1.0\n",
+        "ident")
+    outs, state = run_frames("milk_ident", 3)
+    prev = np.asarray(state[0])
+    # decay 1, no warp, no wave: the float state stays all-zero
+    assert np.all(prev == 0.0)
+    assert all(np.all(o == 0) for o in outs)
+
+
+def test_wave_then_decay():
+    register_milk_preset(
+        "[p]\nfDecay=0.5\nzoom=1.0\nwarp=0.0\nwave_a=1.0\n"
+        "wave_r=1.0\nwave_g=1.0\nwave_b=1.0\nnWaveMode=5\n", "wv")
+    outs, state = run_frames("milk_wv", 4)
+    # the waveform lights pixels; decay keeps the field bounded
+    assert outs[0].max() > 0
+    assert all(o.dtype == np.uint8 for o in outs)
+    prev = np.asarray(state[0])
+    assert prev.max() <= 1.0 and prev.min() >= 0.0
+
+
+def test_zoom_preset_moves_energy_and_stays_finite():
+    register_milk_preset(BUILTIN_PRESETS["tunnel"], "tunnel_t")
+    outs, state = run_frames("milk_tunnel_t", 6,
+                             params={"bass": 0.8, "mid": 0.4, "treb": 0.4,
+                                     "vol": 0.5})
+    assert np.isfinite(np.asarray(state[0])).all()
+    # frames evolve (feedback + wave): consecutive frames differ
+    assert any(not np.array_equal(outs[i], outs[i + 1]) for i in range(5))
+
+
+def test_q_vars_persist_and_init_runs_once():
+    register_milk_preset(
+        "[p]\nfDecay=0.9\nwave_a=0.0\n"
+        "per_frame_init_1=q1 = 5;\n"
+        "per_frame_1=q1 = q1 + 1;\n"
+        "per_frame_2=zoom = 1.0 + q1*0.001;\n", "qtest")
+    _outs, state = run_frames("milk_qtest", 3)
+    # init ran once (q1=5), then +1 per frame over 3 frames -> 8
+    assert float(np.asarray(state[1])[0]) == pytest.approx(8.0)
+
+
+def test_determinism():
+    register_milk_preset(BUILTIN_PRESETS["spin"], "spin_t")
+    a, sa = run_frames("milk_spin_t", 4)
+    b, sb = run_frames("milk_spin_t", 4)
+    for x, y in zip(a, b):
+        np.testing.assert_array_equal(x, y)
+    np.testing.assert_array_equal(np.asarray(sa[0]), np.asarray(sb[0]))
+
+
+def test_builtins_registered_and_run_in_graph():
+    """The shipped presets registered at import; one runs as a clip
+    source through the production FrameGraph."""
+    for name in BUILTIN_PRESETS:
+        assert get_filter(f"milk_{name}") is not None
+    from lives_tpu.graph import FrameGraph, SinkSpec
+    from lives_tpu.io.genclip import GeneratorClip
+    h, w = 48, 64
+    clip = GeneratorClip("milk_pulse", width=w, height=h, fps=30.0)
+    g = FrameGraph([], sink=SinkSpec(width=w, height=h), fps=30.0)
+    frames = []
+    for i in range(3):
+        # stateful generator clips pull frames host-side (the state
+        # pytree lives on the clip), then feed the graph as layers
+        out = g.run([clip.get_frame(i)], tc=i / 30.0, frame=i)
+        frames.append(np.asarray(out.planes[0]))
+    assert frames[0].shape[-2:] == (h, w)
+    assert any(not np.array_equal(frames[i], frames[i + 1])
+               for i in range(2))
+
+
+def test_load_milk_preset_file(tmp_path):
+    from lives_tpu.effects.milkdrop import load_milk_preset
+    p = tmp_path / "My Cool Preset.milk"
+    p.write_text(MILK_TEXT)
+    f = load_milk_preset(p)
+    assert f.name == "milk_my cool preset"
+    outs, _ = run_frames(f.name, 2)
+    assert outs[0].shape == (3, 48, 64)
+
+
+def test_osc_open_generator_and_milk(tmp_path):
+    """Extension endpoints /clip/open/generator + /clip/open/milk load a
+    preset file live and register a generator clip source."""
+    import socket
+    from lives_tpu.osc.server import OSCServer
+    from lives_tpu.osc.protocol import build_message, parse_packet
+    from lives_tpu.player.player import Player
+
+    srv = OSCServer(player=Player(sink=None))
+    srv.start()
+    try:
+        def rpc(path, *args):
+            cl = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
+            cl.settimeout(3.0)
+            cl.sendto(build_message(path, *args), ("127.0.0.1", srv.port))
+            data, _ = cl.recvfrom(65536)
+            cl.close()
+            (msg,) = parse_packet(data)
+            return msg
+
+        cid = int(rpc("/clip/open/generator", "milk_tunnel", 64, 48).args[0])
+        assert srv.clips[cid].name == "milk_tunnel"
+        assert srv.clips[cid].get_frame(0).planes[0].shape[-2:] == (48, 64)
+
+        p = tmp_path / "osc_preset.milk"
+        p.write_text(MILK_TEXT)
+        cid2 = int(rpc("/clip/open/milk", str(p), 64, 48).args[0])
+        assert srv.clips[cid2].name == "milk_osc_preset"
+        f0 = np.asarray(srv.clips[cid2].get_frame(0).planes[0])
+        assert f0.shape == (3, 48, 64)
+    finally:
+        srv.stop()
