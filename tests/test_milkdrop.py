@@ -284,3 +284,40 @@ def test_osc_open_generator_and_milk(tmp_path):
         assert f0.shape == (3, 48, 64)
     finally:
         srv.stop()
+
+
+def test_audio_fft_drives_milk_preset_via_pconx():
+    """The projectM story end-to-end: tone -> audio_fft analyser ->
+    pconx autoscale -> milk generator 'bass' param -> visual response
+    (the preset's per_frame couples zoom to bass)."""
+    from lives_tpu.audio import audio_instantiate
+    from lives_tpu.effects.data import DataConnections
+    from lives_tpu.io.genclip import GeneratorClip
+
+    RATE = 44100
+    t = np.arange(4096)
+    loud = np.stack([np.sin(2 * np.pi * 80 * t / RATE)] * 2, -1) \
+        .astype(np.float32) * 0.9
+    quiet = loud * 0.01
+
+    fft = audio_instantiate("audio_fft", freq=80.0, rate=RATE)
+    clip = GeneratorClip("milk_tunnel", width=64, height=48, fps=30.0)
+    dc = DataConnections()
+    dc.add(fft, "value", clip.inst, "bass", autoscale=True)
+
+    def step(block, n):
+        fft.apply(block)
+        dc.chain_data(clip.inst)
+        return float(clip.inst.values.get("bass", 0.0)), \
+            np.asarray(clip.get_frame(n).planes[0])
+
+    b0, _f0 = step(loud, 0)
+    b1, _f1 = step(loud, 1)
+    clip2 = GeneratorClip("milk_tunnel", width=64, height=48, fps=30.0)
+    fftq = audio_instantiate("audio_fft", freq=80.0, rate=RATE)
+    dcq = DataConnections()
+    dcq.add(fftq, "value", clip2.inst, "bass", autoscale=True)
+    fftq.apply(quiet)
+    dcq.chain_data(clip2.inst)
+    bq = float(clip2.inst.values.get("bass", 0.0))
+    assert b1 > bq  # loud tone at the analysed frequency raises bass
