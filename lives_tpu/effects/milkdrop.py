@@ -435,6 +435,8 @@ class MilkPreset:
         "wave_a": 0.8, "wave_x": 0.5, "wave_y": 0.5, "wave_mystery": 0.0,
         "nwavemode": 0, "fwavescale": 1.0, "fwavesmoothing": 0.75,
         "bdarkencenter": 0, "echo_zoom": 1.0, "echo_alpha": 0.0,
+        "bwrap": 1, "binvert": 0, "bbrighten": 0, "bdarken": 0,
+        "bsolarize": 0,
     }
 
     def value(self, key: str) -> float:
@@ -536,7 +538,10 @@ def build_preset_process(pre: MilkPreset):
     rename = {"fdecay": "decay", "fgammaadj": "gamma",
               "fwavescale": "wave_scale", "fwarpscale": "warpscale",
               "fwarpanimspeed": "warpanimspeed", "nwavemode": "wave_mode",
-              "fwavesmoothing": "wave_smoothing"}
+              "fwavesmoothing": "wave_smoothing", "bwrap": "wrap",
+              "binvert": "invert", "bbrighten": "brighten",
+              "bdarken": "darken", "bsolarize": "solarize",
+              "bdarkencenter": "darken_center"}
     base_env = {}
     for k in pre.DEFAULTS:
         base_env[rename.get(k, k)] = float(pre.DEFAULTS[k])
@@ -620,7 +625,14 @@ def build_preset_process(pre: MilkPreset):
         u = u / penv["sx"] - penv["dx"] + cxv
         v = v / penv["sy"] - penv["dy"] + cyv
 
-        # bilinear feedback sample of the previous frame (edge clamp)
+        # bilinear feedback sample of the previous frame. bWrap selects
+        # toroidal texture addressing (MilkDrop's default) vs edge clamp;
+        # traced per-frame (presets toggle `wrap` in per_frame code)
+        wrap_on = jnp.asarray(env.get("wrap", 1.0), jnp.float32) > 0.5
+        u = jnp.where(wrap_on & ((u < 0.0) | (u > 1.0)),
+                      u - jnp.floor(u), u)
+        v = jnp.where(wrap_on & ((v < 0.0) | (v > 1.0)),
+                      v - jnp.floor(v), v)
         fu = jnp.clip(u * (w - 1), 0.0, w - 1.0)
         fv = jnp.clip(v * (h - 1), 0.0, h - 1.0)
         x0 = jnp.floor(fu).astype(jnp.int32)
@@ -651,8 +663,42 @@ def build_preset_process(pre: MilkPreset):
         out = out * (1.0 - alpha[None]) + wave_rgb * alpha[None]
         out = jnp.clip(out, 0.0, 1.0)
 
+        # ---- composite (display) pass — MilkDrop applies echo and the
+        # post-filters only to what is SHOWN; the feedback texture (the
+        # next frame's `prev`) stays untouched, so toggling e.g. invert
+        # cannot oscillate the feedback field
+        disp = out
+        if pre.value("echo_alpha") > 0.0 or "echo" in pre.per_frame:
+            # video echo: a second, center-zoomed tap mixed by echo_alpha
+            ez = jnp.maximum(jnp.asarray(env.get("echo_zoom", 1.0),
+                                         jnp.float32), 1e-3)
+            eu = jnp.clip(((xs - 0.5) / ez + 0.5) * (w - 1), 0.0, w - 1.0)
+            ev = jnp.clip(((ys - 0.5) / ez + 0.5) * (h - 1), 0.0, h - 1.0)
+            echo = out[:, jnp.floor(ev).astype(jnp.int32),
+                       jnp.floor(eu).astype(jnp.int32)]
+            ea = jnp.clip(jnp.asarray(env.get("echo_alpha", 0.0),
+                                      jnp.float32), 0.0, 1.0)
+            disp = disp * (1.0 - ea) + echo * ea
+
+        # post-filters (traced per-frame toggles): brighten = sqrt,
+        # darken = square, solarize = 4x(1-x), invert = 1-x,
+        # darken_center = soft black blend at the centre
+        def _gate(name, fn, x):
+            g = jnp.asarray(env.get(name, 0.0), jnp.float32) > 0.5
+            return jnp.where(g, fn(x), x)
+
+        disp = _gate("brighten", jnp.sqrt, disp)
+        disp = _gate("darken", lambda x: x * x, disp)
+        disp = _gate("solarize", lambda x: 4.0 * x * (1.0 - x), disp)
+        disp = _gate("invert", lambda x: 1.0 - x, disp)
+        if pre.value("bdarkencenter") > 0 or "darken_center" in pre.per_frame:
+            dc = jnp.asarray(env.get("darken_center", 0.0),
+                             jnp.float32) > 0.5
+            mask = 1.0 - np.float32(3.0 / 32.0) * jnp.exp(-(rad * 6.0) ** 2)
+            disp = jnp.where(dc, disp * mask[None], disp)
+
         gamma = env.get("gamma", 2.0)
-        disp = jnp.clip(out * gamma, 0.0, 1.0)
+        disp = jnp.clip(disp * gamma, 0.0, 1.0)
         u8 = jnp.clip(jnp.floor(disp * 255.0 + 0.5), 0, 255) \
             .astype(jnp.uint8)
         layer = Layer(planes=(u8,), palette=int(Palette.RGB24),

@@ -321,3 +321,42 @@ def test_audio_fft_drives_milk_preset_via_pconx():
     dcq.chain_data(clip2.inst)
     bq = float(clip2.inst.values.get("bass", 0.0))
     assert b1 > bq  # loud tone at the analysed frequency raises bass
+
+
+def test_post_filters_and_echo_affect_display_not_state():
+    """invert/solarize/echo run in the composite pass only: the feedback
+    state must be identical with and without them (MilkDrop applies post
+    FX to what is shown, not to the warp texture)."""
+    base = ("[p]\nfDecay=0.8\nwave_a=1.0\nwave_r=1.0\nwave_g=1.0\n"
+            "wave_b=1.0\nnWaveMode=5\nfGammaAdj=1.0\n")
+    register_milk_preset(base, "plainpf")
+    register_milk_preset(base + "bInvert=1\nbSolarize=1\n"
+                                "echo_alpha=0.4\necho_zoom=2.0\n", "postpf")
+    outs_a, st_a = run_frames("milk_plainpf", 3)
+    outs_b, st_b = run_frames("milk_postpf", 3)
+    np.testing.assert_allclose(np.asarray(st_a[0]), np.asarray(st_b[0]),
+                               atol=1e-6)  # state untouched by post FX
+    assert any(not np.array_equal(a, b) for a, b in zip(outs_a, outs_b))
+
+
+def test_invert_flips_display():
+    register_milk_preset(
+        "[p]\nfDecay=1.0\nzoom=1.0\nwarp=0.0\nwave_a=0.0\n"
+        "fGammaAdj=1.0\nbInvert=1\n", "inv")
+    outs, _ = run_frames("milk_inv", 2)
+    # zero field inverted -> full white display
+    assert np.all(outs[0] == 255)
+
+
+def test_wrap_toroidal_sampling():
+    """zoom < 1 pushes sample coords outside [0,1]: with bWrap=1 content
+    wraps around, with bWrap=0 the edge clamps. Seed via one wave frame,
+    then compare the second frame's edges."""
+    base = ("[p]\nfDecay=1.0\nzoom=0.62\nwarp=0.0\nwave_a=1.0\n"
+            "wave_r=1.0\nwave_g=1.0\nwave_b=1.0\nnWaveMode=5\n"
+            "wave_y=0.95\nfGammaAdj=1.0\n")
+    register_milk_preset(base + "bWrap=1\n", "wr1")
+    register_milk_preset(base + "bWrap=0\n", "wr0")
+    a, _ = run_frames("milk_wr1", 3)
+    b, _ = run_frames("milk_wr0", 3)
+    assert any(not np.array_equal(x, y) for x, y in zip(a[1:], b[1:]))
