@@ -703,6 +703,15 @@ class Player:
         from ..graph.nodemodel import FrameGraph as _FG, GenSlot
         if _FG._is_genclip(clip):
             return GenSlot(clip, n)
+        if self._is_stateful_gen(clip):
+            # stateful generators (beat_rings, milk_* presets) evolve
+            # their feedback state per pull: frame n is NOT a pure
+            # function of n, so caching/lookahead would serve stale
+            # feedback and double-advance the state from the worker
+            # thread. Pull live, on this thread only (the reference's
+            # generator instances are likewise rendered per tick,
+            # effects-weed.c:7572).
+            return clip.get_frame(n)
         # LRU cache, not a consume-once queue: disk-clip frames are
         # immutable, so a hit stays cached (a looping clip that fits the
         # bound re-decodes NOTHING after the first cycle — pop-on-hit
@@ -729,6 +738,13 @@ class Player:
         if self.precache_depth:
             self._precache[key] = lay
         return lay
+
+    @staticmethod
+    def _is_stateful_gen(clip) -> bool:
+        from ..effects.host import FILTER_STATEFUL
+        inst = getattr(clip, "inst", None)
+        return (inst is not None and inst.filter.is_generator
+                and bool(inst.filter.flags & FILTER_STATEFUL))
 
     @staticmethod
     def _ck(clip, n):
@@ -767,9 +783,11 @@ class Player:
         # bg clip must still publish (a genclip fg + decoder bg used to
         # early-return here, so the bg was never precached and
         # drop_on_miss dropped every frame forever)
-        fgc = None if _FG._is_genclip(st.fg_clip) else st.fg_clip
+        fgc = None if (_FG._is_genclip(st.fg_clip)
+                       or self._is_stateful_gen(st.fg_clip)) else st.fg_clip
         bg = None
-        if st.bg_clip is not None and not _FG._is_genclip(st.bg_clip):
+        if st.bg_clip is not None and not _FG._is_genclip(st.bg_clip) \
+                and not self._is_stateful_gen(st.bg_clip):
             # the bg window follows the REAL bg mapping (independent
             # rate/direction via _bg_frame), not the fg stride
             bgs = tuple(dict.fromkeys(

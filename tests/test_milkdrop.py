@@ -360,3 +360,40 @@ def test_wrap_toroidal_sampling():
     a, _ = run_frames("milk_wr1", 3)
     b, _ = run_frames("milk_wr0", 3)
     assert any(not np.array_equal(x, y) for x, y in zip(a[1:], b[1:]))
+
+
+def test_player_pulls_stateful_generator_without_precache_race():
+    """A milk preset as fg clip with precache enabled: frames must come
+    from live per-tick pulls (no caching/lookahead - frame n of a
+    feedback generator is not a pure function of n), and the precache
+    worker must never touch the clip from its thread."""
+    import time
+    from lives_tpu.graph import SinkSpec
+    from lives_tpu.io.genclip import GeneratorClip
+    from lives_tpu.player import CollectSink, Player
+
+    clip = GeneratorClip("milk_pulse", width=64, height=48, fps=30.0)
+    pulls = []
+    orig = clip.get_frame
+
+    import threading
+    main = threading.get_ident()
+
+    def spy(n):
+        pulls.append((n, threading.get_ident()))
+        return orig(n)
+
+    clip.get_frame = spy
+    p = Player(sink=CollectSink(), sink_spec=SinkSpec())
+    p.precache_depth = 4
+    p.state.fg_clip = clip
+    p.start()
+    for i in range(5):
+        p.state.frame = -1
+        p._clock0 = time.monotonic()
+        p._frame0 = float(i)
+        p.process_one()
+    time.sleep(0.1)  # give a (wrongly-started) worker time to fire
+    assert len(pulls) >= 5
+    assert all(t == main for _n, t in pulls)  # never from the worker
+    assert len(p.sink.frames) >= 5
