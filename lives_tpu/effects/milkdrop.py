@@ -535,13 +535,19 @@ def build_preset_process(pre: MilkPreset):
     from ..constants import Gamma, Palette
 
     # INI key -> runtime equation-variable name (MilkDrop's own mapping)
+    # INI key -> runtime equation-variable name: both MilkDrop's own
+    # `.milk` spellings (fZoomExponent, fVideoEchoAlpha, bTexWrap,
+    # fWaveAlpha, ...) and the short aliases used by hand-written presets
     rename = {"fdecay": "decay", "fgammaadj": "gamma",
               "fwavescale": "wave_scale", "fwarpscale": "warpscale",
               "fwarpanimspeed": "warpanimspeed", "nwavemode": "wave_mode",
               "fwavesmoothing": "wave_smoothing", "bwrap": "wrap",
-              "binvert": "invert", "bbrighten": "brighten",
-              "bdarken": "darken", "bsolarize": "solarize",
-              "bdarkencenter": "darken_center"}
+              "btexwrap": "wrap", "binvert": "invert",
+              "bbrighten": "brighten", "bdarken": "darken",
+              "bsolarize": "solarize", "bdarkencenter": "darken_center",
+              "fzoomexponent": "zoomexp", "fvideoechozoom": "echo_zoom",
+              "fvideoechoalpha": "echo_alpha", "fwavealpha": "wave_a",
+              "fwaveparam": "wave_mystery"}
     base_env = {}
     for k in pre.DEFAULTS:
         base_env[rename.get(k, k)] = float(pre.DEFAULTS[k])
@@ -668,7 +674,7 @@ def build_preset_process(pre: MilkPreset):
         # next frame's `prev`) stays untouched, so toggling e.g. invert
         # cannot oscillate the feedback field
         disp = out
-        if pre.value("echo_alpha") > 0.0 or "echo" in pre.per_frame:
+        if base_env.get("echo_alpha", 0.0) > 0.0 or "echo" in pre.per_frame:
             # video echo: a second, center-zoomed tap mixed by echo_alpha
             ez = jnp.maximum(jnp.asarray(env.get("echo_zoom", 1.0),
                                          jnp.float32), 1e-3)
@@ -691,7 +697,8 @@ def build_preset_process(pre: MilkPreset):
         disp = _gate("darken", lambda x: x * x, disp)
         disp = _gate("solarize", lambda x: 4.0 * x * (1.0 - x), disp)
         disp = _gate("invert", lambda x: 1.0 - x, disp)
-        if pre.value("bdarkencenter") > 0 or "darken_center" in pre.per_frame:
+        if base_env.get("darken_center", 0.0) > 0 \
+                or "darken_center" in pre.per_frame:
             dc = jnp.asarray(env.get("darken_center", 0.0),
                              jnp.float32) > 0.5
             mask = 1.0 - np.float32(3.0 / 32.0) * jnp.exp(-(rad * 6.0) ** 2)

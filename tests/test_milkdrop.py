@@ -397,3 +397,40 @@ def test_player_pulls_stateful_generator_without_precache_race():
     assert len(pulls) >= 5
     assert all(t == main for _n, t in pulls)  # never from the worker
     assert len(p.sink.frames) >= 5
+
+
+def test_authentic_milk_key_spellings():
+    """A preset written with MilkDrop's own INI key spellings
+    (fZoomExponent / fVideoEcho* / bTexWrap / fWaveAlpha / fWaveParam)
+    maps onto the runtime equation variables."""
+    text = """[preset00]
+fRating=3.0
+fGammaAdj=1.0
+fDecay=0.9
+fVideoEchoZoom=2.0
+fVideoEchoAlpha=0.5
+nVideoEchoOrientation=1
+nWaveMode=5
+bTexWrap=0
+bDarkenCenter=1
+fWaveAlpha=1.0
+fWaveScale=1.2
+fWaveParam=0.3
+fZoomExponent=2.5
+fWarpAnimSpeed=1.5
+fWarpScale=1.3
+zoom=1.02
+rot=0.0
+warp=0.1
+per_frame_1=zoom = zoom + 0.01*sin(time*0.7);
+per_pixel_1=zoom = zoom + 0.02*rad;
+"""
+    f = register_milk_preset(text, "authentic")
+    outs, state = run_frames(f.name, 4)
+    assert np.isfinite(np.asarray(state[0])).all()
+    assert outs[0].max() > 0  # fWaveAlpha=1 wave drew
+    # the echo gate engaged off fVideoEchoAlpha: the composite differs
+    # from the raw feedback field
+    fb = np.asarray(state[0])
+    shown = outs[-1].astype(np.float32) / 255.0
+    assert not np.allclose(shown, np.clip(fb, 0, 1), atol=1 / 255.0)
