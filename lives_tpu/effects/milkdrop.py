@@ -19,9 +19,16 @@ warp/dx/dy/sx/sy/cx/cy) applied as a bilinear resample of the previous
 frame; decay; gamma; basic waveform modes (0 circle / 1 x-spray /
 2 centered line / 4+ horizontal line) with wave_r/g/b/scaling; audio
 drive (bass/mid/treb/vol + *_att) from params wired via pconx from the
-audio_fft analyser, like every other audio-reactive generator. Custom
-waves/shapes (wavecode_*/shapecode_*) and megabuf are out of subset and
-ignored on load.
+audio_fft analyser, like every other audio-reactive generator; custom
+waves (`wavecode_N_*` config + `wave_N_per_point*` code vectorised over
+the sample axis, gaussian point splats) and custom shapes
+(`shapecode_N_*` + `shape_N_per_frame*`, per-pixel regular-n-gon SDF
+with centre->vertex gradient, border ring, optional prev-frame
+texturing, num_inst instances). Megabuf/gmegabuf and the MDVIP HLSL
+shader blocks (`warp_*`/`comp_*`) are out of subset and ignored on
+load. Object init code re-runs each frame in a time=frame=0
+environment — the stateless equivalent of MilkDrop's run-once-at-load
+(t1..t8 scratch vars still reach per-frame code).
 
 Expression language notes: `if(c,a,b)` evaluates both branches (matches
 jnp.where); `rand(x)` is counter-hashed on (frame, site) so batch
@@ -419,6 +426,26 @@ def compile_expressions(src: str) -> Callable[[dict], dict]:
 # preset file
 
 
+#: custom-shape defaults (MilkDrop's CShape defaults; .milk stores only
+#: the fields the author changed)
+SHAPE_DEFAULTS = {
+    "enabled": 0.0, "sides": 4.0, "additive": 0.0, "thickoutline": 0.0,
+    "textured": 0.0, "num_inst": 1.0, "x": 0.5, "y": 0.5, "rad": 0.1,
+    "ang": 0.0, "tex_ang": 0.0, "tex_zoom": 1.0,
+    "r": 1.0, "g": 0.0, "b": 0.0, "a": 1.0,
+    "r2": 0.0, "g2": 1.0, "b2": 0.0, "a2": 0.0,
+    "border_r": 1.0, "border_g": 1.0, "border_b": 1.0, "border_a": 0.1,
+}
+
+#: custom-wave defaults (CWave)
+WAVE_DEFAULTS = {
+    "enabled": 0.0, "samples": 512.0, "sep": 0.0, "bspectrum": 0.0,
+    "busedots": 0.0, "bdrawthick": 0.0, "badditive": 0.0,
+    "scaling": 1.0, "smoothing": 0.5,
+    "r": 1.0, "g": 1.0, "b": 1.0, "a": 1.0,
+}
+
+
 @dataclass
 class MilkPreset:
     name: str = "preset"
@@ -426,6 +453,10 @@ class MilkPreset:
     per_frame_init: str = ""
     per_frame: str = ""
     per_pixel: str = ""
+    # custom objects: n -> {"cfg": {field: float}, "init"/"frame"(/"point"
+    # for waves): joined equation text}
+    shapes: dict = field(default_factory=dict)
+    waves: dict = field(default_factory=dict)
 
     DEFAULTS = {
         "fdecay": 0.98, "fgammaadj": 2.0, "fwarpscale": 1.0,
@@ -444,14 +475,25 @@ class MilkPreset:
 
 
 _LINE_RE = re.compile(r"^\s*([A-Za-z_][A-Za-z0-9_]*)\s*=\s*(.*?)\s*$")
+# MilkDrop's own spellings: `shapecode_2_rad=0.3`, `shape_2_per_frame1=`,
+# `wavecode_0_bUseDots=1`, `wave_0_per_point3=` (equation indices attach
+# with or without an underscore depending on the authoring tool)
+_SHAPECODE_RE = re.compile(r"^shapecode_(\d+)_([a-z0-9_]+)$")
+_SHAPEEQ_RE = re.compile(r"^shape_(\d+)_(init|per_frame)_?(\d+)$")
+_WAVECODE_RE = re.compile(r"^wavecode_(\d+)_([a-z0-9_]+)$")
+_WAVEEQ_RE = re.compile(r"^wave_(\d+)_(init|per_frame|per_point)_?(\d+)$")
+_EQ_KEY = {"init": "init", "per_frame": "frame", "per_point": "point"}
 
 
 def parse_preset(text: str, name: str = "preset") -> MilkPreset:
     """Parse `.milk` INI text. Equation lines concatenate in numeric
-    order; `wavecode_*` / `shapecode_*` custom objects are out of subset
-    and skipped."""
+    order. Custom waves (`wavecode_N_*` + `wave_N_per_point*`) and
+    custom shapes (`shapecode_N_*` + `shape_N_per_frame*`) parse into
+    `pre.waves` / `pre.shapes`; shader blocks (`comp_*` / `warp_*`) are
+    out of subset and skipped."""
     pre = MilkPreset(name=name)
     frames, pixels, finits = {}, {}, {}
+    objeqs: dict[tuple, dict] = {}
     for line in text.splitlines():
         if line.startswith(("[", ";", "//")):
             continue
@@ -459,9 +501,25 @@ def parse_preset(text: str, name: str = "preset") -> MilkPreset:
         if m is None:
             continue
         key, val = m.group(1).lower(), m.group(2)
-        if key.startswith(("wavecode_", "shapecode_", "wave_0", "wave_1",
-                           "shape_0", "shape_1", "comp_", "warp_")):
-            continue  # custom waves/shapes & shader code: out of subset
+        if key.startswith(("comp_", "warp_")):
+            continue  # HLSL shader code: out of subset
+        cm = _SHAPECODE_RE.match(key) or _WAVECODE_RE.match(key)
+        if cm is not None:
+            store = pre.shapes if key.startswith("shape") else pre.waves
+            try:
+                store.setdefault(int(cm.group(1)), {"cfg": {}})["cfg"][
+                    cm.group(2)] = float(val)
+            except ValueError:
+                pass
+            continue
+        em = _SHAPEEQ_RE.match(key) or _WAVEEQ_RE.match(key)
+        if em is not None:
+            store = pre.shapes if key.startswith("shape") else pre.waves
+            store.setdefault(int(em.group(1)), {"cfg": {}})
+            objeqs.setdefault((key[0] == "s", int(em.group(1)),
+                               _EQ_KEY[em.group(2)]), {})[
+                int(em.group(3))] = val
+            continue
         for prefix, store in (("per_frame_init_", finits),
                               ("per_frame_", frames),
                               ("per_pixel_", pixels),
@@ -483,6 +541,9 @@ def parse_preset(text: str, name: str = "preset") -> MilkPreset:
     pre.per_frame_init = join(finits)
     pre.per_frame = join(frames)
     pre.per_pixel = join(pixels)
+    for (is_shape, n, which), eqs in objeqs.items():
+        store = pre.shapes if is_shape else pre.waves
+        store[n][which] = join(eqs)
     return pre
 
 
@@ -524,6 +585,139 @@ def _wave_curve(pre_env, t, mode: int):
     return xs, ys, vol
 
 
+def _synth_pcm(env, t, ph_off: float, n: int):
+    """Synthesised PCM channel for custom waves: three-harmonic mix of
+    the band levels (the graph carries band energies, not raw PCM —
+    same synthesis as `_wave_curve`, phase-offset per channel)."""
+    i = jnp.arange(n, dtype=jnp.float32) / np.float32(max(n - 1, 1))
+    ph = t * 2.1 + ph_off
+    return (env.get("bass", 0.3) * jnp.sin(i * (2 * np.pi) + ph)
+            + env.get("mid", 0.3) * 0.6 * jnp.sin(i * (6 * np.pi)
+                                                  + ph * 1.7)
+            + env.get("treb", 0.3) * 0.35 * jnp.sin(i * (14 * np.pi)
+                                                    + ph * 2.3))
+
+
+_OBJ_ENV_KEYS = ("time", "frame", "fps", "bass", "mid", "treb", "vol",
+                 "bass_att", "mid_att", "treb_att", "vol_att",
+                 "meshx", "meshy", "pixelsx", "pixelsy",
+                 "aspectx", "aspecty", "instance", "num_inst")
+
+
+def _obj_env(env, cfg):
+    """Scalar environment for custom-object code: global read-only vars
+    + q1..q32 copies (writes stay local, MilkDrop semantics) + the
+    object's own fields + t1..t8 scratch."""
+    e = {k: env[k] for k in _OBJ_ENV_KEYS if k in env}
+    for k in range(32):
+        e[f"q{k + 1}"] = env.get(f"q{k + 1}", 0.0)
+    for k in range(8):
+        e[f"t{k + 1}"] = 0.0
+    e.update(cfg)
+    return e
+
+
+def _run_obj_code(env, cfg, init_fn, frame_fn):
+    """init code runs in a frame-0 environment (MilkDrop runs it once at
+    preset load; re-running it with time/frame pinned to 0 is the
+    stateless equivalent), then per-frame code on the result."""
+    e = _obj_env(env, cfg)
+    e0 = dict(e)
+    e0["time"] = 0.0
+    e0["frame"] = 0.0
+    e0 = init_fn(e0)
+    for k in range(8):
+        e[f"t{k + 1}"] = e0[f"t{k + 1}"]
+    return frame_fn(e)
+
+
+def _draw_custom_shape(out, prev, senv, xs, ys, aspect, sides: int,
+                       textured: bool, additive: bool, thick: bool, h, w):
+    """Rasterise one custom-shape instance: per-pixel SDF of the regular
+    `sides`-gon, centre->vertex colour/alpha gradient, border ring —
+    pointwise VPU work, no data-dependent control flow."""
+    cx = jnp.asarray(senv.get("x", 0.5), jnp.float32)
+    cy = jnp.asarray(senv.get("y", 0.5), jnp.float32)
+    rad = jnp.maximum(jnp.asarray(senv.get("rad", 0.1), jnp.float32), 1e-4)
+    ang = jnp.asarray(senv.get("ang", 0.0), jnp.float32)
+    dx = (xs - cx) * aspect
+    dy = ys - (1.0 - cy)
+    dist = jnp.sqrt(dx * dx + dy * dy) + 1e-9
+    step = np.float32(2.0 * math.pi / sides)
+    th = jnp.arctan2(dy, dx) - ang
+    phi = (th % step) - np.float32(step / 2)
+    # apothem / cos(phi): radial distance to the polygon edge
+    redge = rad * np.float32(math.cos(math.pi / sides)) / jnp.cos(phi)
+    tgrad = jnp.clip(dist / redge, 0.0, 1.0)
+    inside = (dist <= redge).astype(jnp.float32)
+    g = lambda n: jnp.asarray(senv.get(n, 0.0), jnp.float32)  # noqa: E731
+    c1 = jnp.stack([g("r"), g("g"), g("b")]).reshape(3, 1, 1)
+    c2 = jnp.stack([g("r2"), g("g2"), g("b2")]).reshape(3, 1, 1)
+    rgb = c1 * (1.0 - tgrad)[None] + c2 * tgrad[None]
+    if textured:
+        # the shape samples the previous frame zoomed by tex_zoom and
+        # rotated by tex_ang around its centre, tinted by the gradient
+        tz = jnp.maximum(g("tex_zoom"), 1e-3) * 2.0 * rad
+        ta = g("tex_ang")
+        ca, sa = jnp.cos(ta), jnp.sin(ta)
+        tu = jnp.clip((0.5 + (dx * ca - dy * sa) / tz) * (w - 1),
+                      0.0, w - 1.0).astype(jnp.int32)
+        tv = jnp.clip((0.5 + (dx * sa + dy * ca) / tz) * (h - 1),
+                      0.0, h - 1.0).astype(jnp.int32)
+        rgb = prev[:, tv, tu] * rgb
+    alpha = jnp.clip(g("a") * (1.0 - tgrad) + g("a2") * tgrad, 0.0, 1.0) \
+        * inside
+    if additive:
+        out = out + rgb * alpha[None]
+    else:
+        out = out * (1.0 - alpha[None]) + rgb * alpha[None]
+    bw = rad * (0.06 if thick else 0.02) + np.float32(1.5 / h)
+    bmask = (jnp.abs(dist - redge) <= bw).astype(jnp.float32) \
+        * jnp.clip(g("border_a"), 0.0, 1.0)
+    brgb = jnp.stack([g("border_r"), g("border_g"),
+                      g("border_b")]).reshape(3, 1, 1)
+    return out * (1.0 - bmask[None]) + brgb * bmask[None]
+
+
+def _draw_custom_wave(out, wenv, point_fn, t, xs, ys, aspect,
+                      usedots: bool, thick: bool, additive: bool,
+                      sep: float, smoothing: float, h):
+    """Rasterise one custom wave: per_point code runs VECTORISED over
+    the sample axis (the compiler broadcasts arrays), points splat as
+    gaussians — bounded full-frame ops, batch-friendly. `sep` and
+    `smoothing` are static preset config (they shape trace-time
+    constants); colour/alpha/position react per frame."""
+    n = _WAVE_POINTS
+    scaling = wenv.get("scaling", 1.0)
+    v1 = _synth_pcm(wenv, t, 0.0, n) * scaling
+    v2 = _synth_pcm(wenv, t, 0.7 + 0.03 * sep, n) * scaling
+    if smoothing > 0:  # one-pass neighbour smoothing, strength-weighted
+        k = np.float32(min(max(smoothing, 0.0), 0.98) * 0.5)
+        v1 = (1 - 2 * k) * v1 + k * (jnp.roll(v1, 1) + jnp.roll(v1, -1))
+        v2 = (1 - 2 * k) * v2 + k * (jnp.roll(v2, 1) + jnp.roll(v2, -1))
+    i = jnp.arange(n, dtype=jnp.float32) / np.float32(n - 1)
+    penv = dict(wenv)
+    penv.update({"sample": i, "value1": v1, "value2": v2,
+                 "x": i, "y": 0.5 + v1 * 0.5})
+    penv = point_fn(penv)
+    bcast = lambda k_: jnp.broadcast_to(  # noqa: E731
+        jnp.asarray(penv.get(k_, 0.0), jnp.float32), (n,))
+    pxs, pys = bcast("x"), bcast("y")
+    pr, pg, pb = bcast("r"), bcast("g"), bcast("b")
+    pa = jnp.clip(bcast("a"), 0.0, 1.0)
+    sig = 1.2 if usedots else (3.5 if thick else 2.2)
+    sigma = np.float32((sig / h) ** 2)
+    for k in range(n):
+        d2 = ((xs - pxs[k]) * aspect) ** 2 + (ys - (1.0 - pys[k])) ** 2
+        ak = jnp.exp(-d2 / sigma) * pa[k]
+        rgb = jnp.stack([pr[k], pg[k], pb[k]]).reshape(3, 1, 1)
+        if additive:
+            out = out + rgb * ak[None]
+        else:
+            out = out * (1.0 - ak[None]) + rgb * ak[None]
+    return out
+
+
 def build_preset_process(pre: MilkPreset):
     """process(ins, p, ctx, state) for a MilkPreset (stateful generator:
     state = (prev (3,H,W) f32, q (32,) f32, noteq (1,) init-done flag))."""
@@ -554,6 +748,29 @@ def build_preset_process(pre: MilkPreset):
     for k, v in pre.init.items():
         base_env[rename.get(k, k)] = float(v)
     wave_mode = int(base_env.get("wave_mode", 0)) & 7
+
+    # custom shapes / waves: static config + compiled equation code.
+    # Disabled objects compile to nothing (enabled is static preset
+    # config, matching MilkDrop's draw loop gating).
+    shape_defs = []
+    for n_ in sorted(pre.shapes):
+        obj = pre.shapes[n_]
+        cfg = {**SHAPE_DEFAULTS, **obj.get("cfg", {})}
+        if cfg["enabled"] <= 0:
+            continue
+        shape_defs.append((cfg,
+                           compile_expressions(obj.get("init", "")),
+                           compile_expressions(obj.get("frame", ""))))
+    wave_defs = []
+    for n_ in sorted(pre.waves):
+        obj = pre.waves[n_]
+        cfg = {**WAVE_DEFAULTS, **obj.get("cfg", {})}
+        if cfg["enabled"] <= 0:
+            continue
+        wave_defs.append((cfg,
+                          compile_expressions(obj.get("init", "")),
+                          compile_expressions(obj.get("frame", "")),
+                          compile_expressions(obj.get("point", ""))))
 
     def init_state(w, h, pal):
         return (jnp.zeros((3, h, w), jnp.float32),
@@ -667,6 +884,27 @@ def build_preset_process(pre: MilkPreset):
                               jnp.asarray(env["wave_b"], jnp.float32)]
                              ).reshape(3, 1, 1)
         out = out * (1.0 - alpha[None]) + wave_rgb * alpha[None]
+
+        # ---- custom waves then custom shapes (MilkDrop draw order) ----
+        for cfg, init_fn, frame_fn, point_fn in wave_defs:
+            wenv = _run_obj_code(env, cfg, init_fn, frame_fn)
+            out = _draw_custom_wave(
+                out, wenv, point_fn, t, xs, ys, aspect,
+                usedots=cfg["busedots"] > 0, thick=cfg["bdrawthick"] > 0,
+                additive=cfg["badditive"] > 0, sep=float(cfg["sep"]),
+                smoothing=float(cfg["smoothing"]), h=h)
+        for cfg, init_fn, frame_fn in shape_defs:
+            n_inst = max(1, min(int(cfg["num_inst"]), 4))
+            for inst in range(n_inst):
+                senv = _run_obj_code(
+                    {**env, "instance": float(inst),
+                     "num_inst": float(n_inst)}, cfg, init_fn, frame_fn)
+                out = _draw_custom_shape(
+                    out, prev, senv, xs, ys, aspect,
+                    sides=max(3, min(int(cfg["sides"]), 100)),
+                    textured=cfg["textured"] > 0,
+                    additive=cfg["additive"] > 0,
+                    thick=cfg["thickoutline"] > 0, h=h, w=w)
         out = jnp.clip(out, 0.0, 1.0)
 
         # ---- composite (display) pass — MilkDrop applies echo and the
