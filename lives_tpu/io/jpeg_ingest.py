@@ -51,10 +51,19 @@ def load_jpegcoef():
     _TRIED = True
     try:
         if not SO.exists() or SO.stat().st_mtime < SRC.stat().st_mtime:
-            subprocess.run(
-                ["g++", "-O2", "-std=c++17", "-shared", "-fPIC",
-                 "-o", str(SO), str(SRC), "-ljpeg"],
-                check=True, capture_output=True, timeout=120)
+            # -march=native unlocks the AVX-512 sparse-pack fast path
+            # (the .so is always built on the host that runs it); plain
+            # -O2 keeps the scalar path working anywhere else
+            for flags in (["-O3", "-march=native"], ["-O2"]):
+                try:
+                    subprocess.run(
+                        ["g++", *flags, "-std=c++17", "-shared", "-fPIC",
+                         "-o", str(SO), str(SRC), "-ljpeg"],
+                        check=True, capture_output=True, timeout=120)
+                    break
+                except subprocess.CalledProcessError:
+                    if flags == ["-O2"]:
+                        raise
         lib = ctypes.CDLL(str(SO))
         lib.jc_read.restype = ctypes.c_longlong
         lib.jc_read.argtypes = [
