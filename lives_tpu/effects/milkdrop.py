@@ -468,6 +468,11 @@ class MilkPreset:
         "bdarkencenter": 0, "echo_zoom": 1.0, "echo_alpha": 0.0,
         "bwrap": 1, "binvert": 0, "bbrighten": 0, "bdarken": 0,
         "bsolarize": 0,
+        # motion-vector grid (MilkDrop draws these along the warp field;
+        # mv_a defaults to 0 = off, matching MilkDrop)
+        "nmotionvectorsx": 12.0, "nmotionvectorsy": 9.0,
+        "mv_dx": 0.0, "mv_dy": 0.0, "mv_l": 0.9,
+        "mv_r": 1.0, "mv_g": 1.0, "mv_b": 1.0, "mv_a": 0.0,
     }
 
     def value(self, key: str) -> float:
@@ -741,7 +746,8 @@ def build_preset_process(pre: MilkPreset):
               "bsolarize": "solarize", "bdarkencenter": "darken_center",
               "fzoomexponent": "zoomexp", "fvideoechozoom": "echo_zoom",
               "fvideoechoalpha": "echo_alpha", "fwavealpha": "wave_a",
-              "fwaveparam": "wave_mystery"}
+              "fwaveparam": "wave_mystery",
+              "nmotionvectorsx": "mv_x", "nmotionvectorsy": "mv_y"}
     base_env = {}
     for k in pre.DEFAULTS:
         base_env[rename.get(k, k)] = float(pre.DEFAULTS[k])
@@ -848,6 +854,11 @@ def build_preset_process(pre: MilkPreset):
         u = u / penv["sx"] - penv["dx"] + cxv
         v = v / penv["sy"] - penv["dy"] + cyv
 
+        # warp displacement field, pre-wrap (motion vectors trace it;
+        # unused configurations are dead-code-eliminated by XLA)
+        du_warp = u - xs
+        dv_warp = v - ys
+
         # bilinear feedback sample of the previous frame. bWrap selects
         # toroidal texture addressing (MilkDrop's default) vs edge clamp;
         # traced per-frame (presets toggle `wrap` in per_frame code)
@@ -905,6 +916,38 @@ def build_preset_process(pre: MilkPreset):
                     textured=cfg["textured"] > 0,
                     additive=cfg["additive"] > 0,
                     thick=cfg["thickoutline"] > 0, h=h, w=w)
+
+        # ---- motion-vector grid: streaks from lattice points along the
+        # warp field, drawn analytically on the modular lattice (O(1)
+        # full-frame ops, no per-point splats). Statically gated on
+        # mv_a, which MilkDrop defaults to 0.
+        if base_env.get("mv_a", 0.0) > 0 or "mv_a" in pre.per_frame:
+            nx = jnp.clip(jnp.asarray(env.get("mv_x", 12.0), jnp.float32),
+                          1.0, 64.0)
+            nyv = jnp.clip(jnp.asarray(env.get("mv_y", 9.0), jnp.float32),
+                           1.0, 48.0)
+            gx = (xs + jnp.asarray(env.get("mv_dx", 0.0), jnp.float32)) * nx
+            gy = (ys - jnp.asarray(env.get("mv_dy", 0.0), jnp.float32)) \
+                * nyv
+            ddx = (gx - jnp.floor(gx) - 0.5) / nx * aspect
+            ddy = (gy - jnp.floor(gy) - 0.5) / nyv
+            wmag = jnp.sqrt(du_warp * du_warp + dv_warp * dv_warp) + 1e-9
+            axx, axy = du_warp / wmag, dv_warp / wmag
+            dpar = ddx * axx + ddy * axy
+            dperp = -ddx * axy + ddy * axx
+            seg = jnp.asarray(env.get("mv_l", 0.9), jnp.float32) \
+                * 0.5 * jnp.minimum(wmag, 0.05)
+            over = jnp.maximum(jnp.abs(dpar) - seg, 0.0)
+            sig = np.float32((1.3 / h) ** 2)
+            mvmask = jnp.exp(-(dperp * dperp + over * over) / sig)
+            mva = jnp.clip(jnp.asarray(env.get("mv_a", 0.0), jnp.float32),
+                           0.0, 1.0) * mvmask
+            mvrgb = jnp.stack(
+                [jnp.asarray(env.get("mv_r", 1.0), jnp.float32),
+                 jnp.asarray(env.get("mv_g", 1.0), jnp.float32),
+                 jnp.asarray(env.get("mv_b", 1.0), jnp.float32)]
+            ).reshape(3, 1, 1)
+            out = out * (1.0 - mva[None]) + mvrgb * mva[None]
         out = jnp.clip(out, 0.0, 1.0)
 
         # ---- composite (display) pass — MilkDrop applies echo and the
@@ -1032,6 +1075,48 @@ per_frame_1=q2 = q2*0.9 + bass*0.3;
 per_frame_2=zoom = 1.0 + 0.08*q2;
 per_frame_3=warp = 0.4*q2;
 per_frame_4=wave_g = if(above(q2,0.4), 1.0, 0.4);
+""",
+    "geometry": """[preset00]
+fDecay=0.962
+fGammaAdj=1.8
+nWaveMode=0
+wave_a=0.25
+zoom=1.012
+rot=0.004
+warp=0.25
+nMotionVectorsX=10
+nMotionVectorsY=7
+mv_a=0.18
+mv_r=0.3
+mv_g=0.5
+mv_b=1.0
+per_frame_1=q1 = q1*0.85 + bass*0.4;
+per_frame_2=zoom = zoom + 0.03*q1;
+shapecode_0_enabled=1
+shapecode_0_sides=6
+shapecode_0_rad=0.12
+shapecode_0_num_inst=3
+shapecode_0_additive=1
+shapecode_0_r=1
+shapecode_0_g=0.45
+shapecode_0_b=0.1
+shapecode_0_a=0.55
+shapecode_0_a2=0
+shapecode_0_border_a=0.3
+shape_0_per_frame1=t1 = instance*2.0944 + time*0.5;
+shape_0_per_frame2=x = 0.5 + 0.3*cos(t1);
+shape_0_per_frame3=y = 0.5 + 0.3*sin(t1);
+shape_0_per_frame4=rad = 0.1 + 0.1*q1;
+shape_0_per_frame5=ang = time*0.8;
+wavecode_0_enabled=1
+wavecode_0_bDrawThick=1
+wavecode_0_scaling=0.8
+wavecode_0_r=0.2
+wavecode_0_g=1.0
+wavecode_0_b=0.7
+wave_0_per_point1=x = sample;
+wave_0_per_point2=y = 0.85 + 0.1*value1 + 0.03*sin(sample*12.57 + time*2);
+wave_0_per_point3=a = 0.9 - 0.5*sample;
 """,
 }
 

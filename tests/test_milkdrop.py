@@ -604,3 +604,46 @@ def test_custom_objects_deterministic():
     b, _ = run_frames("milk_cwdet", 3)
     for x, y in zip(a, b):
         np.testing.assert_array_equal(x, y)
+
+
+def test_motion_vector_grid_draws_lattice():
+    text = """[p]
+fDecay=1.0
+zoom=1.02
+warp=0.0
+wave_a=0.0
+fGammaAdj=1.0
+nMotionVectorsX=4
+nMotionVectorsY=3
+mv_a=1.0
+mv_r=1
+mv_g=0
+mv_b=0
+"""
+    register_milk_preset(text, "cmv")
+    outs, _ = run_frames("milk_cmv", 2, h=96, w=96)
+    o = outs[0].astype(np.float32)
+    # a sparse red lattice: red energy present, green stays dark,
+    # and lit pixels are a small fraction of the frame
+    lit = (o[0] > 100).mean()
+    assert o[0].max() > 150
+    assert o[1].max() < 40
+    assert 0.0 < lit < 0.2
+
+
+def test_motion_vectors_off_by_default():
+    register_milk_preset(
+        "[p]\nfDecay=1.0\nzoom=1.0\nwarp=0.0\nwave_a=0.0\nfGammaAdj=1.0\n",
+        "nomv")
+    outs, _ = run_frames("milk_nomv", 2, h=64, w=64)
+    assert all(o.max() == 0 for o in outs)
+
+
+def test_geometry_builtin_runs_with_audio():
+    register_milk_preset(BUILTIN_PRESETS["geometry"], "geom_t")
+    outs, state = run_frames("milk_geom_t", 5,
+                             params={"bass": 0.9, "mid": 0.4,
+                                     "treb": 0.5, "vol": 0.6})
+    assert np.isfinite(np.asarray(state[0])).all()
+    assert outs[2].max() > 0
+    assert any(not np.array_equal(outs[i], outs[i + 1]) for i in range(4))
