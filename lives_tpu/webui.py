@@ -226,6 +226,10 @@ select{background:#26262c;color:#eee;border:1px solid #555;padding:3px}
  <h3>Key map <button onclick="saveKeymap()">save</button>
   <button onclick="loadKeymap()">load</button></h3>
  <div id="rte" style="font-size:12px"></div>
+ <h3>Data connections</h3>
+ <div id="conns" style="font-size:12px"
+  title="wire out params / alpha channels into other keys (pconx/cconx)">
+ </div>
 </div>
 <script>
 let curKey=1;
@@ -394,6 +398,87 @@ async function drawKeymap(){
   row.appendChild(xb);
   el.appendChild(row);
  });
+}
+// effects-data.c connections window (lives_conx_w role): list + edit
+// pconx (out param -> in param) and cconx (alpha channel -> in slot).
+// Both keys must be toggled ON (live instances) to add a connection.
+async function drawConns(){
+ const el=document.getElementById('conns'); if(!el)return;
+ const dc=await (await fetch('/api/datacons')).json();
+ el.innerHTML='';
+ const row=(txt)=>{const d=document.createElement('div');
+  d.style.cssText='margin:1px 0';
+  d.appendChild(document.createTextNode(txt)); return d;};
+ dc.pconx.forEach(c=>{
+  const r=row('param k'+c.src+'.'+c.out+' → k'+c.dst+'.'+c['in']+
+   (c.autoscale?' [autoscale]':'')+' ');
+  const x=document.createElement('button'); x.textContent='✕';
+  x.onclick=async()=>{await cmd('/effect_key/outparameter/connection/delete',
+   [c.src,c.out_idx]); drawConns();};
+  r.appendChild(x); el.appendChild(r);
+ });
+ dc.cconx.forEach(c=>{
+  const r=row('alpha k'+c.src+'.'+c.out+' → k'+c.dst+' slot '+c.slot+' ');
+  const x=document.createElement('button'); x.textContent='✕';
+  x.onclick=async()=>{await cmd('/effect_key/outchannel/connection/delete',
+   [c.src,c.out_idx]); drawConns();};
+  r.appendChild(x); el.appendChild(r);
+ });
+ // add rows: src key/out -> dst key/in (+autoscale) and alpha variant
+ const srcs=dc.keys.filter(k=>k.out_params.length);
+ const asrcs=dc.keys.filter(k=>k.alpha_outs.length);
+ const dsts=dc.keys.filter(k=>k.in_params.length);
+ const adsts=dc.keys.filter(k=>k.alpha_ins>0);
+ const sel=(items,fmt)=>{const s=document.createElement('select');
+  s.style.fontSize='11px';
+  items.forEach((it,i)=>{const o=document.createElement('option');
+   o.value=i; o.textContent=fmt(it); s.appendChild(o);});
+  return s;};
+ if(srcs.length&&dsts.length){
+  const r=row('');
+  const sk=sel(srcs,k=>'k'+k.key+' '+k.filter);
+  const so=sel(srcs[0].out_params,n=>n);
+  sk.onchange=()=>{so.innerHTML='';srcs[+sk.value].out_params.forEach((n,i)=>{
+   const o=document.createElement('option');o.value=i;o.textContent=n;
+   so.appendChild(o);});};
+  const dk=sel(dsts,k=>'k'+k.key+' '+k.filter);
+  const di=sel(dsts[0].in_params,n=>n);
+  dk.onchange=()=>{di.innerHTML='';dsts[+dk.value].in_params.forEach((n,i)=>{
+   const o=document.createElement('option');o.value=i;o.textContent=n;
+   di.appendChild(o);});};
+  const as=document.createElement('input'); as.type='checkbox'; as.checked=true;
+  as.title='autoscale the source range onto the target range';
+  const b=document.createElement('button'); b.textContent='+param';
+  b.title='connect (both keys must be on)';
+  b.onclick=async()=>{await cmd('/effect_key/outparameter/connection/add',
+   [srcs[+sk.value].key,+so.value,dsts[+dk.value].key,+di.value,
+    as.checked?1:0]); drawConns();};
+  [sk,so,document.createTextNode('→'),dk,di,as,b]
+   .forEach(e=>r.appendChild(e));
+  el.appendChild(r);
+ }
+ if(asrcs.length&&adsts.length){
+  const r=row('');
+  const sk=sel(asrcs,k=>'k'+k.key+' '+k.filter);
+  const so=sel(asrcs[0].alpha_outs,n=>n);
+  sk.onchange=()=>{so.innerHTML='';asrcs[+sk.value].alpha_outs.forEach((n,i)=>{
+   const o=document.createElement('option');o.value=i;o.textContent=n;
+   so.appendChild(o);});};
+  const dk=sel(adsts,k=>'k'+k.key+' '+k.filter);
+  const di=sel([...Array(adsts[0].alpha_ins).keys()],n=>'slot '+n);
+  dk.onchange=()=>{di.innerHTML='';
+   [...Array(adsts[+dk.value].alpha_ins).keys()].forEach(n=>{
+    const o=document.createElement('option');o.value=n;o.textContent='slot '+n;
+    di.appendChild(o);});};
+  const b=document.createElement('button'); b.textContent='+alpha';
+  b.title='connect alpha channel (both keys must be on)';
+  b.onclick=async()=>{await cmd('/effect_key/outchannel/connection/add',
+   [asrcs[+sk.value].key,+so.value,adsts[+dk.value].key,+di.value]);
+   drawConns();};
+  [sk,so,document.createTextNode('→'),dk,di,b]
+   .forEach(e=>r.appendChild(e));
+  el.appendChild(r);
+ }
 }
 async function saveKeymap(){
  const p=prompt('save keymap to path:','/tmp/default.keymap');
@@ -727,6 +812,7 @@ async function loadParams(k){
 refresh(); drawTimeline(); setInterval(refresh, 1000);
 setInterval(drawTimeline, 3000);
 setTimeout(drawKeymap, 400); setInterval(drawKeymap, 4000);
+setTimeout(drawConns, 500); setInterval(drawConns, 5000);
 setTimeout(drawStrip, 500); setInterval(drawStrip, 2500);
 </script></body></html>"""
 
@@ -792,6 +878,8 @@ class WebUI:
                                                  [-1])))
                 elif self.path == "/api/keymap":
                     self._json(ui.keymap_state())
+                elif self.path == "/api/datacons":
+                    self._json(ui.datacons_state())
                 elif self.path.startswith("/api/strip/"):
                     try:
                         cid = int(self.path[len("/api/strip/"):]
@@ -1044,6 +1132,58 @@ class WebUI:
                          "mode": km.mode[k],
                          "active": bool(km.active[k])})
         return {"keys": rows}
+
+    def datacons_state(self) -> dict[str, Any]:
+        """Connections-window readout (effects-data.c lives_conx_w
+        role): per mapped key the connectable out/in params and alpha
+        channels, plus active pconx/cconx lists resolved back to key
+        numbers (with indices, so the UI can call the OSC
+        connection/add|delete methods)."""
+        from .effects.host import get_filter
+        km = self.player.keymap
+        keys = []
+        inst2key: dict[int, int] = {}
+        for k in range(len(km.slots)):
+            name = km.current_filter(k)
+            if not name:
+                continue
+            filt = get_filter(name)
+            if filt is None:
+                continue
+            inst = km.instances[k]
+            if inst is not None:
+                inst2key[id(inst)] = k + 1
+            keys.append({
+                "key": k + 1, "filter": name, "live": inst is not None,
+                "out_params": [p.name for p in filt.out_params],
+                "in_params": [p.name for p in filt.params],
+                "alpha_outs": [t.name for t in filt.alpha_outs],
+                "alpha_ins": len(filt.alpha_ins)})
+        dc = getattr(self.osc, "datacons", None) \
+            or getattr(self.player, "datacons", None)
+        pconx, cconx = [], []
+        if dc is not None:
+            def outs_of(inst):
+                return [p.name for p in inst.filter.out_params]
+
+            for c in getattr(dc, "conns", ()):
+                sk = inst2key.get(id(c.src), 0)
+                pconx.append({
+                    "src": sk, "out": c.out_param,
+                    "out_idx": outs_of(c.src).index(c.out_param)
+                    if c.out_param in outs_of(c.src) else -1,
+                    "dst": inst2key.get(id(c.dst), 0), "in": c.in_param,
+                    "autoscale": bool(getattr(c, "autoscale", False))})
+            for c in getattr(dc, "chan_conns", ()):
+                aouts = [t.name for t in c.src.filter.alpha_outs]
+                cconx.append({
+                    "src": inst2key.get(id(c.src), 0),
+                    "out": c.out_channel,
+                    "out_idx": aouts.index(c.out_channel)
+                    if c.out_channel in aouts else -1,
+                    "dst": inst2key.get(id(c.dst), 0),
+                    "slot": c.in_slot})
+        return {"keys": keys, "pconx": pconx, "cconx": cconx}
 
     def call(self, path: str, args: list):
         """Route through the OSC method table (the 215-method namespace)."""

@@ -377,3 +377,51 @@ def test_audio_wave_endpoint(ui, tmp_path):
     # unknown audio track -> empty wave, not an error
     wv2 = json.loads(_get(ui, "/api/audio_wave/-2?w=64"))
     assert max(wv2["maxs"]) == 0
+
+
+def test_datacons_editor_surface(ui):
+    """effects-data.c lives_conx_w role: /api/datacons lists connectable
+    keys and active pconx/cconx with key numbers + indices, and the page
+    ships the editor JS. Connections are made/removed via the OSC table
+    like the GUI buttons do."""
+    _post(ui, "/api/cmd", {"path": "/effect_key/map",
+                           "args": [5, "motion_mask"]})
+    _post(ui, "/api/cmd", {"path": "/effect_key/map",
+                           "args": [6, "alpha_visualizer"]})
+    _post(ui, "/api/cmd", {"path": "/effect_key/enable", "args": [5]})
+    _post(ui, "/api/cmd", {"path": "/effect_key/enable", "args": [6]})
+    dc = json.loads(_get(ui, "/api/datacons"))
+    k5 = next(k for k in dc["keys"] if k["key"] == 5)
+    k6 = next(k for k in dc["keys"] if k["key"] == 6)
+    assert k5["out_params"] == ["motion"]
+    assert k5["alpha_outs"] == ["mask"]
+    assert k6["alpha_ins"] == 1 and "red" in k6["in_params"]
+    assert k5["live"] and k6["live"]
+    # pconx: motion -> red, autoscaled
+    r = _post(ui, "/api/cmd",
+              {"path": "/effect_key/outparameter/connection/add",
+               "args": [5, 0, 6, 0, 1]})
+    assert r["ok"]
+    # cconx: mask -> slot 0
+    r = _post(ui, "/api/cmd",
+              {"path": "/effect_key/outchannel/connection/add",
+               "args": [5, 0, 6, 0]})
+    assert r["ok"]
+    dc = json.loads(_get(ui, "/api/datacons"))
+    assert dc["pconx"] == [{"src": 5, "out": "motion", "out_idx": 0,
+                            "dst": 6, "in": "red", "autoscale": True}]
+    assert dc["cconx"] == [{"src": 5, "out": "mask", "out_idx": 0,
+                            "dst": 6, "slot": 0}]
+    # delete via the listed indices (what the ✕ buttons send)
+    _post(ui, "/api/cmd",
+          {"path": "/effect_key/outparameter/connection/delete",
+           "args": [5, 0]})
+    _post(ui, "/api/cmd",
+          {"path": "/effect_key/outchannel/connection/delete",
+           "args": [5, 0]})
+    dc = json.loads(_get(ui, "/api/datacons"))
+    assert dc["pconx"] == [] and dc["cconx"] == []
+    page = _get(ui, "/").decode()
+    for needle in ("drawConns", "/effect_key/outparameter/connection/add",
+                   "/effect_key/outchannel/connection/add"):
+        assert needle in page

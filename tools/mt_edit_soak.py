@@ -164,10 +164,31 @@ def main():
         assert wv["width"] == w and len(wv["mins"]) == w
         return {"ok": True}
 
+    def op_datacons():
+        # the connections editor endpoint + churn: map/enable two keys,
+        # wire param+alpha connections, read the listing, unwire
+        import urllib.request
+        api(base, "/effect_key/map", [9, "motion_mask"])
+        api(base, "/effect_key/map", [10, "alpha_visualizer"])
+        api(base, "/effect_key/enable", [9])
+        api(base, "/effect_key/enable", [10])
+        api(base, "/effect_key/outparameter/connection/add",
+            [9, 0, 10, 0, rng.choice([0, 1])])
+        api(base, "/effect_key/outchannel/connection/add", [9, 0, 10, 0])
+        with urllib.request.urlopen(f"{base}/api/datacons",
+                                    timeout=10) as r:
+            dc = json.loads(r.read())
+        assert dc["pconx"] and dc["cconx"]
+        assert dc["pconx"][0]["src"] == 9 and dc["cconx"][0]["dst"] == 10
+        if rng.random() < 0.7:
+            api(base, "/effect_key/outparameter/connection/delete", [9, 0])
+            api(base, "/effect_key/outchannel/connection/delete", [9, 0])
+        return {"ok": True}
+
     ops = ([op_insert] * 5 + [op_move] * 3 + [op_trim] * 2
            + [op_delete] * 2 + [op_modes] + [op_region_fx] * 2
            + [op_keyframe] * 2 + [op_fx_remove] + [op_gap] * 2
-           + [op_audio] * 3 + [op_undo] * 2 + [op_wave])
+           + [op_audio] * 3 + [op_undo] * 2 + [op_wave] + [op_datacons])
     for k in range(args.ops):
         fn = rng.choice(ops)
         try:
