@@ -781,6 +781,16 @@ def register_extended(srv) -> None:
         return " ".join(sorted(list_filters()))
 
     m("/effects/list", _all_filters)  # full registry (region-fx picker)
+
+    def _generators():
+        # 0-in filters become clip sources (effects-weed.c:7739 role);
+        # the web UI's generator-open picker lists these
+        from ..effects.host import get_filter, list_filters
+        return " ".join(sorted(
+            n for n in list_filters()
+            if not get_filter(n).in_channels))
+
+    m("/effects/generators/list", _generators)  # extension
     m("/mt/gravity/get", lambda: int(mt().gravity))
     m("/mt/gravity/set",
       lambda g: setattr(mt(), "gravity",

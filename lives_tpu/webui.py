@@ -199,6 +199,12 @@ select{background:#26262c;color:#eee;border:1px solid #555;padding:3px}
  <div>
   <input id="uri" placeholder="/path/to/media.mkv" style="width:65%">
   <button onclick="openClip()">open</button>
+  <div style="margin-top:2px">
+   <select id="gensel" style="max-width:55%"></select>
+   <button onclick="openGen()"
+    title="open a generator filter as a clip source (.milk presets load
+ via a path ending in .milk in the URI box)">gen</button>
+  </div>
  </div>
  <div id="clips"></div>
  <h3>Rendered effects</h3>
@@ -249,7 +255,7 @@ async function applyRfx(){
    body:JSON.stringify({path:'/rfx/apply',args:[n]})})).json();
  if(!r.ok)alert(r.error); else refresh();
 }
-loadRfx();
+loadRfx(); loadGens();
 setTimeout(drawAudioFx, 300);
 // framedraw (src/framedraw.c + paramspecial.c specials): the active
 // key's position params render as draggable markers over the preview;
@@ -496,7 +502,23 @@ async function cmd(path,args){
 function setBlend(v){fetch('/api/blend',{method:'POST',body:v});}
 async function openClip(){
  const uri=document.getElementById('uri').value;
- if(uri) await cmd('/clip/open/file',[uri]);
+ if(!uri) return;
+ // .milk preset files open as MilkDrop generator clips
+ if(uri.endsWith('.milk')) await cmd('/clip/open/milk',[uri]);
+ else await cmd('/clip/open/file',[uri]);
+}
+async function loadGens(){
+ const r=await (await fetch('/api/cmd',{method:'POST',
+   body:JSON.stringify({path:'/effects/generators/list',args:[]})})).json();
+ if(!r.ok||!r.ret)return;
+ const sel=document.getElementById('gensel');
+ r.ret.split(' ').filter(Boolean).forEach(n=>{
+  const o=document.createElement('option'); o.value=n; o.textContent=n;
+  sel.appendChild(o);});
+}
+async function openGen(){
+ const n=document.getElementById('gensel').value;
+ if(n) await cmd('/clip/open/generator',[n]);
 }
 async function refresh(){
  const st=await (await fetch('/api/state')).json();

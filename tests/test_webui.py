@@ -425,3 +425,26 @@ def test_datacons_editor_surface(ui):
     for needle in ("drawConns", "/effect_key/outparameter/connection/add",
                    "/effect_key/outchannel/connection/add"):
         assert needle in page
+
+
+def test_generator_open_surface(ui, tmp_path):
+    """Generator picker: /effects/generators/list enumerates 0-in
+    filters, opening one registers a clip, and a .milk URI routes to the
+    preset loader."""
+    r = _post(ui, "/api/cmd", {"path": "/effects/generators/list",
+                               "args": []})
+    gens = r["ret"].split()
+    assert "plasma" in gens and "negate" not in gens
+    r = _post(ui, "/api/cmd", {"path": "/clip/open/generator",
+                               "args": ["plasma", 64, 48, 25.0]})
+    assert r["ok"]
+    st = json.loads(_get(ui, "/api/state"))
+    assert any("plasma" in c["name"] for c in st["clips"])
+    p = tmp_path / "web.milk"
+    p.write_text("[p]\nfDecay=0.95\nzoom=1.01\n")
+    r = _post(ui, "/api/cmd", {"path": "/clip/open/milk",
+                               "args": [str(p), 64, 48, 25.0]})
+    assert r["ok"]
+    page = _get(ui, "/").decode()
+    for needle in ("loadGens", "openGen", "/clip/open/milk"):
+        assert needle in page
