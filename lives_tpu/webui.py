@@ -236,6 +236,11 @@ select{background:#26262c;color:#eee;border:1px solid #555;padding:3px}
  <div id="conns" style="font-size:12px"
   title="wire out params / alpha channels into other keys (pconx/cconx)">
  </div>
+ <h3>Preferences
+  <button onclick="cmd('/pref/apply_future',[]).then(drawPrefs)"
+   title="apply the deferred (future_prefs) buffer">apply deferred</button>
+  <button onclick="cmd('/pref/save',[])">save</button></h3>
+ <div id="prefs" style="font-size:12px"></div>
 </div>
 <script>
 let curKey=1;
@@ -485,6 +490,51 @@ async function drawConns(){
    .forEach(e=>r.appendChild(e));
   el.appendChild(r);
  }
+}
+// preferences dialog (src/preferences.c GUI role): live prefs editable
+// in place, deferred (future_prefs) values marked, add-row with the
+// full PREF_ key namespace as a datalist
+async function drawPrefs(){
+ const el=document.getElementById('prefs'); if(!el)return;
+ const pr=await (await fetch('/api/prefs')).json();
+ el.innerHTML='';
+ const flt=document.createElement('input');
+ flt.placeholder='filter keys (enter)'; flt.value=window._prefflt||'';
+ flt.onchange=()=>{window._prefflt=flt.value;drawPrefs();};
+ el.appendChild(flt);
+ const q=(window._prefflt||'').toLowerCase();
+ const ent=Object.entries(pr.live)
+  .filter(([k])=>!q||k.toLowerCase().includes(q));
+ ent.slice(0,30).forEach(([k,v])=>{
+  const r=document.createElement('div'); r.style.cssText='margin:1px 0';
+  r.appendChild(document.createTextNode(k+' '));
+  const inp=document.createElement('input');
+  inp.value=v; inp.style.cssText='width:100px;font-size:11px';
+  inp.onchange=async()=>{await cmd('/pref/set',[k,inp.value,0]);};
+  r.appendChild(inp);
+  if(k in pr.future)r.appendChild(
+   document.createTextNode(' [deferred: '+pr.future[k]+']'));
+  el.appendChild(r);
+ });
+ if(ent.length>30)el.appendChild(document.createTextNode(
+  '… '+(ent.length-30)+' more (filter to narrow)'));
+ const add=document.createElement('div'); add.style.cssText='margin:2px 0';
+ const dl=document.createElement('datalist'); dl.id='prefkeys';
+ pr.keys.forEach(k=>{const o=document.createElement('option');o.value=k;
+  dl.appendChild(o);});
+ const kin=document.createElement('input');
+ kin.setAttribute('list','prefkeys'); kin.placeholder='pref key';
+ kin.style.fontSize='11px';
+ const vin=document.createElement('input'); vin.placeholder='value';
+ vin.style.cssText='width:80px;font-size:11px';
+ const df=document.createElement('input'); df.type='checkbox';
+ df.title='deferred: lands in future_prefs until apply';
+ const b=document.createElement('button'); b.textContent='set';
+ b.onclick=async()=>{if(kin.value){
+  await cmd('/pref/set',[kin.value,vin.value,df.checked?1:0]);
+  drawPrefs();}};
+ [dl,kin,vin,df,b].forEach(e=>add.appendChild(e));
+ el.appendChild(add);
 }
 async function saveKeymap(){
  const p=prompt('save keymap to path:','/tmp/default.keymap');
@@ -835,6 +885,7 @@ refresh(); drawTimeline(); setInterval(refresh, 1000);
 setInterval(drawTimeline, 3000);
 setTimeout(drawKeymap, 400); setInterval(drawKeymap, 4000);
 setTimeout(drawConns, 500); setInterval(drawConns, 5000);
+setTimeout(drawPrefs, 600);
 setTimeout(drawStrip, 500); setInterval(drawStrip, 2500);
 </script></body></html>"""
 
@@ -902,6 +953,8 @@ class WebUI:
                     self._json(ui.keymap_state())
                 elif self.path == "/api/datacons":
                     self._json(ui.datacons_state())
+                elif self.path == "/api/prefs":
+                    self._json(ui.prefs_state())
                 elif self.path.startswith("/api/strip/"):
                     try:
                         cid = int(self.path[len("/api/strip/"):]
@@ -1206,6 +1259,19 @@ class WebUI:
                     "dst": inst2key.get(id(c.dst), 0),
                     "slot": c.in_slot})
         return {"keys": keys, "pconx": pconx, "cconx": cconx}
+
+    def prefs_state(self) -> dict[str, Any]:
+        """Preferences-dialog readout (src/preferences.c GUI role): live
+        prefs (typed fields + set PREF_ extras), the deferred
+        future-prefs buffer, and the known key namespace for the
+        add-row picker."""
+        from .prefs import REFERENCE_PREF_KEYS, PrefsStore, store
+        st = store()
+        live = {k: v for k, v in st.prefs.to_dict().items()
+                if v is not None}
+        return {"live": live, "future": dict(st.future),
+                "keys": sorted(set(REFERENCE_PREF_KEYS)
+                               | PrefsStore.FIELDS)}
 
     def call(self, path: str, args: list):
         """Route through the OSC method table (the 215-method namespace)."""

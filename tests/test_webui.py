@@ -448,3 +448,36 @@ def test_generator_open_surface(ui, tmp_path):
     page = _get(ui, "/").decode()
     for needle in ("loadGens", "openGen", "/clip/open/milk"):
         assert needle in page
+
+
+def test_prefs_dialog_surface(ui):
+    """preferences.c GUI role: /api/prefs lists live prefs + deferred
+    buffer + the PREF_ key namespace; edits route through /pref/set with
+    the live/deferred split."""
+    from lives_tpu.prefs import store
+    st = store()
+    saved_q = st.prefs.pb_quality
+    saved_ahold = st.prefs.extra.get("ahold_threshold")
+    pr = json.loads(_get(ui, "/api/prefs"))
+    assert "pb_quality" in pr["live"]
+    assert "ahold_threshold" in pr["keys"] and len(pr["keys"]) > 150
+    r = _post(ui, "/api/cmd", {"path": "/pref/set",
+                               "args": ["ahold_threshold", "0.25", 0]})
+    assert r["ok"]
+    _post(ui, "/api/cmd", {"path": "/pref/set",
+                           "args": ["pb_quality", "3", 1]})  # deferred
+    pr = json.loads(_get(ui, "/api/prefs"))
+    assert pr["live"]["ahold_threshold"] == 0.25
+    assert pr["future"]["pb_quality"] == 3
+    _post(ui, "/api/cmd", {"path": "/pref/apply_future", "args": []})
+    pr = json.loads(_get(ui, "/api/prefs"))
+    assert pr["live"]["pb_quality"] == 3 and not pr["future"]
+    page = _get(ui, "/").decode()
+    for needle in ("drawPrefs", "/pref/apply_future", "prefkeys"):
+        assert needle in page
+    # the store is a process singleton: restore what this test mutated
+    st.prefs.pb_quality = saved_q
+    if saved_ahold is None:
+        st.prefs.extra.pop("ahold_threshold", None)
+    else:
+        st.prefs.extra["ahold_threshold"] = saved_ahold
