@@ -36,6 +36,20 @@ class GeneratorClip:
         self.achans = (getattr(audio_source, "channels", 2)
                        if audio_source is not None else 0)
 
+    def switch(self, filter_name: str, **values):
+        """Swap the backing generator filter in place — projectM preset
+        switching (projectM.cpp nextPreset role): same clip slot, new
+        program. The jitted fn, state, and precache entries all rebuild
+        lazily (`version` bump invalidates cache keys)."""
+        inst = instantiate(filter_name, **values)
+        if inst.filter.n_in != 0:
+            raise ValueError(f"{filter_name} is not a generator")
+        self.inst = inst
+        self.name = filter_name
+        self._fn = None
+        self._state = None
+        self.version = getattr(self, "version", 0) + 1
+
     def read_audio(self):
         """Clip-audio protocol (transcode / clipboard copy consume this).
         Unbounded generators (the frames=1<<30 default sentinel) render one

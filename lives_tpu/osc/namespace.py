@@ -230,6 +230,62 @@ def register_extended(srv) -> None:
 
     m("/clip/open/milk", clip_open_milk)
 
+    # preset playlist: a whole directory of .milk files on one generator
+    # clip, cycled in place (projectM.cpp preset directory + nextPreset
+    # switching — the reference plugin auto-scans its preset dir)
+    def _warm_preset(name, w, h, fps):
+        # compile the preset's jitted fn ahead of the switch (safe-point
+        # prewarm, player.c:2655 analogue): identical HLO means the real
+        # switch hits the compile cache instead of dropping frames
+        def run():
+            try:
+                from ..io.genclip import GeneratorClip
+                GeneratorClip(str(name), int(w), int(h),
+                              float(fps)).get_frame(0)
+            except Exception:
+                pass
+        import threading
+        threading.Thread(target=run, daemon=True,
+                         name=f"milk-prewarm-{name}").start()
+
+    def clip_open_milkdir(path, w=640, h=360, fps=30.0):
+        from pathlib import Path as _P
+
+        from ..effects.milkdrop import load_milk_preset
+        files = sorted(_P(str(path)).glob("*.milk"))
+        if not files:
+            raise FileNotFoundError(f"no .milk presets under {path}")
+        names = [load_milk_preset(f).name for f in files]
+        cid = clip_open_generator(names[0], w, h, fps)
+        clip = srv.clips[cid]
+        clip.playlist = names
+        clip.playlist_pos = 0
+        if len(names) > 1:
+            _warm_preset(names[1], w, h, fps)
+        return cid
+
+    def gen_switch(c, name):
+        clip = clip_by_id(c)
+        clip.switch(str(name))
+        srv.notify(512, str(name))
+        return 1
+
+    def gen_next(c=None, step=1):
+        clip = clip_by_id(c) if c is not None else st().fg_clip
+        pl = getattr(clip, "playlist", None)
+        if not pl:
+            raise RuntimeError("clip has no preset playlist")
+        clip.playlist_pos = (clip.playlist_pos + int(step)) % len(pl)
+        clip.switch(pl[clip.playlist_pos])
+        srv.notify(512, pl[clip.playlist_pos])
+        _warm_preset(pl[(clip.playlist_pos + 1) % len(pl)],
+                     clip.width, clip.height, clip.fps)
+        return clip.playlist_pos
+
+    m("/clip/open/milkdir", clip_open_milkdir)
+    m("/clip/generator/switch", gen_switch)
+    m("/clip/generator/next", gen_next)
+
     def audio_new(path):
         cd_open = clip_open_file(path)
         return cd_open

@@ -204,6 +204,8 @@ select{background:#26262c;color:#eee;border:1px solid #555;padding:3px}
    <button onclick="openGen()"
     title="open a generator filter as a clip source (.milk presets load
  via a path ending in .milk in the URI box)">gen</button>
+   <button onclick="cmd('/clip/generator/next',[])"
+    title="cycle the fg clip's preset playlist (milkdir)">next preset</button>
   </div>
  </div>
  <div id="clips"></div>

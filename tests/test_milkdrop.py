@@ -647,3 +647,32 @@ def test_geometry_builtin_runs_with_audio():
     assert np.isfinite(np.asarray(state[0])).all()
     assert outs[2].max() > 0
     assert any(not np.array_equal(outs[i], outs[i + 1]) for i in range(4))
+
+
+def test_milkdir_playlist_cycle(tmp_path):
+    """projectM preset-directory role: open a dir of .milk files as one
+    generator clip, cycle presets in place; frames keep flowing and the
+    precache version key bumps on each switch."""
+    from lives_tpu.osc.server import OSCServer
+    from lives_tpu.player import Player
+    (tmp_path / "a_first.milk").write_text(
+        "[p]\nfDecay=0.9\nzoom=1.0\nwarp=0.0\nwave_a=1.0\nnWaveMode=5\n")
+    (tmp_path / "b_second.milk").write_text(
+        "[p]\nfDecay=0.5\nzoom=1.01\nwarp=0.1\nwave_a=0.6\n")
+    srv = OSCServer(player=Player())
+    cid = srv.methods["/clip/open/milkdir"](str(tmp_path), 64, 48, 25.0)
+    clip = srv.clips[cid]
+    assert clip.name == "milk_a_first"
+    assert clip.playlist == ["milk_a_first", "milk_b_second"]
+    f0 = np.asarray(clip.get_frame(0).planes[0])
+    v0 = getattr(clip, "version", 0)
+    assert srv.methods["/clip/generator/next"](cid) == 1
+    assert clip.name == "milk_b_second"
+    assert clip.version == v0 + 1
+    f1 = np.asarray(clip.get_frame(1).planes[0])
+    assert f1.shape == f0.shape
+    # wraps around, and explicit switch works too
+    srv.methods["/clip/generator/next"](cid)
+    assert clip.name == "milk_a_first"
+    srv.methods["/clip/generator/switch"](cid, "milk_b_second")
+    assert clip.name == "milk_b_second"
