@@ -512,10 +512,12 @@ def parse_preset(text: str, name: str = "preset") -> MilkPreset:
         if cm is not None:
             store = pre.shapes if key.startswith("shape") else pre.waves
             try:
-                store.setdefault(int(cm.group(1)), {"cfg": {}})["cfg"][
-                    cm.group(2)] = float(val)
+                v = float(val)
             except ValueError:
-                pass
+                continue
+            if math.isfinite(v):  # nan/inf config would poison feedback
+                store.setdefault(int(cm.group(1)),
+                                 {"cfg": {}})["cfg"][cm.group(2)] = v
             continue
         em = _SHAPEEQ_RE.match(key) or _WAVEEQ_RE.match(key)
         if em is not None:
@@ -538,9 +540,11 @@ def parse_preset(text: str, name: str = "preset") -> MilkPreset:
                 break
         else:
             try:
-                pre.init[key] = float(val)
+                v = float(val)
             except ValueError:
-                pass  # non-numeric metadata
+                continue  # non-numeric metadata
+            if math.isfinite(v):
+                pre.init[key] = v
     join = lambda d: "\n".join(d[k].rstrip(";") + ";"
                                for k in sorted(d))  # noqa: E731
     pre.per_frame_init = join(finits)

@@ -676,3 +676,46 @@ def test_milkdir_playlist_cycle(tmp_path):
     assert clip.name == "milk_a_first"
     srv.methods["/clip/generator/switch"](cid, "milk_b_second")
     assert clip.name == "milk_b_second"
+
+
+def test_milk_parser_fuzz_no_crash():
+    """Untrusted preset files must parse-or-raise cleanly (no hangs, no
+    non-ValueError crashes), including the custom-object key space."""
+    import random
+    rng = random.Random(7)
+    frags = [
+        "[preset00]", "fDecay=abc", "fDecay=", "=5", "zoom=1.01",
+        "shapecode_0_enabled=1", "shapecode_0_sides=-3",
+        "shapecode_0_sides=1000000", "shapecode_99_rad=nan",
+        "shapecode_0_num_inst=99", "shape_0_per_frame1=x = x + ",
+        "shape_0_per_frame1=x = q1*2;", "shape_0_init1=t1 = rand(1);",
+        "wavecode_0_enabled=1", "wavecode_0_samples=0",
+        "wave_0_per_point1=y = value1/0;", "wave_0_per_point1=x = (",
+        "wave_0_per_frame1=r = unknownfn(1);",
+        "per_frame_1=zoom = zoom + bass*;", "per_pixel_1=rot = rad*ang;",
+        "per_frame_abc=zoom=2", "warp_1=shader { }", "comp_1=float4 x;",
+        "nMotionVectorsX=9999", "mv_a=2", "mv_l=-5",
+        "fDecay=nan", "zoom=inf", "shapecode_0_rad=nan", "mv_a=inf",
+        "\x00\x01binary=1", "a" * 500 + "=1",
+    ]
+    for trial in range(60):
+        text = "\n".join(rng.choice(frags)
+                         for _ in range(rng.randrange(1, 14)))
+        try:
+            pre = parse_preset(text, f"fuzz{trial}")
+        except ValueError:
+            continue
+        # building the renderer may reject bad equations (ValueError)
+        # but must not crash any other way; good builds must render
+        from lives_tpu.effects.milkdrop import build_preset_process
+        try:
+            process, init_state = build_preset_process(pre)
+        except ValueError:
+            continue
+        state = init_state(32, 24, int(Palette.RGB24))
+        ctx = FrameContext(tc=0.1, frame=1, fps=30.0, width=32, height=24)
+        p = {"bass": 0.5, "mid": 0.5, "treb": 0.5, "vol": 0.5}
+        layer, state = process([], p, ctx, state)
+        arr = np.asarray(layer.planes[0])
+        assert arr.dtype == np.uint8 and np.isfinite(
+            np.asarray(state[0])).all()
