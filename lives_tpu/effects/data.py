@@ -85,6 +85,18 @@ class DataConnections:
         else:
             self.conns.remove(c)
 
+    def prune(self, live: set[int]) -> int:
+        """Drop connections whose endpoints are no longer live instances
+        (the reference deletes pconx/cconx entries when the instance
+        deinits, effects-data.c pconx_delete) — `live` holds id()s of
+        currently-keyed instances. Returns the number removed."""
+        before = len(self.conns) + len(self.chan_conns)
+        self.conns = [c for c in self.conns
+                      if id(c.src) in live and id(c.dst) in live]
+        self.chan_conns = [c for c in self.chan_conns
+                           if id(c.src) in live and id(c.dst) in live]
+        return before - len(self.conns) - len(self.chan_conns)
+
     def alpha_ins_for(self, dst: Instance) -> dict[int, Any]:
         """Connected alpha layers for a destination (cconx_chain_data,
         effects-data.c:2283): the most recent Layer each source exported.

@@ -910,10 +910,14 @@ def build_preset_process(pre: MilkPreset):
                 smoothing=float(cfg["smoothing"]), h=h)
         for cfg, init_fn, frame_fn in shape_defs:
             n_inst = max(1, min(int(cfg["num_inst"]), 4))
+            # shape code must see the CLAMPED instance count, or
+            # `instance/num_inst` spacing disagrees with what is drawn
+            cfg_run = {**cfg, "num_inst": float(n_inst)}
             for inst in range(n_inst):
                 senv = _run_obj_code(
                     {**env, "instance": float(inst),
-                     "num_inst": float(n_inst)}, cfg, init_fn, frame_fn)
+                     "num_inst": float(n_inst)}, cfg_run,
+                    init_fn, frame_fn)
                 out = _draw_custom_shape(
                     out, prev, senv, xs, ys, aspect,
                     sides=max(3, min(int(cfg["sides"]), 100)),

@@ -20,6 +20,12 @@ class GeneratorClip:
         self.inst = instantiate(filter_name, **values)
         if self.inst.filter.n_in != 0:
             raise ValueError(f"{filter_name} is not a generator")
+        # switch() may run on the OSC/webui thread while the player
+        # thread is inside get_frame: the lock keeps the (filter, fn,
+        # state) triple consistent (a stale state write-back after a
+        # switch would feed the new filter the old pytree)
+        import threading
+        self._lock = threading.Lock()
         self.width, self.height = width, height
         self.fps = fps
         self.frames = frames
@@ -44,11 +50,12 @@ class GeneratorClip:
         inst = instantiate(filter_name, **values)
         if inst.filter.n_in != 0:
             raise ValueError(f"{filter_name} is not a generator")
-        self.inst = inst
-        self.name = filter_name
-        self._fn = None
-        self._state = None
-        self.version = getattr(self, "version", 0) + 1
+        with self._lock:
+            self.inst = inst
+            self.name = filter_name
+            self._fn = None
+            self._state = None
+            self.version = getattr(self, "version", 0) + 1
 
     def read_audio(self):
         """Clip-audio protocol (transcode / clipboard copy consume this).
@@ -86,19 +93,20 @@ class GeneratorClip:
         import jax.numpy as jnp
         from ..constants import Palette
         from ..effects.host import FILTER_STATEFUL
-        filt = self.inst.filter
-        if self._fn is None:
-            self._fn = self._build()
-        if (filt.flags & FILTER_STATEFUL) and self._state is None \
-                and filt.init_state is not None:
-            self._state = filt.init_state(self.width, self.height,
-                                          int(Palette.RGB24))
-        params = {k: (jnp.float32(v) if isinstance(v, (int, float))
-                      and self.inst.filter.param(k).kind not in
-                      ("int", "string", "string_list", "bool") else v)
-                  for k, v in self.inst.param_values().items()}
-        layer, state = self._fn(jnp.float32(n / self.fps), jnp.int32(n),
-                                params, self._state)
-        if filt.flags & FILTER_STATEFUL:
-            self._state = state
+        with self._lock:
+            filt = self.inst.filter
+            if self._fn is None:
+                self._fn = self._build()
+            if (filt.flags & FILTER_STATEFUL) and self._state is None \
+                    and filt.init_state is not None:
+                self._state = filt.init_state(self.width, self.height,
+                                              int(Palette.RGB24))
+            params = {k: (jnp.float32(v) if isinstance(v, (int, float))
+                          and self.inst.filter.param(k).kind not in
+                          ("int", "string", "string_list", "bool") else v)
+                      for k, v in self.inst.param_values().items()}
+            layer, state = self._fn(jnp.float32(n / self.fps),
+                                    jnp.int32(n), params, self._state)
+            if filt.flags & FILTER_STATEFUL:
+                self._state = state
         return layer

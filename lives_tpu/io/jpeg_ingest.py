@@ -50,16 +50,28 @@ def load_jpegcoef():
         return _LIB
     _TRIED = True
     try:
-        if not SO.exists() or SO.stat().st_mtime < SRC.stat().st_mtime:
-            # -march=native unlocks the AVX-512 sparse-pack fast path
-            # (the .so is always built on the host that runs it); plain
-            # -O2 keeps the scalar path working anywhere else
+        # -march=native unlocks the AVX-512 sparse-pack fast path. The
+        # binary is host-specific, so the cache key includes a CPU
+        # identity tag: a native-built .so copied to a different host
+        # (image/NFS) must rebuild, not SIGILL on the first call.
+        import hashlib
+        try:
+            cpu = [ln for ln in open("/proc/cpuinfo")
+                   if ln.startswith(("flags", "model name"))][:2]
+            host_tag = hashlib.sha1("".join(cpu).encode()).hexdigest()[:16]
+        except OSError:
+            host_tag = "unknown"
+        tag_path = SO.with_suffix(".buildtag")
+        tag_ok = tag_path.exists() and tag_path.read_text() == host_tag
+        if not SO.exists() or SO.stat().st_mtime < SRC.stat().st_mtime \
+                or not tag_ok:
             for flags in (["-O3", "-march=native"], ["-O2"]):
                 try:
                     subprocess.run(
                         ["g++", *flags, "-std=c++17", "-shared", "-fPIC",
                          "-o", str(SO), str(SRC), "-ljpeg"],
                         check=True, capture_output=True, timeout=120)
+                    tag_path.write_text(host_tag)
                     break
                 except subprocess.CalledProcessError:
                     if flags == ["-O2"]:

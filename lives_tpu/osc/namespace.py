@@ -255,7 +255,14 @@ def register_extended(srv) -> None:
         files = sorted(_P(str(path)).glob("*.milk"))
         if not files:
             raise FileNotFoundError(f"no .milk presets under {path}")
-        names = [load_milk_preset(f).name for f in files]
+        names = []
+        for f in files:
+            try:
+                names.append(load_milk_preset(f).name)
+            except ValueError:
+                pass  # out-of-subset preset (projectM skips these too)
+        if not names:
+            raise ValueError(f"no loadable .milk presets under {path}")
         cid = clip_open_generator(names[0], w, h, fps)
         clip = srv.clips[cid]
         clip.playlist = names

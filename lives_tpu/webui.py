@@ -1224,9 +1224,10 @@ class WebUI:
             name = km.current_filter(k)
             if not name:
                 continue
-            filt = get_filter(name)
-            if filt is None:
-                continue
+            try:
+                filt = get_filter(name)
+            except KeyError:
+                continue  # slot names an unregistered filter
             inst = km.instances[k]
             if inst is not None:
                 inst2key[id(inst)] = k + 1
@@ -1238,6 +1239,12 @@ class WebUI:
                 "alpha_ins": len(filt.alpha_ins)})
         dc = getattr(self.osc, "datacons", None) \
             or getattr(self.player, "datacons", None)
+        if dc is not None:
+            # a mode switch / re-enable replaces the key's instance; the
+            # old instance's connections die with it (reference
+            # pconx_delete-on-deinit), otherwise they would list as
+            # key 0 and be undeletable from the panel
+            dc.prune(set(inst2key))
         pconx, cconx = [], []
         if dc is not None:
             def outs_of(inst):

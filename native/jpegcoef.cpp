@@ -230,8 +230,12 @@ long long jc_read_packed(const unsigned char* buf, long long len,
         static_assert(sizeof(JCOEF) == 2, "JCOEF must be int16");
         __m512i a = _mm512_loadu_si512(blk);       // coefs 0..31
         __m512i bb = _mm512_loadu_si512(blk + 32);  // coefs 32..63
-        __mmask32 esc = _mm512_cmpgt_epi16_mask(a, khi)
-            | _mm512_cmpgt_epi16_mask(klo, a)
+        // DC (lane 0 of a) is carried separately as int16 and needs no
+        // escape — mask it out, or bright/dark blocks (|DC|>127, e.g.
+        // sky or black bars) would all fall back to the scalar loop
+        __mmask32 esc = ((_mm512_cmpgt_epi16_mask(a, khi)
+                          | _mm512_cmpgt_epi16_mask(klo, a))
+                         & ~static_cast<__mmask32>(1))
             | _mm512_cmpgt_epi16_mask(bb, khi)
             | _mm512_cmpgt_epi16_mask(klo, bb);
         if (__builtin_expect(esc == 0, 1)) {

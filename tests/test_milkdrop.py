@@ -719,3 +719,48 @@ def test_milk_parser_fuzz_no_crash():
         arr = np.asarray(layer.planes[0])
         assert arr.dtype == np.uint8 and np.isfinite(
             np.asarray(state[0])).all()
+
+
+def test_milkdir_skips_out_of_subset_presets(tmp_path):
+    """projectM skips unloadable presets instead of failing the whole
+    directory: one bad file (unknown function) must not abort the open."""
+    from lives_tpu.osc.server import OSCServer
+    from lives_tpu.player import Player
+    (tmp_path / "good.milk").write_text("[p]\nfDecay=0.9\nwave_a=1\n")
+    (tmp_path / "bad.milk").write_text(
+        "[p]\nper_frame_1=q1 = megabuf(0);\n")
+    srv = OSCServer(player=Player())
+    cid = srv.methods["/clip/open/milkdir"](str(tmp_path), 64, 48, 25.0)
+    assert srv.clips[cid].playlist == ["milk_good"]
+
+
+def test_generator_switch_race_with_live_pulls(tmp_path):
+    """switch() on another thread while the player pulls frames must
+    never feed the new filter the old filter's state pytree (the state
+    write-back is guarded by the clip lock)."""
+    import threading
+    from lives_tpu.io.genclip import GeneratorClip
+    register_milk_preset("[p]\nfDecay=0.9\nwave_a=1\nnWaveMode=5\n", "ra")
+    register_milk_preset("[p]\nfDecay=0.5\nzoom=1.01\nwave_a=0.4\n", "rb")
+    clip = GeneratorClip("milk_ra", width=48, height=32, fps=30.0)
+    errs = []
+    stop = threading.Event()
+
+    def puller():
+        n = 0
+        while not stop.is_set():
+            try:
+                clip.get_frame(n)
+                n += 1
+            except Exception as e:  # noqa: BLE001
+                errs.append(e)
+                return
+    th = threading.Thread(target=puller)
+    th.start()
+    try:
+        for i in range(30):
+            clip.switch("milk_rb" if i % 2 == 0 else "milk_ra")
+    finally:
+        stop.set()
+        th.join(timeout=30)
+    assert not errs, errs

@@ -481,3 +481,26 @@ def test_prefs_dialog_surface(ui):
         st.prefs.extra.pop("ahold_threshold", None)
     else:
         st.prefs.extra["ahold_threshold"] = saved_ahold
+
+
+def test_datacons_prunes_connections_of_replaced_instances(ui):
+    """Re-enabling a key replaces its instance; connections of the dead
+    instance must vanish from the listing (pconx_delete-on-deinit role),
+    never render as undeletable key-0 rows."""
+    _post(ui, "/api/cmd", {"path": "/effect_key/map",
+                           "args": [7, "motion_mask"]})
+    _post(ui, "/api/cmd", {"path": "/effect_key/map",
+                           "args": [8, "alpha_visualizer"]})
+    _post(ui, "/api/cmd", {"path": "/effect_key/enable", "args": [7]})
+    _post(ui, "/api/cmd", {"path": "/effect_key/enable", "args": [8]})
+    _post(ui, "/api/cmd",
+          {"path": "/effect_key/outparameter/connection/add",
+           "args": [7, 0, 8, 0, 1]})
+    dc = json.loads(_get(ui, "/api/datacons"))
+    assert len(dc["pconx"]) == 1
+    # a mode set clears the slot's instance; re-enable creates a NEW one
+    _post(ui, "/api/cmd", {"path": "/effect_key/mode/set", "args": [7, 1]})
+    _post(ui, "/api/cmd", {"path": "/effect_key/enable", "args": [7]})
+    dc = json.loads(_get(ui, "/api/datacons"))
+    assert dc["pconx"] == []
+    assert all(c["src"] != 0 and c["dst"] != 0 for c in dc["cconx"])
