@@ -57,6 +57,35 @@ class GeneratorClip:
             self._state = None
             self.version = getattr(self, "version", 0) + 1
 
+    def cycle(self, step: int = 1) -> int:
+        """Advance the preset playlist (set by /clip/open/milkdir) and
+        switch in place. Returns the new position."""
+        pl = getattr(self, "playlist", None)
+        if not pl:
+            raise RuntimeError("clip has no preset playlist")
+        self.playlist_pos = (getattr(self, "playlist_pos", 0)
+                             + int(step)) % len(pl)
+        self.switch(pl[self.playlist_pos])
+        return self.playlist_pos
+
+    def maybe_autocycle(self, now: float) -> bool:
+        """Time-based preset auto-switch (projectM's soft-cut default:
+        presetDuration seconds per preset). The player calls this once
+        per shown frame; it switches when `autocycle_secs` is set and
+        elapsed. Returns True when a switch happened."""
+        secs = getattr(self, "autocycle_secs", 0.0)
+        if not secs or not getattr(self, "playlist", None):
+            return False
+        last = getattr(self, "_last_cycle", None)
+        if last is None:
+            self._last_cycle = now
+            return False
+        if now - last < secs:
+            return False
+        self._last_cycle = now
+        self.cycle()
+        return True
+
     def read_audio(self):
         """Clip-audio protocol (transcode / clipboard copy consume this).
         Unbounded generators (the frames=1<<30 default sentinel) render one

@@ -233,21 +233,11 @@ def register_extended(srv) -> None:
     # preset playlist: a whole directory of .milk files on one generator
     # clip, cycled in place (projectM.cpp preset directory + nextPreset
     # switching — the reference plugin auto-scans its preset dir)
-    def _warm_preset(name, w, h, fps):
-        # compile the preset's jitted fn ahead of the switch (safe-point
-        # prewarm, player.c:2655 analogue): identical HLO means the real
-        # switch hits the compile cache instead of dropping frames
-        def run():
-            try:
-                from ..io.genclip import GeneratorClip
-                GeneratorClip(str(name), int(w), int(h),
-                              float(fps)).get_frame(0)
-            except Exception:
-                pass
-        import threading
-        threading.Thread(target=run, daemon=True,
-                         name=f"milk-prewarm-{name}").start()
-
+    # NOTE: no background compile-prewarm of the next preset — measured
+    # on this host, a prewarm thread starves the single host core and
+    # the serving loop shows ~0 fps while it compiles. First-time
+    # switches drop frames once (reference generator-start behavior);
+    # repeat switches hit the persistent compile cache and are instant.
     def clip_open_milkdir(path, w=640, h=360, fps=30.0):
         from pathlib import Path as _P
 
@@ -267,8 +257,6 @@ def register_extended(srv) -> None:
         clip = srv.clips[cid]
         clip.playlist = names
         clip.playlist_pos = 0
-        if len(names) > 1:
-            _warm_preset(names[1], w, h, fps)
         return cid
 
     def gen_switch(c, name):
@@ -279,19 +267,24 @@ def register_extended(srv) -> None:
 
     def gen_next(c=None, step=1):
         clip = clip_by_id(c) if c is not None else st().fg_clip
-        pl = getattr(clip, "playlist", None)
-        if not pl:
+        pos = clip.cycle(int(step))
+        srv.notify(512, clip.playlist[pos])
+        return pos
+
+    def gen_autocycle(secs, c=None):
+        # projectM presetDuration: 0 disables; the player switches at
+        # safe points once the interval elapses
+        clip = clip_by_id(c) if c is not None else st().fg_clip
+        if not getattr(clip, "playlist", None):
             raise RuntimeError("clip has no preset playlist")
-        clip.playlist_pos = (clip.playlist_pos + int(step)) % len(pl)
-        clip.switch(pl[clip.playlist_pos])
-        srv.notify(512, pl[clip.playlist_pos])
-        _warm_preset(pl[(clip.playlist_pos + 1) % len(pl)],
-                     clip.width, clip.height, clip.fps)
-        return clip.playlist_pos
+        clip.autocycle_secs = max(0.0, float(secs))
+        clip._last_cycle = None
+        return 1
 
     m("/clip/open/milkdir", clip_open_milkdir)
     m("/clip/generator/switch", gen_switch)
     m("/clip/generator/next", gen_next)
+    m("/clip/generator/autocycle", gen_autocycle)
 
     def audio_new(path):
         cd_open = clip_open_file(path)

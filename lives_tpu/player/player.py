@@ -1237,6 +1237,14 @@ class Player:
         if self.adaptive_quality:
             self._update_effort()
         self._prewarm_step()  # safe point: frame delivered
+        # generator preset auto-cycle (projectM presetDuration role):
+        # time-based switch at a safe point, after the frame was shown
+        fg = self.state.fg_clip
+        if fg is not None and getattr(fg, "autocycle_secs", 0.0):
+            try:
+                fg.maybe_autocycle(time.monotonic())
+            except Exception:
+                pass
         return ok
 
     def _update_effort(self):

@@ -764,3 +764,34 @@ def test_generator_switch_race_with_live_pulls(tmp_path):
         stop.set()
         th.join(timeout=30)
     assert not errs, errs
+
+
+def test_autocycle_switches_presets_during_playback(tmp_path):
+    """projectM presetDuration role: with autocycle set, the player
+    switches the playlist at safe points on its own clock."""
+    import time as _time
+    from lives_tpu.graph import SinkSpec
+    from lives_tpu.osc.server import OSCServer
+    from lives_tpu.player import NullSink, Player
+    (tmp_path / "a.milk").write_text("[p]\nfDecay=0.9\nwave_a=1\n")
+    (tmp_path / "b.milk").write_text("[p]\nfDecay=0.5\nzoom=1.01\n")
+    p = Player(sink=NullSink(), sink_spec=SinkSpec(width=48, height=32),
+               fps=30.0)
+    srv = OSCServer(player=p)
+    cid = srv.methods["/clip/open/milkdir"](str(tmp_path), 48, 32, 30.0)
+    clip = srv.clips[cid]
+    p.state.fg_clip = clip
+    assert srv.methods["/clip/generator/autocycle"](0.4, cid) == 1
+    p.set_pb_fps(30.0)
+    p.start()
+    names = {clip.name}
+    t0 = _time.monotonic()
+    while _time.monotonic() - t0 < 2.5 and len(names) < 2:
+        p.process_one()
+        names.add(clip.name)
+        _time.sleep(0.002)
+    p.stop()
+    assert names == {"milk_a", "milk_b"}
+    # 0 disables
+    srv.methods["/clip/generator/autocycle"](0, cid)
+    assert clip.autocycle_secs == 0.0
