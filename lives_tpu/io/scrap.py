@@ -91,6 +91,108 @@ class ScrapReader:
         self._fh.close()
 
 
+class MJPEGScrapRecorder:
+    """Async capture of live-source output during a recording — the
+    reference writes pulled generator/stream frames to the scrap file so
+    re-renders don't re-run live sources (frameloader.c:1212 save_to_
+    scrap_file, recorded in load_frame_image). Tunnel-economics version:
+    frames queue ON DEVICE and a worker drains them in fixed batches
+    through the device JPEG encode lane (io/jpeg_encode.py) — only
+    coefficients cross to the host — then `finalize()` writes an MJPEG
+    AVI that re-renders read back through the compressed ingest lane.
+
+    `put()` returns the scrap frame index, or None once the bounded
+    queue has overflowed (the recorder then stops accepting and the
+    caller falls back to recording the live source reference itself)."""
+
+    BATCH = 8
+
+    def __init__(self, width: int, height: int, fps: float = 25.0,
+                 quality: int = 85, max_queue: int = 128):
+        import itertools
+        import threading
+        self.width, self.height, self.fps = width, height, fps
+        self.quality = quality
+        self.unique_id = (hash(("scrap", id(self), width, height))
+                          & ((1 << 63) - 1))
+        self.max_queue = max_queue
+        self.overflowed = False
+        self.frames = 0
+        self._datas: list[bytes] = []
+        self._q: list = []
+        self._cv = threading.Condition()
+        self._stop = False
+        self._err = None
+        self._counter = itertools.count()
+        self._worker = threading.Thread(target=self._run, daemon=True,
+                                        name="scrap-encode")
+        self._worker.start()
+
+    def put(self, layer: Layer):
+        if self.overflowed:
+            return None
+        planes = layer.planes[0]
+        if int(layer.palette) != int(Palette.RGB24):
+            from ..ops.colorspace import convert_layer
+            planes = convert_layer(layer, Palette.RGB24).planes[0]
+        with self._cv:
+            if len(self._q) >= self.max_queue:
+                # never stall the serving loop and never leave index
+                # gaps: stop scrapping, the recording falls back to the
+                # live source reference from here on
+                self.overflowed = True
+                return None
+            self._q.append(planes)
+            idx = self.frames
+            self.frames += 1
+            self._cv.notify()
+        return idx
+
+    def _run(self):
+        from .jpeg_encode import JpegDeviceEncoder
+        enc = None
+        while True:
+            with self._cv:
+                while not self._q and not self._stop:
+                    self._cv.wait(0.2)
+                if not self._q and self._stop:
+                    return
+                batch = self._q[:self.BATCH]
+                del self._q[:self.BATCH]
+            try:
+                if enc is None:  # compile OFF the serving thread
+                    enc = JpegDeviceEncoder(self.width, self.height,
+                                            quality=self.quality,
+                                            batch=self.BATCH)
+                self._datas.extend(enc.encode_batch(batch))
+            except Exception as e:  # noqa: BLE001
+                self._err = e
+                with self._cv:
+                    self.overflowed = True
+                    self._q.clear()
+                return
+
+    def finalize(self, path: str | Path):
+        """Drain, write the MJPEG AVI, and return a clip over it (or
+        None when nothing was captured / the encoder failed)."""
+        with self._cv:
+            self._stop = True
+            self._cv.notify_all()
+        self._worker.join(timeout=600)
+        if not self._datas:
+            return None
+        from .clips import open_clip
+        from .decoders import write_mjpeg_avi
+        import tempfile
+        path = Path(path)
+        path.parent.mkdir(parents=True, exist_ok=True)
+        write_mjpeg_avi(str(path), self._datas, self.width, self.height,
+                        self.fps)
+        clip = open_clip(str(path), tempfile.mkdtemp(prefix="scrap_"))
+        clip.unique_id = self.unique_id
+        return clip
+
+
 class ScrapSink:
     """Player sink that tees frames into a scrap file."""
 

@@ -226,6 +226,10 @@ class Player:
         self.event_list: EventList | None = None
         self._nervous_rng = np.random.default_rng()
         self._rec_inits: dict[int, Any] = {}
+        self._scrap_generators = False
+        self._scrap_recs: dict[int, Any] = {}
+        self.rec_scrap_clips: dict[int, Any] = {}
+        self.last_recording: EventList | None = None
         # stats ladder (diagnostics.c:97 get_inst_fps)
         self.frames_shown = 0
         self.frames_dropped = 0
@@ -496,10 +500,20 @@ class Player:
 
     # -- recording ---------------------------------------------------------
     def record_start(self, width: int = 0, height: int = 0,
-                     backup_path=None, backup_every: float = 5.0):
+                     backup_path=None, backup_every: float = 5.0,
+                     scrap_generators: bool = True):
         """backup_path: autosave the recording there periodically so a crash
         never loses a performance (reference backup_recording,
-        events.c:5547 + deal_with_render_choice(is_recovery))."""
+        events.c:5547 + deal_with_render_choice(is_recovery)).
+        scrap_generators: capture live-source (generator) output to MJPEG
+        scrap clips so re-renders replay the performance exactly
+        (reference scrap-file role); recorded FRAME events then reference
+        the scrap clip. rec_scrap_clips after record_stop maps their
+        unique_ids to clips — merge it into the clips_by_uid you hand to
+        render_recording."""
+        self._scrap_generators = scrap_generators
+        self._scrap_recs = {}
+        self.rec_scrap_clips = {}
         self.event_list = EventList(fps=abs(self.state.pb_fps) or 25.0,
                                     width=width, height=height)
         self.record = True
@@ -531,6 +545,23 @@ class Player:
         self._rec_inits.clear()
         self._rec_automix = None
         self._rec_automix_amt = None
+        # finalize generator scrap captures into MJPEG clips keyed by
+        # the unique_ids the recorded FRAME events reference
+        for rec in getattr(self, "_scrap_recs", {}).values():
+            import tempfile
+            try:
+                clip = rec.finalize(
+                    tempfile.mkdtemp(prefix="lives_tpu_scrap_")
+                    + f"/scrap_{rec.unique_id & 0xFFFF:04x}.avi")
+            except Exception:
+                clip = None
+            if clip is not None:
+                self.rec_scrap_clips[rec.unique_id] = clip
+        self._scrap_recs = {}
+        # kept for the render-choice surface (api/OSC /record/render):
+        # the reference offers to render after recording stops
+        # (deal_with_render_choice, events.c:5101)
+        self.last_recording = el
         return el
 
     def _record_automix(self, active: bool):
@@ -1202,6 +1233,31 @@ class Player:
             if st.bg_clip is not None:
                 clips.append(getattr(st.bg_clip, "unique_id", 2))
                 frames.append(self._bg_frame(target))
+            if self._scrap_generators:
+                # live sources (generators) scrap their pulled output so
+                # the re-render replays EXACTLY what was performed —
+                # preset switches, trickplay state and all — instead of
+                # re-running the source (reference save_to_scrap_file,
+                # frameloader.c:1212). Frames ride the device JPEG
+                # encode lane; on queue overflow the recording falls
+                # back to the live source reference (approximate).
+                srcs = [st.fg_clip] + ([st.bg_clip]
+                                       if st.bg_clip is not None else [])
+                for i, sclip in enumerate(srcs):
+                    if not (hasattr(sclip, "inst")
+                            or getattr(sclip, "scrap_on_record", False)):
+                        continue
+                    rec = self._scrap_recs.get(id(sclip))
+                    if rec is None:
+                        from ..io.scrap import MJPEGScrapRecorder
+                        rec = MJPEGScrapRecorder(
+                            sclip.width, sclip.height,
+                            fps=abs(st.pb_fps) or 25.0)
+                        self._scrap_recs[id(sclip)] = rec
+                    idx = rec.put(layers[i])
+                    if idx is not None:
+                        clips[i] = rec.unique_id
+                        frames[i] = idx
             extra = {}
             if self.audio is not None and \
                     getattr(self.audio, "_data", None) is not None:

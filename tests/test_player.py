@@ -671,3 +671,55 @@ def test_precache_is_lru_and_version_keyed():
     clip.version = 1                           # simulated content edit
     fresh = p._pull(clip, 3)
     assert fresh is not marker                 # stale entry not served
+
+
+def test_recorded_generator_performance_scraps_and_rerenders(tmp_path):
+    """Reference scrap-file role (frameloader.c:1212): recording a live
+    generator captures its output to an MJPEG scrap clip via the device
+    encode lane; FRAME events reference the scrap, and the re-render
+    replays the performance from it — preset switches included."""
+    import time as _time
+    from lives_tpu.effects.milkdrop import register_milk_preset
+    from lives_tpu.events.renderer import render_recording
+    from lives_tpu.graph import SinkSpec
+    from lives_tpu.io.genclip import GeneratorClip
+    from lives_tpu.io.jpeg_ingest import load_jpegcoef
+    from lives_tpu.player import NullSink, Player
+    if load_jpegcoef() is None:
+        import pytest as _pytest
+        _pytest.skip("jpeg bridge unavailable")
+    register_milk_preset(
+        "[p]\nfDecay=0.9\nwave_a=1\nnWaveMode=5\nwave_r=1\n", "scrp_a")
+    register_milk_preset(
+        "[p]\nfDecay=0.5\nzoom=1.02\nwave_a=0.6\nwave_b=1\n", "scrp_b")
+    w, h = 64, 48
+    clip = GeneratorClip("milk_scrp_a", width=w, height=h, fps=30.0)
+    p = Player(sink=NullSink(), sink_spec=SinkSpec(width=w, height=h),
+               fps=30.0)
+    p.state.fg_clip = clip
+    p.set_pb_fps(30.0)
+    p.start()
+    p.record_start(w, h)
+    t0 = _time.monotonic()
+    switched = False
+    while _time.monotonic() - t0 < 3.0:
+        p.process_one()
+        if not switched and _time.monotonic() - t0 > 1.5:
+            clip.switch("milk_scrp_b")   # live preset switch mid-take
+            switched = True
+        _time.sleep(0.002)
+    el = p.record_stop()
+    p.stop()
+    assert p.rec_scrap_clips, "no scrap clip captured"
+    uid, scrap = next(iter(p.rec_scrap_clips.items()))
+    fevents = [e for e in el if getattr(e, "clips", None)]
+    scrap_refs = [e for e in fevents if e.clips[0] == uid]
+    assert scrap_refs, "frame events do not reference the scrap clip"
+    # every scrap index referenced must exist in the finalized clip
+    assert max(e.frames[0] for e in scrap_refs) < scrap.frames
+    # re-render the performance against the scrap
+    frames, tcs = render_recording(
+        el, {uid: scrap, clip.unique_id: clip}, batch_size=8)
+    assert frames.shape[0] > 0 and frames.dtype == np.uint8
+    assert np.isfinite(frames.astype(np.float32)).all()
+    assert frames.max() > 0
