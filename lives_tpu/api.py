@@ -162,6 +162,72 @@ class LiVESPlayer:
         """Advance n player cycles (headless pump)."""
         self._player.play_n_cycles(n)
 
+    # -- recording (reference record + deal_with_render_choice flow) -------
+    def record_start(self, scrap_generators: bool = True):
+        """Start recording the performance (events.c record path). Live
+        generator output is scrapped to MJPEG clips by default so the
+        render reproduces the take exactly."""
+        clip = self._player.state.fg_clip
+        self._player.record_start(width=getattr(clip, "width", 0),
+                                  height=getattr(clip, "height", 0),
+                                  scrap_generators=scrap_generators)
+        self._app._notify(NOTIFY.RECORD_STARTED, "")
+
+    def record_stop(self):
+        """Stop recording; the take is kept for render_recording()."""
+        el = self._player.record_stop()
+        self._app._notify(NOTIFY.RECORD_STOPPED, "")
+        return el
+
+    @property
+    def recording(self) -> bool:
+        return bool(self._player.record)
+
+    def render_recording(self, render_audio: bool = True
+                         ) -> Optional["LiVESClip"]:
+        """Render the last recorded performance to a NEW clip in the app
+        — the reference's post-record render choice
+        (deal_with_render_choice, events.c:5101 render_to_clip). Scrap
+        clips captured from live generators are consumed automatically."""
+        import numpy as np
+
+        import jax.numpy as jnp
+
+        from .constants import Palette
+        from .events.renderer import render_recording as _render
+        from .layer import Layer
+        pl = self._player
+        el = pl.last_recording
+        if el is None or not len(el.events):
+            return None
+        uid_map = {cl.raw().unique_id: cl.raw() for cl in self._app._clips}
+        # live-source clips referenced directly (scrap overflow fallback /
+        # scrap_generators=False) render from the source itself
+        for st_clip in (pl.state.fg_clip, pl.state.bg_clip):
+            if st_clip is not None:
+                uid_map.setdefault(getattr(st_clip, "unique_id", 0),
+                                   st_clip)
+        uid_map.update(pl.rec_scrap_clips)
+        frames, _tcs = _render(el, uid_map)
+        if not len(frames):
+            return None
+        h, w = frames.shape[-2], frames.shape[-1]
+        out = self._app.new_clip(w, h, el.fps or 25.0, name="recorded")
+        raw = out.raw()
+        raw.frames = len(frames)
+        raw.create_frame_index(all_virtual=False)
+        for i in range(len(frames)):
+            raw.put_frame(i, Layer(planes=(jnp.asarray(frames[i]),),
+                                   palette=int(Palette.RGB24)))
+        if render_audio:
+            from .audio.engine import render_audio_from_seeks
+            audio = render_audio_from_seeks(el, uid_map)
+            if len(audio) and np.abs(audio).max() > 1e-6:
+                raw.write_audio(audio.astype(np.float32), 44100)
+        raw.save_header()
+        self._app._notify(NOTIFY.CLIP_OPENED, str(out.number))
+        return out
+
 
 class ClipSet:
     """liblives `set`: the loaded clip collection, savable under a name

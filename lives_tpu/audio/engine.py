@@ -334,8 +334,12 @@ def render_audio(event_list, clips: dict, arate: int = 44100,
                 continue
             placed.add(clip_id)
             clip = clips[clip_id]
-            audio = clip.read_audio() if hasattr(clip, "read_audio") \
-                else np.asarray(clip, np.float32)
+            if hasattr(clip, "read_audio"):
+                audio = clip.read_audio()
+            elif isinstance(clip, np.ndarray):
+                audio = np.asarray(clip, np.float32)
+            else:
+                continue  # video-only source (generator, mem clip)
             if len(audio) == 0:
                 continue
             src_rate = getattr(clip, "arate", arate) or arate

@@ -1019,6 +1019,54 @@ def register_extended(srv) -> None:
     m("/mt/render", mt_render)
     m("/layout/clear", lambda: setattr(srv, "multitrack", None))
 
+    def record_render(with_audio=1):
+        """Render the last recorded performance to a NEW clip registered
+        with the server — the reference's post-record render choice
+        (deal_with_render_choice, events.c:5101). Generator takes render
+        from their MJPEG scrap clips (frameloader.c:1212 role). Returns
+        the new clip id."""
+        import numpy as np
+
+        import jax.numpy as jnp
+
+        from ..audio.engine import render_audio_from_seeks
+        from ..constants import Palette
+        from ..events.renderer import render_recording as _render
+        from ..io.clips import create_clip
+        from ..layer import Layer
+        pl = p()
+        el = getattr(pl, "last_recording", None)
+        if el is None or not len(el.events):
+            raise RuntimeError("nothing recorded")
+        uid_map = {getattr(clip, "unique_id", cid): clip
+                   for cid, clip in srv.clips.items()}
+        for st_clip in (st().fg_clip, st().bg_clip):
+            if st_clip is not None:
+                uid_map.setdefault(getattr(st_clip, "unique_id", 0),
+                                   st_clip)
+        uid_map.update(getattr(pl, "rec_scrap_clips", {}))
+        frames, _tcs = _render(el, uid_map)
+        if not len(frames):
+            raise RuntimeError("empty render")
+        h, w = frames.shape[-2], frames.shape[-1]
+        out = create_clip(workdir(), w, h, el.fps or 25.0,
+                          name="recorded")
+        out.frames = len(frames)
+        out.create_frame_index(all_virtual=False)
+        for i in range(len(frames)):
+            out.put_frame(i, Layer(planes=(jnp.asarray(frames[i]),),
+                                   palette=int(Palette.RGB24)))
+        if int(with_audio):
+            audio = render_audio_from_seeks(el, uid_map)
+            if len(audio) and np.abs(audio).max() > 1e-6:
+                out.write_audio(audio.astype(np.float32), 44100)
+        out.save_header()
+        cid = new_id()
+        srv.clips[cid] = out
+        return cid
+
+    m("/record/render", record_render)
+
 
 def _open_videodev(srv, dev: str):
     from ..io.videodev import V4L2Source

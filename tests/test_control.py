@@ -190,3 +190,47 @@ def test_extended_osc_namespace(served):
     assert player.state.pb_fps > 25.0
     send_wait(cli, srv, "/clip/close", 1)
     assert player.state.fg_clip is None
+
+
+def test_api_record_render_to_clip(tmp_path):
+    """liblives-style post-record render choice: record a short
+    performance through the API, then render_recording() materialises it
+    as a NEW clip in the app (deal_with_render_choice, events.c:5101)."""
+    import time as _time
+    from lives_tpu.events.event_list import \
+        TICKS_PER_SECOND as _TPS
+    TICKS = _TPS / 25.0
+
+    from lives_tpu.api import LiVESApp
+    from lives_tpu.io.decoders import write_y4m
+    frames = [(np.full((16, 32), 60 + 20 * i, np.uint8),
+               np.full((8, 16), 128, np.uint8),
+               np.full((8, 16), 128, np.uint8)) for i in range(8)]
+    write_y4m(str(tmp_path / "c.y4m"), frames)
+    app = LiVESApp(workdir=tmp_path / "wd", sink=CollectSink())
+    app.open_file(str(tmp_path / "c.y4m"))
+    app.effect_key_map[0].map("negate")
+    app.player.play()
+    app.player.record_start()
+    assert app.player.recording
+    pl = app.player._player
+    for i in range(6):
+        if i == 2:
+            app.effect_key_map[0].set_enabled(True)
+        pl.state.frame = -1
+        pl._clock0 = _time.monotonic()
+        pl._frame0 = float(i)
+        pl.process_one()
+        pl._rec_t0 -= int(TICKS)  # space events one frame period apart
+    el = app.player.record_stop()
+    app.player.stop()
+    assert not app.player.recording
+    assert sum(1 for e in el.events if e.type.name == "FRAME") == 6
+    n_before = app.set.num_clips
+    out = app.player.render_recording()
+    assert out is not None and app.set.num_clips == n_before + 1
+    assert out.raw().frames == 6
+    lay = out.raw().get_frame(0)
+    arr = np.asarray(lay.planes[0])
+    assert arr.shape[-2:] == (16, 32) and arr.max() > 0
+    app.quit()

@@ -297,3 +297,30 @@ def test_live_audio_fx_chain(srv):
     blk = ap.pull()
     assert abs(float(np.abs(blk).max()) - 0.05) < 0.01
     assert _rpc(srv, "/audio/fx/remove", 0).args[0] == 0
+
+
+def test_record_render_method(srv):
+    """/record/render (extension): render the last recorded take to a new
+    registered clip — the reference's post-record render choice
+    (deal_with_render_choice, events.c:5101)."""
+    import time as _time
+    from lives_tpu.events.event_list import \
+        TICKS_PER_SECOND as _TPS
+    TICKS = _TPS / 25.0
+    pl = srv.player
+    pl.start()
+    srv.methods["/record/enable"]()
+    for i in range(5):
+        pl.state.frame = -1
+        pl._clock0 = _time.monotonic()
+        pl._frame0 = float(i)
+        pl.process_one()
+        pl._rec_t0 -= int(TICKS)  # space events one frame period apart
+    srv.methods["/record/disable"]()
+    pl.stop()
+    cid = srv.methods["/record/render"]()
+    assert cid in srv.clips
+    out = srv.clips[cid]
+    assert out.frames == 5
+    lay = out.get_frame(0)
+    assert np.asarray(lay.planes[0]).shape[0] == 3
