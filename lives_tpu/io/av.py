@@ -358,6 +358,7 @@ class AVStreamSource:
         self._buf = (ctypes.c_uint8 * (w * h + 2 * (w // 2) * (h // 2)))()
         self.frames = 1 << 30
         self.unique_id = 0x4156  # 'AV'
+        self.scrap_on_record = True  # live feed: recordings scrap frames
         self._last: Optional[Layer] = None
 
     def get_frame(self, n: int = 0) -> Layer:

@@ -320,6 +320,7 @@ class Y4MStreamSource:
                 self.fps = int(num) / int(den)
         self.frames = 1 << 30
         self.unique_id = 0x59344D  # 'Y4M'
+        self.scrap_on_record = True  # live feed: recordings scrap frames
         self._last = None
 
     def get_frame(self, n: int = 0) -> "Layer":

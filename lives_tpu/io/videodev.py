@@ -51,6 +51,7 @@ class V4L2Source:
         self.fps = 30.0
         self.frames = 1 << 30
         self.unique_id = hash(device) & ((1 << 63) - 1)
+        self.scrap_on_record = True  # live feed: recordings scrap frames
         self.fd = os.open(device, os.O_RDWR | os.O_NONBLOCK)
         self.pixfmt = V4L2_PIX_FMT_YUYV
         self._set_format()

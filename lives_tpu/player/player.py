@@ -1247,6 +1247,13 @@ class Player:
                     if not (hasattr(sclip, "inst")
                             or getattr(sclip, "scrap_on_record", False)):
                         continue
+                    if not hasattr(layers[i], "planes"):
+                        # stateless generators ride as GenSlot markers
+                        # (rendered in-template, never materialised
+                        # host-side): pure functions of (n, params), so
+                        # the clip reference itself replays exactly —
+                        # nothing to scrap
+                        continue
                     rec = self._scrap_recs.get(id(sclip))
                     if rec is None:
                         from ..io.scrap import MJPEGScrapRecorder

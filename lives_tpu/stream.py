@@ -100,6 +100,7 @@ class StreamReceiver:
         self.frames = 1 << 30
         self.width, self.height = width, height
         self.unique_id = 0x121212
+        self.scrap_on_record = True  # live feed: recordings scrap frames
         self._latest: Optional[Layer] = None
         self._partial: dict[int, dict] = {}
         self._lock = threading.Lock()
@@ -408,6 +409,7 @@ class L2LReceiver:
         self.frames = 1 << 30
         self.width, self.height = width, height
         self.unique_id = 0x121213
+        self.scrap_on_record = True  # live feed: recordings scrap frames
         self.ended = False
         self._parser = L2LParser(stream_id)
         self._latest: Optional[Layer] = None

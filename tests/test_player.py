@@ -723,3 +723,54 @@ def test_recorded_generator_performance_scraps_and_rerenders(tmp_path):
     assert frames.shape[0] > 0 and frames.dtype == np.uint8
     assert np.isfinite(frames.astype(np.float32)).all()
     assert frames.max() > 0
+
+
+def test_live_feed_sources_scrap_on_record():
+    """Non-replayable live feeds (V4L2 camera, network streams, y4m
+    fifos) set scrap_on_record: recording them captures frames to a
+    scrap clip exactly like generators (save_to_scrap_file role)."""
+    import time as _time
+    from lives_tpu.graph import SinkSpec
+    from lives_tpu.io.jpeg_ingest import load_jpegcoef
+    from lives_tpu.player import NullSink, Player
+    if load_jpegcoef() is None:
+        import pytest as _pytest
+        _pytest.skip("jpeg bridge unavailable")
+
+    class LiveFeed:
+        """Clip-like camera stand-in: every pull is a fresh frame."""
+        width, height, fps = 64, 48, 30.0
+        frames = 1 << 30
+        unique_id = 0xCAFE
+        scrap_on_record = True
+
+        def __init__(self):
+            self._n = 0
+
+        def get_frame(self, n):
+            import jax.numpy as jnp
+            self._n += 1
+            rng = np.random.default_rng(self._n)
+            return Layer(planes=(jnp.asarray(rng.integers(
+                0, 256, (3, 48, 64), np.uint8)),),
+                palette=int(Palette.RGB24))
+
+    feed = LiveFeed()
+    p = Player(sink=NullSink(), sink_spec=SinkSpec(width=64, height=48),
+               fps=30.0)
+    p.precache_depth = 0            # live feeds pull inline
+    p.state.fg_clip = feed
+    p.set_pb_fps(30.0)
+    p.start()
+    p.record_start(64, 48)
+    t0 = _time.monotonic()
+    while _time.monotonic() - t0 < 2.0:
+        p.process_one()
+        _time.sleep(0.002)
+    el = p.record_stop()
+    p.stop()
+    assert p.rec_scrap_clips, "live feed was not scrapped"
+    uid, scrap = next(iter(p.rec_scrap_clips.items()))
+    refs = [e for e in el if getattr(e, "clips", None)
+            and e.clips[0] == uid]
+    assert refs and max(e.frames[0] for e in refs) < scrap.frames
