@@ -170,6 +170,8 @@ L2L_STREAM_TYPE_VIDEO = 1        # lives2lives_stream.c header comment
 L2L_FLAG_IS_CONTINUATION = 1     # LIVES_VSTREAM_FLAGS_IS_CONTINUATION
 L2L_TICKS_PER_SECOND = 100_000_000   # src/timing.h:6 — global timebase
 
+_L2L_MAX_DSIZE = 1 << 28         # sanity cap: 4K RGBA is ~33 MB; a
+# hostile header claiming more is garbage, not a frame (untrusted input)
 _L2L_SYNC = b"PACKET "
 _L2L_STREND = b"STREND"
 _L2L_DATA = b"DATA"
@@ -330,7 +332,11 @@ class L2LParser:
                 take = min(self._need, len(buf))
                 if not take:
                     break
-                if not self._skip:
+                # accumulate only while a frame is open: once _emit
+                # consumed the metadata, excess payload (hostile dsize
+                # larger than the declared frame) is discarded instead
+                # of growing _acc unboundedly
+                if not self._skip and self._meta is not None:
                     self._acc.extend(buf[:take])
                 del buf[:take]
                 self._need -= take
@@ -371,6 +377,8 @@ class L2LParser:
                                             int(fields[2]), int(fields[3]))
             except (IndexError, ValueError):
                 continue  # malformed header: resync on next token
+            if dsize < 0 or dsize > _L2L_MAX_DSIZE:
+                continue  # hostile size field: resync on next token
             self._need = dsize
             if ptype != L2L_STREAM_TYPE_VIDEO or pid != self.stream_id:
                 self._skip = True       # foreign packet: drop payload whole

@@ -270,3 +270,68 @@ def test_yuv420p_udp_round_trip():
         tx.exit_screen()
     finally:
         rx.close()
+
+
+def test_parser_fuzz_never_crashes_and_bounds_memory():
+    """The parser consumes UNTRUSTED network bytes (stream.c resync
+    path): random mutations of valid packet streams, raw noise, and
+    hostile header fields must never raise or balloon memory."""
+    rng = random.Random(1234)
+    nprng = np.random.default_rng(1234)
+    valid = b"".join(
+        _ref_sender_bytes(_rgb_frame(16, 12, seed=i), tc_ticks=i * 4000)
+        for i in range(4))
+    for trial in range(120):
+        kind = trial % 4
+        if kind == 0:          # pure noise
+            data = bytes(nprng.integers(0, 256, rng.randrange(1, 4096),
+                                        dtype=np.uint8))
+        elif kind == 1:        # valid stream with byte mutations
+            buf = bytearray(valid)
+            for _ in range(rng.randrange(1, 40)):
+                buf[rng.randrange(len(buf))] = rng.randrange(256)
+            data = bytes(buf)
+        elif kind == 2:        # valid stream chopped + shuffled chunks
+            cuts = sorted(rng.randrange(len(valid)) for _ in range(6))
+            chunks = [valid[a:b] for a, b in
+                      zip([0] + cuts, cuts + [len(valid)])]
+            rng.shuffle(chunks)
+            data = b"".join(chunks)
+        else:                  # hostile header fields
+            fields = [rng.choice([b"0", b"-1", b"999999999999",
+                                  b"nan", b"inf", b"1e309", b"x",
+                                  b"4294967295"]) for _ in range(13)]
+            data = (b"PACKET " + b" ".join(fields) + b" DATA"
+                    + bytes(64))
+        parser = L2LParser()
+        try:
+            for off in range(0, len(data), 997):
+                for _layer in parser.feed(data[off:off + 997]):
+                    pass
+        except (ValueError, OverflowError):
+            pass  # rejecting hostile fields is fine; crashing is not
+        # resync buffer must stay bounded (no unbounded accumulation)
+        assert len(parser._buf) < len(data) + 1100
+        assert len(parser._acc) < (1 << 26), "payload accumulator blew up"
+
+
+def test_parser_hostile_dsize_does_not_accumulate():
+    """One packet claiming a terabyte payload with small frame geometry
+    must not grow the accumulator past the declared frame: after the
+    frame emits, excess payload is discarded (untrusted input)."""
+    img = _rgb_frame(16, 12, seed=7)
+    good = _ref_sender_bytes(img, tc_ticks=0)
+    # same header but dsize inflated to 1 TB (past the sanity cap)
+    hostile = good.replace(b" %d " % (16 * 12 * 3), b" 1099511627776 ", 1)
+    parser = L2LParser()
+    out = list(parser.feed(hostile))
+    feed = bytes(16384)
+    for _ in range(64):          # 1 MB of follow-on payload bytes
+        out += parser.feed(feed)
+    assert len(parser._acc) <= 16 * 12 * 3
+    assert len(parser._buf) < 65536
+    # and a valid stream still parses afterwards (resync works)
+    frames = parser.feed(_ref_sender_bytes(img, tc_ticks=4000))
+    assert len(frames) == 1
+    assert np.array_equal(
+        np.asarray(frames[0].planes[0]).transpose(1, 2, 0), img)
