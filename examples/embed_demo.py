@@ -45,42 +45,30 @@ def main():
     app.effect_key_map[0].map("gaussian_blur")
     app.effect_key_map[1].map("vignette")
 
-    # record a short performance with trickplay
-    app.player._player.record_start(clip.width, clip.height)
+    # record a short performance with trickplay (liblives player surface)
     app.player.play()
+    app.player.record_start()
+    import time
     app.effect_key_map[0].set_enabled(True)
-    app.player.tick(10)
+    for _ in range(12):                # ~0.5 s forward
+        app.player.tick(1)
+        time.sleep(0.04)
     app.effect_key_map[1].set_enabled(True)
     app.player.set_fps(-50.0)          # reverse scratch at 2x
-    app.player.tick(10)
-    el = app.player._player.record_stop()
+    for _ in range(12):                # ~0.5 s scratching
+        app.player.tick(1)
+        time.sleep(0.04)
+    el = app.player.record_stop()
     app.player.stop()
     print(f"recorded {len(el)} events; shown "
           f"{app.player._player.frames_shown} frames "
           f"(inst fps {app.player._player.stats()['inst_fps']:.0f})")
 
-    # batch re-render the recording
-    from lives_tpu.events.renderer import render_to_arrays
-    from lives_tpu.graph import SinkSpec
-    from lives_tpu.layer import Layer
-    from lives_tpu.constants import Palette
-    from lives_tpu.ops.colorspace import convert_layer
-    import jax.numpy as jnp
-
-    class Src:
-        def get_batch(self, clip_ids, frame_nums):
-            ls = [convert_layer(clip.raw().get_frame(int(f)), Palette.RGB24)
-                  for f in frame_nums]
-            return Layer(planes=(jnp.stack([l.planes[0] for l in ls]),),
-                         palette=int(Palette.RGB24))
-
-    q = el.quantise(25.0)
-    frames, _ = render_to_arrays(q, Src(),
-                                 SinkSpec(width=clip.width,
-                                          height=clip.height),
-                                 batch_size=16)
-    print(f"re-rendered {frames.shape[0]} frames at "
-          f"{frames.shape[3]}x{frames.shape[2]}")
+    # render the take to a new clip — the reference's post-record
+    # render choice (deal_with_render_choice)
+    take = app.player.render_recording()
+    print(f"take rendered -> clip {take.number}: {take.raw().frames} "
+          f"frames {take.raw().width}x{take.raw().height}")
 
     # -- multitrack through the API only (liblives.hpp:761-915 surface) --
     from lives_tpu.multitrack import Gravity, InsertMode, Multitrack
