@@ -168,6 +168,7 @@ class LiVESPlayer:
         generator output is scrapped to MJPEG clips by default so the
         render reproduces the take exactly."""
         clip = self._player.state.fg_clip
+        self._player.scrap_dir = str(self._app.workdir)
         self._player.record_start(width=getattr(clip, "width", 0),
                                   height=getattr(clip, "height", 0),
                                   scrap_generators=scrap_generators)

@@ -247,6 +247,8 @@ class OSCServer:
         def rec_start():
             pl = p()
             clip = pl.state.fg_clip
+            if getattr(self, "workdir", None):
+                pl.scrap_dir = str(self.workdir)  # durable scrap clips
             pl.record_start(width=getattr(clip, "width", 0),
                             height=getattr(clip, "height", 0))
             self.notify(NOTIFY.RECORD_STARTED)

@@ -18,6 +18,7 @@ from __future__ import annotations
 
 import time
 from dataclasses import dataclass, field
+from pathlib import Path
 from typing import Any, Callable, Optional, Sequence
 
 import numpy as np
@@ -548,11 +549,22 @@ class Player:
         # finalize generator scrap captures into MJPEG clips keyed by
         # the unique_ids the recorded FRAME events reference
         for rec in getattr(self, "_scrap_recs", {}).values():
-            import tempfile
+            # scrap clips land under the workdir (prefs workdir/scrap,
+            # like the reference scrap file lives in the working dir) so
+            # a saved recording's scrap references outlive the session;
+            # fall back to a temp dir when no workdir is configured
+            from ..prefs import pref
+            base = getattr(self, "scrap_dir", None) or pref("workdir")
+            if not base:
+                import tempfile
+                base = tempfile.mkdtemp(prefix="lives_tpu_scrap_")
             try:
                 clip = rec.finalize(
-                    tempfile.mkdtemp(prefix="lives_tpu_scrap_")
-                    + f"/scrap_{rec.unique_id & 0xFFFF:04x}.avi")
+                    Path(base) / "scrap"
+                    / (f"scrap_{rec.unique_id & 0xFFFFFFFF:08x}_"
+                       f"{int(time.monotonic() * 1000) & 0xFFFFFF:06x}"
+                       ".avi"))  # unique per take: never overwrite a
+                # scrap file an earlier take's open clip still reads
             except Exception:
                 clip = None
             if clip is not None:
