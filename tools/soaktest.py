@@ -42,6 +42,7 @@ PATHS = [
     ("/effect_key/disable", lambda r: (r.randint(1, 9),)),
     ("/effect_key/mode/next", lambda r: (r.randint(1, 9),)),
     ("/record/toggle", lambda r: ()),
+    ("/record/render", lambda r: ()),
     ("/app/ping", lambda r: ()),
     # extended namespace (osc/namespace.py)
     ("/video/play/faster", lambda r: ()),
