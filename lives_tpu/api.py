@@ -184,6 +184,57 @@ class LiVESPlayer:
     def recording(self) -> bool:
         return bool(self._player.record)
 
+    def _recording_uid_map(self) -> dict:
+        """clips_by_uid for re-rendering the last take: app clips, the
+        live fg/bg sources (scrap-overflow fallback), and the take's
+        scrap clips."""
+        pl = self._player
+        uid_map = {cl.raw().unique_id: cl.raw() for cl in self._app._clips}
+        for st_clip in (pl.state.fg_clip, pl.state.bg_clip):
+            if st_clip is not None:
+                uid_map.setdefault(getattr(st_clip, "unique_id", 0),
+                                   st_clip)
+        uid_map.update(pl.rec_scrap_clips)
+        return uid_map
+
+    def preview_recording(self, max_seconds: float | None = None) -> int:
+        """Paced playback of the last take through the player's sink
+        WITHOUT materialising a clip — the render-choice "preview"
+        (deal_with_render_choice, events.c:5955 / process_events
+        events.c:3236). Renders in device batches, paces frames to the
+        recording's fps. Returns frames shown."""
+        import time as _time
+
+        import numpy as np
+
+        from .constants import Palette
+        from .events.renderer import ClipFrameSource, render_events
+        from .layer import Layer
+        pl = self._player
+        el = pl.last_recording
+        if el is None or not len(el.events):
+            return 0
+        fps = el.fps or 25.0
+        q = el.quantise(fps)
+        src = ClipFrameSource(self._recording_uid_map())
+        shown = 0
+        t0 = _time.monotonic()
+        for tcs, lay in render_events(q, src, batch_size=8):
+            arr = np.asarray(lay.planes[0])
+            for i, tc in enumerate(tcs):
+                due = t0 + shown / fps
+                delay = due - _time.monotonic()
+                if delay > 0:
+                    _time.sleep(delay)
+                pl.sink.play_frame(
+                    Layer(planes=(arr[i],), palette=int(Palette.RGB24)),
+                    float(tc))
+                shown += 1
+                if max_seconds is not None and \
+                        _time.monotonic() - t0 >= max_seconds:
+                    return shown
+        return shown
+
     def render_recording(self, render_audio: bool = True
                          ) -> Optional["LiVESClip"]:
         """Render the last recorded performance to a NEW clip in the app
@@ -201,14 +252,7 @@ class LiVESPlayer:
         el = pl.last_recording
         if el is None or not len(el.events):
             return None
-        uid_map = {cl.raw().unique_id: cl.raw() for cl in self._app._clips}
-        # live-source clips referenced directly (scrap overflow fallback /
-        # scrap_generators=False) render from the source itself
-        for st_clip in (pl.state.fg_clip, pl.state.bg_clip):
-            if st_clip is not None:
-                uid_map.setdefault(getattr(st_clip, "unique_id", 0),
-                                   st_clip)
-        uid_map.update(pl.rec_scrap_clips)
+        uid_map = self._recording_uid_map()
         frames, _tcs = _render(el, uid_map)
         if not len(frames):
             return None

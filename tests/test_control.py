@@ -234,3 +234,44 @@ def test_api_record_render_to_clip(tmp_path):
     arr = np.asarray(lay.planes[0])
     assert arr.shape[-2:] == (16, 32) and arr.max() > 0
     app.quit()
+
+
+def test_api_preview_recording_paces_frames_to_sink(tmp_path):
+    """Render-choice "preview" (deal_with_render_choice, events.c:5955):
+    the last take plays through the sink paced to its fps, without
+    creating a clip."""
+    import time as _time
+    from lives_tpu.events.event_list import \
+        TICKS_PER_SECOND as _TPS
+    TICKS = _TPS / 25.0
+
+    from lives_tpu.api import LiVESApp
+    from lives_tpu.io.decoders import write_y4m
+    frames = [(np.full((16, 32), 60 + 20 * i, np.uint8),
+               np.full((8, 16), 128, np.uint8),
+               np.full((8, 16), 128, np.uint8)) for i in range(8)]
+    write_y4m(str(tmp_path / "c.y4m"), frames)
+    sink = CollectSink()
+    app = LiVESApp(workdir=tmp_path / "wd", sink=sink)
+    app.open_file(str(tmp_path / "c.y4m"))
+    app.player.play()
+    app.player.record_start()
+    pl = app.player._player
+    for i in range(5):
+        pl.state.frame = -1
+        pl._clock0 = _time.monotonic()
+        pl._frame0 = float(i)
+        pl.process_one()
+        pl._rec_t0 -= int(TICKS)
+    app.player.record_stop()
+    app.player.stop()
+    n_before = app.set.num_clips
+    live_shown = len(sink.frames)
+    t0 = _time.monotonic()
+    shown = app.player.preview_recording()
+    dt = _time.monotonic() - t0
+    assert shown == 5
+    assert len(sink.frames) == live_shown + 5   # frames hit the sink
+    assert app.set.num_clips == n_before        # no clip materialised
+    assert dt >= 4 / 25.0 * 0.8                 # paced, not dumped
+    app.quit()
