@@ -1067,6 +1067,57 @@ def register_extended(srv) -> None:
 
     m("/record/render", record_render)
 
+    def record_preview(max_seconds=30.0):
+        """Preview the last take through the player's sink, paced to its
+        fps (the preview arm of deal_with_render_choice, events.c:5955).
+        Runs on a worker thread; returns the frame count queued (the
+        take's quantised length)."""
+        import threading
+
+        import numpy as np
+
+        from ..constants import Palette
+        from ..events.renderer import ClipFrameSource, render_events
+        from ..layer import Layer
+        pl = p()
+        el = getattr(pl, "last_recording", None)
+        if el is None or not len(el.events):
+            raise RuntimeError("nothing recorded")
+        fps = el.fps or 25.0
+        q = el.quantise(fps)
+        uid_map = {getattr(clip, "unique_id", cid): clip
+                   for cid, clip in srv.clips.items()}
+        for st_clip in (st().fg_clip, st().bg_clip):
+            if st_clip is not None:
+                uid_map.setdefault(getattr(st_clip, "unique_id", 0),
+                                   st_clip)
+        uid_map.update(getattr(pl, "rec_scrap_clips", {}))
+        n = sum(1 for e in q if getattr(e, "clips", None))
+
+        def run(limit=float(max_seconds)):
+            import time as _time
+            src = ClipFrameSource(uid_map)
+            t0 = _time.monotonic()
+            shown = 0
+            for tcs, lay in render_events(q, src, batch_size=8):
+                arr = np.asarray(lay.planes[0])
+                for i, tc in enumerate(tcs):
+                    delay = t0 + shown / fps - _time.monotonic()
+                    if delay > 0:
+                        _time.sleep(delay)
+                    pl.sink.play_frame(
+                        Layer(planes=(arr[i],),
+                              palette=int(Palette.RGB24)), float(tc))
+                    shown += 1
+                    if _time.monotonic() - t0 >= limit:
+                        return
+
+        threading.Thread(target=run, daemon=True,
+                         name="record-preview").start()
+        return n
+
+    m("/record/preview", record_preview)
+
 
 def _open_videodev(srv, dev: str):
     from ..io.videodev import V4L2Source

@@ -186,6 +186,8 @@ select{background:#26262c;color:#eee;border:1px solid #555;padding:3px}
  <button onclick="cmd('/video/play/faster')">+fps</button>
  <button onclick="cmd('/video/play/slower')">-fps</button>
  <button onclick="cmd('/record/toggle')">rec</button>
+ <button onclick="cmd('/record/preview')"
+  title="preview the last recorded take in the preview pane">preview take</button>
  <button onclick="cmd('/record/render')"
   title="render the last recorded take to a new clip">render take</button>
  <div class="param"><label>fps <span id="fpsv"></span></label>

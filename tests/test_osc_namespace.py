@@ -324,3 +324,30 @@ def test_record_render_method(srv):
     assert out.frames == 5
     lay = out.get_frame(0)
     assert np.asarray(lay.planes[0]).shape[0] == 3
+
+
+def test_record_preview_method(srv):
+    """/record/preview (extension): paced sink playback of the last take
+    on a worker thread (deal_with_render_choice preview arm)."""
+    import time as _time
+    from lives_tpu.events.event_list import TICKS_PER_SECOND as _TPS
+    TICKS = _TPS / 25.0
+    pl = srv.player
+    pl.start()
+    srv.methods["/record/enable"]()
+    for i in range(4):
+        pl.state.frame = -1
+        pl._clock0 = _time.monotonic()
+        pl._frame0 = float(i)
+        pl.process_one()
+        pl._rec_t0 -= int(TICKS)
+    srv.methods["/record/disable"]()
+    pl.stop()
+    before = len(pl.sink.frames)
+    n = srv.methods["/record/preview"](5.0)
+    assert n == 4
+    deadline = _time.monotonic() + 5.0
+    while _time.monotonic() < deadline and \
+            len(pl.sink.frames) < before + 4:
+        _time.sleep(0.05)
+    assert len(pl.sink.frames) >= before + 4
