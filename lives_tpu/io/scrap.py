@@ -131,10 +131,9 @@ class MJPEGScrapRecorder:
     def put(self, layer: Layer):
         if self.overflowed:
             return None
-        planes = layer.planes[0]
-        if int(layer.palette) != int(Palette.RGB24):
-            from ..ops.colorspace import convert_layer
-            planes = convert_layer(layer, Palette.RGB24).planes[0]
+        # queue the layer as-is: palette conversion is a device dispatch
+        # (and a compile on first use) that must not run on the serving
+        # thread — the encode worker converts before encoding
         with self._cv:
             if len(self._q) >= self.max_queue:
                 # never stall the serving loop and never leave index
@@ -142,7 +141,7 @@ class MJPEGScrapRecorder:
                 # live source reference from here on
                 self.overflowed = True
                 return None
-            self._q.append(planes)
+            self._q.append(layer)
             idx = self.frames
             self.frames += 1
             self._cv.notify()
@@ -164,7 +163,13 @@ class MJPEGScrapRecorder:
                     enc = JpegDeviceEncoder(self.width, self.height,
                                             quality=self.quality,
                                             batch=self.BATCH)
-                self._datas.extend(enc.encode_batch(batch))
+                planes = []
+                for lay in batch:
+                    if int(lay.palette) != int(Palette.RGB24):
+                        from ..ops.colorspace import convert_layer
+                        lay = convert_layer(lay, Palette.RGB24)
+                    planes.append(lay.planes[0])
+                self._datas.extend(enc.encode_batch(planes))
             except Exception as e:  # noqa: BLE001
                 self._err = e
                 with self._cv:

@@ -748,12 +748,16 @@ def test_live_feed_sources_scrap_on_record():
             self._n = 0
 
         def get_frame(self, n):
+            # YUV420P like a real camera/stream feed: the scrap worker
+            # must convert to RGB24 off the serving thread
             import jax.numpy as jnp
             self._n += 1
             rng = np.random.default_rng(self._n)
-            return Layer(planes=(jnp.asarray(rng.integers(
-                0, 256, (3, 48, 64), np.uint8)),),
-                palette=int(Palette.RGB24))
+            return Layer(planes=(
+                jnp.asarray(rng.integers(16, 235, (48, 64), np.uint8)),
+                jnp.asarray(rng.integers(16, 240, (24, 32), np.uint8)),
+                jnp.asarray(rng.integers(16, 240, (24, 32), np.uint8))),
+                palette=int(Palette.YUV420P))
 
     feed = LiveFeed()
     p = Player(sink=NullSink(), sink_spec=SinkSpec(width=64, height=48),
