@@ -185,55 +185,16 @@ class LiVESPlayer:
         return bool(self._player.record)
 
     def _recording_uid_map(self) -> dict:
-        """clips_by_uid for re-rendering the last take: app clips, the
-        live fg/bg sources (scrap-overflow fallback), and the take's
-        scrap clips."""
-        pl = self._player
-        uid_map = {cl.raw().unique_id: cl.raw() for cl in self._app._clips}
-        for st_clip in (pl.state.fg_clip, pl.state.bg_clip):
-            if st_clip is not None:
-                uid_map.setdefault(getattr(st_clip, "unique_id", 0),
-                                   st_clip)
-        uid_map.update(pl.rec_scrap_clips)
-        return uid_map
+        return self._player.recording_uid_map(
+            cl.raw() for cl in self._app._clips)
 
     def preview_recording(self, max_seconds: float | None = None) -> int:
         """Paced playback of the last take through the player's sink
         WITHOUT materialising a clip — the render-choice "preview"
-        (deal_with_render_choice, events.c:5955 / process_events
-        events.c:3236). Renders in device batches, paces frames to the
-        recording's fps. Returns frames shown."""
-        import time as _time
-
-        import numpy as np
-
-        from .constants import Palette
-        from .events.renderer import ClipFrameSource, render_events
-        from .layer import Layer
-        pl = self._player
-        el = pl.last_recording
-        if el is None or not len(el.events):
-            return 0
-        fps = el.fps or 25.0
-        q = el.quantise(fps)
-        src = ClipFrameSource(self._recording_uid_map())
-        shown = 0
-        t0 = _time.monotonic()
-        for tcs, lay in render_events(q, src, batch_size=8):
-            arr = np.asarray(lay.planes[0])
-            for i, tc in enumerate(tcs):
-                due = t0 + shown / fps
-                delay = due - _time.monotonic()
-                if delay > 0:
-                    _time.sleep(delay)
-                pl.sink.play_frame(
-                    Layer(planes=(arr[i],), palette=int(Palette.RGB24)),
-                    float(tc))
-                shown += 1
-                if max_seconds is not None and \
-                        _time.monotonic() - t0 >= max_seconds:
-                    return shown
-        return shown
+        (deal_with_render_choice, events.c:5955). Refuses while playback
+        runs. Returns frames shown."""
+        return self._player.preview_last_recording(
+            self._recording_uid_map(), max_seconds=max_seconds)
 
     def render_recording(self, render_audio: bool = True
                          ) -> Optional["LiVESClip"]:
@@ -243,26 +204,22 @@ class LiVESPlayer:
         clips captured from live generators are consumed automatically."""
         import numpy as np
 
-        import jax.numpy as jnp
-
         from .constants import Palette
-        from .events.renderer import render_recording as _render
         from .layer import Layer
-        pl = self._player
-        el = pl.last_recording
-        if el is None or not len(el.events):
-            return None
         uid_map = self._recording_uid_map()
-        frames, _tcs = _render(el, uid_map)
-        if not len(frames):
+        frames, _tcs = self._player.render_last_recording(uid_map)
+        if frames is None or not len(frames):
             return None
+        el = self._player.last_recording
         h, w = frames.shape[-2], frames.shape[-1]
         out = self._app.new_clip(w, h, el.fps or 25.0, name="recorded")
         raw = out.raw()
         raw.frames = len(frames)
         raw.create_frame_index(all_virtual=False)
         for i in range(len(frames)):
-            raw.put_frame(i, Layer(planes=(jnp.asarray(frames[i]),),
+            # HOST arrays straight to disk — uploading per frame only to
+            # fetch it back costs one tunnel RPC each
+            raw.put_frame(i, Layer(planes=(frames[i],),
                                    palette=int(Palette.RGB24)))
         if render_audio:
             from .audio.engine import render_audio_from_seeks

@@ -163,8 +163,12 @@ def _clip_audio_cached(clips: dict, cache: dict, uid, arate: int):
         if clip is None:
             cache[uid] = (np.zeros((0, 1), np.float32), arate)
         else:
-            data = clip.read_audio() if hasattr(clip, "read_audio") \
-                else np.asarray(clip, np.float32)
+            if hasattr(clip, "read_audio"):
+                data = clip.read_audio()
+            elif isinstance(clip, np.ndarray):
+                data = np.asarray(clip, np.float32)
+            else:
+                data = np.zeros((0, 1), np.float32)  # video-only source
             if data.ndim == 1:
                 data = data[:, None]
             cache[uid] = (data, getattr(clip, "arate", arate) or arate)
@@ -383,7 +387,7 @@ def render_audio_from_seeks(event_list, clips: dict, arate: int = 44100,
     def clip_audio(uid):
         if uid not in audio_cache:
             clip = clips.get(uid)
-            data = clip.read_audio() if clip is not None \
+            data = clip.read_audio() if hasattr(clip, "read_audio") \
                 else np.zeros((0, channels), np.float32)
             audio_cache[uid] = (data, getattr(clip, "arate", arate)
                                 or arate)

@@ -111,14 +111,22 @@ class MJPEGScrapRecorder:
                  quality: int = 85, max_queue: int = 128):
         import itertools
         import threading
+        import os as _os
         self.width, self.height, self.fps = width, height, fps
         self.quality = quality
-        self.unique_id = (hash(("scrap", id(self), width, height))
+        # random (not hash-seeded) so the id is unique across processes:
+        # the finalized filename encodes the FULL uid, which lets crash
+        # recovery rebuild the uid->clip map from the scrap directory
+        # (scan_scrap_clips)
+        self.unique_id = (int.from_bytes(_os.urandom(8), "little")
                           & ((1 << 63) - 1))
         self.max_queue = max_queue
         self.overflowed = False
         self.frames = 0
         self._datas: list[bytes] = []
+        #: per-index (clip_uid, frame) live-source references, appended by
+        #: the recording player; used to rewrite events if encoding fails
+        self.origs: list[tuple] = []
         self._q: list = []
         self._cv = threading.Condition()
         self._stop = False
@@ -227,3 +235,31 @@ class ScrapSink:
             self._writer.close()
         if self.inner:
             self.inner.exit_screen()
+
+
+def scan_scrap_clips(base) -> dict:
+    """Rebuild the uid -> clip map from a workdir's scrap directory —
+    crash recovery for recordings whose FRAME events reference scrap
+    clips (the uid is encoded in the filename by Player.record_stop).
+    Newest take wins per uid."""
+    from .clips import open_clip
+    import tempfile
+    out: dict = {}
+    d = Path(base) / "scrap"
+    if not d.is_dir():
+        return out
+    for p in sorted(d.glob("scrap_*.avi")):
+        parts = p.stem.split("_")
+        if len(parts) < 2:
+            continue
+        try:
+            uid = int(parts[1], 16)
+        except ValueError:
+            continue
+        try:
+            clip = open_clip(str(p), tempfile.mkdtemp(prefix="scrap_"))
+        except Exception:
+            continue  # truncated file from a crash mid-write
+        clip.unique_id = uid
+        out[uid] = clip
+    return out

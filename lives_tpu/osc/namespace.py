@@ -1027,34 +1027,25 @@ def register_extended(srv) -> None:
         the new clip id."""
         import numpy as np
 
-        import jax.numpy as jnp
-
         from ..audio.engine import render_audio_from_seeks
         from ..constants import Palette
-        from ..events.renderer import render_recording as _render
         from ..io.clips import create_clip
         from ..layer import Layer
         pl = p()
-        el = getattr(pl, "last_recording", None)
-        if el is None or not len(el.events):
+        uid_map = pl.recording_uid_map(srv.clips.values())
+        frames, _tcs = pl.render_last_recording(uid_map)
+        if frames is None or not len(frames):
             raise RuntimeError("nothing recorded")
-        uid_map = {getattr(clip, "unique_id", cid): clip
-                   for cid, clip in srv.clips.items()}
-        for st_clip in (st().fg_clip, st().bg_clip):
-            if st_clip is not None:
-                uid_map.setdefault(getattr(st_clip, "unique_id", 0),
-                                   st_clip)
-        uid_map.update(getattr(pl, "rec_scrap_clips", {}))
-        frames, _tcs = _render(el, uid_map)
-        if not len(frames):
-            raise RuntimeError("empty render")
+        el = pl.last_recording
         h, w = frames.shape[-2], frames.shape[-1]
         out = create_clip(workdir(), w, h, el.fps or 25.0,
                           name="recorded")
         out.frames = len(frames)
         out.create_frame_index(all_virtual=False)
         for i in range(len(frames)):
-            out.put_frame(i, Layer(planes=(jnp.asarray(frames[i]),),
+            # HOST arrays straight to disk (no per-frame device round
+            # trip — each costs a tunnel RPC)
+            out.put_frame(i, Layer(planes=(frames[i],),
                                    palette=int(Palette.RGB24)))
         if int(with_audio):
             audio = render_audio_from_seeks(el, uid_map)
@@ -1070,47 +1061,25 @@ def register_extended(srv) -> None:
     def record_preview(max_seconds=30.0):
         """Preview the last take through the player's sink, paced to its
         fps (the preview arm of deal_with_render_choice, events.c:5955).
-        Runs on a worker thread; returns the frame count queued (the
-        take's quantised length)."""
+        Refuses while playback runs (sinks are not thread-safe against
+        the serving loop). Runs on a worker thread; returns the frame
+        count queued (the take's quantised length)."""
         import threading
-
-        import numpy as np
-
-        from ..constants import Palette
-        from ..events.renderer import ClipFrameSource, render_events
-        from ..layer import Layer
         pl = p()
+        if st().playing:
+            raise RuntimeError("stop playback before previewing a take")
         el = getattr(pl, "last_recording", None)
         if el is None or not len(el.events):
             raise RuntimeError("nothing recorded")
-        fps = el.fps or 25.0
-        q = el.quantise(fps)
-        uid_map = {getattr(clip, "unique_id", cid): clip
-                   for cid, clip in srv.clips.items()}
-        for st_clip in (st().fg_clip, st().bg_clip):
-            if st_clip is not None:
-                uid_map.setdefault(getattr(st_clip, "unique_id", 0),
-                                   st_clip)
-        uid_map.update(getattr(pl, "rec_scrap_clips", {}))
-        n = sum(1 for e in q if getattr(e, "clips", None))
+        uid_map = pl.recording_uid_map(srv.clips.values())
+        n = sum(1 for e in el.quantise(el.fps or 25.0)
+                if getattr(e, "clips", None))
 
         def run(limit=float(max_seconds)):
-            import time as _time
-            src = ClipFrameSource(uid_map)
-            t0 = _time.monotonic()
-            shown = 0
-            for tcs, lay in render_events(q, src, batch_size=8):
-                arr = np.asarray(lay.planes[0])
-                for i, tc in enumerate(tcs):
-                    delay = t0 + shown / fps - _time.monotonic()
-                    if delay > 0:
-                        _time.sleep(delay)
-                    pl.sink.play_frame(
-                        Layer(planes=(arr[i],),
-                              palette=int(Palette.RGB24)), float(tc))
-                    shown += 1
-                    if _time.monotonic() - t0 >= limit:
-                        return
+            try:
+                pl.preview_last_recording(uid_map, max_seconds=limit)
+            except RuntimeError:
+                pass  # playback (re)started meanwhile: preview refused
 
         threading.Thread(target=run, daemon=True,
                          name="record-preview").start()

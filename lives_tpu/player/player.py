@@ -561,20 +561,96 @@ class Player:
             try:
                 clip = rec.finalize(
                     Path(base) / "scrap"
-                    / (f"scrap_{rec.unique_id & 0xFFFFFFFF:08x}_"
+                    / (f"scrap_{rec.unique_id:016x}_"
                        f"{int(time.monotonic() * 1000) & 0xFFFFFF:06x}"
-                       ".avi"))  # unique per take: never overwrite a
-                # scrap file an earlier take's open clip still reads
+                       ".avi"))  # full uid in the name (recovery keys
+                # on it); take suffix: never overwrite a file an earlier
+                # take's open clip still reads
             except Exception:
                 clip = None
             if clip is not None:
                 self.rec_scrap_clips[rec.unique_id] = clip
+            # encode worker died / finalize failed: FRAME events already
+            # reference scrap indices that never materialised — rewrite
+            # them back to the live-source reference captured at record
+            # time (degrades to approximate replay, never blank frames)
+            n_ok = clip.frames if clip is not None else 0
+            if el is not None and n_ok < len(rec.origs):
+                for e in el:
+                    cl = getattr(e, "clips", None)
+                    if not cl:
+                        continue
+                    for i, (c, f) in enumerate(zip(cl, e.frames)):
+                        if c == rec.unique_id and f >= n_ok:
+                            e.clips[i], e.frames[i] = rec.origs[f]
         self._scrap_recs = {}
-        # kept for the render-choice surface (api/OSC /record/render):
-        # the reference offers to render after recording stops
-        # (deal_with_render_choice, events.c:5101)
-        self.last_recording = el
+        if el is not None:
+            # kept for the render-choice surface (api/OSC /record/render)
+            # — the reference offers to render after recording stops
+            # (deal_with_render_choice, events.c:5101). A stray second
+            # stop (el None) must not clobber the saved take.
+            self.last_recording = el
         return el
+
+    # -- render-choice helpers (shared by api.py and the OSC surface) ------
+    def recording_uid_map(self, clips=()) -> dict:
+        """clips_by_uid for re-rendering the last take: the given clips,
+        the live fg/bg sources (scrap-overflow fallback), and the take's
+        scrap clips."""
+        uid_map = {}
+        for clip in clips:
+            uid_map[getattr(clip, "unique_id", id(clip))] = clip
+        for st_clip in (self.state.fg_clip, self.state.bg_clip):
+            if st_clip is not None:
+                uid_map.setdefault(getattr(st_clip, "unique_id", 0),
+                                   st_clip)
+        uid_map.update(self.rec_scrap_clips)
+        return uid_map
+
+    def render_last_recording(self, uid_map: dict, batch_size: int = 8):
+        """Render the last take against `uid_map`. Returns (frames, tcs)
+        with frames a HOST (N,3,H,W) u8 array — write them to clips as
+        host arrays (uploading per frame just to fetch them back costs
+        one RPC each through the tunnel)."""
+        from ..events.renderer import render_recording as _render
+        el = self.last_recording
+        if el is None or not len(el.events):
+            return None, None
+        return _render(el, uid_map, batch_size=batch_size)
+
+    def preview_last_recording(self, uid_map: dict,
+                               max_seconds: float | None = None,
+                               batch_size: int = 8) -> int:
+        """Paced playback of the last take through this player's sink —
+        the render-choice "preview" arm (deal_with_render_choice,
+        events.c:5955 / process_events events.c:3236). Refuses while
+        playback runs: sinks are not thread-safe against the serving
+        loop. Returns frames shown."""
+        from ..events.renderer import ClipFrameSource, render_events
+        if self.state.playing:
+            raise RuntimeError("stop playback before previewing a take")
+        el = self.last_recording
+        if el is None or not len(el.events):
+            return 0
+        fps = el.fps or 25.0
+        q = el.quantise(fps)
+        src = ClipFrameSource(uid_map)
+        shown = 0
+        t0 = time.monotonic()
+        for tcs, lay in render_events(q, src, batch_size=batch_size):
+            arr = np.asarray(lay.planes[0])
+            for i, tc in enumerate(tcs):
+                delay = t0 + shown / fps - time.monotonic()
+                if delay > 0:
+                    time.sleep(delay)
+                self.sink.play_frame(
+                    Layer(planes=(arr[i],), palette=int(Palette.RGB24)),
+                    float(tc))
+                shown += 1
+                if max_seconds is not None and \
+                        time.monotonic() - t0 >= max_seconds:
+                    return shown
+        return shown
 
     def _record_automix(self, active: bool):
         """Record the fg/bg auto-blend as a crossfade init + amount
@@ -1242,6 +1318,7 @@ class Player:
             self._record_automix(st.bg_clip is not None and not uses_bg)
             clips = [getattr(st.fg_clip, "unique_id", 1)]
             frames = [target]
+            src_uid = clips[0]  # pre-scrap fg reference (audio follows it)
             if st.bg_clip is not None:
                 clips.append(getattr(st.bg_clip, "unique_id", 2))
                 frames.append(self._bg_frame(target))
@@ -1275,6 +1352,11 @@ class Player:
                         self._scrap_recs[id(sclip)] = rec
                     idx = rec.put(layers[i])
                     if idx is not None:
+                        # remember the live-source reference per index:
+                        # if the encode worker fails mid-take,
+                        # record_stop rewrites the affected FRAME events
+                        # back to this
+                        rec.origs.append((clips[i], frames[i]))
                         clips[i] = rec.unique_id
                         frames[i] = idx
             extra = {}
@@ -1283,10 +1365,11 @@ class Player:
                 # audio state per frame (reference records audio_clips/
                 # audio_seeks pairs — track -1 = the performance audio,
                 # events.c:5665 — so scratch performances re-render with
-                # the audio they made)
+                # the audio they made). Audio follows the SOURCE clip,
+                # not the (video-only) scrap clip substituted above.
                 base = getattr(st.fg_clip, "fps", 25.0) or 25.0
                 vel = (st.pb_fps or base) / base
-                extra["audio_clips"] = [-1, clips[0]]
+                extra["audio_clips"] = [-1, src_uid]
                 extra["audio_seeks"] = [self.audio._pos
                                         / self.audio._src_rate, vel]
             self.event_list.insert(

@@ -291,12 +291,20 @@ class L2LParser:
     def _start_frame(self, fields: list[bytes]) -> None:
         (tc, hsize, vsize, fps, pal, sampling, clamping, subspace,
          compression) = fields[4:13]
-        self._meta = {
+        meta = {
             "tc_ticks": int(tc), "width": int(hsize), "height": int(vsize),
             "fps": float(fps), "palette": int(pal),
             "sampling": int(sampling), "clamping": int(clamping),
             "subspace": int(subspace), "compression": int(compression),
         }
+        # untrusted input: an unknown palette raises here (caught by the
+        # caller -> packet skipped), and hostile geometry whose frame
+        # would dwarf any real stream is rejected instead of letting
+        # _emit allocate petabytes of padding
+        if not (0 < l2l_frame_size(meta["palette"], meta["width"],
+                                   meta["height"]) <= _L2L_MAX_DSIZE):
+            raise ValueError("hostile L2L frame geometry")
+        self._meta = meta
         self.fps = self._meta["fps"]
         self._acc = bytearray()
 
@@ -435,7 +443,13 @@ class L2LReceiver:
                 continue
             except OSError:
                 break
-            frames = self._parser.feed(data)
+            try:
+                frames = self._parser.feed(data)
+            except Exception:
+                # defense in depth: a parser bug on hostile bytes must
+                # not kill the receive thread — drop state and resync
+                self._parser = L2LParser(self._parser.stream_id)
+                continue
             if frames:
                 with self._lock:
                     self._latest = frames[-1]

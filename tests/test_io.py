@@ -256,3 +256,32 @@ def test_y4m_truncated_final_frame_excluded(tmp_path):
     cd = try_decoders(str(p))
     assert cd is not None and cd.nframes == 3
     cd.decoder.get_frame(2)  # last intact frame reads fine
+
+
+def test_scan_scrap_clips_recovers_uid_map(tmp_path):
+    """Crash recovery: the uid -> scrap-clip map rebuilds from the scrap
+    directory (the full uid is encoded in the filename record_stop
+    writes), so a recovered recording's scrap references resolve."""
+    from lives_tpu.io.jpeg_ingest import load_jpegcoef
+    if load_jpegcoef() is None:
+        pytest.skip("jpeg bridge unavailable")
+    import jax.numpy as jnp
+
+    from lives_tpu.constants import Palette
+    from lives_tpu.io.scrap import MJPEGScrapRecorder, scan_scrap_clips
+    from lives_tpu.layer import Layer
+    rec = MJPEGScrapRecorder(64, 48, fps=30.0)
+    rng = np.random.default_rng(5)
+    for i in range(10):
+        rec.put(Layer(planes=(jnp.asarray(rng.integers(
+            0, 256, (3, 48, 64), np.uint8)),),
+            palette=int(Palette.RGB24)))
+    path = (tmp_path / "scrap"
+            / f"scrap_{rec.unique_id:016x}_000001.avi")
+    clip = rec.finalize(path)
+    assert clip is not None and clip.frames == 10
+    found = scan_scrap_clips(tmp_path)
+    assert rec.unique_id in found
+    assert found[rec.unique_id].frames == 10
+    lay = found[rec.unique_id].get_frame(3)
+    assert np.asarray(lay.planes[0]).shape == (3, 48, 64)

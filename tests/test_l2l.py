@@ -335,3 +335,22 @@ def test_parser_hostile_dsize_does_not_accumulate():
     assert len(frames) == 1
     assert np.array_equal(
         np.asarray(frames[0].planes[0]).transpose(1, 2, 0), img)
+
+
+def test_parser_hostile_palette_and_geometry_survive():
+    """Unknown palette ids and petabyte frame geometries are hostile
+    header fields: the packet is skipped, the parser keeps running, and
+    no giant padding allocation happens in _emit."""
+    img = _rgb_frame(16, 12, seed=3)
+    bad_pal = b"PACKET 1 0 0 576 0 16 12 25.0 7 1 0 0 0 DATA" + bytes(576)
+    huge_geom = (b"PACKET 1 0 0 1000 0 100000000 100000000 25.0 1 1 0 0 0 "
+                 b"DATA" + bytes(1000))
+    cont = b"PACKET 1 0 1 1000 DATA" + bytes(1000)
+    parser = L2LParser()
+    assert parser.feed(bad_pal) == []
+    assert parser.feed(huge_geom) == []
+    for _ in range(8):                       # continuations w/o a frame
+        assert parser.feed(cont) == []
+    assert len(parser._acc) < 4096
+    frames = parser.feed(_ref_sender_bytes(img, tc_ticks=0))
+    assert len(frames) == 1                  # still alive and in sync

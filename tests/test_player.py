@@ -778,3 +778,129 @@ def test_live_feed_sources_scrap_on_record():
     refs = [e for e in el if getattr(e, "clips", None)
             and e.clips[0] == uid]
     assert refs and max(e.frames[0] for e in refs) < scrap.frames
+
+
+def test_recorded_audio_follows_source_not_scrap(tmp_path):
+    """Scrap substitution must not hijack audio_clips: audio follows the
+    SOURCE clip (whose audio_source plays), not the video-only scrap
+    clip (events.c:5665 pair schema)."""
+    import time as _time
+    from lives_tpu.graph import SinkSpec
+    from lives_tpu.io.jpeg_ingest import load_jpegcoef
+    from lives_tpu.player import NullSink, Player
+    from lives_tpu.audio.fx import AudioPlayer
+    if load_jpegcoef() is None:
+        import pytest as _pytest
+        _pytest.skip("jpeg bridge unavailable")
+
+    class Feed:
+        width, height, fps = 64, 48, 30.0
+        frames = 1 << 30
+        unique_id = 0xBEEF
+        scrap_on_record = True
+
+        def get_frame(self, n):
+            import jax.numpy as jnp
+            return Layer(planes=(jnp.zeros((3, 48, 64), jnp.uint8),),
+                         palette=int(Palette.RGB24))
+
+    feed = Feed()
+    p = Player(sink=NullSink(), sink_spec=SinkSpec(width=64, height=48),
+               fps=30.0)
+    p.precache_depth = 0
+    p.state.fg_clip = feed
+    # an audio feeder with data makes the recorder write audio pairs
+    p.audio = AudioPlayer(p, sink=None)
+    p.audio._data = np.zeros((44100, 2), np.float32)
+    p.audio._src_rate = 44100
+    p.audio._pos = 0.0
+    p.set_pb_fps(30.0)
+    p.start()
+    p.record_start(64, 48)
+    t0 = _time.monotonic()
+    while _time.monotonic() - t0 < 1.0:
+        p.process_one()
+        _time.sleep(0.002)
+    el = p.record_stop()
+    p.stop()
+    assert p.rec_scrap_clips
+    uid = next(iter(p.rec_scrap_clips))
+    scrapped = [e for e in el if getattr(e, "clips", None)
+                and e.clips[0] == uid]
+    assert scrapped, "scrap never engaged"
+    for e in scrapped:
+        ac = e.props.get("audio_clips")
+        if ac:
+            assert ac[1] == 0xBEEF, "audio pair points at the scrap clip"
+
+
+def test_scrap_worker_failure_rewrites_events_to_source(monkeypatch):
+    """If the encode worker dies mid-take, record_stop rewrites the
+    affected FRAME events back to the live-source reference captured at
+    record time — degraded replay, never blank frames."""
+    import time as _time
+    from lives_tpu import io as _io
+    from lives_tpu.graph import SinkSpec
+    from lives_tpu.player import NullSink, Player
+    import lives_tpu.io.jpeg_encode as je
+
+    class Boom:
+        def __init__(self, *a, **k):
+            raise RuntimeError("encoder unavailable")
+
+    monkeypatch.setattr(je, "JpegDeviceEncoder", Boom)
+
+    class Feed:
+        width, height, fps = 64, 48, 30.0
+        frames = 1 << 30
+        unique_id = 0xD00D
+        scrap_on_record = True
+
+        def get_frame(self, n):
+            import jax.numpy as jnp
+            return Layer(planes=(jnp.zeros((3, 48, 64), jnp.uint8),),
+                         palette=int(Palette.RGB24))
+
+    feed = Feed()
+    p = Player(sink=NullSink(), sink_spec=SinkSpec(width=64, height=48),
+               fps=30.0)
+    p.precache_depth = 0
+    p.state.fg_clip = feed
+    p.set_pb_fps(30.0)
+    p.start()
+    p.record_start(64, 48)
+    t0 = _time.monotonic()
+    while _time.monotonic() - t0 < 1.0:
+        p.process_one()
+        _time.sleep(0.002)
+    el = p.record_stop()
+    p.stop()
+    assert not p.rec_scrap_clips            # nothing finalized
+    fevents = [e for e in el if getattr(e, "clips", None)]
+    assert fevents
+    for e in fevents:                       # every event restored
+        assert e.clips[0] == 0xD00D
+        assert e.frames[0] >= 0
+
+
+def test_double_record_stop_keeps_last_take():
+    """A stray second record_stop (OSC /record/disable twice) must not
+    clobber the saved take."""
+    from lives_tpu.graph import SinkSpec
+    from lives_tpu.player import NullSink, Player
+    import time as _time
+    p = Player(sink=NullSink(), sink_spec=SinkSpec(width=32, height=16),
+               fps=25.0)
+    p.state.fg_clip = MemClip()
+    p.start()
+    p.record_start(32, 16)
+    for i in range(3):
+        p.state.frame = -1
+        p._clock0 = _time.monotonic()
+        p._frame0 = float(i)
+        p.process_one()
+    el = p.record_stop()
+    assert p.last_recording is el and len(el.events)
+    p.record_stop()                         # stray second stop
+    assert p.last_recording is el           # take survives
+    p.stop()
