@@ -508,7 +508,9 @@ class LiVESMultitrack:
         raw.frames = len(frames)
         raw.create_frame_index(all_virtual=False)
         for i in range(len(frames)):
-            raw.put_frame(i, Layer(planes=(jnp.asarray(frames[i]),),
+            # HOST arrays straight to disk (no per-frame device round
+            # trip — each costs a tunnel RPC)
+            raw.put_frame(i, Layer(planes=(frames[i],),
                                    palette=int(Palette.RGB24)))
         if render_audio:
             audio = mt.render_audio(uid_map)

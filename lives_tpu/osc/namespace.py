@@ -1005,7 +1005,9 @@ def register_extended(srv) -> None:
         out.frames = len(frames)
         out.create_frame_index(all_virtual=False)
         for i in range(len(frames)):
-            out.put_frame(i, Layer(planes=(jnp.asarray(frames[i]),),
+            # HOST arrays straight to disk (no per-frame device round
+            # trip — each costs a tunnel RPC)
+            out.put_frame(i, Layer(planes=(frames[i],),
                                    palette=int(Palette.RGB24)))
         if int(with_audio):
             audio = model.render_audio(uid_map)
