@@ -133,6 +133,8 @@ class EffectKeyMap:
 class LiVESPlayer:
     """liblives `player`."""
 
+    AUTOSAVE_NAME = "recording.autosave.json"
+
     def __init__(self, app: "LiVESApp", sink: Sink | None = None):
         self._app = app
         self._player = Player(sink=sink or NullSink())
@@ -163,15 +165,22 @@ class LiVESPlayer:
         self._player.play_n_cycles(n)
 
     # -- recording (reference record + deal_with_render_choice flow) -------
-    def record_start(self, scrap_generators: bool = True):
+    def record_start(self, scrap_generators: bool = True,
+                     backup_every: float = 5.0):
         """Start recording the performance (events.c record path). Live
         generator output is scrapped to MJPEG clips by default so the
-        render reproduces the take exactly."""
+        render reproduces the take exactly. The take autosaves to
+        <workdir>/recording.autosave.json (reference backup_recording)
+        so a crash never loses a performance; recover_recording() on the
+        app renders it after a restart."""
         clip = self._player.state.fg_clip
         self._player.scrap_dir = str(self._app.workdir)
         self._player.record_start(width=getattr(clip, "width", 0),
                                   height=getattr(clip, "height", 0),
-                                  scrap_generators=scrap_generators)
+                                  scrap_generators=scrap_generators,
+                                  backup_path=str(self._app.workdir
+                                                  / self.AUTOSAVE_NAME),
+                                  backup_every=backup_every)
         self._app._notify(NOTIFY.RECORD_STARTED, "")
 
     def record_stop(self):
@@ -227,6 +236,9 @@ class LiVESPlayer:
             if len(audio) and np.abs(audio).max() > 1e-6:
                 raw.write_audio(audio.astype(np.float32), 44100)
         raw.save_header()
+        autosave = self._app.workdir / self.AUTOSAVE_NAME
+        if autosave.exists():
+            autosave.unlink()  # take rendered: recovery no longer needed
         self._app._notify(NOTIFY.CLIP_OPENED, str(out.number))
         return out
 
@@ -585,6 +597,37 @@ class LiVESApp:
     def get_multitrack(self) -> LiVESMultitrack:
         """liblives `livesApp::getMultitrack()`."""
         return self.mt
+
+    # -- recording crash recovery ------------------------------------------
+    def check_recording_recovery(self) -> bool:
+        """True when an autosaved recording from a crashed session exists
+        (deal_with_render_choice(is_recovery), events.c:5955)."""
+        return (self.workdir / LiVESPlayer.AUTOSAVE_NAME).exists()
+
+    def recover_recording(self, render_audio: bool = True
+                          ) -> Optional[LiVESClip]:
+        """Render an autosaved recording from a crashed session to a NEW
+        clip. Scrap clips finalized by the crashed session resolve via
+        the uids in their filenames (scan_scrap_clips); takes that
+        crashed mid-recording were autosaved with live-source references
+        and replay from the sources. Returns the clip, or None when
+        there is nothing to recover."""
+        from .events.event_list import EventList
+        from .io.scrap import scan_scrap_clips
+        path = self.workdir / LiVESPlayer.AUTOSAVE_NAME
+        if not path.exists():
+            return None
+        try:
+            el = EventList.from_json(path.read_text())
+        except (ValueError, KeyError):
+            return None  # truncated autosave from a crash mid-write
+        if not len(el.events):
+            path.unlink()
+            return None
+        pl = self.player._player
+        pl.last_recording = el
+        pl.rec_scrap_clips.update(scan_scrap_clips(self.workdir))
+        return self.player.render_recording(render_audio=render_audio)
 
     def quit(self):
         self._notify(NOTIFY.APP_QUIT, "")

@@ -575,14 +575,8 @@ class Player:
             # them back to the live-source reference captured at record
             # time (degrades to approximate replay, never blank frames)
             n_ok = clip.frames if clip is not None else 0
-            if el is not None and n_ok < len(rec.origs):
-                for e in el:
-                    cl = getattr(e, "clips", None)
-                    if not cl:
-                        continue
-                    for i, (c, f) in enumerate(zip(cl, e.frames)):
-                        if c == rec.unique_id and f >= n_ok:
-                            e.clips[i], e.frames[i] = rec.origs[f]
+            if el is not None:
+                self._rewrite_scrap_refs(el, rec, n_ok)
         self._scrap_recs = {}
         if el is not None:
             # kept for the render-choice surface (api/OSC /record/render)
@@ -590,7 +584,31 @@ class Player:
             # (deal_with_render_choice, events.c:5101). A stray second
             # stop (el None) must not clobber the saved take.
             self.last_recording = el
+            if getattr(self, "_rec_backup_path", None):
+                # final autosave with the now-durable scrap references:
+                # the take survives a crash between stop and render
+                # (deal_with_render_choice(is_recovery)). The render
+                # surface removes the file once the take is rendered.
+                try:
+                    with open(self._rec_backup_path, "w") as fh:
+                        fh.write(el.to_json())
+                except OSError:
+                    pass
         return el
+
+    @staticmethod
+    def _rewrite_scrap_refs(el: EventList, rec, n_ok: int) -> None:
+        """Point FRAME events referencing scrap indices >= n_ok back at
+        the live-source (clip, frame) captured at record time."""
+        if n_ok >= len(rec.origs):
+            return
+        for e in el:
+            cl = getattr(e, "clips", None)
+            if not cl:
+                continue
+            for i, (c, f) in enumerate(zip(cl, e.frames)):
+                if c == rec.unique_id and f >= n_ok:
+                    e.clips[i], e.frames[i] = rec.origs[f]
 
     # -- render-choice helpers (shared by api.py and the OSC surface) ------
     def recording_uid_map(self, clips=()) -> dict:
@@ -685,6 +703,17 @@ class Player:
 
     def _rec_tc(self) -> int:
         return self._now_ticks() - self._rec_t0
+
+    def _backup_snapshot(self) -> str:
+        """Autosave JSON of the in-flight recording. Scrap clips are not
+        durable until record_stop finalizes them, so the snapshot
+        substitutes the live-source references back in — a crash mid-take
+        recovers to an approximate (source-replayed) take instead of
+        dangling scrap uids."""
+        el = EventList.from_json(self.event_list.to_json())
+        for rec in self._scrap_recs.values():
+            self._rewrite_scrap_refs(el, rec, 0)
+        return el.to_json()
 
     # -- playback ----------------------------------------------------------
     def start(self):
@@ -1379,7 +1408,7 @@ class Player:
                     > self._rec_backup_every:
                 try:
                     with open(self._rec_backup_path, "w") as fh:
-                        fh.write(self.event_list.to_json())
+                        fh.write(self._backup_snapshot())
                     self._rec_last_backup = time.monotonic()
                 except OSError:
                     pass

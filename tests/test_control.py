@@ -275,3 +275,82 @@ def test_api_preview_recording_paces_frames_to_sink(tmp_path):
     assert app.set.num_clips == n_before        # no clip materialised
     assert dt >= 4 / 25.0 * 0.8                 # paced, not dumped
     app.quit()
+
+
+def test_recording_crash_recovery_renders_in_fresh_app(tmp_path):
+    """Crash between record_stop and render: the final autosave (with
+    durable scrap refs) recovers in a FRESH app and renders — the
+    reference's deal_with_render_choice(is_recovery) flow."""
+    import time as _time
+    from lives_tpu.api import LiVESApp
+    from lives_tpu.effects.milkdrop import register_milk_preset
+    from lives_tpu.io.genclip import GeneratorClip
+    from lives_tpu.io.jpeg_ingest import load_jpegcoef
+    if load_jpegcoef() is None:
+        import pytest as _pytest
+        _pytest.skip("jpeg bridge unavailable")
+    register_milk_preset("[p]\nfDecay=0.9\nwave_a=1\nzoom=1.01\n",
+                         "recov_t")
+    wd = tmp_path / "wd"
+    app = LiVESApp(workdir=wd, sink=CollectSink())
+    gen = GeneratorClip("milk_recov_t", width=64, height=48, fps=30.0)
+    app.player._player.state.fg_clip = gen
+    app.player._player.set_pb_fps(30.0)
+    app.player.play()
+    app.player.record_start()
+    t0 = _time.monotonic()
+    while _time.monotonic() - t0 < 1.5:
+        app.player._player.process_one()
+        _time.sleep(0.002)
+    app.player.record_stop()
+    app.player.stop()
+    assert app.check_recording_recovery()
+    # "crash": a brand-new app over the same workdir, no in-memory state
+    app2 = LiVESApp(workdir=wd, sink=CollectSink())
+    assert app2.check_recording_recovery()
+    out = app2.recover_recording()
+    assert out is not None and out.raw().frames > 0
+    arr = np.asarray(out.raw().get_frame(0).planes[0])
+    assert arr.shape[0] == 3 and arr.max() > 0
+    assert not app2.check_recording_recovery()   # autosave consumed
+    app.quit()
+    app2.quit()
+
+
+def test_mid_take_autosave_has_no_scrap_refs(tmp_path):
+    """A crash mid-take leaves an autosave whose FRAME events reference
+    the live SOURCES (scrap clips aren't durable until record_stop) —
+    it must load and render approximately, never dangle."""
+    import time as _time
+    from lives_tpu.api import LiVESApp
+    from lives_tpu.effects.milkdrop import register_milk_preset
+    from lives_tpu.events.event_list import EventList
+    from lives_tpu.io.genclip import GeneratorClip
+    from lives_tpu.io.jpeg_ingest import load_jpegcoef
+    if load_jpegcoef() is None:
+        import pytest as _pytest
+        _pytest.skip("jpeg bridge unavailable")
+    register_milk_preset("[p]\nfDecay=0.8\nwave_a=1\n", "recov_m")
+    wd = tmp_path / "wd"
+    app = LiVESApp(workdir=wd, sink=CollectSink())
+    gen = GeneratorClip("milk_recov_m", width=64, height=48, fps=30.0)
+    app.player._player.state.fg_clip = gen
+    app.player._player.set_pb_fps(30.0)
+    app.player.play()
+    app.player.record_start(backup_every=0.0)   # autosave every frame
+    t0 = _time.monotonic()
+    while _time.monotonic() - t0 < 1.0:
+        app.player._player.process_one()
+        _time.sleep(0.002)
+    # crash: NO record_stop — read the mid-take autosave directly
+    el = EventList.from_json(
+        (wd / "recording.autosave.json").read_text())
+    scrap_uids = {r.unique_id
+                  for r in app.player._player._scrap_recs.values()}
+    for e in el:
+        if getattr(e, "clips", None):
+            assert e.clips[0] not in scrap_uids
+            assert e.clips[0] == gen.unique_id
+    app.player._player.record = False           # silence the take
+    app.player.stop()
+    app.quit()
