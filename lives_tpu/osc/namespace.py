@@ -1089,6 +1089,27 @@ def register_extended(srv) -> None:
 
     m("/record/preview", record_preview)
 
+    def record_recover():
+        """Load an autosaved recording from a crashed session (written
+        under the server workdir by the api record path) and render it —
+        deal_with_render_choice(is_recovery), events.c:5955. Returns the
+        new clip id."""
+        from ..events.event_list import EventList
+        from ..io.scrap import scan_scrap_clips
+        base = workdir()
+        path = os.path.join(str(base), "recording.autosave.json")
+        if not os.path.exists(path):
+            raise RuntimeError("no autosaved recording")
+        pl = p()
+        with open(path) as fh:
+            pl.last_recording = EventList.from_json(fh.read())
+        pl.rec_scrap_clips.update(scan_scrap_clips(base))
+        cid = record_render()
+        os.unlink(path)
+        return cid
+
+    m("/record/recover", record_recover)
+
 
 def _open_videodev(srv, dev: str):
     from ..io.videodev import V4L2Source
