@@ -193,6 +193,11 @@ class LiVESPlayer:
     def recording(self) -> bool:
         return bool(self._player.record)
 
+    def discard_recording(self) -> bool:
+        """Drop the last take and its autosave — the "discard" arm of
+        the render choice."""
+        return self._player.discard_recording()
+
     def _recording_uid_map(self) -> dict:
         return self._player.recording_uid_map(
             cl.raw() for cl in self._app._clips)
@@ -512,7 +517,6 @@ class LiVESMultitrack:
         frames, _tcs = mt.render(
             src, sink=SinkSpec(width=w, height=h))
         out = self._app.new_clip(w, h, mt.el.fps, name="rendered")
-        import jax.numpy as jnp
         import numpy as np
 
         from .constants import Palette
@@ -555,6 +559,10 @@ class LiVESApp:
         self.osc: Optional[OSCServer] = None
         if osc_port is not None:
             self.osc = OSCServer(self.player._player, port=osc_port)
+            # one workdir for the whole app: the OSC record/recover
+            # surface must see the same autosaves and scrap clips the
+            # api writes
+            self.osc.workdir = str(self.workdir)
             self.osc.start()
 
     # -- clips -------------------------------------------------------------
@@ -627,6 +635,14 @@ class LiVESApp:
         pl = self.player._player
         pl.last_recording = el
         pl.rec_scrap_clips.update(scan_scrap_clips(self.workdir))
+        referenced = {c for e in el.events
+                      for c in (getattr(e, "clips", None) or [])}
+        if not referenced & set(self.player._recording_uid_map()):
+            # nothing the take references resolves in this session (e.g.
+            # a mid-take autosave whose sources are not reopened): keep
+            # the autosave rather than rendering blank frames and
+            # destroying the only copy of the performance
+            return None
         return self.player.render_recording(render_audio=render_audio)
 
     def quit(self):

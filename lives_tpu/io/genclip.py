@@ -30,7 +30,10 @@ class GeneratorClip:
         self.fps = fps
         self.frames = frames
         self.name = filter_name
-        self.unique_id = hash((filter_name, width, height)) & ((1 << 63) - 1)
+        # process-stable: recorded/autosaved FRAME events reference this
+        # uid and must resolve after a restart (crash recovery)
+        from ..utils.uid import stable_uid
+        self.unique_id = stable_uid("gen", filter_name, width, height)
         self._fn = None
         self._state = None  # stateful generator state (threads host-side)
         # audio-generator sources (reference: generator instances may carry

@@ -79,7 +79,8 @@ class ScrapReader:
         import os
         self._fh.seek(0, os.SEEK_END)
         self.frames = (self._fh.tell() - self.data_start) // self.frame_size
-        self.unique_id = hash(str(path)) & ((1 << 63) - 1)
+        from ..utils.uid import stable_uid
+        self.unique_id = stable_uid("scrapfile", str(path))
 
     def get_frame(self, n: int) -> Layer:
         n = max(0, min(n, self.frames - 1))

@@ -50,7 +50,8 @@ class V4L2Source:
         self.width, self.height = width, height
         self.fps = 30.0
         self.frames = 1 << 30
-        self.unique_id = hash(device) & ((1 << 63) - 1)
+        from ..utils.uid import stable_uid
+        self.unique_id = stable_uid("v4l2", device)
         self.scrap_on_record = True  # live feed: recordings scrap frames
         self.fd = os.open(device, os.O_RDWR | os.O_NONBLOCK)
         self.pixfmt = V4L2_PIX_FMT_YUYV

@@ -984,7 +984,6 @@ def register_extended(srv) -> None:
         (render_to_clip, events.c:4994). Returns the new clip id."""
         import numpy as np
 
-        import jax.numpy as jnp
         from ..constants import Palette
         from ..io.clips import create_clip
         from ..io.jpeg_ingest import MJPEGMultiClipSource
@@ -1054,11 +1053,18 @@ def register_extended(srv) -> None:
             if len(audio) and np.abs(audio).max() > 1e-6:
                 out.write_audio(audio.astype(np.float32), 44100)
         out.save_header()
+        autosave = os.path.join(str(workdir()),
+                                "recording.autosave.json")
+        bp = getattr(pl, "_rec_backup_path", None)
+        for f in {autosave, str(bp) if bp else autosave}:
+            if os.path.exists(f):
+                os.unlink(f)   # take rendered: recovery no longer needed
         cid = new_id()
         srv.clips[cid] = out
         return cid
 
     m("/record/render", record_render)
+    m("/record/discard", lambda: int(p().discard_recording()))
 
     def record_preview(max_seconds=30.0):
         """Preview the last take through the player's sink, paced to its
@@ -1105,7 +1111,8 @@ def register_extended(srv) -> None:
             pl.last_recording = EventList.from_json(fh.read())
         pl.rec_scrap_clips.update(scan_scrap_clips(base))
         cid = record_render()
-        os.unlink(path)
+        if os.path.exists(path):   # record_render usually removed it
+            os.unlink(path)
         return cid
 
     m("/record/recover", record_recover)

@@ -245,12 +245,17 @@ class OSCServer:
 
         # record
         def rec_start():
+            import os as _os
             pl = p()
             clip = pl.state.fg_clip
+            backup = None
             if getattr(self, "workdir", None):
                 pl.scrap_dir = str(self.workdir)  # durable scrap clips
+                backup = _os.path.join(str(self.workdir),
+                                       "recording.autosave.json")
             pl.record_start(width=getattr(clip, "width", 0),
-                            height=getattr(clip, "height", 0))
+                            height=getattr(clip, "height", 0),
+                            backup_path=backup)
             self.notify(NOTIFY.RECORD_STARTED)
 
         def rec_stop():

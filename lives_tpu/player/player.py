@@ -588,10 +588,11 @@ class Player:
                 # final autosave with the now-durable scrap references:
                 # the take survives a crash between stop and render
                 # (deal_with_render_choice(is_recovery)). The render
-                # surface removes the file once the take is rendered.
+                # surface removes the file once the take is rendered;
+                # discard_recording() drops an unwanted take.
                 try:
-                    with open(self._rec_backup_path, "w") as fh:
-                        fh.write(el.to_json())
+                    self._atomic_write(self._rec_backup_path,
+                                       el.to_json())
                 except OSError:
                     pass
         return el
@@ -704,16 +705,32 @@ class Player:
     def _rec_tc(self) -> int:
         return self._now_ticks() - self._rec_t0
 
-    def _backup_snapshot(self) -> str:
-        """Autosave JSON of the in-flight recording. Scrap clips are not
-        durable until record_stop finalizes them, so the snapshot
-        substitutes the live-source references back in — a crash mid-take
-        recovers to an approximate (source-replayed) take instead of
-        dangling scrap uids."""
-        el = EventList.from_json(self.event_list.to_json())
-        for rec in self._scrap_recs.values():
-            self._rewrite_scrap_refs(el, rec, 0)
-        return el.to_json()
+    @staticmethod
+    def _atomic_write(path, text: str) -> None:
+        """tmp + os.replace: a crash mid-write must never destroy the
+        previous good autosave (the exact window the file exists for)."""
+        import os
+        tmp = str(path) + ".tmp"
+        with open(tmp, "w") as fh:
+            fh.write(text)
+        os.replace(tmp, str(path))
+
+    def discard_recording(self) -> bool:
+        """Drop the last take and its autosave — the "discard" arm of the
+        render choice (deal_with_render_choice, events.c:5955). Returns
+        True when something was discarded."""
+        import os
+        had = self.last_recording is not None
+        self.last_recording = None
+        self.rec_scrap_clips = {}
+        path = getattr(self, "_rec_backup_path", None)
+        if path:
+            try:
+                os.unlink(path)
+                had = True
+            except OSError:
+                pass
+        return had
 
     # -- playback ----------------------------------------------------------
     def start(self):
@@ -1405,13 +1422,31 @@ class Player:
                 frame_event(self._rec_tc(), clips, frames, **extra))
             if getattr(self, "_rec_backup_path", None) and \
                     time.monotonic() - self._rec_last_backup \
-                    > self._rec_backup_every:
-                try:
-                    with open(self._rec_backup_path, "w") as fh:
-                        fh.write(self._backup_snapshot())
-                    self._rec_last_backup = time.monotonic()
-                except OSError:
-                    pass
+                    > self._rec_backup_every and \
+                    not getattr(self, "_backup_busy", False):
+                # one serialize on this thread (snapshot consistency);
+                # the scrap-ref rewrite + atomic file write run on a
+                # worker so a long take never stutters the frame loop
+                import threading
+                raw_json = self.event_list.to_json()
+                recs = list(self._scrap_recs.values())
+                self._backup_busy = True
+                self._rec_last_backup = time.monotonic()
+
+                def write_backup(js=raw_json, recs=recs,
+                                 path=self._rec_backup_path):
+                    try:
+                        snap = EventList.from_json(js)
+                        for rec in recs:
+                            self._rewrite_scrap_refs(snap, rec, 0)
+                        self._atomic_write(path, snap.to_json())
+                    except (OSError, ValueError, KeyError):
+                        pass
+                    finally:
+                        self._backup_busy = False
+
+                threading.Thread(target=write_backup, daemon=True,
+                                 name="rec-autosave").start()
         self.frames_shown += 1
         for cb in self.frame_listeners:
             try:

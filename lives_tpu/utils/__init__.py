@@ -5,3 +5,4 @@ from ..diagnostics import (FrameLadder, StepTimer, benchmark_memcpy,
 from ..messaging import MessageRing, console, d_print
 from ..prefs import Prefs, PrefsStore, pref, store
 from .timing import barrier_timer, device_barrier
+from .uid import stable_uid

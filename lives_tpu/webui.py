@@ -190,6 +190,8 @@ select{background:#26262c;color:#eee;border:1px solid #555;padding:3px}
   title="preview the last recorded take in the preview pane">preview take</button>
  <button onclick="cmd('/record/render')"
   title="render the last recorded take to a new clip">render take</button>
+ <button onclick="cmd('/record/discard')"
+  title="drop the last recorded take">discard take</button>
  <div class="param"><label>fps <span id="fpsv"></span></label>
   <input type="range" id="fps" min="-60" max="60" step="0.5"
    oninput="cmd('/video/fps/set',[+this.value])"></div>

@@ -354,3 +354,23 @@ def test_mid_take_autosave_has_no_scrap_refs(tmp_path):
     app.player._player.record = False           # silence the take
     app.player.stop()
     app.quit()
+
+
+def test_recover_recording_keeps_autosave_when_unresolvable(tmp_path):
+    """A recovered take whose sources don't resolve in this session must
+    NOT be rendered blank and destroyed — recover returns None and the
+    autosave survives for a later attempt."""
+    import json
+    from lives_tpu.api import LiVESApp
+    from lives_tpu.events.event_list import EventList, frame_event
+    wd = tmp_path / "wd"
+    wd.mkdir(parents=True)
+    el = EventList(fps=25.0)
+    for i in range(4):
+        el.insert(frame_event(i * 4_000_000, [0x5EED], [i]))
+    (wd / "recording.autosave.json").write_text(el.to_json())
+    app = LiVESApp(workdir=wd)
+    assert app.check_recording_recovery()
+    assert app.recover_recording() is None
+    assert app.check_recording_recovery()       # autosave preserved
+    app.quit()

@@ -351,3 +351,46 @@ def test_record_preview_method(srv):
             len(pl.sink.frames) < before + 4:
         _time.sleep(0.05)
     assert len(pl.sink.frames) >= before + 4
+
+
+def test_osc_record_recover_and_discard(tmp_path):
+    """Pure-OSC session: recording autosaves under the server workdir,
+    /record/recover renders it in a FRESH server, /record/discard drops
+    an unwanted take (render/preview/discard choice, events.c:5955)."""
+    import time as _time
+    from lives_tpu.events.event_list import TICKS_PER_SECOND as _TPS
+    TICKS = _TPS / 25.0
+
+    def drive(s):
+        pl = s.player
+        pl.start()
+        s.methods["/record/enable"]()
+        for i in range(4):
+            pl.state.frame = -1
+            pl._clock0 = _time.monotonic()
+            pl._frame0 = float(i)
+            pl.process_one()
+            pl._rec_t0 -= int(TICKS)
+        s.methods["/record/disable"]()
+        pl.stop()
+
+    s1 = OSCServer(player=Player(sink=CollectSink()))
+    s1.workdir = str(tmp_path)
+    s1.clips[1] = MemClip(uid=1)
+    s1.player.state.fg_clip = s1.clips[1]
+    drive(s1)
+    autosave = tmp_path / "recording.autosave.json"
+    assert autosave.exists()
+    # crash: fresh server over the same workdir; the clip is reopened
+    s2 = OSCServer(player=Player(sink=CollectSink()))
+    s2.workdir = str(tmp_path)
+    s2.clips[1] = MemClip(uid=1)
+    s2.player.state.fg_clip = s2.clips[1]
+    cid = s2.methods["/record/recover"]()
+    assert cid in s2.clips and s2.clips[cid].frames == 4
+    assert not autosave.exists()
+    # discard arm: a new take's autosave is dropped on /record/discard
+    drive(s2)
+    assert autosave.exists()
+    assert s2.methods["/record/discard"]() == 1
+    assert not autosave.exists()
