@@ -446,6 +446,17 @@ def register_extended(srv) -> None:
     m("/rfx/params/get", rfx_params)
     m("/rfx/apply", rfx_apply)
 
+    def rfx_load_dir(dirpath):
+        """Load user-authored RFX .script files (rfx_builder dialect)
+        from a directory — the reference scans the user's rfx dir at
+        startup (rfx-builder.c scripts land in ~/.lives-dir). Returns
+        the registered names."""
+        from ..rfx_builder import load_user_scripts
+        names = load_user_scripts(str(dirpath))
+        return ";".join(names)
+
+    m("/rfx/load_dir", rfx_load_dir)
+
     # ---- clip sets ---------------------------------------------------------
     class _ClipW:  # sets.py expects app._clips of .raw()-wrappers
         def __init__(self, c):

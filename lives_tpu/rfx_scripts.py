@@ -47,6 +47,9 @@ class ScriptDef:
         generators) take different kwargs than the reference Perl param
         blocks, so they advertise their own defaults — advertising names
         the runner would silently swallow is worse than a renamed UI."""
+        user = getattr(self, "user_spec", None)
+        if user is not None:   # user-authored (rfx_builder) scripts
+            return list(user)
         if self.runner is not None:
             def kind_of(v):
                 if isinstance(v, bool):
