@@ -457,6 +457,34 @@ def register_extended(srv) -> None:
 
     m("/rfx/load_dir", rfx_load_dir)
 
+    def rfx_define(name, filter_name, params_json="[]",
+                   mapping_json="{}", save=0):
+        """Author a rendered effect over the wire (the rfx-builder "New
+        Test RFX" dialog role, rfx-builder.c): params_json is a list of
+        [name, kind, default, min, max] rows, mapping_json maps filter
+        params to whitelisted arithmetic expressions. save=1 also writes
+        <workdir>/rfx/<name>.script in the reference DSL."""
+        import json
+
+        from ..rfx_builder import RFXBuilder
+        b = RFXBuilder(str(name))
+        for row in json.loads(str(params_json)):
+            pname, kind = row[0], (row[1] if len(row) > 1 else "num2")
+            dflt = row[2] if len(row) > 2 else 0.0
+            lo = float(row[3]) if len(row) > 3 else 0.0
+            hi = float(row[4]) if len(row) > 4 else 1.0
+            b.add_param(str(pname), str(kind), dflt, lo, hi)
+        mapping = {str(k): str(v)
+                   for k, v in json.loads(str(mapping_json)).items()}
+        b.set_filter(str(filter_name), **mapping)
+        b.register()
+        if int(save):
+            b.save(os.path.join(str(workdir()), "rfx",
+                                f"{name}.script"))
+        return str(name)
+
+    m("/rfx/define", rfx_define)
+
     # ---- clip sets ---------------------------------------------------------
     class _ClipW:  # sets.py expects app._clips of .raw()-wrappers
         def __init__(self, c):

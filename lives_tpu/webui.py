@@ -244,6 +244,20 @@ select{background:#26262c;color:#eee;border:1px solid #555;padding:3px}
  <div id="conns" style="font-size:12px"
   title="wire out params / alpha channels into other keys (pconx/cconx)">
  </div>
+ <h3>RFX builder</h3>
+ <div id="rfxb" style="font-size:12px"
+  title="author a rendered effect: bind a filter's params to expressions
+ over your script params + t (0..1 across the range) — rfx-builder role">
+  <input id="rfxb_name" placeholder="effect name" style="width:46%">
+  <select id="rfxb_filter" style="max-width:48%"></select>
+  <textarea id="rfxb_params" rows="2" style="width:96%"
+   placeholder="params: name kind default min max (one per line)"></textarea>
+  <textarea id="rfxb_map" rows="2" style="width:96%"
+   placeholder="mapping: filter_param = expr (one per line)"></textarea>
+  <button onclick="rfxDefine(0)">define</button>
+  <button onclick="rfxDefine(1)">define + save .script</button>
+  <span id="rfxb_msg"></span>
+ </div>
  <h3>Preferences
   <button onclick="cmd('/pref/apply_future',[]).then(drawPrefs)"
    title="apply the deferred (future_prefs) buffer">apply deferred</button>
@@ -252,6 +266,39 @@ select{background:#26262c;color:#eee;border:1px solid #555;padding:3px}
 </div>
 <script>
 let curKey=1;
+async function rfxDefine(save){
+ const name=document.getElementById('rfxb_name').value.trim();
+ const filt=document.getElementById('rfxb_filter').value;
+ if(!name||!filt)return;
+ const params=document.getElementById('rfxb_params').value.split('\n')
+   .map(l=>l.trim()).filter(Boolean).map(l=>{
+    const b=l.split(/\s+/);
+    return [b[0],b[1]||'num2',parseFloat(b[2]||'0'),
+            parseFloat(b[3]||'0'),parseFloat(b[4]||'1')];});
+ const map={};
+ document.getElementById('rfxb_map').value.split('\n')
+   .map(l=>l.trim()).filter(l=>l.includes('=')).forEach(l=>{
+    const i=l.indexOf('='); map[l.slice(0,i).trim()]=l.slice(i+1).trim();});
+ const r=await (await fetch('/api/cmd',{method:'POST',
+   body:JSON.stringify({path:'/rfx/define',
+    args:[name,filt,JSON.stringify(params),JSON.stringify(map),save]})}
+  )).json();
+ const msg=document.getElementById('rfxb_msg');
+ msg.textContent=r.ok?('registered '+r.ret):('error: '+r.error);
+ if(r.ok){const sel=document.getElementById('rfx');
+  const o=document.createElement('option');o.value=name;o.textContent=name;
+  sel.appendChild(o);}
+}
+async function loadRfxbFilters(){
+ const r=await (await fetch('/api/cmd',{method:'POST',
+   body:JSON.stringify({path:'/effects/list',args:[]})})).json();
+ if(!r.ok||!r.ret)return;
+ const sel=document.getElementById('rfxb_filter');
+ r.ret.split(' ').filter(Boolean).forEach((n)=>{
+  const o=document.createElement('option'); o.value=n; o.textContent=n;
+  sel.appendChild(o);});
+}
+setTimeout(loadRfxbFilters, 800);
 async function loadRfx(){
  const r=await (await fetch('/api/cmd',{method:'POST',
    body:JSON.stringify({path:'/rfx/list',args:[]})})).json();

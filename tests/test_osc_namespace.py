@@ -394,3 +394,20 @@ def test_osc_record_recover_and_discard(tmp_path):
     assert autosave.exists()
     assert s2.methods["/record/discard"]() == 1
     assert not autosave.exists()
+
+
+def test_rfx_define_over_the_wire(srv, tmp_path):
+    """/rfx/define (rfx-builder dialog role): author, register, persist,
+    and the script is immediately appliable + listed."""
+    import json
+    srv.workdir = str(tmp_path)
+    name = srv.methods["/rfx/define"](
+        "wire_dim", "brightness_contrast",
+        json.dumps([["depth", "num2", 0.4, 0.0, 1.0]]),
+        json.dumps({"brightness": "0 - depth * t"}), 1)
+    assert name == "wire_dim"
+    assert "wire_dim" in srv.methods["/rfx/list"]().split()
+    assert (tmp_path / "rfx" / "wire_dim.script").exists()
+    from lives_tpu.rfx_scripts import _SCRIPTS
+    assert "wire_dim" in _SCRIPTS
+    del _SCRIPTS["wire_dim"]
