@@ -485,6 +485,27 @@ def register_extended(srv) -> None:
 
     m("/rfx/define", rfx_define)
 
+    # ---- OMC learn (omc-learn.c MIDI/joystick learner window role) --------
+    def omc():
+        if getattr(srv, "omc", None) is None:
+            from ..omc import OMCLearner
+            srv.omc = OMCLearner(p())
+        return srv.omc
+
+    m("/omc/macro/list", lambda: " ".join(sorted(omc().macros)))
+    m("/omc/learn/start", lambda name: omc().start_learn(str(name)))
+    m("/omc/learn/status", lambda: omc().learning or "")
+    m("/omc/feed_midi",
+      lambda hexbytes: omc().feed_midi(bytes.fromhex(str(hexbytes))))
+    m("/omc/mappings/list",
+      lambda: ";".join(
+          f"{k.etype},{k.channel},{k.index}:{mp.macro}"
+          for k, mp in omc().mappings.items()))
+    m("/omc/map/save", lambda path: (omc().save_map(str(path)), 1)[1])
+    m("/omc/map/load", lambda path: (omc().load_map(str(path)), 1)[1])
+    m("/omc/mapping/clear",
+      lambda: (omc().mappings.clear(), 1)[1])
+
     # ---- clip sets ---------------------------------------------------------
     class _ClipW:  # sets.py expects app._clips of .raw()-wrappers
         def __init__(self, c):

@@ -258,6 +258,16 @@ select{background:#26262c;color:#eee;border:1px solid #555;padding:3px}
   <button onclick="rfxDefine(1)">define + save .script</button>
   <span id="rfxb_msg"></span>
  </div>
+ <h3>MIDI / joystick learn</h3>
+ <div id="omc" style="font-size:12px"
+  title="OMC learner: click learn, move the control, it binds
+ (omc-learn window role). Virtual events feed via /omc/feed_midi.">
+  <select id="omc_macro"></select>
+  <button onclick="omcLearn()">learn</button>
+  <span id="omc_status"></span>
+  <div id="omc_maps"></div>
+  <button onclick="cmd('/omc/mapping/clear').then(drawOmc)">clear</button>
+ </div>
  <h3>Preferences
   <button onclick="cmd('/pref/apply_future',[]).then(drawPrefs)"
    title="apply the deferred (future_prefs) buffer">apply deferred</button>
@@ -266,6 +276,33 @@ select{background:#26262c;color:#eee;border:1px solid #555;padding:3px}
 </div>
 <script>
 let curKey=1;
+async function api(path,args){
+ const r=await (await fetch('/api/cmd',{method:'POST',
+  body:JSON.stringify({path:path,args:args||[]})})).json();
+ return r;
+}
+async function drawOmc(){
+ const macros=await api('/omc/macro/list');
+ if(macros.ok){
+  const sel=document.getElementById('omc_macro');
+  if(!sel.options.length)
+   macros.ret.split(' ').filter(Boolean).forEach((n)=>{
+    const o=document.createElement('option');o.value=n;o.textContent=n;
+    sel.appendChild(o);});
+ }
+ const st=await api('/omc/learn/status');
+ document.getElementById('omc_status').textContent=
+  st.ret?('learning: '+st.ret+' — move the control'):'';
+ const maps=await api('/omc/mappings/list');
+ if(maps.ok)
+  document.getElementById('omc_maps').textContent=
+   (maps.ret||'').split(';').filter(Boolean).join('  ');
+}
+async function omcLearn(){
+ await api('/omc/learn/start',[document.getElementById('omc_macro').value]);
+ drawOmc();
+}
+setTimeout(drawOmc, 900); setInterval(drawOmc, 3000);
 async function rfxDefine(save){
  const name=document.getElementById('rfxb_name').value.trim();
  const filt=document.getElementById('rfxb_filter').value;

@@ -411,3 +411,24 @@ def test_rfx_define_over_the_wire(srv, tmp_path):
     from lives_tpu.rfx_scripts import _SCRIPTS
     assert "wire_dim" in _SCRIPTS
     del _SCRIPTS["wire_dim"]
+
+
+def test_omc_learn_over_osc(srv, tmp_path):
+    """OMC learner surface (/omc/*): learn a MIDI CC onto a macro, feed
+    events, persist the device map (omc-learn.c learner window role)."""
+    assert "blend" in srv.methods["/omc/macro/list"]().split()
+    srv.methods["/omc/learn/start"]("blend")
+    assert srv.methods["/omc/learn/status"]() == "blend"
+    # CC 7 on channel 0, value 127 -> binds while learning
+    assert srv.methods["/omc/feed_midi"]("b0077f") == 1
+    assert srv.methods["/omc/learn/status"]() == ""
+    srv.methods["/omc/feed_midi"]("b00740")   # value 0x40 ~ 0.5
+    assert abs(srv.player.state.blend_amount - 64 / 127) < 1e-6
+    assert srv.methods["/omc/mappings/list"]()
+    path = str(tmp_path / "map.json")
+    assert srv.methods["/omc/map/save"](path) == 1
+    assert srv.methods["/omc/mapping/clear"]() == 1
+    assert srv.methods["/omc/mappings/list"]() == ""
+    assert srv.methods["/omc/map/load"](path) == 1
+    srv.methods["/omc/feed_midi"]("b0077f")
+    assert abs(srv.player.state.blend_amount - 1.0) < 1e-6
