@@ -177,6 +177,11 @@ def test_record_autosave(tmp_path):
     p._clock0 = time.monotonic()
     p._frame0 = 3.0
     p.process_one()
+    # the snapshot write runs on a worker thread (it must never stall
+    # the serving loop): poll briefly
+    deadline = time.monotonic() + 3.0
+    while time.monotonic() < deadline and not backup.exists():
+        time.sleep(0.02)
     assert backup.exists()
     from lives_tpu.events import EventList
     el = EventList.from_json(backup.read_text())
