@@ -517,6 +517,7 @@ class Player:
         self.rec_scrap_clips = {}
         self.event_list = EventList(fps=abs(self.state.pb_fps) or 25.0,
                                     width=width, height=height)
+        self._rec_gen = getattr(self, "_rec_gen", 0) + 1
         self.record = True
         self._rec_t0 = self._now_ticks()
         self._rec_backup_path = backup_path
@@ -542,6 +543,7 @@ class Player:
     def record_stop(self) -> EventList:
         self._annotate_rec_cconx()  # final wiring snapshot
         self.record = False
+        self._rec_gen = getattr(self, "_rec_gen", 0) + 1
         el, self.event_list = self.event_list, None
         self._rec_inits.clear()
         self._rec_automix = None
@@ -1432,14 +1434,18 @@ class Player:
                 recs = list(self._scrap_recs.values())
                 self._backup_busy = True
                 self._rec_last_backup = time.monotonic()
+                gen = self._rec_gen
 
                 def write_backup(js=raw_json, recs=recs,
-                                 path=self._rec_backup_path):
+                                 path=self._rec_backup_path, gen=gen):
                     try:
                         snap = EventList.from_json(js)
                         for rec in recs:
                             self._rewrite_scrap_refs(snap, rec, 0)
-                        self._atomic_write(path, snap.to_json())
+                        if self._rec_gen == gen:
+                            # a finished/rendered/discarded take must
+                            # not be resurrected by a late stale write
+                            self._atomic_write(path, snap.to_json())
                     except (OSError, ValueError, KeyError):
                         pass
                     finally:
