@@ -178,6 +178,12 @@ def main(argv=None):
 
     diag = sub.add_parser("selftest", help="run startup diagnostics")
 
+    rcv = sub.add_parser("recover", help="recover a crashed session: "
+                         "reopen journaled clips and render the "
+                         "autosaved recording")
+    rcv.add_argument("workdir")
+    rcv.add_argument("--no-audio", action="store_true")
+
     rfx = sub.add_parser("rfx", help="list/apply rendered-effect scripts")
     rfx.add_argument("script", nargs="?", default=None,
                      help="script name (omit to list)")
@@ -210,6 +216,22 @@ def main(argv=None):
         for k, v in res.items():
             print(f"{'PASS' if v else 'FAIL'} {k}")
         return 0 if all(res.values()) else 1
+    if args.cmd == "recover":
+        from .api import LiVESApp
+        from .sets import recover_clips
+        app = LiVESApp(workdir=args.workdir)
+        n = recover_clips(app)
+        print(f"recovered {n} journaled clip(s)")
+        if not app.check_recording_recovery():
+            print("no autosaved recording")
+            return 0 if n else 1
+        out = app.recover_recording(render_audio=not args.no_audio)
+        if out is None:
+            print("autosaved recording did not resolve (kept on disk)")
+            return 1
+        print(f"rendered take -> clip {out.number}: "
+              f"{out.raw().frames} frames under {app.workdir}")
+        return 0
     if args.cmd == "render":
         import numpy as np
 

@@ -72,6 +72,10 @@ class Clip:
     img_type: str = "png"
     frame_index: Optional[np.ndarray] = None   # int32; None = all images
     cdata: Optional[ClipData] = None
+    #: original media uri — persisted so reload/recovery can reattach the
+    #: decoder for virtual frames (reference stores file_name in the
+    #: header, cliphandler.h)
+    source_uri: str = ""
     # content generation: bumped whenever frame n -> pixels changes
     # (put_frame, index rewrites); frame caches key on it
     version: int = 0
@@ -212,6 +216,8 @@ class Clip:
         tag("img_type", self.img_type)
         tag("gamma_type", int(self.gamma))
         tag("clip_type", int(self.clip_type))
+        if self.source_uri:
+            tag("source_uri", self.source_uri)
         (self.clip_dir / "header.lives").write_text("\n".join(t) + "\n")
         if self.frame_index is not None:
             (self.clip_dir / "frame_index").write_bytes(
@@ -243,9 +249,19 @@ class Clip:
         c.img_type = get("img_type", "png")
         c.gamma = get("gamma_type", int(Gamma.SRGB), int)
         c.clip_type = ClipType(get("clip_type", 0, int))
+        c.source_uri = get("source_uri", "")
         fi = clip_dir / "frame_index"
         if fi.exists():
             c.frame_index = np.frombuffer(fi.read_bytes(), "<i4").copy()
+        if c.source_uri and c.frame_index is not None \
+                and (c.frame_index >= 0).any():
+            # virtual frames need their decoder back (reload_clip role,
+            # clip_load_save.c:2208); a vanished source leaves cdata
+            # None and check_integrity rejects the clip
+            try:
+                c.cdata = try_decoders(c.source_uri)
+            except Exception:
+                c.cdata = None
         return c
 
     def check_integrity(self) -> bool:
@@ -254,6 +270,8 @@ class Clip:
         if self.frame_index is not None:
             if len(self.frame_index) != self.frames:
                 return False
+            if self.cdata is None and (self.frame_index >= 0).any():
+                return False   # virtual frames but no decoder to serve them
             if self.cdata and (self.frame_index >= self.cdata.nframes).any():
                 return False
             for n in np.nonzero(self.frame_index < 0)[0][:64]:
@@ -288,7 +306,8 @@ def open_clip(uri: str, workdir: str | Path) -> Clip:
     clip_dir.mkdir(parents=True, exist_ok=True)
     c = Clip(handle=handle, clip_dir=clip_dir, clip_type=ClipType.FILE,
              frames=cd.nframes, fps=cd.fps, width=cd.width,
-             height=cd.height, name=Path(uri).name, cdata=cd)
+             height=cd.height, name=Path(uri).name, cdata=cd,
+             source_uri=str(uri))
     c.create_frame_index(all_virtual=True)
     if cd.decoder and cd.achans:
         if cd.decoder.rip_audio(str(c.audio_path)):

@@ -49,3 +49,37 @@ def test_cli_play_headless(tmp_path):
     r = run_cli("play", "--seconds", "1", "--width", "128",
                 "--height", "64", timeout=240)
     assert r.returncode == 0, r.stderr[-500:]
+
+
+def test_cli_recover_renders_autosaved_take(tmp_path, capsys):
+    """`cli recover WORKDIR`: the startup-recovery arm — journaled clips
+    reopen and the autosaved take renders to a new clip."""
+    import time as _time
+    from lives_tpu.api import LiVESApp
+    from lives_tpu.cli import main
+    from lives_tpu.io.decoders import write_y4m
+    frames = [(np.full((16, 32), 70 + 10 * i, np.uint8),
+               np.full((8, 16), 128, np.uint8),
+               np.full((8, 16), 128, np.uint8)) for i in range(8)]
+    write_y4m(str(tmp_path / "c.y4m"), frames)
+    wd = tmp_path / "wd"
+    app = LiVESApp(workdir=wd)
+    app.open_file(str(tmp_path / "c.y4m"))
+    app.player.play()
+    app.player.record_start()
+    pl = app.player._player
+    from lives_tpu.events.event_list import TICKS_PER_SECOND
+    for i in range(4):
+        pl.state.frame = -1
+        pl._clock0 = _time.monotonic()
+        pl._frame0 = float(i)
+        pl.process_one()
+        pl._rec_t0 -= int(TICKS_PER_SECOND / 25.0)
+    app.player.record_stop()
+    app.player.stop()
+    # crash: recover via the CLI in "a new process"
+    rc = main(["recover", str(wd)])
+    outp = capsys.readouterr().out
+    assert rc == 0
+    assert "recovered 1 journaled clip(s)" in outp
+    assert "rendered take" in outp
