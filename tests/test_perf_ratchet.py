@@ -167,3 +167,40 @@ def test_paced_live_mjpeg_1080p60(barrier, tmp_path):
     fps = (p.frames_shown - shown0) / (time.monotonic() - t0)
     p.stop()
     assert fps >= 30.0, f"paced live loop {fps:.1f} fps (bound 30)"
+
+
+def test_scrap_capture_keeps_up_1080p30(barrier):
+    """Generator scrap capture (recording tee): the encode worker must
+    drain 1080p at >= 30 fps so live recordings never overflow the
+    queue. The device encode lane alone measures ~70 fps at 1080p
+    (PERF_NOTES); bound the full recorder loop at 30."""
+    import jax.numpy as jnp
+
+    from lives_tpu.constants import Palette
+    from lives_tpu.io.jpeg_ingest import load_jpegcoef
+    from lives_tpu.io.scrap import MJPEGScrapRecorder
+    from lives_tpu.layer import Layer
+    if load_jpegcoef() is None:
+        pytest.skip("jpeg bridge unavailable")
+    w, h = 1920, 1080
+    rng = np.random.default_rng(0)
+    frames = [Layer(planes=(jnp.asarray(
+        rng.integers(0, 256, (3, h, w), np.uint8)),),
+        palette=int(Palette.RGB24)) for _ in range(4)]
+    rec = MJPEGScrapRecorder(w, h, fps=30.0, max_queue=512)
+    for lay in frames:               # warm the worker's compile
+        rec.put(lay)
+    t_dead = time.time() + 120
+    while rec._q and time.time() < t_dead:
+        time.sleep(0.05)
+    n = 96
+    t0 = time.time()
+    for i in range(n):
+        assert rec.put(frames[i % len(frames)]) is not None
+    while rec._q and time.time() - t0 < 60:
+        time.sleep(0.02)
+    dt = time.time() - t0
+    assert rec._err is None, f"encode worker died: {rec._err}"
+    fps = n / dt
+    print(f"scrap capture drain: {fps:.1f} fps")
+    assert fps >= 30.0, f"scrap capture too slow: {fps:.1f} fps"
