@@ -309,7 +309,7 @@ async function rfxDefine(save){
  if(!name||!filt)return;
  const params=document.getElementById('rfxb_params').value.split('\n')
    .map(l=>l.trim()).filter(Boolean).map(l=>{
-    const b=l.split(/\s+/);
+    const b=l.split(/\\s+/);
     return [b[0],b[1]||'num2',parseFloat(b[2]||'0'),
             parseFloat(b[3]||'0'),parseFloat(b[4]||'1')];});
  const map={};
