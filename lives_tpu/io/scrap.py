@@ -192,8 +192,12 @@ class MJPEGScrapRecorder:
         with self._cv:
             self._stop = True
             self._cv.notify_all()
-        self._worker.join(timeout=600)
-        if not self._datas:
+        # bounded: record_stop is interactive. A worker wedged in a
+        # device compile (tunnel outage) must not hang the stop — give
+        # up and let the caller's event rewrite fall back to the live
+        # source references.
+        self._worker.join(timeout=120)
+        if self._worker.is_alive() or not self._datas:
             return None
         from .clips import open_clip
         from .decoders import write_mjpeg_avi
