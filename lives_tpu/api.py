@@ -221,20 +221,26 @@ class LiVESPlayer:
         from .constants import Palette
         from .layer import Layer
         uid_map = self._recording_uid_map()
-        frames, _tcs = self._player.render_last_recording(uid_map)
-        if frames is None or not len(frames):
-            return None
         el = self._player.last_recording
-        h, w = frames.shape[-2], frames.shape[-1]
-        out = self._app.new_clip(w, h, el.fps or 25.0, name="recorded")
-        raw = out.raw()
-        raw.frames = len(frames)
+        out = raw = None
+        n = 0
+        # streamed chunks: bounded memory on hour-long takes, and frames
+        # hit the clip as HOST arrays (no device round trip per frame)
+        for _tcs, chunk in self._player.render_last_recording_batches(
+                uid_map):
+            if raw is None:
+                h, w = chunk.shape[-2], chunk.shape[-1]
+                out = self._app.new_clip(w, h, el.fps or 25.0,
+                                         name="recorded")
+                raw = out.raw()
+            for i in range(len(chunk)):
+                raw.put_frame(n, Layer(planes=(chunk[i],),
+                                       palette=int(Palette.RGB24)))
+                n += 1
+        if raw is None:
+            return None
+        raw.frames = n
         raw.create_frame_index(all_virtual=False)
-        for i in range(len(frames)):
-            # HOST arrays straight to disk — uploading per frame only to
-            # fetch it back costs one tunnel RPC each
-            raw.put_frame(i, Layer(planes=(frames[i],),
-                                   palette=int(Palette.RGB24)))
         if render_audio:
             from .audio.engine import render_audio_from_seeks
             audio = render_audio_from_seeks(el, uid_map)
@@ -626,9 +632,9 @@ class LiVESApp:
         if not path.exists():
             return None
         try:
-            el = EventList.from_json(path.read_text())
+            el = EventList.from_autosave(path.read_text())
         except (ValueError, KeyError):
-            return None  # truncated autosave from a crash mid-write
+            return None  # unreadable autosave
         if not len(el.events):
             path.unlink()
             return None

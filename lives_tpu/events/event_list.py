@@ -391,6 +391,51 @@ class EventList:
                 for e in self.events],
         })
 
+    # -- crash-recovery autosave (incremental JSONL) -----------------------
+    def header_json(self) -> str:
+        """First line of the JSONL autosave: the container without events."""
+        return json.dumps({
+            "format": "lives_tpu_event_list_jsonl",
+            "version": self.schema,
+            "weed_event_api_version": 122,
+            "fps": self.fps, "width": self.width, "height": self.height,
+            "audio_rate": self.audio_rate,
+            "audio_channels": self.audio_channels,
+        })
+
+    @staticmethod
+    def event_json(e: "Event") -> str:
+        return json.dumps({"tc": e.tc, "type": int(e.type),
+                           "event_id": e.event_id, "props": e.props})
+
+    @classmethod
+    def from_autosave(cls, text: str) -> "EventList":
+        """Load an autosave: either the one-document to_json() format or
+        the incremental JSONL (header line + one event per line). A
+        truncated trailing line — crash mid-append — is dropped rather
+        than rejecting the whole take."""
+        head = text.lstrip()[:512]
+        if '"lives_tpu_event_list_jsonl"' not in head:
+            return cls.from_json(text)
+        lines = text.splitlines()
+        d = json.loads(lines[0])
+        el = cls(fps=d["fps"], width=d["width"], height=d["height"],
+                 audio_rate=d.get("audio_rate", 0),
+                 audio_channels=d.get("audio_channels", 0))
+        el.schema = int(d.get("version", 1))
+        for ln in lines[1:]:
+            ln = ln.strip()
+            if not ln:
+                continue
+            try:
+                ed = json.loads(ln)
+                el.events.append(Event(ed["tc"], EventType(ed["type"]),
+                                       ed["props"], ed["event_id"]))
+            except (ValueError, KeyError):
+                break  # truncated tail from a crash mid-append
+        el.reindex()
+        return el
+
     @classmethod
     def from_json(cls, s: str) -> "EventList":
         d = json.loads(s)

@@ -1094,20 +1094,24 @@ def register_extended(srv) -> None:
         from ..layer import Layer
         pl = p()
         uid_map = pl.recording_uid_map(srv.clips.values())
-        frames, _tcs = pl.render_last_recording(uid_map)
-        if frames is None or not len(frames):
-            raise RuntimeError("nothing recorded")
         el = pl.last_recording
-        h, w = frames.shape[-2], frames.shape[-1]
-        out = create_clip(workdir(), w, h, el.fps or 25.0,
-                          name="recorded")
-        out.frames = len(frames)
+        out = None
+        n = 0
+        # streamed chunks (bounded memory); frames land as HOST arrays
+        # (no per-frame device round trip — each costs a tunnel RPC)
+        for _tcs, chunk in pl.render_last_recording_batches(uid_map):
+            if out is None:
+                h, w = chunk.shape[-2], chunk.shape[-1]
+                out = create_clip(workdir(), w, h, el.fps or 25.0,
+                                  name="recorded")
+            for i in range(len(chunk)):
+                out.put_frame(n, Layer(planes=(chunk[i],),
+                                       palette=int(Palette.RGB24)))
+                n += 1
+        if out is None:
+            raise RuntimeError("nothing recorded")
+        out.frames = n
         out.create_frame_index(all_virtual=False)
-        for i in range(len(frames)):
-            # HOST arrays straight to disk (no per-frame device round
-            # trip — each costs a tunnel RPC)
-            out.put_frame(i, Layer(planes=(frames[i],),
-                                   palette=int(Palette.RGB24)))
         if int(with_audio):
             audio = render_audio_from_seeks(el, uid_map)
             if len(audio) and np.abs(audio).max() > 1e-6:
@@ -1168,7 +1172,7 @@ def register_extended(srv) -> None:
             raise RuntimeError("no autosaved recording")
         pl = p()
         with open(path) as fh:
-            pl.last_recording = EventList.from_json(fh.read())
+            pl.last_recording = EventList.from_autosave(fh.read())
         pl.rec_scrap_clips.update(scan_scrap_clips(base))
         cid = record_render()
         if os.path.exists(path):   # record_render usually removed it

@@ -437,7 +437,8 @@ class Player:
         state = self.keymap.toggle(key, on)
         if state == was:
             return state  # idempotent enable/disable: nothing to record
-        if self.record and self.event_list is not None:
+        el = self.event_list   # snapshot vs record_stop on another thread
+        if self.record and el is not None:
             tc = self._rec_tc()
             if state:
                 inst = self.keymap.instances[key]
@@ -446,15 +447,15 @@ class Player:
                     in_tracks=list(inst.in_tracks),
                     out_tracks=list(inst.out_tracks),
                     values=dict(inst.values))
-                self.event_list.insert(init)
+                el.insert(init)
                 self._rec_inits[key] = init
-                self._refresh_rec_map(tc)
+                self._refresh_rec_map(tc, el)
             else:
                 init = self._rec_inits.pop(key, None)
                 if init is not None:
-                    self.event_list.insert(
+                    el.insert(
                         filter_deinit_event(tc, init.event_id))
-                    self._refresh_rec_map(tc)
+                    self._refresh_rec_map(tc, el)
         return state
 
     def set_key_param(self, key: int, name: str, value):
@@ -462,17 +463,20 @@ class Player:
         if inst is None:
             return
         inst.set(**{name: value})
-        if self.record and self.event_list is not None and \
-                key in self._rec_inits:
-            self.event_list.insert(param_change_event(
+        el = self.event_list   # snapshot vs record_stop on another thread
+        if self.record and el is not None and key in self._rec_inits:
+            el.insert(param_change_event(
                 self._rec_tc(), self._rec_inits[key].event_id, name, value))
 
-    def _refresh_rec_map(self, tc: int):
+    def _refresh_rec_map(self, tc: int, el=None):
+        el = el if el is not None else self.event_list
+        if el is None:
+            return
         ids = [i.event_id for i in self._rec_inits.values()]
         automix = getattr(self, "_rec_automix", None)
         if automix is not None:
             ids.append(automix.event_id)
-        self.event_list.insert(filter_map_event(tc, ids))
+        el.insert(filter_map_event(tc, ids))
         self._annotate_rec_cconx()
 
     def _annotate_rec_cconx(self):
@@ -512,6 +516,13 @@ class Player:
         the scrap clip. rec_scrap_clips after record_stop maps their
         unique_ids to clips — merge it into the clips_by_uid you hand to
         render_recording."""
+        if self.record:
+            # restarting mid-take must not leak the old take's encode
+            # workers or silently drop its events: finish it properly
+            self.record_stop()
+        for clip in self.rec_scrap_clips.values():
+            if hasattr(clip, "close"):
+                clip.close()   # release native decoder resources
         self._scrap_generators = scrap_generators
         self._scrap_recs = {}
         self.rec_scrap_clips = {}
@@ -523,6 +534,18 @@ class Player:
         self._rec_backup_path = backup_path
         self._rec_backup_every = backup_every
         self._rec_last_backup = time.monotonic()
+        self._backup_count = 0
+        if backup_path:
+            # fresh JSONL autosave: header line now, events append
+            # incrementally (O(new events) per interval)
+            import threading
+            if not hasattr(self, "_backup_lock"):
+                self._backup_lock = threading.Lock()
+            try:
+                with self._backup_lock, open(backup_path, "w") as fh:
+                    fh.write(self.event_list.header_json() + "\n")
+            except OSError:
+                self._rec_backup_path = None
         # effects already live at record start must appear in the
         # re-render: snapshot the active chain as tc=0 inits + filter map
         # (the reference records from the current rte state too)
@@ -592,9 +615,13 @@ class Player:
                 # (deal_with_render_choice(is_recovery)). The render
                 # surface removes the file once the take is rendered;
                 # discard_recording() drops an unwanted take.
+                import threading
+                if not hasattr(self, "_backup_lock"):
+                    self._backup_lock = threading.Lock()
                 try:
-                    self._atomic_write(self._rec_backup_path,
-                                       el.to_json())
+                    with self._backup_lock:
+                        self._atomic_write(self._rec_backup_path,
+                                           el.to_json())
                 except OSError:
                     pass
         return el
@@ -621,9 +648,12 @@ class Player:
         uid_map = {}
         for clip in clips:
             uid_map[getattr(clip, "unique_id", id(clip))] = clip
-        for st_clip in (self.state.fg_clip, self.state.bg_clip):
+        for st_clip, dflt in ((self.state.fg_clip, 1),
+                              (self.state.bg_clip, 2)):
+            # fallback uids MUST match what the recording path wrote
+            # (frame_event clips: fg getattr default 1, bg default 2)
             if st_clip is not None:
-                uid_map.setdefault(getattr(st_clip, "unique_id", 0),
+                uid_map.setdefault(getattr(st_clip, "unique_id", dflt),
                                    st_clip)
         uid_map.update(self.rec_scrap_clips)
         return uid_map
@@ -639,6 +669,21 @@ class Player:
             return None, None
         return _render(el, uid_map, batch_size=batch_size)
 
+    def render_last_recording_batches(self, uid_map: dict,
+                                      batch_size: int = 8):
+        """Yield (tcs, host (B,3,H,W) u8) chunks of the last take —
+        bounded memory: an hour-long 1080p take materialised as ONE
+        array is ~500 GB. Callers write each chunk to its destination
+        clip as it lands."""
+        from ..events.renderer import ClipFrameSource, render_events
+        el = self.last_recording
+        if el is None or not len(el.events):
+            return
+        q = el.quantise(el.fps or 25.0)
+        src = ClipFrameSource(uid_map)
+        for tcs, lay in render_events(q, src, batch_size=batch_size):
+            yield tcs, np.asarray(lay.planes[0])
+
     def preview_last_recording(self, uid_map: dict,
                                max_seconds: float | None = None,
                                batch_size: int = 8) -> int:
@@ -647,6 +692,7 @@ class Player:
         events.c:5955 / process_events events.c:3236). Refuses while
         playback runs: sinks are not thread-safe against the serving
         loop. Returns frames shown."""
+        from ..events.event_list import TICKS_PER_SECOND
         from ..events.renderer import ClipFrameSource, render_events
         if self.state.playing:
             raise RuntimeError("stop playback before previewing a take")
@@ -658,20 +704,32 @@ class Player:
         src = ClipFrameSource(uid_map)
         shown = 0
         t0 = time.monotonic()
-        for tcs, lay in render_events(q, src, batch_size=batch_size):
-            arr = np.asarray(lay.planes[0])
-            for i, tc in enumerate(tcs):
-                delay = t0 + shown / fps - time.monotonic()
-                if delay > 0:
-                    time.sleep(delay)
-                self.sink.play_frame(
-                    Layer(planes=(arr[i],), palette=int(Palette.RGB24)),
-                    float(tc))
-                shown += 1
-                if max_seconds is not None and \
-                        time.monotonic() - t0 >= max_seconds:
-                    return shown
-        return shown
+        inited = False
+        try:
+            for tcs, lay in render_events(q, src, batch_size=batch_size):
+                arr = np.asarray(lay.planes[0])
+                if not inited:
+                    # the serving loop's stop() tore the sink down
+                    # (exit_screen): previews run their own lifecycle
+                    self.sink.init_screen(arr.shape[-1], arr.shape[-2],
+                                          fps)
+                    inited = True
+                for i, tc in enumerate(tcs):
+                    delay = t0 + shown / fps - time.monotonic()
+                    if delay > 0:
+                        time.sleep(delay)
+                    self.sink.play_frame(
+                        Layer(planes=(arr[i],),
+                              palette=int(Palette.RGB24)),
+                        float(tc) / TICKS_PER_SECOND)  # seconds, like
+                    shown += 1                         # the live loop
+                    if max_seconds is not None and \
+                            time.monotonic() - t0 >= max_seconds:
+                        return shown
+            return shown
+        finally:
+            if inited:
+                self.sink.exit_screen()
 
     def _record_automix(self, active: bool):
         """Record the fg/bg auto-blend as a crossfade init + amount
@@ -707,6 +765,52 @@ class Player:
     def _rec_tc(self) -> int:
         return self._now_ticks() - self._rec_t0
 
+    def _append_backup(self, el: EventList) -> None:
+        """Append events recorded since the last backup to the JSONL
+        autosave, substituting live-source references for scrap indices
+        that are not durable yet (a crash mid-take replays from
+        sources). O(new events); runs on the serving thread."""
+        path = self._rec_backup_path
+        if path is None or el is None:
+            return
+        n = len(el.events)
+        start = getattr(self, "_backup_count", 0)
+        if start > n:
+            start = 0   # list was rebuilt: fall back to a full rewrite
+        recs = {rec.unique_id: rec for rec in self._scrap_recs.values()}
+        lines = []
+        for e in el.events[start:n]:
+            cl = getattr(e, "clips", None)
+            if cl and recs:
+                sub = list(cl)
+                frs = list(e.frames)
+                changed = False
+                for i, (c, f) in enumerate(zip(sub, frs)):
+                    rec = recs.get(c)
+                    if rec is not None and f < len(rec.origs):
+                        sub[i], frs[i] = rec.origs[f]
+                        changed = True
+                if changed:
+                    import copy as _copy
+                    e = _copy.copy(e)
+                    e.props = dict(e.props)
+                    e.props["clips"] = sub
+                    e.props["frames"] = frs
+            lines.append(EventList.event_json(e))
+        if not lines:
+            self._backup_count = n
+            return
+        try:
+            mode = "a" if start else "w"
+            with self._backup_lock, open(path, mode) as fh:
+                if mode == "w":
+                    fh.write(el.header_json() + "\n")
+                fh.write("\n".join(lines) + "\n")
+                fh.flush()
+            self._backup_count = n
+        except OSError:
+            pass
+
     @staticmethod
     def _atomic_write(path, text: str) -> None:
         """tmp + os.replace: a crash mid-write must never destroy the
@@ -718,20 +822,38 @@ class Player:
         os.replace(tmp, str(path))
 
     def discard_recording(self) -> bool:
-        """Drop the last take and its autosave — the "discard" arm of the
-        render choice (deal_with_render_choice, events.c:5955). Returns
-        True when something was discarded."""
+        """Drop the last take, its autosave, and its scrap clips — the
+        "discard" arm of the render choice (deal_with_render_choice,
+        events.c:5955). Returns True when something was discarded."""
         import os
+        import threading
         had = self.last_recording is not None
         self.last_recording = None
+        for clip in self.rec_scrap_clips.values():
+            # a discarded take's scrap capture is dead weight: close the
+            # decoder and remove the AVI (the reference recycles the
+            # scrap file the same way)
+            src = getattr(clip, "source_uri", "") or getattr(
+                getattr(clip, "cdata", None), "uri", "")
+            if hasattr(clip, "close"):
+                clip.close()
+            if src:
+                try:
+                    os.unlink(src)
+                except OSError:
+                    pass
+            had = True
         self.rec_scrap_clips = {}
         path = getattr(self, "_rec_backup_path", None)
         if path:
-            try:
-                os.unlink(path)
-                had = True
-            except OSError:
-                pass
+            if not hasattr(self, "_backup_lock"):
+                self._backup_lock = threading.Lock()
+            with self._backup_lock:
+                try:
+                    os.unlink(path)
+                    had = True
+                except OSError:
+                    pass
         return had
 
     # -- playback ----------------------------------------------------------
@@ -1356,7 +1478,9 @@ class Player:
         if self.ladder is not None:
             self.ladder.mark("displayed")
             self.ladder.end()
-        if self.record and self.event_list is not None:
+        el = self.event_list   # snapshot: record_stop may null it from
+        # the OSC thread mid-section (the insert below must not race)
+        if self.record and el is not None:
             # record against the PERFORMANCE state, not the served graph:
             # with async_compile the old graph (still carrying auto_mix)
             # keeps serving after bg_clip is dropped, which must not delay
@@ -1420,39 +1544,16 @@ class Player:
                 extra["audio_clips"] = [-1, src_uid]
                 extra["audio_seeks"] = [self.audio._pos
                                         / self.audio._src_rate, vel]
-            self.event_list.insert(
+            el.insert(
                 frame_event(self._rec_tc(), clips, frames, **extra))
             if getattr(self, "_rec_backup_path", None) and \
                     time.monotonic() - self._rec_last_backup \
-                    > self._rec_backup_every and \
-                    not getattr(self, "_backup_busy", False):
-                # one serialize on this thread (snapshot consistency);
-                # the scrap-ref rewrite + atomic file write run on a
-                # worker so a long take never stutters the frame loop
-                import threading
-                raw_json = self.event_list.to_json()
-                recs = list(self._scrap_recs.values())
-                self._backup_busy = True
+                    > self._rec_backup_every:
+                # incremental JSONL append: O(new events) per interval —
+                # a full-list serialize grew linearly with take length
+                # and stuttered hour-long takes on the single host core
+                self._append_backup(el)
                 self._rec_last_backup = time.monotonic()
-                gen = self._rec_gen
-
-                def write_backup(js=raw_json, recs=recs,
-                                 path=self._rec_backup_path, gen=gen):
-                    try:
-                        snap = EventList.from_json(js)
-                        for rec in recs:
-                            self._rewrite_scrap_refs(snap, rec, 0)
-                        if self._rec_gen == gen:
-                            # a finished/rendered/discarded take must
-                            # not be resurrected by a late stale write
-                            self._atomic_write(path, snap.to_json())
-                    except (OSError, ValueError, KeyError):
-                        pass
-                    finally:
-                        self._backup_busy = False
-
-                threading.Thread(target=write_backup, daemon=True,
-                                 name="rec-autosave").start()
         self.frames_shown += 1
         for cb in self.frame_listeners:
             try:

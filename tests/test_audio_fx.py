@@ -184,7 +184,7 @@ def test_record_autosave(tmp_path):
         time.sleep(0.02)
     assert backup.exists()
     from lives_tpu.events import EventList
-    el = EventList.from_json(backup.read_text())
+    el = EventList.from_autosave(backup.read_text())
     assert len(el.frame_events()) >= 1
 
 

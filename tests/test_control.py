@@ -343,7 +343,7 @@ def test_mid_take_autosave_has_no_scrap_refs(tmp_path):
         app.player._player.process_one()
         _time.sleep(0.002)
     # crash: NO record_stop — read the mid-take autosave directly
-    el = EventList.from_json(
+    el = EventList.from_autosave(
         (wd / "recording.autosave.json").read_text())
     scrap_uids = {r.unique_id
                   for r in app.player._player._scrap_recs.values()}

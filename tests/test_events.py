@@ -234,3 +234,28 @@ def test_from_json_restores_canonical_order():
     el2 = EventList.from_json(json.dumps(d))
     assert [e.tc for e in el2.events] == sorted(e.tc for e in el2.events)
     assert len(el2.active_inits_at(3 * TPF)) == 1
+
+
+def test_autosave_jsonl_roundtrip_and_truncated_tail():
+    """The incremental autosave format: header line + one event per
+    line; a crash mid-append leaves a partial last line which must be
+    dropped, keeping every complete event."""
+    from lives_tpu.events.event_list import (EventList, frame_event,
+                                             filter_init_event)
+    el = EventList(fps=25.0, width=64, height=48)
+    el.insert(filter_init_event(0, "negate"))
+    for i in range(5):
+        el.insert(frame_event(i * 4_000_000, [7], [i]))
+    text = el.header_json() + "\n" + "\n".join(
+        EventList.event_json(e) for e in el.events) + "\n"
+    back = EventList.from_autosave(text)
+    assert len(back.events) == len(el.events)
+    assert back.fps == 25.0 and back.width == 64
+    assert [e.frames[0] for e in back.frame_events()] == [0, 1, 2, 3, 4]
+    # truncated tail (crash mid-append): drop the partial line only
+    cut = text[: text.rfind('"props"')]
+    part = EventList.from_autosave(cut)
+    assert len(part.events) == len(el.events) - 1
+    # the one-document format still loads through the same entry point
+    doc = EventList.from_autosave(el.to_json())
+    assert len(doc.events) == len(el.events)
