@@ -12,6 +12,9 @@ export PYTHONPATH=/root/repo:/root/.axon_site
 echo "== devices =="
 timeout 120 python -c "import jax; print(jax.devices())"
 
+echo "== scrap/render-choice end-to-end (round-4 late feature) =="
+timeout 900 python tools/verify_scrap_tpu.py
+
 echo "== driver bench (3 runs) =="
 for i in 1 2 3; do timeout 900 python bench.py; done
 
