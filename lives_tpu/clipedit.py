@@ -46,17 +46,20 @@ def copy_frames(clip: Clip, start: int, end: int,
 
 
 def cut_frames(clip: Clip, start: int, end: int,
-               with_audio: bool = True) -> Clipboard:
+               with_audio: bool = True, keep_undo: bool = True
+               ) -> Clipboard:
     """Cut = copy + delete (edit menu Cut)."""
     cb = copy_frames(clip, start, end, with_audio)
-    delete_frames(clip, start, end, with_audio)
+    delete_frames(clip, start, end, with_audio, keep_undo=keep_undo)
     return cb
 
 
 def delete_frames(clip: Clip, start: int, end: int,
-                  with_audio: bool = True):
+                  with_audio: bool = True, keep_undo: bool = True):
     """Delete frames [start, end) (+ the matching audio span)."""
     end = min(end, clip.frames)
+    if keep_undo:
+        snapshot_edit_undo(clip)
     # image files must shift down to keep positional -1 entries valid
     idx = clip.frame_index if clip.frame_index is not None \
         else np.full(clip.frames, -1, np.int32)
@@ -73,10 +76,12 @@ def delete_frames(clip: Clip, start: int, end: int,
 
 
 def paste_insert(clip: Clip, at: int, cb: Clipboard,
-                 with_audio: bool = True):
+                 with_audio: bool = True, keep_undo: bool = True):
     """Insert clipboard frames before timeline frame `at` (edit Insert)."""
     import jax.numpy as jnp
     from .layer import Layer
+    if keep_undo:
+        snapshot_edit_undo(clip)
     n_ins = len(cb)
     idx = clip.frame_index if clip.frame_index is not None \
         else np.full(clip.frames, -1, np.int32)
@@ -103,10 +108,12 @@ def paste_insert(clip: Clip, at: int, cb: Clipboard,
 
 def trim_clip(clip: Clip, start: int, end: int):
     """Keep only [start, end) (edit Trim / 'delete all outside selection')."""
+    snapshot_edit_undo(clip)   # ONE undo step for the whole trim
     if end < clip.frames:
-        delete_frames(clip, end, clip.frames, with_audio=True)
+        delete_frames(clip, end, clip.frames, with_audio=True,
+                      keep_undo=False)
     if start > 0:
-        delete_frames(clip, 0, start, with_audio=True)
+        delete_frames(clip, 0, start, with_audio=True, keep_undo=False)
 
 
 def _relayout_images(clip: Clip, idx: np.ndarray, new_order: list[int],
@@ -230,3 +237,75 @@ def _merge_traced(inst):
     from .graph.nodemodel import _split_params
     _, traced = _split_params(inst)
     return traced
+
+
+# ---------------------------------------------------------------------------
+# Frame-edit undo (reference: per-clip undo state for insert/delete ops,
+# cliphandler.h undo fields + smogrify undo files). Swap semantics: undoing
+# stashes the current state, so a second undo acts as redo.
+# ---------------------------------------------------------------------------
+
+EDIT_UNDO_DIR = ".editundo"
+
+
+def snapshot_edit_undo(clip: Clip) -> None:
+    """Snapshot the clip's frame layout before a destructive edit.
+    Images are HARDLINKED (no data copy — put_frame never truncates an
+    inode in place), audio is copied, index/metadata json'd."""
+    import json
+    import os
+    import shutil
+    d = clip.clip_dir / EDIT_UNDO_DIR
+    if d.exists():
+        shutil.rmtree(d)
+    d.mkdir()
+    meta = {"frames": clip.frames,
+            "frame_index": (clip.frame_index.tolist()
+                            if clip.frame_index is not None else None),
+            "achans": clip.achans, "arate": clip.arate}
+    (d / "meta.json").write_text(json.dumps(meta))
+    for p in clip.clip_dir.glob(f"*.{clip.img_type}"):
+        os.link(p, d / p.name)
+    if clip.audio_path.exists():
+        shutil.copy2(clip.audio_path, d / "audio")
+
+
+def undo_edit(clip: Clip) -> bool:
+    """Restore the pre-edit frame layout (and stash the current one, so
+    calling again redoes). Returns False when there is nothing to undo."""
+    import json
+    import os
+    import shutil
+    d = clip.clip_dir / EDIT_UNDO_DIR
+    if not (d / "meta.json").is_file():
+        return False
+    redo = clip.clip_dir / (EDIT_UNDO_DIR + ".swap")
+    if redo.exists():
+        shutil.rmtree(redo)
+    redo.mkdir()
+    # stash current state for redo
+    (redo / "meta.json").write_text(json.dumps(
+        {"frames": clip.frames,
+         "frame_index": (clip.frame_index.tolist()
+                         if clip.frame_index is not None else None),
+         "achans": clip.achans, "arate": clip.arate}))
+    for p in clip.clip_dir.glob(f"*.{clip.img_type}"):
+        os.link(p, redo / p.name)
+        p.unlink()
+    if clip.audio_path.exists():
+        shutil.move(str(clip.audio_path), redo / "audio")
+    # restore the snapshot
+    meta = json.loads((d / "meta.json").read_text())
+    for p in d.glob(f"*.{clip.img_type}"):
+        os.link(p, clip.clip_dir / p.name)
+    if (d / "audio").exists():
+        shutil.copy2(d / "audio", clip.audio_path)
+    clip.frames = meta["frames"]
+    clip.frame_index = (np.asarray(meta["frame_index"], np.int32)
+                        if meta["frame_index"] is not None else None)
+    clip.achans, clip.arate = meta["achans"], meta["arate"]
+    clip.version += 1
+    clip.save_header()
+    shutil.rmtree(d)
+    shutil.move(str(redo), d)   # swap: next undo_edit redoes
+    return True

@@ -115,11 +115,18 @@ class Clip:
                      palette=int(pal), gamma=int(self.gamma))
 
     def put_frame(self, n: int, layer: Layer):
-        """Write a frame image (layer_to_png successor, frameloader.c:1985)."""
+        """Write a frame image (layer_to_png successor, frameloader.c:1985).
+        tmp + os.replace: never truncate an existing image in place — a
+        crash mid-write must not corrupt the frame, and undo snapshots
+        hardlink image inodes (clipedit.snapshot_edit_undo)."""
+        import os
         from ..ops.colorspace import convert_layer
         rgb = convert_layer(layer, Palette.RGB24)
         arr = np.moveaxis(np.asarray(rgb.planes[0]), 0, -1)
-        Image.fromarray(arr).save(self.image_path(n))
+        dst = self.image_path(n)
+        tmp = dst.with_suffix(dst.suffix + ".tmp")
+        Image.fromarray(arr).save(tmp, format=self.img_type.upper())
+        os.replace(tmp, dst)
         if self.frame_index is not None:
             self.frame_index[n] = -1
         self.version += 1

@@ -371,8 +371,15 @@ def register_extended(srv) -> None:
     m("/clipboard/insert_after", lambda at=None: paste(at, False))
 
     def clip_undo():
+        """Undo the last destructive op: a frame-layout edit if one is
+        pending, else the last rendered effect (reference single undo
+        slot per clip; both our buffers swap, so /clip/redo re-applies)."""
+        from ..clipedit import undo_edit
         from ..rfx import undo_rendered_effect
-        return int(undo_rendered_effect(cur()))
+        clip = cur()
+        if undo_edit(clip):
+            return 1
+        return int(undo_rendered_effect(clip))
 
     m("/clip/undo", clip_undo)
     m("/clip/redo", clip_undo)  # undo buffer is a swap (reference redo)

@@ -549,3 +549,40 @@ def test_sync_survives_jittered_and_late_callbacks():
         tail.append(abs(callback(nominal * 1.1)))
     assert np.asarray(tail).max() < ap.sync_tolerance + 0.1
     assert tail[-1] < ap.sync_tolerance + 2 * nominal
+
+
+def test_edit_undo_restores_and_redoes(tmp_path):
+    """Frame-edit undo (reference per-clip undo for insert/delete): a
+    delete restores exactly; a second undo redoes (swap buffer)."""
+    from lives_tpu.clipedit import delete_frames, undo_edit
+    clip = make_clip(tmp_path)
+    clip.realize(0, 3)                    # mix of images and virtual
+    before = [luma0(clip, i) for i in range(10)]
+    delete_frames(clip, 2, 6)
+    assert clip.frames == 6
+    assert undo_edit(clip)
+    assert clip.frames == 10
+    assert [luma0(clip, i) for i in range(10)] == before
+    a = clip.read_audio()
+    assert abs(len(a) - int(44100 * 10 / 25)) < 4410
+    assert undo_edit(clip)                # redo: the delete re-applies
+    assert clip.frames == 6
+    assert undo_edit(clip)                # undo again
+    assert clip.frames == 10
+
+
+def test_edit_undo_after_paste_and_trim(tmp_path):
+    from lives_tpu.clipedit import (copy_frames, paste_insert, trim_clip,
+                                    undo_edit)
+    clip = make_clip(tmp_path)
+    cb = copy_frames(clip, 0, 3)
+    paste_insert(clip, 5, cb)
+    assert clip.frames == 13
+    assert undo_edit(clip)
+    assert clip.frames == 10
+    trim_clip(clip, 2, 8)                 # one undo step for both ends
+    assert clip.frames == 6
+    assert abs(luma0(clip, 0) - exp_rgb(2)) <= 2
+    assert undo_edit(clip)
+    assert clip.frames == 10
+    assert abs(luma0(clip, 0) - exp_rgb(0)) <= 2
