@@ -125,7 +125,9 @@ class Clip:
         arr = np.moveaxis(np.asarray(rgb.planes[0]), 0, -1)
         dst = self.image_path(n)
         tmp = dst.with_suffix(dst.suffix + ".tmp")
-        Image.fromarray(arr).save(tmp, format=self.img_type.upper())
+        fmt = {"jpg": "JPEG", "jpeg": "JPEG"}.get(self.img_type.lower(),
+                                                  self.img_type.upper())
+        Image.fromarray(arr).save(tmp, format=fmt)
         os.replace(tmp, dst)
         if self.frame_index is not None:
             self.frame_index[n] = -1
