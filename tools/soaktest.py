@@ -43,6 +43,10 @@ PATHS = [
     ("/effect_key/mode/next", lambda r: (r.randint(1, 9),)),
     ("/record/toggle", lambda r: ()),
     ("/record/render", lambda r: ()),
+    ("/record/discard", lambda r: ()),
+    ("/omc/learn/start", lambda r: (r.choice(["blend", "fps", "play"]),)),
+    ("/omc/feed_midi", lambda r: ("b0%02x%02x" % (r.randint(0, 30),
+                                                  r.randint(0, 127)),)),
     ("/app/ping", lambda r: ()),
     # extended namespace (osc/namespace.py)
     ("/video/play/faster", lambda r: ()),
