@@ -462,36 +462,55 @@ class WavDecoder(Decoder):
 def write_mjpeg_avi(path, jpeg_frames, width: int, height: int,
                     fps: float = 25.0):
     """Minimal MJPEG AVI writer (RIFF avih/strh/strf + movi 00dc chunks +
-    idx1) — enough for AVIDecoder and any libjpeg-based player. Used to
-    author test/bench media for the compressed ingest path."""
-    frames = list(jpeg_frames)
+    idx1) — enough for AVIDecoder and any libjpeg-based player. Streams:
+    `jpeg_frames` may be any iterable (hour-long scrap captures must not
+    be buffered whole); the frame count and sizes are backpatched."""
 
     def chunk(cid, payload):
         pad = b"\0" if len(payload) & 1 else b""
         return cid + struct.pack("<I", len(payload)) + payload + pad
 
     rate = int(round(fps * 1000))
-    avih = struct.pack("<IIIIIIIIIIIIII", int(1e6 / fps), 0, 0, 0x10,
-                       len(frames), 0, 1, 0, width, height, 0, 0, 0, 0)
-    strh = (b"vids" + b"MJPG" + struct.pack("<IHHIIIIIIIII", 0, 0, 0, 0,
-                                            1000, rate, 0, len(frames),
-                                            0, 0xFFFFFFFF, 0, 0))
+
+    def avih(n):
+        return struct.pack("<IIIIIIIIIIIIII", int(1e6 / fps), 0, 0, 0x10,
+                           n, 0, 1, 0, width, height, 0, 0, 0, 0)
+
+    def strh(n):
+        return (b"vids" + b"MJPG"
+                + struct.pack("<IHHIIIIIIIII", 0, 0, 0, 0, 1000, rate,
+                              0, n, 0, 0xFFFFFFFF, 0, 0))
+
     strf = struct.pack("<IiiHH4sIiiII", 40, width, height, 1, 24, b"MJPG",
                        width * height * 3, 0, 0, 0, 0)
-    hdrl = chunk(b"LIST", b"hdrl" + chunk(b"avih", avih)
-                 + chunk(b"LIST", b"strl" + chunk(b"strh", strh)
-                         + chunk(b"strf", strf)))
-    movi_body = b"movi"
-    idx = b""
-    off = 4
-    for f in frames:
-        movi_body += chunk(b"00dc", f)
-        idx += b"00dc" + struct.pack("<III", 0x10, off, len(f))
-        off += 8 + len(f) + (len(f) & 1)
-    movi = chunk(b"LIST", movi_body)
-    body = b"AVI " + hdrl + movi + chunk(b"idx1", idx)
+
+    def hdrl(n):
+        return chunk(b"LIST", b"hdrl" + chunk(b"avih", avih(n))
+                     + chunk(b"LIST", b"strl" + chunk(b"strh", strh(n))
+                             + chunk(b"strf", strf)))
+
     with open(path, "wb") as fh:
-        fh.write(b"RIFF" + struct.pack("<I", len(body)) + body)
+        fh.write(b"RIFF" + struct.pack("<I", 0))   # size backpatched
+        fh.write(b"AVI " + hdrl(0))                # counts backpatched
+        movi_start = fh.tell()
+        fh.write(b"LIST" + struct.pack("<I", 0) + b"movi")
+        idx = bytearray()
+        off = 4
+        n = 0
+        for f in jpeg_frames:
+            fh.write(chunk(b"00dc", f))
+            idx += b"00dc" + struct.pack("<III", 0x10, off, len(f))
+            off += 8 + len(f) + (len(f) & 1)
+            n += 1
+        movi_end = fh.tell()
+        fh.write(chunk(b"idx1", bytes(idx)))
+        total = fh.tell()
+        fh.seek(movi_start + 4)
+        fh.write(struct.pack("<I", movi_end - movi_start - 8))
+        fh.seek(4)
+        fh.write(struct.pack("<I", total - 8))
+        fh.seek(12)
+        fh.write(hdrl(n))
 
 
 @register_decoder

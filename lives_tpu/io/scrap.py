@@ -25,9 +25,11 @@ def _frame_size(palette: int, w: int, h: int) -> int:
     if pal in (Palette.RGBA32, Palette.BGRA32, Palette.ARGB32):
         return w * h * 4
     if pal == Palette.YUV420P:
-        return w * h * 3 // 2
+        # floor-divided chroma planes, matching layer_to_bytes for odd
+        # geometry (853x480 is NOT w*h*3//2)
+        return w * h + 2 * ((h // 2) * (w // 2))
     if pal == Palette.YUV422P:
-        return w * h * 2
+        return w * h + 2 * (h * (w // 2))
     if pal in (Palette.YUV444P,):
         return w * h * 3
     raise ValueError(f"scrap: unsupported palette {pal}")
@@ -75,6 +77,8 @@ class ScrapReader:
         self.palette = hdr["palette"]
         self.fps = hdr["fps"]
         self.frame_size = hdr["frame_size"]
+        if self.frame_size <= 0 or self.width <= 0 or self.height <= 0:
+            raise ValueError("corrupt scrap header")
         self.data_start = self._fh.tell()
         import os
         self._fh.seek(0, os.SEEK_END)
@@ -83,6 +87,8 @@ class ScrapReader:
         self.unique_id = stable_uid("scrapfile", str(path))
 
     def get_frame(self, n: int) -> Layer:
+        if self.frames == 0:
+            raise EOFError("empty scrap file")
         n = max(0, min(n, self.frames - 1))
         self._fh.seek(self.data_start + n * self.frame_size)
         buf = self._fh.read(self.frame_size)
@@ -121,10 +127,14 @@ class MJPEGScrapRecorder:
         # (scan_scrap_clips)
         self.unique_id = (int.from_bytes(_os.urandom(8), "little")
                           & ((1 << 63) - 1))
+        import tempfile
         self.max_queue = max_queue
         self.overflowed = False
         self.frames = 0
-        self._datas: list[bytes] = []
+        # encoded JPEGs spill to disk as they land: a 30-minute take
+        # buffered in RAM is multiple GB on this one-core host
+        self._spill = tempfile.TemporaryFile(prefix="lives_tpu_scrap_")
+        self._sizes: list[int] = []
         #: per-index (clip_uid, frame) live-source references, appended by
         #: the recording player; used to rewrite events if encoding fails
         self.origs: list[tuple] = []
@@ -178,7 +188,9 @@ class MJPEGScrapRecorder:
                         from ..ops.colorspace import convert_layer
                         lay = convert_layer(lay, Palette.RGB24)
                     planes.append(lay.planes[0])
-                self._datas.extend(enc.encode_batch(planes))
+                for d in enc.encode_batch(planes):
+                    self._spill.write(d)
+                    self._sizes.append(len(d))
             except Exception as e:  # noqa: BLE001
                 self._err = e
                 with self._cv:
@@ -197,15 +209,22 @@ class MJPEGScrapRecorder:
         # up and let the caller's event rewrite fall back to the live
         # source references.
         self._worker.join(timeout=120)
-        if self._worker.is_alive() or not self._datas:
+        if self._worker.is_alive() or not self._sizes:
             return None
         from .clips import open_clip
         from .decoders import write_mjpeg_avi
         import tempfile
         path = Path(path)
         path.parent.mkdir(parents=True, exist_ok=True)
-        write_mjpeg_avi(str(path), self._datas, self.width, self.height,
+
+        def jpegs():
+            self._spill.seek(0)
+            for size in self._sizes:
+                yield self._spill.read(size)
+
+        write_mjpeg_avi(str(path), jpegs(), self.width, self.height,
                         self.fps)
+        self._spill.close()
         clip = open_clip(str(path), tempfile.mkdtemp(prefix="scrap_"))
         clip.unique_id = self.unique_id
         return clip

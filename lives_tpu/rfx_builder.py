@@ -53,29 +53,71 @@ _ALLOWED_NODES = (
 )
 
 
+def _safe_pow(base, exp):
+    """Bounded ** for untrusted expressions: 9**9**9 must not hang the
+    host. Plenty for gamma curves and polynomial ramps."""
+    base = float(base)
+    exp = float(exp)
+    if abs(exp) > 64 or abs(base) > 1e9:
+        raise ValueError("pow out of range in RFX mapping expression")
+    return base ** exp
+
+
+class _PowGuard(ast.NodeTransformer):
+    def visit_BinOp(self, node):
+        self.generic_visit(node)
+        if isinstance(node.op, ast.Pow):
+            return ast.copy_location(
+                ast.Call(func=ast.Name(id="_safe_pow", ctx=ast.Load()),
+                         args=[node.left, node.right], keywords=[]), node)
+        return node
+
+
 def compile_mapping_expr(expr: str) -> Callable[[dict], float]:
     """Compile one mapping expression into fn(names) -> value through a
-    whitelisted-AST evaluator (scripts are untrusted user content)."""
-    tree = ast.parse(expr, mode="eval")
+    whitelisted-AST evaluator (scripts are untrusted user content).
+    The returned fn carries the referenced variable names in `.names`."""
+    if len(expr) > 1024:
+        raise ValueError("RFX mapping expression too long")
+    try:
+        tree = ast.parse(expr, mode="eval")
+    except (SyntaxError, RecursionError, MemoryError) as e:
+        raise ValueError(f"unparseable RFX mapping expression: {e}")
+    names = set()
+    n_nodes = 0
     for node in ast.walk(tree):
+        n_nodes += 1
+        if n_nodes > 200:
+            raise ValueError(f"RFX mapping expression too complex: "
+                             f"{expr!r}")
         if not isinstance(node, _ALLOWED_NODES):
             raise ValueError(
                 f"disallowed syntax {type(node).__name__!r} in RFX "
                 f"mapping expression {expr!r}")
+        if isinstance(node, ast.Constant) and \
+                not isinstance(node.value, (int, float, bool)):
+            raise ValueError(f"non-numeric constant in {expr!r}")
+        if isinstance(node, ast.Constant) and \
+                abs(float(node.value)) > 1e9:
+            raise ValueError(f"constant out of range in {expr!r}")
+        if isinstance(node, ast.Name):
+            names.add(node.id)
         if isinstance(node, ast.Call):
             if not (isinstance(node.func, ast.Name)
                     and node.func.id in _ALLOWED_CALLS):
                 raise ValueError(f"disallowed call in {expr!r}")
             if node.keywords:
                 raise ValueError(f"keyword args not allowed in {expr!r}")
+    tree = ast.fix_missing_locations(_PowGuard().visit(tree))
     code = compile(tree, "<rfx-mapping>", "eval")
 
     def run(names: dict):
-        scope = {"__builtins__": {}}
+        scope = {"__builtins__": {}, "_safe_pow": _safe_pow}
         scope.update(_ALLOWED_CALLS)
         scope.update(names)
         return eval(code, scope)  # noqa: S307 — AST whitelisted above
 
+    run.names = frozenset(names - set(_ALLOWED_CALLS))
     return run
 
 
@@ -171,6 +213,10 @@ class RFXBuilder:
 
     # -- persistence (reference .script DSL) --------------------------------
     def to_script(self) -> str:
+        if self.filter_name is None:
+            raise ValueError(
+                "set_filter() first: a saved script without a <filter> "
+                "binding could never load back")
         params = "\n".join(p.script_line() for p in self.params)
         window = "\n".join(self.layout_rows) or "\n".join(
             f"layout|p{i}|" for i in range(len(self.params)))
@@ -248,7 +294,7 @@ def _make_mapping_fn(params: list[UserParam], mapping: dict[str, str]):
                      if k in defaults})
         out = {}
         for fp, fn in compiled.items():
-            animated = ("t" in mapping[fp] or "frame" in mapping[fp])
+            animated = bool({"t", "frame"} & fn.names)
             if animated:
                 def per_frame(frame, fn=fn, base=base):
                     t = frame / max(n_frames - 1, 1)
@@ -319,20 +365,18 @@ def load_script_file(path: str | Path) -> str:
 
     from .rfx import parse_rfx_params
     spec = parse_rfx_params(text)
-    params = []
+    # validates params (reserved names, duplicates), the filter, and the
+    # expressions before anything registers
+    b = RFXBuilder(name)
     for d in spec:
         kind = {"int": "num0", "num": "num2", "color": "colRGB24"}.get(
             d["kind"], d["kind"])
-        params.append(UserParam(
-            d["name"], kind, d.get("default", 0.0),
-            d.get("min", 0.0), d.get("max", 1.0),
-            d.get("label", ""), tuple(d.get("choices", ()))))
-
-    # validates the filter + expressions before anything registers
-    b = RFXBuilder(name)
-    b.params = params
+        b.add_param(d["name"], kind, d.get("default", 0.0),
+                    d.get("min", 0.0), d.get("max", 1.0),
+                    d.get("label", ""),
+                    tuple(c for c in d.get("choices", ()) if c))
     b.set_filter(filter_name, **mapping)
-    register_user_script(name, filter_name, params, mapping)
+    register_user_script(name, filter_name, b.params, mapping)
     return name
 
 
@@ -347,6 +391,7 @@ def load_user_scripts(dirpath: str | Path) -> list[str]:
     for p in sorted(d.glob("*.script")):
         try:
             out.append(load_script_file(p))
-        except ValueError:
-            continue
+        except (ValueError, KeyError, SyntaxError, RecursionError,
+                OSError):
+            continue   # one bad file must not abort the scan
     return out

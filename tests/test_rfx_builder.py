@@ -108,3 +108,56 @@ def test_load_user_scripts_skips_reference_perl(tmp_path):
     assert names == ["good_one"]
     assert "oldstyle" not in _SCRIPTS
     del _SCRIPTS["good_one"]
+
+
+def test_dos_expressions_bounded():
+    """Resource-exhaustion inputs: huge powers, giant constants, string
+    repetition, oversized/deep expressions — rejected at compile or
+    bounded at eval (untrusted .script content must not hang the host)."""
+    with pytest.raises(ValueError):
+        compile_mapping_expr("'a' * 1000000000")      # non-numeric const
+    with pytest.raises(ValueError):
+        compile_mapping_expr("10000000000 + 1")       # constant cap
+    with pytest.raises(ValueError):
+        compile_mapping_expr("(" * 250 + "1" + ")" * 250)  # node budget
+    fn = compile_mapping_expr("9 ** 9 ** 9")          # bounded at eval
+    with pytest.raises(ValueError):
+        fn({})
+    assert compile_mapping_expr("x ** 2")({"x": 3.0}) == 9.0
+
+
+def test_static_mapping_not_misclassified_as_animated(tmp_path):
+    """'amount*2' contains the letter t but references no time variable:
+    it must map statically (no per-frame python eval)."""
+    b = (RFXBuilder("static_map")
+         .add_param("amount", "num2", default=0.25)
+         .set_filter("brightness_contrast", contrast="amount * 2"))
+    b.register()
+    from lives_tpu.rfx_scripts import get_script
+    raw = get_script("static_map").mapping({"amount": 0.25}, 10)
+    assert raw["contrast"] == 0.5 and not callable(raw["contrast"])
+    del _SCRIPTS["static_map"]
+
+
+def test_one_bad_script_does_not_abort_directory_scan(tmp_path):
+    d = tmp_path / "rfx"
+    d.mkdir()
+    # aaa sorts first: unknown filter raises KeyError inside the load
+    (d / "aaa_bad.script").write_text(
+        "<name>\naaa_bad\n</name>\n<filter>\nno_such_filter\n</filter>\n")
+    (d / "bbb_syntax.script").write_text(
+        "<name>\nbbb_syntax\n</name>\n<filter>\nvignette\namount=((\n"
+        "</filter>\n")
+    (RFXBuilder("zzz_good")
+     .add_param("amount", "num2", default=0.5)
+     .set_filter("vignette", amount="amount")
+     .save(d / "zzz_good.script"))
+    from lives_tpu.rfx_builder import load_user_scripts
+    assert load_user_scripts(d) == ["zzz_good"]
+    del _SCRIPTS["zzz_good"]
+
+
+def test_save_without_filter_refused():
+    b = RFXBuilder("nofilter").add_param("x", "num2", default=0.1)
+    with pytest.raises(ValueError):
+        b.to_script()
