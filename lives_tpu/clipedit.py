@@ -164,6 +164,7 @@ def merge_clipboard(clip: Clip, cb: Clipboard, transition: str = "crossfade",
     n = max(end - start, 0)
     if n == 0 or not len(cb.frames):
         return 0
+    snapshot_edit_undo(clip)   # merge rewrites frames: one undo step
     inst = instantiate(transition, **params)
     if inst.filter.n_in != 2:
         raise ValueError(f"{transition!r} is not a 2-input transition")
@@ -205,7 +206,8 @@ def merge_clipboard(clip: Clip, cb: Clipboard, transition: str = "crossfade",
         out = graph.run_batch([lb, la], tcs, frames, traced_params=tp)
         out_arr = np.asarray(out.planes[0])
         for i, k in enumerate(range(ofs, hi)):
-            clip.put_frame(k, Layer(planes=(jnp.asarray(out_arr[i]),),
+            # host array straight to disk (no per-frame device round trip)
+            clip.put_frame(k, Layer(planes=(out_arr[i],),
                                     palette=int(Palette.RGB24)))
             done += 1
             if progress:

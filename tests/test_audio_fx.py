@@ -586,3 +586,16 @@ def test_edit_undo_after_paste_and_trim(tmp_path):
     assert undo_edit(clip)
     assert clip.frames == 10
     assert abs(luma0(clip, 0) - exp_rgb(0)) <= 2
+
+
+def test_merge_clipboard_undoes(tmp_path):
+    from lives_tpu.clipedit import copy_frames, merge_clipboard, undo_edit
+    clip = make_clip(tmp_path)
+    cb = copy_frames(clip, 0, 4)
+    before = [luma0(clip, i) for i in range(10)]
+    done = merge_clipboard(clip, cb, "crossfade", start=4, end=8,
+                           ramp=(1.0, 1.0))   # fully the clipboard
+    assert done == 4
+    assert abs(luma0(clip, 4) - exp_rgb(0)) <= 3   # clipboard frame 0
+    assert undo_edit(clip)
+    assert [luma0(clip, i) for i in range(10)] == before
