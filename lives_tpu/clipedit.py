@@ -93,7 +93,7 @@ def paste_insert(clip: Clip, at: int, cb: Clipboard,
         [idx[:at], np.full(n_ins, -1, np.int32), idx[at:]]).astype(np.int32)
     clip.frames += n_ins
     for k, arr in enumerate(cb.frames):
-        clip.put_frame(at + k, Layer(planes=(jnp.asarray(arr),),
+        clip.put_frame(at + k, Layer(planes=(arr,),
                                      palette=int(Palette.RGB24)))
     if with_audio and cb.audio is not None and clip.arate:
         a = clip.read_audio()

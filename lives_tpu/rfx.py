@@ -90,7 +90,7 @@ def apply_rendered_effect(clip: Clip, filter_name: str,
                     (undo / (src.name + ".virtual")).write_text(
                         str(int(clip.frame_index[n])
                             if clip.frame_index is not None else n))
-            clip.put_frame(n, Layer(planes=(jnp.asarray(out_arr[k]),),
+            clip.put_frame(n, Layer(planes=(out_arr[k],),
                                     palette=int(Palette.RGB24)))
             done += 1
             if progress:

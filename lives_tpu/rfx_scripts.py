@@ -412,7 +412,7 @@ def _run_transition(clip: Clip, other, mode: str, start: int, end: int,
         out = np.asarray(step(jnp.asarray(a), jnp.asarray(b),
                               jnp.asarray(t)))
         for k, n in enumerate(range(ofs, hi)):
-            clip.put_frame(n, _Layer(planes=(jnp.asarray(out[k]),),
+            clip.put_frame(n, _Layer(planes=(out[k],),
                                      palette=int(Palette.RGB24)))
             done += 1
             if progress:
@@ -441,7 +441,7 @@ def _splice_runner(clip, start, end, progress=None, other=None,
         k = (n - start) % cyc
         if k < insert:  # clipboard run comes FIRST (reference $lc=$p0)
             arr = _pull_rgb(other, n - start, clip.width, clip.height)
-            clip.put_frame(n, _Layer(planes=(jnp.asarray(arr),),
+            clip.put_frame(n, _Layer(planes=(arr,),
                                      palette=int(Palette.RGB24)))
         done += 1
         if progress:
@@ -502,7 +502,7 @@ def _jumble_runner(clip, start, end, progress=None, seed: int = 0, **_):
             with Image.open(f"{stage}/{int(sn)}.png") as im:
                 arr = np.moveaxis(np.asarray(im.convert("RGB")),
                                   -1, 0).copy()
-            clip.put_frame(start + i, _Layer(planes=(jnp.asarray(arr),),
+            clip.put_frame(start + i, _Layer(planes=(arr,),
                                              palette=int(Palette.RGB24)))
             if progress:
                 progress(i + 1, end - start)
@@ -550,7 +550,7 @@ def _skip_forwards_runner(clip, start, end, progress=None, skip: int = 8,
         if diff > 0 and j < len(srcs):
             out = np.asarray(mix(jnp.asarray(srcs[i]), jnp.asarray(srcs[j]),
                                  jnp.float32(min(max(pc / 100.0, 0.0), 1.0))))
-            clip.put_frame(n, _Layer(planes=(jnp.asarray(out),),
+            clip.put_frame(n, _Layer(planes=(out,),
                                      palette=int(Palette.RGB24)))
         done += 1
         if progress:
@@ -639,7 +639,7 @@ def _photo_still_runner(clip, start, end, progress=None, flash: int = 2,
     for n in range(start, min(end, start + flash + hold)):
         i = n - start
         src = white if i < flash else arr
-        clip.put_frame(n, _Layer(planes=(jnp.asarray(src),),
+        clip.put_frame(n, _Layer(planes=(src,),
                                  palette=int(Palette.RGB24)))
         done += 1
         if progress:
@@ -691,7 +691,7 @@ def _image_overlay_runner(clip, start, end, progress=None, image: str = "",
             base[:, y0:y1, x0:x1] = (base[:, y0:y1, x0:x1] * (1.0 - m)
                                      + sub[:3] * 255.0 * m)
         out = np.clip(base + 0.5, 0, 255).astype(np.uint8)
-        clip.put_frame(n, _Layer(planes=(jnp.asarray(out),),
+        clip.put_frame(n, _Layer(planes=(out,),
                                  palette=int(Palette.RGB24)))
         done += 1
         if progress:
