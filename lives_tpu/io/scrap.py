@@ -12,9 +12,7 @@ from __future__ import annotations
 import json
 from pathlib import Path
 
-import numpy as np
-
-from ..constants import CHROMA_SUBSAMPLING, Palette, is_yuv_palette
+from ..constants import Palette
 from ..layer import Layer, layer_from_bytes, layer_to_bytes
 
 
