@@ -563,6 +563,14 @@ class LiVESApp:
         self.mt = LiVESMultitrack(self)
         self._callbacks: dict[int, list[Callable]] = {}
         self.osc: Optional[OSCServer] = None
+        # user-authored rendered effects persist under <workdir>/rfx;
+        # the reference scans its rfx dir at startup (rfx-builder
+        # scripts land in ~/.lives-dir)
+        try:
+            from .rfx_builder import load_user_scripts
+            load_user_scripts(self.workdir / "rfx")
+        except Exception:
+            pass
         if osc_port is not None:
             self.osc = OSCServer(self.player._player, port=osc_port)
             # one workdir for the whole app: the OSC record/recover

@@ -161,3 +161,19 @@ def test_save_without_filter_refused():
     b = RFXBuilder("nofilter").add_param("x", "num2", default=0.1)
     with pytest.raises(ValueError):
         b.to_script()
+
+
+def test_user_scripts_autoload_at_app_startup(tmp_path):
+    """Scripts saved under <workdir>/rfx register automatically in a new
+    session (the reference scans its rfx dir at startup)."""
+    from lives_tpu.api import LiVESApp
+    wd = tmp_path / "wd"
+    (RFXBuilder("persisted_fx")
+     .add_param("amount", "num2", default=0.5)
+     .set_filter("vignette", amount="amount")
+     .save(wd / "rfx" / "persisted_fx.script"))
+    _SCRIPTS.pop("persisted_fx", None)
+    app = LiVESApp(workdir=wd)
+    assert "persisted_fx" in _SCRIPTS
+    app.quit()
+    del _SCRIPTS["persisted_fx"]
