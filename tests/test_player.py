@@ -904,3 +904,49 @@ def test_double_record_stop_keeps_last_take():
     p.record_stop()                         # stray second stop
     assert p.last_recording is el           # take survives
     p.stop()
+
+
+def test_record_toggle_storm_never_kills_serving_loop():
+    """record_start/record_stop hammered from another thread (the OSC
+    surface) while the serving loop pumps: the loop must never die on
+    the event list being swapped out mid-section (chaos test for the
+    snapshot-local fix)."""
+    import threading
+    import time as _time
+    from lives_tpu.graph import SinkSpec
+    from lives_tpu.player import NullSink, Player
+    p = Player(sink=NullSink(), sink_spec=SinkSpec(width=32, height=16),
+               fps=25.0)
+    p.state.fg_clip = MemClip()
+    p.start()
+    errors = []
+    stop = threading.Event()
+
+    def pump():
+        i = 0
+        while not stop.is_set():
+            try:
+                p.state.frame = -1
+                p._clock0 = _time.monotonic()
+                p._frame0 = float(i % 20)
+                p.process_one()
+                p.key_toggle(0, i % 2 == 0)   # records inits/deinits too
+                i += 1
+            except Exception as e:  # noqa: BLE001
+                errors.append(e)
+                return
+
+    p.keymap.set_key(0, 0, "negate")
+    t = threading.Thread(target=pump)
+    t.start()
+    deadline = _time.monotonic() + 3.0
+    n = 0
+    while _time.monotonic() < deadline:
+        p.record_start(32, 16)
+        _time.sleep(0.002)
+        p.record_stop()
+        n += 1
+    stop.set()
+    t.join(timeout=10)
+    assert not errors, f"serving loop died: {errors[0]!r}"
+    assert n > 50
