@@ -185,7 +185,7 @@ select{background:#26262c;color:#eee;border:1px solid #555;padding:3px}
  <button onclick="cmd('/video/play/reverse')">rev</button>
  <button onclick="cmd('/video/play/faster')">+fps</button>
  <button onclick="cmd('/video/play/slower')">-fps</button>
- <button onclick="cmd('/record/toggle')">rec</button>
+ <button id="recbtn" onclick="cmd('/record/toggle')">rec</button>
  <button onclick="cmd('/record/preview')"
   title="preview the last recorded take in the preview pane">preview take</button>
  <button onclick="cmd('/record/render')"
@@ -664,6 +664,8 @@ async function openGen(){
 }
 async function refresh(){
  const st=await (await fetch('/api/state')).json();
+ const rb=document.getElementById('recbtn');
+ if(rb)rb.className=st.recording?'on':'';
  document.getElementById('fpsv').textContent=st.fps.toFixed(2);
  document.getElementById('stats').textContent=
   'frame '+st.frame+' / '+st.frames+'\\nshown '+st.shown+' dropped '+
@@ -1401,7 +1403,9 @@ class WebUI:
                 "dropped": stats["frames_dropped"],
                 "inst_fps": stats["inst_fps"], "p99_ms": stats["p99_ms"],
                 "keys": keys, "clips": clips,
-                "blend": st.blend_amount}
+                "blend": st.blend_amount,
+                "recording": bool(p.record),
+                "has_take": p.last_recording is not None}
 
     def audio_wave(self, track: int, width: int = 600):
         """Per-column min/max peaks of a backing audio track across the
