@@ -374,3 +374,42 @@ def test_recover_recording_keeps_autosave_when_unresolvable(tmp_path):
     assert app.recover_recording() is None
     assert app.check_recording_recovery()       # autosave preserved
     app.quit()
+
+
+def test_mid_take_crash_recovers_from_sources_in_fresh_app(tmp_path):
+    """Crash BEFORE record_stop: the JSONL autosave holds live-source
+    references; a fresh session that re-creates the same generator
+    (process-stable uid) recovers and renders from it."""
+    import time as _time
+    from lives_tpu.api import LiVESApp
+    from lives_tpu.effects.milkdrop import register_milk_preset
+    from lives_tpu.io.genclip import GeneratorClip
+    from lives_tpu.io.jpeg_ingest import load_jpegcoef
+    if load_jpegcoef() is None:
+        import pytest as _pytest
+        _pytest.skip("jpeg bridge unavailable")
+    register_milk_preset("[p]\nfDecay=0.85\nwave_a=1\n", "recov_j")
+    wd = tmp_path / "wd"
+    app = LiVESApp(workdir=wd, sink=CollectSink())
+    gen = GeneratorClip("milk_recov_j", width=64, height=48, fps=30.0)
+    app.player._player.state.fg_clip = gen
+    app.player._player.set_pb_fps(30.0)
+    app.player.play()
+    app.player.record_start(backup_every=0.0)
+    t0 = _time.monotonic()
+    while _time.monotonic() - t0 < 1.0:
+        app.player._player.process_one()
+        _time.sleep(0.002)
+    # crash: NO record_stop, fresh app over the same workdir
+    app.player._player.record = False
+    app.player._player.state.playing = False
+    app2 = LiVESApp(workdir=wd, sink=CollectSink())
+    assert app2.check_recording_recovery()
+    # the performer reopens the same generator: same stable uid
+    gen2 = GeneratorClip("milk_recov_j", width=64, height=48, fps=30.0)
+    assert gen2.unique_id == gen.unique_id
+    app2.player._player.state.fg_clip = gen2
+    out = app2.recover_recording()
+    assert out is not None and out.raw().frames > 0
+    assert np.asarray(out.raw().get_frame(0).planes[0]).max() > 0
+    app.quit(); app2.quit()
