@@ -490,6 +490,7 @@ class FrameGraph:
         key = ("batch", self._config_key(layers), self.has_stateful,
                rows_key, fused_eligible, pre_n, suf_n, comp_n,
                _pref2("sweep_tile"), _pref2("in_scan_gen"),
+               _pref2("sweep_bands"),
                source.source_key() if source is not None else None,
                tuple(src_dev.shape) if src_dev is not None else None)
         tmpl = self._templates.get(key)
@@ -512,10 +513,38 @@ class FrameGraph:
 
             from .pallas_composite import build_fused_sweep
             if fused_eligible:
-                fused = build_fused_sweep(
-                    _spec(self.chain), src_dev.shape[1], B,
-                    getattr(source, "h", 0), getattr(source, "w", 0),
-                    rows_key, self.fps, source, self.sink)
+                from ..prefs import pref
+                H_src = getattr(source, "h", 0)
+                n_bands = int(pref("sweep_bands") or 0)
+                if n_bands > 1 and H_src and H_src % n_bands == 0:
+                    # single-chip spatial band split (experimental,
+                    # LIVES_TPU_SWEEP_BANDS=N): run the proven band
+                    # kernel (the multi-chip spatial_sweep_fn form,
+                    # y-offset traced in packed row P+2) sequentially
+                    # over N bands — probes whether shorter kernels
+                    # beat the VMEM-tile-capped full-H sweep at 4K
+                    band = build_fused_sweep(
+                        _spec(self.chain), src_dev.shape[1], B,
+                        H_src, getattr(source, "w", 0),
+                        rows_key, self.fps, source, self.sink,
+                        band_h=H_src // n_bands)
+                    if band is not None:
+                        bh = H_src // n_bands
+
+                        def fused(src, packed, _b=band, _n=n_bands,
+                                  _bh=bh):
+                            outs = []
+                            for i in range(_n):
+                                y0 = jnp.full((1, packed.shape[1]),
+                                              i * _bh, jnp.float32)
+                                outs.append(_b(src, jnp.concatenate(
+                                    [packed, y0], axis=0)))
+                            return jnp.concatenate(outs, axis=2)
+                if fused is None:
+                    fused = build_fused_sweep(
+                        _spec(self.chain), src_dev.shape[1], B,
+                        H_src, getattr(source, "w", 0),
+                        rows_key, self.fps, source, self.sink)
             if pre_n:
                 pre_sweep = build_fused_sweep(
                     _spec(self.chain[:pre_n]), src_dev.shape[1], B,

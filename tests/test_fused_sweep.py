@@ -220,3 +220,18 @@ def test_fused_sweep_random_chain_parity():
         out = render(True)
         diff = np.abs(out.astype(int) - ref.astype(int))
         assert diff.max() <= 1, (names, diff.max())
+
+
+def test_banded_single_chip_sweep_matches_plain():
+    """LIVES_TPU_SWEEP_BANDS=N (single-chip spatial band split of the
+    fused sweep, the multi-chip band kernel run sequentially): bitwise
+    vs the plain full-H sweep."""
+    w, h, n = 256, 64, 8
+    plain = _render(w, h, n, fused=True)
+    os.environ["LIVES_TPU_SWEEP_BANDS"] = "4"
+    try:
+        banded = _render(w, h, n, fused=True)
+    finally:
+        os.environ.pop("LIVES_TPU_SWEEP_BANDS", None)
+    assert plain.shape == banded.shape
+    np.testing.assert_array_equal(plain, banded)

@@ -24,6 +24,13 @@ LIVES_TPU_TEST_TPU=1 timeout 1800 python -m pytest \
 
 [ "$1" = "quick" ] && exit 0
 
+echo "== 4K banded-sweep experiment (LIVES_TPU_SWEEP_BANDS) =="
+for nb in 0 2 4 8; do
+    echo "-- bands=$nb --"
+    LIVES_TPU_SWEEP_BANDS=$nb timeout 900 python benchmarks/render4k.py \
+        || true
+done
+
 echo "== 4K sweep decomposition profile (roofline study) =="
 for v in full noblur trans trans2 fma; do
     timeout 900 python benchmarks/sweep_profile.py --res 4k --only "$v"
