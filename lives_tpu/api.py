@@ -569,8 +569,9 @@ class LiVESApp:
         try:
             from .rfx_builder import load_user_scripts
             load_user_scripts(self.workdir / "rfx")
-        except Exception:
-            pass
+        except Exception as e:
+            from .messaging import d_print
+            d_print(f"user rfx autoload failed: {e}", "warn")
         if osc_port is not None:
             self.osc = OSCServer(self.player._player, port=osc_port)
             # one workdir for the whole app: the OSC record/recover

@@ -164,10 +164,10 @@ def merge_clipboard(clip: Clip, cb: Clipboard, transition: str = "crossfade",
     n = max(end - start, 0)
     if n == 0 or not len(cb.frames):
         return 0
-    snapshot_edit_undo(clip)   # merge rewrites frames: one undo step
     inst = instantiate(transition, **params)
     if inst.filter.n_in != 2:
         raise ValueError(f"{transition!r} is not a 2-input transition")
+    snapshot_edit_undo(clip)   # merge rewrites frames: one undo step
     inst.in_tracks = (0, 1)
     # the ramped param: transitions name their blend knob differently
     ramp_param = next((nm for nm in ("amount", "opacity")

@@ -392,6 +392,8 @@ def load_user_scripts(dirpath: str | Path) -> list[str]:
         try:
             out.append(load_script_file(p))
         except (ValueError, KeyError, SyntaxError, RecursionError,
-                OSError):
-            continue   # one bad file must not abort the scan
+                OSError) as e:
+            # one bad file must not abort the scan
+            from .messaging import d_print
+            d_print(f"rfx script {p.name} not loaded: {e}", "warn")
     return out
