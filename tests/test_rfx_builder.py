@@ -177,3 +177,15 @@ def test_user_scripts_autoload_at_app_startup(tmp_path):
     assert "persisted_fx" in _SCRIPTS
     app.quit()
     del _SCRIPTS["persisted_fx"]
+
+
+def test_bad_user_script_warns_on_console(tmp_path):
+    """Skipped scripts must explain themselves on the message console
+    (reference d_prints RFX load failures) instead of vanishing."""
+    from lives_tpu.messaging import console
+    from lives_tpu.rfx_builder import load_user_scripts
+    d = tmp_path / "rfx"
+    d.mkdir()
+    (d / "broken.script").write_text("<not a script>")
+    assert load_user_scripts(d) == []
+    assert any("broken.script" in m for m in console.tail(10))

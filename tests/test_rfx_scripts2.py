@@ -413,3 +413,19 @@ def test_pan_and_zoom(tmp_path):
     np.testing.assert_allclose(_frame(c, 0).astype(int), f0.astype(int),
                                atol=1)  # zoom 1.0 = identity
     assert not np.array_equal(_frame(c, 7), f0)
+
+
+def test_failed_merge_preserves_undo_snapshot(tmp_path):
+    """A typo'd transition name must fail BEFORE the single-slot
+    edit-undo snapshot is overwritten (validation precedes snapshot)."""
+    import pytest
+    from lives_tpu.clipedit import (EDIT_UNDO_DIR, Clipboard,
+                                    merge_clipboard, snapshot_edit_undo)
+    a = _clip(tmp_path / "a", seed=60)
+    snapshot_edit_undo(a)          # the user's precious undo point
+    meta = a.clip_dir / EDIT_UNDO_DIR / "meta.json"
+    before = meta.stat().st_mtime_ns
+    cb = Clipboard(frames=[np.zeros((3, 32, 48), np.uint8)], fps=25.0)
+    with pytest.raises(KeyError):
+        merge_clipboard(a, cb, transition="no_such_transition")
+    assert meta.stat().st_mtime_ns == before
