@@ -594,6 +594,32 @@ class LiVESApp:
         self._notify(NOTIFY.CLIP_OPENED, str(c.number))
         return c
 
+    def grab_firewire(self, max_frames: int, fmt: int = 0,
+                      base: str = "dvgrab-", autosplit: bool = False,
+                      libs=None) -> list[LiVESClip]:
+        """Capture from a FireWire DV/HDV camera and open the captured
+        file(s) as clips (`src/ldvgrab.c` on_open_fw_activate ->
+        camready -> rec -> open; in-process instead of the dvgrab
+        child). Returns [] when no camera/libs are present (gated)."""
+        from .io.dvgrab import DVGrabSession, FirewireCamera, grab
+        cam = FirewireCamera.find(libs)
+        if cam is None:
+            from .messaging import d_print
+            d_print("no FireWire AVC camera (or raw1394 libs) found",
+                    "warn")
+            return []
+        capdir = self.workdir / "capture"
+        capdir.mkdir(exist_ok=True)
+        session = DVGrabSession(capdir, base=base, fmt=fmt,
+                                autosplit=autosplit)
+        cam.play()
+        try:
+            files = grab(cam, session, max_frames=max_frames)
+        finally:
+            cam.stop()
+            cam.close()
+        return [self.open_file(str(p)) for p in files]
+
     def new_clip(self, width: int, height: int, fps: float = 25.0,
                  name: str = "") -> LiVESClip:
         clip = create_clip(self.workdir, width, height, fps, name)

@@ -1,406 +1,288 @@
-"""FireWire (IEEE 1394) DV camera grab.
+"""FireWire DV / HDV camera grab (successor of `src/ldvgrab.c` +
+`src/ldvcallbacks.c`: AVC-VCR discovery over raw1394 ports
+(`ldvgrab.c:132` camready), tape-transport control
+(`ldvgrab.c:209-256` camplay/camstop/camrew/camff/campause/cameject)
+and capture-to-file with autosplit naming (`ldvgrab.c:262`
+find_free_camfile, `ldvgrab.c:298` rec)).
 
-Successor of the reference `src/ldvgrab.c` + `src/ldvcallbacks.c`: bus
-scan for an AV/C VCR-subunit camera (`camready`, ldvgrab.c:100-175),
-tape-transport control (`camplay/camstop/camrew/camff/campause/cameject`,
-ldvgrab.c:179-207), free-filename scheme (`find_free_camfile`,
-ldvgrab.c:211-244) and recording (`rec`, ldvgrab.c:247+). Where the
-reference shells out to the external `dvgrab` binary for the actual
-capture, this module receives the isochronous stream in-process and
-reassembles DV frames itself (the same dissolution applied to smogrify:
-no helper binaries) — recorded `.dv` / `.mpg` files then open as clips
-through the ordinary decoder bridge (io/decoders.py).
+The reference shells out to the external ``dvgrab`` binary for the
+actual capture; this implementation is in-process (the smogrify rule:
+no helper binaries): isochronous packets are CIP-unwrapped and DV
+frames are assembled from DIF-sequence boundaries, HDV passes the
+MPEG2-TS payload straight through. Captured files open as ordinary
+clips through the libav decoder bridge (DV/MPEG2 decode already
+lands there).
 
-ctypes bindings gated like JACK/ALSA/V4L2: `load_libraw1394()` /
-`load_libavc1394()` return None when the libraries are absent, and every
-class takes injected libs so the full scan/transport/capture logic runs
-against mocks (tests/test_dvgrab.py) in containers with no FireWire
-hardware.
-
-Wire format notes (IEC 61883-1/-2): each ISO packet carries an 8-byte
-CIP header then N x 80-byte DIF blocks (480 bytes for SD-DVCR at S100).
-A DV frame starts at a DIF header block (section type 0, sequence 0,
-block 0); the DSF bit of that header selects NTSC (10 DIF sequences,
-120000 bytes/frame) or PAL (12 sequences, 144000). HDV instead carries
-MPEG-TS source packets (4-byte SPH + 188-byte TS packet per 192-byte
-unit), written out as a raw `.mpg` transport stream.
+ctypes binding, gated like JACK/ALSA/V4L2: ``load_firewire_libs()``
+returns None when libraw1394/librom1394/libavc1394 are absent, and
+every class accepts injected libs so the full discovery/transport/
+assembly logic is exercisable against mocks (tests/test_dvgrab.py).
+No FireWire hardware exists in CI — the drivers are mock-tested the
+same way the audio drivers are.
 """
 
 from __future__ import annotations
 
 import ctypes
-import os
-import threading
+from dataclasses import dataclass, field
 from pathlib import Path
-from typing import Callable, Optional
+from typing import Optional
 
-RX_CHANNEL = 63  # ldvgrab.c:13 RX_CHANNEL
-
-DIF_BLOCK = 80
-DV_FRAME_NTSC = 120_000  # 10 DIF sequences x 150 blocks x 80
-DV_FRAME_PAL = 144_000   # 12 DIF sequences
-
-CAM_FORMAT_DV = 0   # ldvinterface.h CAM_FORMAT_DV
+CAM_FORMAT_DV = 0    # ldvgrab.h camera formats
 CAM_FORMAT_HDV = 1
 
-# rom1394.h node types (enum order: unknown, DC, AVC, SBP2, CPU)
+# librom1394 rom1394_node_types: UNKNOWN=0 DC=1 AVC=2 SBP2=3 CPU=4
 ROM1394_NODE_TYPE_AVC = 2
-# avc1394.h: AVC1394_SUBUNIT_TYPE_TAPE_RECORDER (4 << 19) == "VCR"
+# libavc1394 subunit type field (avc1394.h): tape recorder/player
 AVC1394_SUBUNIT_TYPE_VCR = 4 << 19
 
-
-def load_libraw1394():
-    """dlopen libraw1394; None when unavailable (gated feature)."""
-    for name in ("libraw1394.so.11", "libraw1394.so"):
-        try:
-            return ctypes.CDLL(name)
-        except OSError:
-            continue
-    return None
+#: exact DV frame sizes (libdv): 10/12 DIF sequences x 150 blocks x 80
+DV_FRAME_NTSC = 120000
+DV_FRAME_PAL = 144000
+_DIF_BLOCK = 480          # DV iso payload per packet after the CIP header
+_CIP_HEADER = 8           # IEC 61883-1 CIP header on every data packet
 
 
-def load_libavc1394():
-    """dlopen libavc1394 (which also carries the rom1394_* symbols);
-    None when unavailable."""
-    for name in ("libavc1394.so.0", "libavc1394.so"):
-        try:
-            return ctypes.CDLL(name)
-        except OSError:
-            continue
-    return None
+def load_firewire_libs():
+    """dlopen the raw1394/rom1394/avc1394 triple; None when any is
+    missing (gated feature — `ldvgrab.c` is compiled out the same way
+    under HAVE_LDVGRAB)."""
+    libs = []
+    for stem in ("libraw1394.so.11", "libraw1394.so"), \
+                ("librom1394.so.0", "librom1394.so"), \
+                ("libavc1394.so.0", "libavc1394.so"):
+        for name in stem:
+            try:
+                libs.append(ctypes.CDLL(name))
+                break
+            except OSError:
+                continue
+        else:
+            return None
+    return tuple(libs)
 
 
-def load_librom1394():
-    """rom1394_* live in their own .so on most distros; fall back to the
-    avc1394 handle (static linkage) when absent."""
-    for name in ("librom1394.so.0", "librom1394.so"):
-        try:
-            return ctypes.CDLL(name)
-        except OSError:
-            continue
-    return load_libavc1394()
+class _PortInfo(ctypes.Structure):
+    """struct raw1394_portinfo (raw1394.h)."""
+    _fields_ = [("nodes", ctypes.c_int), ("name", ctypes.c_char * 32)]
 
 
-def _proto(lib, name, restype, argtypes) -> None:
-    """Best-effort prototype config (no-op for injected mock libs)."""
-    try:
-        fn = getattr(lib, name)
-        fn.restype = restype
-        fn.argtypes = argtypes
-    except (AttributeError, TypeError):
-        pass
+class FirewireCamera:
+    """One AVC tape device on the 1394 bus (the reference `s_cam`).
 
+    `find()` is camready (`ldvgrab.c:132`): walk every port, then every
+    node on the port, keep the first whose config-ROM directory says
+    AVC and whose subunit table includes a VCR.
+    """
 
-def _setup_protos(raw, avc, rom):
-    """Pointer-correct signatures for the real libs (a raw1394 handle is
-    a pointer: the ctypes default int restype would truncate it)."""
-    P, I = ctypes.c_void_p, ctypes.c_int
-    if raw is not None:
-        _proto(raw, "raw1394_new_handle", P, [])
-        _proto(raw, "raw1394_get_port_info", I, [P, ctypes.c_void_p, I])
-        _proto(raw, "raw1394_set_port", I, [P, I])
-        _proto(raw, "raw1394_get_nodecount", I, [P])
-        _proto(raw, "raw1394_destroy_handle", None, [P])
-        _proto(raw, "raw1394_start_iso_rcv", I, [P, ctypes.c_uint])
-        _proto(raw, "raw1394_stop_iso_rcv", I, [P, ctypes.c_uint])
-        _proto(raw, "raw1394_loop_iterate", I, [P])
-    if rom is not None:
-        _proto(rom, "rom1394_get_directory", I, [P, I, ctypes.c_void_p])
-        _proto(rom, "rom1394_get_node_type", I, [ctypes.c_void_p])
-    if avc is not None:
-        _proto(avc, "avc1394_check_subunit_type", I, [P, I, I])
-        for verb in ("play", "pause", "stop", "rewind", "forward", "eject"):
-            _proto(avc, f"avc1394_vcr_{verb}", None, [P, I])
+    def __init__(self, libs, handle, port: int, device: int):
+        self._raw, self._rom, self._avc = libs
+        self.handle = handle
+        self.port = port
+        self.device = device
 
+    # -- discovery ------------------------------------------------------
 
-class rom1394_directory(ctypes.Structure):
-    """rom1394.h directory record (only leading fields are read)."""
-    _fields_ = [
-        ("node_capabilities", ctypes.c_int),
-        ("guid", ctypes.c_uint64),
-        ("vendor_id", ctypes.c_int),
-        ("unit_spec_id", ctypes.c_int),
-        ("unit_sw_version", ctypes.c_int),
-        ("nr_textual_leafs", ctypes.c_int),
-        ("label", ctypes.c_char_p),
-        ("vendor", ctypes.c_char_p),
-        ("textual_leafs", ctypes.POINTER(ctypes.c_char_p)),
-    ]
+    @classmethod
+    def find(cls, libs=None) -> Optional["FirewireCamera"]:
+        libs = libs or load_firewire_libs()
+        if libs is None:
+            return None
+        raw, rom, avc = libs
+        handle = raw.raw1394_new_handle()
+        if not handle:
+            return None
+        pinf = (_PortInfo * 16)()
+        n_ports = raw.raw1394_get_port_info(handle, pinf, 16)
+        if n_ports < 0:
+            raw.raw1394_destroy_handle(handle)
+            return None
+        for port in range(n_ports):
+            if raw.raw1394_set_port(handle, port) < 0:
+                continue
+            for node in range(raw.raw1394_get_nodecount(handle)):
+                # rom_dir is opaque to us; 1 KiB covers the struct on
+                # every librom1394 release (it memsets what it uses)
+                rom_dir = ctypes.create_string_buffer(1024)
+                if rom.rom1394_get_directory(handle, node, rom_dir) < 0:
+                    continue
+                if (rom.rom1394_get_node_type(rom_dir)
+                        == ROM1394_NODE_TYPE_AVC
+                        and avc.avc1394_check_subunit_type(
+                            handle, node, AVC1394_SUBUNIT_TYPE_VCR)):
+                    return cls(libs, handle, port, node)
+        raw.raw1394_destroy_handle(handle)
+        return None
+
+    # -- transport (avc1394_vcr_*, `ldvgrab.c:209`) ----------------------
+
+    def play(self):
+        self._avc.avc1394_vcr_play(self.handle, self.device)
+
+    def stop(self):
+        self._avc.avc1394_vcr_stop(self.handle, self.device)
+
+    def pause(self):
+        self._avc.avc1394_vcr_pause(self.handle, self.device)
+
+    def rewind(self):
+        self._avc.avc1394_vcr_rewind(self.handle, self.device)
+
+    def forward(self):
+        self._avc.avc1394_vcr_forward(self.handle, self.device)
+
+    def eject(self):
+        self._avc.avc1394_vcr_eject(self.handle, self.device)
+
+    def close(self):
+        if self.handle:
+            self._raw.raw1394_destroy_handle(self.handle)
+            self.handle = None
 
 
 class DVFrameAssembler:
-    """Reassemble complete DV frames from raw ISO packets.
+    """Reassemble complete DV frames from CIP-wrapped iso packets.
 
-    Mirrors what `dvgrab -format raw` produced for the reference
-    (ldvgrab.c:262): packets arrive as CIP header + DIF blocks; a frame
-    boundary is the DIF header block (sct==0, dseq==0, dbn==0). Frames
-    whose byte count does not match the system size (NTSC/PAL, chosen by
-    the header's DSF bit) are dropped — partial lead-in data never
-    reaches the file.
+    A DV frame starts at the DIF block whose 3-byte id has section
+    type HEADER (SCT=0) in DIF sequence 0 (Dseq=0) — the libdv frame
+    boundary rule the dvgrab capture loop uses. Packets shorter than
+    CIP+480 are empty CIP keepalives and are dropped
+    (`ldvgrab.c:27` raw_iso_handler keeps only data packets).
     """
 
     def __init__(self):
         self._buf = bytearray()
-        self._expected = None  # frame size from the current header
-        self._lead_skipped = False
         self.frames_dropped = 0
 
-    @property
-    def is_pal(self) -> Optional[bool]:
-        return None if self._expected is None \
-            else self._expected == DV_FRAME_PAL
+    @staticmethod
+    def _is_frame_start(block: bytes) -> bool:
+        return (block[0] >> 5) == 0 and (block[1] >> 4) == 0
 
     def feed(self, packet: bytes) -> list[bytes]:
-        """One raw ISO packet in -> zero or more complete frames out."""
+        """One iso packet in; zero or more COMPLETE frames out."""
+        if len(packet) < _CIP_HEADER + _DIF_BLOCK:
+            return []
+        payload = packet[_CIP_HEADER:]
         out = []
-        if len(packet) < 8 + DIF_BLOCK:
-            return out  # empty CIP (no payload this cycle)
-        payload = memoryview(packet)[8:]
-        n = len(payload) // DIF_BLOCK
-        for i in range(n):
-            blk = payload[i * DIF_BLOCK:(i + 1) * DIF_BLOCK]
-            sct = blk[0] >> 5
-            dseq = (blk[1] >> 4) & 0x0F
-            dbn = blk[2]
-            if sct == 0 and dseq == 0 and dbn == 0:
-                # frame boundary: flush the previous frame if complete
-                if self._expected is not None and \
-                        len(self._buf) == self._expected:
+        for ofs in range(0, len(payload) - _DIF_BLOCK + 1, _DIF_BLOCK):
+            chunk = payload[ofs:ofs + _DIF_BLOCK]
+            if self._is_frame_start(chunk):
+                if len(self._buf) in (DV_FRAME_NTSC, DV_FRAME_PAL):
                     out.append(bytes(self._buf))
                 elif self._buf:
-                    self.frames_dropped += 1
+                    self.frames_dropped += 1   # incomplete: bus reset etc
                 self._buf = bytearray()
-                self._expected = DV_FRAME_PAL if blk[3] & 0x80 \
-                    else DV_FRAME_NTSC
-            if self._expected is None:
-                if not self._lead_skipped:
-                    # mid-stream join: everything before the first frame
-                    # header is one discarded partial frame
-                    self._lead_skipped = True
-                    self.frames_dropped += 1
-            else:
-                self._buf += blk
-                if len(self._buf) > self._expected:
-                    # desync: wait for the next header
-                    self.frames_dropped += 1
-                    self._buf = bytearray()
-                    self._expected = None
+            self._buf.extend(chunk)
         return out
 
 
-class HDVStreamAssembler:
-    """Strip IEC 61883-4 source-packet headers: CIP header + N x
-    (4-byte SPH + 188-byte TS packet) -> raw MPEG-TS bytes."""
-
-    SP = 192
-
-    def __init__(self):
-        self.frames_dropped = 0
-
-    def feed(self, packet: bytes) -> list[bytes]:
-        if len(packet) < 8 + self.SP:
-            return []
-        payload = memoryview(packet)[8:]
-        out = []
-        for i in range(len(payload) // self.SP):
-            ts = payload[i * self.SP + 4:(i + 1) * self.SP]
-            if ts[0] == 0x47:  # TS sync byte
-                out.append(bytes(ts))
-            else:
-                self.frames_dropped += 1
-        return out
-
-
-def next_camfile(dirname: str | os.PathLike, base: str,
-                 fmt: int = CAM_FORMAT_DV) -> Path:
-    """First free capture filename, reference numbering scheme
-    (`find_free_camfile`, ldvgrab.c:211: base%03d.dv / base%04d.mpg)."""
-    d = Path(dirname)
+def find_free_camfile(dirname: Path, base: str, fmt: int) -> Path:
+    """First unused capture filename — reference naming exactly
+    (`ldvgrab.c:262`): `<base>%03d.dv` for DV, `<base>%04d.mpg` for
+    HDV."""
     if fmt == CAM_FORMAT_HDV:
-        pats = (f"{base}{i:04d}.mpg" for i in range(1, 10000))
+        names = (f"{base}{i:04d}.mpg" for i in range(1, 10000))
     else:
-        pats = (f"{base}{i:03d}.dv" for i in range(1, 1000))
-    for name in pats:
-        p = d / name
+        names = (f"{base}{i:03d}.dv" for i in range(1, 1000))
+    for name in names:
+        p = Path(dirname) / name
         if not p.exists():
             return p
-    raise FileExistsError(f"no free camfile under {d}")
+    raise FileExistsError(f"no free camfile under {dirname}")
 
 
-class DVGrabber:
-    """One FireWire camera: bus scan, AV/C transport, ISO capture.
+@dataclass
+class DVGrabSession:
+    """Capture-to-file with autosplit (the in-process `rec`,
+    `ldvgrab.c:298`). DV: assembled frames append to the current
+    `.dv` file; autosplit opens a new file whenever frames were
+    dropped in between (recording gap — the dvgrab -autosplit role).
+    HDV: the MPEG2-TS payload streams through unparsed."""
 
-    `scan()` walks ports/nodes for an AV/C node with a VCR subunit
-    (camready, ldvgrab.c:100); transport methods issue the matching
-    avc1394_vcr_* commands; `record(path)` starts an in-process ISO
-    receive thread whose packets run through the DV/HDV assembler into
-    the file, `stop_record()` ends it. Bus resets end the session like
-    the reference's reset_handler (ldvgrab.c:37).
-    """
+    dirname: Path
+    base: str = "dvgrab-"
+    fmt: int = CAM_FORMAT_DV
+    autosplit: bool = False
+    files: list[Path] = field(default_factory=list)
+    frames_written: int = 0
+    _asm: DVFrameAssembler = field(default_factory=DVFrameAssembler)
+    _fh: object = None
+    _dropped_seen: int = 0
 
-    def __init__(self, raw_lib=None, avc_lib=None, rom_lib=None,
-                 channel: int = RX_CHANNEL):
-        self.raw = raw_lib if raw_lib is not None else load_libraw1394()
-        self.avc = avc_lib if avc_lib is not None else load_libavc1394()
-        self.rom = rom_lib if rom_lib is not None else (
-            load_librom1394() if avc_lib is None else avc_lib)
-        _setup_protos(self.raw, self.avc, self.rom)
-        self.channel = channel
-        self.handle = None
-        self.device = -1
-        self.format = CAM_FORMAT_DV
-        self._rec_thread: Optional[threading.Thread] = None
-        self._rec_stop = threading.Event()
-        self.assembler = None
-        self.frames_written = 0
-        self.bytes_written = 0
-        self.rec_path: Optional[Path] = None
+    def _open_next(self):
+        self._close_fh()
+        path = find_free_camfile(Path(self.dirname), self.base, self.fmt)
+        self._fh = open(path, "wb")
+        self.files.append(path)
 
-    @property
-    def available(self) -> bool:
-        return self.raw is not None and self.avc is not None
+    def _close_fh(self):
+        if self._fh is not None:
+            self._fh.close()
+            self._fh = None
 
-    # -- bus scan (camready) ------------------------------------------------
-    def scan(self) -> bool:
-        """Find the first AV/C VCR node; True when a camera is ready."""
-        if not self.available:
-            return False
-        self.handle = self.raw.raw1394_new_handle()
-        if not self.handle:
-            return False
-        # port info array: (int32 nodes, char[32] name) per port
-        buf = (ctypes.c_char * (36 * 16))()
-        n_ports = self.raw.raw1394_get_port_info(self.handle, buf, 16)
-        for port in range(max(n_ports, 0)):
-            if self.raw.raw1394_set_port(self.handle, port) < 0:
-                continue
-            for node in range(self.raw.raw1394_get_nodecount(self.handle)):
-                rd = rom1394_directory()
-                if self.rom.rom1394_get_directory(
-                        self.handle, node, ctypes.byref(rd)) < 0:
-                    continue
-                if self.rom.rom1394_get_node_type(ctypes.byref(rd)) \
-                        != ROM1394_NODE_TYPE_AVC:
-                    continue
-                if not self.avc.avc1394_check_subunit_type(
-                        self.handle, node, AVC1394_SUBUNIT_TYPE_VCR):
-                    continue
-                self.device = node
-                return True
-        self.close()
-        return False
+    def feed_packet(self, packet: bytes):
+        if self.fmt == CAM_FORMAT_HDV:
+            if len(packet) <= _CIP_HEADER:
+                return
+            if self._fh is None:
+                self._open_next()
+            self._fh.write(packet[_CIP_HEADER:])
+            return
+        for frame in self._asm.feed(packet):
+            if self._fh is None or (
+                    self.autosplit
+                    and self._asm.frames_dropped > self._dropped_seen):
+                self._dropped_seen = self._asm.frames_dropped
+                self._open_next()
+            self._fh.write(frame)
+            self.frames_written += 1
 
-    def close(self):
-        self.stop_record()
-        if self.handle is not None and self.raw is not None:
-            self.raw.raw1394_destroy_handle(self.handle)
-        self.handle = None
-        self.device = -1
+    def split(self):
+        """Manual split point: next frame starts a new file."""
+        self._close_fh()
 
-    # -- transport (camplay & friends) ---------------------------------------
-    def _vcr(self, name: str):
-        if self.handle is None or self.device < 0:
-            raise RuntimeError("no camera (scan() first)")
-        getattr(self.avc, f"avc1394_vcr_{name}")(self.handle, self.device)
-
-    def play(self):
-        self._vcr("play")
-
-    def pause(self):
-        self._vcr("pause")
-
-    def stop(self):
-        self.stop_record()
-        self._vcr("stop")
-
-    def rewind(self):
-        self._vcr("rewind")
-
-    def forward(self):
-        self._vcr("forward")
-
-    def eject(self):
-        self._vcr("eject")
-
-    # -- capture (rec; in-process instead of the dvgrab binary) --------------
-    def record(self, dirname: str | os.PathLike, base: str = "dvgrab-",
-               fmt: Optional[int] = None,
-               on_frame: Optional[Callable[[int], None]] = None) -> Path:
-        """Start recording; returns the file being written."""
-        if self._rec_thread is not None:
-            raise RuntimeError("already recording")
-        if self.handle is None:
-            raise RuntimeError("no camera (scan() first)")
-        fmt = self.format if fmt is None else fmt
-        path = next_camfile(dirname, base, fmt)
-        self.rec_path = path
-        self.assembler = HDVStreamAssembler() if fmt == CAM_FORMAT_HDV \
-            else DVFrameAssembler()
-        self.frames_written = 0
-        self.bytes_written = 0
-        self._rec_stop.clear()
-
-        ISO_CB = ctypes.CFUNCTYPE(ctypes.c_int, ctypes.c_void_p,
-                                  ctypes.c_int, ctypes.c_size_t,
-                                  ctypes.POINTER(ctypes.c_ubyte))
-
-        fh = open(path, "wb")
-
-        def iso_handler(handle, channel, length, data):
-            # raw_iso_handler (ldvgrab.c:27): accept our channel only
-            if channel != self.channel or not length:
-                return 0
-            pkt = ctypes.string_at(data, length)
-            for unit in self.assembler.feed(pkt):
-                fh.write(unit)
-                self.bytes_written += len(unit)
-                self.frames_written += 1
-                if on_frame is not None:
-                    on_frame(self.frames_written)
-            return 0
-
-        self._iso_cb = ISO_CB(iso_handler)  # keep a ref (GC safety)
-        self.raw.raw1394_set_iso_handler(self.handle, self.channel,
-                                         self._iso_cb)
-        if self.raw.raw1394_start_iso_rcv(self.handle, self.channel) < 0:
-            fh.close()
-            raise RuntimeError("raw1394 - couldn't start iso receive")
-
-        def loop():
-            try:
-                while not self._rec_stop.is_set():
-                    # dispatches queued bus events -> iso_handler
-                    if self.raw.raw1394_loop_iterate(self.handle) < 0:
-                        break  # bus reset: quit like reset_handler
-            finally:
-                self.raw.raw1394_stop_iso_rcv(self.handle, self.channel)
-                fh.close()
-
-        self._rec_thread = threading.Thread(target=loop, daemon=True,
-                                            name="dvgrab-iso")
-        self._rec_thread.start()
-        return path
-
-    def stop_record(self) -> int:
-        """Stop recording; returns frames (DV) / TS packets (HDV) written."""
-        if self._rec_thread is None:
-            return self.frames_written
-        self._rec_stop.set()
-        self._rec_thread.join(timeout=5.0)
-        self._rec_thread = None
-        return self.frames_written
+    def close(self) -> list[Path]:
+        self._close_fh()
+        # drop zero-byte leftovers (grab stopped before the first frame)
+        keep = []
+        for p in self.files:
+            if p.stat().st_size:
+                keep.append(p)
+            else:
+                p.unlink()
+        self.files = keep
+        return keep
 
 
-def packetize_dv(frames: list[bytes], blocks_per_packet: int = 6,
-                 channel: int = RX_CHANNEL) -> list[bytes]:
-    """Build the raw ISO packet stream a camera would send (test vector
-    helper + the send half of loopback tests): 8-byte CIP header then
-    `blocks_per_packet` DIF blocks per packet (6 x 80 = 480 bytes at
-    S100, IEC 61883-2)."""
-    cip = bytes((0x00, 0x78, 0x00, 0x80, 0x80, 0x00, 0x00, 0x00))
-    pkts = []
-    for frame in frames:
-        for off in range(0, len(frame), DIF_BLOCK * blocks_per_packet):
-            pkts.append(cip + bytes(
-                frame[off:off + DIF_BLOCK * blocks_per_packet]))
-    return pkts
+def grab(cam: FirewireCamera, session: DVGrabSession,
+         max_frames: int = 0, max_iterations: int = 1_000_000,
+         channel: int = 63) -> list[Path]:
+    """Run the iso receive loop until `max_frames` DV frames landed
+    (the `ldvgrab.c` RX_CHANNEL=63 receive path + the blocking capture
+    the dvgrab child performed). Transport must already be rolling
+    (`cam.play()`); stops the receive, not the tape."""
+    raw = cam._raw
+    done = {"n": 0}
+
+    @ctypes.CFUNCTYPE(ctypes.c_int, ctypes.c_void_p, ctypes.c_int,
+                      ctypes.c_size_t, ctypes.c_void_p)
+    def handler(_handle, chan, length, data):
+        if chan == channel and length and data:
+            session.feed_packet(ctypes.string_at(data, length))
+            done["n"] = session.frames_written
+        return 0
+
+    if hasattr(raw, "raw1394_set_iso_handler"):
+        raw.raw1394_set_iso_handler(cam.handle, channel, handler)
+    if hasattr(raw, "raw1394_start_iso_rcv"):
+        raw.raw1394_start_iso_rcv(cam.handle, channel)
+    try:
+        for _ in range(max_iterations):
+            if raw.raw1394_loop_iterate(cam.handle) < 0:
+                break
+            if max_frames and done["n"] >= max_frames:
+                break
+    finally:
+        if hasattr(raw, "raw1394_stop_iso_rcv"):
+            raw.raw1394_stop_iso_rcv(cam.handle, channel)
+    return session.close()

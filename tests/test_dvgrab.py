@@ -1,254 +1,273 @@
-"""FireWire DV grab (io/dvgrab.py vs reference src/ldvgrab.c).
-
-No FireWire hardware exists in CI, so the grabber runs against mock
-raw1394/avc1394 libs (the JACK/ALSA pattern): a scripted bus with an
-AV/C VCR node and a packet schedule built by `packetize_dv` from
-synthetic-but-well-formed DV frames. Asserts cover the camready scan
-walk, the AV/C transport verbs, NTSC/PAL autodetection, mid-stream
-join (partial leading frame dropped), the reference's camfile numbering
-scheme, and byte-exact reassembly of the recorded file.
-"""
+"""FireWire DV grab (src/ldvgrab.c role): AVC-VCR discovery, transport,
+CIP/DIF frame assembly, autosplit capture files — driven entirely
+against mock raw1394/rom1394/avc1394 libs (no FireWire hardware in CI,
+same policy as the audio drivers)."""
 
 import ctypes
-import threading
-import time
 
 import numpy as np
 import pytest
 
 from lives_tpu.io.dvgrab import (AVC1394_SUBUNIT_TYPE_VCR, CAM_FORMAT_DV,
-                                 CAM_FORMAT_HDV, DIF_BLOCK, DV_FRAME_NTSC,
-                                 DV_FRAME_PAL, DVFrameAssembler, DVGrabber,
-                                 HDVStreamAssembler, ROM1394_NODE_TYPE_AVC,
-                                 RX_CHANNEL, next_camfile, packetize_dv)
+                                 CAM_FORMAT_HDV, DV_FRAME_PAL,
+                                 DVFrameAssembler, DVGrabSession,
+                                 FirewireCamera, ROM1394_NODE_TYPE_AVC,
+                                 find_free_camfile, grab)
+
+# ---------------------------------------------------------------- mocks
 
 
-def make_dv_frame(pal: bool, seed: int = 0) -> bytes:
-    """A DV frame with correct DIF block headers (synthetic payload)."""
-    rng = np.random.default_rng(seed)
-    n_seq = 12 if pal else 10
-    frame = bytearray()
-    for seq in range(n_seq):
-        for dbn in range(150):
-            blk = bytearray(rng.integers(0, 256, DIF_BLOCK,
-                                         dtype=np.uint8).tobytes())
-            if dbn == 0:  # DIF sequence header block
-                sct = 0
-                blk[3] = 0x80 if pal else 0x00  # DSF bit
-            elif dbn in (1, 2):
-                sct = 1  # subcode
-            elif dbn in (3, 4, 5):
-                sct = 2  # VAUX
-            else:
-                sct = 4  # video (don't care for reassembly)
-            blk[0] = sct << 5
-            blk[1] = (seq & 0x0F) << 4
-            blk[2] = dbn
-            frame += blk
-    assert len(frame) == (DV_FRAME_PAL if pal else DV_FRAME_NTSC)
-    return bytes(frame)
+class MockRaw:
+    """The raw1394 calls FirewireCamera/grab use, with an iso loop that
+    replays a canned packet list through the registered handler."""
 
-
-# ---------------------------------------------------------------------------
-# assemblers
-
-
-def test_dv_assembler_roundtrip_ntsc():
-    frames = [make_dv_frame(False, s) for s in range(3)]
-    asm = DVFrameAssembler()
-    got = []
-    for pkt in packetize_dv(frames):
-        got += asm.feed(pkt)
-    # the last frame stays buffered until the next header arrives
-    got += asm.feed(packetize_dv([make_dv_frame(False, 99)])[0])
-    assert got == frames
-    assert asm.is_pal is False
-    assert asm.frames_dropped == 0
-
-
-def test_dv_assembler_pal_detect():
-    frames = [make_dv_frame(True, s) for s in range(2)]
-    asm = DVFrameAssembler()
-    got = []
-    for pkt in packetize_dv(frames + [make_dv_frame(True, 9)]):
-        got += asm.feed(pkt)
-    assert got == frames
-    assert asm.is_pal is True
-
-
-def test_dv_assembler_midstream_join_drops_partial():
-    f0, f1, f2 = (make_dv_frame(False, s) for s in range(3))
-    pkts = packetize_dv([f0, f1, f2])
-    per_frame = len(pkts) // 3
-    asm = DVFrameAssembler()
-    got = []
-    for pkt in pkts[per_frame // 2:]:  # join halfway through f0
-        got += asm.feed(pkt)
-    assert got == [f1]  # f0's tail dropped, f2 still buffered
-    assert asm.frames_dropped >= 1
-    # empty CIP packets (no payload) are ignored
-    assert asm.feed(bytes(8)) == []
-
-
-def test_hdv_assembler_strips_sph():
-    ts = [bytes([0x47]) + bytes([i] * 187) for i in range(5)]
-    cip = bytes(8)
-    pkt = cip + b"".join(bytes(4) + p for p in ts[:3])
-    pkt2 = cip + b"".join(bytes(4) + p for p in ts[3:])
-    bad = cip + bytes(4) + bytes([0x00] * 188)  # no sync byte
-    asm = HDVStreamAssembler()
-    assert asm.feed(pkt) + asm.feed(pkt2) == ts
-    assert asm.feed(bad) == []
-    assert asm.frames_dropped == 1
-
-
-# ---------------------------------------------------------------------------
-# camfile numbering (find_free_camfile, ldvgrab.c:211)
-
-
-def test_next_camfile_numbering(tmp_path):
-    assert next_camfile(tmp_path, "cap").name == "cap001.dv"
-    (tmp_path / "cap001.dv").touch()
-    (tmp_path / "cap002.dv").touch()
-    assert next_camfile(tmp_path, "cap").name == "cap003.dv"
-    assert next_camfile(tmp_path, "cap",
-                        CAM_FORMAT_HDV).name == "cap0001.mpg"
-
-
-# ---------------------------------------------------------------------------
-# mock bus
-
-
-class MockBus:
-    """Scripted raw1394 + avc1394 + rom1394 in one object: port 0 has
-    nodes [CPU, AVC-VCR]; loop_iterate delivers one scheduled ISO packet
-    per call to the registered handler."""
-
-    def __init__(self, packets=(), channel=RX_CHANNEL):
+    def __init__(self, packets=(), n_ports=1, n_nodes=2):
         self.packets = list(packets)
-        self.channel = channel
-        self.calls = []
-        self.handlers = {}
-        self.destroyed = False
-        self.iso_started = False
+        self.n_ports, self.n_nodes = n_ports, n_nodes
+        self.handler = None
+        self.iso_started = self.iso_stopped = False
+        self.destroyed = 0
 
-    # raw1394
     def raw1394_new_handle(self):
-        return 0xC0FFEE
+        return 0xBEEF
 
-    def raw1394_get_port_info(self, handle, buf, n):
-        return 1
+    def raw1394_get_port_info(self, handle, pinf, n):
+        return self.n_ports
 
     def raw1394_set_port(self, handle, port):
         return 0
 
     def raw1394_get_nodecount(self, handle):
-        return 2
+        return self.n_nodes
 
     def raw1394_destroy_handle(self, handle):
-        self.destroyed = True
+        self.destroyed += 1
 
     def raw1394_set_iso_handler(self, handle, channel, cb):
-        self.handlers[channel] = cb
+        self.handler = cb
 
     def raw1394_start_iso_rcv(self, handle, channel):
         self.iso_started = True
-        return 0
 
     def raw1394_stop_iso_rcv(self, handle, channel):
-        self.iso_started = False
-        return 0
+        self.iso_stopped = True
 
     def raw1394_loop_iterate(self, handle):
         if not self.packets:
-            time.sleep(0.001)
-            return 0
+            return -1
         pkt = self.packets.pop(0)
-        cb = self.handlers.get(self.channel)
-        if cb is not None:
-            arr = (ctypes.c_ubyte * len(pkt)).from_buffer_copy(pkt)
-            cb(None, self.channel, len(pkt), arr)
+        buf = ctypes.create_string_buffer(pkt, len(pkt))
+        self.handler(None, 63, len(pkt),
+                     ctypes.cast(buf, ctypes.c_void_p).value)
         return 0
 
-    # rom1394
-    def rom1394_get_directory(self, handle, node, rd):
-        self._node = node
+
+class MockRom:
+    """Node `avc_node` reports AVC; get_node_type sees only the rom_dir
+    buffer, so remember which node the last get_directory was for."""
+
+    def __init__(self, avc_node=1):
+        self.avc_node = avc_node
+        self._last = None
+
+    def rom1394_get_directory(self, handle, node, rom_dir):
+        self._last = node
         return 0
 
-    def rom1394_get_node_type(self, rd):
-        return ROM1394_NODE_TYPE_AVC if self._node == 1 else 0
+    def rom1394_get_node_type(self, rom_dir):
+        return (ROM1394_NODE_TYPE_AVC if self._last == self.avc_node
+                else 0)
 
-    # avc1394
-    def avc1394_check_subunit_type(self, handle, node, sut):
-        assert sut == AVC1394_SUBUNIT_TYPE_VCR
-        return 1 if node == 1 else 0
+
+class MockAvc:
+    def __init__(self, vcr_node=1):
+        self.vcr_node = vcr_node
+        self.calls = []
+
+    def avc1394_check_subunit_type(self, handle, node, subtype):
+        assert subtype == AVC1394_SUBUNIT_TYPE_VCR
+        return 1 if node == self.vcr_node else 0
 
     def __getattr__(self, name):
         if name.startswith("avc1394_vcr_"):
-            def verb(handle, node):
-                self.calls.append((name.removeprefix("avc1394_vcr_"), node))
-            return verb
+            def call(handle, device, _n=name):
+                self.calls.append((_n.removeprefix("avc1394_vcr_"),
+                                   device))
+            return call
         raise AttributeError(name)
 
 
-def test_grabber_scan_and_transport():
-    bus = MockBus()
-    g = DVGrabber(raw_lib=bus, avc_lib=bus)
-    assert g.available
-    assert g.scan()
-    assert g.device == 1
-    g.play()
-    g.pause()
-    g.rewind()
-    g.forward()
-    g.stop()
-    g.eject()
-    assert [c for c, _n in bus.calls] == \
-        ["play", "pause", "rewind", "forward", "stop", "eject"]
-    assert all(n == 1 for _c, n in bus.calls)
-    g.close()
-    assert bus.destroyed
+# ------------------------------------------------------- DV synthesis
 
 
-def test_grabber_records_dv_file(tmp_path):
-    frames = [make_dv_frame(False, s) for s in range(4)]
-    # trailing header flushes frame 4; its own partial is discarded at stop
-    pkts = packetize_dv(frames + [make_dv_frame(False, 5)])
-    bus = MockBus(pkts)
-    g = DVGrabber(raw_lib=bus, avc_lib=bus)
-    assert g.scan()
-    seen = []
-    path = g.record(tmp_path, "cap", on_frame=seen.append)
-    assert path.name == "cap001.dv"
-    deadline = time.time() + 5.0
-    while g.frames_written < 4 and time.time() < deadline:
-        time.sleep(0.01)
-    n = g.stop_record()
-    assert n == 4 == len(seen)
-    assert path.read_bytes() == b"".join(frames)
-    assert not bus.iso_started  # receive stopped with the thread
-    # a second recording session numbers the next file
-    path2 = g.record(tmp_path, "cap")
-    assert path2.name == "cap002.dv"
-    g.stop_record()
-    g.close()
+def synth_dv_frame(seed: int) -> bytes:
+    """A byte-exact-size PAL DV frame with correct DIF ids: 12 sequences
+    x 150 blocks x 80 bytes; each sequence leads with an SCT=0 header
+    block carrying its Dseq, every other block has SCT!=0."""
+    rng = np.random.default_rng(seed)
+    out = bytearray()
+    for seq in range(12):
+        for blk in range(150):
+            body = rng.integers(0, 256, 77, np.uint8).tobytes()
+            if blk == 0:
+                out += bytes([0x00, seq << 4, 0x00]) + body
+            else:
+                out += bytes([0x40 | (blk & 0x1F), seq << 4, 0x00]) + body
+    assert len(out) == DV_FRAME_PAL
+    return bytes(out)
 
 
-def test_grabber_no_camera():
-    class EmptyBus(MockBus):
-        def raw1394_get_nodecount(self, handle):
-            return 0
+def to_packets(frames: list[bytes]) -> list[bytes]:
+    """CIP-wrap a DV stream as 8+480-byte iso packets, with empty CIP
+    keepalives sprinkled in (the real bus sends those constantly)."""
+    stream = b"".join(frames)
+    pkts = []
+    for ofs in range(0, len(stream), 480):
+        pkts.append(b"\x00" * 8 + stream[ofs:ofs + 480])
+        if ofs % 4800 == 0:
+            pkts.append(b"\x00" * 8)   # empty CIP
+    return pkts
 
-    g = DVGrabber(raw_lib=EmptyBus(), avc_lib=EmptyBus())
-    assert not g.scan()
-    assert g.device == -1
-    with pytest.raises(RuntimeError):
-        g.play()
+
+# --------------------------------------------------------------- tests
 
 
-def test_grabber_unavailable_libs():
-    g = DVGrabber(raw_lib=False, avc_lib=False)  # falsy sentinels
-    g.raw = None
-    g.avc = None
-    assert not g.available
-    assert not g.scan()
+def test_assembler_reassembles_bit_exact():
+    frames = [synth_dv_frame(i) for i in range(3)]
+    asm = DVFrameAssembler()
+    got = []
+    for pkt in to_packets(frames):
+        got += asm.feed(pkt)
+    # the last frame stays buffered until the next frame start arrives
+    assert got == frames[:2]
+    assert asm.frames_dropped == 0
+
+
+def test_assembler_drops_incomplete_frames():
+    f0, f1 = synth_dv_frame(0), synth_dv_frame(1)
+    truncated = f0[:48000]   # lost packets mid-frame
+    asm = DVFrameAssembler()
+    got = []
+    for pkt in to_packets([truncated, f1]):
+        got += asm.feed(pkt)
+    assert got == []
+    assert asm.frames_dropped == 1
+    got = asm.feed(b"\x00" * 8 + synth_dv_frame(2)[:480])
+    assert got == [f1]
+
+
+def test_find_free_camfile_reference_naming(tmp_path):
+    assert find_free_camfile(tmp_path, "dvgrab-",
+                             CAM_FORMAT_DV).name == "dvgrab-001.dv"
+    (tmp_path / "dvgrab-001.dv").write_bytes(b"x")
+    assert find_free_camfile(tmp_path, "dvgrab-",
+                             CAM_FORMAT_DV).name == "dvgrab-002.dv"
+    assert find_free_camfile(tmp_path, "cap",
+                             CAM_FORMAT_HDV).name == "cap0001.mpg"
+
+
+def test_discovery_walks_ports_and_picks_the_vcr_node():
+    libs = (MockRaw(), MockRom(avc_node=1), MockAvc(vcr_node=1))
+    cam = FirewireCamera.find(libs)
+    assert cam is not None and cam.device == 1
+    cam.play()
+    cam.pause()
+    cam.stop()
+    cam.eject()
+    assert libs[2].calls == [("play", 1), ("pause", 1), ("stop", 1),
+                             ("eject", 1)]
+    cam.close()
+    assert libs[0].destroyed == 1
+
+
+def test_discovery_none_when_no_vcr_subunit():
+    libs = (MockRaw(), MockRom(avc_node=1), MockAvc(vcr_node=99))
+    assert FirewireCamera.find(libs) is None
+    assert libs[0].destroyed == 1   # handle released on failure
+
+
+def test_grab_writes_frames_and_autosplits(tmp_path):
+    f = [synth_dv_frame(i) for i in range(4)]
+    # gap between frame 1 and 2: frame 1 truncated -> dropped -> split
+    pkts = to_packets([f[0], f[1][:96000], f[2], f[3],
+                       synth_dv_frame(9)[:480]])
+    libs = (MockRaw(pkts), MockRom(), MockAvc())
+    cam = FirewireCamera.find(libs)
+    session = DVGrabSession(tmp_path, base="take", fmt=CAM_FORMAT_DV,
+                            autosplit=True)
+    files = grab(cam, session)
+    assert libs[0].iso_started and libs[0].iso_stopped
+    assert [p.name for p in files] == ["take001.dv", "take002.dv"]
+    assert files[0].read_bytes() == f[0]
+    assert files[1].read_bytes() == f[2] + f[3]
+    assert session.frames_written == 3
+
+
+def test_grab_hdv_streams_ts_payload(tmp_path):
+    payload = bytes(range(256)) * 10
+    pkts = [b"\x00" * 8 + payload[i:i + 480]
+            for i in range(0, len(payload), 480)]
+    libs = (MockRaw(pkts), MockRom(), MockAvc())
+    cam = FirewireCamera.find(libs)
+    session = DVGrabSession(tmp_path, base="hdv", fmt=CAM_FORMAT_HDV)
+    files = grab(cam, session)
+    assert [p.name for p in files] == ["hdv0001.mpg"]
+    assert files[0].read_bytes() == payload
+
+
+def test_real_dv_roundtrip_grab_to_clip(tmp_path):
+    """Full story: REAL DV frames (dvvideo via the avbridge encoder)
+    ride the mock 1394 bus, the grab session reassembles them, and the
+    captured .dv opens as an ordinary clip through the decoder bridge
+    (the reference flow: dvgrab file -> open in LiVES)."""
+    from lives_tpu.io.av import AVEncodeSession, load_avbridge
+    if load_avbridge() is None:
+        pytest.skip("avbridge unavailable")
+    src = tmp_path / "src.dv"
+    enc = AVEncodeSession(str(src), 720, 576, 25.0, vcodec="dvvideo",
+                          container="dv")
+    for i in range(3):
+        enc.write_frame(np.full((576, 720, 3), 30 + i * 60, np.uint8))
+    enc.close()
+    raw = src.read_bytes()
+    assert len(raw) == 3 * DV_FRAME_PAL
+    frames = [raw[i:i + DV_FRAME_PAL]
+              for i in range(0, len(raw), DV_FRAME_PAL)]
+    # one extra frame-start packet flushes the last buffered frame
+    pkts = to_packets(frames) + [b"\x00" * 8 + synth_dv_frame(7)[:480]]
+    libs = (MockRaw(pkts), MockRom(), MockAvc())
+    cam = FirewireCamera.find(libs)
+    session = DVGrabSession(tmp_path, base="cam", fmt=CAM_FORMAT_DV)
+    files = grab(cam, session, max_frames=3)
+    assert files and files[0].read_bytes() == raw
+    from lives_tpu.io.clips import open_clip
+    clip = open_clip(str(files[0]), tmp_path / "work")
+    assert clip.frames == 3 and clip.width == 720 and clip.height == 576
+    lum = [float(np.mean(np.asarray(clip.get_frame(i).planes[0])))
+           for i in range(3)]
+    assert lum[0] < lum[1] < lum[2]
+
+
+def test_api_grab_firewire_opens_clips(tmp_path):
+    """LiVESApp.grab_firewire: camera -> capture dir -> open_file for
+    every captured file; [] (with a console warn) when gated off."""
+    from lives_tpu.api import LiVESApp
+    from lives_tpu.io.av import load_avbridge
+    if load_avbridge() is None:
+        pytest.skip("avbridge unavailable")
+    from lives_tpu.io.av import AVEncodeSession
+    src = tmp_path / "src.dv"
+    enc = AVEncodeSession(str(src), 720, 576, 25.0, vcodec="dvvideo",
+                          container="dv")
+    enc.write_frame(np.full((576, 720, 3), 90, np.uint8))
+    enc.close()
+    raw = src.read_bytes()
+    pkts = to_packets([raw]) + [b"\x00" * 8 + synth_dv_frame(7)[:480]]
+    app = LiVESApp(workdir=tmp_path / "app")
+    clips = app.grab_firewire(max_frames=1,
+                              libs=(MockRaw(pkts), MockRom(), MockAvc()))
+    assert len(clips) == 1
+    assert clips[0]._clip.frames == 1
+    # transport rolled then stopped around the grab
+    # gated path: no libs -> [] and a warn on the console
+    assert app.grab_firewire(max_frames=1, libs=None) in ([],)
