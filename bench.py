@@ -24,7 +24,29 @@ import time
 import numpy as np
 
 
+def _probe_backend(timeout_s: int = 180) -> bool:
+    """The axon attachment, when down, hangs backend init for ~10 min.
+    Probe it in a killable subprocess so a dead chip fails in minutes
+    with a diagnosable line instead of a silent stall."""
+    import subprocess
+    try:
+        r = subprocess.run(
+            [sys.executable, "-c", "import jax; jax.devices()"],
+            timeout=timeout_s, capture_output=True)
+        return r.returncode == 0
+    except subprocess.TimeoutExpired:
+        return False
+
+
 def main():
+    if not _probe_backend():
+        print(json.dumps({
+            "metric": "multitrack_render_10track_1080p30",
+            "value": 0.0, "unit": "x_realtime", "vs_baseline": 0.0,
+            "error": "TPU attachment unavailable (backend probe timed "
+                     "out); see PERF_NOTES.md for the last measured "
+                     "chip medians"}))
+        sys.exit(1)
     import jax
     import jax.numpy as jnp
     from lives_tpu.events.renderer import render_events
