@@ -20,7 +20,8 @@ import numpy as np
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 
-def run(in_scan: bool, suffix: bool = False, n_chunks: int = 5):
+def run(in_scan: bool, suffix: bool = False, n_chunks: int = 5,
+        fused_state: bool | None = None, alien_chain: bool = False):
     import jax
     import jax.numpy as jnp
     from lives_tpu.effects import instantiate
@@ -30,15 +31,24 @@ def run(in_scan: bool, suffix: bool = False, n_chunks: int = 5):
 
     os.environ["LIVES_TPU_IN_SCAN_GEN"] = "1" if in_scan else "0"
     os.environ["LIVES_TPU_FUSED_SWEEP"] = "1" if suffix else "0"
+    if fused_state is not None:
+        os.environ["LIVES_TPU_FUSED_STATEFUL"] = \
+            "1" if fused_state else "0"
     tiny = jnp.zeros((8, 128), jnp.uint8)
     bar = jax.jit(lambda a: a + 1)
     H, W, B, T = 1080, 1920, 96, 10
     src = DeviceSyntheticSource(H, W)
     # chain LED by stateful fx, then the 9 transitions folding the tracks,
     # then colour work: no fusable prefix anywhere
-    chain = [instantiate("fire", threshold=0.6),
-             instantiate("rgb_delay", delay_r=0.0, delay_g=1.0,
-                         delay_b=2.0)]
+    if alien_chain:
+        # every stateful step kernel-supported: the whole plan (incl.
+        # state) fuses into ONE pallas kernel (graph/pallas_stateful.py)
+        chain = [instantiate("fire", threshold=0.6),
+                 instantiate("alien_overlay")]
+    else:
+        chain = [instantiate("fire", threshold=0.6),
+                 instantiate("rgb_delay", delay_r=0.0, delay_g=1.0,
+                             delay_b=2.0)]
     trans = ["crossfade", "blend_screen", "blend_overlay", "blend_add",
              "blend_multiply", "blend_lighten", "blend_difference",
              "blend_darken", "crossfade"]
@@ -70,6 +80,24 @@ def run(in_scan: bool, suffix: bool = False, n_chunks: int = 5):
 
 
 def main():
+    # A/B: the whole-plan fused STATEFUL sweep vs the 3-phase path on a
+    # kernel-supported chain (fire+alien led; rgb_delay's 16-frame u8
+    # ring stays scan-hosted by design)
+    ph3, f_ph3 = run(in_scan=True, suffix=True, fused_state=False,
+                     alien_chain=True)
+    fstate, f_fstate = run(in_scan=True, suffix=True, fused_state=True,
+                           alien_chain=True)
+    sdiff = int(np.abs(f_fstate.astype(int) - f_ph3.astype(int)).max())
+    print(json.dumps({
+        "metric": "stateful_FUSED_sweep_10track_1080p30",
+        "value": round(fstate, 2), "unit": "x_realtime",
+        "vs_3phase": round(fstate / max(ph3, 1e-9), 2),
+        "detail": {"three_phase_path": round(ph3, 2),
+                   "whole_plan_fused": round(fstate, 2),
+                   "max_lsb_diff": sdiff,
+                   "chain": "fire+alien_overlay | 9 transitions | "
+                            "saturation+vignette"}}))
+    os.environ["LIVES_TPU_FUSED_STATEFUL"] = "0"
     base, f_base = run(in_scan=False)
     inscan, f_in = run(in_scan=True)
     full, f_full = run(in_scan=True, suffix=True)

@@ -77,6 +77,41 @@ _stateful("rgb_delay", _rgbdelay_process, _rgbdelay_init,
 
 
 # -- fire --------------------------------------------------------------------
+#
+# The spatial steps are factored into `*_core` functions shared with the
+# fused stateful sweep kernel (graph/pallas_stateful.py) so both paths
+# keep ONE source of truth. Shifts are edge-CLAMPED (not wrapped):
+# flames must not teleport across frame edges, and clamped halos are
+# exactly what the sweep kernel's clamped-coordinate generation provides.
+
+
+def _shift_lr(a):
+    """Column neighbours with edge clamp: (left, right) of a (..., W)."""
+    l = jnp.concatenate([a[..., :1], a[..., :-1]], axis=-1)
+    r = jnp.concatenate([a[..., 1:], a[..., -1:]], axis=-1)
+    return l, r
+
+
+def fire_core(mid_ext, cooling):
+    """One fire propagation step. `mid_ext` is max(state, sparks) with
+    ONE extra row BELOW (edge-clamped): (n+1, W) -> (n, W)."""
+    up = mid_ext[1:]
+    l, r = _shift_lr(up)
+    return (up * 2.0 + l + r) * 0.25 * (1.0 - 0.04 - cooling * 0.1)
+
+
+def fire_flame(buf):
+    """Fire palette black->red->yellow->white: (n, W) -> (3, n, W)."""
+    fr = jnp.clip(buf * 3.0, 0.0, 1.0)
+    fg = jnp.clip(buf * 3.0 - 1.0, 0.0, 1.0)
+    fb = jnp.clip(buf * 3.0 - 2.0, 0.0, 1.0)
+    return jnp.stack([fr, fg, fb])
+
+
+def fire_compose(rgb, flame, amount):
+    base = rgb * (1.0 - amount)
+    return jnp.clip(jnp.maximum(base, flame * amount + base), 0.0, 1.0)
+
 
 def _fire_init(w, h, pal):
     return jnp.zeros((h, w), jnp.float32)
@@ -89,20 +124,11 @@ def _fire_process(ins, p, ctx, state):
     g = luma(rgb)
     # spark injection where the image is bright
     sparks = jnp.where(g > p["threshold"], g, 0.0)
-    buf = jnp.maximum(state, sparks)
-    # flames rise: shift up + neighbour average + decay
-    up = jnp.roll(buf, -1, axis=0)
-    l = jnp.roll(up, 1, axis=1)
-    r = jnp.roll(up, -1, axis=1)
-    buf = (up * 2.0 + l + r) * 0.25 * (1.0 - 0.04 - p["cooling"] * 0.1)
-    # fire palette: black->red->yellow->white
-    fr = jnp.clip(buf * 3.0, 0.0, 1.0)
-    fg = jnp.clip(buf * 3.0 - 1.0, 0.0, 1.0)
-    fb = jnp.clip(buf * 3.0 - 2.0, 0.0, 1.0)
-    flame = jnp.stack([fr, fg, fb])
-    out = jnp.maximum(rgb * (1.0 - p["amount"]), flame * p["amount"] +
-                      rgb * (1.0 - p["amount"]))
-    return from_f01(join_alpha(jnp.clip(out, 0, 1), al), lay), buf
+    mid = jnp.maximum(state, sparks)
+    # flames rise: up-shift + neighbour average + decay (edge-clamped)
+    buf = fire_core(jnp.concatenate([mid, mid[-1:]], axis=0), p["cooling"])
+    out = fire_compose(rgb, fire_flame(buf), p["amount"])
+    return from_f01(join_alpha(out, al), lay), buf
 
 
 _stateful("fire", _fire_process, _fire_init,
@@ -118,26 +144,38 @@ def _life_init(w, h, pal):
     return jnp.zeros((h, w), jnp.uint8)
 
 
+def life_core(cells_ext, g_ext, threshold):
+    """One life step. `cells_ext` is the f32 cell field with one
+    edge-clamped row above AND below ((n+2, W)); `g_ext` is comp luma
+    with one clamped row ABOVE ((n+1, W)). Returns f32 0/1 (n, W)."""
+    above, mid, below = cells_ext[:-2], cells_ext[1:-1], cells_ext[2:]
+    al_, ar_ = _shift_lr(above)
+    ml_, mr_ = _shift_lr(mid)
+    bl_, br_ = _shift_lr(below)
+    n = above + below + al_ + ar_ + ml_ + mr_ + bl_ + br_
+    born = (n == 3.0)
+    survive = (mid > 0) & ((n == 2.0) | (n == 3.0))
+    # seed new life from image edges (luma gradient, edge-clamped)
+    g = g_ext[1:]
+    gl, _ = _shift_lr(g)
+    gx = jnp.abs(g - gl)
+    gy = jnp.abs(g - g_ext[:-1])
+    seed = (gx + gy) > threshold
+    return (born | survive | seed).astype(jnp.float32)
+
+
 def _life_process(ins, p, ctx, state):
     lay = ins[0]
     a = to_f01(lay)
     rgb, al = split_alpha(a)
     g = luma(rgb)
     cells = state.astype(jnp.float32)
-    # neighbour count via rolls
-    n = sum(jnp.roll(jnp.roll(cells, dy, 0), dx, 1)
-            for dy in (-1, 0, 1) for dx in (-1, 0, 1)
-            if (dy, dx) != (0, 0))
-    born = (n == 3.0)
-    survive = (cells > 0) & ((n == 2.0) | (n == 3.0))
-    # seed new life from image edges (luma gradient)
-    gx = jnp.abs(g - jnp.roll(g, 1, 1))
-    gy = jnp.abs(g - jnp.roll(g, 1, 0))
-    seed = (gx + gy) > p["threshold"]
-    new_cells = (born | survive | seed).astype(jnp.uint8)
-    overlay = new_cells.astype(jnp.float32)
+    cells_ext = jnp.concatenate([cells[:1], cells, cells[-1:]], axis=0)
+    g_ext = jnp.concatenate([g[:1], g], axis=0)
+    overlay = life_core(cells_ext, g_ext, p["threshold"])
     out = jnp.clip(rgb + overlay[None] * p["amount"], 0.0, 1.0)
-    return from_f01(join_alpha(out, al), lay), new_cells
+    return (from_f01(join_alpha(out, al), lay),
+            overlay.astype(jnp.uint8))
 
 
 _stateful("life", _life_process, _life_init,
@@ -343,6 +381,12 @@ def _alien_init(w, h, pal):
     return jnp.zeros((3, h, w), jnp.float32)
 
 
+def alien_core(rgb, ghost_old):
+    """Pointwise ghost blend (shared with the fused stateful sweep)."""
+    ghost = ghost_old + (rgb - ghost_old) * 0.1
+    return jnp.clip(rgb * 0.5 + ghost * 0.5, 0.0, 1.0), ghost
+
+
 def _alien_process(ins, p, ctx, state):
     """alien_overlay.script: blend the frame with a slow exponential ghost
     of itself — static areas stay solid, motion leaves translucent
@@ -350,9 +394,8 @@ def _alien_process(ins, p, ctx, state):
     lay = ins[0]
     a = to_f01(lay)
     rgb, al = split_alpha(a)
-    ghost = state + (rgb - state) * 0.1
-    out = rgb * 0.5 + ghost * 0.5
-    return from_f01(join_alpha(jnp.clip(out, 0, 1), al), lay), ghost
+    out, ghost = alien_core(rgb, state)
+    return from_f01(join_alpha(out, al), lay), ghost
 
 
 _stateful("alien_overlay", _alien_process, _alien_init,

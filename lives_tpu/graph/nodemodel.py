@@ -466,6 +466,17 @@ class FrameGraph:
                     suf_n = 0
             if pre_n + suf_n > len(self.chain):
                 suf_n = len(self.chain) - pre_n
+        # whole-plan fused STATEFUL sweep: state lives in VMEM across the
+        # chunk's frames (graph/pallas_stateful.py); replaces the 3-phase
+        # [prefix]->[scan]->[suffix] split when every stateful step is
+        # kernel-supported. LIVES_TPU_FUSED_STATEFUL=1 enables (opt-in
+        # until the kernel is validated on the real chip — Mosaic-only
+        # constraints do not surface in interpret mode).
+        sf_eligible = False
+        if sweepable_src and self.has_stateful \
+                and _pref2("fused_stateful") == "1":
+            from .pallas_stateful import stateful_sweep_len
+            sf_eligible = stateful_sweep_len(self.chain)
         comp_n = 0
         comp_geo = None
         if (not sweepable_src and not self.has_stateful and not self.cconx
@@ -490,13 +501,14 @@ class FrameGraph:
         key = ("batch", self._config_key(layers), self.has_stateful,
                rows_key, fused_eligible, pre_n, suf_n, comp_n,
                _pref2("sweep_tile"), _pref2("in_scan_gen"),
-               _pref2("sweep_bands"),
+               _pref2("sweep_bands"), sf_eligible,
                source.source_key() if source is not None else None,
                tuple(src_dev.shape) if src_dev is not None else None)
         tmpl = self._templates.get(key)
         npre = 0
         nsuf = 0
         fused = None
+        sf_fused = None
         pre_sweep = None
         suf_sweep = None
         comp_builder = None
@@ -512,6 +524,13 @@ class FrameGraph:
                 return out
 
             from .pallas_composite import build_fused_sweep
+            sf_fused = None
+            if sf_eligible:
+                from .pallas_stateful import build_fused_stateful_sweep
+                sf_fused = build_fused_stateful_sweep(
+                    _spec(self.chain), src_dev.shape[1], B,
+                    getattr(source, "h", 0), getattr(source, "w", 0),
+                    rows_key, self.fps, source, self.sink)
             if fused_eligible:
                 from ..prefs import pref
                 H_src = getattr(source, "h", 0)
@@ -583,6 +602,16 @@ class FrameGraph:
                     self.fps)
                 if comp_builder is not None:
                     npre = comp_n
+        if tmpl is None and sf_fused is not None:
+            sink_gamma = self.sink.gamma
+
+            def batch_fn(layers, src, packed, states, _f=sf_fused):
+                u8, new_states = _f(src, packed, states)
+                return Layer(planes=(u8,), palette=int(Palette.RGB24),
+                             gamma=sink_gamma), new_states
+
+            tmpl = jax.jit(batch_fn)
+            self._cache_put(key, tmpl)
         if tmpl is None and fused is not None:
             sink_gamma = self.sink.gamma
 

@@ -178,6 +178,8 @@ ENV_KNOBS = {
     "pallas_composite": ("LIVES_TPU_PALLAS_COMPOSITE", "0"),
     "in_scan_gen": ("LIVES_TPU_IN_SCAN_GEN", "1"),
     "pallas_interpret": ("LIVES_TPU_PALLAS_INTERPRET", "0"),
+    "sweep_bands": ("LIVES_TPU_SWEEP_BANDS", ""),
+    "fused_stateful": ("LIVES_TPU_FUSED_STATEFUL", "0"),
 }
 
 _store = None

@@ -41,3 +41,6 @@ timeout 1200 python benchmarks/live_player.py
 
 echo "== TPU pallas kernel tests =="
 LIVES_TPU_TEST_TPU=1 timeout 1800 python -m pytest tests/test_pallas.py -q
+
+echo "== fused STATEFUL sweep A/B (validates the kernel on the chip) =="
+timeout 1200 python benchmarks/render_stateful_led.py || true
