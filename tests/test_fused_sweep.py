@@ -231,6 +231,13 @@ def test_banded_single_chip_sweep_matches_plain():
     os.environ["LIVES_TPU_SWEEP_BANDS"] = "4"
     try:
         banded = _render(w, h, n, fused=True)
+        # the equality assert is vacuous if the band knob silently
+        # no-ops (it DID until sweep_bands joined prefs.ENV_KNOBS):
+        # a banded run must key its own template
+        from lives_tpu.graph.nodemodel import _TEMPLATE_CACHE
+        assert any(isinstance(k, tuple) and k and k[0] == "batch"
+                   and k[10] == "4" for k in _TEMPLATE_CACHE), \
+            "banded sweep did not engage"
     finally:
         os.environ.pop("LIVES_TPU_SWEEP_BANDS", None)
     assert plain.shape == banded.shape
