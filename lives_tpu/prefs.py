@@ -180,6 +180,7 @@ ENV_KNOBS = {
     "pallas_interpret": ("LIVES_TPU_PALLAS_INTERPRET", "0"),
     "sweep_bands": ("LIVES_TPU_SWEEP_BANDS", ""),
     "fused_stateful": ("LIVES_TPU_FUSED_STATEFUL", "0"),
+    "mjpeg_device_decode": ("LIVES_TPU_MJPEG_DEVICE_DECODE", "1"),
 }
 
 _store = None
