@@ -424,3 +424,191 @@ def pipeline_chain_fn(instances, mesh: Mesh, axis: str = "b"):
                   jnp.asarray(tcs, jnp.float32))
 
     return run
+
+
+#: spatially-shardable stateful filters -> band halo radius (rows the
+#: step reads beyond its own). Pointwise-in-space ring/ghost filters are
+#: radius 0; fire/life shift one row. Global-warp stateful filters
+#: (feedback, vertigo, blurzoom) and cursor writers (onedtv) are NOT
+#: band-safe.
+BAND_SAFE_STATEFUL = {"fire": 1, "life": 1, "alien_overlay": 0,
+                      "rgb_delay": 0, "nervous": 0}
+
+
+def chain_band_halo_stateful(graph) -> int:
+    """Total band halo of a STATEFUL chain (stencil radii + stateful
+    read radii), validating every enabled effect is band-safe. Raises
+    ValueError otherwise (mirror of chain_band_halo, which rejects
+    stateful chains outright)."""
+    from ..graph.nodemodel import _split_params
+    from ..graph.pallas_composite import (COORD_SAFE, PALLAS_SAFE,
+                                          _stencil_fns)
+    from ..effects.host import FILTER_STATEFUL
+    stencils = _stencil_fns()
+    R = 0
+    for inst in graph.chain:
+        if not inst.enabled:
+            continue
+        name = inst.filter.name
+        if inst.filter.flags & FILTER_STATEFUL:
+            if name not in BAND_SAFE_STATEFUL:
+                raise ValueError(
+                    f"{name!r} is not band-safe for spatial sharding")
+            R += BAND_SAFE_STATEFUL[name]
+        elif name in stencils:
+            # stencils mixed with stateful steps break FRAME-edge
+            # exactness: a stencil's value computed AT a replicated
+            # out-of-frame row differs from the replication of its edge
+            # row, and the neighbouring stateful shift then reads it.
+            # (The fused stateful sweep fixes this per step — here the
+            # chain runs inside one frame_fn. Split-segment fixups are
+            # the future refinement; reject for now.)
+            raise ValueError(
+                "stencils are not supported in spatially-sharded "
+                f"STATEFUL chains ({name!r}); run blur before the "
+                "recording or use the fused stateful sweep")
+        elif name not in PALLAS_SAFE and name not in COORD_SAFE:
+            raise ValueError(
+                f"{name!r} is not band-safe for spatial sharding")
+    return R
+
+
+def spatial_stateful_fn(graph, mesh: Mesh, axis: str = "b"):
+    """STATEFUL chains over spatial bands: every chip owns a row band of
+    the frame AND of every state plane; frames run sequentially in a
+    `lax.scan` (the state carry), and each frame starts with a ppermute
+    halo exchange of both the input planes and the state planes — fresh
+    neighbour state every frame, so band arithmetic is exactly the
+    full-frame computation (halo validity decays one radius per step,
+    covered by the summed halo R; frame edges replicate, matching the
+    filters' clamped shifts).
+
+    The reference cannot do this at all: its stateful plugins keep
+    whole-frame buffers in plugin_internal and its row-threading
+    (effects-weed.c:1563) must single-thread any plugin with state.
+    Here a fire+rgb_delay chain scales across chips with 2R rows of ICI
+    traffic per frame per state plane.
+
+    Returns run(layers, tcs, frames, params=None) -> Layer
+    ((B,C,H,W) planes), matching spatial_batch_fn's contract.
+    """
+    import numpy as np_
+    from ..graph.nodemodel import _split_params
+    from ..effects.host import FILTER_STATEFUL
+
+    R = chain_band_halo_stateful(graph)
+    ns = int(mesh.shape[axis])
+    sink = graph.sink
+    frame_fn = graph._make_frame_fn()
+    n_inst = len(graph.chain)
+
+    def run(layers: Sequence[Layer], tcs, frames, params=None):
+        B = len(np_.asarray(tcs))
+        H, W = layers[0].height, layers[0].width
+        if sink.width not in (0, W) or sink.height not in (0, H):
+            raise ValueError(
+                "spatial sharding requires a same-geometry sink")
+        if H % ns or (H // ns) < max(R, 1):
+            raise ValueError(f"H={H} unshardable over {ns} bands"
+                             f" (halo {R})")
+        Hl = H // ns
+        # materialise init states at frame geometry (run_batch's rule)
+        for i, inst in enumerate(graph.chain):
+            if (inst.filter.flags & FILTER_STATEFUL
+                    and graph.states[i] is None
+                    and inst.filter.init_state is not None):
+                graph.states[i] = inst.filter.init_state(W, H, None)
+        if params is None:
+            params = []
+            for inst in graph.chain:
+                _, tp = _split_params(inst)
+                params.append({k: np_.broadcast_to(np_.float32(v), (B,))
+                               for k, v in tp.items()})
+        rows = [(i, k) for i, d in enumerate(params) for k in sorted(d)]
+        packed = jnp.asarray(np_.stack(
+            [np_.asarray(params[i][k], np_.float32) for i, k in rows]
+            + [np_.asarray(tcs, np_.float32),
+               np_.asarray(frames, np_.float32)]))
+        metas = [dict(palette=l.palette, clamping=l.clamping,
+                      sampling=l.sampling, subspace=l.subspace,
+                      gamma=l.gamma) for l in layers]
+        st_leaves, st_def = jax.tree.flatten(graph.states)
+        # row-shard state leaves whose second-minor axis is the frame
+        # height; replicate the rest (ring heads, cursors)
+        def _rowsharded(leaf):
+            return (hasattr(leaf, "ndim") and leaf.ndim >= 2
+                    and leaf.shape[-2] == H)
+        row_mask = [_rowsharded(l) for l in st_leaves]
+        up = [(i, (i + 1) % ns) for i in range(ns)]
+        down = [(i, (i - 1) % ns) for i in range(ns)]
+
+        def _ext(p, idx):
+            """Halo-extend rows: neighbours' edge rows via ppermute,
+            frame edges replicate (the filters' clamped shifts)."""
+            if not R:
+                return p
+            f32 = p.dtype != jnp.uint8
+            top = jax.lax.ppermute(p[..., -R:, :], axis, up)
+            bot = jax.lax.ppermute(p[..., :R, :], axis, down)
+            top = jnp.where(idx == 0, jnp.repeat(p[..., :1, :], R, -2),
+                            top)
+            bot = jnp.where(idx == ns - 1,
+                            jnp.repeat(p[..., -1:, :], R, -2), bot)
+            return jnp.concatenate([top, p, bot], axis=-2)
+
+        def body(packed, st_and_planes):
+            st_loc = st_and_planes[:len(st_leaves)]
+            planes = st_and_planes[len(st_leaves):]
+            idx = jax.lax.axis_index(axis)
+            y0 = idx * Hl - R
+
+            def step(carry_leaves, per_frame):
+                planes_f, col = per_frame
+                ext_planes = [_ext(p, idx) for p in planes_f]
+                ext_leaves = [_ext(l, idx) if m else l
+                              for l, m in zip(carry_leaves, row_mask)]
+                states_t = jax.tree.unflatten(st_def, ext_leaves)
+                lyrs = [Layer(planes=(pp,), **m)
+                        for pp, m in zip(ext_planes, metas)]
+                tps = [dict() for _ in range(n_inst)]
+                for r_, (i_, k_) in enumerate(rows):
+                    tps[i_][k_] = col[r_]
+                out, ns_t = frame_fn(lyrs, tps, states_t,
+                                     col[-2], col[-1].astype(jnp.int32),
+                                     origin=(y0, H, W))
+                ns_leaves = jax.tree.leaves(ns_t)
+                new_carry = [
+                    (l[..., R:R + Hl, :] if (m and R) else l)
+                    for l, m in zip(ns_leaves, row_mask)]
+                o = out.planes[0]
+                return new_carry, (o[..., R:R + Hl, :] if R else o)
+
+            new_st, outs = jax.lax.scan(
+                step, list(st_loc),
+                (tuple(jnp.moveaxis(p, 0, 0) for p in planes), packed.T))
+            return tuple(new_st) + (outs,)
+
+        plane_spec = P(None, None, axis, None)
+
+        def leaf_spec(leaf, m):
+            if not m:
+                return P()
+            return P(*([None] * (leaf.ndim - 2) + [axis, None]))
+
+        st_specs = tuple(leaf_spec(l, m)
+                         for l, m in zip(st_leaves, row_mask))
+        shardfn = jax.jit(jax.shard_map(
+            body, mesh=mesh,
+            in_specs=(P(),
+                      st_specs + tuple(plane_spec for _ in layers)),
+            out_specs=st_specs + (plane_spec,)))
+        res = shardfn(packed,
+                      tuple(st_leaves) + tuple(l.planes[0]
+                                               for l in layers))
+        new_leaves = list(res[:len(st_leaves)])
+        graph.states = jax.tree.unflatten(st_def, new_leaves)
+        out = res[len(st_leaves)]
+        return Layer(planes=(out,), palette=sink.palette,
+                     gamma=sink.gamma)
+
+    return run
