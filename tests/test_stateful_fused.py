@@ -41,6 +41,14 @@ def _mk_chain(kind):
         chain = [instantiate("fire", threshold=0.5),
                  instantiate("gaussian_blur", radius=2.0),
                  instantiate("saturation", saturation=1.2)]
+    elif kind == "life_blur":
+        # life keeps halo for the blur: u8 ping-pong + halo fixup
+        chain = [instantiate("life", threshold=0.15, amount=0.5),
+                 instantiate("gaussian_blur", radius=2.0)]
+    elif kind == "alien_blur":
+        # pointwise stateful BEFORE a stencil: f32chw ping-pong planes
+        chain = [instantiate("alien_overlay"),
+                 instantiate("box_blur", radius=2.0)]
     else:
         raise KeyError(kind)
     return chain
@@ -93,7 +101,8 @@ def _run(kind, fused: bool, B=5, H=32, W=128, chunks=2, tile=8):
 
 
 @pytest.mark.parametrize("kind", ["fire_led", "alien", "life", "multi",
-                                  "stencil_after"])
+                                  "stencil_after", "life_blur",
+                                  "alien_blur"])
 def test_fused_stateful_parity(kind):
     """Frames within +/-1 LSB of the scan path AND the carried state
     (chunk boundary contract) matches bit-exactly."""
@@ -109,6 +118,14 @@ def test_fused_stateful_parity(kind):
             np.testing.assert_allclose(
                 b.astype(np.float64), a.astype(np.float64),
                 rtol=0, atol=1e-5)
+
+
+def test_fused_stateful_single_tile():
+    """nT == 1 (the tile spans the full height): the staging branches
+    collapse to the both-edges path."""
+    ref, _ = _run("fire_led", fused=False, tile=32)
+    out, _ = _run("fire_led", fused=True, tile=32)
+    assert np.abs(out.astype(int) - ref.astype(int)).max() <= 1
 
 
 def test_fused_stateful_engages():
