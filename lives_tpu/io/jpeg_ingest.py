@@ -227,25 +227,34 @@ def pack_frame(f: JpegFrame, capacity: int, esc_cap: int | None = None):
             counts.astype(np.uint8), cpos, cvals, ei, ev, f.qtabs)
 
 
-def read_packed_native(data: bytes, meta: "JpegMeta", capacity: int):
+def read_packed_native(data: bytes, meta: "JpegMeta", capacity: int,
+                       out=None):
     """One native pass: entropy decode + v2 sparse pack straight from the
     coefficient rows (jc_read_packed) — skips the numpy repack on the
     single host core. Returns the pack_frame tuple, None when the bridge
     is absent or geometry/capacity mismatch (caller falls back to the
-    python path)."""
+    python path).
+
+    `out=(dc, counts, pos, vals, ei, ev, qtabs_u16)` writes into caller
+    buffers (contiguous views into batch arrays) — the batch feeder path
+    avoids one full copy per column per frame (~2 ms/frame of np.stack
+    on the single host core)."""
     lib = load_jpegcoef()
     if lib is None or not hasattr(lib, "jc_read_packed"):
         return None
     NB = meta.n_blocks
     ec = esc_cap_for(NB)
     info = (ctypes.c_int * 32)()
-    qtabs = np.zeros((4, 64), np.uint16)
-    dc = np.zeros(NB, np.int16)
-    counts = np.zeros(NB, np.uint8)
-    pos = np.zeros(capacity, np.uint8)
-    vals = np.zeros(capacity, np.int8)
-    ei = np.full(ec, -1, np.int32)
-    ev = np.zeros(ec, np.int16)
+    if out is not None:
+        dc, counts, pos, vals, ei, ev, qtabs = out
+    else:
+        qtabs = np.zeros((4, 64), np.uint16)
+        dc = np.zeros(NB, np.int16)
+        counts = np.zeros(NB, np.uint8)
+        pos = np.zeros(capacity, np.uint8)
+        vals = np.zeros(capacity, np.int8)
+        ei = np.full(ec, -1, np.int32)
+        ev = np.zeros(ec, np.int16)
     nesc = ctypes.c_int(0)
 
     def ptr(a, ct):
@@ -602,33 +611,48 @@ class JpegStreamSource:
 
     def entropy_pack(self, idx: Sequence[int]):
         """Host half for a frame batch (run it on a feeder thread).
-        Returns (dc, counts, pos, vals, esc_idx, esc_val, qt, falls)."""
-        cols = [[] for _ in range(7)]
+        Returns (dc, counts, pos, vals, esc_idx, esc_val, qt, falls).
+
+        The native pass writes straight into row views of preallocated
+        batch arrays — the per-frame np.stack copies cost ~2 ms/frame
+        of the single host core at 1080p (19% of the pack budget)."""
+        B = len(idx)
+        NB, cap = self.meta.n_blocks, self.capacity
+        ec = esc_cap_for(NB)
+        dc = np.zeros((B, NB), np.int16)
+        counts = np.zeros((B, NB), np.uint8)
+        pos = np.zeros((B, cap), np.uint8)
+        vals = np.zeros((B, cap), np.int8)
+        ei = np.full((B, ec), -1, np.int32)
+        ev = np.zeros((B, ec), np.int16)
+        qt = np.zeros((B, 4, 64), np.float32)
+        qtmp = np.zeros((4, 64), np.uint16)
         falls = []
-        for i in idx:
+        for j, i in enumerate(idx):
             data = self.frames[int(i) % len(self.frames)]
-            p = read_packed_native(data, self.meta, self.capacity)
+            p = read_packed_native(
+                data, self.meta, cap,
+                out=(dc[j], counts[j], pos[j], vals[j], ei[j], ev[j],
+                     qtmp))
             if p is not None:
-                for k in range(6):
-                    cols[k].append(p[k])
-                cols[6].append(p[6].astype(np.float32))
+                qt[j] = qtmp
                 continue
             f = read_coefficients(data)
-            p = pack_frame(f, self.capacity)
+            p = pack_frame(f, cap)
             if p is None:
                 self.fallbacks += 1
-                falls.append((len(cols[0]), decode_frame_ref(f)))
-                ec = esc_cap_for(self.meta.n_blocks)
-                p = (np.zeros(self.meta.n_blocks, np.int16),
-                     np.zeros(self.meta.n_blocks, np.uint8),
-                     np.zeros(self.capacity, np.uint8),
-                     np.zeros(self.capacity, np.int8),
-                     np.full(ec, -1, np.int32),
-                     np.zeros(ec, np.int16), f.qtabs)
-            for k in range(6):
-                cols[k].append(p[k])
-            cols[6].append(p[6].astype(np.float32))
-        return tuple(np.stack(c) for c in cols) + (falls,)
+                falls.append((j, decode_frame_ref(f)))
+                # zero coefficients: the row stays blank (ei pre-filled
+                # with -1), qtabs still ship for the template
+                dc[j] = 0
+                counts[j] = 0
+                ei[j] = -1
+                qt[j] = f.qtabs.astype(np.float32)
+                continue
+            dc[j], counts[j], pos[j], vals[j] = p[0], p[1], p[2], p[3]
+            ei[j], ev[j] = p[4], p[5]
+            qt[j] = p[6].astype(np.float32)
+        return (dc, counts, pos, vals, ei, ev, qt, falls)
 
     def get_batch_planes(self, idx: Sequence[int]):
         """Full path: entropy decode + pack on host, decode on device.
