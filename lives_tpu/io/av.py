@@ -37,6 +37,7 @@ _TRIED = False
 VIDEO_EXTS = {".mkv", ".mp4", ".m4v", ".mov", ".avi", ".webm", ".ogv",
               ".ogg", ".ogm", ".mpg", ".mpeg", ".ts", ".m2ts", ".mts",
               ".flv", ".asf", ".wmv", ".dv", ".3gp", ".vob", ".divx",
+              ".gif",
               ".rm", ".h264", ".264"}
 
 
@@ -250,6 +251,10 @@ ENC_CODECS = {
     "avi": ("mpeg4", "pcm_s16le"),
     "mov": ("libx264", "aac"),
     "ts": ("libx264", "aac"),
+    # long-tail reference encoder plugins: lives_gif_encoder
+    # (marcos-encoders) and encodedv_encoder
+    "gif": ("gif", ""),
+    "dv": ("dvvideo", ""),
 }
 
 

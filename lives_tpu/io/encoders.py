@@ -118,6 +118,29 @@ class PNGSeqEncoder(Encoder):
 
 
 @register_encoder
+class PDFEncoder(Encoder):
+    """One page per frame (the reference pdf_encoder plugin,
+    lives-plugins/plugins/encoders/pdf_encoder)."""
+
+    name = "pdf"
+
+    @classmethod
+    def get_formats(cls):
+        return [EncFormat("pdf", "pdf", "one page per frame")]
+
+    def encode(self, out_path, frames, fps, audio=None, arate=44100):
+        from PIL import Image
+        imgs = [Image.fromarray(np.moveaxis(_chw(f)[:3], 0, -1))
+                for f in frames]
+        if not imgs:
+            return False
+        imgs[0].save(out_path, format="PDF", save_all=True,
+                     append_images=imgs[1:],
+                     resolution=72.0)
+        return True
+
+
+@register_encoder
 class WavEncoder(Encoder):
     name = "wav"
 

@@ -220,3 +220,27 @@ def test_concurrent_decode_threadsafe(mkv_fixture):
         t.join()
     assert not errors, errors[:5]
     cd.decoder.close()
+
+
+def test_longtail_encoders_gif_dv_pdf(tmp_path):
+    """The reference's long-tail encoder plugins: lives_gif_encoder
+    (marcos-encoders), encodedv_encoder, pdf_encoder — gif/dv ride the
+    in-process libav bridge and round-trip through the decoder side."""
+    import numpy as np
+    from lives_tpu.io.clips import open_clip
+    from lives_tpu.io.encoders import get_encoder
+    av = get_encoder("av")
+    fmts = {(f.name, f.extension) for f in av.get_formats()}
+    if ("gif", "gif") not in fmts:
+        pytest.skip("gif encoder absent from this libav build")
+    frames = [np.full((120, 160, 3), i * 40, np.uint8) for i in range(5)]
+    assert av.encode(str(tmp_path / "o.gif"), frames, 10.0)
+    c = open_clip(str(tmp_path / "o.gif"), tmp_path / "w1")
+    assert c.frames == 5 and (c.width, c.height) == (160, 120)
+    dv = [np.full((576, 720, 3), i * 40, np.uint8) for i in range(3)]
+    assert av.encode(str(tmp_path / "o.dv"), dv, 25.0)
+    c2 = open_clip(str(tmp_path / "o.dv"), tmp_path / "w2")
+    assert c2.frames == 3
+    pdf = get_encoder("pdf")
+    assert pdf.encode(str(tmp_path / "o.pdf"), frames, 10.0)
+    assert (tmp_path / "o.pdf").read_bytes()[:5] == b"%PDF-"
