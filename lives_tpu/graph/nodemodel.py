@@ -40,6 +40,10 @@ _STATIC_KINDS = ("int", "string", "string_list", "bool", "color")
 
 #: process-wide compiled plan templates, keyed by full config
 _TEMPLATE_CACHE: dict = {}
+#: template key -> which build path produced it ("sf_fused",
+#: "fused_sweep", ...); tests assert engagement against THIS, not key
+#: candidacy flags
+_TEMPLATE_KIND: dict = {}
 #: exact eviction index: chain static key -> the template-cache keys it
 #: owns (invalidate() pops precisely these instead of structurally
 #: searching every key for an embedded chain key)
@@ -611,7 +615,7 @@ class FrameGraph:
                              gamma=sink_gamma), new_states
 
             tmpl = jax.jit(batch_fn)
-            self._cache_put(key, tmpl)
+            self._cache_put(key, tmpl, kind="sf_fused")
         if tmpl is None and fused is not None:
             sink_gamma = self.sink.gamma
 
@@ -621,7 +625,7 @@ class FrameGraph:
                              gamma=sink_gamma), states
 
             tmpl = jax.jit(batch_fn)
-            self._cache_put(key, tmpl)
+            self._cache_put(key, tmpl, kind="fused_sweep")
         if tmpl is None:
             stop = len(self.chain) - nsuf
             frame_fn = self._make_frame_fn(start=npre, stop=stop,
@@ -845,10 +849,15 @@ class FrameGraph:
 
         return frame_fn
 
-    def _cache_put(self, key, tmpl):
+    def _cache_put(self, key, tmpl, kind: str = ""):
         """Store a compiled template + record exact ownership for
-        invalidate()."""
+        invalidate(). `kind` records WHICH build path produced the
+        template (diagnostics + engagement asserts in tests — a key
+        flag alone only proves candidacy, not that the builder
+        succeeded)."""
         self._templates[key] = tmpl
+        if kind:
+            _TEMPLATE_KIND[key] = kind
         _CACHE_OWNERS.setdefault(_chain_static_key(self.chain),
                                  set()).add(key)
 

@@ -175,6 +175,10 @@ def build_fused_stateful_sweep(chain_spec, n_tracks: int, B: int, H: int,
             name, kind = step[1], step[2]
             cur -= table[name][0]
             pingpong = _state_reads_above(name, cur) > 0
+            # u8 states must ping-pong (the f32 working pair carries the
+            # continuous values); life always does — guard future table
+            # entries rather than keeping a dead in-place-u8 branch
+            assert pingpong or kind != "u8hw", name
             state_steps.append((pi, name, kind, cur, pingpong))
 
     def _state_bytes(kind):
@@ -190,16 +194,11 @@ def build_fused_stateful_sweep(chain_spec, n_tracks: int, B: int, H: int,
                       "f32chw": 3 * H * W * 4}[kind]
         est += _state_bytes(kind)              # init operand + out buffer
         est += _state_bytes(kind)
-        est += (2 * work_bytes) if pingpong else (
-            work_bytes if kind == "u8hw" else 0)
-    limit = _sweep_vmem_bytes() or (64 << 20)
-    if est > 0.8 * limit:
-        return None
+        est += (2 * work_bytes) if pingpong else 0
 
     # scratch layout: stencil scratches (as in build_fused_sweep), then
-    # per ping-pong state a (2, ...) f32 working pair, then for u8
-    # in-place states an f32 working plane (u8 buffers can't carry the
-    # continuous working values), then per stateful step a staging ref
+    # per ping-pong state a (2, ...) f32 working pair, then per stateful
+    # step a staging ref, then per halo-consuming step a fixup buffer
     scratch_shapes = []
     cur = R
     stencil_scratch_idx = []
@@ -217,9 +216,6 @@ def build_fused_stateful_sweep(chain_spec, n_tracks: int, B: int, H: int,
         if pingpong:
             state_scratch_idx[si] = len(scratch_shapes)
             scratch_shapes.append(pltpu.VMEM((2,) + shape, jnp.float32))
-        elif kind == "u8hw":
-            state_scratch_idx[si] = len(scratch_shapes)
-            scratch_shapes.append(pltpu.VMEM((1,) + shape, jnp.float32))
         else:
             state_scratch_idx[si] = None
     stage_scratch_idx = {}
@@ -232,17 +228,30 @@ def build_fused_stateful_sweep(chain_spec, n_tracks: int, B: int, H: int,
         shape = (3, n_stage, ws) if kind == "f32chw" else (n_stage, ws)
         stage_scratch_idx[si] = len(scratch_shapes)
         scratch_shapes.append(pltpu.VMEM(shape, jnp.float32))
-    # halo fixup scratch: a stateful step's output at out-of-frame halo
-    # positions must be EDGE-REPLICATED (the XLA padding downstream
-    # stencils assume), but fire/life compute shifted values there; the
-    # fixup slices edge rows/cols — via a ref, since the output is
-    # iota-tainted (unsliceable in Mosaic)
+    # halo fixup scratch: a halo-consuming step's output at out-of-frame
+    # positions must be EDGE-REPLICATED (the XLA padding the next
+    # consuming step assumes) — fire/life compute shifted values there,
+    # and a stencil's value AT a replicated row differs from its edge
+    # row. Applied after EVERY consuming step with halo remaining, via a
+    # ref round-trip (outputs are iota-tainted, unsliceable in Mosaic).
     fix_scratch_idx = {}
-    for si, (_, name, kind, cur_after, pingpong) in enumerate(state_steps):
-        if cur_after > 0:
-            fix_scratch_idx[si] = len(scratch_shapes)
+    cur = R
+    for pi, step in enumerate(plan):
+        if step[0] == "stencil":
+            cur -= step[1]
+        elif step[0] == "stateful":
+            cur -= table[step[1]][0]
+        else:
+            continue
+        if cur > 0:
+            fix_scratch_idx[pi] = len(scratch_shapes)
             scratch_shapes.append(pltpu.VMEM(
-                (3, TH + 2 * cur_after, W + 2 * cur_after), jnp.float32))
+                (3, TH + 2 * cur, W + 2 * cur), jnp.float32))
+            est += 3 * (TH + 2 * cur) * (W + 2 * cur) * 4
+
+    limit = _sweep_vmem_bytes() or (64 << 20)
+    if est > 0.8 * limit:
+        return None
 
     P = len(rows_key)
     inv255 = np.float32(1.0 / 255.0)
@@ -294,17 +303,6 @@ def build_fused_stateful_sweep(chain_spec, n_tracks: int, B: int, H: int,
                     else:
                         sref[pl.ds(wp, 1), pl.ds(r0, TH), :] = rows[None]
                         oref[pl.ds(r0, TH), :] = _to_out(rows, kind)
-            elif sref is not None:   # in-place u8: f32 working plane
-                @pl.when((b == 0) & (i == 0))
-                def _():
-                    sref[pl.ds(0, 1)] = to_f32(init_refs[si][...])[None]
-
-                def read(start, n):
-                    return sref[pl.ds(0, 1), pl.ds(start, n), :][0]
-
-                def write(rows):
-                    sref[pl.ds(0, 1), pl.ds(r0, TH), :] = rows[None]
-                    oref[pl.ds(r0, TH), :] = _to_out(rows, kind)
             else:                    # in-place f32: state IS the output
                 @pl.when((b == 0) & (i == 0))
                 def _():
@@ -386,6 +384,28 @@ def build_fused_stateful_sweep(chain_spec, n_tracks: int, B: int, H: int,
                         if n_below else v))
             return stg[...]
 
+        def halo_fixup(out, cur_after, pi):
+            """Restore the replication invariant after a halo-consuming
+            step: out-of-frame halo rows/cols become edge replicas (what
+            the XLA path's padding gives the NEXT consuming step)."""
+            n_o = TH + 2 * cur_after
+            w_o = W + 2 * cur_after
+            fsc = scratches[fix_scratch_idx[pi]]
+            fsc[...] = out
+            gy = jax.lax.broadcasted_iota(
+                jnp.int32, (n_o, w_o), 0) + (r0 - cur_after)
+            top = fsc[:, cur_after:cur_after + 1, :]
+            bot = fsc[:, n_o - 1 - cur_after:n_o - cur_after, :]
+            out = jnp.where((gy < 0)[None], top, fsc[...])
+            out = jnp.where((gy > H - 1)[None], bot, out)
+            fsc[...] = out
+            gx = jax.lax.broadcasted_iota(
+                jnp.int32, (n_o, w_o), 1) - cur_after
+            lef = fsc[:, :, cur_after:cur_after + 1]
+            rig = fsc[:, :, w_o - 1 - cur_after:w_o - cur_after]
+            out = jnp.where((gx < 0)[None], lef, fsc[...])
+            return jnp.where((gx > W - 1)[None], rig, out)
+
         # ---- lazy track generation -----------------------------------
         # Stateful/stencil steps shrink layer 0's halo; generated values
         # are iota-tainted and CANNOT be sliced in Mosaic, but non-0
@@ -460,6 +480,8 @@ def build_fused_stateful_sweep(chain_spec, n_tracks: int, B: int, H: int,
                     out = base + (blurred - base) * amount
                 out = jnp.clip(out, 0.0, 1.0)
                 cur -= r
+                if cur > 0:
+                    out = halo_fixup(out, cur, idx)
                 layer0 = Layer(planes=(out,),
                                palette=int(Palette.RGBFLOAT))
             elif step[0] == "stateful":
@@ -504,26 +526,7 @@ def build_fused_stateful_sweep(chain_spec, n_tracks: int, B: int, H: int,
                     write(ghost[:, cur_after:cur_after + TH,
                                 cur_after:cur_after + W])
                 if cur_after > 0:
-                    # restore the replication invariant: out-of-frame
-                    # halo rows/cols become edge replicas (what the XLA
-                    # path's padding gives downstream stencils)
-                    n_o = TH + 2 * cur_after
-                    w_o = W + 2 * cur_after
-                    fsc = scratches[fix_scratch_idx[si_state - 1]]
-                    fsc[...] = out
-                    gy = jax.lax.broadcasted_iota(
-                        jnp.int32, (n_o, w_o), 0) + (r0 - cur_after)
-                    top = fsc[:, cur_after:cur_after + 1, :]
-                    bot = fsc[:, n_o - 1 - cur_after:n_o - cur_after, :]
-                    out = jnp.where((gy < 0)[None], top, fsc[...])
-                    out = jnp.where((gy > H - 1)[None], bot, out)
-                    fsc[...] = out
-                    gx = jax.lax.broadcasted_iota(
-                        jnp.int32, (n_o, w_o), 1) - cur_after
-                    lef = fsc[:, :, cur_after:cur_after + 1]
-                    rig = fsc[:, :, w_o - 1 - cur_after:w_o - cur_after]
-                    out = jnp.where((gx < 0)[None], lef, fsc[...])
-                    out = jnp.where((gx > W - 1)[None], rig, out)
+                    out = halo_fixup(out, cur_after, idx)
                 layer0 = Layer(planes=(out,),
                                palette=int(Palette.RGBFLOAT))
                 cur = cur_after

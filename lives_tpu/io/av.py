@@ -273,6 +273,10 @@ class AVEncodeSession:
         dflt = ENC_CODECS.get(ext, ("libx264", "aac"))
         vcodec = vcodec or dflt[0]
         acodec = acodec or dflt[1]
+        if not acodec:
+            # container has no sensible audio codec (gif, raw dv):
+            # drop audio like the reference gif/dv encoder plugins do
+            arate = 0
         from fractions import Fraction
         fr = Fraction(fps).limit_denominator(1001 * 60)
         self._lib = lib

@@ -248,6 +248,8 @@ if _have_avbridge():
             sess = AVEncodeSession(out_path, w, h, fps,
                                    arate=arate if achans else 0,
                                    achans=max(achans, 1))
+            if sess.achans == 0:
+                achans = 0   # container refused audio (gif/dv): video-only
             pcm = None
             if achans:
                 pcm = np.clip(audio, -1.0, 1.0) * 32767 \

@@ -547,7 +547,6 @@ def spatial_stateful_fn(graph, mesh: Mesh, axis: str = "b"):
             frame edges replicate (the filters' clamped shifts)."""
             if not R:
                 return p
-            f32 = p.dtype != jnp.uint8
             top = jax.lax.ppermute(p[..., -R:, :], axis, up)
             bot = jax.lax.ppermute(p[..., :R, :], axis, down)
             top = jnp.where(idx == 0, jnp.repeat(p[..., :1, :], R, -2),
@@ -584,8 +583,7 @@ def spatial_stateful_fn(graph, mesh: Mesh, axis: str = "b"):
                 return new_carry, (o[..., R:R + Hl, :] if R else o)
 
             new_st, outs = jax.lax.scan(
-                step, list(st_loc),
-                (tuple(jnp.moveaxis(p, 0, 0) for p in planes), packed.T))
+                step, list(st_loc), (tuple(planes), packed.T))
             return tuple(new_st) + (outs,)
 
         plane_spec = P(None, None, axis, None)

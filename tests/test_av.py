@@ -244,3 +244,19 @@ def test_longtail_encoders_gif_dv_pdf(tmp_path):
     pdf = get_encoder("pdf")
     assert pdf.encode(str(tmp_path / "o.pdf"), frames, 10.0)
     assert (tmp_path / "o.pdf").read_bytes()[:5] == b"%PDF-"
+
+
+def test_audio_dropped_for_audioless_containers(tmp_path):
+    """gif/dv have no audio codec: encode() must produce video-only
+    output instead of raising mid-export (review finding)."""
+    import numpy as np
+    from lives_tpu.io.encoders import get_encoder
+    av = get_encoder("av")
+    if ("gif", "gif") not in {(f.name, f.extension)
+                              for f in av.get_formats()}:
+        pytest.skip("gif encoder absent")
+    frames = [np.full((120, 160, 3), i * 40, np.uint8) for i in range(3)]
+    audio = np.zeros((8820, 2), np.float32)
+    assert av.encode(str(tmp_path / "a.gif"), frames, 10.0,
+                     audio=audio, arate=44100)
+    assert (tmp_path / "a.gif").stat().st_size > 0

@@ -49,6 +49,17 @@ def _mk_chain(kind):
         # pointwise stateful BEFORE a stencil: f32chw ping-pong planes
         chain = [instantiate("alien_overlay"),
                  instantiate("box_blur", radius=2.0)]
+    elif kind == "stencil_before":
+        # blur BEFORE fire: the blur's own output halo must be
+        # edge-replicated before fire's sparks read it (review finding)
+        chain = [instantiate("gaussian_blur", radius=2.0),
+                 instantiate("fire", threshold=0.5),
+                 instantiate("saturation", saturation=1.2)]
+    elif kind == "sandwich":
+        # consuming steps on both sides: blur -> life -> blur
+        chain = [instantiate("gaussian_blur", radius=2.0),
+                 instantiate("life", threshold=0.15, amount=0.5),
+                 instantiate("box_blur", radius=1.0)]
     else:
         raise KeyError(kind)
     return chain
@@ -82,15 +93,15 @@ def _run(kind, fused: bool, B=5, H=32, W=128, chunks=2, tile=8):
                   for s in g.states]
         if fused:
             # the parity assert is vacuous if the fused path silently
-            # fell back (pref-registration bug class): assert the
-            # template key carries sf_eligible=True
-            # (the template cache is process-wide, so keys from the
-            # non-fused reference run coexist — engagement means an
-            # sf_eligible=True key exists)
-            flags = [k[11] for k in g._templates
-                     if isinstance(k, tuple) and k and k[0] == "batch"]
-            assert any(flags), \
-                f"fused stateful sweep did not engage: {flags}"
+            # fell back: assert the BUILDER actually produced this
+            # graph's template (key candidacy flags alone stay True
+            # even when build returns None — review finding)
+            from lives_tpu.graph.nodemodel import _TEMPLATE_KIND
+            kinds = {_TEMPLATE_KIND.get(k) for k in g._templates
+                     if isinstance(k, tuple) and k and k[0] == "batch"
+                     and k[11]}
+            assert "sf_fused" in kinds, \
+                f"fused stateful sweep did not engage: {kinds}"
     finally:
         for k, v in old.items():
             if v is None:
@@ -102,7 +113,8 @@ def _run(kind, fused: bool, B=5, H=32, W=128, chunks=2, tile=8):
 
 @pytest.mark.parametrize("kind", ["fire_led", "alien", "life", "multi",
                                   "stencil_after", "life_blur",
-                                  "alien_blur"])
+                                  "alien_blur", "stencil_before",
+                                  "sandwich"])
 def test_fused_stateful_parity(kind):
     """Frames within +/-1 LSB of the scan path AND the carried state
     (chunk boundary contract) matches bit-exactly."""
