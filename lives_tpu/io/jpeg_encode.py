@@ -150,12 +150,21 @@ def capacity_for(meta: JpegMeta, density: float = 0.35) -> int:
 
 def build_device_encoder(meta: JpegMeta, B: int, capacity: int,
                          quality: int = 85, esc_cap: int | None = None,
-                         input_palette: str = "rgb"):
+                         input_palette: str = "rgb",
+                         pack_impl: str = "sort"):
     """Jitted fn(rgb (B, 3, H, W) u8) -> wire (B, L) u8.
 
     input_palette: "rgb" (full conversion on device) or "yuv444"
     (planes already full-range YCbCr, e.g. straight off the ingest
-    decoder or the YUV effect chain)."""
+    decoder or the YUV effect chain).
+
+    pack_impl: "sort" (default) compacts the sparse ACs with a
+    per-block `lax.sort` + `searchsorted` gather — byte-identical wire
+    to "scatter", the original stream-compaction via `.at[idx].set`.
+    Scatters serialize on TPU: the scatter pack measured ~100 ms/frame
+    at 1080p on the chip (the whole FDCT+quantise pipeline is 6 ms);
+    the sort pack replaces 2x ~3M-update scatters with a 63-wide row
+    sort and two tiny binary-search gathers."""
     import jax
     import jax.numpy as jnp
 
@@ -211,25 +220,76 @@ def build_device_encoder(meta: JpegMeta, B: int, capacity: int,
         co = jnp.concatenate(blocks)                  # (NB, 64)
         co = jnp.clip(co, -2047, 2047)
         dc = co[:, 0].astype(jnp.int16)
-        acs = co[:, 1:].reshape(-1)                   # (NB*63,)
-        m = acs != 0
-        counts = m.reshape(NB, 63).sum(axis=1).astype(jnp.uint8)
-        rank = jnp.cumsum(m.astype(jnp.int32)) - 1
-        n_ac = rank[-1] + 1
-        idx = jnp.where(m & (rank < capacity), rank, capacity)
-        i_all = jnp.arange(NB * 63, dtype=jnp.int32)
-        kpos = (i_all % 63 + 1).astype(jnp.uint8)
-        pos = jnp.zeros(capacity + 1, jnp.uint8).at[idx].set(kpos)
-        vals = jnp.zeros(capacity + 1, jnp.int8).at[idx].set(
-            jnp.clip(acs, -127, 127).astype(jnp.int8))
-        em = m & (jnp.abs(acs) > 127)
-        erank = jnp.cumsum(em.astype(jnp.int32)) - 1
-        n_esc = jnp.where(em.any(), erank[-1] + 1, 0)
-        eidx = jnp.where(em & (erank < esc_cap), erank, esc_cap)
-        gidx = (i_all // 63) * 64 + (i_all % 63) + 1
-        esc_idx = jnp.full(esc_cap + 1, -1, jnp.int32).at[eidx].set(gidx)
-        esc_val = jnp.zeros(esc_cap + 1, jnp.int16).at[eidx].set(
-            acs.astype(jnp.int16))
+        ac2 = co[:, 1:]                               # (NB, 63)
+        m2 = ac2 != 0
+        counts = m2.sum(axis=1).astype(jnp.uint8)
+
+        if pack_impl == "sort":
+            # TPU-first compaction: sort each block's 63 ACs so the
+            # nonzeros land at the front in zigzag-position order (the
+            # exact global order the scatter pack produced), then map
+            # output slot t -> (block, slot) with a binary search over
+            # the inclusive count cumsum. Zero scatters.
+            poskey = jnp.broadcast_to(
+                jnp.arange(1, 64, dtype=jnp.int32), (NB, 63))
+
+            def compact(sel, cap_n):
+                """Pack `sel`-flagged ACs front-first; return
+                (total, pos_flat, val_flat, block_of_t, valid) for
+                t in [0, cap_n)."""
+                cnt = sel.sum(axis=1).astype(jnp.int32)
+                key = jnp.where(sel, poskey, 64)
+                skey, sval = jax.lax.sort((key, ac2), dimension=-1,
+                                          num_keys=1)
+                csum = jnp.cumsum(cnt)
+                total = csum[-1]
+                t = jnp.arange(cap_n, dtype=jnp.int32)
+                # blk[t] = #{b : csum[b] <= t} == searchsorted(csum, t,
+                # "right") — but jnp.searchsorted lowers to a ~100x
+                # slower form on TPU (measured 77 ms/frame at 1080p);
+                # with t = arange this is a small scatter-add histogram
+                # of csum + a cumsum.
+                hist = jnp.zeros(cap_n + 1, jnp.int32).at[
+                    jnp.minimum(csum, cap_n)].add(1)
+                blk = jnp.cumsum(hist[:cap_n])
+                blk = jnp.minimum(blk, NB - 1)
+                slot = t - (csum[blk] - cnt[blk])
+                slot = jnp.clip(slot, 0, 62)
+                flat = blk * 63 + slot
+                valid = t < total
+                return (total, skey.reshape(-1)[flat],
+                        sval.reshape(-1)[flat], blk, valid)
+
+            n_ac, ppos, pval, _, vld = compact(m2, capacity)
+            pos = jnp.where(vld, ppos, 0).astype(jnp.uint8)
+            vals = jnp.where(
+                vld, jnp.clip(pval, -127, 127), 0).astype(jnp.int8)
+            em2 = m2 & (jnp.abs(ac2) > 127)
+            n_esc, epos, eval_, eblk, evld = compact(em2, esc_cap)
+            esc_idx = jnp.where(evld, eblk * 64 + epos,
+                                -1).astype(jnp.int32)
+            esc_val = jnp.where(evld, eval_, 0).astype(jnp.int16)
+        else:
+            acs = ac2.reshape(-1)                     # (NB*63,)
+            m = acs != 0
+            rank = jnp.cumsum(m.astype(jnp.int32)) - 1
+            n_ac = rank[-1] + 1
+            idx = jnp.where(m & (rank < capacity), rank, capacity)
+            i_all = jnp.arange(NB * 63, dtype=jnp.int32)
+            kpos = (i_all % 63 + 1).astype(jnp.uint8)
+            pos = jnp.zeros(capacity + 1, jnp.uint8).at[idx].set(
+                kpos)[:capacity]
+            vals = jnp.zeros(capacity + 1, jnp.int8).at[idx].set(
+                jnp.clip(acs, -127, 127).astype(jnp.int8))[:capacity]
+            em = m & (jnp.abs(acs) > 127)
+            erank = jnp.cumsum(em.astype(jnp.int32)) - 1
+            n_esc = jnp.where(em.any(), erank[-1] + 1, 0)
+            eidx = jnp.where(em & (erank < esc_cap), erank, esc_cap)
+            gidx = (i_all // 63) * 64 + (i_all % 63) + 1
+            esc_idx = jnp.full(esc_cap + 1, -1, jnp.int32).at[eidx] \
+                .set(gidx)[:esc_cap]
+            esc_val = jnp.zeros(esc_cap + 1, jnp.int16).at[eidx].set(
+                acs.astype(jnp.int16))[:esc_cap]
         stats = jnp.stack([n_ac, n_esc]).astype(jnp.int32)
 
         def u8(a):
@@ -239,9 +299,8 @@ def build_device_encoder(meta: JpegMeta, B: int, capacity: int,
                 return jax.lax.bitcast_convert_type(a, jnp.uint8)
             return jax.lax.bitcast_convert_type(a, jnp.uint8).reshape(-1)
 
-        parts = [u8(stats), u8(dc), counts, pos[:capacity],
-                 u8(vals[:capacity]),
-                 u8(esc_idx[:esc_cap]), u8(esc_val[:esc_cap])]
+        parts = [u8(stats), u8(dc), counts, pos, u8(vals),
+                 u8(esc_idx), u8(esc_val)]
         wire = jnp.concatenate(parts)
         pad = lay.total - wire.shape[0]
         if pad:
