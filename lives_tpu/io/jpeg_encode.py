@@ -148,6 +148,61 @@ def capacity_for(meta: JpegMeta, density: float = 0.35) -> int:
 # Device encoder (jit): RGB -> YCbCr 4:2:0 -> FDCT -> quantise -> pack
 # ---------------------------------------------------------------------------
 
+def _coef_stage(meta: JpegMeta, quality: int, input_palette: str):
+    """Shared device stage: one frame's (3, H, W) u8 -> (dc (NB,) i16,
+    ac2 (NB, 63) i32 quantised natural-order coefficients). Both wire
+    builders (per-frame padded v2, batch-compact v3) ride this."""
+    import jax.numpy as jnp
+
+    H, W = meta.height, meta.width
+    hs, vs = meta.sampling
+    if (hs, vs) not in ((2, 2), (1, 1)):
+        raise ValueError("sampling must be 4:2:0 or 4:4:4")
+    qt = quality_qtabs(quality).astype(np.float32)
+    A = np.asarray(_idct_basis())          # IDCT basis; FDCT is A^T P A
+
+    def comp_blocks(plane, hb, wb, dh, dw):
+        ph, pw = hb * 8 - dh, wb * 8 - dw
+        p = jnp.pad(plane, ((0, ph), (0, pw)), mode="edge")
+        return (p.reshape(hb, 8, wb, 8).transpose(0, 2, 1, 3)
+                .reshape(hb * wb, 8, 8).astype(jnp.float32) - 128.0)
+
+    def coefs(rgb):
+        if input_palette == "rgb":
+            r = rgb[0].astype(jnp.float32)
+            g = rgb[1].astype(jnp.float32)
+            b = rgb[2].astype(jnp.float32)
+            y = 0.299 * r + 0.587 * g + 0.114 * b
+            cb = 128.0 - 0.168735892 * r - 0.331264108 * g + 0.5 * b
+            cr = 128.0 + 0.5 * r - 0.418687589 * g - 0.081312411 * b
+        else:
+            y = rgb[0].astype(jnp.float32)
+            cb = rgb[1].astype(jnp.float32)
+            cr = rgb[2].astype(jnp.float32)
+        if (hs, vs) == (2, 2):
+            ph, pw = H % 2, W % 2
+            if ph or pw:
+                cb = jnp.pad(cb, ((0, ph), (0, pw)), mode="edge")
+                cr = jnp.pad(cr, ((0, ph), (0, pw)), mode="edge")
+            h2, w2 = (H + ph) // 2, (W + pw) // 2
+            cb = cb.reshape(h2, 2, w2, 2).mean(axis=(1, 3))
+            cr = cr.reshape(h2, 2, w2, 2).mean(axis=(1, 3))
+        planes = [y, cb, cr]
+        blocks = []
+        for (hb, wb, qno, dw, dh), p in zip(meta.comp_dims, planes):
+            P = comp_blocks(p, hb, wb, dh, dw)
+            F = jnp.einsum("xu,nxy,yv->nuv", A, P, A,
+                           preferred_element_type=jnp.float32)
+            q = qt[qno].reshape(8, 8)
+            blocks.append(jnp.rint(F / q).astype(jnp.int32)
+                          .reshape(-1, 64))
+        co = jnp.concatenate(blocks)                  # (NB, 64)
+        co = jnp.clip(co, -2047, 2047)
+        return co[:, 0].astype(jnp.int16), co[:, 1:]
+
+    return coefs
+
+
 def build_device_encoder(meta: JpegMeta, B: int, capacity: int,
                          quality: int = 85, esc_cap: int | None = None,
                          input_palette: str = "rgb",
@@ -168,59 +223,14 @@ def build_device_encoder(meta: JpegMeta, B: int, capacity: int,
     import jax
     import jax.numpy as jnp
 
-    H, W = meta.height, meta.width
-    hs, vs = meta.sampling
-    if (hs, vs) not in ((2, 2), (1, 1)):
-        raise ValueError("sampling must be 4:2:0 or 4:4:4")
     NB = meta.n_blocks
     if esc_cap is None:
         esc_cap = esc_cap_for(NB)
-    qt = quality_qtabs(quality).astype(np.float32)
-    A = np.asarray(_idct_basis())          # IDCT basis; FDCT is A^T P A
     lay = WireLayout(NB, capacity, esc_cap)
-
-    def comp_blocks(plane, hb, wb, dh, dw):
-        # pad to the 8-multiple block grid by edge replication
-        ph, pw = hb * 8 - dh, wb * 8 - dw
-        p = jnp.pad(plane, ((0, ph), (0, pw)), mode="edge")
-        return (p.reshape(hb, 8, wb, 8).transpose(0, 2, 1, 3)
-                .reshape(hb * wb, 8, 8).astype(jnp.float32) - 128.0)
+    coefs = _coef_stage(meta, quality, input_palette)
 
     def one(rgb):
-        if input_palette == "rgb":
-            r = rgb[0].astype(jnp.float32)
-            g = rgb[1].astype(jnp.float32)
-            b = rgb[2].astype(jnp.float32)
-            y = 0.299 * r + 0.587 * g + 0.114 * b
-            cb = 128.0 - 0.168735892 * r - 0.331264108 * g + 0.5 * b
-            cr = 128.0 + 0.5 * r - 0.418687589 * g - 0.081312411 * b
-        else:
-            y = rgb[0].astype(jnp.float32)
-            cb = rgb[1].astype(jnp.float32)
-            cr = rgb[2].astype(jnp.float32)
-        if (hs, vs) == (2, 2):
-            # JPEG chroma: 2x2 box average (pad odd dims by edge first)
-            ph, pw = H % 2, W % 2
-            if ph or pw:
-                cb = jnp.pad(cb, ((0, ph), (0, pw)), mode="edge")
-                cr = jnp.pad(cr, ((0, ph), (0, pw)), mode="edge")
-            h2, w2 = (H + ph) // 2, (W + pw) // 2
-            cb = cb.reshape(h2, 2, w2, 2).mean(axis=(1, 3))
-            cr = cr.reshape(h2, 2, w2, 2).mean(axis=(1, 3))
-        planes = [y, cb, cr]
-        blocks = []
-        for (hb, wb, qno, dw, dh), p in zip(meta.comp_dims, planes):
-            P = comp_blocks(p, hb, wb, dh, dw)
-            # batched 8x8 FDCT: F = A^T P A as two MXU contractions
-            F = jnp.einsum("xu,nxy,yv->nuv", A, P, A,
-                           preferred_element_type=jnp.float32)
-            q = qt[qno].reshape(8, 8)
-            blocks.append(jnp.rint(F / q).astype(jnp.int32)
-                          .reshape(-1, 64))
-        co = jnp.concatenate(blocks)                  # (NB, 64)
-        co = jnp.clip(co, -2047, 2047)
-        dc = co[:, 0].astype(jnp.int16)
-        ac2 = co[:, 1:]                               # (NB, 63)
+        dc, ac2 = coefs(rgb)                          # (NB,), (NB, 63)
         m2 = ac2 != 0
         counts = m2.sum(axis=1).astype(jnp.uint8)
 
@@ -229,7 +239,9 @@ def build_device_encoder(meta: JpegMeta, B: int, capacity: int,
             # nonzeros land at the front in zigzag-position order (the
             # exact global order the scatter pack produced), then map
             # output slot t -> (block, slot) with a binary search over
-            # the inclusive count cumsum. Zero scatters.
+            # the inclusive count cumsum. No NB*63-sized scatters (what
+            # this replaced); compact() still does one NB-sized
+            # scatter-add histogram of the cumsum.
             poskey = jnp.broadcast_to(
                 jnp.arange(1, 64, dtype=jnp.int32), (NB, 63))
 
@@ -327,6 +339,203 @@ def unpack_wire(buf: np.ndarray, lay: WireLayout):
 
 
 # ---------------------------------------------------------------------------
+# Wire v3: batch-globally compacted buffer + used-prefix chunk fetch
+# ---------------------------------------------------------------------------
+
+@dataclass(frozen=True)
+class CompactLayout:
+    """Wire v3: ONE buffer for the whole batch, all live data at the
+    front so the host fetches only the used prefix in fixed chunks.
+
+        [head]  B x (n_ac i32, n_esc i32)            8*B bytes
+        [fixed] B x (dc i16le (NB), counts u8 (NB))  3*NB*B bytes
+        [ac]    2-byte entries (pos u8, val i8), all frames' nonzero
+                ACs concatenated in (frame, block, zigzag) order,
+                sharing ONE B*capacity pool (per-frame bursts borrow
+                slack from quiet frames)
+        [esc]   6-byte entries (global idx i32le, val i16le), placed
+                immediately after the used AC bytes (device
+                dynamic_update_slice), so used bytes stay contiguous
+
+    v2 shipped per-frame capacity padding — ~1.25 MB/frame at 1080p
+    density 0.18 against ~0.45 MB of live data — and on a ~30 MB/s
+    download that capped every host consumer at ~12 fps (measured,
+    PERF_NOTES round 5). v3 fetches live bytes only."""
+
+    B: int
+    nb: int
+    capacity: int          # per-frame AC pool share (entries)
+    esc_cap: int           # per-frame escape pool share (entries)
+    chunk: int = 1 << 21   # 2 MiB: fetch granularity
+
+    @property
+    def off_fixed(self):
+        return 8 * self.B
+
+    @property
+    def off_ac(self):
+        return self.off_fixed + 3 * self.nb * self.B
+
+    @property
+    def ac_pool(self):
+        return self.B * self.capacity
+
+    @property
+    def esc_pool(self):
+        return self.B * self.esc_cap
+
+    @property
+    def total(self):
+        t = self.off_ac + 2 * self.ac_pool + 6 * self.esc_pool
+        # pad to a chunk multiple so every chunk offset the prefix
+        # fetch uses is in range (dynamic_slice clamps OOB starts,
+        # which would silently misalign the reassembly)
+        return -(-t // self.chunk) * self.chunk
+
+    def used(self, total_ac: int, total_esc: int) -> int:
+        return (self.off_ac + 2 * min(total_ac, self.ac_pool)
+                + 6 * min(total_esc, self.esc_pool))
+
+
+def build_device_encoder_compact(meta: JpegMeta, B: int, capacity: int,
+                                 quality: int = 85,
+                                 esc_cap: int | None = None,
+                                 input_palette: str = "rgb"):
+    """Jitted fn(rgb (B, 3, H, W) u8) -> (lay.total,) u8 compact buffer
+    (wire v3), plus the layout. Compaction runs ONCE over the whole
+    batch's (B*NB, 63) coefficients — the same sort+histogram pack as
+    the per-frame path, so bytes per entry and escape semantics are
+    identical; only the padding moves out of the fetch."""
+    import jax
+    import jax.numpy as jnp
+
+    NB = meta.n_blocks
+    if esc_cap is None:
+        esc_cap = esc_cap_for(NB)
+    lay = CompactLayout(B, NB, capacity, esc_cap)
+    coefs = _coef_stage(meta, quality, input_palette)
+    GNB = B * NB
+
+    def bitcast_u8(a):
+        return jax.lax.bitcast_convert_type(a, jnp.uint8).reshape(-1)
+
+    def fn(frames):
+        dc, ac2 = jax.vmap(coefs)(frames)     # (B, NB), (B, NB, 63)
+        counts = (ac2 != 0).sum(axis=2).astype(jnp.uint8)
+        n_ac_f = counts.astype(jnp.int32).sum(axis=1)        # (B,)
+
+        g = ac2.reshape(GNB, 63)
+        m2 = g != 0
+        poskey = jnp.broadcast_to(
+            jnp.arange(1, 64, dtype=jnp.int32), (GNB, 63))
+
+        def compact(sel, vals_src, cap_n):
+            """Pool-compact `sel` entries. The pool-sized work is kept
+            to TWO gathers (profiled round 5: the original 4-gather +
+            2-operand-sort form spent 150 of 185 ms/batch here): the
+            (zigzag pos, value) pair packs into one i32 — pos 1..63 in
+            bits 16+, value biased +2048 in the low 16 (values are
+            pre-clipped to +-2047) — so the row sort and the output
+            gather each touch a single array; block offsets gather once
+            via the exclusive cumsum."""
+            cnt = sel.sum(axis=1).astype(jnp.int32)
+            key = jnp.where(sel, poskey, 64)
+            packed_kv = (key << 16) | (vals_src + 2048)
+            sp = jax.lax.sort(packed_kv, dimension=-1)
+            excl = jnp.cumsum(cnt) - cnt            # exclusive offsets
+            total = excl[-1] + cnt[-1]
+            csum = excl + cnt
+            t = jnp.arange(cap_n, dtype=jnp.int32)
+            hist = jnp.zeros(cap_n + 1, jnp.int32).at[
+                jnp.minimum(csum, cap_n)].add(1)
+            blk = jnp.cumsum(hist[:cap_n])
+            blk = jnp.minimum(blk, GNB - 1)
+            slot = jnp.clip(t - excl[blk], 0, 62)   # gather 1
+            g = sp.reshape(-1)[blk * 63 + slot]     # gather 2
+            valid = t < total
+            return (total, g >> 16, (g & 0xFFFF) - 2048, blk, valid)
+
+        total_ac, ppos, pval, _, vld = compact(m2, g, lay.ac_pool)
+        pos = jnp.where(vld, ppos, 0).astype(jnp.uint8)
+        val8 = jnp.where(vld, jnp.clip(pval, -127, 127), 0) \
+            .astype(jnp.int8)
+        # interleave (pos, val) -> contiguous 2-byte entries
+        ac_b = jnp.stack(
+            [pos, jax.lax.bitcast_convert_type(val8, jnp.uint8)],
+            axis=1).reshape(-1)
+
+        em2 = m2 & (jnp.abs(g) > 127)
+        total_esc, epos, eval_, eblk, evld = compact(em2, g, lay.esc_pool)
+        esc_idx = jnp.where(evld, eblk * 64 + epos, -1).astype(jnp.int32)
+        esc_val = jnp.where(evld, eval_, 0).astype(jnp.int16)
+        esc_b = jnp.concatenate(
+            [jax.lax.bitcast_convert_type(esc_idx, jnp.uint8),
+             jax.lax.bitcast_convert_type(esc_val, jnp.uint8)],
+            axis=1).reshape(-1)                       # 6-byte entries
+
+        n_esc_f = em2.reshape(B, NB * 63).sum(axis=1).astype(jnp.int32)
+        head = jnp.concatenate(
+            [bitcast_u8(n_ac_f), bitcast_u8(n_esc_f)])
+        fixed = jnp.concatenate(
+            [bitcast_u8(dc.reshape(-1)), counts.reshape(-1)])
+        buf = jnp.concatenate([
+            head, fixed, ac_b,
+            jnp.zeros(lay.total - lay.off_ac - 2 * lay.ac_pool,
+                      jnp.uint8)])
+        # escapes land right after the used AC bytes so the live data
+        # stays one contiguous prefix
+        off = lay.off_ac + 2 * jnp.minimum(total_ac, lay.ac_pool)
+        buf = jax.lax.dynamic_update_slice(buf, esc_b, (off,))
+        return buf
+
+    return jax.jit(fn), lay
+
+
+def unpack_compact(raw: np.ndarray, lay: CompactLayout):
+    """Host split of a fetched used-prefix (or full) v3 buffer ->
+    per-frame (n_ac, n_esc, dc, counts, pos, vals, esc_idx, esc_val)
+    tuples (the write_jpeg_packed argument set)."""
+    B, NB = lay.B, lay.nb
+    n_ac = raw[:4 * B].view(np.int32).astype(np.int64)
+    n_esc = raw[4 * B: 8 * B].view(np.int32).astype(np.int64)
+    dc_all = raw[lay.off_fixed: lay.off_fixed + 2 * NB * B] \
+        .view(np.int16).reshape(B, NB)
+    cnt_all = raw[lay.off_fixed + 2 * NB * B: lay.off_ac] \
+        .reshape(B, NB)
+    ac_used = int(min(n_ac.sum(), lay.ac_pool))
+    ac = raw[lay.off_ac: lay.off_ac + 2 * ac_used].reshape(-1, 2)
+    esc_off = lay.off_ac + 2 * ac_used
+    esc_used = int(min(n_esc.sum(), lay.esc_pool))
+    esc = raw[esc_off: esc_off + 6 * esc_used].reshape(-1, 6)
+    ac_ofs = np.concatenate([[0], np.cumsum(n_ac)])
+    esc_ofs = np.concatenate([[0], np.cumsum(n_esc)])
+    out = []
+    for f in range(B):
+        a0, a1 = int(ac_ofs[f]), int(ac_ofs[f + 1])
+        truncated = a0 > ac_used or a1 > ac_used
+        a0, a1 = min(a0, ac_used), min(a1, ac_used)
+        seg = ac[a0:a1]
+        pos = np.ascontiguousarray(seg[:, 0])
+        vals = np.ascontiguousarray(seg[:, 1]).view(np.int8)
+        counts = cnt_all[f]
+        if truncated:
+            # pool overflow truncates tail frames: clamp counts so the
+            # native writer consumes exactly the entries that survived
+            c = np.minimum(np.cumsum(counts.astype(np.int64)), a1 - a0)
+            counts = np.diff(c, prepend=0).astype(np.uint8)
+        e0 = int(min(esc_ofs[f], esc_used))
+        e1 = int(min(esc_ofs[f + 1], esc_used))
+        eseg = esc[e0:e1]
+        ei = (np.ascontiguousarray(eseg[:, :4]).view(np.int32)
+              .reshape(-1) - f * NB * 64)
+        ev = np.ascontiguousarray(eseg[:, 4:6]).view(np.int16) \
+            .reshape(-1)
+        out.append((a1 - a0, e1 - e0, dc_all[f], counts, pos, vals,
+                    ei, ev))
+    return out
+
+
+# ---------------------------------------------------------------------------
 # Host finish: wire -> JPEG bytes (native entropy encode)
 # ---------------------------------------------------------------------------
 
@@ -400,22 +609,133 @@ class JpegDeviceEncoder:
 
     def __init__(self, width: int, height: int, quality: int = 85,
                  batch: int = 1, sampling: tuple[int, int] = (2, 2),
-                 density: float = 0.18, input_palette: str = "rgb"):
+                 density: float = 0.18, input_palette: str = "rgb",
+                 compact: bool = True):
         self.meta = encode_meta(width, height, sampling)
         self.quality = int(quality)
         self.qtabs = quality_qtabs(quality)
         self.batch = int(batch)
         self.input_palette = input_palette
-        # capacity padding is shipped EVERY frame (ingest lesson): size
-        # tight for typical q<=90 content (nnz density 0.07-0.13) and
-        # auto-grow on overflow instead of paying 2x wire always
+        # the AC pool is sized by `density` (nnz per coefficient; q<=90
+        # natural content measures 0.07-0.13) and auto-grows on overflow
         self.density = float(density)
         self.capacity = capacity_for(self.meta, self.density)
-        self.fn, self.layout = build_device_encoder(
-            self.meta, self.batch, self.capacity, quality,
-            input_palette=input_palette)
+        self.compact = bool(compact)
         self.overflows = 0
         self._grow = None
+        self._chunk_fn = None
+        #: used-bytes estimate from the previous batch: dispatch_batch
+        #: enqueues this many prefix chunks right behind the compute op,
+        #: so the transfers stream while the NEXT batch computes
+        #: (chunks enqueued at collect time would serialize behind it
+        #: on the in-order device queue)
+        self._used_est = 0
+        self._build()
+
+    def _build(self):
+        import functools
+
+        import jax
+        # legacy per-frame padded wire (v2): the sharded-encode path and
+        # external unpack_wire consumers ride it; jit is lazy, so when
+        # unused it costs nothing
+        self.fn, self.layout = build_device_encoder(
+            self.meta, self.batch, self.capacity, self.quality,
+            input_palette=self.input_palette)
+        if self.compact:
+            self.cfn, self.clayout = build_device_encoder_compact(
+                self.meta, self.batch, self.capacity, self.quality,
+                input_palette=self.input_palette)
+            chunk = self.clayout.chunk
+
+            @functools.partial(jax.jit, static_argnums=())
+            def fetch_chunk(buf, off):
+                return jax.lax.dynamic_slice(buf, (off,), (chunk,))
+
+            self._chunk_fn = fetch_chunk
+
+    def _fetch_prefix(self, buf, handles=()) -> np.ndarray:
+        """Fetch the used prefix of a v3 buffer in fixed chunks: chunk 0
+        carries the header, which tells us how much more to pull. The
+        padding (the bulk of the buffer on typical content) never
+        crosses the tunnel. `handles`: chunk slices already enqueued at
+        dispatch time (their transfers may have streamed already);
+        chunks past the estimate fall back to fetch-on-demand."""
+        lay = self.clayout
+        parts = [np.asarray(handles[0]) if handles
+                 else np.asarray(self._chunk_fn(buf, 0))]
+        B = lay.B
+        n_ac = parts[0][:4 * B].view(np.int32).sum()
+        n_esc = parts[0][4 * B: 8 * B].view(np.int32).sum()
+        used = lay.used(int(n_ac), int(n_esc))
+        self._used_est = used
+        off = lay.chunk
+        i = 1
+        while off < used:
+            parts.append(np.asarray(handles[i]) if i < len(handles)
+                         else np.asarray(self._chunk_fn(buf, off)))
+            off += lay.chunk
+            i += 1
+        return np.concatenate(parts) if len(parts) > 1 else parts[0]
+
+    def dispatch_batch(self, frames):
+        """Enqueue the device half only (compact mode): returns the
+        device wire buffer without fetching. Pair with collect_batch —
+        a producer can dispatch batch k+1 before collecting k so the
+        chip computes while the tunnel streams (the scrap recorder's
+        pipeline; serial encode_batch measured 25 fps at 1080p, the
+        pipelined pair ~40)."""
+        import jax.numpy as jnp
+        if not self.compact:
+            raise RuntimeError("dispatch/collect needs compact mode")
+        if self._grow is not None:
+            self.density = self._grow
+            self.capacity = capacity_for(self.meta, self.density)
+            self._grow = None
+            self._build()
+        if isinstance(frames, (list, tuple)):
+            frames = jnp.stack(frames)
+        nc = int(frames.shape[0])
+        if nc > self.batch:
+            raise ValueError("dispatch_batch: at most `batch` frames")
+        if nc < self.batch:
+            pad = jnp.broadcast_to(
+                frames[-1:], (self.batch - nc,) + frames.shape[1:])
+            frames = jnp.concatenate([frames, pad])
+        buf = self.cfn(frames)
+        lay = self.clayout
+        # enqueue the estimated prefix slices NOW (right behind the
+        # compute op): their device->host transfers stream while the
+        # caller dispatches the next batch's compute
+        n_chunks = 1
+        if self._used_est:
+            n_chunks = min(-(-int(self._used_est * 1.25) // lay.chunk),
+                           lay.total // lay.chunk)
+        handles = [self._chunk_fn(buf, i * lay.chunk)
+                   for i in range(max(1, n_chunks))]
+        return buf, handles
+
+    def collect_batch(self, handle, n: int) -> list[bytes]:
+        """Fetch + entropy-encode a dispatch_batch result (first `n`
+        frames)."""
+        buf, handles = handle
+        raw = self._fetch_prefix(buf, handles)
+        packed = unpack_compact(raw, self.clayout)[:n]
+        B = self.clayout.B
+        claimed_ac = int(raw[:4 * B].view(np.int32).sum())
+        claimed_esc = int(raw[4 * B: 8 * B].view(np.int32).sum())
+        if claimed_ac > self.clayout.ac_pool \
+                or claimed_esc > self.clayout.esc_pool:
+            self.overflows += 1
+            if self.density < 1.0:
+                need = claimed_ac / max(
+                    1, self.batch * self.meta.n_blocks * 63)
+                self._grow = min(1.0, max(self.density * 1.6,
+                                          need * 1.3))
+        return [write_jpeg_packed(self.meta, self.qtabs, dc, counts,
+                                  pos, vals, ei, ev, n_esc)
+                for (n_ac, n_esc, dc, counts, pos, vals, ei, ev)
+                in packed]
 
     def encode_batch(self, frames) -> list[bytes]:
         import jax.numpy as jnp
@@ -423,10 +743,8 @@ class JpegDeviceEncoder:
             # rebuild once with the larger capacity (one re-jit)
             self.density = self._grow
             self.capacity = capacity_for(self.meta, self.density)
-            self.fn, self.layout = build_device_encoder(
-                self.meta, self.batch, self.capacity, self.quality,
-                input_palette=self.input_palette)
             self._grow = None
+            self._build()
         if isinstance(frames, (list, tuple)):
             frames = jnp.stack(frames)
         B = int(frames.shape[0])
@@ -445,20 +763,38 @@ class JpegDeviceEncoder:
                     chunk = jnp.concatenate([chunk, pad])
                 outs.extend(self.encode_batch(chunk)[:nc])
             return outs
-        wire = np.asarray(self.fn(frames))            # ONE fetch
+        if self.compact:
+            buf, handles = self.dispatch_batch(frames)
+            raw = self._fetch_prefix(buf, handles)
+            packed = unpack_compact(raw, self.clayout)
+            # TRUE claims from the head (the per-frame tuples are
+            # already truncated at the pool, so they can't detect it)
+            claimed_ac = int(raw[:4 * B].view(np.int32).sum())
+            claimed_esc = int(raw[4 * B: 8 * B].view(np.int32).sum())
+        else:
+            wire = np.asarray(self.fn(frames))        # ONE fetch
+            packed = [unpack_wire(wire[i], self.layout)
+                      for i in range(B)]
+            claimed_ac = claimed_esc = 0
         outs = []
-        for i in range(B):
-            n_ac, n_esc, dc, counts, pos, vals, ei, ev = \
-                unpack_wire(wire[i], self.layout)
-            if n_ac > self.capacity or n_esc > self.layout.esc_cap:
-                # overflow: emit best-effort (ACs truncated at capacity —
+        cap = self.capacity if not self.compact else None
+        for n_ac, n_esc, dc, counts, pos, vals, ei, ev in packed:
+            overflow = (
+                (claimed_ac > self.clayout.ac_pool
+                 or claimed_esc > self.clayout.esc_pool)
+                if self.compact else
+                (n_ac > cap or n_esc > self.layout.esc_cap))
+            if overflow:
+                # overflow: emit best-effort (ACs truncated at the pool —
                 # a high-frequency quality loss, never corruption) and
                 # grow the wire for the NEXT batch
                 self.overflows += 1
                 n_esc = min(n_esc, self.layout.esc_cap)
                 if self.density < 1.0:
-                    # grow to what the frame actually needed, with slack
-                    need = n_ac / max(1, self.meta.n_blocks * 63)
+                    need = claimed_ac / max(
+                        1, self.batch * self.meta.n_blocks * 63) \
+                        if self.compact else \
+                        n_ac / max(1, self.meta.n_blocks * 63)
                     self._grow = min(1.0, max(self.density * 1.6,
                                               need * 1.3))
             outs.append(write_jpeg_packed(

@@ -140,6 +140,10 @@ class MJPEGScrapRecorder:
         self._cv = threading.Condition()
         self._stop = False
         self._err = None
+        #: set once the worker's one-time device-encoder compile has
+        #: produced its first batch — finalize()'s join budget depends
+        #: on it (a cold compile through the tunnel runs >120 s)
+        self._compiled = False
         self._counter = itertools.count()
         self._worker = threading.Thread(target=self._run, daemon=True,
                                         name="scrap-encode")
@@ -167,28 +171,38 @@ class MJPEGScrapRecorder:
     def _run(self):
         from .jpeg_encode import JpegDeviceEncoder
         enc = None
+        pending = None      # (device buf, n_frames) already dispatched
         while True:
             with self._cv:
-                while not self._q and not self._stop:
+                while not self._q and not self._stop \
+                        and pending is None:
                     self._cv.wait(0.2)
-                if not self._q and self._stop:
-                    return
+                stopping = not self._q and self._stop
                 batch = self._q[:self.BATCH]
                 del self._q[:self.BATCH]
             try:
-                if enc is None:  # compile OFF the serving thread
-                    enc = JpegDeviceEncoder(self.width, self.height,
-                                            quality=self.quality,
-                                            batch=self.BATCH)
-                planes = []
-                for lay in batch:
-                    if int(lay.palette) != int(Palette.RGB24):
-                        from ..ops.colorspace import convert_layer
-                        lay = convert_layer(lay, Palette.RGB24)
-                    planes.append(lay.planes[0])
-                for d in enc.encode_batch(planes):
-                    self._spill.write(d)
-                    self._sizes.append(len(d))
+                # PIPELINE: dispatch batch k+1's device compute BEFORE
+                # fetching batch k — the TPU computes while the tunnel
+                # streams k's coefficients (in-order queue: the slice
+                # ops for k were enqueued first). Serial form measured
+                # 25 fps at 1080p; pipelined ~40 (PERF_NOTES round 5).
+                dispatched = None
+                if batch:
+                    if enc is None:  # compile OFF the serving thread
+                        enc = JpegDeviceEncoder(self.width, self.height,
+                                                quality=self.quality,
+                                                batch=self.BATCH)
+                    dispatched = (enc.dispatch_batch(
+                        [self._rgb_plane(lay) for lay in batch]),
+                        len(batch))
+                if pending is not None:
+                    for d in enc.collect_batch(*pending):
+                        self._spill.write(d)
+                        self._sizes.append(len(d))
+                    self._compiled = True
+                pending = dispatched
+                if stopping and pending is None:
+                    return
             except Exception as e:  # noqa: BLE001
                 self._err = e
                 with self._cv:
@@ -196,17 +210,38 @@ class MJPEGScrapRecorder:
                     self._q.clear()
                 return
 
+    @staticmethod
+    def _rgb_plane(lay):
+        if int(lay.palette) != int(Palette.RGB24):
+            from ..ops.colorspace import convert_layer
+            lay = convert_layer(lay, Palette.RGB24)
+        return lay.planes[0]
+
     def finalize(self, path: str | Path):
         """Drain, write the MJPEG AVI, and return a clip over it (or
         None when nothing was captured / the encoder failed)."""
         with self._cv:
             self._stop = True
             self._cv.notify_all()
-        # bounded: record_stop is interactive. A worker wedged in a
-        # device compile (tunnel outage) must not hang the stop — give
-        # up and let the caller's event rewrite fall back to the live
-        # source references.
-        self._worker.join(timeout=120)
+        # bounded but progress-aware: record_stop is interactive, so a
+        # worker wedged in a device call (tunnel outage) must not hang
+        # the stop forever — BUT the worker's one-time encoder compile
+        # legitimately runs >120 s cold through the tunnel (measured
+        # ~150 s at first use; warm ~1.4 s), and giving up then threw
+        # away perfectly good takes (round-5 chip-day failure). Allow a
+        # long budget until the first batch lands, a short idle budget
+        # after, and reset the clock whenever encoded output grows.
+        import time as _time
+        t_last = _time.monotonic()
+        progress = len(self._sizes)
+        while self._worker.is_alive():
+            self._worker.join(timeout=5)
+            if len(self._sizes) != progress:
+                progress = len(self._sizes)
+                t_last = _time.monotonic()
+            budget = 600.0 if not self._compiled else 120.0
+            if _time.monotonic() - t_last > budget:
+                break
         if self._worker.is_alive() or not self._sizes:
             return None
         from .clips import open_clip

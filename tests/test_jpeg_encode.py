@@ -202,3 +202,78 @@ def test_render_to_encoder_device_path(tmp_path):
     f = np.asarray(clip.get_frame(5).planes[0])
     assert f.shape == (3, 64, 96)
     assert f.std() > 5       # real rendered content, not padding
+
+
+@pytest.mark.parametrize("case", ["smooth", "overflow", "checkerboard"])
+def test_sort_pack_byte_identical_to_scatter_pack(case):
+    """The production "sort" compaction must stay byte-identical to the
+    original "scatter" pack it replaced (the scatter branch has no
+    production callers left, so only this test keeps the identity claim
+    honest). Cases: natural content, dense noise with tiny capacity +
+    esc_cap forcing both overflow paths, and a checkerboard whose high-
+    frequency ACs exceed the escape threshold."""
+    rng = np.random.default_rng(42)
+    if case == "smooth":
+        h, w = 48, 64
+        rgb = smooth_rgb(h, w, seed=1)
+        kw = {}
+    elif case == "overflow":
+        h, w = 40, 56
+        rgb = rng.integers(0, 256, (3, h, w), np.uint8)
+        # tiny caps: AC capacity and escape table both overflow
+        kw = {"capacity": 128, "esc_cap": 8}
+    else:
+        h, w = 32, 48
+        yy, xx = np.mgrid[0:h, 0:w]
+        cb = (255 * ((yy + xx) % 2)).astype(np.uint8)
+        rgb = np.stack([cb, 255 - cb, cb])
+        kw = {}
+    meta = je.encode_meta(w, h)
+    cap = kw.pop("capacity", je.capacity_for(meta))
+    esc = kw.pop("esc_cap", None)
+    batch = np.stack([rgb, rgb[::-1]])  # B=2: per-frame independence
+    wires = {}
+    for impl in ("sort", "scatter"):
+        enc, lay = je.build_device_encoder(meta, 2, cap, 85,
+                                           esc_cap=esc, pack_impl=impl)
+        wires[impl] = np.asarray(enc(batch))
+    assert np.array_equal(wires["sort"], wires["scatter"])
+
+
+@pytest.mark.parametrize("shape", [(48, 64), (33, 49)])
+def test_compact_wire_matches_legacy_bytes(shape):
+    """Wire v3 (batch-global compact buffer + used-prefix fetch) must
+    produce byte-identical JPEGs to the per-frame padded v2 wire on
+    non-overflowing content (same pack order, same escape semantics)."""
+    _require_writer()
+    h, w = shape
+    rgb = smooth_rgb(h, w, seed=2)
+    batch = np.stack([rgb, rgb[:, ::-1].copy()])
+    a = je.JpegDeviceEncoder(w, h, quality=85, batch=2,
+                             compact=True).encode_batch(batch)
+    b = je.JpegDeviceEncoder(w, h, quality=85, batch=2,
+                             compact=False).encode_batch(batch)
+    assert all(x == y for x, y in zip(a, b))
+
+
+def test_compact_wire_overflow_grows_and_recovers():
+    """Dense noise overflows the shared AC pool: the batch still emits
+    decodable best-effort JPEGs, the pool grows, and the NEXT batch is
+    identical to a full-capacity legacy encode."""
+    _require_writer()
+    rng = np.random.default_rng(5)
+    noise = np.stack([rng.integers(0, 256, (3, 40, 56), np.uint8)
+                      for _ in range(2)])
+    enc = je.JpegDeviceEncoder(56, 40, quality=95, batch=2,
+                               density=0.01, compact=True)
+    first = enc.encode_batch(noise)
+    assert enc.overflows >= 1 and all(len(x) > 0 for x in first)
+    from PIL import Image
+    import io as _io
+    for wire in first:       # truncated but structurally valid JPEG
+        Image.open(_io.BytesIO(wire)).load()
+    second = enc.encode_batch(noise)
+    ref = je.JpegDeviceEncoder(56, 40, quality=95, batch=2,
+                               density=1.0,
+                               compact=False).encode_batch(noise)
+    assert all(x == y for x, y in zip(second, ref))
