@@ -354,3 +354,72 @@ def test_parser_hostile_palette_and_geometry_survive():
     assert len(parser._acc) < 4096
     frames = parser.feed(_ref_sender_bytes(img, tc_ticks=0))
     assert len(frames) == 1                  # still alive and in sync
+
+
+# ---------------------------------------------------------------------------
+# Golden fixtures emitted by REFERENCE CODE: tools/gen_l2l_fixture.py
+# compiles lives2lives_stream.c verbatim, streams 3 synthetic frames over
+# UDP to localhost, and commits the captured bytes. Decoding them here
+# proves interop against the actual reference implementation, not our own
+# reading of its format.
+# ---------------------------------------------------------------------------
+
+import pathlib
+
+FIXDIR = pathlib.Path(__file__).parent / "fixtures"
+
+
+def _harness_planes(f, w=32, h=24):
+    i = np.arange(w * h)
+    y = ((i * 7 + f * 31) % 240 + 16).astype(np.uint8).reshape(h, w)
+    ic = np.arange(w * h // 4)
+    u = ((ic * 3 + f) % 225 + 16).astype(np.uint8).reshape(h // 2, w // 2)
+    v = ((ic * 5 + f * 2) % 225 + 16).astype(np.uint8).reshape(h // 2,
+                                                               w // 2)
+    return y, u, v
+
+
+def test_reference_generated_stream_yuv420p_decodes():
+    wire = (FIXDIR / "l2l_ref_yuv420.bin").read_bytes()
+    p = L2LParser()
+    frames = p.feed(wire)
+    assert len(frames) == 3
+    for f, lay in enumerate(frames):
+        assert lay.palette == int(Palette.YUV420P)
+        assert (lay.width, lay.height) == (32, 24)
+        assert lay.clamping == YUVClamping.CLAMPED
+        y, u, v = _harness_planes(f)
+        np.testing.assert_array_equal(np.asarray(lay.planes[0]), y)
+        np.testing.assert_array_equal(np.asarray(lay.planes[1]), u)
+        np.testing.assert_array_equal(np.asarray(lay.planes[2]), v)
+    assert p.fps == 25.0
+    assert p.last_tc_ticks == 2 * 4_000_000
+    assert p.ended  # reference harness sent STREND via exit_screen()
+
+
+def test_reference_generated_stream_rgb24_decodes():
+    wire = (FIXDIR / "l2l_ref_rgb24.bin").read_bytes()
+    frames = L2LParser().feed(wire)
+    assert len(frames) == 3
+    for f, lay in enumerate(frames):
+        assert lay.palette == int(Palette.RGB24)
+        i = np.arange(32 * 24 * 3)
+        exp = ((i * 7 + f * 31) % 240 + 16).astype(np.uint8)
+        exp = exp.reshape(24, 32, 3).transpose(2, 0, 1)
+        np.testing.assert_array_equal(np.asarray(lay.planes[0]), exp)
+
+
+def test_our_sender_bytes_match_reference_generated_stream():
+    """Send-side interop: for the reference harness's exact frames and
+    timecodes, our datagrams concatenate to the reference capture
+    byte-for-byte (minus UDP framing, which carries no data)."""
+    wire = (FIXDIR / "l2l_ref_yuv420.bin").read_bytes()
+    ours = b""
+    for f in range(3):
+        y, u, v = _harness_planes(f)
+        lay = Layer(planes=(y, u, v), palette=int(Palette.YUV420P),
+                    clamping=YUVClamping.CLAMPED)
+        ours += b"".join(l2l_frame_datagrams(
+            lay, f * 4_000_000 / L2L_TICKS_PER_SECOND, fps=25.0))
+    ours += b"STREND"
+    assert ours == wire
