@@ -2,3 +2,4 @@
 
 from .player import Player, PlayerState, KeyMap
 from .sinks import CollectSink, NullSink, PNGSink, Y4MSink
+from .gl import GLSink
