@@ -123,7 +123,13 @@ class _Parser:
             name = self.next()
             self.next()
             return ("assign", name, self.assign())
-        return self.ternary()
+        e = self.ternary()
+        # ns-eel lvalue call: megabuf(i) = v / gmegabuf(i) = v
+        if (e[0] == "call" and e[1] in ("megabuf", "gmegabuf")
+                and len(e[2]) == 1 and self.peek() == "="):
+            self.next()
+            return ("bufassign", e[1], e[2][0], self.assign())
+        return e
 
     def ternary(self):
         c = self.or_()
@@ -283,6 +289,21 @@ class _Compiler:
             return self._bin(op, a, b)
         if kind == "call":
             return self._call(node[1], node[2], env)
+        if kind == "bufassign":
+            val = self.eval(node[3], env)
+            idx = self.eval(node[2], env)
+            buf = env.get(node[1])
+            if buf is None:
+                return val          # buffers not wired: write is a no-op
+            i = jnp.trunc(jnp.asarray(idx, jnp.float32)).astype(jnp.int32)
+            ok = (i >= 0) & (i < buf.shape[0])
+            safe = jnp.clip(i, 0, buf.shape[0] - 1)
+            v = jnp.broadcast_to(jnp.asarray(val, jnp.float32), i.shape) \
+                if getattr(i, "shape", ()) else jnp.asarray(
+                    val, jnp.float32)
+            cur = buf[safe]
+            env[node[1]] = buf.at[safe].set(jnp.where(ok, v, cur))
+            return val
         raise ValueError(f"bad node {node!r}")
 
     @staticmethod
@@ -370,6 +391,18 @@ class _Compiler:
             frame = env.get("frame", 0.0)
             hi = args[0] if args else 1.0
             return _rand_hash(frame, site) * hi
+        if name in ("megabuf", "gmegabuf"):
+            # ns-eel indexed scratch memory (out-of-range reads are 0);
+            # the buffers live in env (wired from generator state when
+            # the preset uses them) and persist frame to frame
+            buf = env.get(name)
+            if buf is None:
+                return 0.0
+            i = jnp.trunc(jnp.asarray(args[0], jnp.float32)) \
+                .astype(jnp.int32)
+            ok = (i >= 0) & (i < buf.shape[0])
+            safe = jnp.clip(i, 0, buf.shape[0] - 1)
+            return jnp.where(ok, buf[safe], 0.0)
         raise ValueError(f"milkdrop expr: unknown function {name}")
 
 
@@ -383,7 +416,7 @@ def _safe_pow(a, b):
 
 _KNOWN_FNS = frozenset(_F1) | {
     "pow", "atan2", "min", "max", "sigmoid", "if", "equal", "above",
-    "below", "band", "bor", "rand"}
+    "below", "band", "bor", "rand", "megabuf", "gmegabuf"}
 
 
 def _check_calls(node):
@@ -402,6 +435,15 @@ def _check_calls(node):
         _check_calls(node[2])
     elif node[0] == "assign":
         _check_calls(node[2])
+    elif node[0] == "bufassign":
+        _check_calls(node[2])
+        _check_calls(node[3])
+
+
+def uses_buffers(*sources: str) -> bool:
+    """True when any equation block references megabuf/gmegabuf (gates
+    whether the generator's state carries the scratch arrays)."""
+    return any("megabuf" in (s or "") for s in sources)
 
 
 def compile_expressions(src: str) -> Callable[[dict], dict]:
@@ -782,13 +824,29 @@ def build_preset_process(pre: MilkPreset):
                           compile_expressions(obj.get("frame", "")),
                           compile_expressions(obj.get("point", ""))))
 
+    # ns-eel scratch memory: only presets that reference it carry the
+    # arrays in state (adding them unconditionally would bloat every
+    # preset's scan carry). 1 MiB-entry f32 covers the index ranges VJ
+    # presets use (ns-eel megabuf is per-context; gmegabuf is documented
+    # as preset-global here — cross-instance sharing is out of scope).
+    has_bufs = uses_buffers(
+        pre.per_frame, pre.per_pixel, pre.per_frame_init,
+        *(o.get(k, "") for o in list(pre.shapes.values())
+          + list(pre.waves.values()) for k in ("init", "frame", "point")))
+    BUF_N = 1 << 20
+
     def init_state(w, h, pal):
-        return (jnp.zeros((3, h, w), jnp.float32),
+        base = (jnp.zeros((3, h, w), jnp.float32),
                 jnp.zeros((32,), jnp.float32),
                 jnp.zeros((1,), jnp.float32))
+        if has_bufs:
+            return base + (jnp.zeros((BUF_N,), jnp.float32),
+                           jnp.zeros((BUF_N,), jnp.float32))
+        return base
 
     def process(ins, p, ctx, state):
-        prev, q, inited = state
+        prev, q, inited = state[:3]
+        bufs = state[3:] if has_bufs else ()
         h, w = prev.shape[-2:]
         t = ctx.tc
         frame = jnp.asarray(ctx.frame, jnp.float32) \
@@ -809,6 +867,8 @@ def build_preset_process(pre: MilkPreset):
         # only land when inited == 0 (trace-safe select, no python branch)
         for k in range(32):
             env[f"q{k + 1}"] = q[k]
+        if has_bufs:
+            env["megabuf"], env["gmegabuf"] = bufs
         env_init = per_init(dict(env))
         first = inited[0] <= 0.5
         for k in range(32):
@@ -999,7 +1059,14 @@ def build_preset_process(pre: MilkPreset):
             .astype(jnp.uint8)
         layer = Layer(planes=(u8,), palette=int(Palette.RGB24),
                       gamma=int(Gamma.SRGB))
-        return layer, (out, q_out, jnp.ones((1,), jnp.float32))
+        new_state = (out, q_out, jnp.ones((1,), jnp.float32))
+        if has_bufs:
+            # per-pixel writes (penv) win over per-frame writes; both
+            # persist to the next frame like q-vars do
+            new_state = new_state + (
+                jnp.asarray(penv["megabuf"], jnp.float32),
+                jnp.asarray(penv["gmegabuf"], jnp.float32))
+        return layer, new_state
 
     return process, init_state
 

@@ -728,7 +728,7 @@ def test_milkdir_skips_out_of_subset_presets(tmp_path):
     from lives_tpu.player import Player
     (tmp_path / "good.milk").write_text("[p]\nfDecay=0.9\nwave_a=1\n")
     (tmp_path / "bad.milk").write_text(
-        "[p]\nper_frame_1=q1 = megabuf(0);\n")
+        "[p]\nper_frame_1=q1 = freembuf(0);\n")
     srv = OSCServer(player=Player())
     cid = srv.methods["/clip/open/milkdir"](str(tmp_path), 64, 48, 25.0)
     assert srv.clips[cid].playlist == ["milk_good"]
@@ -795,3 +795,44 @@ def test_autocycle_switches_presets_during_playback(tmp_path):
     # 0 disables
     srv.methods["/clip/generator/autocycle"](0, cid)
     assert clip.autocycle_secs == 0.0
+
+
+def test_megabuf_persists_across_frames():
+    """ns-eel megabuf: indexed scratch memory persists frame to frame
+    (gates post-2007 presets that buffer history); out-of-range reads
+    are 0 (eel semantics), and q-vars can load from it."""
+    from lives_tpu.effects.host import FrameContext
+    from lives_tpu.effects.milkdrop import build_preset_process, \
+        parse_preset
+    txt = ("[p]\nfDecay=0.95\n"
+           "per_frame_1=megabuf(frame%4) = 10 + frame;\n"
+           "per_frame_2=q1 = megabuf(0);\n"
+           "per_frame_3=q2 = megabuf(9999999);\n"
+           "per_frame_4=q3 = megabuf(-3);\n")
+    pre = parse_preset(txt, "mb")
+    process, init_state = build_preset_process(pre)
+    state = init_state(16, 12, None)
+    assert len(state) == 5          # prev, q, inited, megabuf, gmegabuf
+    p = {"bass": 1.0, "mid": 1.0, "treb": 1.0, "vol": 1.0}
+    q = None
+    for fn in range(6):
+        ctx = FrameContext(tc=fn / 30.0, frame=fn, fps=30.0,
+                           width=16, height=12)
+        _, state = process([], p, ctx, state)
+        q = np.asarray(state[1])
+    # frame 5: slot 0 last written at frame 4 (value 14)
+    assert q[0] == 14.0
+    assert q[1] == 0.0 and q[2] == 0.0   # out-of-range reads are 0
+    buf = np.asarray(state[3])
+    # slots 1 and 3 last written at frames 5 and 3 respectively
+    assert buf[1] == 15.0 and buf[3] == 13.0
+
+
+def test_megabuf_not_carried_when_unused():
+    """Presets without megabuf keep the 3-tuple state (no 8 MB of
+    scratch in every scan carry)."""
+    from lives_tpu.effects.milkdrop import build_preset_process, \
+        parse_preset
+    pre = parse_preset("[p]\nfDecay=0.9\nper_frame_1=q1 = time;\n", "nb")
+    _, init_state = build_preset_process(pre)
+    assert len(init_state(16, 12, None)) == 3
