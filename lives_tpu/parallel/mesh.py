@@ -375,7 +375,6 @@ def pipeline_chain_fn(instances, mesh: Mesh, axis: str = "b"):
 
     def run(batch, tcs):
         import jax
-        from jax.experimental.shard_map import shard_map
         B = int(batch.shape[0])
 
         def per_device(chunk, tcs_c):
@@ -417,9 +416,9 @@ def pipeline_chain_fn(instances, mesh: Mesh, axis: str = "b"):
             return jax.lax.psum(out * keep, axis)
 
         full = P(*([None] * batch.ndim))
-        fn = shard_map(per_device, mesh=mesh,
-                       in_specs=(full, P(None)), out_specs=full,
-                       check_rep=False)
+        fn = jax.shard_map(per_device, mesh=mesh,
+                           in_specs=(full, P(None)), out_specs=full,
+                           check_vma=False)
         return fn(jnp.asarray(batch, jnp.float32),
                   jnp.asarray(tcs, jnp.float32))
 

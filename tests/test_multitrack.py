@@ -322,22 +322,43 @@ def test_avol_binary_roundtrip(tmp_path):
 
 def test_editor_ops_fast_on_long_timeline():
     """Editor edits must not scan the whole event list per frame
-    (VERDICT: O(L x N) insert_block on 100k events)."""
+    (VERDICT: O(L x N) insert_block on 100k events).
+
+    Bounds are RELATIVE to the measured cost of building the timeline
+    in this process: absolute wall-clock asserts flaked whenever the
+    single shared host core was busy (round-4 full-suite run), and a
+    red suite for scheduler noise trains people to ignore red. A true
+    O(L) regression still fails by orders of magnitude."""
     import time
     mt = Multitrack(n_tracks=2, width=32, height=16)
-    # build a 50k-frame timeline through the fast append path
+    # build a 50k-frame timeline through the fast append path; its
+    # duration is the machine-speed baseline the asserts scale by
+    t0 = time.monotonic()
     for i in range(50_000):
         e = mt._ensure_frame_event(i)
         e.props["clips"][0] = 1
         e.props["frames"][0] = i
-    t0 = time.monotonic()
-    mt.insert_block(1, 2, 40_000, 200, mode=InsertMode.OVERWRITE)
-    dt = time.monotonic() - t0
-    assert dt < 1.0, f"insert took {dt:.2f}s"
-    t0 = time.monotonic()
-    e = mt.el.get_frame_event_at(mt.frame_tc(25_000))
-    dt = time.monotonic() - t0
-    assert e is not None and dt < 0.01
+    build = max(time.monotonic() - t0, 0.05)
+    # min-of-3: a single sample still catches scheduler spikes from
+    # sibling tests' background threads in a full-suite run
+    dts = []
+    for k in range(3):
+        t0 = time.monotonic()
+        mt.insert_block(1, 2, 40_000 + k * 1000, 200,
+                        mode=InsertMode.OVERWRITE)
+        dts.append(time.monotonic() - t0)
+    dt = min(dts)
+    # a 200-frame window edit on a 50k timeline must cost a small
+    # fraction of touching all 50k events once
+    assert dt < build * 0.5, f"insert took {dt:.2f}s (build {build:.2f}s)"
+    dts = []
+    for _ in range(3):
+        t0 = time.monotonic()
+        e = mt.el.get_frame_event_at(mt.frame_tc(25_000))
+        dts.append(time.monotonic() - t0)
+    dt = min(dts)
+    assert e is not None and dt < max(0.01, build * 0.02), \
+        f"indexed lookup took {dt:.4f}s (build {build:.2f}s)"
 
 
 def test_silent_blocks_stay_silent_through_edits(tmp_path):
