@@ -499,6 +499,12 @@ class MilkPreset:
     # for waves): joined equation text}
     shapes: dict = field(default_factory=dict)
     waves: dict = field(default_factory=dict)
+    #: MilkDrop 2 HLSL blocks (joined, backtick-stripped); compiled by
+    #: effects/milkshader.py when in subset
+    warp_code: str = ""
+    comp_code: str = ""
+    #: set by build_preset_process when a shader fell back (reason str)
+    shader_fallback: dict = field(default_factory=dict)
 
     DEFAULTS = {
         "fdecay": 0.98, "fgammaadj": 2.0, "fwarpscale": 1.0,
@@ -536,10 +542,12 @@ def parse_preset(text: str, name: str = "preset") -> MilkPreset:
     """Parse `.milk` INI text. Equation lines concatenate in numeric
     order. Custom waves (`wavecode_N_*` + `wave_N_per_point*`) and
     custom shapes (`shapecode_N_*` + `shape_N_per_frame*`) parse into
-    `pre.waves` / `pre.shapes`; shader blocks (`comp_*` / `warp_*`) are
-    out of subset and skipped."""
+    `pre.waves` / `pre.shapes`; MilkDrop 2 shader blocks (`warp_N=` /
+    `comp_N=`, backtick-prefixed HLSL lines) collect into
+    `pre.warp_code` / `pre.comp_code` for effects/milkshader.py."""
     pre = MilkPreset(name=name)
     frames, pixels, finits = {}, {}, {}
+    shader_lines: dict[str, dict[int, str]] = {"warp": {}, "comp": {}}
     objeqs: dict[tuple, dict] = {}
     for line in text.splitlines():
         if line.startswith(("[", ";", "//")):
@@ -548,8 +556,14 @@ def parse_preset(text: str, name: str = "preset") -> MilkPreset:
         if m is None:
             continue
         key, val = m.group(1).lower(), m.group(2)
+        sm = re.match(r"^(warp|comp)_(\d+)$", key)
+        if sm is not None:
+            # HLSL shader code line (leading backtick per the format)
+            shader_lines[sm.group(1)][int(sm.group(2))] = \
+                val[1:] if val.startswith("`") else val
+            continue
         if key.startswith(("comp_", "warp_")):
-            continue  # HLSL shader code: out of subset
+            continue  # other shader-era keys (e.g. *_shader_version)
         cm = _SHAPECODE_RE.match(key) or _WAVECODE_RE.match(key)
         if cm is not None:
             store = pre.shapes if key.startswith("shape") else pre.waves
@@ -595,6 +609,10 @@ def parse_preset(text: str, name: str = "preset") -> MilkPreset:
     for (is_shape, n, which), eqs in objeqs.items():
         store = pre.shapes if is_shape else pre.waves
         store[n][which] = join(eqs)
+    pre.warp_code = "\n".join(
+        shader_lines["warp"][k] for k in sorted(shader_lines["warp"]))
+    pre.comp_code = "\n".join(
+        shader_lines["comp"][k] for k in sorted(shader_lines["comp"]))
     return pre
 
 
@@ -769,6 +787,64 @@ def _draw_custom_wave(out, wenv, point_fn, t, xs, ys, aspect,
     return out
 
 
+def _shader_uniforms(env, t, frame, w, h, rad, ang):
+    """The uniform set MilkDrop 2 hands its warp/comp shaders (uv/
+    uv_orig are added per call site)."""
+    from .milkshader import Vec
+
+    def f4cos(rates, base=0.5, amp=0.5):
+        return Vec([base + amp * jnp.cos(jnp.asarray(t * r, jnp.float32))
+                    for r in rates])
+
+    def f4sin(rates):
+        return Vec([0.5 + 0.5 * jnp.sin(jnp.asarray(t * r, jnp.float32))
+                    for r in rates])
+
+    se = {
+        "rad": rad, "ang": ang, "time": t, "fps": env.get("fps", 30.0),
+        "frame": frame, "progress": 0.0, "decay": env.get("decay", 0.98),
+        "gamma": env.get("gamma", 2.0),
+        "texsize": Vec([float(w), float(h), 1.0 / w, 1.0 / h]),
+        "aspect": Vec([1.0, float(w) / float(h),
+                       1.0, float(h) / float(w)]),
+        "hue_shader": f4cos((0.0923, 0.0741, 0.1123)),
+        "rand_frame": Vec([_rand_hash(frame, 101 + k)
+                           for k in range(4)]),
+        "rand_preset": Vec([_rand_hash(1234, 55 + k) for k in range(4)]),
+        "roam_cos": f4cos((0.3, 1.3, 5.0, 20.0)),
+        "roam_sin": f4sin((0.3, 1.3, 5.0, 20.0)),
+        "slow_roam_cos": f4cos((0.005, 0.008, 0.013, 0.022)),
+        "slow_roam_sin": f4sin((0.005, 0.008, 0.013, 0.022)),
+    }
+    for k in ("bass", "mid", "treb", "vol", "bass_att", "mid_att",
+              "treb_att", "vol_att"):
+        se[k] = env.get(k, 1.0)
+    for k in range(32):
+        se[f"q{k + 1}"] = env.get(f"q{k + 1}", 0.0)
+    return se
+
+
+def _tex_accessor(canvas, h):
+    """Lazy sampler-name -> (3,H,W) texture map over a canvas: the main
+    variants alias the canvas; blur1/2/3 build a separable box-blur
+    pyramid (MilkDrop's GetBlur chain stand-in), cached per frame."""
+    from .milkshader import _box_blur
+    cache = {}
+
+    def tex(name):
+        if name in cache:
+            return cache[name]
+        if name.startswith("sampler_blur"):
+            lvl = int(name[-1])
+            r = max(1, int(h * {1: 0.01, 2: 0.025, 3: 0.06}[lvl]))
+            cache[name] = _box_blur(canvas, r)
+        else:
+            cache[name] = canvas    # *_main address variants
+        return cache[name]
+
+    return tex
+
+
 def build_preset_process(pre: MilkPreset):
     """process(ins, p, ctx, state) for a MilkPreset (stateful generator:
     state = (prev (3,H,W) f32, q (32,) f32, noteq (1,) init-done flag))."""
@@ -834,6 +910,24 @@ def build_preset_process(pre: MilkPreset):
         *(o.get(k, "") for o in list(pre.shapes.values())
           + list(pre.waves.values()) for k in ("init", "frame", "point")))
     BUF_N = 1 << 20
+
+    # MilkDrop 2 shader blocks: traced into the same jit when in subset;
+    # out-of-subset code records the reason and falls back to the
+    # fixed-function pipeline (coverage measured by tools/milk_corpus.py)
+    warp_prog = comp_prog = None
+    if pre.warp_code.strip() or pre.comp_code.strip():
+        from .milkshader import compile_hlsl
+        for which, code in (("warp", pre.warp_code),
+                            ("comp", pre.comp_code)):
+            try:
+                prog = compile_hlsl(code)
+            except ValueError as e:
+                pre.shader_fallback[which] = str(e)
+                prog = None
+            if which == "warp":
+                warp_prog = prog
+            else:
+                comp_prog = prog
 
     def init_state(w, h, pal):
         base = (jnp.zeros((3, h, w), jnp.float32),
@@ -923,26 +1017,38 @@ def build_preset_process(pre: MilkPreset):
         du_warp = u - xs
         dv_warp = v - ys
 
-        # bilinear feedback sample of the previous frame. bWrap selects
-        # toroidal texture addressing (MilkDrop's default) vs edge clamp;
-        # traced per-frame (presets toggle `wrap` in per_frame code)
-        wrap_on = jnp.asarray(env.get("wrap", 1.0), jnp.float32) > 0.5
-        u = jnp.where(wrap_on & ((u < 0.0) | (u > 1.0)),
-                      u - jnp.floor(u), u)
-        v = jnp.where(wrap_on & ((v < 0.0) | (v > 1.0)),
-                      v - jnp.floor(v), v)
-        fu = jnp.clip(u * (w - 1), 0.0, w - 1.0)
-        fv = jnp.clip(v * (h - 1), 0.0, h - 1.0)
-        x0 = jnp.floor(fu).astype(jnp.int32)
-        y0 = jnp.floor(fv).astype(jnp.int32)
-        x1 = jnp.minimum(x0 + 1, w - 1)
-        y1 = jnp.minimum(y0 + 1, h - 1)
-        ax = (fu - x0.astype(jnp.float32))[None]
-        ay = (fv - y0.astype(jnp.float32))[None]
-        g = lambda yy, xx: prev[:, yy, xx]  # noqa: E731
-        warped = ((g(y0, x0) * (1 - ax) + g(y0, x1) * ax) * (1 - ay)
-                  + (g(y1, x0) * (1 - ax) + g(y1, x1) * ax) * ay)
-        out = warped * jnp.asarray(env["decay"], jnp.float32)
+        if warp_prog is not None:
+            # MilkDrop 2: the warp shader consumes the mesh-warped uv
+            # and produces the new canvas itself (decay is a uniform the
+            # shader applies, not a fixed-function multiply)
+            from .milkshader import Vec as _Vec
+            senv = _shader_uniforms(env, t, frame, w, h, rad, ang)
+            senv["uv"] = _Vec([u, v])
+            senv["uv_orig"] = _Vec([xs, ys])
+            out = jnp.clip(warp_prog.run(senv, _tex_accessor(prev, h)),
+                           0.0, 1.0)
+        else:
+            # bilinear feedback sample of the previous frame. bWrap
+            # selects toroidal texture addressing (MilkDrop's default)
+            # vs edge clamp; traced per-frame (presets toggle `wrap` in
+            # per_frame code)
+            wrap_on = jnp.asarray(env.get("wrap", 1.0), jnp.float32) > 0.5
+            u = jnp.where(wrap_on & ((u < 0.0) | (u > 1.0)),
+                          u - jnp.floor(u), u)
+            v = jnp.where(wrap_on & ((v < 0.0) | (v > 1.0)),
+                          v - jnp.floor(v), v)
+            fu = jnp.clip(u * (w - 1), 0.0, w - 1.0)
+            fv = jnp.clip(v * (h - 1), 0.0, h - 1.0)
+            x0 = jnp.floor(fu).astype(jnp.int32)
+            y0 = jnp.floor(fv).astype(jnp.int32)
+            x1 = jnp.minimum(x0 + 1, w - 1)
+            y1 = jnp.minimum(y0 + 1, h - 1)
+            ax = (fu - x0.astype(jnp.float32))[None]
+            ay = (fv - y0.astype(jnp.float32))[None]
+            g = lambda yy, xx: prev[:, yy, xx]  # noqa: E731
+            warped = ((g(y0, x0) * (1 - ax) + g(y0, x1) * ax) * (1 - ay)
+                      + (g(y1, x0) * (1 - ax) + g(y1, x1) * ax) * ay)
+            out = warped * jnp.asarray(env["decay"], jnp.float32)
 
         # ---- basic waveform splat (wave_mode is static preset config) ----
         wxs, wys, vol = _wave_curve(env, t, 0 if wave_mode == 0
@@ -1022,6 +1128,25 @@ def build_preset_process(pre: MilkPreset):
         # post-filters only to what is SHOWN; the feedback texture (the
         # next frame's `prev`) stays untouched, so toggling e.g. invert
         # cannot oscillate the feedback field
+        if comp_prog is not None:
+            # MilkDrop 2 comp shader: replaces echo/gamma/post-filters
+            # (echo params, gamma etc. ride in as uniforms)
+            from .milkshader import Vec as _Vec
+            senv = _shader_uniforms(env, t, frame, w, h, rad, ang)
+            senv["uv"] = _Vec([xs, ys])
+            senv["uv_orig"] = _Vec([xs, ys])
+            disp = jnp.clip(comp_prog.run(senv, _tex_accessor(out, h)),
+                            0.0, 1.0)
+            u8 = jnp.clip(jnp.floor(disp * 255.0 + 0.5), 0, 255) \
+                .astype(jnp.uint8)
+            layer = Layer(planes=(u8,), palette=int(Palette.RGB24),
+                          gamma=int(Gamma.SRGB))
+            new_state = (out, q_out, jnp.ones((1,), jnp.float32))
+            if has_bufs:
+                new_state = new_state + (
+                    jnp.asarray(penv["megabuf"], jnp.float32),
+                    jnp.asarray(penv["gmegabuf"], jnp.float32))
+            return layer, new_state
         disp = out
         if base_env.get("echo_alpha", 0.0) > 0.0 or "echo" in pre.per_frame:
             # video echo: a second, center-zoomed tap mixed by echo_alpha

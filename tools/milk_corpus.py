@@ -218,7 +218,8 @@ def run_coverage(w=64, h=48):
     fails = {}
     for name, era, text in build_corpus():
         r = results.setdefault(era, {"n": 0, "parse": 0, "compile": 0,
-                                     "run": 0})
+                                     "run": 0, "shaders": 0,
+                                     "shader_ok": 0})
         r["n"] += 1
         try:
             pre = parse_preset(text, name)
@@ -236,6 +237,14 @@ def run_coverage(w=64, h=48):
             if "-v" in sys.argv:
                 traceback.print_exc()
             continue
+        if pre.warp_code.strip() or pre.comp_code.strip():
+            r["shaders"] += 1
+            if not pre.shader_fallback:
+                r["shader_ok"] += 1
+            else:
+                fails.setdefault(
+                    "shader_fallback", []).append(
+                    f"{name}({list(pre.shader_fallback.values())[0][:40]})")
         try:
             for fn in range(2):
                 ctx = FrameContext(tc=fn / 30.0, frame=fn, fps=30.0,
@@ -255,10 +264,11 @@ def run_coverage(w=64, h=48):
 
 def main():
     results, fails = run_coverage()
-    print(f"{'era':6} {'n':>3} {'parse':>6} {'compile':>8} {'run':>5}")
+    print(f"{'era':6} {'n':>3} {'parse':>6} {'compile':>8} {'run':>5} "
+          f"{'shaders':>8} {'shader_ok':>10}")
     for era, r in results.items():
         print(f"{era:6} {r['n']:>3} {r['parse']:>6} {r['compile']:>8} "
-              f"{r['run']:>5}")
+              f"{r['run']:>5} {r['shaders']:>8} {r['shader_ok']:>10}")
     for k, names in sorted(fails.items()):
         print(f"  {k}: {len(names)} ({', '.join(names[:4])}...)")
 
