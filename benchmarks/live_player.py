@@ -66,6 +66,15 @@ def run(w, h, fps, n_frames, precache, secs=8.0, warm=2.5):
     p.state.fg_clip = clip
     p.set_pb_fps(fps)
     p.start()
+    # warm until frames actually FLOW (the first template compile
+    # through the tunnel runs 30-300 s cold and a fixed warm window
+    # measured pure drops — round-5 chip day), then settle `warm` secs
+    t_dead = time.monotonic() + 420.0
+    while p.frames_shown < 30 and time.monotonic() < t_dead:
+        p.process_one()
+        time.sleep(0.0005)
+    if p.frames_shown < 30:
+        raise RuntimeError("player never reached steady state")
     t_end = time.monotonic() + warm
     while time.monotonic() < t_end:
         p.process_one()

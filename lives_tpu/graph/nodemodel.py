@@ -473,9 +473,11 @@ class FrameGraph:
         # whole-plan fused STATEFUL sweep: state lives in VMEM across the
         # chunk's frames (graph/pallas_stateful.py); replaces the 3-phase
         # [prefix]->[scan]->[suffix] split when every stateful step is
-        # kernel-supported. LIVES_TPU_FUSED_STATEFUL=1 enables (opt-in
-        # until the kernel is validated on the real chip — Mosaic-only
-        # constraints do not surface in interpret mode).
+        # kernel-supported. Chip-validated round 5 (0 LSB vs the scan
+        # path on the fire+alien-led bench) but measured 6% SLOWER than
+        # the 3-phase split on real silicon (74.3x vs 78.8x,
+        # PERF_NOTES "Round-5 chip day"), so LIVES_TPU_FUSED_STATEFUL=1
+        # stays opt-in on merit, not for safety.
         sf_eligible = False
         if sweepable_src and self.has_stateful \
                 and _pref2("fused_stateful") == "1":
