@@ -329,3 +329,105 @@ register_filter(Filter(
                 Param("y", "num", 0.5, 0.0, 1.0),
                 Param("score", "num", 0.0, -1.0, 1.0)),
     description="ZNCC patch tracker, one MXU conv (haar_analyser role)"))
+
+
+# -- Haar wavelet image signature (gdk/haar_analyser.cpp) ---------------------
+
+#: signature geometry, matching the reference (haar_analyser.h:30-34)
+HAAR_N = 128
+HAAR_COEFS = 40
+_haar_m_cache: list = []
+
+
+def haar_matrix() -> np.ndarray:
+    """The reference's multi-level in-place Haar row decomposition
+    (gdk/haar_analyser.cpp:99 `haar2D`, imgSeek lineage: sums carried
+    unscaled, differences scaled by the accumulated 0.7071 per level,
+    row DC fixed up by the final C = 1/sqrt(N)) is a LINEAR map — so we
+    realise it ONCE as a dense (N, N) operator by pushing the identity
+    through the scalar recurrence. The full 2-D "tensorial" transform,
+    rows then columns, is then `M @ A @ M.T`: two 128x128 MXU matmuls
+    instead of 2*7 serial in-place passes. Output ordering (interleaved
+    across levels) matches the reference exactly by construction."""
+    if _haar_m_cache:
+        return _haar_m_cache[0]
+    a = np.eye(HAAR_N, dtype=np.float64)  # row i = response to e_i
+    c, h = 1.0, HAAR_N
+    while h > 1:
+        h1 = h // 2
+        c *= 0.7071  # the reference's literal, not 1/sqrt(2)
+        s = a[0:h:2] + a[1:h:2]
+        d = (a[0:h:2] - a[1:h:2]) * c
+        a[:h1], a[h1:h] = s, d
+        h = h1
+    a[0] *= c
+    _haar_m_cache.append(a)
+    return a
+
+
+def _haar_analyse(ins, p, ctx):
+    """Haar signature of the frame (gdk/haar_analyser.cpp:436
+    `haar_process`): resize to 128x128, unclamped-YUV planes in 0..255,
+    2-D Haar transform per plane, then the `nco` largest-|coef| indices
+    per plane, sign-encoded (negative index = non-positive coefficient,
+    :224; index 0 — the DC — is excluded and reported as `avg_*` =
+    DC/(2*N^2), :183). Out arrays have FIXED length 128 (the reference's
+    nco maximum, exposed as WEED_PARAMETER_VARIABLE_SIZE): entries past
+    `nco` are 0, a value the reference encoding can never produce
+    ("never 0", :227). Order is descending magnitude (the reference
+    empties a min-queue so its order is ascending; it documents the
+    order as irrelevant, :237). NOTE: the reference's V plane reads the
+    Y byte (src[k+j] at :504/:508 — an upstream bug); we analyse the
+    actual V plane."""
+    from ...ops.colorspace import rgb_to_yuv
+    from ...ops.resize import resize_plane
+    from ...constants import YUVClamping
+    import jax
+
+    rgb, _ = split_alpha(to_f01(ins[0]))
+    small = resize_plane(rgb * 255.0, HAAR_N, HAAR_N)
+    y, u, v = rgb_to_yuv(small[0], small[1], small[2],
+                         clamping=YUVClamping.UNCLAMPED)
+    m = jnp.asarray(haar_matrix(), jnp.float32)
+    nco = jnp.clip(p["nco"], 1, HAAR_N).astype(jnp.int32)
+    valid = jnp.arange(HAAR_N, dtype=jnp.int32) < nco
+    outs = {}
+    for name, plane in (("y", y), ("u", u), ("v", v)):
+        coefs = (m @ plane.astype(jnp.float32) @ m.T).reshape(-1)
+        outs[f"avg_{name}"] = coefs[0] / (2.0 * HAAR_N * HAAR_N) / 255.0
+        mag = jnp.abs(coefs).at[0].set(-1.0)  # DC never in the sig
+        _, idx = jax.lax.top_k(mag, HAAR_N)
+        signed = jnp.where(coefs[idx] > 0, idx, -idx)
+        outs[f"sig_{name}"] = jnp.where(valid, signed, 0)
+    return outs
+
+
+_mk_analyser(
+    "haar_analyser", _haar_analyse,
+    params=(Param("nco", "int", HAAR_COEFS, 1, HAAR_N,
+                  label="Number of Coefficients"),),
+    out_params=(Param("sig_y", "int", 0, -HAAR_N * HAAR_N, HAAR_N * HAAR_N),
+                Param("sig_u", "int", 0, -HAAR_N * HAAR_N, HAAR_N * HAAR_N),
+                Param("sig_v", "int", 0, -HAAR_N * HAAR_N, HAAR_N * HAAR_N),
+                Param("avg_y", "num", 0.0, 0.0, 1.0),
+                Param("avg_u", "num", 0.0, 0.0, 1.0),
+                Param("avg_v", "num", 0.0, 0.0, 1.0)),
+    desc="imgSeek-style Haar wavelet signature: top-nco coefficient "
+         "indices + DC averages per YUV plane as two MXU matmuls "
+         "(gdk/haar_analyser.cpp)")
+
+
+def haar_signature_distance(sig_a: dict, sig_b: dict,
+                            w_avg: float = 1.0) -> float:
+    """Host-side similarity score between two `haar_analyser` out-dicts
+    (the imgSeek query metric the reference feeds its sigs into:
+    matching signed indices reduce the distance; DC deltas add to it).
+    Smaller = more similar."""
+    d = 0.0
+    for c in "yuv":
+        a = {int(i) for i in np.asarray(sig_a[f"sig_{c}"]) if int(i) != 0}
+        b = {int(i) for i in np.asarray(sig_b[f"sig_{c}"]) if int(i) != 0}
+        n = max(len(a), 1)
+        d += 1.0 - len(a & b) / n
+        d += w_avg * abs(float(sig_a[f"avg_{c}"]) - float(sig_b[f"avg_{c}"]))
+    return d

@@ -69,12 +69,9 @@ def test_cli_recover_renders_autosaved_take(tmp_path, capsys):
     app.player.record_start()
     pl = app.player._player
     from lives_tpu.events.event_list import TICKS_PER_SECOND
+    from conftest import drive_recorded_frame
     for i in range(4):
-        pl.state.frame = -1
-        pl._clock0 = _time.monotonic()
-        pl._frame0 = float(i)
-        pl.process_one()
-        pl._rec_t0 -= int(TICKS_PER_SECOND / 25.0)
+        drive_recorded_frame(pl, i, TICKS_PER_SECOND / 25.0)
     app.player.record_stop()
     app.player.stop()
     # crash: recover via the CLI in "a new process"

@@ -214,14 +214,11 @@ def test_api_record_render_to_clip(tmp_path):
     app.player.record_start()
     assert app.player.recording
     pl = app.player._player
+    from conftest import drive_recorded_frame
     for i in range(6):
         if i == 2:
             app.effect_key_map[0].set_enabled(True)
-        pl.state.frame = -1
-        pl._clock0 = _time.monotonic()
-        pl._frame0 = float(i)
-        pl.process_one()
-        pl._rec_t0 -= int(TICKS)  # space events one frame period apart
+        drive_recorded_frame(pl, i, TICKS)
     el = app.player.record_stop()
     app.player.stop()
     assert not app.player.recording
@@ -257,12 +254,9 @@ def test_api_preview_recording_paces_frames_to_sink(tmp_path):
     app.player.play()
     app.player.record_start()
     pl = app.player._player
+    from conftest import drive_recorded_frame
     for i in range(5):
-        pl.state.frame = -1
-        pl._clock0 = _time.monotonic()
-        pl._frame0 = float(i)
-        pl.process_one()
-        pl._rec_t0 -= int(TICKS)
+        drive_recorded_frame(pl, i, TICKS)
     app.player.record_stop()
     app.player.stop()
     n_before = app.set.num_clips

@@ -310,12 +310,9 @@ def test_record_render_method(srv):
     pl = srv.player
     pl.start()
     srv.methods["/record/enable"]()
+    from conftest import drive_recorded_frame
     for i in range(5):
-        pl.state.frame = -1
-        pl._clock0 = _time.monotonic()
-        pl._frame0 = float(i)
-        pl.process_one()
-        pl._rec_t0 -= int(TICKS)  # space events one frame period apart
+        drive_recorded_frame(pl, i, TICKS)
     srv.methods["/record/disable"]()
     pl.stop()
     cid = srv.methods["/record/render"]()
@@ -335,12 +332,9 @@ def test_record_preview_method(srv):
     pl = srv.player
     pl.start()
     srv.methods["/record/enable"]()
+    from conftest import drive_recorded_frame
     for i in range(4):
-        pl.state.frame = -1
-        pl._clock0 = _time.monotonic()
-        pl._frame0 = float(i)
-        pl.process_one()
-        pl._rec_t0 -= int(TICKS)
+        drive_recorded_frame(pl, i, TICKS)
     srv.methods["/record/disable"]()
     pl.stop()
     before = len(pl.sink.frames)
@@ -365,12 +359,9 @@ def test_osc_record_recover_and_discard(tmp_path):
         pl = s.player
         pl.start()
         s.methods["/record/enable"]()
+        from conftest import drive_recorded_frame
         for i in range(4):
-            pl.state.frame = -1
-            pl._clock0 = _time.monotonic()
-            pl._frame0 = float(i)
-            pl.process_one()
-            pl._rec_t0 -= int(TICKS)
+            drive_recorded_frame(pl, i, TICKS)
         s.methods["/record/disable"]()
         pl.stop()
 
