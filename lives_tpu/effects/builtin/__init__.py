@@ -10,6 +10,7 @@ from . import (alpha, analysers, blends, blur, colour,  # noqa: F401
                puretext)
 from ..compound import register_builtin_compounds
 from ..milkdrop import register_builtin_presets
+from ...io import kinect  # noqa: F401  (registers `depth_key`; gated hw)
 
 register_builtin_compounds()
 register_builtin_presets()
