@@ -51,6 +51,14 @@ def build_player(uri: str | None, fx: list[str], width: int, height: int,
         from .player.sdl import SDLSink
         sink = SDLSink()
         spec = SinkSpec(width=width, height=height)
+    elif sink_kind == "vjack":
+        # videojack output port (vjack_output.c role; needs the
+        # videojack libjack fork — errors cleanly otherwise)
+        from .constants import Palette
+        from .io.videojack import VJackSink
+        sink = VJackSink(client_name=out or "lives_tpu-vjack-out")
+        spec = SinkSpec(width=width, height=height,
+                        palette=int(Palette.RGBA32))
     elif sink_kind == "av":
         # encode/stream through the libav bridge: file (mkv/mp4/ogv) or
         # network URL (udp://host:port mpegts, icecast://...)
@@ -156,7 +164,7 @@ def main(argv=None):
                       "bound to keys 0..8")
     play.add_argument("--sink", default="null",
                       choices=["null", "y4m", "png", "stream", "l2l", "av",
-                               "sdl"])
+                               "sdl", "vjack"])
     play.add_argument("--out", default=None)
     play.add_argument("--width", type=int, default=0)
     play.add_argument("--height", type=int, default=0)

@@ -207,6 +207,36 @@ def register_extended(srv) -> None:
     m("/clip/open/unicap", lambda dev="/dev/video0": _open_videodev(
         srv, str(dev)))
 
+    def clip_open_kinect(index=0, minthresh=0, maxthresh=65536):
+        """Depth-keyed Kinect live source (freenect.c generator role);
+        errors cleanly when libfreenect isn't present (gated hardware)."""
+        from ..io.kinect import KinectCamera, KinectClip
+        src = KinectClip(camera=KinectCamera(index=int(index)),
+                         minthresh=int(minthresh), maxthresh=int(maxthresh))
+        cid = new_id()
+        srv.clips[cid] = src
+        if st().fg_clip is None:
+            st().fg_clip = src
+        srv.notify(512, f"kinect:{int(index)}")  # CLIP_OPENED
+        return cid
+
+    m("/clip/open/kinect", clip_open_kinect)
+
+    def clip_open_vjack(w=640, h=480, name="lives_tpu-vjack-rcv"):
+        """Video-JACK receive port as a live source (vjack_rcv.c role);
+        errors cleanly without the videojack libjack fork."""
+        from ..io.videojack import VJackSource
+        src = VJackSource(width=int(w), height=int(h),
+                          client_name=str(name))
+        cid = new_id()
+        srv.clips[cid] = src
+        if st().fg_clip is None:
+            st().fg_clip = src
+        srv.notify(512, f"vjack:{name}")  # CLIP_OPENED
+        return cid
+
+    m("/clip/open/vjack", clip_open_vjack)
+
     # extensions: generator clips by filter name, and MilkDrop preset
     # files loaded live (projectM.cpp role via effects/milkdrop.py);
     # the reference starts generators via keyed fx (effects-weed.c:7739),
