@@ -36,7 +36,8 @@ def copy_frames(clip: Clip, start: int, end: int,
     for n in range(start, min(end, clip.frames)):
         lay = convert_layer(clip.get_frame(n), Palette.RGB24)
         cb.frames.append(np.asarray(lay.planes[0]))
-    if with_audio and clip.achans:
+    # live sources (generators, capture devices) have no audio store
+    if with_audio and getattr(clip, "achans", 0):
         a = clip.read_audio()
         s0 = int(start / clip.fps * clip.arate)
         s1 = int(end / clip.fps * clip.arate)
@@ -212,7 +213,7 @@ def merge_clipboard(clip: Clip, cb: Clipboard, transition: str = "crossfade",
             done += 1
             if progress:
                 progress(done, n)
-    if with_audio and cb.audio is not None and clip.achans:
+    if with_audio and cb.audio is not None and getattr(clip, "achans", 0):
         a = clip.read_audio()
         s0 = int(start / clip.fps * clip.arate)
         s1 = min(int(end / clip.fps * clip.arate), len(a))

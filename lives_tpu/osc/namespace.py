@@ -400,6 +400,34 @@ def register_extended(srv) -> None:
     m("/clipboard/insert_before", lambda at=None: paste(at, True))
     m("/clipboard/insert_after", lambda at=None: paste(at, False))
 
+    def paste_as_new():
+        """Edit menu 'Paste as New' (gui.c new-clip-from-clipboard role):
+        the clipboard becomes a fresh clip, selected as foreground."""
+        import jax.numpy as jnp
+
+        from ..constants import Palette
+        from ..io.clips import create_clip
+        from ..layer import Layer
+        cb = srv.clipboard
+        if cb is None or not len(cb):
+            raise RuntimeError("clipboard empty")
+        h, w = cb.frames[0].shape[1:]
+        clip = create_clip(workdir(), w, h, cb.fps, name="pasted")
+        clip.frames = len(cb.frames)
+        for n, arr in enumerate(cb.frames):
+            clip.put_frame(n, Layer(planes=(jnp.asarray(arr),),
+                                    palette=int(Palette.RGB24)))
+        clip.save_header()
+        if cb.audio is not None and len(cb.audio):
+            clip.write_audio(cb.audio, cb.arate)
+        cid = new_id()
+        srv.clips[cid] = clip
+        st().fg_clip = clip
+        srv.notify(512, "pasted")  # CLIP_OPENED
+        return cid
+
+    m("/clipboard/paste_as_new", paste_as_new)
+
     def clip_undo():
         """Undo the last destructive op: a frame-layout edit if one is
         pending, else the last rendered effect (reference single undo

@@ -201,6 +201,32 @@ select{background:#26262c;color:#eee;border:1px solid #555;padding:3px}
  <div class="param"><label>fg/bg blend</label>
   <input type="range" min="0" max="1" step="0.01" value="0.5"
    oninput="setBlend(+this.value)"></div>
+ <div>
+  <button id="loopbtn" onclick="toggleSt('loop','/video/loop/set')">loop</button>
+  <button id="ppbtn" onclick="toggleSt('pingpong','/video/pingpong/set')">ping-pong</button>
+  <button id="mutebtn" onclick="toggleSt('muted','/audio/mute/set')">mute</button>
+ </div>
+ <div class="param"><label>volume</label>
+  <input type="range" id="vol" min="0" max="1" step="0.01"
+   oninput="cmd('/audio/volume/set',[+this.value])"></div>
+ <h3>Selection</h3>
+ <div title="frame selection [start..end], 1-based like the reference's
+ start/end spinbuttons; end -1 = to the last frame">
+  <input type="number" id="selstart" style="width:70px" min="1"
+   onchange="cmd('/clip/start/set',[+this.value-1])">
+  <input type="number" id="selend" style="width:70px" min="-1"
+   onchange="cmd('/clip/end/set',[+this.value-1])">
+  <button onclick="cmd('/clip/select_all')">all</button>
+  <button onclick="cmd('/video/selection/play')">&#9654; sel</button>
+ </div>
+ <div>
+  <button onclick="cmd('/clip/selection/copy')">copy</button>
+  <button onclick="cmd('/clip/selection/cut')">cut</button>
+  <button onclick="cmd('/clip/selection/delete')">del</button>
+  <button id="pastebtn" onclick="cmd('/clipboard/paste')">paste</button>
+  <button onclick="cmd('/clipboard/paste_as_new',[]).then(refresh)"
+   title="paste the clipboard as a new clip">paste new</button>
+ </div>
  <h3>Clips</h3>
  <div>
   <input id="uri" placeholder="/path/to/media.mkv" style="width:65%">
@@ -673,6 +699,18 @@ async function refresh(){
   st.p99_ms.toFixed(1)+'ms\\nt '+st.time.toFixed(2)+'s';
  const sc=document.getElementById('scrub');
  sc.max=Math.max(st.frames-1,1); if(document.activeElement!==sc)sc.value=st.frame;
+ ['loop','pingpong','muted'].forEach((f,j)=>{
+  const b=document.getElementById(['loopbtn','ppbtn','mutebtn'][j]);
+  if(b)b.className=st[f]?'on':'';
+ });
+ const vol=document.getElementById('vol');
+ if(vol&&document.activeElement!==vol)vol.value=st.volume;
+ const ss=document.getElementById('selstart'),
+       se=document.getElementById('selend');
+ if(ss&&document.activeElement!==ss)ss.value=st.sel_start+1;
+ if(se&&document.activeElement!==se)se.value=st.sel_end+1;
+ const pb=document.getElementById('pastebtn');
+ if(pb)pb.disabled=!st.has_clipboard;
  const ks=document.getElementById('keys'); ks.innerHTML='';
  st.keys.forEach(k=>{
   const b=document.createElement('button');
@@ -691,6 +729,8 @@ async function refresh(){
   b.appendChild(t);
   b.appendChild(document.createTextNode(
    c.id+': '+c.name+(c.fg?' [fg]':'')+(c.bg?' [bg]':'')));
+  b.title=c.w+'x'+c.h+' @ '+(+c.fps).toFixed(2)+' fps, '+
+   c.frames+' frames';   // clip-info line (main window clip label)
   if(c.fg)b.className='on';
   b.onclick=()=>cmd('/clip/select',[c.id]);
   b.oncontextmenu=(e)=>{e.preventDefault();cmd('/clip/background/select',[c.id]);};
@@ -949,19 +989,27 @@ async function loadParams(k){
  fdDraw();
  if(!spec.widgets)return;
  spec.widgets.forEach((p)=>{
-  const i=p.index; if(i===undefined||i<0)return;
+  const i=p.index;
+  if(p.widget!=='color'&&(i===undefined||i<0))return;
   const d=document.createElement('div'); d.className='param';
   const l=document.createElement('label');
   l.textContent=p.label||p.name; d.appendChild(l);
-  if(p.widget==='slider'||p.widget==='spin'){
+  if(p.widget==='slider'){
    const s=document.createElement('input'); s.type='range';
    s.min=p.min; s.max=p.max; s.step=(p.max-p.min)/200||0.01; s.value=p.value;
    s.oninput=()=>cmd('/effect_key/parameter/value/set',[k,i,+s.value]);
    d.appendChild(s);
-  }else if(p.widget==='toggle'){
-   const b=document.createElement('button');
-   b.textContent=p.value?'on':'off';
-   b.onclick=()=>cmd('/effect_key/parameter/value/set',[k,i,p.value?0:1]);
+  }else if(p.widget==='spin'){
+   const s=document.createElement('input'); s.type='number';
+   s.min=p.min; s.max=p.max; s.step=p.step||1; s.value=p.value;
+   s.style.width='80px';
+   s.onchange=()=>cmd('/effect_key/parameter/value/set',[k,i,+s.value]);
+   d.appendChild(s);
+  }else if(p.widget==='checkbox'||p.widget==='toggle'){
+   const b=document.createElement('input'); b.type='checkbox';
+   b.checked=!!p.value;
+   b.onchange=()=>cmd('/effect_key/parameter/value/set',
+                      [k,i,b.checked?1:0]);
    d.appendChild(b);
   }else if(p.widget==='combo'){
    const s=document.createElement('select');
@@ -971,9 +1019,32 @@ async function loadParams(k){
    s.value=p.value;
    s.onchange=()=>cmd('/effect_key/parameter/value/set',[k,i,+s.value]);
    d.appendChild(s);
+  }else if(p.widget==='color'){
+   // collapsed RGB triplet (paramwindow.c colour button role): one
+   // picker writes the three underlying params (0..1 domain)
+   const idx=p.indices||[]; if(idx.some(x=>x<0))return;
+   const s=document.createElement('input'); s.type='color';
+   const v=p.value||[0,0,0];
+   s.value='#'+v.map(x=>Math.round(Math.max(0,Math.min(1,x))*255)
+     .toString(16).padStart(2,'0')).join('');
+   s.onchange=()=>{
+    const hx=s.value;
+    [1,3,5].forEach((o,c)=>cmd('/effect_key/parameter/value/set',
+      [k,idx[c],parseInt(hx.slice(o,o+2),16)/255]));
+   };
+   d.appendChild(s);
+  }else if(p.widget==='entry'){
+   const s=document.createElement('input'); s.type='text';
+   s.value=p.value==null?'':p.value; s.style.width='90%';
+   s.onchange=()=>cmd('/effect_key/parameter/value/set',[k,i,s.value]);
+   d.appendChild(s);
   }
   pd.appendChild(d);
  });
+}
+async function toggleSt(field,path){
+ const st=await (await fetch('/api/state')).json();
+ await cmd(path,[st[field]?0:1]); refresh();
 }
 refresh(); drawTimeline(); setInterval(refresh, 1000);
 setInterval(drawTimeline, 3000);
@@ -1394,7 +1465,11 @@ class WebUI:
                          "mode": p.keymap.mode[k] + 1})
         clips = [{"id": cid,
                   "name": getattr(c, "name", f"clip {cid}"),
-                  "fg": c is st.fg_clip, "bg": c is st.bg_clip}
+                  "fg": c is st.fg_clip, "bg": c is st.bg_clip,
+                  "fps": getattr(c, "fps", 0) or 0,
+                  "frames": min(getattr(c, "frames", 0), 1 << 24),
+                  "w": getattr(c, "width", 0),
+                  "h": getattr(c, "height", 0)}
                  for cid, c in sorted(self.osc.clips.items())]
         return {"playing": st.playing, "frame": st.frame,
                 "frames": getattr(clip, "frames", 0),
@@ -1405,7 +1480,17 @@ class WebUI:
                 "keys": keys, "clips": clips,
                 "blend": st.blend_amount,
                 "recording": bool(p.record),
-                "has_take": p.last_recording is not None}
+                "has_take": p.last_recording is not None,
+                # clip-editor bar state (main window widgets: selection
+                # spins, loop/pingpong/mute toggles, volume — the
+                # reference's start/end spinbuttons + playcontrol row)
+                "sel_start": st.sel_start, "sel_end": st.sel_end,
+                "loop": bool(st.loop), "pingpong": bool(st.ping_pong),
+                "muted": bool(getattr(getattr(p, "audio", None), "muted",
+                                      False)),
+                "volume": float(getattr(getattr(p, "audio", None),
+                                        "volume", 1.0)),
+                "has_clipboard": self.osc.clipboard is not None}
 
     def audio_wave(self, track: int, width: int = 600):
         """Per-column min/max peaks of a backing audio track across the
@@ -1531,8 +1616,21 @@ class WebUI:
         pidx = {q.name: i for i, q in enumerate(filt.params)}
         inst = self.player.keymap.instances[key - 1]
         for pw in spec.get("widgets", []):
+            if pw.get("maps_to"):
+                # collapsed colour triplet: expose the three underlying
+                # param indices so the colour picker writes each via
+                # /effect_key/parameter/value/set
+                pw["index"] = -1
+                pw["indices"] = [pidx.get(n, -1) for n in pw["maps_to"]]
+                dflt = pw.get("default") or [0.0, 0.0, 0.0]
+                vals = []
+                for n, dv in zip(pw["maps_to"], dflt):
+                    v = inst.values.get(n) if inst is not None else None
+                    vals.append(dv if v is None else v)
+                pw["value"] = vals
+                continue
             # underlying filter-param index: the wire unit of
-            # /effect_key/parameter/value/set (colour groups expand later)
+            # /effect_key/parameter/value/set
             pw["index"] = pidx.get(pw["name"], -1)
             v = None
             if inst is not None:

@@ -504,3 +504,108 @@ def test_datacons_prunes_connections_of_replaced_instances(ui):
     dc = json.loads(_get(ui, "/api/datacons"))
     assert dc["pconx"] == []
     assert all(c["src"] != 0 and c["dst"] != 0 for c in dc["cconx"])
+
+
+def test_clip_editor_bar_state_and_html(ui):
+    """Round-5 clip-editor depth: selection spins, loop/pingpong/mute,
+    volume, clipboard state (main-window playcontrol + start/end
+    spinbutton roles)."""
+    page = _get(ui, "/").decode()
+    for needle in ("selstart", "selend", "loopbtn", "ppbtn", "mutebtn",
+                   "vol", "pastebtn", "/clip/selection/copy",
+                   "/clipboard/paste_as_new", "/video/selection/play"):
+        assert needle in page, needle
+    st = json.loads(_get(ui, "/api/state"))
+    assert {"sel_start", "sel_end", "loop", "pingpong", "muted",
+            "volume", "has_clipboard"} <= set(st)
+    assert st["has_clipboard"] is False
+    # per-clip info for the clip label tooltip
+    c = st["clips"][0]
+    assert (c["w"], c["h"], c["fps"], c["frames"]) == (48, 24, 25.0, 20)
+    # drive selection through the bar's routes
+    _post(ui, "/api/cmd", {"path": "/clip/start/set", "args": [3]})
+    _post(ui, "/api/cmd", {"path": "/clip/end/set", "args": [7]})
+    st = json.loads(_get(ui, "/api/state"))
+    assert (st["sel_start"], st["sel_end"]) == (3, 7)
+    _post(ui, "/api/cmd", {"path": "/video/loop/set", "args": [1]})
+    assert json.loads(_get(ui, "/api/state"))["loop"] is True
+
+
+def test_paste_as_new_creates_clip(ui, tmp_path, monkeypatch):
+    monkeypatch.setenv("LIVES_TPU_WORKDIR", str(tmp_path))
+    _post(ui, "/api/cmd", {"path": "/clip/start/set", "args": [2]})
+    _post(ui, "/api/cmd", {"path": "/clip/end/set", "args": [5]})
+    r = _post(ui, "/api/cmd", {"path": "/clip/selection/copy", "args": []})
+    assert r["ok"]
+    assert json.loads(_get(ui, "/api/state"))["has_clipboard"] is True
+    r = _post(ui, "/api/cmd", {"path": "/clipboard/paste_as_new",
+                               "args": []})
+    assert r["ok"]
+    cid = r["ret"]
+    new_clip = ui.osc.clips[cid]
+    assert new_clip.frames == 4 and new_clip is ui.player.state.fg_clip
+    # frame bytes survive the round trip (RGB24 storage)
+    src = MemClip().get_frame(2)
+    np.testing.assert_array_equal(
+        np.asarray(new_clip.get_frame(0).planes[0]),
+        np.asarray(src.planes[0]))
+
+
+def test_param_spec_colour_widget_has_indices(ui):
+    """Collapsed RGB triplets expose the three underlying param indices
+    (paramwindow.c colour-button role) so the web picker can write them."""
+    _post(ui, "/api/cmd",
+          {"path": "/effect_key/map", "args": [1, "edge"]})
+    _post(ui, "/api/cmd", {"path": "/effect_key/enable", "args": [1]})
+    spec = json.loads(_get(ui, "/api/params/1"))
+    col = [w for w in spec["widgets"] if w["widget"] == "color"]
+    assert col, spec["widgets"]
+    cw = col[0]
+    assert cw["maps_to"] == ["red", "green", "blue"]
+    assert all(i >= 0 for i in cw["indices"])
+    assert len(cw["value"]) == 3
+    # setting via the exposed indices round-trips into the instance
+    _post(ui, "/api/cmd", {"path": "/effect_key/parameter/value/set",
+                           "args": [1, cw["indices"][2], 0.25]})
+    spec = json.loads(_get(ui, "/api/params/1"))
+    cw = [w for w in spec["widgets"] if w["widget"] == "color"][0]
+    assert abs(cw["value"][2] - 0.25) < 1e-6
+
+
+def test_page_script_brackets_balanced(ui):
+    """No JS runtime exists in this image, so guard the inline script
+    structurally: brackets must balance outside string/comment context
+    (catches the classic lost-brace edit)."""
+    page = _get(ui, "/").decode()
+    s = page[page.index("<script>") + 8: page.index("</script>")]
+    stack, pairs = [], {")": "(", "]": "[", "}": "{"}
+    quote, escape, comment = None, False, None
+    prev = ""
+    for ch in s:
+        if comment == "line":
+            if ch == "\n":
+                comment = None
+        elif comment == "block":
+            if prev == "*" and ch == "/":
+                comment = None
+        elif quote:
+            if escape:
+                escape = False
+            elif ch == "\\":
+                escape = True
+            elif ch == quote:
+                quote = None
+        elif ch in "'\"`":
+            quote = ch
+        elif prev == "/" and ch == "/":
+            comment = "line"
+        elif prev == "/" and ch == "*":
+            comment = "block"
+        elif ch in "([{":
+            stack.append(ch)
+        elif ch in ")]}":
+            assert stack and stack[-1] == pairs[ch], \
+                f"unbalanced {ch!r} near ...{s[:s.index(ch)][-40:]!r}"
+            stack.pop()
+        prev = ch
+    assert not stack, f"unclosed {stack}"
