@@ -819,9 +819,29 @@ def _shader_uniforms(env, t, frame, w, h, rad, ang):
     for k in ("bass", "mid", "treb", "vol", "bass_att", "mid_att",
               "treb_att", "vol_att"):
         se[k] = env.get(k, 1.0)
+    for k in (1, 2, 3):
+        # blur-pyramid value range (our blur is full-range, so the
+        # un-scale uniforms are the identity window)
+        se[f"blur{k}_min"] = 0.0
+        se[f"blur{k}_max"] = 1.0
     for k in range(32):
         se[f"q{k + 1}"] = env.get(f"q{k + 1}", 0.0)
     return se
+
+
+def _shader_trial(prog, texwrap):
+    """Eagerly evaluate a compiled shader on a 2x2 grid with the real
+    uniform set and texture accessor. compile_hlsl is parse-only —
+    unknown uniforms/intrinsics, bad swizzles, unsupported samplers all
+    surface at eval time, and an escape during the first jit trace would
+    crash playback instead of falling back to fixed-function."""
+    from .milkshader import Vec
+    z = jnp.zeros((2, 2), jnp.float32)
+    env = _shader_uniforms({}, 0.0, 0.0, 2, 2, z, z)
+    env["uv"] = Vec([z, z])
+    env["uv_orig"] = Vec([z, z])
+    env["_texwrap"] = texwrap
+    prog.run(env, _tex_accessor(jnp.zeros((3, 2, 2), jnp.float32), 2))
 
 
 def _tex_accessor(canvas, h):
@@ -915,13 +935,22 @@ def build_preset_process(pre: MilkPreset):
     # out-of-subset code records the reason and falls back to the
     # fixed-function pipeline (coverage measured by tools/milk_corpus.py)
     warp_prog = comp_prog = None
+    # bTexWrap is static preset config: unprefixed samplers follow it
+    # (fw_/fc_ prefixes override per sampler in milkshader.sample)
+    texwrap_static = float(base_env.get("wrap", 1.0))
     if pre.warp_code.strip() or pre.comp_code.strip():
         from .milkshader import compile_hlsl
         for which, code in (("warp", pre.warp_code),
                             ("comp", pre.comp_code)):
             try:
                 prog = compile_hlsl(code)
-            except ValueError as e:
+                # compile_hlsl only parses; identifiers/intrinsics
+                # resolve at EVAL time. Trial-run on a tiny grid NOW so
+                # out-of-subset presets fall back to the fixed-function
+                # pipeline instead of raising mid-trace during playback
+                if prog is not None:
+                    _shader_trial(prog, texwrap_static)
+            except Exception as e:  # any eval failure must fall back
                 pre.shader_fallback[which] = str(e)
                 prog = None
             if which == "warp":
@@ -1025,6 +1054,7 @@ def build_preset_process(pre: MilkPreset):
             senv = _shader_uniforms(env, t, frame, w, h, rad, ang)
             senv["uv"] = _Vec([u, v])
             senv["uv_orig"] = _Vec([xs, ys])
+            senv["_texwrap"] = texwrap_static
             out = jnp.clip(warp_prog.run(senv, _tex_accessor(prev, h)),
                            0.0, 1.0)
         else:
@@ -1135,6 +1165,7 @@ def build_preset_process(pre: MilkPreset):
             senv = _shader_uniforms(env, t, frame, w, h, rad, ang)
             senv["uv"] = _Vec([xs, ys])
             senv["uv_orig"] = _Vec([xs, ys])
+            senv["_texwrap"] = texwrap_static
             disp = jnp.clip(comp_prog.run(senv, _tex_accessor(out, h)),
                             0.0, 1.0)
             u8 = jnp.clip(jnp.floor(disp * 255.0 + 0.5), 0, 255) \

@@ -23,11 +23,17 @@ Subset (straight-line MilkDrop shader idiom):
     value noise, integer-hash based — deterministic per preset)
   - uniforms: uv, uv_orig, rad, ang, time, frame, fps, progress, bass/
     mid/treb/vol (+_att), q1..q32, texsize, aspect, hue_shader,
-    rand_frame, rand_preset, roam_cos/sin, slow_roam_cos/sin, decay
+    rand_frame, rand_preset, roam_cos/sin, slow_roam_cos/sin, decay,
+    blur{1,2,3}_min/max
+  - control flow, XLA-style: `if`/`if-else` run as predicated execution
+    (traced conditions evaluate BOTH branches and jnp.where-merge every
+    touched variable; static conditions pick a branch at trace time);
+    `for` loops with constant bounds unroll statically (4096-statement
+    budget). No data-dependent control flow ever reaches the trace.
 
 Out of subset (compile raises ValueError; the preset host falls back to
-the fixed-function pipeline and records the reason): control flow
-(if/for/while), struct/matrix types, user-defined functions.
+the fixed-function pipeline and records the reason): while/do/return,
+dynamic-bound for loops, struct/matrix types, user-defined functions.
 """
 
 from __future__ import annotations
@@ -98,7 +104,7 @@ def _map1(f, a):
 _TOK_RE = re.compile(r"""
     (?P<num>\d+\.\d*[fF]?|\.\d+[fF]?|\d+[fF]?)
   | (?P<name>[A-Za-z_][A-Za-z0-9_]*)
-  | (?P<op>\+=|-=|\*=|/=|==|!=|<=|>=|&&|\|\||[-+*/%=<>!?:,;.(){}\[\]])
+  | (?P<op>\+\+|--|\+=|-=|\*=|/=|==|!=|<=|>=|&&|\|\||[-+*/%=<>!?:,;.(){}\[\]])
   | (?P<ws>\s+)
 """, re.VERBOSE)
 
@@ -123,7 +129,7 @@ def _tokenize(src: str):
 
 
 _TYPES = {"float": 1, "float2": 2, "float3": 3, "float4": 4,
-          "half": 1, "half2": 2, "half3": 3, "half4": 4}
+          "half": 1, "half2": 2, "half3": 3, "half4": 4, "int": 1}
 
 
 class _Parser:
@@ -153,14 +159,84 @@ class _Parser:
             if self.peek() == ";":
                 self.next()
                 continue
-            if self.peek() in ("if", "for", "while", "do", "return"):
+            if self.peek() in ("while", "do", "return"):
                 raise ValueError(
                     f"hlsl: control flow out of subset ({self.peek()})")
             out.append(self.statement())
         return out
 
+    def stmt_or_block(self):
+        if self.peek() == "{":
+            self.next()
+            out = self.block()
+            self.expect("}")
+            return out
+        return [self.statement()]
+
+    def _const(self, what):
+        neg = False
+        if self.peek() == "-":
+            self.next()
+            neg = True
+        t = self.next()
+        if not isinstance(t, float):
+            raise ValueError(f"hlsl: {what} must be a numeric constant")
+        return -t if neg else t
+
     def statement(self):
         t = self.peek()
+        if t == "if":
+            # predicated execution: both branches trace, jnp.where-merge
+            # selects — XLA-friendly, no data-dependent control flow
+            self.next()
+            self.expect("(")
+            cond = self.ternary()
+            self.expect(")")
+            then = self.stmt_or_block()
+            els = []
+            if self.peek() == "else":
+                self.next()
+                els = self.stmt_or_block()
+            return ("if", cond, then, els)
+        if t == "for":
+            # static-bound loops unroll at compile time (budgeted in
+            # compile_hlsl); dynamic bounds are out of subset
+            self.next()
+            self.expect("(")
+            scoped = False
+            if self.peek() in _TYPES:
+                self.next()
+                scoped = True
+            var = self.next()
+            self.expect("=")
+            start = self._const("for start")
+            self.expect(";")
+            if self.next() != var:
+                raise ValueError("hlsl: for must test its loop variable")
+            cmpop = self.next()
+            if cmpop not in ("<", "<="):
+                raise ValueError("hlsl: for bound out of subset")
+            stop = self._const("for bound")
+            self.expect(";")
+            if self.peek() == "++":            # ++i
+                self.next()
+                v3, step = self.next(), 1.0
+            else:
+                v3 = self.next()
+                nxt = self.next()
+                if nxt == "++":
+                    step = 1.0
+                elif nxt == "+=":
+                    step = self._const("for step")
+                else:
+                    raise ValueError("hlsl: for increment out of subset")
+            if v3 != var:
+                raise ValueError("hlsl: for must step its loop variable")
+            if step <= 0:
+                raise ValueError("hlsl: for step must be positive")
+            self.expect(")")
+            body = self.stmt_or_block()
+            return ("for", var, start, stop, cmpop, step, body, scoped)
         if isinstance(t, str) and t in _TYPES:
             self.next()
             decls = []
@@ -190,6 +266,10 @@ class _Parser:
                 val = self.ternary()
                 self.expect(";")
                 return ("set", name, swz, op, val)
+            if op in ("++", "--"):           # i++; / i--;
+                self.next()
+                self.expect(";")
+                return ("set", name, swz, op[0] + "=", ("num", 1.0))
             self.i = j                       # plain expression statement
         e = self.ternary()
         self.expect(";")
@@ -403,8 +483,20 @@ class _Eval:
             c = self.ev(node[1])
             a = self.ev(node[2])
             b = self.ev(node[3])
-            cc = _comps(_truthy(c))[0]
-            return _map2(lambda x, y: jnp.where(cc > 0.5, x, y), a, b)
+            # HLSL ?: is componentwise on vector conditions: each result
+            # component is selected by its own condition component
+            ca, cb = _broadcast2(a, b)
+            cc = _comps(_truthy(c))
+            n = max(len(cc), len(ca))
+            if len(cc) == 1:
+                cc = cc * n
+            if len(ca) == 1:
+                ca, cb = ca * n, cb * n
+            if not len(cc) == len(ca) == len(cb):
+                raise ValueError(
+                    f"hlsl: ?: size mismatch {len(cc)} vs {len(ca)}")
+            return _mkvec([jnp.where(ci > 0.5, x, y)
+                           for ci, x, y in zip(cc, ca, cb)])
         if k == "bin":
             return self.binop(node[1], self.ev(node[2]), self.ev(node[3]))
         if k == "call":
@@ -584,8 +676,18 @@ class _Eval:
             seed = sum(ord(ch) * (i + 7) for i, ch in enumerate(name))
             comps = _value_noise(u, v, cells, t3=t3, seed=seed & 0x7FFF)
         else:
-            wrap = name in ("sampler_fw_main", "sampler_pw_main") \
-                or name.endswith("_wrap")
+            # MilkDrop sampler addressing: explicit fw_/pw_ prefix =
+            # wrap, fc_/pc_ = clamp, blur pyramid = clamp; unprefixed
+            # samplers follow the preset's bTexWrap (default on), which
+            # the host passes statically as _texwrap
+            if name.startswith(("sampler_fw_", "sampler_pw_")) \
+                    or name.endswith("_wrap"):
+                wrap = True
+            elif name.startswith(("sampler_fc_", "sampler_pc_")) \
+                    or "blur" in name:
+                wrap = False
+            else:
+                wrap = float(self.env.get("_texwrap", 1.0)) > 0.5
             tex = self.tex(name)
             comps = _bilinear(tex, u, v, wrap)
         if rgb:
@@ -614,7 +716,20 @@ class ShaderProgram:
         ev = _Eval(dict(env), textures)
         e = ev.env
         e.setdefault("ret", Vec(_comps(e["uv"])[:1] * 3))
-        for st in self.stmts:
+        self._exec(ev, self.stmts)
+        ret = e["ret"]
+        c = _comps(ret)
+        if len(c) < 3:
+            c = (c * 3)[:3]
+        ref = next((x for x in _comps(e["uv"]) if not isinstance(
+            x, float)), None)
+        out = [jnp.broadcast_to(jnp.asarray(x, jnp.float32), ref.shape)
+               if ref is not None else x for x in c[:3]]
+        return jnp.stack(out)
+
+    def _exec(self, ev, stmts):
+        e = ev.env
+        for st in stmts:
             k = st[0]
             if k == "decl":
                 _, n, decls = st
@@ -660,15 +775,63 @@ class ShaderProgram:
                     e[name] = _mkvec(cc)
             elif k == "expr":
                 ev.ev(st[1])
-        ret = e["ret"]
-        c = _comps(ret)
-        if len(c) < 3:
-            c = (c * 3)[:3]
-        ref = next((x for x in _comps(e["uv"]) if not isinstance(
-            x, float)), None)
-        out = [jnp.broadcast_to(jnp.asarray(x, jnp.float32), ref.shape)
-               if ref is not None else x for x in c[:3]]
-        return jnp.stack(out)
+            elif k == "if":
+                self._exec_if(ev, st)
+            elif k == "for":
+                _, var, start, stop, cmpop, step, body, scoped = st
+                had = var in e
+                prev = e.get(var)
+                i = start
+                while (i < stop) if cmpop == "<" else (i <= stop):
+                    e[var] = i
+                    self._exec(ev, body)
+                    # the loop var advances even if the body assigned it
+                    # (static unroll: the header owns the induction)
+                    i += step
+                if scoped:                   # `for (int i=...)` scoping
+                    if had:
+                        e[var] = prev
+                    else:
+                        e.pop(var, None)
+            else:
+                raise ValueError(f"hlsl: bad statement {k!r}")
+
+    def _exec_if(self, ev, st):
+        """HLSL `if` without data-dependent control flow: static scalar
+        conditions pick a branch at trace time; traced conditions run
+        BOTH branches on copies of the environment and jnp.where-merge
+        every variable either branch touched (predicated execution, the
+        standard GPU/XLA lowering)."""
+        _, condn, then, els = st
+        cond = _comps(_truthy(ev.ev(condn)))
+        if len(cond) != 1:
+            raise ValueError("hlsl: if condition must be scalar")
+        c0 = cond[0]
+        orig = ev.env
+        if isinstance(c0, float):            # static: one branch only
+            self._exec(ev, then if c0 > 0.5 else els)
+            ev.env = orig
+            return
+        et = dict(orig)
+        ev.env = et
+        self._exec(ev, then)
+        ee = dict(orig)
+        ev.env = ee
+        self._exec(ev, els)
+        ev.env = orig
+        for name in set(et) | set(ee):
+            a, b = et.get(name), ee.get(name)
+            if a is None or b is None:       # touched in one branch only
+                if name not in orig:
+                    continue                 # branch-scoped declaration
+                a = orig[name] if a is None else a
+                b = orig[name] if b is None else b
+            if a is b:                       # untouched: keep as-is
+                orig[name] = a
+                continue
+            ca, cb = _broadcast2(a, b)
+            orig[name] = _mkvec([jnp.where(c0 > 0.5, x, y)
+                                 for x, y in zip(ca, cb)])
 
 
 def compile_hlsl(src: str) -> ShaderProgram | None:
@@ -692,4 +855,29 @@ def compile_hlsl(src: str) -> ShaderProgram | None:
     if re.search(r"^\s*#", body, re.M):
         raise ValueError("hlsl: preprocessor out of subset")
     stmts = _Parser(_tokenize(body)).block()
+    cost = _unrolled_cost(stmts)
+    if cost > 4096:
+        raise ValueError(
+            f"hlsl: unrolled statement count {cost} out of subset "
+            "(static-unroll budget 4096)")
     return ShaderProgram(stmts, src)
+
+
+def _unrolled_cost(stmts):
+    """Statement count after static loop unrolling — the compile budget
+    that bounds trace size (and DoS via nested for loops)."""
+    total = 0
+    for st in stmts:
+        if st[0] == "if":
+            total += 1 + _unrolled_cost(st[2]) + _unrolled_cost(st[3])
+        elif st[0] == "for":
+            _, _var, start, stop, cmpop, step, body, _sc = st
+            n, i = 0, start
+            while ((i < stop) if cmpop == "<" else (i <= stop)) \
+                    and n <= 4096:
+                n += 1
+                i += step
+            total += 1 + n * max(1, _unrolled_cost(body))
+        else:
+            total += 1
+    return total

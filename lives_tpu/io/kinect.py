@@ -4,7 +4,7 @@ Succeeds `lives-plugins/weed-plugins/freenect.c:1-343`: the reference is
 a weed GENERATOR that opens the Kinect camera, streams 640x480 RGB +
 registered depth, and per pixel replaces everything outside the
 [minthresh, maxthresh) depth window with a solid colour (alpha 0),
-optionally exporting the raw depth as an AFLOAT out-channel
+optionally exporting the depth as a [0,1] AFLOAT out-channel
 (freenect.c:276-300 the keying loop, :311-321 the channel templates).
 
 TPU-native split:
@@ -114,7 +114,11 @@ def _key_fn():
         out = jnp.where(cut[None], col, rgbf)
         alpha = jnp.where(cut, 0.0, 255.0)
         rgba = jnp.concatenate([out, alpha[None]], 0)
-        return jnp.clip(rgba, 0, 255).astype(jnp.uint8), d
+        # published depth is AFLOAT-convention [0,1] (mm / _DEPTH_MAX),
+        # so it composes with every standard alpha consumer (alpha_means,
+        # masks); depth_key rescales its mm-domain thresholds to match
+        return (jnp.clip(rgba, 0, 255).astype(jnp.uint8),
+                d * (1.0 / _DEPTH_MAX))
     return key
 
 
@@ -178,7 +182,10 @@ def _register_depth_key():
         d = depth_lay.planes[0].astype(jnp.float32)
         if d.ndim == 3:
             d = d[0]
-        cut = (d >= p["maxthresh"]) | (d < p["minthresh"])
+        # AFLOAT planes are [0,1] by convention; the min/max params stay
+        # in the reference's mm domain (freenect.c) and rescale here
+        cut = ((d >= p["maxthresh"] * (1.0 / _DEPTH_MAX))
+               | (d < p["minthresh"] * (1.0 / _DEPTH_MAX)))
         col = jnp.stack([p["ccol_r"], p["ccol_g"],
                          p["ccol_b"]]).astype(jnp.float32)[:, None, None]
         out = jnp.where(cut[None], col, rgb)

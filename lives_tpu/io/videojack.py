@@ -216,7 +216,11 @@ class VJackSink:
         self._client.lib.jack_video_set_width_and_height(
             self._client.client, self._client.port,
             int(width), int(height))
-        self._geom = (int(width), int(height))
+        with self._lock:
+            # drop frames of the old geometry: _process must never
+            # memmove a stale-sized frame into the re-sized port buffer
+            self._rb.clear()
+            self._geom = (int(width), int(height))
 
     def play_frame(self, layer: Layer, tc: float) -> bool:
         arr = np.asarray(layer.planes[0])          # (4, h, w) u8
@@ -228,7 +232,11 @@ class VJackSink:
         try:
             with self._lock:
                 frame = self._rb.popleft() if self._rb else None
-            if frame is None or self._geom is None:
+                geom = self._geom
+            if frame is None or geom is None:
+                return 0
+            if len(frame) != geom[0] * geom[1] * 4:
+                # geometry raced a re-init: never overflow the port buffer
                 return 0
             buf = self._client.lib.jack_port_get_buffer(
                 self._client.port, nframes)

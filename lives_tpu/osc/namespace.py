@@ -403,8 +403,6 @@ def register_extended(srv) -> None:
     def paste_as_new():
         """Edit menu 'Paste as New' (gui.c new-clip-from-clipboard role):
         the clipboard becomes a fresh clip, selected as foreground."""
-        import jax.numpy as jnp
-
         from ..constants import Palette
         from ..io.clips import create_clip
         from ..layer import Layer
@@ -415,11 +413,14 @@ def register_extended(srv) -> None:
         clip = create_clip(workdir(), w, h, cb.fps, name="pasted")
         clip.frames = len(cb.frames)
         for n, arr in enumerate(cb.frames):
-            clip.put_frame(n, Layer(planes=(jnp.asarray(arr),),
+            # HOST arrays straight to disk (no per-frame device round
+            # trip — each costs a tunnel RPC)
+            clip.put_frame(n, Layer(planes=(arr,),
                                     palette=int(Palette.RGB24)))
-        clip.save_header()
         if cb.audio is not None and len(cb.audio):
             clip.write_audio(cb.audio, cb.arate)
+        # header last so the audio metadata write_audio sets persists
+        clip.save_header()
         cid = new_id()
         srv.clips[cid] = clip
         st().fg_clip = clip

@@ -215,7 +215,7 @@ select{background:#26262c;color:#eee;border:1px solid #555;padding:3px}
   <input type="number" id="selstart" style="width:70px" min="1"
    onchange="cmd('/clip/start/set',[+this.value-1])">
   <input type="number" id="selend" style="width:70px" min="-1"
-   onchange="cmd('/clip/end/set',[+this.value-1])">
+   onchange="cmd('/clip/end/set',[+this.value<0?-1:+this.value-1])">
   <button onclick="cmd('/clip/select_all')">all</button>
   <button onclick="cmd('/video/selection/play')">&#9654; sel</button>
  </div>
@@ -708,7 +708,8 @@ async function refresh(){
  const ss=document.getElementById('selstart'),
        se=document.getElementById('selend');
  if(ss&&document.activeElement!==ss)ss.value=st.sel_start+1;
- if(se&&document.activeElement!==se)se.value=st.sel_end+1;
+ if(se&&document.activeElement!==se)
+  se.value=st.sel_end<0?-1:st.sel_end+1;
  const pb=document.getElementById('pastebtn');
  if(pb)pb.disabled=!st.has_clipboard;
  const ks=document.getElementById('keys'); ks.innerHTML='';

@@ -83,11 +83,15 @@ def test_clip_keys_depth_window_on_device():
     # inside pixels carry the camera bytes
     np.testing.assert_array_equal(arr[0, 0, inside],
                                   fake.rgb[0, inside, 0])
-    # raw depth exported as AFLOAT (the optional depth out-channel)
+    # depth exported as AFLOAT in the [0,1] convention (mm / 65536) so
+    # it composes with any standard alpha consumer
     assert clip.last_depth is not None
     assert clip.last_depth.palette == int(Palette.AFLOAT)
-    np.testing.assert_allclose(np.asarray(clip.last_depth.planes[0])[0],
-                               fake.depth[0].astype(np.float32))
+    dplane = np.asarray(clip.last_depth.planes[0])
+    assert float(dplane.max()) <= 1.0 and float(dplane.min()) >= 0.0
+    np.testing.assert_allclose(
+        dplane[0], fake.depth[0].astype(np.float32) / 65536.0,
+        rtol=1e-6)
 
 
 def test_depth_key_filter_composable():
@@ -98,10 +102,12 @@ def test_depth_key_filter_composable():
 
     h, w = 32, 48
     rgb = np.full((3, h, w), 200, np.uint8)
-    depth = np.broadcast_to(np.linspace(0, 1000, w, dtype=np.float32),
-                            (h, w)).copy()
+    depth_mm = np.broadcast_to(np.linspace(0, 1000, w, dtype=np.float32),
+                               (h, w)).copy()
     lay = Layer(planes=(jnp.asarray(rgb),), palette=int(Palette.RGB24))
-    dep = Layer(planes=(jnp.asarray(depth)[None],),
+    # AFLOAT planes are [0,1]; the filter's min/maxthresh params stay in
+    # the reference's mm domain and rescale internally
+    dep = Layer(planes=(jnp.asarray(depth_mm / 65536.0)[None],),
                 palette=int(Palette.AFLOAT))
     inst = instantiate("depth_key", minthresh=200.0, maxthresh=600.0,
                        ccol_b=1.0)
@@ -109,7 +115,7 @@ def test_depth_key_filter_composable():
                          alpha_ins={0: dep})[0]
     arr = np.asarray(out.planes[0])
     assert arr.shape[0] == 4
-    inside = (depth[0] >= 200.0) & (depth[0] < 600.0)
+    inside = (depth_mm[0] >= 200.0) & (depth_mm[0] < 600.0)
     np.testing.assert_array_equal(arr[3, 0], np.where(inside, 255, 0))
     np.testing.assert_array_equal(arr[2, 0, ~inside], 255)  # blue fill
     np.testing.assert_array_equal(arr[0, 0, inside], 200)

@@ -173,3 +173,28 @@ def test_osc_open_vjack_route(monkeypatch):
     (clip,) = [c for c in srv.clips.values() if isinstance(c, VJackSource)]
     assert (clip.width, clip.height) == (32, 16)
     assert clip.get_frame(0).palette == int(Palette.RGBA32)
+
+
+def test_sink_reinit_drops_stale_geometry_frames():
+    """A re-init to a different size must never memmove an old-geometry
+    frame into the (smaller) port buffer — that would overflow native
+    memory on the JACK realtime thread."""
+    lib = FakeVJackLib(fps=25)
+    sink = VJackSink(lib=lib, queue_frames=4)
+    sink.init_screen(8, 4, 25.0)
+    big = np.full((4, 4, 8), 7, np.uint8)
+    sink.play_frame(Layer(planes=(jnp.asarray(big),),
+                          palette=int(Palette.RGBA32)), tc=0.0)
+    # re-init smaller: the queued 8x4 frame must be discarded
+    sink.init_screen(4, 2, 25.0)
+    assert not lib.drain_frame(sink._client.port).any()
+    small = np.full((4, 2, 4), 9, np.uint8)
+    sink.play_frame(Layer(planes=(jnp.asarray(small),),
+                          palette=int(Palette.RGBA32)), tc=0.1)
+    got = lib.drain_frame(sink._client.port)
+    np.testing.assert_array_equal(got, np.moveaxis(small, 0, -1))
+    # belt-and-braces: a stale-sized frame that races past the clear is
+    # size-checked in _process and skipped, not written
+    sink._rb.append(big.tobytes())
+    assert not lib.drain_frame(sink._client.port).any()
+    sink.exit_screen()

@@ -609,3 +609,29 @@ def test_page_script_brackets_balanced(ui):
             stack.pop()
         prev = ch
     assert not stack, f"unclosed {stack}"
+
+
+def test_paste_as_new_persists_audio_metadata(ui, tmp_path, monkeypatch):
+    """The header must be written AFTER write_audio so the audio fields
+    (achans/arate) survive a reload — the crash-recovery path reads the
+    on-disk header only."""
+    from lives_tpu.clipedit import Clipboard
+    from lives_tpu.io.clips import Clip
+
+    monkeypatch.setenv("LIVES_TPU_WORKDIR", str(tmp_path))
+    rng = np.random.default_rng(3)
+    cb = Clipboard(
+        frames=[rng.integers(0, 256, (3, 24, 48), np.uint8)
+                for _ in range(3)],
+        audio=rng.standard_normal((4410, 2)).astype(np.float32),
+        arate=44100, fps=25.0)
+    ui.osc.clipboard = cb
+    r = _post(ui, "/api/cmd", {"path": "/clipboard/paste_as_new",
+                               "args": []})
+    assert r["ok"]
+    clip = ui.osc.clips[r["ret"]]
+    reloaded = Clip.load(clip.clip_dir)
+    assert reloaded.achans == 2 and reloaded.arate == 44100
+    assert reloaded.frames == 3
+    aud = reloaded.read_audio()
+    assert len(aud) == 4410

@@ -201,10 +201,40 @@ def _era3(i, rng):
             + ("\n" if extra else ""))
 
 
+# post-2008 comp-shader idioms: loop-indexed multi-tap sampling, if/else
+# colour grading, blur un-scale uniforms — the constructs late presets
+# lean on (predicated/unrolled by milkshader)
+_COMP_CFLOW = """comp_1=`shader_body {
+comp_2=`  float3 acc = float3(0, 0, 0);
+comp_3=`  for (int i = 0; i < %(taps)d; i++) {
+comp_4=`    acc += tex2D(sampler_main,
+comp_5=`                 uv + float2(i*0.003*sin(time), i*0.002)).xyz;
+comp_6=`  }
+comp_7=`  float3 ret = acc / %(taps)d;
+comp_8=`  float3 bl = tex2D(sampler_blur1, uv).xyz * blur1_max;
+comp_9=`  if (dot(ret, float3(0.32,0.49,0.29)) > %(knee).2f) {
+comp_10=`    ret = lerp(ret, bl, 0.35);
+comp_11=`  } else {
+comp_12=`    ret = ret * (1.0 + q1*0.4);
+comp_13=`    ret.x += 0.02;
+comp_14=`  }
+comp_15=`  ret = (rad > 0.7) ? ret * (1.4 - rad) : ret;
+comp_16=`}
+"""
+
+
+def _era3b(i, rng):
+    body = _era2(i, rng)
+    comp = _COMP_CFLOW % {"taps": 3 + i % 4,
+                          "knee": rng.uniform(0.3, 0.6)}
+    return HDR + body + _WARP + comp
+
+
 def build_corpus(n_per_era=20):
     rng = np.random.default_rng(7)
     out = []
-    for era, gen in (("era1", _era1), ("era2", _era2), ("era3", _era3)):
+    for era, gen in (("era1", _era1), ("era2", _era2), ("era3", _era3),
+                     ("era3b", _era3b)):
         for i in range(n_per_era):
             out.append((f"{era}_{i:02d}", era, gen(i, rng)))
     return out
