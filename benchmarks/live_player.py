@@ -95,11 +95,17 @@ def run(w, h, fps, n_frames, precache, secs=8.0, warm=2.5):
 
 def main():
     results = {}
-    for name, (w, h, fps, n, pre) in {
+    scenarios = {
         "loop_1080p60": (1920, 1080, 60.0, 12, 6),
         "loop_4k30": (3840, 2160, 30.0, 12, 6),
         "unique_1080p30": (1920, 1080, 30.0, 240, 12),
-    }.items():
+        # the AVX-512 entropy-pack target case: every frame pays the
+        # host decode (3.85 ms/frame median) inside the 16.7 ms budget
+        "unique_1080p60": (1920, 1080, 60.0, 240, 12),
+    }
+    pick = [a for a in sys.argv[1:] if a in scenarios]
+    for name in (pick or list(scenarios)):
+        w, h, fps, n, pre = scenarios[name]
         shown, dropped = run(w, h, fps, n, pre)
         results[name] = {"shown_fps": round(shown, 1),
                          "dropped_per_s": round(dropped, 1),
