@@ -450,6 +450,32 @@ def register_extended(srv) -> None:
 
     m("/clip/resample", clip_resample)
 
+    def clip_save_as(out_path, encoder="", start=0, end=0):
+        """Encode the fg clip (or a frame range) to a file — the
+        reference Save-As flow (src/clip_load_save.c save_file through
+        an encoder plugin). Synchronous; the web UI wraps it in a
+        background job with progress instead."""
+        from ..io.encoders import list_encoders
+        from ..transcode import transcode
+        clip = cur()
+        encs = list_encoders()
+        enc = str(encoder) or ("av" if "av" in encs else "yuv4mpeg")
+        s, e = int(start), int(end) or clip.frames
+        return int(transcode(clip, str(out_path), encoder=enc,
+                             start=s, end=e))
+
+    m("/clip/save_as", clip_save_as)
+
+    def subs_load(path):
+        """Attach .srt/.sub subtitles to playback (the reference
+        Subtitles > Load menu, clip_load_save.c reload_subs)."""
+        p().load_subtitles(str(path))
+        return 1
+
+    m("/clip/subtitles/load", subs_load)
+    m("/clip/subtitles/erase",
+      lambda: (setattr(p(), "subtitles", None), 1)[-1])
+
     def rte_apply():
         """Apply the active key chain to the fg clip's selection
         (reference /clip/selection/rte_apply)."""
@@ -614,8 +640,15 @@ def register_extended(srv) -> None:
         srv.notify(1024, str(name))
         return n
 
+    def clipset_list():
+        import pathlib
+
+        from .. import sets
+        return " ".join(sets.list_sets(pathlib.Path(workdir())))
+
     m("/clipset/save", clipset_save)
     m("/clipset/load", clipset_load)
+    m("/clipset/list", clipset_list)
     m("/clipset/name/get", lambda: getattr(srv, "_set_name", ""))
 
     # ---- effect keys: modes / map -----------------------------------------
@@ -973,6 +1006,14 @@ def register_extended(srv) -> None:
             if not get_filter(n).in_channels))
 
     m("/effects/generators/list", _generators)  # extension
+
+    def _transitions():
+        # 2-in filters usable by the Merge dialog / auto-transitions
+        from ..effects.host import get_filter, list_filters
+        return " ".join(sorted(n for n in list_filters()
+                               if get_filter(n).is_transition))
+
+    m("/effects/transitions/list", _transitions)  # extension
     m("/mt/gravity/get", lambda: int(mt().gravity))
     m("/mt/gravity/set",
       lambda g: setattr(mt(), "gravity",

@@ -20,9 +20,12 @@ def transcode(clip, out_path: str, encoder: str = "yuv4mpeg",
               chain: Sequence[Instance] = (),
               start: int = 0, end: int | None = None,
               batch_size: int = 32, width: int = 0, height: int = 0,
-              include_audio: bool = True) -> bool:
+              include_audio: bool = True,
+              progress_cb=None) -> bool:
     """Stream clip frames (optionally through an fx chain / resize) into an
-    encoder. Batched on device; frames never touch the clip store."""
+    encoder. Batched on device; frames never touch the clip store.
+    `progress_cb(done, total)` is called once per emitted frame (the
+    reference encode progress dialog's hook)."""
     import jax.numpy as jnp
     end = clip.frames if end is None else min(end, clip.frames)
     sink = SinkSpec(width=width or clip.width, height=height or clip.height)
@@ -35,7 +38,10 @@ def transcode(clip, out_path: str, encoder: str = "yuv4mpeg",
     # this attachment's ~30 MB/s download path
     dev_frames = getattr(enc, "accepts_device_frames", False)
 
+    total = max(end - start, 1)
+
     def frame_iter():
+        done = 0
         for ofs in range(start, end, batch_size):
             hi = min(ofs + batch_size, end)
             arrs = [np.asarray(convert_layer(clip.get_frame(n),
@@ -46,13 +52,12 @@ def transcode(clip, out_path: str, encoder: str = "yuv4mpeg",
             tcs = np.arange(ofs, hi, dtype=np.float32) / clip.fps
             out = graph.run_batch([batch], tcs,
                                   np.arange(ofs, hi, dtype=np.int32))
-            if dev_frames:
-                for k in range(hi - ofs):
-                    yield out.planes[0][k]
-                continue
-            out_arr = np.asarray(out.planes[0])
+            out_arr = None if dev_frames else np.asarray(out.planes[0])
             for k in range(hi - ofs):
-                yield out_arr[k]
+                yield out.planes[0][k] if dev_frames else out_arr[k]
+                done += 1
+                if progress_cb is not None:
+                    progress_cb(done, total)
 
     audio = None
     arate = 44100

@@ -227,6 +227,22 @@ select{background:#26262c;color:#eee;border:1px solid #555;padding:3px}
   <button onclick="cmd('/clipboard/paste_as_new',[]).then(refresh)"
    title="paste the clipboard as a new clip">paste new</button>
  </div>
+ <div>
+  <button id="mergebtn" onclick="openMerge()"
+   title="merge the clipboard into the selection through a transition
+ (the Merge dialog, src/merge.c)">merge&#8230;</button>
+  <button onclick="openSaveAs()"
+   title="encode the clip to a file (Save clip as)">save as&#8230;</button>
+  <button onclick="resampleClip()"
+   title="retime the clip to a new fps (resample/reorder)">resample&#8230;</button>
+  <button onclick="clipInfo()" title="clip properties">info</button>
+ </div>
+ <div>
+  <button onclick="loadSubs()"
+   title="load .srt/.sub subtitles composited during playback">subs&#8230;</button>
+  <button onclick="cmd('/clip/subtitles/erase')"
+   title="remove the subtitle overlay">no subs</button>
+ </div>
  <h3>Clips</h3>
  <div>
   <input id="uri" placeholder="/path/to/media.mkv" style="width:65%">
@@ -241,6 +257,13 @@ select{background:#26262c;color:#eee;border:1px solid #555;padding:3px}
   </div>
  </div>
  <div id="clips"></div>
+ <h3>Sets</h3>
+ <div title="named clip sets under the workdir (save set / reload set)">
+  <input id="setname" placeholder="set name" style="width:38%">
+  <button onclick="saveSet()">save</button>
+  <select id="setsel" style="max-width:30%"></select>
+  <button onclick="loadSet()">load</button>
+ </div>
  <h3>Rendered effects</h3>
  <div>
   <select id="rfx"></select>
@@ -712,6 +735,8 @@ async function refresh(){
   se.value=st.sel_end<0?-1:st.sel_end+1;
  const pb=document.getElementById('pastebtn');
  if(pb)pb.disabled=!st.has_clipboard;
+ const mb=document.getElementById('mergebtn');
+ if(mb)mb.disabled=!st.has_clipboard;
  const ks=document.getElementById('keys'); ks.innerHTML='';
  st.keys.forEach(k=>{
   const b=document.createElement('button');
@@ -1047,12 +1072,122 @@ async function toggleSt(field,path){
  const st=await (await fetch('/api/state')).json();
  await cmd(path,[st[field]?0:1]); refresh();
 }
+// --- modal dialogs (Save-As / Merge / Clip-info / Sets — the GTK
+// dialog surfaces, served as overlays) -----------------------------------
+function modal(title){
+ let ov=document.getElementById('modal_ov'); if(ov)ov.remove();
+ ov=document.createElement('div'); ov.id='modal_ov';
+ ov.style.cssText='position:fixed;inset:0;background:#000a;z-index:9';
+ const box=document.createElement('div');
+ box.style.cssText='background:#222;margin:10vh auto;padding:14px;'+
+  'max-width:460px;border-radius:8px;border:1px solid #555';
+ const x=document.createElement('button'); x.textContent='close';
+ x.style.cssText='float:right'; x.onclick=()=>ov.remove();
+ const h=document.createElement('h3'); h.textContent=title;
+ box.appendChild(x); box.appendChild(h);
+ const c=document.createElement('div'); box.appendChild(c);
+ ov.appendChild(box); document.body.appendChild(ov);
+ return c;
+}
+async function openSaveAs(){
+ const enc=await (await fetch('/api/encoders')).json();
+ const c=modal('Save clip as (encode)');
+ c.innerHTML='<input id="sa_path" placeholder="/tmp/out.y4m"'+
+  ' style="width:96%"><div><select id="sa_enc"></select>'+
+  ' <label><input type="checkbox" id="sa_sel"> selection only</label>'+
+  '</div><button id="sa_go">encode</button> '+
+  '<progress id="sa_prog" max="1" value="0" style="width:55%"></progress>'+
+  ' <span id="sa_msg"></span>';
+ const sel=document.getElementById('sa_enc');
+ enc.encoders.forEach(e=>{const o=document.createElement('option');
+  o.value=e.name;
+  o.textContent=e.name+(e.formats.length?' (.'+e.formats[0]+')':'');
+  sel.appendChild(o);});
+ document.getElementById('sa_go').onclick=async()=>{
+  const r=await (await fetch('/api/encode',{method:'POST',
+   body:JSON.stringify({path:document.getElementById('sa_path').value,
+    encoder:sel.value,
+    selection_only:document.getElementById('sa_sel').checked})})).json();
+  const msg=document.getElementById('sa_msg');
+  if(!r.ok){msg.textContent=r.error; return;}
+  const poll=setInterval(async()=>{
+   const js=await (await fetch('/api/jobs')).json();
+   const j=js[r.job]; if(!j)return;
+   const pg=document.getElementById('sa_prog');
+   if(pg)pg.value=j.total?j.done/j.total:0;
+   if(msg)msg.textContent=j.state+(j.error?': '+j.error:'');
+   if(j.state!=='running')clearInterval(poll);
+  },500);
+ };
+}
+async function openMerge(){
+ const r=await api('/effects/transitions/list');
+ const c=modal('Merge clipboard into selection');
+ c.innerHTML='<div>transition <select id="mg_t"></select></div>'+
+  '<div>amount ramp <input id="mg_r0" type="number" value="0" step="0.1"'+
+  ' min="0" max="1" style="width:60px"> to <input id="mg_r1"'+
+  ' type="number" value="1" step="0.1" min="0" max="1"'+
+  ' style="width:60px"></div>'+
+  '<button id="mg_go">merge</button> <span id="mg_msg"></span>';
+ const sel=document.getElementById('mg_t');
+ (r.ret||'').split(' ').filter(Boolean).forEach(n=>{
+  const o=document.createElement('option');o.value=n;o.textContent=n;
+  sel.appendChild(o);});
+ if([...sel.options].some(o=>o.value==='crossfade'))sel.value='crossfade';
+ document.getElementById('mg_go').onclick=async()=>{
+  const rr=await api('/clip/selection/merge',[sel.value,
+   +document.getElementById('mg_r0').value,
+   +document.getElementById('mg_r1').value]);
+  document.getElementById('mg_msg').textContent=
+   rr.ok?('merged '+rr.ret+' frames'):rr.error;
+  refresh();
+ };
+}
+async function resampleClip(){
+ const f=prompt('resample clip to fps:','25');
+ if(f)await cmd('/clip/resample',[+f]);
+}
+async function loadSubs(){
+ const p=prompt('subtitle file (.srt/.sub):','/tmp/subs.srt');
+ if(p)await cmd('/clip/subtitles/load',[p]);
+}
+async function clipInfo(){
+ const st=await (await fetch('/api/state')).json();
+ const fg=st.clips.find(c=>c.fg); if(!fg)return;
+ const info=await (await fetch('/api/clipinfo/'+fg.id)).json();
+ const c=modal('Clip info: '+(info.name||fg.id));
+ const t=document.createElement('table'); t.style.fontSize='12px';
+ Object.entries(info).forEach(([k,v])=>{
+  const tr=document.createElement('tr');
+  const a=document.createElement('td');a.textContent=k;a.style.color='#9cf';
+  const b=document.createElement('td');b.textContent=v;
+  tr.appendChild(a);tr.appendChild(b);t.appendChild(tr);});
+ c.appendChild(t);
+}
+async function drawSets(){
+ const r=await api('/clipset/list'); if(!r.ok)return;
+ const sel=document.getElementById('setsel');
+ const cur=sel.value; sel.innerHTML='';
+ (r.ret||'').split(' ').filter(Boolean).forEach(n=>{
+  const o=document.createElement('option');o.value=n;o.textContent=n;
+  sel.appendChild(o);});
+ if(cur)sel.value=cur;
+}
+async function saveSet(){
+ const n=document.getElementById('setname').value.trim();
+ if(n){await cmd('/clipset/save',[n]); drawSets();}
+}
+async function loadSet(){
+ const n=document.getElementById('setsel').value;
+ if(n){await cmd('/clipset/load',[n]); refresh();}
+}
 refresh(); drawTimeline(); setInterval(refresh, 1000);
 setInterval(drawTimeline, 3000);
 setTimeout(drawKeymap, 400); setInterval(drawKeymap, 4000);
 setTimeout(drawConns, 500); setInterval(drawConns, 5000);
 setTimeout(drawPrefs, 600);
 setTimeout(drawStrip, 500); setInterval(drawStrip, 2500);
+setTimeout(drawSets, 800);
 </script></body></html>"""
 
 
@@ -1064,6 +1199,9 @@ class WebUI:
         self.osc = osc_server
         self.player = osc_server.player
         self.keys_shown = keys_shown
+        # background encode jobs (the Save-As progress dialog polls these)
+        self.jobs: dict[int, dict] = {}
+        self._job_seq = 0
         # splice the preview tap in front of the player's sink
         self.tap = PreviewTap(self.player.sink)
         self.player.sink = self.tap
@@ -1121,6 +1259,23 @@ class WebUI:
                     self._json(ui.datacons_state())
                 elif self.path == "/api/prefs":
                     self._json(ui.prefs_state())
+                elif self.path == "/api/encoders":
+                    self._json(ui.encoders_state())
+                elif self.path == "/api/jobs":
+                    self._json(ui.jobs_state())
+                elif self.path.startswith("/api/clipinfo/"):
+                    try:
+                        cid = int(self.path.rsplit("/", 1)[-1])
+                    except ValueError:
+                        self.send_response(404)
+                        self.end_headers()
+                        return
+                    info = ui.clipinfo(cid)
+                    if info is None:
+                        self.send_response(404)
+                        self.end_headers()
+                        return
+                    self._json(info)
                 elif self.path.startswith("/api/strip/"):
                     try:
                         cid = int(self.path[len("/api/strip/"):]
@@ -1227,6 +1382,12 @@ class WebUI:
                         ui.player.state.blend_amount = float(body)
                         self._json({"ok": True})
                     except ValueError as e:
+                        self._json({"ok": False, "error": str(e)}, 400)
+                elif self.path == "/api/encode":
+                    try:
+                        req = json.loads(body)
+                        self._json(ui.start_encode(req))
+                    except Exception as e:
                         self._json({"ok": False, "error": str(e)}, 400)
                 else:
                     self.send_response(404)
@@ -1445,6 +1606,96 @@ class WebUI:
         return {"live": live, "future": dict(st.future),
                 "keys": sorted(set(REFERENCE_PREF_KEYS)
                                | PrefsStore.FIELDS)}
+
+    def encoders_state(self) -> dict[str, Any]:
+        """Encoder registry for the Save-As dialog (the reference
+        queries encoder plugins' get_capabilities/get_formats,
+        src/plugins.c:1813 check_encoder_restrictions)."""
+        from .io.encoders import CAP_AUDIO, get_encoder, list_encoders
+        out = []
+        for name in list_encoders():
+            try:
+                e = get_encoder(name)
+                fmts = [f.extension for f in e.get_formats()]
+                caps = e.get_capabilities()
+            except Exception:   # an encoder that can't instantiate here
+                continue
+            out.append({"name": name, "formats": fmts,
+                        "audio": bool(caps & CAP_AUDIO)})
+        return {"encoders": out}
+
+    def clipinfo(self, cid: int) -> Optional[dict]:
+        """Full clip properties (the File > Clip info dialog,
+        src/interface.c)."""
+        c = self.osc.clips.get(cid)
+        if c is None:
+            return None
+        info: dict[str, Any] = {"id": cid}
+        for k in ("name", "frames", "fps", "width", "height", "achans",
+                  "arate", "asampsize", "unique_id", "source_uri"):
+            v = getattr(c, k, None)
+            if isinstance(v, (int, float, str, bool)):
+                info[k] = v
+        fps = float(info.get("fps") or 0) or 25.0
+        info["duration_s"] = round(int(info.get("frames", 0)) / fps, 3)
+        cd = getattr(c, "clip_dir", None)
+        if cd is not None:
+            info["clip_dir"] = str(cd)
+        dec = getattr(c, "decoder", None)
+        if dec is not None:
+            info["decoder"] = type(dec).__name__
+        return info
+
+    def jobs_state(self) -> dict[str, Any]:
+        return {str(j): dict(job) for j, job in self.jobs.items()}
+
+    def start_encode(self, req: dict) -> dict[str, Any]:
+        """Kick a background encode of a clip to a file — the Save-As +
+        progress-dialog flow (clip_load_save.c save_file); the dialog
+        polls /api/jobs."""
+        from .io.encoders import list_encoders
+        from .transcode import transcode
+        cid = req.get("cid")
+        clip = (self.osc.clips.get(int(cid)) if cid is not None
+                else self.player.state.fg_clip)
+        if clip is None:
+            return {"ok": False, "error": "no clip"}
+        path = req.get("path") or ""
+        if not path:
+            return {"ok": False, "error": "no output path"}
+        encs = list_encoders()
+        encoder = req.get("encoder") or \
+            ("av" if "av" in encs else "yuv4mpeg")
+        if encoder not in encs:
+            return {"ok": False, "error": f"unknown encoder {encoder}"}
+        start, end = 0, int(getattr(clip, "frames", 0))
+        if req.get("selection_only"):
+            st = self.player.state
+            start = max(int(st.sel_start), 0)
+            if st.sel_end >= 0:
+                end = min(int(st.sel_end) + 1, end)
+        self._job_seq += 1
+        jid = self._job_seq
+        job = {"state": "running", "done": 0,
+               "total": max(end - start, 1),
+               "path": path, "encoder": encoder}
+        self.jobs[jid] = job
+
+        def _progress(done, total):
+            job["done"], job["total"] = done, total
+
+        def _run():
+            try:
+                ok = transcode(clip, path, encoder=encoder, start=start,
+                               end=end, progress_cb=_progress)
+                job["state"] = "done" if ok else "error"
+            except Exception as ex:    # surfaced in the dialog
+                job["state"] = "error"
+                job["error"] = str(ex)
+
+        threading.Thread(target=_run, daemon=True,
+                         name="encode-job").start()
+        return {"ok": True, "job": jid}
 
     def call(self, path: str, args: list):
         """Route through the OSC method table (the 215-method namespace)."""

@@ -635,3 +635,121 @@ def test_paste_as_new_persists_audio_metadata(ui, tmp_path, monkeypatch):
     assert reloaded.frames == 3
     aud = reloaded.read_audio()
     assert len(aud) == 4410
+
+
+# --- round-5 dialog depth: Save-As encode job, Merge, Clip-info, Sets,
+# subtitles (the reference's GTK dialogs, src/merge.c + clip_load_save.c
+# save_file + interface.c clip info + sethandler.c) ------------------------
+
+def test_save_as_encode_job(ui, tmp_path):
+    """/api/encoders lists the registry; /api/encode runs a background
+    job with progress; the output file materialises."""
+    enc = json.loads(_get(ui, "/api/encoders"))
+    names = [e["name"] for e in enc["encoders"]]
+    assert "yuv4mpeg" in names
+    y4m = next(e for e in enc["encoders"] if e["name"] == "yuv4mpeg")
+    assert "y4m" in y4m["formats"]
+    out = tmp_path / "saved.y4m"
+    r = _post(ui, "/api/encode", {"path": str(out), "encoder": "yuv4mpeg"})
+    assert r["ok"]
+    jid = str(r["job"])
+    job = None
+    for _ in range(300):
+        job = json.loads(_get(ui, "/api/jobs"))[jid]
+        if job["state"] != "running":
+            break
+        time.sleep(0.1)
+    assert job["state"] == "done", job
+    assert job["done"] == 20 and job["total"] == 20
+    assert out.exists() and out.stat().st_size > 0
+    page = _get(ui, "/").decode()
+    assert "openSaveAs" in page and "sa_prog" in page
+
+
+def test_save_as_selection_only(ui, tmp_path):
+    ui.player.state.sel_start = 5
+    ui.player.state.sel_end = 9          # inclusive -> 5 frames
+    out = tmp_path / "sel.y4m"
+    r = _post(ui, "/api/encode", {"path": str(out), "encoder": "yuv4mpeg",
+                                  "selection_only": True})
+    assert r["ok"]
+    jid = str(r["job"])
+    for _ in range(300):
+        job = json.loads(_get(ui, "/api/jobs"))[jid]
+        if job["state"] != "running":
+            break
+        time.sleep(0.1)
+    assert job["state"] == "done" and job["total"] == 5
+
+
+def test_encode_request_errors(ui):
+    r = _post(ui, "/api/encode", {"path": ""})
+    assert not r["ok"] and "path" in r["error"]
+    r = _post(ui, "/api/encode", {"path": "/tmp/x.y4m",
+                                  "encoder": "nope"})
+    assert not r["ok"] and "nope" in r["error"]
+
+
+def test_merge_dialog_surface(ui):
+    """The Merge dialog lists transitions and the button gates on the
+    clipboard like paste."""
+    r = _post(ui, "/api/cmd", {"path": "/effects/transitions/list"})
+    assert r["ok"]
+    trans = r["ret"].split()
+    assert "crossfade" in trans and len(trans) > 5
+    page = _get(ui, "/").decode()
+    assert "openMerge" in page and "mergebtn" in page and "mg_t" in page
+
+
+def test_clipinfo_endpoint(ui):
+    info = json.loads(_get(ui, "/api/clipinfo/1"))
+    assert info["frames"] == 20 and info["width"] == 48
+    assert info["height"] == 24 and info["name"] == "memclip"
+    assert abs(info["duration_s"] - 20 / 25.0) < 1e-6
+    try:
+        _get(ui, "/api/clipinfo/99")
+        assert False, "missing clip must 404"
+    except urllib.error.HTTPError as e:
+        assert e.code == 404
+    page = _get(ui, "/").decode()
+    assert "clipInfo" in page
+
+
+def test_sets_surface(ui, tmp_path):
+    """Save/list/load named clip sets from the UI (set manager role)."""
+    import jax.numpy as jnp
+    from lives_tpu.constants import Palette
+    from lives_tpu.io.clips import create_clip
+    from lives_tpu.layer import Layer
+
+    ui.osc.workdir = str(tmp_path)
+    clip = create_clip(tmp_path, 32, 24, name="real")
+    for i in range(3):
+        clip.put_frame(i, Layer(
+            planes=(jnp.full((3, 24, 32), i * 50, jnp.uint8),),
+            palette=int(Palette.RGB24)))
+    clip.frames = 3
+    clip.save_header()
+    ui.osc.clips.clear()          # the MemClip has no on-disk form
+    ui.osc.clips[1] = clip
+    ui.player.state.fg_clip = clip
+    r = _post(ui, "/api/cmd", {"path": "/clipset/save", "args": ["webset"]})
+    assert r["ok"]
+    r = _post(ui, "/api/cmd", {"path": "/clipset/list"})
+    assert "webset" in r["ret"].split()
+    page = _get(ui, "/").decode()
+    assert "saveSet" in page and "setsel" in page
+
+
+def test_subtitle_routes(ui, tmp_path):
+    srt = tmp_path / "s.srt"
+    srt.write_text(
+        "1\n00:00:00,000 --> 00:00:02,000\nhello\n\n"
+        "2\n00:00:02,000 --> 00:00:04,000\nworld\n\n")
+    r = _post(ui, "/api/cmd", {"path": "/clip/subtitles/load",
+                               "args": [str(srt)]})
+    assert r["ok"] and ui.player.subtitles is not None
+    _post(ui, "/api/cmd", {"path": "/clip/subtitles/erase"})
+    assert ui.player.subtitles is None
+    page = _get(ui, "/").decode()
+    assert "loadSubs" in page and "/clip/subtitles/erase" in page
