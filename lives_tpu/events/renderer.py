@@ -287,12 +287,17 @@ def render_events(el: EventList, source: FrameSource,
 
 def render_to_arrays(el: EventList, source: FrameSource,
                      sink: SinkSpec | None = None,
-                     batch_size: int = 32) -> tuple[np.ndarray, list[int]]:
-    """Convenience: render everything, return (stacked RGB frames, tcs)."""
+                     batch_size: int = 32,
+                     progress_cb=None) -> tuple[np.ndarray, list[int]]:
+    """Convenience: render everything, return (stacked RGB frames, tcs).
+    `progress_cb(frames_done)` fires after each batch (the render
+    progress dialog's hook)."""
     outs, all_tcs = [], []
     for tcs, lay in render_events(el, source, sink, batch_size):
         outs.append(np.asarray(lay.planes[0]))
         all_tcs.extend(tcs)
+        if progress_cb is not None:
+            progress_cb(len(all_tcs))
     return np.concatenate(outs, 0), all_tcs
 
 

@@ -933,13 +933,16 @@ class Multitrack:
                 tc, [i.event_id for i in active]))
 
     # -- render ------------------------------------------------------------
-    def render(self, source, sink=None, batch_size: int = 32):
+    def render(self, source, sink=None, batch_size: int = 32,
+               progress_cb=None):
         """Render the timeline (render_to_clip path) via the batch
-        renderer; returns (frames array, tcs)."""
+        renderer; returns (frames array, tcs). `progress_cb(done)` fires
+        per rendered batch (render progress dialog hook)."""
         from ..events.renderer import render_to_arrays
         from ..graph.nodemodel import SinkSpec
         sink = sink or SinkSpec(width=self.el.width, height=self.el.height)
-        return render_to_arrays(self.el, source, sink, batch_size)
+        return render_to_arrays(self.el, source, sink, batch_size,
+                                progress_cb=progress_cb)
 
     def render_audio(self, clips: dict, arate: int = 44100,
                      channels: int = 2):

@@ -1164,8 +1164,11 @@ def register_extended(srv) -> None:
         w = model.el.width or 64
         h = model.el.height or 64
         from ..graph.nodemodel import SinkSpec
-        frames, _tcs = model.render(MJPEGMultiClipSource(uid_map, w, h),
-                                    sink=SinkSpec(width=w, height=h))
+        frames, _tcs = model.render(
+            MJPEGMultiClipSource(uid_map, w, h),
+            sink=SinkSpec(width=w, height=h),
+            # the web UI's render job publishes per-batch progress here
+            progress_cb=getattr(srv, "render_progress", None))
         out = create_clip(workdir(), w, h, model.el.fps,
                           name="mt_render")
         out.frames = len(frames)

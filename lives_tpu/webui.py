@@ -813,6 +813,10 @@ async function drawTimeline(){
  const ub=document.createElement('button'); ub.textContent='undo';
  ub.onclick=async()=>{await cmd('/mt/undo');drawTimeline();};
  bar.appendChild(ub);
+ const rb=document.createElement('button'); rb.textContent='render';
+ rb.title='render the timeline to a new clip (render progress dialog)';
+ rb.onclick=mtRender;
+ bar.appendChild(rb);
  el.appendChild(bar);
  // playhead scrubber + rendered-frame preview (multitrack preview pane)
  if(total>1){
@@ -1147,6 +1151,29 @@ async function resampleClip(){
  const f=prompt('resample clip to fps:','25');
  if(f)await cmd('/clip/resample',[+f]);
 }
+async function mtRender(){
+ const c=modal('Render timeline');
+ c.innerHTML='<label><input type="checkbox" id="mtr_a" checked> mix'+
+  ' audio</label> <button id="mtr_go">render</button> '+
+  '<progress id="mtr_prog" max="1" value="0" style="width:55%"></progress>'+
+  ' <span id="mtr_msg"></span>';
+ document.getElementById('mtr_go').onclick=async()=>{
+  const r=await (await fetch('/api/mt_render',{method:'POST',
+   body:JSON.stringify({audio:document.getElementById('mtr_a').checked})}
+   )).json();
+  const msg=document.getElementById('mtr_msg');
+  if(!r.ok){msg.textContent=r.error; return;}
+  const poll=setInterval(async()=>{
+   const js=await (await fetch('/api/jobs')).json();
+   const j=js[r.job]; if(!j)return;
+   const pg=document.getElementById('mtr_prog');
+   if(pg)pg.value=j.total?j.done/j.total:0;
+   if(msg)msg.textContent=j.state+
+    (j.clip?(' -> clip '+j.clip):'')+(j.error?': '+j.error:'');
+   if(j.state!=='running'){clearInterval(poll);refresh();}
+  },500);
+ };
+}
 async function loadSubs(){
  const p=prompt('subtitle file (.srt/.sub):','/tmp/subs.srt');
  if(p)await cmd('/clip/subtitles/load',[p]);
@@ -1387,6 +1414,12 @@ class WebUI:
                     try:
                         req = json.loads(body)
                         self._json(ui.start_encode(req))
+                    except Exception as e:
+                        self._json({"ok": False, "error": str(e)}, 400)
+                elif self.path == "/api/mt_render":
+                    try:
+                        req = json.loads(body) if body else {}
+                        self._json(ui.start_mt_render(req))
                     except Exception as e:
                         self._json({"ok": False, "error": str(e)}, 400)
                 else:
@@ -1695,6 +1728,40 @@ class WebUI:
 
         threading.Thread(target=_run, daemon=True,
                          name="encode-job").start()
+        return {"ok": True, "job": jid}
+
+    def start_mt_render(self, req: dict) -> dict[str, Any]:
+        """Background multitrack render to a new clip with progress —
+        the reference's render progress dialog over render_to_clip
+        (events.c:4994)."""
+        mt = getattr(self.osc, "multitrack", None)
+        if mt is None or mt.n_frames == 0:
+            return {"ok": False, "error": "empty timeline"}
+        self._job_seq += 1
+        jid = self._job_seq
+        job = {"state": "running", "done": 0,
+               "total": int(mt.n_frames), "kind": "mt_render"}
+        self.jobs[jid] = job
+
+        def _progress(done):
+            job["done"] = min(done, job["total"])
+
+        def _run():
+            try:
+                self.osc.render_progress = _progress
+                cid = self.call("/mt/render",
+                                [1 if req.get("audio", True) else 0])
+                job["done"] = job["total"]
+                job["clip"] = cid
+                job["state"] = "done"
+            except Exception as ex:    # surfaced in the dialog
+                job["state"] = "error"
+                job["error"] = str(ex)
+            finally:
+                self.osc.render_progress = None
+
+        threading.Thread(target=_run, daemon=True,
+                         name="mt-render-job").start()
         return {"ok": True, "job": jid}
 
     def call(self, path: str, args: list):

@@ -753,3 +753,30 @@ def test_subtitle_routes(ui, tmp_path):
     assert ui.player.subtitles is None
     page = _get(ui, "/").decode()
     assert "loadSubs" in page and "/clip/subtitles/erase" in page
+
+
+def test_mt_render_job_with_progress(ui, tmp_path):
+    """Timeline render runs as a background job with per-batch progress
+    and registers the new clip (the render progress dialog role)."""
+    ui.osc.workdir = str(tmp_path)
+    # empty timeline -> immediate error
+    r = _post(ui, "/api/mt_render", {"audio": False})
+    assert not r["ok"] and "empty" in r["error"]
+    _post(ui, "/api/cmd", {"path": "/mt/ctrack/set", "args": [0]})
+    r = _post(ui, "/api/cmd", {"path": "/block/insert", "args": [1]})
+    assert r["ok"]
+    r = _post(ui, "/api/mt_render", {"audio": False})
+    assert r["ok"]
+    jid = str(r["job"])
+    job = None
+    for _ in range(600):
+        job = json.loads(_get(ui, "/api/jobs"))[jid]
+        if job["state"] != "running":
+            break
+        time.sleep(0.1)
+    assert job["state"] == "done", job
+    assert job["done"] == job["total"] > 0
+    assert int(job["clip"]) in ui.osc.clips
+    assert ui.osc.render_progress is None      # hook cleaned up
+    page = _get(ui, "/").decode()
+    assert "mtRender" in page and "mtr_prog" in page
