@@ -189,3 +189,48 @@ def parse_rfx_params(script_text: str) -> list[dict]:
             d["default"] = bits[3] if len(bits) > 3 else ""
         out.append(d)
     return out
+
+
+def parse_rfx_specials(script_text: str,
+                       params: list[dict]) -> list[dict]:
+    """Parse `special|<type>|<idx...>` hints from an RFX
+    `<param_window>` section (reference src/paramspecial.c:60-112:
+    aspect = keep-aspect link between two num params, fileread = file
+    chooser on a string param, fontchooser, password = masked entry,
+    mergealign = merge-dialog alignment, framedraw = interactive
+    overlay). Numeric indices resolve to param names so front-ends
+    never see raw indices."""
+    import re
+    m = re.search(r"<param_window>\s*(.*?)\s*</param_window>",
+                  script_text, re.S)
+    if not m:
+        return []
+    names = [p["name"] for p in params]
+
+    def pname(tok):
+        try:
+            i = int(tok)
+            return names[i] if 0 <= i < len(names) else None
+        except ValueError:
+            return tok if tok in names else None
+
+    out = []
+    for line in m.group(1).splitlines():
+        bits = [b for b in line.strip().split("|") if b != ""]
+        if len(bits) < 2 or bits[0] != "special":
+            continue
+        kind = bits[1]
+        if kind == "framedraw" and len(bits) >= 3:
+            pts = [q for q in (pname(t) for t in bits[3:]) if q]
+            out.append({"type": "framedraw", "subtype": bits[2],
+                        "params": pts})
+        elif kind in ("aspect", "mergealign") and len(bits) >= 4:
+            pts = [q for q in (pname(t) for t in bits[2:4]) if q]
+            if len(pts) == 2:
+                out.append({"type": kind, "params": pts})
+        elif kind in ("fileread", "fontchooser", "password") \
+                and len(bits) >= 3:
+            q = pname(bits[2])
+            if q:
+                out.append({"type": kind, "params": [q]})
+    return out

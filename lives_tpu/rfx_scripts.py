@@ -73,6 +73,22 @@ class ScriptDef:
                 for k, v in self.defaults.items()]
 
 
+def script_specials(name: str) -> list[dict]:
+    """Special-widget hints for a script's param window (reference
+    paramspecial.c: aspect / fileread / fontchooser / password /
+    mergealign / framedraw), parsed from the reference .script when one
+    exists. Indices arrive resolved to param names."""
+    from .rfx import parse_rfx_params, parse_rfx_specials
+    p = REF_SCRIPTS / f"{name}.script"
+    if not p.is_file():
+        return []
+    try:
+        text = p.read_text(errors="replace")
+        return parse_rfx_specials(text, parse_rfx_params(text))
+    except Exception:
+        return []
+
+
 def parse_param_value(v):
     """Parse a CLI/OSC string param: int-looking stays int, float-looking
     becomes float, everything else stays a string. Shared by `cli rfx`
@@ -722,11 +738,16 @@ _SCRIPTS["resize"] = ScriptDef("resize", "(geometry)", lambda p, n: {},
 
 def _textover_runner(clip, start, end, progress=None, text: str = "",
                      **style):
+    style = {k: v for k, v in style.items() if v not in ("", None)}
+    if "size" in style:
+        style["size"] = int(style["size"])
     return apply_textover(clip, text, start, end, **style)
 
 
+# font = truetype name/path (the reference script's fontchooser special)
 _SCRIPTS["textover"] = ScriptDef("textover", "(text)", lambda p, n: {},
-                                 {"text": ""}, runner=_textover_runner)
+                                 {"text": "", "size": 32, "font": ""},
+                                 runner=_textover_runner)
 
 
 # -- clip generators (gen_*.script) -------------------------------------------

@@ -27,16 +27,28 @@ except Exception:  # pragma: no cover
 def render_text_mask(text: str, width: int, height: int,
                      size: int = 32, colour=(255, 255, 255),
                      halign: str = "center", valign: str = "bottom",
-                     margin: int = 16) -> np.ndarray:
-    """Rasterise text to an (4, H, W) uint8 RGBA overlay."""
+                     margin: int = 16, font: str = "") -> np.ndarray:
+    """Rasterise text to an (4, H, W) uint8 RGBA overlay. `font` is a
+    truetype file name/path (the reference's fontchooser special,
+    paramspecial.c); empty falls back to DejaVu then PIL's default."""
     if not HAVE_PIL:
         raise RuntimeError("PIL required for text rendering")
     img = Image.new("RGBA", (width, height), (0, 0, 0, 0))
     draw = ImageDraw.Draw(img)
-    try:
-        font = ImageFont.truetype("DejaVuSans-Bold.ttf", size)
-    except Exception:
-        font = ImageFont.load_default()
+    fnt = None
+    if font:
+        for cand in (font, f"{font}.ttf"):
+            try:
+                fnt = ImageFont.truetype(cand, size)
+                break
+            except Exception:
+                pass
+    if fnt is None:
+        try:
+            fnt = ImageFont.truetype("DejaVuSans-Bold.ttf", size)
+        except Exception:
+            fnt = ImageFont.load_default()
+    font = fnt
     lines = text.split("\n")
     line_h = size + 4
     total_h = line_h * len(lines)

@@ -395,11 +395,90 @@ async function loadRfx(){
   sel.appendChild(o);});
 }
 async function applyRfx(){
+ // the RFX paramwindow (make_param_box + paramspecial hints): widgets
+ // from the script's consumable params, specials adjust the inputs
  const n=document.getElementById('rfx').value;
  if(!n)return;
- const r=await (await fetch('/api/cmd',{method:'POST',
-   body:JSON.stringify({path:'/rfx/apply',args:[n]})})).json();
- if(!r.ok)alert(r.error); else refresh();
+ const spec=await (await fetch('/api/rfx_spec/'+n)).json();
+ const c=modal('Apply: '+(spec.title||n));
+ const sp=(t,p)=>spec.specials.some(s=>s.type===t&&s.params.includes(p));
+ const inputs={};
+ spec.widgets.forEach(w=>{
+  const row=document.createElement('div'); row.className='param';
+  const lab=document.createElement('label');
+  lab.textContent=(w.label||w.name)+' ';
+  row.appendChild(lab);
+  let inp;
+  if(w.kind==='bool'){
+   inp=document.createElement('input'); inp.type='checkbox';
+   inp.checked=!!w.default;
+  }else if(w.kind==='string_list'){
+   inp=document.createElement('select');
+   (w.choices||[]).forEach((ch,i)=>{const o=document.createElement('option');
+    o.value=i;o.textContent=ch;inp.appendChild(o);});
+   inp.value=w.default||0;
+  }else if(w.kind==='string'){
+   inp=document.createElement('input');
+   inp.type=sp('password',w.name)?'password':'text';
+   inp.value=w.default||'';
+   if(sp('fileread',w.name))inp.placeholder='/path/to/file';
+   if(sp('fontchooser',w.name)){
+    const dl=document.getElementById('fontlist')||(()=>{
+     const d=document.createElement('datalist'); d.id='fontlist';
+     ['sans-serif','serif','monospace','cursive'].forEach(f=>{
+      const o=document.createElement('option');o.value=f;d.appendChild(o);});
+     document.body.appendChild(d); return d;})();
+    inp.setAttribute('list','fontlist');
+   }
+  }else{
+   inp=document.createElement('input'); inp.type='number';
+   if(w.min!==undefined)inp.min=w.min;
+   if(w.max!==undefined)inp.max=w.max;
+   inp.step=w.kind==='int'?1:'any';
+   inp.value=w.default;
+   inp.style.width='90px';
+  }
+  inp.id='rfxp_'+w.name; inputs[w.name]=inp;
+  row.appendChild(inp); c.appendChild(row);
+ });
+ // aspect special: keep-aspect lock between the linked pair
+ const asp=spec.specials.find(s=>s.type==='aspect');
+ if(asp&&inputs[asp.params[0]]&&inputs[asp.params[1]]){
+  const row=document.createElement('div');
+  const lk=document.createElement('input'); lk.type='checkbox';
+  lk.id='rfx_aspect'; lk.checked=true;
+  row.appendChild(lk);
+  row.appendChild(document.createTextNode(' keep aspect ratio'));
+  c.appendChild(row);
+  const a=inputs[asp.params[0]], b=inputs[asp.params[1]];
+  let ratio=(+a.value||1)/(+b.value||1);
+  a.onchange=()=>{if(lk.checked&&+a.value)b.value=
+   Math.round(+a.value/ratio)||1; else ratio=(+a.value||1)/(+b.value||1);};
+  b.onchange=()=>{if(lk.checked&&+b.value)a.value=
+   Math.round(+b.value*ratio)||1; else ratio=(+a.value||1)/(+b.value||1);};
+ }
+ if(spec.specials.some(s=>s.type==='framedraw')){
+  const note=document.createElement('div');
+  note.style.cssText='font-size:11px;color:#888';
+  note.textContent='tip: this effect also supports framedraw drag on'+
+   ' the preview when mapped to an effect key';
+  c.appendChild(note);
+ }
+ const go=document.createElement('button'); go.textContent='apply';
+ const msg=document.createElement('span');
+ go.onclick=async()=>{
+  const args=[n];
+  spec.widgets.forEach(w=>{
+   const inp=inputs[w.name];
+   let v=w.kind==='bool'?(inp.checked?1:0):inp.value;
+   args.push(w.name, v);
+  });
+  msg.textContent='applying…';
+  const r=await api('/rfx/apply',args);
+  msg.textContent=r.ok?('done ('+r.ret+' frames)'):r.error;
+  refresh();
+ };
+ c.appendChild(go); c.appendChild(msg);
 }
 loadRfx(); loadGens();
 setTimeout(drawAudioFx, 300);
@@ -1290,6 +1369,13 @@ class WebUI:
                     self._json(ui.encoders_state())
                 elif self.path == "/api/jobs":
                     self._json(ui.jobs_state())
+                elif self.path.startswith("/api/rfx_spec/"):
+                    spec = ui.rfx_spec(self.path.rsplit("/", 1)[-1])
+                    if spec is None:
+                        self.send_response(404)
+                        self.end_headers()
+                        return
+                    self._json(spec)
                 elif self.path.startswith("/api/clipinfo/"):
                     try:
                         cid = int(self.path.rsplit("/", 1)[-1])
@@ -1729,6 +1815,72 @@ class WebUI:
         threading.Thread(target=_run, daemon=True,
                          name="encode-job").start()
         return {"ok": True, "job": jid}
+
+    def rfx_spec(self, name: str) -> Optional[dict]:
+        """Parameter-window spec for a rendered effect — the reference's
+        RFX paramwindow (paramwindow.c make_param_box over the script's
+        param defs + paramspecial.c special hints). Widgets use the
+        names the script actually CONSUMES (mapping/runner kwargs);
+        labels and ranges enrich from the reference .script block when
+        the names line up. Specials resolve from the reference block or
+        fall back to name heuristics (width+height -> aspect,
+        file/image/path -> fileread, font -> fontchooser)."""
+        from .rfx_scripts import get_script, script_specials
+        try:
+            sd = get_script(name)
+        except KeyError:
+            return None
+        widgets = sd.params_spec()
+        if sd.runner is None and getattr(sd, "user_spec", None) is None:
+            # filter-backed: the mapping consumes the defaults names;
+            # the reference block may animate differently-named pairs —
+            # keep the UI honest and only enrich where names match
+            ref = {q["name"]: q for q in widgets}
+
+            def kind_of(v):
+                if isinstance(v, bool):
+                    return "bool"
+                if isinstance(v, str):
+                    return "string"
+                if isinstance(v, int):
+                    return "int"
+                return "num"
+
+            widgets = []
+            for k, v in sd.defaults.items():
+                q = ref.get(k)
+                if q is None:
+                    q = {"name": k, "kind": kind_of(v), "default": v}
+                    if q["kind"] == "num":
+                        q.update(min=0.0,
+                                 max=max(1.0, float(v) * 4 or 1.0))
+                    elif q["kind"] == "int":
+                        q.update(min=0, max=max(100, int(v) * 4))
+                widgets.append(q)
+        have = {w["name"] for w in widgets}
+        specials = [s for s in script_specials(name)
+                    if all(q in have for q in s["params"])]
+
+        def has(tp, pn):
+            return any(s["type"] == tp and pn in s["params"]
+                       for s in specials)
+
+        for w in widgets:
+            n, k = w["name"], w.get("kind")
+            if k == "string":
+                if any(t in n for t in ("file", "image", "path")) \
+                        and not has("fileread", n):
+                    specials.append({"type": "fileread", "params": [n]})
+                elif "font" in n and not has("fontchooser", n):
+                    specials.append({"type": "fontchooser",
+                                     "params": [n]})
+        if {"width", "height"} <= have \
+                and not any(s["type"] == "aspect" for s in specials):
+            specials.append({"type": "aspect",
+                             "params": ["width", "height"]})
+        return {"name": name,
+                "title": name.replace("_", " ").title(),
+                "widgets": widgets, "specials": specials}
 
     def start_mt_render(self, req: dict) -> dict[str, Any]:
         """Background multitrack render to a new clip with progress —

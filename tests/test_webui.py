@@ -780,3 +780,55 @@ def test_mt_render_job_with_progress(ui, tmp_path):
     assert ui.osc.render_progress is None      # hook cleaned up
     page = _get(ui, "/").decode()
     assert "mtRender" in page and "mtr_prog" in page
+
+
+def test_rfx_paramwindow_spec(ui):
+    """The RFX paramwindow endpoint: widgets from the script's
+    consumable params + paramspecial hints (aspect/fileread/
+    fontchooser), names resolved — paramwindow.c + paramspecial.c."""
+    spec = json.loads(_get(ui, "/api/rfx_spec/resize"))
+    names = [w["name"] for w in spec["widgets"]]
+    assert names == ["width", "height"]
+    assert {"type": "aspect", "params": ["width", "height"]} \
+        in spec["specials"]
+    spec = json.loads(_get(ui, "/api/rfx_spec/image_overlay"))
+    assert any(s["type"] == "fileread" and s["params"] == ["image"]
+               for s in spec["specials"])
+    spec = json.loads(_get(ui, "/api/rfx_spec/textover"))
+    assert any(s["type"] == "fontchooser" and s["params"] == ["font"]
+               for s in spec["specials"])
+    # filter-backed scripts advertise the names the mapping consumes
+    spec = json.loads(_get(ui, "/api/rfx_spec/blur"))
+    assert [w["name"] for w in spec["widgets"]] == ["radius", "amount"]
+    try:
+        _get(ui, "/api/rfx_spec/nope")
+        assert False, "unknown script must 404"
+    except urllib.error.HTTPError as e:
+        assert e.code == 404
+    page = _get(ui, "/").decode()
+    assert "rfx_spec" in page and "keep aspect" in page \
+        and "fontlist" in page
+
+
+def test_rfx_apply_with_dialog_params(ui, tmp_path, monkeypatch):
+    """Values collected by the paramwindow flow through /rfx/apply as
+    kv pairs onto a real clip (textover with size+font style)."""
+    pytest.importorskip("PIL")
+    import jax.numpy as jnp
+    from lives_tpu.io.clips import create_clip
+
+    monkeypatch.setenv("LIVES_TPU_WORKDIR", str(tmp_path))
+    clip = create_clip(tmp_path, 64, 48, name="t")
+    for i in range(4):
+        clip.put_frame(i, Layer(
+            planes=(jnp.zeros((3, 48, 64), jnp.uint8),),
+            palette=int(Palette.RGB24)))
+    clip.frames = 4
+    ui.osc.clips[3] = clip
+    ui.player.state.fg_clip = clip
+    r = _post(ui, "/api/cmd", {"path": "/rfx/apply",
+                               "args": ["textover", "text", "HI",
+                                        "size", 20, "font", ""]})
+    assert r["ok"] and r["ret"] == 4
+    out = np.asarray(clip.get_frame(1).planes[0])
+    assert out.max() > 0          # text burned onto black frames
