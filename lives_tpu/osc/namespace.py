@@ -345,6 +345,30 @@ def register_extended(srv) -> None:
       lambda: (setattr(st(), "sel_start", 0),
                setattr(st(), "sel_end", -1)) and None)
 
+    # ---- clip bookmarks (the F1-F12 store/switch slots) --------------------
+    # Reference: storeclip_callback (src/callbacks.c, bound to F1..F12 in
+    # gui.c:2727): pressing Fn with an empty slot stores the current clip;
+    # with a filled slot it switches to that clip (re-storing if the clip
+    # has since been closed). Shift+Fn force-stores.
+    srv.clip_bookmarks = getattr(srv, "clip_bookmarks", {})
+
+    def bookmark_set(n, c=None):
+        clip = clip_by_id(c) if c is not None else cur()
+        srv.clip_bookmarks[int(n)] = clip
+        return clip_id_of(clip)
+
+    def bookmark_select(n):
+        clip = srv.clip_bookmarks.get(int(n))
+        if clip is None or clip_id_of(clip) == 0:   # empty or closed slot
+            return bookmark_set(n)
+        p().switch_fg(clip)
+        return clip_id_of(clip)
+
+    m("/clip/bookmark/set", bookmark_set)
+    m("/clip/bookmark/select", bookmark_select)
+    m("/clip/bookmark/get",
+      lambda n: clip_id_of(srv.clip_bookmarks.get(int(n))))
+
     def save_frame_image(path, frame=None):
         import numpy as np
         clip = cur()

@@ -210,6 +210,12 @@ select{background:#26262c;color:#eee;border:1px solid #555;padding:3px}
   <input type="range" id="vol" min="0" max="1" step="0.01"
    oninput="cmd('/audio/volume/set',[+this.value])"></div>
  <h3>Selection</h3>
+ <div title="first / last frame of the selection — the clip editor's
+ start and end preview images (interface.c load_start_image /
+ load_end_image)">
+  <img id="selimg_s" style="max-height:72px;border-radius:3px;display:none">
+  <img id="selimg_e" style="max-height:72px;border-radius:3px;display:none">
+ </div>
  <div title="frame selection [start..end], 1-based like the reference's
  start/end spinbuttons; end -1 = to the last frame">
   <input type="number" id="selstart" style="width:70px" min="1"
@@ -812,6 +818,16 @@ async function refresh(){
  if(ss&&document.activeElement!==ss)ss.value=st.sel_start+1;
  if(se&&document.activeElement!==se)
   se.value=st.sel_end<0?-1:st.sel_end+1;
+ // start/end preview frames (interface.c load_start_image/load_end_image)
+ const fgc=st.clips.find(c=>c.fg);
+ [['selimg_s',st.sel_start],
+  ['selimg_e',st.sel_end<0?st.frames-1:st.sel_end]].forEach(([id,f])=>{
+  const im=document.getElementById(id); if(!im)return;
+  if(!fgc||st.frames<1){im.style.display='none';return;}
+  const u='/api/thumb/'+fgc.id+'?frame='+f+'&w=128';
+  if(im.dataset.u!==u){im.dataset.u=u;im.src=u;}
+  im.style.display='inline';
+ });
  const pb=document.getElementById('pastebtn');
  if(pb)pb.disabled=!st.has_clipboard;
  const mb=document.getElementById('mergebtn');
@@ -1294,6 +1310,119 @@ setTimeout(drawConns, 500); setInterval(drawConns, 5000);
 setTimeout(drawPrefs, 600);
 setTimeout(drawStrip, 500); setInterval(drawStrip, 2500);
 setTimeout(drawSets, 800);
+// --- keyboard accelerators (the main-window accel_group, gui.c:2559+;
+// same bindings as the reference so VJs keep their muscle memory) -------
+let grabKey=1;  // the key receiving k-grab / Alt-arrows (grabkeys_callback)
+async function nudgeGrabbed(dir){
+ // Alt+Up/Down: more/less on the grabbed key's first numeric param
+ const spec=await (await fetch('/api/params/'+grabKey)).json();
+ const w=(spec.widgets||[]).find(w=>w.index>=0&&typeof w.value==='number');
+ if(!w)return;
+ let v=w.value+dir*Math.max(Math.abs(w.max-w.min)*0.05,1e-3);
+ v=Math.min(Math.max(v,w.min),w.max);
+ cmd('/effect_key/parameter/value/set',[grabKey,w.index,v]);
+}
+const KEYHELP=[
+ ['p','play'],['q','stop'],['y','play selection'],['r','record toggle'],
+ ['f','fullscreen preview'],['s','separate play window'],
+ ['d','double size'],['h','hide/show filmstrip'],
+ ['l / o','loop continuous'],['g','ping-pong loop'],['z','mute audio'],
+ ['x','swap fg/bg clips'],['e','retrigger clip (frame 1)'],
+ ['n','nervous mode'],['k','cycle grabbed effect key'],
+ ['m / M','next / prev mode on grabbed key'],
+ ['F1-F12','switch to clip bookmark (stores if empty)'],
+ ['Shift+F1-F12','store clip bookmark'],
+ ['Ctrl+1..9','toggle effect key'],['Ctrl+0','all effects off'],
+ ['Ctrl+Alt+1..9','grab effect key'],
+ ['Ctrl+PgUp/PgDn','prev / next clip'],
+ ['Shift+PgUp/PgDn','prev / next background clip'],
+ ['Ctrl+Up/Down','faster / slower'],
+ ['Shift+Up/Down','bg faster / slower'],
+ ['Ctrl+Left/Right','skip back / forward ~1s'],
+ ['Ctrl+Space','reverse direction'],['Shift+Space','bg reverse'],
+ ['Ctrl+Enter','reset fps'],['Shift+Enter','bg reset fps'],
+ ['Alt+Up/Down','more / less (grabbed key param)'],
+ ['+ / _','volume up / down'],['?','this help']];
+function showKeyHelp(){
+ const c=modal('Keyboard shortcuts (VJ accelerators)');
+ const t=document.createElement('table');
+ t.style.cssText='font-size:12px;line-height:1.5';
+ KEYHELP.forEach(([k,d])=>{const tr=document.createElement('tr');
+  const a=document.createElement('td');a.innerHTML='<b>'+k+'</b>';
+  a.style.paddingRight='12px';
+  const b=document.createElement('td');b.textContent=d;
+  tr.appendChild(a);tr.appendChild(b);t.appendChild(tr);});
+ c.appendChild(t);
+}
+async function skipSecs(dir){
+ const st=await (await fetch('/api/state')).json();
+ const step=Math.max(Math.round(Math.abs(st.fps)||25),1);
+ cmd('/clip/foreground/frame/set',
+     [Math.max(0,Math.min(st.frame+dir*step,st.frames-1))]);
+}
+document.addEventListener('keydown',async ev=>{
+ const tag=(ev.target.tagName||'').toLowerCase();
+ if(tag==='input'||tag==='textarea'||tag==='select')return;
+ if(ev.key==='Escape'){const ov=document.getElementById('modal_ov');
+  if(ov)ov.remove(); return;}
+ const k=ev.key, C=ev.ctrlKey, S=ev.shiftKey, A=ev.altKey;
+ const fkey=/^F(\\d+)$/.exec(k);
+ if(fkey&&!C&&!A){ev.preventDefault();
+  cmd(S?'/clip/bookmark/set':'/clip/bookmark/select',[+fkey[1]]);return;}
+ if(C&&!A&&/^[0-9]$/.test(k)){ev.preventDefault();
+  if(k==='0')cmd('/effect_key/reset');
+  else cmd('/effect_key/toggle',[+k]); return;}
+ if(C&&A&&/^[1-9]$/.test(k)){ev.preventDefault();grabKey=+k;return;}
+ if(C&&k==='PageUp'){ev.preventDefault();cmd('/clip/select/previous');return;}
+ if(C&&k==='PageDown'){ev.preventDefault();cmd('/clip/select/next');return;}
+ if(S&&k==='PageUp'){ev.preventDefault();cmd('/clip/background/previous');return;}
+ if(S&&k==='PageDown'){ev.preventDefault();cmd('/clip/background/next');return;}
+ if(A&&k==='ArrowUp'){ev.preventDefault();nudgeGrabbed(1);return;}
+ if(A&&k==='ArrowDown'){ev.preventDefault();nudgeGrabbed(-1);return;}
+ if(C&&k==='ArrowUp'){ev.preventDefault();cmd('/video/play/faster');return;}
+ if(C&&k==='ArrowDown'){ev.preventDefault();cmd('/video/play/slower');return;}
+ if(S&&k==='ArrowUp'){ev.preventDefault();cmd('/clip/background/fps/faster');return;}
+ if(S&&k==='ArrowDown'){ev.preventDefault();cmd('/clip/background/fps/slower');return;}
+ if(C&&k==='ArrowLeft'){ev.preventDefault();skipSecs(-1);return;}
+ if(C&&k==='ArrowRight'){ev.preventDefault();skipSecs(1);return;}
+ if(C&&k===' '){ev.preventDefault();cmd('/video/play/reverse');return;}
+ if(S&&k===' '){ev.preventDefault();cmd('/clip/background/fps/reverse');return;}
+ if(C&&k==='Enter'){ev.preventDefault();cmd('/video/play/reset');return;}
+ if(S&&k==='Enter'){ev.preventDefault();cmd('/clip/background/fps/reset');return;}
+ if(C||A)return;   // unclaimed chords stay with the browser
+ switch(k){
+  case 'p': cmd('/video/play'); break;
+  case 'q': cmd('/video/stop'); break;
+  case 'y': cmd('/video/selection/play'); break;
+  case 'r': cmd('/record/toggle'); break;
+  case 'f': {const pv=document.getElementById('preview');
+   if(document.fullscreenElement)document.exitFullscreen();
+   else if(pv&&pv.requestFullscreen)pv.requestFullscreen(); break;}
+  case 's': window.open('/preview.mjpg','sepwin','width=660,height=400');
+   break;
+  case 'd': {const pv=document.getElementById('preview');
+   pv.style.maxWidth=pv.style.maxWidth==='100%'?'':'100%'; break;}
+  case 'h': {const st2=document.getElementById('strip');
+   if(st2)st2.style.display=st2.style.display==='none'?'':'none'; break;}
+  case 'l': case 'o': toggleSt('loop','/video/loop/set'); break;
+  case 'g': toggleSt('pingpong','/video/pingpong/set'); break;
+  case 'z': toggleSt('muted','/audio/mute/set'); break;
+  case 'x': cmd('/clip/foreground/background/swap'); break;
+  case 'e': cmd('/clip/foreground/retrigger'); break;
+  case 'n': {const r=await api('/video/nervous/get',[]);
+   cmd(r.ret?'/video/nervous/disable':'/video/nervous/enable'); break;}
+  case 'k': grabKey=grabKey%12+1; break;
+  case 'm': cmd('/effect_key/mode/next',[grabKey]); break;
+  case 'M': cmd('/effect_key/mode/previous',[grabKey]); break;
+  case '+': {const st3=await (await fetch('/api/state')).json();
+   cmd('/audio/volume/set',[Math.min(1,st3.volume+0.05)]); break;}
+  case '_': {const st4=await (await fetch('/api/state')).json();
+   cmd('/audio/volume/set',[Math.max(0,st4.volume-0.05)]); break;}
+  case '?': showKeyHelp(); break;
+  default: return;
+ }
+ ev.preventDefault();
+});
 </script></body></html>"""
 
 
@@ -1409,12 +1538,20 @@ class WebUI:
                     self.wfile.write(jpeg)
                 elif self.path.startswith("/api/thumb/"):
                     try:
-                        cid = int(self.path.rsplit("/", 1)[-1])
+                        tail = self.path[len("/api/thumb/"):]
+                        q = {}
+                        if "?" in tail:
+                            tail, qs = tail.split("?", 1)
+                            q = dict(kv.split("=", 1)
+                                     for kv in qs.split("&") if "=" in kv)
+                        cid = int(tail)
+                        frame = int(q.get("frame", 0))
+                        tw = int(q.get("w", 96))
                     except ValueError:
                         self.send_response(404)
                         self.end_headers()
                         return
-                    jpeg = ui.thumb(cid)
+                    jpeg = ui.thumb(cid, frame, tw)
                     if jpeg is None:
                         self.send_response(404)
                         self.end_headers()
@@ -1561,12 +1698,16 @@ class WebUI:
         except Exception:
             return None
 
-    def thumb(self, cid: int):
-        """96px-wide JPEG of a clip's first frame (the ce_thumbs.c clip
-        thumbnail strip); cached per clip."""
+    def thumb(self, cid: int, frame: int = 0, tw: int = 96):
+        """JPEG thumbnail of a clip frame (the ce_thumbs.c clip
+        thumbnail strip; with ?frame= it is also the clip editor's
+        start/end selection preview — interface.c load_start_image /
+        load_end_image); cached per (clip, frame, width)."""
         clip = self.osc.clips.get(cid)
         if clip is None:
             return None
+        frame = max(0, min(int(frame), getattr(clip, "frames", 1) - 1))
+        tw = max(16, min(int(tw), 640))
         cache = getattr(self, "_thumbs", None)
         if cache is None:
             cache = self._thumbs = {}
@@ -1574,7 +1715,8 @@ class WebUI:
             cache.clear()
         # id() recycles after GC and cids after close: key by the clip's
         # durable identity when it has one
-        key = (cid, getattr(clip, "unique_id", None) or id(clip))
+        key = (cid, getattr(clip, "unique_id", None) or id(clip),
+               frame, tw)
         if key not in cache:
             try:
                 import io as _io
@@ -1584,10 +1726,10 @@ class WebUI:
 
                 from .constants import Palette as _P
                 from .ops.colorspace import convert_layer as _cv
-                lay = _cv(clip.get_frame(0), _P.RGB24)
+                lay = _cv(clip.get_frame(frame), _P.RGB24)
                 arr = _np.moveaxis(_np.asarray(lay.planes[0]), 0, -1)
                 im = Image.fromarray(arr)
-                im = im.resize((96, max(1, 96 * im.height // im.width)))
+                im = im.resize((tw, max(1, tw * im.height // im.width)))
                 buf = _io.BytesIO()
                 im.save(buf, "JPEG", quality=70)
                 cache[key] = buf.getvalue()

@@ -467,18 +467,26 @@ def test_bg_clip_precached_not_dropped_forever(tmp_path):
     p.state.bg_clip = clip_for(2, "bg")
     assert p.drop_on_miss
     p.start()
-    shown = 0
-    for i in range(8):
+    # poll until the worker fills both windows — the invariant is
+    # EVENTUAL progress (no permanent starvation), so give it a
+    # generous deadline rather than a fixed wall-clock budget that
+    # flakes under parallel host load
+    shown, bkeys, i = 0, [], 0
+    deadline = time.monotonic() + 15.0
+    while time.monotonic() < deadline:
         p.state.frame = -1
         p._clock0 = time.monotonic()
         p._frame0 = float(i % 8)
+        i += 1
         if p.process_one() and len(p.sink.frames) > shown:
             shown = len(p.sink.frames)
+        bkeys = [k for k in p._precache
+                 if k[0] == id(p.state.bg_clip)]
+        if shown >= 4 and bkeys:
+            break
         time.sleep(0.05)           # let the worker fill both windows
     assert shown >= 4, f"bg pulls starved the loop (shown {shown})"
     # bg frames actually entered the cache
-    bkeys = [k for k in p._precache
-             if k[0] == id(p.state.bg_clip)]
     assert bkeys, "worker never precached the bg clip"
     p.stop()
 

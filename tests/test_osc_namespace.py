@@ -423,3 +423,28 @@ def test_omc_learn_over_osc(srv, tmp_path):
     assert srv.methods["/omc/map/load"](path) == 1
     srv.methods["/omc/feed_midi"]("b0077f")
     assert abs(srv.player.state.blend_amount - 1.0) < 1e-6
+
+
+def test_clip_bookmarks(srv):
+    """F-key clip bookmark slots (/clip/bookmark/*): selecting an empty
+    slot stores the current clip; selecting a filled slot switches to
+    it; a slot whose clip was closed re-stores the current clip —
+    storeclip_callback semantics (reference src/callbacks.c, bound to
+    F1..F12 in gui.c:2727)."""
+    mm = srv.methods
+    assert mm["/clip/bookmark/get"](1) == 0          # empty
+    assert mm["/clip/bookmark/select"](1) == 1       # stores clip 1
+    assert mm["/clip/bookmark/get"](1) == 1
+    mm["/clip/foreground/set"](2)
+    assert srv.player.state.fg_clip is srv.clips[2]
+    assert mm["/clip/bookmark/select"](1) == 1       # switches back
+    assert srv.player.state.fg_clip is srv.clips[1]
+    # explicit store overwrites
+    mm["/clip/foreground/set"](2)
+    assert mm["/clip/bookmark/set"](1) == 2
+    assert mm["/clip/bookmark/get"](1) == 2
+    # closed clip -> slot re-stores the current clip
+    del srv.clips[2]
+    srv.player.state.fg_clip = srv.clips[1]
+    assert mm["/clip/bookmark/select"](1) == 1
+    assert mm["/clip/bookmark/get"](1) == 1

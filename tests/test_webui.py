@@ -832,3 +832,37 @@ def test_rfx_apply_with_dialog_params(ui, tmp_path, monkeypatch):
     assert r["ok"] and r["ret"] == 4
     out = np.asarray(clip.get_frame(1).planes[0])
     assert out.max() > 0          # text burned onto black frames
+
+
+def test_frame_thumb_and_sel_previews(ui):
+    """/api/thumb with ?frame= serves per-frame previews (the clip
+    editor's start/end selection images, interface.c load_start_image /
+    load_end_image), and the page wires them to the selection spins."""
+    a = _get(ui, "/api/thumb/1?frame=0&w=64")
+    b = _get(ui, "/api/thumb/1?frame=10&w=64")
+    assert a[:2] == b"\xff\xd8" and b[:2] == b"\xff\xd8"   # JPEG magic
+    assert a != b                       # distinct frames, distinct pixels
+    # out-of-range frames clamp rather than 404
+    c = _get(ui, "/api/thumb/1?frame=9999&w=64")
+    assert c[:2] == b"\xff\xd8"
+    page = _get(ui, "/").decode()
+    assert "selimg_s" in page and "selimg_e" in page
+
+
+def test_keyboard_accelerator_layer(ui):
+    """The page carries the reference accel_group key bindings
+    (gui.c:2559+): VJ keys, Ctrl+digit rte toggles, F-key bookmarks,
+    and a '?' cheat sheet — all dispatching through /api/cmd."""
+    page = _get(ui, "/").decode()
+    assert "addEventListener('keydown'" in page
+    for marker in ("/clip/bookmark/select", "/effect_key/toggle",
+                   "/video/play/faster", "/clip/foreground/background/swap",
+                   "/video/nervous/", "Keyboard shortcuts",
+                   "requestFullscreen"):
+        assert marker in page, marker
+    # the bookmark methods the F-keys dispatch to exist server-side
+    r = _post(ui, "/api/cmd", {"path": "/clip/bookmark/select",
+                               "args": [3]})
+    assert r["ok"] and r["ret"] == 1
+    r = _post(ui, "/api/cmd", {"path": "/clip/bookmark/get", "args": [3]})
+    assert r["ok"] and r["ret"] == 1
