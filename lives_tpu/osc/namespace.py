@@ -1315,6 +1315,24 @@ def register_extended(srv) -> None:
 
     m("/record/recover", record_recover)
 
+    # ---- message console (src/messaging.c d_print ring; the main-window
+    # message area and LIVES_INFO/WARN/ERROR levels; crash-log dump
+    # save_log_file, clip_load_save.c:151) --------------------------------
+    def _console():
+        from ..messaging import console
+        return console
+
+    m("/messages/recent",
+      lambda n=50: "\n".join(_console().tail(int(n))))
+    m("/messages/clear", lambda: _console().ring.clear())
+    m("/messages/level/set",
+      lambda lvl: setattr(_console(), "level", str(lvl)))
+    m("/messages/level/get", lambda: _console().level)
+    m("/messages/save", lambda path: _console().save_log(str(path)))
+    # external controllers can annotate the console (cue notes mid-set)
+    m("/messages/log",
+      lambda msg, lvl="info": _console().d_print(str(msg), str(lvl)))
+
 
 def _open_videodev(srv, dev: str):
     from ..io.videodev import V4L2Source

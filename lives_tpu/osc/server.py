@@ -46,6 +46,12 @@ class NOTIFY:
     MT_RENDERED = 16390
 
 
+#: number -> name for console mirroring (FRAME_SYNCH excluded: per-frame)
+_NOTIFY_NAMES = {v: k.lower().replace("_", " ")
+                 for k, v in vars(NOTIFY).items()
+                 if isinstance(v, int) and k != "FRAME_SYNCH"}
+
+
 class OSCServer:
     def __init__(self, player=None, host: str = "127.0.0.1", port: int = 0):
         self.player = player
@@ -114,6 +120,8 @@ class OSCServer:
             # requester (+ free text on the status socket)
             self._reply(addr, "/error", msg.address, str(e))
             self._status(f"error in {msg.address}: {e}")
+            from ..messaging import console
+            console.d_print(f"{msg.address}: {e}", "error")
             return False
         if ret is not None:
             # structured reply: query results echo back on the request
@@ -141,6 +149,16 @@ class OSCServer:
 
     # -- notify / status sockets (osc_notify.h protocol) -------------------
     def notify(self, msg_number: int, msg_string: str = ""):
+        # Mirror every notification into the message console: the
+        # reference d_prints around the same events its notify socket
+        # announces (clip opened/closed, playback, record start/stop —
+        # src/messaging.c d_print; osc_notify.h numbers).
+        name = _NOTIFY_NAMES.get(int(msg_number))
+        if name is not None:          # FRAME_SYNCH et al stay off-console
+            from ..messaging import console
+            console.d_print(
+                f"{name}{': ' + msg_string if msg_string else ''}",
+                "info")
         payload = f"{msg_number}|{msg_string}\n\0".encode()
         for client in list(self._notify_clients):
             try:

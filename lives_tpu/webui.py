@@ -281,6 +281,16 @@ select{background:#26262c;color:#eee;border:1px solid #555;padding:3px}
  <h3>Audio fx</h3><div id="audiofx"></div>
  <h3>Timeline</h3><div id="timeline"></div>
  <h3>Stats</h3><div id="stats"></div>
+ <h3>Console
+  <select id="conlvl" onchange="drawConsole()" style="font-size:11px">
+   <option>debug</option><option selected>info</option>
+   <option>warn</option><option>error</option></select>
+  <button style="font-size:11px"
+   onclick="cmd('/messages/clear').then(drawConsole)">clear</button></h3>
+ <div id="console" title="message console (d_print ring) — clip opens,
+ playback, record and render events; level-filtered"
+  style="font-size:11px;font-family:monospace;max-height:140px;
+  overflow-y:auto;background:#111;padding:4px;border-radius:3px"></div>
 </div>
 <div id="main">
  <div id="pwrap" style="position:relative;display:inline-block;max-width:100%">
@@ -1306,6 +1316,23 @@ async function loadSet(){
 refresh(); drawTimeline(); setInterval(refresh, 1000);
 setInterval(drawTimeline, 3000);
 setTimeout(drawKeymap, 400); setInterval(drawKeymap, 4000);
+// --- message console (src/messaging.c d_print ring in the main window) -
+const LVL_ORD={debug:0,info:1,warn:2,error:3};
+const LVL_COL={debug:'#888',info:'#ccc',warn:'#fb3',error:'#f66'};
+async function drawConsole(){
+ const el=document.getElementById('console'); if(!el)return;
+ const min=LVL_ORD[document.getElementById('conlvl').value]||0;
+ const ms=await (await fetch('/api/messages?n=200')).json();
+ const atEnd=el.scrollTop+el.clientHeight>=el.scrollHeight-4;
+ el.innerHTML='';
+ ms.filter(m=>LVL_ORD[m.level]>=min).forEach(m=>{
+  const d=document.createElement('div');
+  d.style.color=LVL_COL[m.level]||'#ccc';
+  d.textContent=new Date(m.t*1000).toTimeString().slice(0,8)+' '+m.msg;
+  el.appendChild(d);});
+ if(atEnd)el.scrollTop=el.scrollHeight;   // follow the tail like a log view
+}
+setTimeout(drawConsole, 700); setInterval(drawConsole, 3000);
 setTimeout(drawConns, 500); setInterval(drawConns, 5000);
 setTimeout(drawPrefs, 600);
 setTimeout(drawStrip, 500); setInterval(drawStrip, 2500);
@@ -1465,6 +1492,16 @@ class WebUI:
                     self.wfile.write(body)
                 elif self.path == "/api/state":
                     self._json(ui.state())
+                elif self.path.startswith("/api/messages"):
+                    try:
+                        n = int(self.path.split("n=", 1)[1].split("&")[0]) \
+                            if "n=" in self.path else 100
+                    except ValueError:
+                        n = 100
+                    from .messaging import console
+                    self._json([{"t": t, "level": lvl, "msg": msg}
+                                for t, lvl, msg in
+                                list(console.ring)[-max(1, min(n, 2000)):]])
                 elif self.path == "/api/timeline":
                     self._json(ui.timeline())
                 elif self.path.startswith("/api/audio_wave/"):
@@ -1621,11 +1658,18 @@ class WebUI:
                 n = int(self.headers.get("Content-Length", 0))
                 body = self.rfile.read(n)
                 if self.path == "/api/cmd":
+                    req = {}
                     try:
                         req = json.loads(body)
                         ret = ui.call(req["path"], req.get("args", []))
                         self._json({"ok": True, "ret": ret})
                     except Exception as e:
+                        # mirror UI-command failures onto the message
+                        # console like the reference's d_print on errors
+                        from .messaging import console
+                        path = (req.get("path", self.path)
+                                if isinstance(req, dict) else self.path)
+                        console.d_print(f"{path}: {e}", "error")
                         self._json({"ok": False, "error": str(e)}, 400)
                 elif self.path == "/api/blend":
                     try:

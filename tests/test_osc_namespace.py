@@ -448,3 +448,36 @@ def test_clip_bookmarks(srv):
     srv.player.state.fg_clip = srv.clips[1]
     assert mm["/clip/bookmark/select"](1) == 1
     assert mm["/clip/bookmark/get"](1) == 1
+
+
+def test_message_console(srv, tmp_path):
+    """/messages/* — the d_print console ring (src/messaging.c): notify
+    events mirror onto it, external controllers can log cue notes,
+    dispatch failures land at error level, and /messages/save dumps the
+    crash log (save_log_file, clip_load_save.c:151)."""
+    from lives_tpu.messaging import console
+    from lives_tpu.osc.protocol import OSCMessage
+    mm = srv.methods
+    mm["/messages/clear"]()
+    assert mm["/messages/recent"](10) == ""
+    mm["/messages/log"]("cue: breakdown", "warn")
+    srv.notify(512, "intro.avi")                       # CLIP_OPENED
+    out = mm["/messages/recent"](10)
+    assert "warn: cue: breakdown" in out
+    assert "info: clip opened: intro.avi" in out
+    # FRAME_SYNCH must NOT flood the console
+    before = len(console.ring)
+    srv.notify(1, "120")
+    assert len(console.ring) == before
+    # a failing dispatch mirrors at error level
+    assert srv.dispatch(OSCMessage("/clip/encode_as", [])) is False
+    assert "error: /clip/encode_as:" in mm["/messages/recent"](5)
+    # level filter applies to d_print listeners, tail shows everything
+    mm["/messages/level/set"]("error")
+    assert mm["/messages/level/get"]() == "error"
+    mm["/messages/level/set"]("info")
+    # crash-log dump
+    log = tmp_path / "console.log"
+    mm["/messages/save"](str(log))
+    text = log.read_text()
+    assert "cue: breakdown" in text and "clip opened" in text

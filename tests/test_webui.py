@@ -866,3 +866,26 @@ def test_keyboard_accelerator_layer(ui):
     assert r["ok"] and r["ret"] == 1
     r = _post(ui, "/api/cmd", {"path": "/clip/bookmark/get", "args": [3]})
     assert r["ok"] and r["ret"] == 1
+
+
+def test_message_console_panel(ui):
+    """The web UI carries the d_print console (src/messaging.c ring +
+    the main-window message area): /api/messages serves the ring as
+    JSON, UI command failures land on it at error level, and the page
+    has the level-filtered console panel."""
+    from lives_tpu.messaging import console
+    console.ring.clear()
+    console.d_print("hello from the engine", "info")
+    ms = json.loads(_get(ui, "/api/messages?n=50"))
+    assert any(m["msg"] == "hello from the engine" and
+               m["level"] == "info" and m["t"] > 0 for m in ms)
+    # a failing /api/cmd mirrors onto the console at error level
+    with pytest.raises(urllib.error.HTTPError):
+        _post(ui, "/api/cmd", {"path": "/no/such/method", "args": []})
+    ms = json.loads(_get(ui, "/api/messages?n=50"))
+    assert any(m["level"] == "error" and "/no/such/method" in m["msg"]
+               for m in ms)
+    page = _get(ui, "/").decode()
+    for marker in ("id=\"console\"", "drawConsole", "conlvl",
+                   "/messages/clear"):
+        assert marker in page, marker
