@@ -333,6 +333,10 @@ def register_extended(srv) -> None:
     m("/clip/is_valid/get",
       lambda c=None: int((clip_by_id(c) if c is not None else
                           st().fg_clip) is not None))
+    # ids can be sparse after closes: enumerate them for batch clients
+    # (tools/batchproc.py — reference tools/batchproc.pl iterates 1..n)
+    m("/clip/list",
+      lambda: " ".join(str(k) for k in sorted(srv.clips)))
     m("/clip/goto", lambda f: setattr(st(), "frame", int(f) - 1))
     m("/clip/foreground/set", lambda c: srv._select_clip(c, bg=False))
     m("/clip/foreground/next", srv._fg_next)

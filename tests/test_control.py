@@ -407,3 +407,33 @@ def test_mid_take_crash_recovers_from_sources_in_fresh_app(tmp_path):
     assert out is not None and out.raw().frames > 0
     assert np.asarray(out.raw().get_frame(0).planes[0]).max() > 0
     app.quit(); app2.quit()
+
+
+def test_batchproc_tool(served):
+    """tools/batchproc.py — the batchproc.pl successor: runs a templated
+    OSC command once per open clip with $clip substitution, selecting
+    each clip first and using a ping barrier for completion (reference
+    tools/batchproc.pl loop)."""
+    import importlib.util as ilu
+    import os as _os
+    spec = ilu.spec_from_file_location(
+        "batchproc", _os.path.join(_os.path.dirname(__file__), "..",
+                                   "tools", "batchproc.py"))
+    bp = ilu.module_from_spec(spec)
+    spec.loader.exec_module(bp)
+
+    srv, player, cli = served
+    srv.clips[1] = player.state.fg_clip
+    srv.clips[4] = MemClip(uid=4)          # sparse ids on purpose
+    logs = []
+    res = bp.run_batch("/clip/name/set,take$clip", port=srv.port,
+                       log=logs.append)
+    assert res == [(1, True), (4, True)]
+    assert srv.clips[1].name == "take1"
+    assert srv.clips[4].name == "take4"
+    # after the loop the last clip is foreground (select side effect)
+    assert player.state.fg_clip is srv.clips[4]
+    # failing command per clip -> ok=False, engine keeps serving
+    res = bp.run_batch("/clip/encode_as", port=srv.port, log=logs.append)
+    assert res and all(not ok for _, ok in res)
+    assert any("FAILED" in line for line in logs)
