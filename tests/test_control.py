@@ -437,3 +437,24 @@ def test_batchproc_tool(served):
     res = bp.run_batch("/clip/encode_as", port=srv.port, log=logs.append)
     assert res and all(not ok for _, ok in res)
     assert any("FAILED" in line for line in logs)
+
+
+def test_rte_test_tool():
+    """tools/rte_test.py — the lives-rte-test.pl successor: maps each
+    filter on a key over real UDP while a self-hosted player renders,
+    sweeps every parameter (min/mid/max, bool states, choice indices)
+    with ping barriers and value/get echo checks."""
+    import importlib.util as ilu
+    import os as _os
+    spec = ilu.spec_from_file_location(
+        "rte_test", _os.path.join(_os.path.dirname(__file__), "..",
+                                  "tools", "rte_test.py"))
+    rt = ilu.module_from_spec(spec)
+    spec.loader.exec_module(rt)
+    logs = []
+    names, failures = rt.run_rte_test(limit=4, frames=1, log=logs.append)
+    assert len(names) == 4 and not failures, failures
+    assert sum(1 for line in logs if line.startswith("ok")) == 4
+    # a filter name that cannot instantiate surfaces as a failure
+    names, failures = rt.run_rte_test(match="zzz_no_such", log=logs.append)
+    assert names == [] and not failures

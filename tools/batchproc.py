@@ -10,9 +10,8 @@ Usage:
 
 The command is `path[,arg1,arg2,...]`. Each clip is made foreground
 with /clip/select first (the reference's switch-clip loop), then the
-templated command runs; a /app/ping round trip after each command is
-the completion barrier (the server dispatches packets in order, so the
-pong implies the previous command finished).
+templated command runs; an /app/ping barrier after each command awaits
+completion and collects /error replies.
 
 Numeric-looking args are sent as int/float, everything else as string.
 Exits nonzero if any per-clip command fails or the engine stops
@@ -28,8 +27,7 @@ import sys
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
-from lives_tpu.osc import build_message  # noqa: E402
-from lives_tpu.osc.protocol import parse_packet  # noqa: E402
+from lives_tpu.osc.client import OSCClient  # noqa: E402
 
 
 def _coerce(tok: str):
@@ -41,38 +39,6 @@ def _coerce(tok: str):
     return tok
 
 
-def _query(sock: socket.socket, addr, path: str, *args,
-           timeout: float = 5.0):
-    """Send and await the structured reply on the request path (or
-    /error). Returns the reply args, or raises on /error or timeout."""
-    sock.sendto(build_message(path, *args), addr)
-    sock.settimeout(timeout)
-    while True:
-        data, _ = sock.recvfrom(65536)
-        for msg in parse_packet(data):
-            if msg.address == "/error":
-                raise RuntimeError(" ".join(str(a) for a in msg.args))
-            if msg.address == path:
-                return msg.args
-
-
-def _barrier(sock: socket.socket, addr, timeout: float) -> list[str]:
-    """Ping and drain replies until the pong arrives. Dispatch is
-    in-order, so the pong implies every previously sent command has
-    finished; /error replies seen on the way are returned. Non-error
-    replies (query results of the batched command) are ignored."""
-    sock.sendto(build_message("/app/ping"), addr)
-    sock.settimeout(timeout)
-    errors: list[str] = []
-    while True:
-        data, _ = sock.recvfrom(65536)
-        for msg in parse_packet(data):
-            if msg.address == "/error":
-                errors.append(" ".join(str(a) for a in msg.args))
-            elif msg.address == "/app/ping":
-                return errors
-
-
 def run_batch(cmd: str, host: str = "127.0.0.1", port: int = 49999,
               timeout: float = 5.0,
               log=lambda s: print(s, flush=True)) -> list[tuple[int, bool]]:
@@ -82,28 +48,21 @@ def run_batch(cmd: str, host: str = "127.0.0.1", port: int = 49999,
     """
     parts = cmd.split(",")
     path_t, args_t = parts[0], parts[1:]
-    sock = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
-    sock.bind(("0.0.0.0", 0))
-    addr = (host, port)
-    try:
-        reply = _query(sock, addr, "/clip/list", timeout=timeout)
-        ids = [int(t) for t in str(reply[0]).split()] if reply and \
-            str(reply[0]).strip() else []
+    with OSCClient(host, port, timeout) as cli:
+        listing = str(cli.query1("/clip/list") or "").strip()
+        ids = [int(t) for t in listing.split()] if listing else []
         results: list[tuple[int, bool]] = []
         for cid in ids:
             sub = lambda s: s.replace("$clip", str(cid))  # noqa: E731
-            sock.sendto(build_message("/clip/select", cid), addr)
-            sock.sendto(build_message(
-                sub(path_t), *[_coerce(sub(a)) for a in args_t]), addr)
-            errors = _barrier(sock, addr, timeout)
+            cli.send("/clip/select", cid)
+            cli.send(sub(path_t), *[_coerce(sub(a)) for a in args_t])
+            errors = cli.barrier()
             for e in errors:
                 log(f"clip {cid}: FAILED: {e}")
             if not errors:
                 log(f"clip {cid}: ok")
             results.append((cid, not errors))
         return results
-    finally:
-        sock.close()
 
 
 def main() -> int:
