@@ -197,7 +197,10 @@ class Clip:
         self.achans = data.shape[1]
         if arate:
             self.arate = arate
-        i16 = np.clip(data * 32767.0, -32768, 32767).astype("<i2")
+        # symmetric with read_audio's /32768 so read->edit->write round
+        # trips are sample-exact (chained Audio-menu ops must not decay
+        # the track by 1 LSB per edit); +1.0 clamps to 32767
+        i16 = np.clip(np.rint(data * 32768.0), -32768, 32767).astype("<i2")
         self.audio_path.write_bytes(i16.tobytes())
         self.asampsize, self.aendian, self.asigned = 16, 0, True
 

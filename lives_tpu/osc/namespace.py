@@ -321,6 +321,73 @@ def register_extended(srv) -> None:
         return cd_open
 
     m("/clip/audio/new", audio_new)
+
+    # ---- clip audio editing (the Audio menu; audioedit.py — reference
+    # callbacks.c on_fade_audio/on_normalise_audio/on_trim_audio/
+    # on_del_audio/on_ins_silence/on_append_audio + sync adjust) ----------
+    def _sel_secs(clip):
+        s = st()
+        fps = float(getattr(clip, "fps", 25.0)) or 25.0
+        end = s.sel_end + 1 if s.sel_end >= 0 else \
+            int(getattr(clip, "frames", 0))
+        return s.sel_start / fps, end / fps
+
+    def _aud(op, *args, selection=False):
+        from .. import audioedit
+        clip = cur()
+        if clip is None:
+            raise RuntimeError("no foreground clip")
+        if selection:
+            args = _sel_secs(clip) + args
+        return getattr(audioedit, op)(clip, *args)
+
+    m("/clip/audio/fadein", lambda t=1.0: _aud("fade_in", float(t)))
+    m("/clip/audio/fadeout", lambda t=1.0: _aud("fade_out", float(t)))
+    m("/clip/audio/fade/selection",
+      lambda out=0: _aud("fade_span", *((1.0, 0.0) if int(out)
+                                        else (0.0, 1.0)),
+                         selection=True))
+    m("/clip/audio/normalize",
+      lambda target=0.95: float(_aud("normalize", float(target))))
+    m("/clip/audio/volume/adjust",
+      lambda gain: _aud("voladj", float(gain)))
+    m("/clip/audio/trim", lambda: _aud("trim_pad", selection=True))
+    m("/clip/audio/delete", lambda: _aud("delete_span", selection=True))
+    m("/clip/audio/delete_all", lambda: _aud("delete_span"))
+    m("/clip/audio/insert_silence",
+      lambda: _aud("insert_silence", selection=True))
+    m("/clip/audio/sync/adjust",
+      lambda offset: _aud("adjust_sync", float(offset)))
+    m("/clip/audio/undo", lambda: int(_aud("undo_audio")))
+
+    def audio_append(path):
+        """Append audio decoded from a media file (on_append_audio):
+        rip s16 interleaved pcm through the decoder bridge, resample
+        and channel-match to the clip."""
+        import tempfile
+
+        import numpy as np
+
+        from ..io.clips import try_decoders
+        cd = try_decoders(str(path))
+        if cd is None or not cd.achans or cd.decoder is None:
+            raise RuntimeError(f"no audio decodable in {path}")
+        fd, tmp = tempfile.mkstemp(suffix=".pcm")
+        os.close(fd)
+        try:
+            if not cd.decoder.rip_audio(tmp):
+                raise RuntimeError(f"audio rip failed for {path}")
+            raw = np.fromfile(tmp, "<i2").astype(np.float32) / 32768.0
+        finally:
+            os.unlink(tmp)
+            if hasattr(cd.decoder, "close"):
+                cd.decoder.close()
+        n = len(raw) // cd.achans
+        _aud("append_audio", raw[: n * cd.achans].reshape(n, cd.achans),
+             cd.arate)
+        return int(cd.arate)
+
+    m("/clip/audio/append", audio_append)
     m("/clip/fps/get", lambda: getattr(cur(), "fps", 25.0))
     m("/clip/frame/count", lambda: getattr(cur(), "frames", 0))
     m("/clip/size/get", lambda: [int(getattr(cur(), "width", 0)),

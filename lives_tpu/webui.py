@@ -249,6 +249,17 @@ select{background:#26262c;color:#eee;border:1px solid #555;padding:3px}
   <button onclick="cmd('/clip/subtitles/erase')"
    title="remove the subtitle overlay">no subs</button>
  </div>
+ <div title="clip audio editing (the Audio menu: fades, normalize,
+ silence over the selection, trim/pad to selection, sync offset)">
+  <button onclick="audioEdit('fadein')">a.fade in</button>
+  <button onclick="audioEdit('fadeout')">a.fade out</button>
+  <button onclick="cmd('/clip/audio/normalize')">a.norm</button>
+  <button onclick="cmd('/clip/audio/insert_silence')">a.sil</button>
+  <button onclick="cmd('/clip/audio/trim')">a.trim</button>
+  <button onclick="cmd('/clip/audio/delete')">a.del</button>
+  <button onclick="audioEdit('sync')">a.sync&#8230;</button>
+  <button onclick="cmd('/clip/audio/undo')">a.undo</button>
+ </div>
  <h3>Clips</h3>
  <div>
   <input id="uri" placeholder="/path/to/media.mkv" style="width:65%">
@@ -1255,6 +1266,17 @@ async function openMerge(){
 async function resampleClip(){
  const f=prompt('resample clip to fps:','25');
  if(f)await cmd('/clip/resample',[+f]);
+}
+async function audioEdit(kind){
+ // Audio-menu dialogs that take one number (create_audfade_dialog /
+ // audio sync offset); the rest act on the selection directly
+ if(kind==='fadein'||kind==='fadeout'){
+  const t=prompt('fade '+(kind==='fadein'?'in':'out')+' seconds:','1.0');
+  if(t)await cmd('/clip/audio/'+kind,[+t]);
+ }else if(kind==='sync'){
+  const o=prompt('audio sync offset seconds (+delays audio):','0.0');
+  if(o!==null)await cmd('/clip/audio/sync/adjust',[+o]);
+ }
 }
 async function mtRender(){
  const c=modal('Render timeline');

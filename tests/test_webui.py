@@ -889,3 +889,15 @@ def test_message_console_panel(ui):
     for marker in ("id=\"console\"", "drawConsole", "conlvl",
                    "/messages/clear"):
         assert marker in page, marker
+
+
+def test_audio_edit_buttons(ui):
+    """The Selection panel carries the Audio-menu edit row (fades,
+    normalize, silence, trim, delete, sync, undo) dispatching to the
+    /clip/audio/* routes (audioedit.py)."""
+    page = _get(ui, "/").decode()
+    for marker in ("audioEdit('fadein')", "/clip/audio/normalize",
+                   "/clip/audio/insert_silence", "/clip/audio/trim",
+                   "/clip/audio/delete", "/clip/audio/undo",
+                   "async function audioEdit"):
+        assert marker in page, marker
