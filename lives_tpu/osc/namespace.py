@@ -194,8 +194,18 @@ def register_extended(srv) -> None:
 
     # ---- clip open / query / edit -----------------------------------------
     def clip_open_file(path, start=0., frames=0):
+        """Open a file; with start/frames it is 'Open Part of File'
+        (reference lives_osc_cb_open_file: filename, starttime secs,
+        numframes; 0 frames = to the end)."""
+        from ..clipedit import trim_clip
         from ..io.clips import open_clip
         clip = open_clip(str(path), workdir())
+        if float(start) > 0 or int(frames) > 0:
+            f0 = min(int(round(float(start) * clip.fps)),
+                     max(clip.frames - 1, 0))
+            n = int(frames) if int(frames) > 0 else clip.frames - f0
+            trim_clip(clip, f0, min(f0 + n, clip.frames))
+            # (the trim snapshot remains: undo restores the full file)
         cid = new_id()
         srv.clips[cid] = clip
         if st().fg_clip is None:
@@ -389,6 +399,23 @@ def register_extended(srv) -> None:
 
     m("/clip/audio/append", audio_append)
     m("/clip/fps/get", lambda: getattr(cur(), "fps", 25.0))
+
+    def clip_fps_set(fps):
+        """Tools menu 'Change Playback/Save Speed' (create_new_pb_speed):
+        rewrites the clip's header fps — same frames, new duration.
+        Distinct from /video/fps/set, the live playback rate."""
+        clip = cur()
+        if clip is None:
+            raise RuntimeError("no foreground clip")
+        f = float(fps)
+        if not 0.001 <= abs(f) <= 2000.0:
+            raise ValueError(f"fps {f} out of range")
+        clip.fps = f
+        if hasattr(clip, "save_header"):
+            clip.save_header()
+        return f
+
+    m("/clip/fps/set", clip_fps_set)
     m("/clip/frame/count", lambda: getattr(cur(), "frames", 0))
     m("/clip/size/get", lambda: [int(getattr(cur(), "width", 0)),
                                  int(getattr(cur(), "height", 0))])
@@ -491,6 +518,18 @@ def register_extended(srv) -> None:
     m("/clip/selection/copy", clip_copy)
     m("/clip/selection/cut", sel_cut)
     m("/clip/selection/delete", sel_delete)
+    def clipboard_reverse():
+        """Tools menu 'Reverse Clipboard' (callbacks.c
+        on_rev_clipboard_activate): frames and audio both flip."""
+        cb = srv.clipboard
+        if cb is None:
+            raise RuntimeError("clipboard empty")
+        cb.frames.reverse()
+        if cb.audio is not None and len(cb.audio):
+            cb.audio = cb.audio[::-1].copy()
+        return len(cb)
+
+    m("/clipboard/reverse", clipboard_reverse)
     m("/clipboard/paste", paste)
     m("/clipboard/insert_before", lambda at=None: paste(at, True))
     m("/clipboard/insert_after", lambda at=None: paste(at, False))

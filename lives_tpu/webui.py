@@ -232,6 +232,11 @@ select{background:#26262c;color:#eee;border:1px solid #555;padding:3px}
   <button id="pastebtn" onclick="cmd('/clipboard/paste')">paste</button>
   <button onclick="cmd('/clipboard/paste_as_new',[]).then(refresh)"
    title="paste the clipboard as a new clip">paste new</button>
+  <button onclick="cmd('/clipboard/reverse')"
+   title="reverse the clipboard's frames and audio (Tools menu)">rev cb</button>
+  <button onclick="clipSpeed()"
+   title="change the clip's own fps — same frames, new duration
+ (Change Playback/Save Speed)">speed&#8230;</button>
  </div>
  <div>
   <button id="mergebtn" onclick="openMerge()"
@@ -1266,6 +1271,10 @@ async function openMerge(){
 async function resampleClip(){
  const f=prompt('resample clip to fps:','25');
  if(f)await cmd('/clip/resample',[+f]);
+}
+async function clipSpeed(){
+ const f=prompt('clip fps (playback/save speed):','25');
+ if(f)await cmd('/clip/fps/set',[+f]);
 }
 async function audioEdit(kind){
  // Audio-menu dialogs that take one number (create_audfade_dialog /

@@ -481,3 +481,64 @@ def test_message_console(srv, tmp_path):
     mm["/messages/save"](str(log))
     text = log.read_text()
     assert "cue: breakdown" in text and "clip opened" in text
+
+
+def test_clipboard_reverse(srv):
+    """/clipboard/reverse — Tools menu 'Reverse Clipboard'
+    (callbacks.c on_rev_clipboard_activate:8045): frames and audio both
+    flip; an empty clipboard errors."""
+    import numpy as np
+    mm = srv.methods
+    with pytest.raises(RuntimeError):
+        srv.clipboard = None
+        mm["/clipboard/reverse"]()
+    srv.player.state.sel_start, srv.player.state.sel_end = 0, 4
+    mm["/clip/selection/copy"]()
+    first = srv.clipboard.frames[0].copy()
+    last = srv.clipboard.frames[-1].copy()
+    srv.clipboard.audio = np.arange(10, dtype=np.float32).reshape(10, 1)
+    assert mm["/clipboard/reverse"]() == 5
+    np.testing.assert_array_equal(srv.clipboard.frames[0], last)
+    np.testing.assert_array_equal(srv.clipboard.frames[-1], first)
+    assert srv.clipboard.audio[0, 0] == 9.0
+
+
+def test_clip_fps_set(srv):
+    """/clip/fps/set — 'Change Playback/Save Speed': rewrites the
+    clip's own fps (duration changes), distinct from the live playback
+    rate /video/fps/set."""
+    mm = srv.methods
+    assert mm["/clip/fps/set"](12.5) == 12.5
+    assert srv.player.state.fg_clip.fps == 12.5
+    assert mm["/clip/fps/get"]() == 12.5
+    with pytest.raises(ValueError):
+        mm["/clip/fps/set"](0.0)
+
+
+def test_open_part_of_file(srv, tmp_path):
+    """'Open Part of File' (lives_osc_cb_open_file with starttime +
+    numframes): the opened clip carries only the requested span."""
+    import numpy as np
+    from lives_tpu.io.av import AVEncodeSession, load_avbridge
+    if load_avbridge() is None:
+        pytest.skip("libav unavailable")
+    path = tmp_path / "part.mkv"
+    sess = AVEncodeSession(str(path), 64, 32, 10.0)
+    for i in range(30):                    # 3 s at 10 fps
+        sess.write_frame(np.full((3, 32, 64), i * 8, np.uint8))
+    sess.close()
+    srv.workdir = str(tmp_path / "wd")
+    mm = srv.methods
+    cid = mm["/clip/open/file"](str(path), 1.0, 10)   # 1 s in, 10 frames
+    clip = srv.clips[cid]
+    assert clip.frames == 10
+    # frame 0 of the part = frame 10 of the file (value ~80, codec-fuzzy)
+    lay = clip.get_frame(0)
+    y = np.asarray(lay.planes[0]).astype(np.float32)
+    full_cid = mm["/clip/open/file"](str(path))
+    ref = np.asarray(
+        srv.clips[full_cid].get_frame(10).planes[0]).astype(np.float32)
+    assert abs(y.mean() - ref.mean()) < 3.0
+    # 0 frames = to the end
+    cid2 = mm["/clip/open/file"](str(path), 2.0, 0)
+    assert srv.clips[cid2].frames == 10
