@@ -399,6 +399,14 @@ class OSCServer:
 
     def _cycle(self, cur):
         keys = sorted(self.clips)
+        # an active clip group filters the switcher to its members
+        # (sethandler.c filter_clips; groups hold durable unique_ids)
+        grp = getattr(self, "clip_groups", {}).get(
+            getattr(self, "active_group", "") or "", None)
+        if grp is not None:
+            keys = [k for k in keys
+                    if getattr(self.clips[k], "unique_id", None)
+                    in grp] or keys
         if not keys:
             return None
         if cur is None:
