@@ -785,8 +785,12 @@ def test_autocycle_switches_presets_during_playback(tmp_path):
     p.set_pb_fps(30.0)
     p.start()
     names = {clip.name}
+    # generous deadline: the b-preset template jit-compiles mid-window,
+    # which under full-suite load can eat several seconds on the single
+    # host core; the loop exits the moment the switch is observed, so
+    # the uncontended case still finishes in well under a second
     t0 = _time.monotonic()
-    while _time.monotonic() - t0 < 2.5 and len(names) < 2:
+    while _time.monotonic() - t0 < 20.0 and len(names) < 2:
         p.process_one()
         names.add(clip.name)
         _time.sleep(0.002)

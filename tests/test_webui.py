@@ -90,6 +90,11 @@ def test_preview_stream_delivers_frames(ui):
         p._clock0 = _t.monotonic()
         p._frame0 = float(i)
         p.process_one()
+    # the tap's encode worker is async; under full-suite load its first
+    # frame can exceed the handler's 2 s grace — wait for it here so the
+    # GET tests delivery, not scheduler luck (fast path: returns at once)
+    first, _ = ui.tap.wait_jpeg(-1, timeout=30.0)
+    assert first is not None, "encode worker produced no frame in 30 s"
     jpeg = _get(ui, "/preview.jpg")
     assert jpeg[:3] == b"\xff\xd8\xff"  # JPEG SOI
     # mjpeg stream yields at least one part
@@ -153,6 +158,8 @@ def test_full_browser_session_flow(ui, tmp_path):
     p._clock0 = _t.monotonic()
     p._frame0 = 5.0
     p.process_one()
+    first, _ = ui.tap.wait_jpeg(-1, timeout=30.0)  # async encode, see above
+    assert first is not None, "encode worker produced no frame in 30 s"
     jpeg = _get(ui, "/preview.jpg")
     assert jpeg[:3] == b"\xff\xd8\xff"
     p.stop()
@@ -338,6 +345,8 @@ def test_preview_uses_device_encode_lane(ui):
         p._clock0 = _t.monotonic()
         p._frame0 = float(i)
         p.process_one()
+    first, _ = ui.tap.wait_jpeg(-1, timeout=30.0)  # async encode, see above
+    assert first is not None, "encode worker produced no frame in 30 s"
     jpeg = _get(ui, "/preview.jpg")
     assert jpeg[:3] == b"\xff\xd8\xff"
     deadline = _t.monotonic() + 3
